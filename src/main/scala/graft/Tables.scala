@@ -23,7 +23,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) — a type Spark's parquet
+    * reader rejects outright. Read nanos as raw longs and truncate to
+    * micros with integer division (`div`, not `/`: epoch-nanos ≈ 1.7e18
+    * exceeds double's 2^53 exact-integer range, so float division would
+    * corrupt low-order digits). Matches DuckDB's nanos→micros truncation,
+    * so oracle comparisons agree. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
