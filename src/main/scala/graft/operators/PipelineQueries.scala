@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.Tables
+import graft.pipeline.{Gold, Silver, StateMap}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The banking medallion pipeline exercised through the correctness gate.
+  *
+  * These queries drive the REAL `graft.pipeline.Silver`/`Gold` transforms
+  * (the reference-parity kernel) over bronze-shaped frames synthesized from
+  * the harness testdata — customer⨝nation plays FDIC institutions, orders
+  * plays FDIC financials, supplier×quarters plays the NCUA report tables
+  * (mapping per FIXTURES.md §9). Each has a full DuckDB oracle that
+  * re-derives the same result in ANSI SQL, so the entire cleanse → conform →
+  * join → union → gold path is hash-checked, not just smoke-tested.
+  */
+object PipelineQueries {
+
+  private val quarterEnds = Seq("2020-03-31", "2020-06-30")
+
+  /** Sorted state abbreviations for deterministic synthetic STATE codes. */
+  private val abbrevs: Seq[String] = StateMap.abbrevToName.keys.toSeq.sorted
+
+  /** Bronze-shaped FDIC institutions from customer⨝nation. Every silver
+    * cleanse path is exercised: the ACTIVE filter, the casing trio, the
+    * regex date gate, and both website imputation branches ('' and null). */
+  private def rawInstitutions(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .selectExpr(
+        "CASE WHEN c_custkey % 10 = 0 THEN '0' ELSE '1' END AS ACTIVE",
+        "CAST(c_custkey AS STRING) AS CERT",
+        "c_mktsegment AS CITY",
+        "CAST(c_custkey AS STRING) AS ID",
+        "c_name AS NAME",
+        "'3/31/2020' AS REPDTE",
+        "n_name AS STNAME",
+        """CASE WHEN c_custkey % 7 = 0 THEN ''
+          |     WHEN c_custkey % 11 = 0 THEN CAST(NULL AS STRING)
+          |     ELSE concat('WWW.', c_name, '.COM') END AS WEBADDR""".stripMargin)
+
+  /** Bronze-shaped FDIC financials from orders; REPDTE snaps to the
+    * quarter-end of the order date (realistic call-report cadence). Every
+    * 13th order carries a malformed REPDTE that the regex gate nulls and
+    * `na.drop` then quarantines — the reference's validation path. */
+  private def rawFinancials(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .selectExpr(
+        "CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING) AS ASSET",
+        "CAST(o_custkey AS STRING) AS CERT",
+        "CAST(CAST(floor(o_totalprice / 2) AS BIGINT) AS STRING) AS DEP",
+        "CAST(o_orderkey AS STRING) AS ID",
+        """CASE WHEN o_orderkey % 13 = 0 THEN 'bad-date'
+          |     ELSE concat(CAST(year(o_orderdate) AS STRING),
+          |                 CASE quarter(o_orderdate) WHEN 1 THEN '0331'
+          |                      WHEN 2 THEN '0630' WHEN 3 THEN '0930'
+          |                      ELSE '1231' END)
+          |END AS REPDTE""".stripMargin)
+
+  /** Two-quarter report calendar for the NCUA side. */
+  private def quarters(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq("3/31/2020 0:00:00", "6/30/2020 0:00:00").toDF("CYCLE_DATE")
+  }
+
+  /** Bronze-shaped NCUA FOICU from supplier×quarters; STATE is a 2-letter
+    * code driven through the real abbreviation→name map lookup. */
+  private def rawFoicu(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).crossJoin(quarters(s))
+      .select(
+        (col("s_suppkey") + 100000).cast("int").as("CU_NUMBER"),
+        col("s_name").as("CU_NAME"),
+        col("s_name").as("CITY"),
+        element_at(typedLit(abbrevs), (col("s_suppkey") % abbrevs.size).cast("int") + 1)
+          .as("STATE"),
+        col("CYCLE_DATE"))
+
+  private def rawFs220(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).crossJoin(quarters(s))
+      .select(
+        (col("s_suppkey") + 100000).cast("int").as("CU_NUMBER"),
+        col("CYCLE_DATE"),
+        (floor(col("s_acctbal") * 1000) +
+          when(col("CYCLE_DATE").startsWith("6"), 500).otherwise(0))
+          .cast("long").as("ACCT_010"),
+        floor(col("s_acctbal") * 400).cast("long").as("ACCT_018"))
+
+  private def rawFs220d(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir).crossJoin(quarters(s))
+      .select(
+        (col("s_suppkey") + 100000).cast("int").as("CU_NUMBER"),
+        col("CYCLE_DATE"),
+        when(col("s_suppkey") % 5 === 0, lit(""))
+          .otherwise(concat(col("s_name"), lit(".ORG"))).as("Acct_891"))
+
+  /** The full conformed silver table through the real pipeline kernel. */
+  def silverUnified(s: SparkSession, dir: String): DataFrame = {
+    val bank = Silver.bankData(
+      Silver.cleanseBankInstitutions(rawInstitutions(s, dir)),
+      Silver.cleanseBankFinancials(rawFinancials(s, dir)))
+    val cu = Silver.creditUnionData(
+      Silver.cleanseFoicu(rawFoicu(s, dir)),
+      Silver.cleanseFs220d(rawFs220d(s, dir)),
+      Silver.cleanseFs220(rawFs220(s, dir)))
+    Silver.unified(bank, cu, numPartitions = 32)
+  }
+
+  def p25SilverUnified(s: SparkSession, dir: String): DataFrame =
+    silverUnified(s, dir).orderBy("institution_type", "charter_number", "quarter_date")
+
+  def p26GoldDirectory(s: SparkSession, dir: String): DataFrame =
+    Gold.institutionDirectoryByType(silverUnified(s, dir))
+      .orderBy("institution_type", "charter_number")
+
+  def p27GoldState(s: SparkSession, dir: String): DataFrame =
+    Gold.assetsDepositsByState(silverUnified(s, dir))
+      .orderBy("year", "quarter", "state", "charter_number")
+
+  /** Quarterly wide table via the native-pivot rewrite, on the credit-union
+    * slice (whose report calendar is complete, so rows survive the
+    * reference's drop-incomplete `na.drop`). */
+  def p28GoldQuarterly(s: SparkSession, dir: String): DataFrame =
+    Gold.quarterlyWide(
+      silverUnified(s, dir).filter(col("institution_type") === "credit union"),
+      "assets_total", Some(quarterEnds))
+      .orderBy("charter_number")
+
+  // ---------------------------------------------------------------- oracles
+
+  /** Shared CTE prefix: the same silver derivation in ANSI SQL. */
+  private val silverCte: String = {
+    val stateJoin = StateMap.abbrevToName.toSeq.sortBy(_._1)
+      .map { case (a, n) => s"('$a', '$n')" }.mkString(", ")
+    val abbrevList = abbrevs.map(a => s"'$a'").mkString("[", ", ", "]")
+    s"""WITH inst AS (
+       |  SELECT CAST(c_custkey AS INTEGER) AS charter_number,
+       |    upper(substr(lower(c_mktsegment),1,1)) || substr(lower(c_mktsegment),2) AS city,
+       |    upper(c_name) AS name,
+       |    upper(substr(lower(n_name),1,1)) || substr(lower(n_name),2) AS state,
+       |    CASE WHEN c_custkey % 7 = 0 OR c_custkey % 11 = 0 THEN 'Not Provided'
+       |         ELSE lower(concat('WWW.', c_name, '.COM')) END AS website
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE c_custkey % 10 <> 0),
+       |fin AS (
+       |  SELECT CAST(o_custkey AS INTEGER) AS charter_number,
+       |    CAST(floor(o_totalprice) AS BIGINT) AS assets_total,
+       |    CAST(floor(o_totalprice / 2) AS BIGINT) AS deposits_total,
+       |    CASE WHEN o_orderkey % 13 = 0 THEN NULL
+       |         ELSE CAST(date_trunc('quarter', o_orderdate)
+       |              + INTERVAL 3 MONTH - INTERVAL 1 DAY AS DATE) END AS quarter_date
+       |  FROM orders),
+       |bank AS (
+       |  SELECT DISTINCT i.charter_number, i.city, i.name, f.quarter_date, i.state,
+       |    i.website, f.assets_total, f.deposits_total, 'bank' AS institution_type
+       |  FROM inst i LEFT JOIN fin f USING (charter_number)
+       |  WHERE f.quarter_date IS NOT NULL),
+       |sm(abbrev, full_name) AS (VALUES $stateJoin),
+       |qtr(cycle, qdate) AS (VALUES
+       |  ('3/31/2020 0:00:00', DATE '2020-03-31'),
+       |  ('6/30/2020 0:00:00', DATE '2020-06-30')),
+       |cu AS (
+       |  SELECT DISTINCT CAST(s_suppkey + 100000 AS INTEGER) AS charter_number,
+       |    upper(substr(lower(s_name),1,1)) || substr(lower(s_name),2) AS city,
+       |    upper(s_name) AS name,
+       |    qtr.qdate AS quarter_date,
+       |    sm.full_name AS state,
+       |    CASE WHEN s_suppkey % 5 = 0 THEN 'Not Provided'
+       |         ELSE lower(concat(s_name, '.ORG')) END AS website,
+       |    CAST(floor(s_acctbal * 1000)
+       |         + CASE WHEN qtr.cycle LIKE '6%' THEN 500 ELSE 0 END AS BIGINT)
+       |      AS assets_total,
+       |    CAST(floor(s_acctbal * 400) AS BIGINT) AS deposits_total,
+       |    'credit union' AS institution_type
+       |  FROM supplier
+       |  CROSS JOIN qtr
+       |  LEFT JOIN sm ON sm.abbrev = ($abbrevList)[CAST(s_suppkey % ${abbrevs.size} AS INTEGER) + 1]),
+       |silver AS (
+       |  SELECT * FROM bank UNION SELECT * FROM cu)""".stripMargin
+  }
+
+  val p25Sql: String =
+    s"""$silverCte
+       |SELECT charter_number, city, name, quarter_date, state, website,
+       |  assets_total, deposits_total, institution_type
+       |FROM silver
+       |ORDER BY institution_type, charter_number, quarter_date""".stripMargin
+
+  val p26Sql: String =
+    s"""$silverCte
+       |SELECT DISTINCT name, charter_number, institution_type, city, state, website
+       |FROM silver ORDER BY institution_type, charter_number""".stripMargin
+
+  val p27Sql: String =
+    s"""$silverCte
+       |SELECT charter_number, name, state, city, assets_total, deposits_total,
+       |  CAST(year(quarter_date) AS INTEGER) AS year,
+       |  CAST(quarter(quarter_date) AS INTEGER) AS quarter
+       |FROM silver ORDER BY year, quarter, state, charter_number""".stripMargin
+
+  val p28Sql: String =
+    s"""$silverCte
+       |SELECT charter_number, institution_type, name,
+       |  MAX(CASE WHEN quarter_date = DATE '2020-06-30' THEN assets_total END)
+       |    AS "2020-06-30",
+       |  MAX(CASE WHEN quarter_date = DATE '2020-03-31' THEN assets_total END)
+       |    AS "2020-03-31"
+       |FROM silver WHERE institution_type = 'credit union'
+       |GROUP BY charter_number, institution_type, name
+       |HAVING "2020-06-30" IS NOT NULL AND "2020-03-31" IS NOT NULL
+       |ORDER BY charter_number""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p25_silver_unified" -> p25SilverUnified,
+    "p26_gold_directory" -> p26GoldDirectory,
+    "p27_gold_state"     -> p27GoldState,
+    "p28_gold_quarterly" -> p28GoldQuarterly)
+
+  val oracle: Map[String, String] = Map(
+    "p25_silver_unified" -> p25Sql,
+    "p26_gold_directory" -> p26Sql,
+    "p27_gold_state"     -> p27Sql,
+    "p28_gold_quarterly" -> p28Sql)
+}
