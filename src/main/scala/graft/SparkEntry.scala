@@ -18,12 +18,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.RelationalExt.queries ++
-      operators.PipelineQueries.queries
+      operators.PipelineQueries.queries ++
+      operators.Dedup.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
       operators.RelationalExt.oracle ++
-      operators.PipelineQueries.oracle
+      operators.PipelineQueries.oracle ++
+      operators.Dedup.oracle ++
+      operators.TextAnalysis.oracle ++
+      operators.Similarity.oracle
 }

@@ -1,0 +1,325 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.PortableHash._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the `documents`/`embeddings` tables — the
+  * training-data-pipeline operators (north star): exact, n-gram-Jaccard,
+  * MinHash+LSH, SimHash, and embedding-cosine near-dup. Every query has a
+  * full DuckDB oracle: the hash functions are portable integer arithmetic
+  * ([[graft.functions.PortableHash]]), so even the sketch-based paths are
+  * value-checked, not just smoke-tested.
+  *
+  * Scale design (100 TB stance):
+  *  - No all-pairs comparison anywhere except inside a blocking bucket.
+  *    Candidate generation is always an inverted-index/bucket equi-join
+  *    (shingle, LSH band, SimHash chunk, sign-cell) — the shuffle key is the
+  *    bucket, so work scales with Σ bucket² not corpus², and AQE's skew
+  *    splitting handles hot buckets.
+  *  - Signatures are computed in one projection pass (map-side, no shuffle)
+  *    via higher-order functions; only the (id, bucket) pairs shuffle.
+  *  - The per-doc shingle set is the only wide intermediate; at 100 TB the
+  *    pattern is identical, with the candidate join keyed by band to keep
+  *    partitions bounded.
+  */
+object Dedup {
+
+  /** Documents ∪ exact copies of every 10th doc (re-keyed) — a corpus with
+    * known planted duplicates, since the raw table has none. */
+  private def corpusWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000)
+        .withColumn("source", lit("copy")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)"""
+      .stripMargin
+
+  /** Exact dedup: hash-groupBy on content. One shuffle keyed by the text
+    * hash; at scale group on md5 (fixed 32 bytes) rather than the raw text
+    * to bound shuffle row width. */
+  def d29Exact(s: SparkSession, dir: String): DataFrame =
+    corpusWithCopies(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val d29Sql: String =
+    s"""WITH $corpusSql
+       |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       |  count(*) AS n_copies
+       |FROM corpus GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** Per-doc distinct 3-shingles exploded and HASHED → the inverted index
+    * keyed by the portable 8-byte hash, not the ~18-byte shingle string:
+    * the polyHash char fold runs exactly once per (doc, shingle) row as a
+    * scalar projection, and every downstream join/shuffle carries a long.
+    * (Hash collisions are possible at P=1e9+7 — and identical in the
+    * oracle, which uses the same arithmetic, so results still hash-match.) */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", s"explode(${shingles(3)}) AS sh")
+      .selectExpr("doc_id", s"${polyHash("sh")} AS h")
+
+  private val shingleIndexSql =
+    """s AS (
+      |  SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM (
+      |    SELECT doc_id, unnest(list_distinct(list_transform(
+      |      range(1, len(string_split(lower(text),' ')) - 1),
+      |      i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' ')))) AS sh
+      |    FROM documents))""".stripMargin
+
+  /** n-gram Jaccard near-dup via the shingle inverted index: docs sharing a
+    * shingle are joined on it (never all-pairs), common counts aggregate per
+    * pair, J = |∩| / (|A|+|B|-|∩|) from integer counts. */
+  def d30NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val idx = shingleIndex(s, dir)
+    val n = idx.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
+      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
+      .withColumn("jac",
+        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .filter(col("jac") >= 0.2)
+      .select("id1", "id2", "common", "jac")
+      .orderBy("id1", "id2")
+  }
+
+  val d30Sql: String =
+    s"""WITH $shingleIndexSql,
+       |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+       |  FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, common,
+       |  round(common * 1.0 / (n1.ns + n2.ns - common), 6) AS jac
+       |FROM pairs JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
+       |WHERE round(common * 1.0 / (n1.ns + n2.ns - common), 6) >= 0.2
+       |ORDER BY id1, id2""".stripMargin
+
+  /** MinHash+LSH near-dup: band-bucket equi-join for candidates (docs
+    * agreeing on any 4-row band), then exact Jaccard verification of
+    * candidates only — the standard sketch → candidate → verify pipeline.
+    * Verification joins the candidate set against the shingle index, so the
+    * expensive exact measure runs on |candidates|, not |pairs|.
+    *
+    * Cost structure is load-bearing: the char-level polyHash fold runs ONCE
+    * per (doc, shingle) row in the hashed index (a scalar projection), and
+    * the 16 permutation-hashes h_i(x) = (a_i·x + b_i) mod P are cheap
+    * integer maps over the collected hash list. Inlining polyHash into the
+    * 16-hash lambda re-runs the fold 16-64× per shingle — and chained
+    * projections do NOT protect against that (CollapseProject inlines
+    * single-use aliases back into the lambdas; measured 20×+ slower at
+    * sf0.1). The collect_list aggregate is a real barrier. */
+  def d31MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val idx = shingleIndex(s, dir)
+    val sigs = idx.groupBy("doc_id")
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("ns"))
+    val bands = sigs.selectExpr("doc_id",
+        s"""transform(sequence(0, 15), i -> array_min(transform(hs,
+           |  h -> ((2*i + 1) * h + i*12345 + 678) % $P))) AS mh""".stripMargin)
+      .selectExpr("doc_id",
+        """explode(transform(sequence(0, 3), b -> concat(
+          |  CAST(b AS STRING), ':',
+          |  concat_ws('-', transform(slice(mh, b*4 + 1, 4),
+          |    x -> CAST(x AS STRING)))))) AS band_key""".stripMargin)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val n = sigs.select(col("doc_id"), col("ns"))
+    val common = cand
+      .join(idx.withColumnRenamed("doc_id", "id1"), "id1")
+      .join(idx.withColumnRenamed("doc_id", "id2").withColumnRenamed("h", "h2"), "id2")
+      .filter(col("h") === col("h2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("id1", "id2"), "left").na.fill(0L, Seq("common"))
+      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
+      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
+      .withColumn("jac",
+        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .withColumn("is_dup", (col("jac") >= 0.2).cast("int"))
+      .select("id1", "id2", "jac", "is_dup")
+      .orderBy("id1", "id2")
+  }
+
+  val d31Sql: String = {
+    val polyDuck =
+      """list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |  list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
+        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+    s"""WITH $shingleIndexSql,
+       |d AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(string_split(lower(text),' ')) - 1),
+       |    i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS shingles
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(0, 16), i ->
+       |    list_min(list_transform(shingles, sh ->
+       |      ((2*i + 1) * ($polyDuck) + i*12345 + 678) % 1000000007))) AS mh
+       |  FROM d),
+       |bands AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+       |    CAST(b AS VARCHAR) || ':' || array_to_string(mh[b*4+1:b*4+4], '-'))) AS band_key
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+       |common AS (
+       |  SELECT id1, id2, count(*) AS common
+       |  FROM cand JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2
+       |  WHERE sa.h = sb.h GROUP BY 1, 2)
+       |SELECT id1, id2,
+       |  round(coalesce(common, 0) * 1.0 / (n1.ns + n2.ns - coalesce(common, 0)), 6) AS jac,
+       |  CAST(round(coalesce(common, 0) * 1.0 / (n1.ns + n2.ns - coalesce(common, 0)), 6) >= 0.2 AS INTEGER) AS is_dup
+       |FROM cand LEFT JOIN common USING (id1, id2)
+       |JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** 30-bit SimHash over distinct tokens: bit j of the signature is the
+    * sign of Σ_tokens (±1 by bit j of the token hash). Computed map-side;
+    * candidates block on 3×10-bit chunks (hamming ≤ 2 ⇒ some chunk equal,
+    * by pigeonhole), verified with bit_count(xor). Token hashes go through
+    * an explode → scalar-hash → collect_list barrier so the char fold runs
+    * once per token, never per signature bit (see d31's cost note). */
+  def d32Simhash(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"explode(array_distinct($tokens)) AS t")
+      .selectExpr("doc_id", s"${polyHash("t")} AS th1")
+      .groupBy("doc_id").agg(collect_list(col("th1")).as("th"))
+      .selectExpr("doc_id",
+        """aggregate(transform(sequence(0, 29), j ->
+          |  CASE WHEN aggregate(transform(th, h ->
+          |      CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END),
+          |    0, (a, x) -> a + x) > 0
+          |  THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
+          |CAST(0 AS BIGINT), (a, b) -> a + b) AS sig""".stripMargin)
+    val chunks = sigs.selectExpr("doc_id", "sig",
+      """explode(transform(sequence(0, 2), c ->
+        |  concat(CAST(c AS STRING), ':',
+        |    CAST(shiftright(sig, c*10) & 1023 AS STRING)))) AS chunk""".stripMargin)
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
+      .selectExpr("id1", "id2", "CAST(bit_count(sig1 ^ sig2) AS INTEGER) AS hamming")
+      .filter(col("hamming") <= 2)
+      .orderBy("id1", "id2")
+  }
+
+  val d32Sql: String = {
+    val polyDuck =
+      """list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |  list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT))),
+        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id, list_distinct(string_split(lower(text),' ')) AS toks
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(0, 30), j ->
+       |      CASE WHEN list_sum(list_transform(toks, t ->
+       |          CASE WHEN (($polyDuck) >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+       |    (a, b) -> a + b) AS sig
+       |  FROM d),
+       |chunks AS (
+       |  SELECT doc_id, sig, unnest(list_transform(range(0, 3), c ->
+       |    CAST(c AS VARCHAR) || ':' || CAST((sig >> (c*10)) & 1023 AS VARCHAR))) AS chunk
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    a.sig AS sig1, b.sig AS sig2
+       |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, CAST(bit_count(xor(sig1, sig2)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(sig1, sig2)) <= 2
+       |ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Embedding cosine near-dup. Corpus = embeddings ∪ deterministically
+    * perturbed copies (the raw table has no near pairs — max cosine 0.51).
+    * Blocking: sign-cell of dims 1-3 (2³ cells) so the join is cell-keyed,
+    * not all-pairs; cosine is a sequential double fold — bit-identical in
+    * both engines. */
+  def d33Embedding(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") % 10 === 0)
+        .selectExpr("vec_id + 1000000 AS vec_id",
+          "transform(v, (x, i) -> x + 0.001D * CAST(i % 3 AS DOUBLE)) AS v"))
+    val cells = corpus.selectExpr("vec_id", "v",
+      """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
+        |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
+        |       CAST(CAST(v[2] >= 0 AS INT) AS STRING)) AS cell""".stripMargin)
+    cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .selectExpr("a.vec_id AS id1", "b.vec_id AS id2",
+        """aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
+          |(sqrt(aggregate(transform(a.v, x -> x * x), 0D, (acc, x) -> acc + x)) *
+          | sqrt(aggregate(transform(b.v, x -> x * x), 0D, (acc, x) -> acc + x))) AS cos"""
+          .stripMargin)
+      .filter(col("cos") >= 0.98)
+      .selectExpr("id1", "id2", "round(cos, 6) AS cos")
+      .orderBy("id1", "id2")
+  }
+
+  val d33Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(range(1, 65), k -> v[k] + 0.001 * CAST((k-1) % 3 AS DOUBLE)) AS v
+      |  FROM base WHERE vec_id % 10 = 0),
+      |cells AS (
+      |  SELECT vec_id, v,
+      |    CAST(CAST(v[1] >= 0 AS INTEGER) AS VARCHAR) ||
+      |    CAST(CAST(v[2] >= 0 AS INTEGER) AS VARCHAR) ||
+      |    CAST(CAST(v[3] >= 0 AS INTEGER) AS VARCHAR) AS cell
+      |  FROM corpus),
+      |pairs AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |    list_reduce(list_transform(range(1, 65), k -> a.v[k] * b.v[k]), (x, y) -> x + y) /
+      |    (sqrt(list_reduce(list_transform(range(1, 65), k -> a.v[k] * a.v[k]), (x, y) -> x + y)) *
+      |     sqrt(list_reduce(list_transform(range(1, 65), k -> b.v[k] * b.v[k]), (x, y) -> x + y))) AS cos
+      |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+      |SELECT id1, id2, round(cos, 6) AS cos FROM pairs
+      |WHERE cos >= 0.98 ORDER BY id1, id2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d29_dedup_exact"         -> d29Exact,
+    "d30_dedup_ngram_jaccard" -> d30NgramJaccard,
+    "d31_dedup_minhash_lsh"   -> d31MinhashLsh,
+    "d32_dedup_simhash"       -> d32Simhash,
+    "d33_dedup_embedding"     -> d33Embedding)
+
+  val oracle: Map[String, String] = Map(
+    "d29_dedup_exact"         -> d29Sql,
+    "d30_dedup_ngram_jaccard" -> d30Sql,
+    "d31_dedup_minhash_lsh"   -> d31Sql,
+    "d32_dedup_simhash"       -> d32Sql,
+    "d33_dedup_embedding"     -> d33Sql)
+}

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (north star): brute-force
+  * cosine top-k as the exact baseline, then two bucketed ANN paths (IVF-style
+  * coarse quantization and random-hyperplane LSH) as the scale designs.
+  *
+  * Scale stance: brute force is the per-bucket kernel, never the global
+  * plan. Both ANN variants key the join on a bucket id, so the shuffle
+  * carries (bucket, vec) rows and per-task work is Σ |bucket_q|·|bucket_c|.
+  * The query side is tiny (16 probes) and broadcast, so the corpus never
+  * shuffles at all — at 100 TB only the small side moves.
+  *
+  * Cosine is a sequential double fold (zip_with + aggregate) — bit-identical
+  * to the DuckDB oracle's list_reduce, so results hash-compare exactly.
+  */
+object Similarity {
+
+  private val cosExpr =
+    """aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
+      |(sqrt(aggregate(transform(q.v, x -> x * x), 0D, (acc, x) -> acc + x)) *
+      | sqrt(aggregate(transform(c.v, x -> x * x), 0D, (acc, x) -> acc + x)))""".stripMargin
+
+  private val cosDuck =
+    """list_reduce(list_transform(range(1, 65), k -> q.v[k] * c.v[k]), (x, y) -> x + y) /
+      |  (sqrt(list_reduce(list_transform(range(1, 65), k -> q.v[k] * q.v[k]), (x, y) -> x + y)) *
+      |   sqrt(list_reduce(list_transform(range(1, 65), k -> c.v[k] * c.v[k]), (x, y) -> x + y)))""".stripMargin
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+
+  private val vecsDuck =
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+
+  /** Exact top-5 cosine neighbors for 16 probe vectors: broadcast the tiny
+    * query side across the corpus, per-query heap via window row_number. */
+  def s38AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir)
+    val q = all.filter(col("vec_id") < 16).select(col("vec_id").as("qid"), col("v"))
+    broadcast(q).as("q")
+      .join(all.as("c"), col("c.vec_id") =!= col("qid"))
+      .selectExpr("qid", "c.vec_id AS nid", s"$cosExpr AS cos")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= 5)
+      .selectExpr("qid", "rank", "nid", "round(cos, 6) AS cos")
+      .orderBy("qid", "rank")
+  }
+
+  val s38Sql: String =
+    s"""WITH e AS ($vecsDuck),
+       |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 16),
+       |scored AS (
+       |  SELECT qid, c.vec_id AS nid, $cosDuck AS cos
+       |  FROM q JOIN e c ON c.vec_id <> qid),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, nid, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** IVF-style ANN: a deterministic coarse quantizer (sign cell over dims
+    * 1-3 = 8 cells standing in for trained centroids), per-cell centroids
+    * from an order-independent decimal mean, queries probe their 2 nearest
+    * centroids, exact search only within probed cells. */
+  def s39AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val cellExpr =
+      """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
+        |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
+        |       CAST(CAST(v[2] >= 0 AS INT) AS STRING))""".stripMargin
+    val all = vecs(s, dir).selectExpr("vec_id", "v", s"$cellExpr AS cell")
+    // per-cell centroid: decimal-summed per-dimension mean (order-independent)
+    val cent = all
+      .selectExpr("cell", "posexplode(v) AS (dim, x)")
+      .groupBy("cell", "dim")
+      .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .selectExpr("cell", "transform(dm, e -> e.m) AS cv")
+    val q = all.filter(col("vec_id") < 16).select(col("vec_id").as("qid"), col("v"))
+    val probes = broadcast(q).as("q")
+      .join(broadcast(cent).as("c"), lit(true))
+      .selectExpr("qid", "cell",
+        cosExpr.replace("c.v", "c.cv") + " AS ccos")
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crank") <= 2)
+      .select("qid", "cell")
+    broadcast(probes.join(q.withColumnRenamed("qid", "qid2"),
+        col("qid") === col("qid2")).select(col("qid"), col("cell"), col("v")))
+      .as("q")
+      .join(all.as("c"), col("q.cell") === col("c.cell") && col("c.vec_id") =!= col("qid"))
+      .selectExpr("qid", "c.vec_id AS nid", s"$cosExpr AS cos")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= 3)
+      .selectExpr("qid", "rank", "nid", "round(cos, 6) AS cos")
+      .orderBy("qid", "rank")
+  }
+
+  val s39Sql: String =
+    s"""WITH e AS ($vecsDuck),
+       |cells AS (
+       |  SELECT vec_id, v,
+       |    CAST(CAST(v[1] >= 0 AS INTEGER) AS VARCHAR) ||
+       |    CAST(CAST(v[2] >= 0 AS INTEGER) AS VARCHAR) ||
+       |    CAST(CAST(v[3] >= 0 AS INTEGER) AS VARCHAR) AS cell
+       |  FROM e),
+       |centdim AS (
+       |  SELECT cell, k, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS k FROM cells)
+       |  GROUP BY cell, k),
+       |cent AS (SELECT cell, list(m ORDER BY k) AS cv FROM centdim GROUP BY cell),
+       |q AS (SELECT vec_id AS qid, v FROM cells WHERE vec_id < 16),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY
+       |      list_reduce(list_transform(range(1, 65), k -> q.v[k] * c.cv[k]), (x, y) -> x + y) /
+       |      (sqrt(list_reduce(list_transform(range(1, 65), k -> q.v[k] * q.v[k]), (x, y) -> x + y)) *
+       |       sqrt(list_reduce(list_transform(range(1, 65), k -> c.cv[k] * c.cv[k]), (x, y) -> x + y)))
+       |      DESC, cell) AS crank
+       |    FROM q CROSS JOIN cent c)
+       |  WHERE crank <= 2),
+       |scored AS (
+       |  SELECT q.qid, c.vec_id AS nid, $cosDuck AS cos
+       |  FROM probes JOIN q ON q.qid = probes.qid
+       |  JOIN cells c ON c.cell = probes.cell AND c.vec_id <> q.qid),
+       |ranked AS (
+       |  SELECT qid, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, nid, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  /** Random-hyperplane LSH ANN: 8 deterministic integer-arithmetic planes →
+    * 8-bit bucket signature; candidates share the bucket; exact cosine +
+    * top-3 within it. Plane weights w(p,d) = lcg(p·64+d) mapped to
+    * [-1000, 1000] — reproducible in any engine, no RNG state. */
+  private val planeW =
+    "CAST((CAST(1103515245 AS BIGINT) * (p * 64 + k) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)"
+
+  def s40AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigExpr =
+      s"""aggregate(transform(sequence(0, 7), p ->
+         |  CASE WHEN aggregate(transform(sequence(0, 63), k ->
+         |      element_at(v, k + 1) * $planeW), 0D, (a, x) -> a + x) >= 0
+         |  THEN shiftleft(1, p) ELSE 0 END), 0, (a, b) -> a + b)""".stripMargin
+    val all = vecs(s, dir).selectExpr("vec_id", "v", s"$sigExpr AS bucket")
+    val q = all.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("v"), col("bucket"))
+    broadcast(q).as("q")
+      .join(all.as("c"),
+        col("q.bucket") === col("c.bucket") && col("c.vec_id") =!= col("qid"))
+      .selectExpr("qid", "q.bucket AS bucket", "c.vec_id AS nid", s"$cosExpr AS cos")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= 3)
+      .selectExpr("qid", "bucket", "rank", "nid", "round(cos, 6) AS cos")
+      .orderBy("qid", "rank")
+  }
+
+  val s40Sql: String = {
+    val planeDuck =
+      "CAST((CAST(1103515245 AS BIGINT) * (p * 64 + (k - 1)) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)"
+    s"""WITH e AS ($vecsDuck),
+       |sigs AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_prepend(0, list_transform(range(0, 8), p ->
+       |      CASE WHEN list_reduce(list_transform(range(1, 65), k ->
+       |          v[k] * $planeDuck), (x, y) -> x + y) >= 0
+       |      THEN (1 << p) ELSE 0 END)), (a, b) -> a + b) AS bucket
+       |  FROM e),
+       |q AS (SELECT vec_id AS qid, v, bucket FROM sigs WHERE vec_id < 16),
+       |scored AS (
+       |  SELECT qid, q.bucket AS bucket, c.vec_id AS nid, $cosDuck AS cos
+       |  FROM q JOIN sigs c ON q.bucket = c.bucket AND c.vec_id <> qid),
+       |ranked AS (
+       |  SELECT qid, bucket, nid, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |  FROM scored)
+       |SELECT qid, bucket, rank, nid, round(cos, 6) AS cos
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s38_ann_brute" -> s38AnnBrute,
+    "s39_ann_ivf"   -> s39AnnIvf,
+    "s40_ann_lsh"   -> s40AnnLsh)
+
+  val oracle: Map[String, String] = Map(
+    "s38_ann_brute" -> s38Sql,
+    "s39_ann_ivf"   -> s39Sql,
+    "s40_ann_lsh"   -> s40Sql)
+}

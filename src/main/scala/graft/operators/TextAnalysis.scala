@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.PortableHash._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over `documents` (north star): token counting,
+  * quality scoring, language-ID, and document fingerprinting. All pure
+  * Catalyst expressions in one projection pass — these are embarrassingly
+  * parallel map-side ops, so at 100 TB they scale linearly with input splits
+  * and never shuffle (the only shuffle in any query here is the final
+  * presentation sort, which a real pipeline would drop).
+  */
+object TextAnalysis {
+
+  /** Token counting: whitespace tokens + a BPE-ish subword regex (runs of
+    * letters / digits / single punctuation, then 4-char chunks of long
+    * words approximating subword splits). */
+  def t34Tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        s"size($tokens) AS n_ws_tokens",
+        "size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_word_tokens",
+        // BPE-ish: every word contributes ceil(len/4) subword units
+        s"aggregate(transform($tokens, t -> CAST(ceil(length(t) / 4.0D) AS BIGINT)), " +
+          "CAST(0 AS BIGINT), (a, x) -> a + x) AS n_subword_tokens",
+        "length(text) AS n_chars")
+      .orderBy("doc_id")
+
+  val t34Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(lower(text), ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_word_tokens,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(string_split(lower(text), ' '),
+      |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), (a, x) -> a + x) AS n_subword_tokens,
+      |  length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality scoring: length/stopword/alpha ratios + mean token length,
+    * combined into a single deterministic score — the heuristic filter a
+    * pretraining pipeline runs before expensive dedup. */
+  def t35Quality(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        "length(text) AS n_chars",
+        s"size($tokens) AS n_tokens",
+        s"round(aggregate(transform($tokens, t -> length(t)), 0, (a, x) -> a + x) " +
+          s"/ CAST(size($tokens) AS DOUBLE), 6) AS mean_token_len",
+        s"round(size(filter($tokens, t -> array_contains($stopArr, t))) " +
+          s"/ CAST(size($tokens) AS DOUBLE), 6) AS stopword_ratio",
+        "round(size(regexp_extract_all(lower(text), '[a-z]', 0)) " +
+          "/ CAST(length(text) AS DOUBLE), 6) AS alpha_ratio")
+      .selectExpr("doc_id", "n_chars", "n_tokens", "mean_token_len",
+        "stopword_ratio", "alpha_ratio",
+        // NOTE: 'D' suffixes are load-bearing — Spark SQL parses bare
+        // decimal literals as DECIMAL, which would silently switch the
+        // formula to decimal arithmetic and diverge from the double-math
+        // oracle at round() knife-edges.
+        """round(least(n_chars / 500.0D, 1.0D) * 0.3D
+          |  + least(stopword_ratio * 5.0D, 1.0D) * 0.4D
+          |  + alpha_ratio * 0.3D, 6) AS quality_score""".stripMargin)
+      .orderBy("doc_id")
+  }
+
+  val t35Sql: String = {
+    val stopList = stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    length(text) AS n_chars,
+       |    len(string_split(lower(text), ' ')) AS n_tokens,
+       |    round(list_reduce(list_prepend(0,
+       |        list_transform(string_split(lower(text), ' '), t -> length(t))),
+       |        (a, x) -> a + x)
+       |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS mean_token_len,
+       |    round(len(list_filter(string_split(lower(text), ' '),
+       |        t -> list_contains($stopList, t)))
+       |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS stopword_ratio,
+       |    round(len(regexp_extract_all(lower(text), '[a-z]'))
+       |      / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio
+       |  FROM documents)
+       |SELECT doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
+       |  round(least(n_chars / 500.0, 1.0) * 0.3
+       |    + least(stopword_ratio * 5.0, 1.0) * 0.4
+       |    + alpha_ratio * 0.3, 6) AS quality_score
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language-ID by function-word overlap: score each language's stopword
+    * profile against the token bag, argmax with deterministic tie-break
+    * (highest score, then language code) — the classic n-gram/profile
+    * heuristic in relational form. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "est"))
+
+  def t36LangId(s: SparkSession, dir: String): DataFrame = {
+    val scoreCols = profiles.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+      s"round(size(filter($tokens, t -> array_contains($arr, t))) " +
+        s"/ CAST(size($tokens) AS DOUBLE), 6) AS score_$lang"
+    }
+    val best = profiles.map { case (lang, _) => lang }
+      .sortBy(identity).reverse // later CASE arms win ties ⇒ evaluate desc, pick asc-first
+      .foldLeft("'und'") { case (acc, lang) =>
+        s"CASE WHEN score_$lang > 0 AND score_$lang >= " +
+          profiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")") +
+          s" THEN '$lang' ELSE $acc END"
+      }
+    Tables.documents(s, dir)
+      .selectExpr(Seq("doc_id", "lang AS label_lang") ++ scoreCols: _*)
+      .selectExpr("doc_id", "label_lang", "score_de", "score_en", "score_es",
+        "score_fr", s"$best AS predicted_lang")
+      .orderBy("doc_id")
+  }
+
+  val t36Sql: String = {
+    val scoreCols = profiles.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""round(len(list_filter(string_split(lower(text), ' '),
+         |      t -> list_contains($arr, t)))
+         |    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS score_$lang"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val best = profiles.map(_._1).sortBy(identity).reverse
+      .foldLeft("'und'") { case (acc, lang) =>
+        s"CASE WHEN score_$lang > 0 AND score_$lang >= " +
+          profiles.map(p => s"score_${p._1}").mkString("greatest(", ", ", ")") +
+          s" THEN '$lang' ELSE $acc END"
+      }
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang AS label_lang,
+       |    $scoreCols
+       |  FROM documents)
+       |SELECT doc_id, label_lang, score_de, score_en, score_es, score_fr,
+       |  $best AS predicted_lang
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: md5 content hash + the portable polynomial
+    * rolling hash over whitespace-normalized text — the cheap equality key
+    * for exact dedup and incremental re-crawl detection. */
+  def t37Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) AS norm")
+      .selectExpr("doc_id", "md5(norm) AS md5_hash",
+        s"${polyHash("norm")} AS roll_hash")
+      .orderBy("doc_id")
+
+  val t37Sql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id, md5(norm) AS md5_hash,
+      |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |    list_transform(string_split(norm, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t34_text_tokens"      -> t34Tokens,
+    "t35_text_quality"     -> t35Quality,
+    "t36_text_langid"      -> t36LangId,
+    "t37_text_fingerprint" -> t37Fingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "t34_text_tokens"      -> t34Sql,
+    "t35_text_quality"     -> t35Sql,
+    "t36_text_langid"      -> t36Sql,
+    "t37_text_fingerprint" -> t37Sql)
+}
