@@ -21,7 +21,9 @@ object SparkEntry {
       operators.PipelineQueries.queries ++
       operators.Dedup.queries ++
       operators.TextAnalysis.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++
+      operators.StreamingQueries.queries ++
+      operators.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +33,7 @@ object SparkEntry {
       operators.PipelineQueries.oracle ++
       operators.Dedup.oracle ++
       operators.TextAnalysis.oracle ++
-      operators.Similarity.oracle
+      operators.Similarity.oracle ++
+      operators.StreamingQueries.oracle ++
+      operators.MultimodalQueries.oracle
 }

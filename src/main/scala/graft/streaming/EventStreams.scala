@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.11 extension — the reference
+  * ships Kafka jars but never streams; incremental behavior there is
+  * batch+cursor. Here the streaming ops are real).
+  *
+  * Every transform is a pure `DataFrame => DataFrame` that works on BOTH a
+  * batch frame and a `readStream` frame — the Structured Streaming
+  * batch/stream unification. The batch twins are registered in
+  * `SparkEntry.queries` (q41/q42) with DuckDB oracles; the streaming
+  * execution path (watermarks, incremental state, late-data drop,
+  * mapGroupsWithState) is exercised in StreamingSpec via MemoryStream.
+  *
+  * Scale notes: windowed aggregation state is keyed by (window, grouping
+  * key) and partitioned by the shuffle — state size is bounded by the
+  * watermark horizon, not the stream length. The session state store is
+  * per-user; timeouts evict closed sessions.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windows per event type, 2-hour watermark: the
+    * canonical streaming aggregation. On a batch frame the watermark is a
+    * no-op and this is a plain windowed groupBy. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding windows (1 hour long, every 30 minutes): each event lands in
+    * two windows; shuffle carries (window, partial-agg) rows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("n_events"))
+
+  /** Gap-based sessionization with the built-in `session_window` (1-day
+    * inactivity gap): state merges windows as events arrive. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  // ---- custom state: flatMapGroupsWithState sessionizer -----------------
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
+  case class SessionOut(user_id: Long, start: java.sql.Timestamp,
+                        n_events: Int, sum_value: Double)
+
+  /** Custom stateful sessionizer — the `flatMapGroupsWithState` surface for
+    * semantics `session_window` can't express (e.g. emitting only CLOSED
+    * sessions, custom eviction). Gap = `gapMs`; uses event-time timeout so
+    * sessions close when the watermark passes lastTs + gap. */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Run a transform as a real stream from a folder of parquet (file
+    * source) into an in-memory sink — the readStream→writeStream edge. */
+  def runFileStream(spark: SparkSession, srcDir: String, schema: String,
+                    transform: DataFrame => DataFrame, queryName: String): Unit = {
+    val q = transform(
+      spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: schema, partition balance, decode-stub features,
+  * frame sampling, resize contract. */
+class MediaSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "a" * 300, "en", "src", 300L),
+      (1L, "hello world", "en", "src", 11L),
+      (2L, "b" * 700, "en", "src", 700L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("mediaTable: binary payload + typed metadata schema") {
+    val m = Media.mediaTable(docs)
+    val sch = m.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(sch("payload") == "binary")
+    assert(sch("kind") == "string" && sch("width") == "int")
+    val kinds = m.select("media_id", "kind").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kinds == Map(0L -> "image", 1L -> "audio", 2L -> "video"))
+  }
+
+  test("decodeStub extracts deterministic per-partition features") {
+    import spark.implicits._
+    val feats = Media.decodeStub(
+      Media.mediaTable(docs).as[Media.MediaRow])
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 11)
+    assert(feats(1L).mean_byte ==
+      math.rint("hello world".getBytes("UTF-8").map(_ & 0xff).sum / 11.0 * 1e6) / 1e6)
+    assert(feats(0L).n_frames == 2) // 300 bytes / 256 stride → 2 slices
+    assert(feats(2L).n_frames == 3)
+  }
+
+  test("frameSample slices fixed-width frames at the stride") {
+    val frames = Media.frameSample(Array.fill[Byte](600)(1), 256)
+    assert(frames.length == 3)
+    assert(frames.forall(_.length <= 16))
+  }
+
+  test("resizeStub decimates payload to ~1/k") {
+    val small = Media.resizeStub(Media.mediaTable(docs), 4)
+      .selectExpr("media_id", "octet_length(payload) AS n", "octet_length(payload_small) AS ns")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    small.foreach { case (_, n, ns) => assert(math.abs(ns - (n + 3) / 4) <= 1) }
+  }
+
+  test("balanced repartitions by content hash") {
+    val parts = Media.balanced(Media.mediaTable(docs), 2).rdd.getNumPartitions
+    assert(parts == 2)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming execution of the EventStreams transforms: incremental
+  * aggregation, watermark-driven late-data drop, and the custom
+  * flatMapGroupsWithState sessionizer — the paths the batch twins
+  * (q41-q43) can't exercise. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourlyByType aggregates incrementally over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.hourlyByType(events)
+      .writeStream.format("memory").queryName("hourly_t")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts("2024-01-01 10:05:00"), "view", 1.0),
+        (ts("2024-01-01 10:55:00"), "view", 2.0),
+        (ts("2024-01-01 11:05:00"), "click", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("hourly_t").orderBy("hour", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(out.toSeq == Seq(
+        ("2024-01-01 10:00:00", "view", 2L, 3.0),
+        ("2024-01-01 11:00:00", "click", 1L, 5.0)))
+      // second micro-batch updates the same window's state
+      mem.addData((ts("2024-01-01 10:30:00"), "view", 10.0))
+      q.processAllAvailable()
+      val upd = spark.table("hourly_t")
+        .filter(col("hour") === "2024-01-01 10:00:00").collect()
+      assert(upd.head.getLong(2) == 3L && upd.head.getDouble(3) == 13.0)
+    } finally q.stop()
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.hourlyByType(mem.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("late_t")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01 10:10:00"), "view", 1.0))
+      q.processAllAvailable()
+      // advance event time far past the 2h watermark → closes the 10:00 window
+      mem.addData((ts("2024-01-01 15:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      // this event is >2h behind the watermark → must be dropped
+      mem.addData((ts("2024-01-01 10:20:00"), "view", 100.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01 20:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("late_t")
+        .filter(col("hour") === "2024-01-01 10:00:00").collect()
+      assert(out.length == 1)
+      assert(out.head.getLong(2) == 1L, "late event must not be counted")
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_t")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h gap
+      mem.addData(
+        EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        EventStreams.Event(1L, ts("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(1L, ts("2024-01-01 12:30:00"), 5.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_t").orderBy("start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2), r.getDouble(3)))
+      assert(out.contains((1L, "2024-01-01 10:00:00.0", 2, 3.0)),
+        s"first session should have closed; got ${out.toSeq}")
+    } finally q.stop()
+  }
+
+  test("file-source stream produces the batch-identical hourly result") {
+    import spark.implicits._
+    val dir = tmpDir("stream_src")
+    val batch = Seq(
+      (ts("2024-01-01 10:05:00"), "view", 1.0),
+      (ts("2024-01-01 11:05:00"), "view", 2.0)).toDF("ts", "event_type", "value")
+    batch.write.mode("overwrite").parquet(dir)
+    EventStreams.runFileStream(spark, dir,
+      "ts TIMESTAMP, event_type STRING, value DOUBLE",
+      EventStreams.hourlyByType, "file_hourly")
+    val streamRows = spark.table("file_hourly").orderBy("hour").collect().toSeq
+    val batchRows = EventStreams.hourlyByType(batch).orderBy("hour").collect().toSeq
+    assert(streamRows == batchRows)
+  }
+}
