@@ -38,12 +38,23 @@ object Similarity {
 
   /** Exact top-5 cosine neighbors for 16 probe vectors: broadcast the tiny
     * query side across the corpus, per-query heap via window row_number. */
-  def s38AnnBrute(s: SparkSession, dir: String): DataFrame = {
+  def s38AnnBrute(s: SparkSession, dir: String): DataFrame =
+    bruteTopK(s, dir, cosExpr)
+
+  /** Same query through the native codegen'd [[graft.catalyst.CosineSimilarity]]
+    * expression instead of the interpreted higher-order-function fold —
+    * bit-identical output (shares s38's oracle), measurably faster. */
+  def s46AnnBruteNative(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    bruteTopK(s, dir, "cosine_sim(q.v, c.v)")
+  }
+
+  private def bruteTopK(s: SparkSession, dir: String, cos: String): DataFrame = {
     val all = vecs(s, dir)
     val q = all.filter(col("vec_id") < 16).select(col("vec_id").as("qid"), col("v"))
     broadcast(q).as("q")
       .join(all.as("c"), col("c.vec_id") =!= col("qid"))
-      .selectExpr("qid", "c.vec_id AS nid", s"$cosExpr AS cos")
+      .selectExpr("qid", "c.vec_id AS nid", s"$cos AS cos")
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
@@ -193,12 +204,14 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s38_ann_brute" -> s38AnnBrute,
-    "s39_ann_ivf"   -> s39AnnIvf,
-    "s40_ann_lsh"   -> s40AnnLsh)
+    "s38_ann_brute"        -> s38AnnBrute,
+    "s39_ann_ivf"          -> s39AnnIvf,
+    "s40_ann_lsh"          -> s40AnnLsh,
+    "s46_ann_brute_native" -> s46AnnBruteNative)
 
   val oracle: Map[String, String] = Map(
-    "s38_ann_brute" -> s38Sql,
-    "s39_ann_ivf"   -> s39Sql,
-    "s40_ann_lsh"   -> s40Sql)
+    "s38_ann_brute"        -> s38Sql,
+    "s39_ann_ivf"          -> s39Sql,
+    "s40_ann_lsh"          -> s40Sql,
+    "s46_ann_brute_native" -> s38Sql)
 }
