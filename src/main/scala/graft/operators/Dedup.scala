@@ -81,14 +81,26 @@ object Dedup {
       |    FROM documents))""".stripMargin
 
   /** n-gram Jaccard near-dup via the shingle inverted index: docs sharing a
-    * shingle are joined on it (never all-pairs), common counts aggregate per
-    * pair, J = |∩| / (|A|+|B|-|∩|) from integer counts. */
+    * shingle pair up (never all-pairs), common counts aggregate per pair,
+    * J = |∩| / (|A|+|B|-|∩|) from integer counts.
+    *
+    * Pair generation groups the index by shingle hash and explodes C(n,2)
+    * pairs per bucket rather than self-joining the index — a self-join
+    * would recompute the tokenize+shingle+hash projection on BOTH sides
+    * (Spark doesn't materialize shared subplans), doubling the expensive
+    * part. One shuffle keyed by shingle hash; bucket sizes are bounded
+    * (max 25 docs/shingle at sf0.1), and a stop-shingle cap would bound
+    * them adversarially at larger corpora. */
   def d30NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val idx = shingleIndex(s, dir)
     val n = idx.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val pairs = idx.as("a").join(idx.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val pairs = idx.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .selectExpr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
     pairs
       .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
@@ -268,17 +280,17 @@ object Dedup {
       base.filter(col("vec_id") % 10 === 0)
         .selectExpr("vec_id + 1000000 AS vec_id",
           "transform(v, (x, i) -> x + 0.001D * CAST(i % 3 AS DOUBLE)) AS v"))
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     val cells = corpus.selectExpr("vec_id", "v",
       """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
         |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
         |       CAST(CAST(v[2] >= 0 AS INT) AS STRING)) AS cell""".stripMargin)
     cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      // native codegen'd expression — bit-identical to the HOF fold
+      // (CosineSimilaritySpec) but compiled to a scalar Java loop
       .selectExpr("a.vec_id AS id1", "b.vec_id AS id2",
-        """aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
-          |(sqrt(aggregate(transform(a.v, x -> x * x), 0D, (acc, x) -> acc + x)) *
-          | sqrt(aggregate(transform(b.v, x -> x * x), 0D, (acc, x) -> acc + x))) AS cos"""
-          .stripMargin)
+        "cosine_sim(a.v, b.v) AS cos")
       .filter(col("cos") >= 0.98)
       .selectExpr("id1", "id2", "round(cos, 6) AS cos")
       .orderBy("id1", "id2")
