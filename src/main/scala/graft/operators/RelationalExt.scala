@@ -399,7 +399,35 @@ object RelationalExt {
       |  upper(substr(lower(c_name),1,1)) || substr(lower(c_name),2) AS name_cap
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Null/empty probe (F3, Helpers_FunctionsDicts.py:54-63) as one
+    * aggregate over one scan, on a frame with synthesized nulls/empties —
+    * see [[graft.functions.Probes.nullEmptyCounts]]. */
+  def q47NullProbe(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Probes.nullEmptyCounts(
+      Tables.customer(s, dir)
+        .selectExpr("c_custkey",
+          "CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END AS seg",
+          "CASE WHEN c_custkey % 5 = 0 THEN '' ELSE c_name END AS name"))
+      .orderBy("column")
+
+  val q47Sql: String =
+    """WITH src AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END AS seg,
+      |    CASE WHEN c_custkey % 5 = 0 THEN '' ELSE c_name END AS name
+      |  FROM customer)
+      |SELECT col AS "column", n_bad, n_rows FROM (
+      |  SELECT 'c_custkey' AS col,
+      |    count(*) FILTER (c_custkey IS NULL OR CAST(c_custkey AS VARCHAR) = '') AS n_bad,
+      |    count(*) AS n_rows FROM src
+      |  UNION ALL
+      |  SELECT 'seg', count(*) FILTER (seg IS NULL OR seg = ''), count(*) FROM src
+      |  UNION ALL
+      |  SELECT 'name', count(*) FILTER (name IS NULL OR name = ''), count(*) FROM src)
+      |ORDER BY col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_null_probe"     -> q47NullProbe,
     "q09_window_rank"    -> q09WindowRank,
     "q10_pivot"          -> q10Pivot,
     "q11_rollup"         -> q11Rollup,
@@ -418,6 +446,7 @@ object RelationalExt {
     "q24_initcap"        -> q24Initcap)
 
   val oracle: Map[String, String] = Map(
+    "q47_null_probe"     -> q47Sql,
     "q09_window_rank"    -> q09Sql,
     "q10_pivot"          -> q10Sql,
     "q11_rollup"         -> q11Sql,
