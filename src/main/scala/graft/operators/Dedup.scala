@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.PortableHash._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication suite over the `documents`/`embeddings` tables — the
   * training-data-pipeline operators (north star): exact, n-gram-Jaccard,
@@ -92,7 +93,9 @@ object Dedup {
     * (max 25 docs/shingle at sf0.1), and a stop-shingle cap would bound
     * them adversarially at larger corpora. */
   def d30NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val idx = shingleIndex(s, dir)
+    // idx feeds both the pair explosion and the per-doc sizes — persist so
+    // the tokenize→shingle→hash pipeline runs once (see d31's cost note).
+    val idx = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val n = idx.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val pairs = idx.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -125,25 +128,35 @@ object Dedup {
        |WHERE round(common * 1.0 / (n1.ns + n2.ns - common), 6) >= 0.2
        |ORDER BY id1, id2""".stripMargin
 
-  /** MinHash+LSH near-dup: band-bucket equi-join for candidates (docs
-    * agreeing on any 4-row band), then exact Jaccard verification of
-    * candidates only — the standard sketch → candidate → verify pipeline.
-    * Verification joins the candidate set against the shingle index, so the
-    * expensive exact measure runs on |candidates|, not |pairs|.
+  /** MinHash+LSH near-dup: band-bucket candidate generation (docs agreeing
+    * on any 4-row band), then exact Jaccard verification of candidates only
+    * — the standard sketch → candidate → verify pipeline. Verification joins
+    * the candidate set against the shingle index, so the expensive exact
+    * measure runs on |candidates|, not |pairs|.
     *
-    * Cost structure is load-bearing: the char-level polyHash fold runs ONCE
-    * per (doc, shingle) row in the hashed index (a scalar projection), and
-    * the 16 permutation-hashes h_i(x) = (a_i·x + b_i) mod P are cheap
-    * integer maps over the collected hash list. Inlining polyHash into the
-    * 16-hash lambda re-runs the fold 16-64× per shingle — and chained
-    * projections do NOT protect against that (CollapseProject inlines
-    * single-use aliases back into the lambdas; measured 20×+ slower at
-    * sf0.1). The collect_list aggregate is a real barrier. */
+    * Cost structure is load-bearing, twice over:
+    *  1. The char-level polyHash fold runs ONCE per (doc, shingle) row in
+    *     the hashed index (a scalar projection), and the 16 permutation
+    *     hashes h_i(x) = (a_i·x + b_i) mod P are cheap integer maps over the
+    *     collected hash list. Inlining polyHash into the 16-hash lambda
+    *     re-runs the fold 16-64× per shingle — and chained projections do
+    *     NOT protect against that (CollapseProject inlines single-use
+    *     aliases back into the lambdas; measured 20×+ slower at sf0.1).
+    *  2. The index feeds four plan branches (band signatures, both sides of
+    *     the verification join, the per-doc sizes). Spark does not share
+    *     subplans, so without an explicit persist the whole
+    *     tokenize→shingle→hash pipeline re-runs per branch — 16 document
+    *     scans in the physical plan, measured 10×+ slower at sf0.1. At
+    *     100 TB the same structure holds with the index staged to a parquet
+    *     intermediate instead of executor memory.
+    * Candidates come from group-by-band + C(n,2) pair explosion (same shape
+    * as d30) rather than a band self-join — one shuffle, no second pass. */
   def d31MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val idx = shingleIndex(s, dir)
+    val idx = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = idx.groupBy("doc_id")
       .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("ns"))
-    val bands = sigs.selectExpr("doc_id",
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = sigs.selectExpr("doc_id",
         s"""transform(sequence(0, 15), i -> array_min(transform(hs,
            |  h -> ((2*i + 1) * h + i*12345 + 678) % $P))) AS mh""".stripMargin)
       .selectExpr("doc_id",
@@ -151,16 +164,28 @@ object Dedup {
           |  CAST(b AS STRING), ':',
           |  concat_ws('-', transform(slice(mh, b*4 + 1, 4),
           |    x -> CAST(x AS STRING)))))) AS band_key""".stripMargin)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .groupBy("band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .selectExpr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
     val n = sigs.select(col("doc_id"), col("ns"))
-    val common = cand
-      .join(idx.withColumnRenamed("doc_id", "id1"), "id1")
-      .join(idx.withColumnRenamed("doc_id", "id2").withColumnRenamed("h", "h2"), "id2")
-      .filter(col("h") === col("h2"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("common"))
+    // Shared-shingle counts straight from the shingle buckets (d30's pair
+    // explosion) rather than joining cand against the full index twice —
+    // the index-side joins made AQE materialize the whole index as a
+    // broadcast hash table (driver-side build, 2× per run). The bucket
+    // explosion shuffles only (id1, id2) longs, keyed by shingle hash.
+    val common = idx.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .selectExpr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("common"))
     cand.join(common, Seq("id1", "id2"), "left").na.fill(0L, Seq("common"))
       .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
       .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
@@ -229,6 +254,9 @@ object Dedup {
       """explode(transform(sequence(0, 2), c ->
         |  concat(CAST(c AS STRING), ':',
         |    CAST(shiftright(sig, c*10) & 1023 AS STRING)))) AS chunk""".stripMargin)
+      // both sides of the chunk self-join — persist or the token-hash +
+      // 30-bit signature fold runs twice (see d31's cost note)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
@@ -285,6 +313,8 @@ object Dedup {
       """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
         |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
         |       CAST(CAST(v[2] >= 0 AS INT) AS STRING)) AS cell""".stripMargin)
+      // both sides of the cell self-join — persist to scan embeddings once
+      .persist(StorageLevel.MEMORY_AND_DISK)
     cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       // native codegen'd expression — bit-identical to the HOF fold

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over the `embeddings` table (north star): brute-force
   * cosine top-k as the exact baseline, then two bucketed ANN paths (IVF-style
@@ -50,7 +51,9 @@ object Similarity {
   }
 
   private def bruteTopK(s: SparkSession, dir: String, cos: String): DataFrame = {
-    val all = vecs(s, dir)
+    // query side is a filter of the corpus side — persist so the float→
+    // double projection and the scan run once across both branches
+    val all = vecs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val q = all.filter(col("vec_id") < 16).select(col("vec_id").as("qid"), col("v"))
     broadcast(q).as("q")
       .join(all.as("c"), col("c.vec_id") =!= col("qid"))
@@ -86,6 +89,7 @@ object Similarity {
         |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
         |       CAST(CAST(v[2] >= 0 AS INT) AS STRING))""".stripMargin
     val all = vecs(s, dir).selectExpr("vec_id", "v", s"$cellExpr AS cell")
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds centroids, probes, and corpus side
     // per-cell centroid: decimal-summed per-dimension mean (order-independent)
     val cent = all
       .selectExpr("cell", "posexplode(v) AS (dim, x)")
@@ -165,7 +169,10 @@ object Similarity {
          |  CASE WHEN aggregate(transform(sequence(0, 63), k ->
          |      element_at(v, k + 1) * $planeW), 0D, (a, x) -> a + x) >= 0
          |  THEN shiftleft(1, p) ELSE 0 END), 0, (a, b) -> a + b)""".stripMargin
+    // the 8-plane signature (8×64 interpreted-HOF multiply-adds per vector)
+    // feeds both join sides — persist so it is computed once per vector
     val all = vecs(s, dir).selectExpr("vec_id", "v", s"$sigExpr AS bucket")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val q = all.filter(col("vec_id") < 16)
       .select(col("vec_id").as("qid"), col("v"), col("bucket"))
     broadcast(q).as("q")

@@ -14,6 +14,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.caseSensitive", "true")
     .config("spark.ui.enabled", "false")
+    .config("spark.local.dir", SparkSupport.scratchDir)
     .getOrCreate()
 
   override def afterAll(): Unit = {
