@@ -82,25 +82,45 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
-  private val fn = (
-    FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",
-      "cosine_sim(a, b) - fused cosine similarity of two double arrays", ""),
-    (args: Seq[Expression]) => CosineSimilarity(args.head, args(1)))
+
+  /** Extract a foldable long literal (poly_hash's optional seed). */
+  private def litLong(e: Expression): Long = e.eval(null) match {
+    case l: Long => l
+    case i: Int  => i.toLong
+    case other   => throw new IllegalArgumentException(
+      s"expected an integer literal, got $other")
+  }
+
+  /** All graft-native expressions: (name, doc, builder). */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", "cosine_sim(a, b) - fused cosine similarity of two double arrays",
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),
+    ("poly_hash", "poly_hash(s[, seed]) - polynomial rolling hash mod 1e9+7",
+      (args: Seq[Expression]) =>
+        PolyHash(args.head, if (args.size > 1) litLong(args(1)) else 7L)),
+    ("simhash30", "simhash30(hashes) - 30-bit simhash signature of a hash list",
+      (args: Seq[Expression]) => SimHash30(args.head)),
+    ("minhash16", "minhash16(hashes) - 16 permutation-min hashes of a hash list",
+      (args: Seq[Expression]) => MinHash16(args.head)),
+    ("lsh_bucket8", "lsh_bucket8(v) - 8-bit random-hyperplane LSH signature",
+      (args: Seq[Expression]) => LshBucket8(args.head)))
 
   /** Idempotent imperative registration — works on ANY session, including
     * one the harness built without our extensions class. */
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(fn._1.funcName, fn._3, "scala_udf")
+    all.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
 }
 
 /** Standard deployment path: `spark.sql.extensions=graft.catalyst.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, null, "cosine_sim",
-        "cosine_sim(a, b) - fused cosine similarity of two double arrays", ""),
-      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))))
+    GraftFunctions.all.foreach { case (name, doc, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, doc, ""),
+        builder))
+    }
 }

@@ -63,12 +63,17 @@ object Dedup {
     * keyed by the portable 8-byte hash, not the ~18-byte shingle string:
     * the polyHash char fold runs exactly once per (doc, shingle) row as a
     * scalar projection, and every downstream join/shuffle carries a long.
-    * (Hash collisions are possible at P=1e9+7 — and identical in the
-    * oracle, which uses the same arithmetic, so results still hash-match.) */
-  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    * The fold is the native codegen'd [[graft.catalyst.PolyHash]] — same
+    * arithmetic as the HOF spec in [[graft.functions.PortableHash]], compiled
+    * to a Java loop. (Hash collisions are possible at P=1e9+7 — and identical
+    * in the oracle, which uses the same arithmetic, so results still
+    * hash-match.) */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     Tables.documents(s, dir)
       .selectExpr("doc_id", s"explode(${shingles(3)}) AS sh")
-      .selectExpr("doc_id", s"${polyHash("sh")} AS h")
+      .selectExpr("doc_id", "poly_hash(sh) AS h")
+  }
 
   private val shingleIndexSql =
     """s AS (
@@ -156,9 +161,9 @@ object Dedup {
     val sigs = idx.groupBy("doc_id")
       .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("ns"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = sigs.selectExpr("doc_id",
-        s"""transform(sequence(0, 15), i -> array_min(transform(hs,
-           |  h -> ((2*i + 1) * h + i*12345 + 678) % $P))) AS mh""".stripMargin)
+    // 16 permutation-min hashes via the native codegen'd MinHash16 — one
+    // pass over the hash list instead of 16 interpreted transform() lambdas
+    val cand = sigs.selectExpr("doc_id", "minhash16(hs) AS mh")
       .selectExpr("doc_id",
         """explode(transform(sequence(0, 3), b -> concat(
           |  CAST(b AS STRING), ':',
@@ -237,19 +242,16 @@ object Dedup {
     * candidates block on 3×10-bit chunks (hamming ≤ 2 ⇒ some chunk equal,
     * by pigeonhole), verified with bit_count(xor). Token hashes go through
     * an explode → scalar-hash → collect_list barrier so the char fold runs
-    * once per token, never per signature bit (see d31's cost note). */
+    * once per token, never per signature bit (see d31's cost note); both the
+    * char fold and the 30×|tokens| bit fold are native codegen'd expressions
+    * ([[graft.catalyst.PolyHash]], [[graft.catalyst.SimHash30]]). */
   def d32Simhash(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     val sigs = Tables.documents(s, dir)
       .selectExpr("doc_id", s"explode(array_distinct($tokens)) AS t")
-      .selectExpr("doc_id", s"${polyHash("t")} AS th1")
+      .selectExpr("doc_id", "poly_hash(t) AS th1")
       .groupBy("doc_id").agg(collect_list(col("th1")).as("th"))
-      .selectExpr("doc_id",
-        """aggregate(transform(sequence(0, 29), j ->
-          |  CASE WHEN aggregate(transform(th, h ->
-          |      CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END),
-          |    0, (a, x) -> a + x) > 0
-          |  THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
-          |CAST(0 AS BIGINT), (a, b) -> a + b) AS sig""".stripMargin)
+      .selectExpr("doc_id", "simhash30(th) AS sig")
     val chunks = sigs.selectExpr("doc_id", "sig",
       """explode(transform(sequence(0, 2), c ->
         |  concat(CAST(c AS STRING), ':',

@@ -159,19 +159,15 @@ object Similarity {
   /** Random-hyperplane LSH ANN: 8 deterministic integer-arithmetic planes →
     * 8-bit bucket signature; candidates share the bucket; exact cosine +
     * top-3 within it. Plane weights w(p,d) = lcg(p·64+d) mapped to
-    * [-1000, 1000] — reproducible in any engine, no RNG state. */
-  private val planeW =
-    "CAST((CAST(1103515245 AS BIGINT) * (p * 64 + k) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)"
-
+    * [-1000, 1000] — reproducible in any engine, no RNG state
+    * ([[graft.catalyst.LshBucket8]] carries the same formula). */
   def s40AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigExpr =
-      s"""aggregate(transform(sequence(0, 7), p ->
-         |  CASE WHEN aggregate(transform(sequence(0, 63), k ->
-         |      element_at(v, k + 1) * $planeW), 0D, (a, x) -> a + x) >= 0
-         |  THEN shiftleft(1, p) ELSE 0 END), 0, (a, b) -> a + b)""".stripMargin
-    // the 8-plane signature (8×64 interpreted-HOF multiply-adds per vector)
-    // feeds both join sides — persist so it is computed once per vector
-    val all = vecs(s, dir).selectExpr("vec_id", "v", s"$sigExpr AS bucket")
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    // the 8-plane signature (8×64 multiply-adds per vector) is the native
+    // codegen'd LshBucket8 — index-ordered double sums, bit-identical to the
+    // HOF fold and the oracle — and feeds both join sides, so persist to
+    // compute it once per vector
+    val all = vecs(s, dir).selectExpr("vec_id", "v", "lsh_bucket8(v) AS bucket")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val q = all.filter(col("vec_id") < 16)
       .select(col("vec_id").as("qid"), col("v"), col("bucket"))

@@ -147,15 +147,18 @@ object TextAnalysis {
 
   /** Document fingerprinting: md5 content hash + the portable polynomial
     * rolling hash over whitespace-normalized text — the cheap equality key
-    * for exact dedup and incremental re-crawl detection. */
-  def t37Fingerprint(s: SparkSession, dir: String): DataFrame =
+    * for exact dedup and incremental re-crawl detection. The rolling hash is
+    * the native codegen'd [[graft.catalyst.PolyHash]] (same arithmetic as the
+    * HOF spec in [[graft.functions.PortableHash]]). */
+  def t37Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     Tables.documents(s, dir)
       .selectExpr(
         "doc_id",
         "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')) AS norm")
-      .selectExpr("doc_id", "md5(norm) AS md5_hash",
-        s"${polyHash("norm")} AS roll_hash")
+      .selectExpr("doc_id", "md5(norm) AS md5_hash", "poly_hash(norm) AS roll_hash")
       .orderBy("doc_id")
+  }
 
   val t37Sql: String =
     """WITH n AS (
