@@ -103,7 +103,9 @@ object PipelineQueries {
       Silver.cleanseFoicu(rawFoicu(s, dir)),
       Silver.cleanseFs220d(rawFs220d(s, dir)),
       Silver.cleanseFs220(rawFs220(s, dir)))
-    Silver.unified(bank, cu, numPartitions = 32)
+    // conformed, not unified: these queries consume silver in-plan, and the
+    // write-layout repartition would be a dead shuffle here (see Silver)
+    Silver.conformed(bank, cu)
   }
 
   def p25SilverUnified(s: SparkSession, dir: String): DataFrame =

@@ -124,16 +124,32 @@ object Silver {
 
   /** Unified silver: banks ∪ credit unions by NAME (U1 — the two sides
     * derive columns in different orders, positional union would mis-assign;
-    * BuildSilverLayer.py:312-327), distinct, then cluster by locality for
-    * the write. The reference's global sort before repartition is dead work
-    * (the repartition destroys it, SURVEY.md §2.14.7) and is dropped here.
+    * BuildSilverLayer.py:312-327), then cluster by locality for the write.
+    *
+    * Two of the reference's shuffles are provably dead work and dropped:
+    *  - the global sort before repartition (the repartition destroys it,
+    *    SURVEY.md §2.14.7);
+    *  - the distinct-after-union (BuildSilverLayer.py:325): both inputs are
+    *    already deduplicated by [[bankData]]/[[creditUnionData]], and the
+    *    sides are row-disjoint by construction (each carries a different
+    *    `institution_type` literal), so distinct(union(A, B)) = union(A, B)
+    *    — at 100 TB that is a full-width shuffle of the entire silver table
+    *    for nothing. Callers composing `unified` from frames that are NOT
+    *    per-side deduplicated must dedup first.
     *
     * `numPartitions` is the write fan-out: 100 in the reference
     * (BuildSilverLayer.py:326); at 100 TB size it so each output file lands
     * near the parquet sweet spot (~128-512 MB). */
   def unified(bank: DataFrame, cu: DataFrame, numPartitions: Int = 100): DataFrame =
+    conformed(bank, cu).repartition(numPartitions, col("state"), col("city"))
+
+  /** The conformed silver rows WITHOUT the write-layout repartition — what a
+    * gold consumer observes after reading silver back from storage: parquet
+    * file splits carry no hash-partitioning guarantee, so downstream plans
+    * must not rely on (and should not pay for) the write fan-out. In-plan
+    * consumers (the gold gate queries) compose from here; only the actual
+    * silver WRITE applies [[unified]]'s locality repartition. */
+  def conformed(bank: DataFrame, cu: DataFrame): DataFrame =
     bank.select(Schemas.silver.fieldNames.map(col).toSeq: _*)
       .unionByName(cu.select(Schemas.silver.fieldNames.map(col).toSeq: _*))
-      .distinct()
-      .repartition(numPartitions, col("state"), col("city"))
 }
