@@ -206,15 +206,39 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  /** s38 through the custom [[graft.plans.TopKPerKey]] operator instead of
+    * the Window row_number idiom: the per-query top-5 reduces map-side in
+    * bounded heaps, so the exchange carries ≤ 5·partitions rows per query
+    * instead of the full |queries|×|corpus| scored set, and nothing is ever
+    * sorted. Same oracle as s38 — identical output, different physics. The
+    * rank column is recomputed by a window AFTER the reduction, over the
+    * already-tiny answer set. */
+  def s48AnnTopkPlan(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val all = vecs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val q = all.filter(col("vec_id") < 16).select(col("vec_id").as("qid"), col("v"))
+    val scored = broadcast(q).as("q")
+      .join(all.as("c"), col("c.vec_id") =!= col("qid"))
+      .selectExpr("qid", "c.vec_id AS nid", "cosine_sim(q.v, c.v) AS cos")
+    graft.plans.TopKPerKey(scored, Seq("qid"), Seq("cos" -> false, "nid" -> true), 5)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .selectExpr("qid", "rank", "nid", "round(cos, 6) AS cos")
+      .orderBy("qid", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s38_ann_brute"        -> s38AnnBrute,
     "s39_ann_ivf"          -> s39AnnIvf,
     "s40_ann_lsh"          -> s40AnnLsh,
-    "s46_ann_brute_native" -> s46AnnBruteNative)
+    "s46_ann_brute_native" -> s46AnnBruteNative,
+    "s48_ann_topk_plan"    -> s48AnnTopkPlan)
 
   val oracle: Map[String, String] = Map(
     "s38_ann_brute"        -> s38Sql,
     "s39_ann_ivf"          -> s39Sql,
     "s40_ann_lsh"          -> s40Sql,
-    "s46_ann_brute_native" -> s38Sql)
+    "s46_ann_brute_native" -> s38Sql,
+    "s48_ann_topk_plan"    -> s38Sql)
 }
