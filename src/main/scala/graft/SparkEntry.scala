@@ -23,7 +23,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Similarity.queries ++
       operators.StreamingQueries.queries ++
-      operators.MultimodalQueries.queries
+      operators.MultimodalQueries.queries ++
+      operators.ScalePatterns.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.TextAnalysis.oracle ++
       operators.Similarity.oracle ++
       operators.StreamingQueries.oracle ++
-      operators.MultimodalQueries.oracle
+      operators.MultimodalQueries.oracle ++
+      operators.ScalePatterns.oracle
 }

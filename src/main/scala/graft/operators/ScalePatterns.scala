@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.{SparkSupport, Tables}
+import graft.functions.OracleSafe.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns from the build guidance exercised as first-class,
+  * oracle-checked operators: salting for skewed joins and bucketing for
+  * co-located (exchange-free) joins. Both change the PHYSICS of the join
+  * without changing its result — exactly the property the DuckDB gate
+  * verifies (the oracle runs the plain join).
+  */
+object ScalePatterns {
+
+  /** Salted equi-join for skewed keys. A hash join on a low-cardinality /
+    * hot-keyed column puts each key's entire row set on ONE reduce task —
+    * with 3 distinct keys, 29 of 32 tasks idle and the stragglers bound the
+    * stage. Salting splits every big-side row into one of `salt` sub-keys
+    * (deterministic spread via xxhash64 of a per-row id) and replicates the
+    * SMALL side `salt`× so every (key, salt) pair still matches — the
+    * shuffle then spreads each hot key over `salt` tasks. Replicating the
+    * small side is the whole trick: its cost is |small|·salt rows, the
+    * skew relief on the big side is worth orders of magnitude more at
+    * 100 TB. (AQE's skew-join split handles sort-merge skew adaptively;
+    * explicit salting is the plan-level tool when the key histogram is
+    * KNOWN to be degenerate, and works for every join strategy.) */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
+                     salt: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1)).cast("array<long>")))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** q49: lineitem joined to a tiny per-flag dimension on `l_returnflag` —
+    * 3 distinct values over ~600k rows, the degenerate-histogram case —
+    * through the salted join (16-way spread), then aggregated. The oracle
+    * runs the plain join: same result, un-skewed physics. */
+  def q49SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val dim = li.sparkSession.createDataFrame(Seq(
+      ("A", "returned-accepted"), ("N", "not-returned"), ("R", "returned"))
+    ).toDF("l_returnflag", "flag_desc")
+    saltedEquiJoin(li, dim, "l_returnflag", salt = 16)
+      .groupBy("l_returnflag", "flag_desc")
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q49Sql: String =
+    """SELECT l_returnflag, flag_desc, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |JOIN (VALUES ('A', 'returned-accepted'), ('N', 'not-returned'),
+      |             ('R', 'returned')) AS dim(l_returnflag, flag_desc)
+      |  USING (l_returnflag)
+      |GROUP BY l_returnflag, flag_desc ORDER BY l_returnflag""".stripMargin
+
+  /** q50: co-located join via bucketing. Both sides are written
+    * `bucketBy(8, key)` + `sortBy(key)` into catalog tables; reading them
+    * back, the sort-merge join consumes the bucket layout directly — NO
+    * exchange on either side (asserted in ScalePatternsSpec). This is THE
+    * repeated-join amortization at 100 TB: pay the shuffle once at write
+    * time, join for free forever after. Bucket counts must match (or
+    * divide) across tables; 8 here, sized so each bucket file lands near
+    * the parquet sweet spot at the target SF. */
+  def q50BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = s"${SparkSupport.scratchDir}/bucketed"
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite")
+      .option("path", s"$base/orders_b").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_b")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_quantity")
+      .write.mode("overwrite")
+      .option("path", s"$base/lineitem_b").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_b")
+    bucketedJoinPlan(s)
+  }
+
+  /** The join over the bucketed tables (separate so the spec can assert its
+    * plan shape after the tables exist). The MERGE hint pins the strategy
+    * the layout is built for: at the bench SFs the orders side fits under
+    * the broadcast threshold and AQE would broadcast it (also fine — and
+    * also exchange-free), but sort-merge-over-buckets is the plan that
+    * holds when BOTH sides are 100 TB facts. */
+  def bucketedJoinPlan(s: SparkSession): DataFrame =
+    s.table("graft_lineitem_b")
+      .join(s.table("graft_orders_b").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_custkey")
+
+  val q50Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_salted_join"   -> q49SaltedJoin,
+    "q50_bucketed_join" -> q50BucketedJoin)
+
+  val oracle: Map[String, String] = Map(
+    "q49_salted_join"   -> q49Sql,
+    "q50_bucketed_join" -> q50Sql)
+}

@@ -57,13 +57,38 @@ object StreamingQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Batch twin of the streaming exact-dedup: events ∪ replayed copies of
+    * every 5th event (an at-least-once delivery corpus with known
+    * duplicates), deduped on event_id. The replayed rows are bit-identical
+    * to the originals, so subset-dedup is deterministic here (event_id is
+    * unique in the base table — any survivor is the same row). The
+    * streaming execution (watermark-bounded state, cross-batch eviction) is
+    * covered in StreamingSpec. */
+  def q51StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val replayed = ev.unionByName(ev.filter(col("event_id") % 5 === 0))
+    EventStreams.dedupEvents(replayed)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val q51Sql: String =
+    """WITH corpus AS (
+      |  SELECT * FROM events
+      |  UNION ALL
+      |  SELECT * FROM events WHERE event_id % 5 = 0)
+      |SELECT DISTINCT event_id, user_id, event_type, value
+      |FROM corpus ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_sliding_window"  -> q41Sliding,
     "q42_session_window"  -> q42Sessions,
-    "q43_hourly_by_type"  -> q43HourlyByType)
+    "q43_hourly_by_type"  -> q43HourlyByType,
+    "q51_stream_dedup"    -> q51StreamDedup)
 
   val oracle: Map[String, String] = Map(
     "q41_sliding_window"  -> q41Sql,
     "q42_session_window"  -> q42Sql,
-    "q43_hourly_by_type"  -> q43Sql)
+    "q43_hourly_by_type"  -> q43Sql,
+    "q51_stream_dedup"    -> q51Sql)
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The scale patterns change join physics, not join results — asserted
+  * directly here (the oracle gate re-checks q49/q50 against DuckDB). */
+class ScalePatternsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted join returns exactly the plain join's rows") {
+    import spark.implicits._
+    val big = (0 until 3000).map(i => (Seq("A", "B", "C")(i % 3), i)).toDF("k", "v")
+    val small = Seq(("A", 10), ("B", 20), ("C", 30)).toDF("k", "w")
+    val salted = ScalePatterns.saltedEquiJoin(big, small, "k", salt = 8)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val plain = big.join(small, "k")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salting spreads a hot key over `salt` shuffle sub-keys") {
+    import spark.implicits._
+    val big = (0 until 4000).map(i => ("HOT", i)).toDF("k", "v") // one key
+    val small = Seq(("HOT", 1)).toDF("k", "w")
+    val salted = ScalePatterns.saltedEquiJoin(big, small, "k", salt = 8)
+    assert(salted.count() == 4000)
+    // the replicated small side must carry every salt value
+    val salts = big.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(8)))
+      .select("__salt").distinct().count()
+    assert(salts == 8, "xxhash64 spread must hit all 8 sub-keys")
+  }
+
+  test("q49 matches the unsalted formulation on testdata") {
+    val salted = ScalePatterns.q49SaltedJoin(spark, dir)
+      .collect().map(_.toSeq)
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val dim = { import spark.implicits._
+      Seq(("A", "returned-accepted"), ("N", "not-returned"), ("R", "returned"))
+        .toDF("l_returnflag", "flag_desc") }
+    val plain = li.join(dim, "l_returnflag")
+      .groupBy("l_returnflag", "flag_desc")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.OracleSafe.dsum(col("l_quantity")).as("sum_qty"),
+        graft.functions.OracleSafe.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag").collect().map(_.toSeq)
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("bucketed join plan has no exchange on either side") {
+    ScalePatterns.q50BucketedJoin(spark, dir).count() // writes the tables
+    val plan = ScalePatterns.bucketedJoinPlan(spark)
+      .queryExecution.executedPlan.toString
+    // the join itself must consume the bucket layout directly; the only
+    // exchange allowed is the one for the FINAL groupBy/orderBy above it
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"expected a sort-merge join:\n$plan")
+    val below = plan.substring(joinIdx)
+    assert(!below.contains("Exchange"),
+      s"bucketed scan-side exchange found — bucketing not consumed:\n$plan")
+  }
+
+  test("bucketed join result matches the raw-table join") {
+    val bucketed = ScalePatterns.q50BucketedJoin(spark, dir)
+      .collect().map(_.toSeq)
+    val raw = graft.Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+      .join(graft.Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.OracleSafe.dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_custkey").collect().map(_.toSeq)
+    assert(bucketed.toSeq == raw.toSeq)
+  }
+}

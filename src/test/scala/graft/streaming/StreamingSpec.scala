@@ -87,6 +87,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.dedupEvents(mem.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:00:00"), 1.0), // same-batch duplicate
+        (2L, ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      // cross-batch replay of event 1 while its state is live → dropped
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (3L, ts("2024-01-01 10:10:00"), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_t").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L),
+        s"each event_id must survive exactly once, got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("file-source stream produces the batch-identical hourly result") {
     import spark.implicits._
     val dir = tmpDir("stream_src")
