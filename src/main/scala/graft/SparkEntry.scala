@@ -24,7 +24,8 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.StreamingQueries.queries ++
       operators.MultimodalQueries.queries ++
-      operators.ScalePatterns.queries
+      operators.ScalePatterns.queries ++
+      operators.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.Similarity.oracle ++
       operators.StreamingQueries.oracle ++
       operators.MultimodalQueries.oracle ++
-      operators.ScalePatterns.oracle
+      operators.ScalePatterns.oracle ++
+      operators.Sketches.oracle
 }
