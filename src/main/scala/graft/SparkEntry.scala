@@ -25,7 +25,8 @@ object SparkEntry {
       operators.StreamingQueries.queries ++
       operators.MultimodalQueries.queries ++
       operators.ScalePatterns.queries ++
-      operators.Sketches.queries
+      operators.Sketches.queries ++
+      operators.TrainingPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       operators.StreamingQueries.oracle ++
       operators.MultimodalQueries.oracle ++
       operators.ScalePatterns.oracle ++
-      operators.Sketches.oracle
+      operators.Sketches.oracle ++
+      operators.TrainingPrep.oracle
 }

@@ -426,6 +426,37 @@ object RelationalExt {
       |  SELECT 'name', count(*) FILTER (name IS NULL OR name = ''), count(*) FROM src)
       |ORDER BY col""".stripMargin
 
+  /** Full-outer join (the join type the reference's pivot loop used,
+    * BuildGoldLayer.py:110-135 — subsumed by pivot there, covered directly
+    * here): half the customers ⟗ per-customer order rollups, so the result
+    * carries left-only rows (customers without orders), right-only rows
+    * (orders of the filtered-out customers), and matches. */
+  def q56OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ord = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"), col("n_orders"), col("total_price"))
+      .orderBy("custkey")
+  }
+
+  val q56Sql: String =
+    """WITH ch AS (
+      |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
+      |oa AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+      |  c_mktsegment, n_orders, total_price
+      |FROM ch FULL OUTER JOIN oa ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_null_probe"     -> q47NullProbe,
     "q09_window_rank"    -> q09WindowRank,
@@ -443,7 +474,8 @@ object RelationalExt {
     "q21_csv_roundtrip"  -> q21CsvRoundtrip,
     "q22_json_roundtrip" -> q22JsonRoundtrip,
     "q23_cleanse_kernel" -> q23CleanseKernel,
-    "q24_initcap"        -> q24Initcap)
+    "q24_initcap"        -> q24Initcap,
+    "q56_outer_join"     -> q56OuterJoin)
 
   val oracle: Map[String, String] = Map(
     "q47_null_probe"     -> q47Sql,
@@ -462,5 +494,6 @@ object RelationalExt {
     "q21_csv_roundtrip"  -> q21Sql,
     "q22_json_roundtrip" -> q22Sql,
     "q23_cleanse_kernel" -> q23Sql,
-    "q24_initcap"        -> q24Sql)
+    "q24_initcap"        -> q24Sql,
+    "q56_outer_join"     -> q56Sql)
 }

@@ -80,15 +80,36 @@ object StreamingQueries {
       |SELECT DISTINCT event_id, user_id, event_type, value
       |FROM corpus ORDER BY event_id""".stripMargin
 
+  /** Batch twin of the stream-stream interval join: view events joined to
+    * click events of the same user within the following hour. */
+  def q53StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    EventStreams.attributedClicks(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+      .select("user_id", "view_id", "click_id")
+      .orderBy("user_id", "view_id", "click_id")
+  }
+
+  val q53Sql: String =
+    """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON v.user_id = c.user_id
+      |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_sliding_window"  -> q41Sliding,
     "q42_session_window"  -> q42Sessions,
     "q43_hourly_by_type"  -> q43HourlyByType,
-    "q51_stream_dedup"    -> q51StreamDedup)
+    "q51_stream_dedup"    -> q51StreamDedup,
+    "q53_stream_join"     -> q53StreamJoin)
 
   val oracle: Map[String, String] = Map(
     "q41_sliding_window"  -> q41Sql,
     "q42_session_window"  -> q42Sql,
     "q43_hourly_by_type"  -> q43Sql,
-    "q51_stream_dedup"    -> q51Sql)
+    "q51_stream_dedup"    -> q51Sql,
+    "q53_stream_join"     -> q53Sql)
 }

@@ -69,6 +69,27 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicates("event_id")
 
+  /** Stream-stream interval join: view→click attribution. Each click joins
+    * the views of the same user in the preceding hour. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH directions
+    * — that pair of constraints is what lets the streaming join evict state
+    * (a buffered view can be dropped once the watermark passes view_ts +
+    * 1 hour). On batch frames this is a plain range join. */
+  def attributedClicks(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionizer -----------------
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -109,6 +109,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to preceding views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.attributedClicks(
+      vMem.toDF().toDF("event_id", "user_id", "ts"),
+      cMem.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("attr_t")
+      .outputMode("append").start()
+    try {
+      vMem.addData((100L, 1L, ts("2024-01-01 10:00:00")),
+        (101L, 2L, ts("2024-01-01 10:00:00")))
+      cMem.addData(
+        (200L, 1L, ts("2024-01-01 10:30:00")), // within the hour → match
+        (201L, 1L, ts("2024-01-01 12:00:00")), // outside → no match
+        (202L, 3L, ts("2024-01-01 10:10:00"))) // other user → no match
+      q.processAllAvailable()
+      // advance both watermarks so joined rows emit in append mode
+      vMem.addData((110L, 9L, ts("2024-01-01 20:00:00")))
+      cMem.addData((210L, 9L, ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      val pairs = spark.table("attr_t")
+        .select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((100L, 200L)), s"expected the in-window match, got $pairs")
+      assert(!pairs.contains((100L, 201L)) && !pairs.contains((101L, 202L)))
+    } finally q.stop()
+  }
+
   test("file-source stream produces the batch-identical hourly result") {
     import spark.implicits._
     val dir = tmpDir("stream_src")
