@@ -26,7 +26,8 @@ object SparkEntry {
       operators.MultimodalQueries.queries ++
       operators.ScalePatterns.queries ++
       operators.Sketches.queries ++
-      operators.TrainingPrep.queries
+      operators.TrainingPrep.queries ++
+      operators.DupClusters.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.MultimodalQueries.oracle ++
       operators.ScalePatterns.oracle ++
       operators.Sketches.oracle ++
-      operators.TrainingPrep.oracle
+      operators.TrainingPrep.oracle ++
+      operators.DupClusters.oracle
 }

@@ -89,11 +89,44 @@ object TrainingPrep {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_hash
       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q58: latest-wins compaction (CDC/upsert semantics, SCD type 1): one
+    * surviving row per (user_id, event_type), the one with the greatest
+    * (ts, event_id) — the tiebreak makes the winner total-ordered, hence
+    * deterministic. `max_by` with a struct key is ONE hash aggregation with
+    * map-side partial combine; the window-row_number formulation of the
+    * same compaction sorts every partition. At 100 TB this is the nightly
+    * change-log → snapshot fold. */
+  def q58LatestWins(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max_by(struct(col("value"), col("event_id")),
+          struct(col("ts"), col("event_id"))).as("w"),
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"),
+        col("w.event_id").as("event_id"), col("w.value").as("value"),
+        col("last_ts"), col("n_versions"))
+      .orderBy("user_id", "event_type")
+
+  val q58Sql: String =
+    """SELECT user_id, event_type, event_id, value, last_ts, n_versions FROM (
+      |  SELECT user_id, event_type, event_id, value,
+      |    MAX(ts) OVER w AS last_ts,
+      |    COUNT(*) OVER w AS n_versions,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id, event_type))
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_embedding_quantize" -> q54EmbeddingQuantize,
-    "q55_doc_chunks"         -> q55DocChunks)
+    "q55_doc_chunks"         -> q55DocChunks,
+    "q58_latest_wins"        -> q58LatestWins)
 
   val oracle: Map[String, String] = Map(
     "q54_embedding_quantize" -> q54Sql,
-    "q55_doc_chunks"         -> q55Sql)
+    "q55_doc_chunks"         -> q55Sql,
+    "q58_latest_wins"        -> q58Sql)
 }
