@@ -27,7 +27,8 @@ object SparkEntry {
       operators.ScalePatterns.queries ++
       operators.Sketches.queries ++
       operators.TrainingPrep.queries ++
-      operators.DupClusters.queries
+      operators.DupClusters.queries ++
+      operators.TextRanking.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       operators.ScalePatterns.oracle ++
       operators.Sketches.oracle ++
       operators.TrainingPrep.oracle ++
-      operators.DupClusters.oracle
+      operators.DupClusters.oracle ++
+      operators.TextRanking.oracle
 }
