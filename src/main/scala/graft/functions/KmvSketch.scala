@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** KMV (k-minimum-values) distinct-count sketch as a typed
+  * `Aggregator[IN, BUF, OUT]` — the custom-aggregation tier of the
+  * extension ladder (SURVEY.md §7.2), alongside the native-`Expression`
+  * tier (`graft.catalyst`) and the custom-plan tier (`graft.plans`).
+  *
+  * The sketch keeps the k smallest values of a uniform hash of each
+  * element: `reduce` inserts with a bounded sorted buffer, `merge` unions
+  * two buffers and re-truncates to k. Both are order-independent set
+  * operations, so — unlike HLL's register encoding — the result is
+  * DETERMINISTIC under any partitioning and bit-identical across engines
+  * computing the same hash: the DuckDB oracle re-derives the k-th smallest
+  * hash and the estimate exactly (d62). Estimate: D̂ = (k−1)·P / h_k, the
+  * standard KMV estimator over hash space [0, P).
+  *
+  * Scale: the buffer is a fixed k·8 bytes per group regardless of input
+  * cardinality; partial aggregation applies (map-side combine), so the
+  * shuffle carries one k-array per (group, task). The input is the
+  * PRE-HASHED value (a long) — hashing happens once in a codegen'd
+  * projection ([[graft.catalyst.PolyHash]] for strings, `pmod` arithmetic
+  * for integers), keeping the aggregator itself type-agnostic.
+  */
+object KmvSketch {
+  val P: Long = PortableHash.P
+
+  case class Result(kth_hash: Long, n_seen: Int, est_distinct: Long)
+
+  /** `k` smallest distinct hashes; buffer is a sorted array (ascending). */
+  class Agg(k: Int) extends Aggregator[Long, Array[Long], Result] {
+    require(k >= 2, "KMV needs k >= 2")
+
+    override def zero: Array[Long] = Array.empty
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) buf // already present (KMV is over the DISTINCT hashes)
+      else if (buf.length < k) {
+        val ins = -pos - 1
+        val out = new Array[Long](buf.length + 1)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+        out
+      } else if (h < buf(k - 1)) {
+        val ins = -pos - 1
+        val out = new Array[Long](k)
+        System.arraycopy(buf, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+        out
+      } else buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // sorted-merge skipping duplicates, truncate to k — order-independent
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { i += 1; a(i - 1) }
+          else { j += 1; b(j - 1) }
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(buf: Array[Long]): Result =
+      if (buf.length < k) Result(if (buf.isEmpty) -1L else buf.last, buf.length, buf.length)
+      else Result(buf(k - 1), k, (k - 1).toLong * P / buf(k - 1))
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      Encoders.javaSerialization(classOf[Array[Long]])
+    override def outputEncoder: Encoder[Result] = Encoders.product[Result]
+  }
+
+  /** Column form: `kmv(col, k)` over a pre-hashed long column. */
+  def kmv(c: Column, k: Int): Column = udaf(new Agg(k)).apply(c)
+}

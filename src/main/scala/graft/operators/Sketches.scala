@@ -48,9 +48,58 @@ object Sketches {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** d62: the custom [[graft.functions.KmvSketch]] typed Aggregator — KMV
+    * distinct-count over the portable hash of user_id, per event type.
+    * Unlike HLL (q52's within-tolerance flags), KMV's state is the k
+    * smallest distinct hashes — order-independent set math — so the k-th
+    * hash AND the estimate are exact values the DuckDB oracle re-derives:
+    * a custom distributed aggregate verified bit-for-bit cross-engine. */
+  def d62KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    Tables.events(s, dir)
+      .selectExpr("event_type", "user_id",
+        "poly_hash(CAST(user_id AS STRING)) AS h")
+      .groupBy("event_type")
+      .agg(
+        graft.functions.KmvSketch.kmv(col("h"), 64).as("sk"),
+        countDistinct(col("user_id")).as("exact_distinct"))
+      .select(col("event_type"), col("sk.kth_hash").as("kth_hash"),
+        col("sk.n_seen").as("n_seen"), col("sk.est_distinct").as("est_distinct"),
+        col("exact_distinct"))
+      .orderBy("event_type")
+  }
+
+  val d62Sql: String =
+    """WITH hs AS (
+      |  SELECT DISTINCT event_type,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(CAST(user_id AS VARCHAR), ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM events),
+      |ex AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM events
+      |  GROUP BY event_type),
+      |rk AS (
+      |  SELECT event_type, h,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+      |  FROM hs)
+      |SELECT rk.event_type, h AS kth_hash,
+      |  CAST(LEAST(nd, 64) AS INTEGER) AS n_seen,
+      |  CASE WHEN nd >= 64
+      |       THEN (63 * CAST(1000000007 AS BIGINT)) // h
+      |       ELSE nd END AS est_distinct,
+      |  exact_distinct
+      |FROM rk JOIN ex ON rk.event_type = ex.event_type
+      |WHERE rn = LEAST(nd, 64)
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q52_approx_distinct" -> q52ApproxDistinct)
+    "q52_approx_distinct" -> q52ApproxDistinct,
+    "d62_kmv_distinct"    -> d62KmvDistinct)
 
   val oracle: Map[String, String] = Map(
-    "q52_approx_distinct" -> q52Sql)
+    "q52_approx_distinct" -> q52Sql,
+    "d62_kmv_distinct"    -> d62Sql)
 }

@@ -38,6 +38,40 @@ class SketchesSpec extends SparkSpec {
       s"exact=$exact approx=$approx")
   }
 
+  test("KMV aggregator is deterministic under any partitioning") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    val df = (0 until 50000).map(i => (i % 3, ((i * 2654435761L) % 1000000007L))).toDF("g", "h")
+    def run(parts: Int) = df.repartition(parts).groupBy("g")
+      .agg(KmvSketch.kmv(col("h"), 64).as("sk"))
+      .select(col("g"), col("sk.kth_hash"), col("sk.est_distinct"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(run(1) == run(17), "merge must be order/partitioning-independent")
+  }
+
+  test("KMV matches brute-force k smallest hashes and estimates within 30%") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    val hashes = (0 until 20000).map(i => (i * 48271L) % 1000000007L).distinct
+    val df = hashes.map(Tuple1(_)).toDF("h")
+    val row = df.agg(KmvSketch.kmv(col("h"), 64).as("sk"))
+      .select(col("sk.kth_hash"), col("sk.est_distinct")).head
+    val expectedKth = hashes.sorted.apply(63)
+    assert(row.getLong(0) == expectedKth, "k-th hash must be the exact 64th smallest")
+    val est = row.getLong(1).toDouble
+    assert(math.abs(est - hashes.size) / hashes.size < 0.30,
+      s"estimate $est too far from ${hashes.size}")
+  }
+
+  test("KMV small groups: fewer than k values reported exactly") {
+    import spark.implicits._
+    import graft.functions.KmvSketch
+    val df = Seq(5L, 9L, 5L, 13L).map(Tuple1(_)).toDF("h")
+    val row = df.agg(KmvSketch.kmv(col("h"), 64).as("sk"))
+      .select(col("sk.kth_hash"), col("sk.n_seen"), col("sk.est_distinct")).head
+    assert(row.getLong(0) == 13L && row.getInt(1) == 3 && row.getLong(2) == 3L)
+  }
+
   test("q52 gate flags hold at sf0.001") {
     val rows = Sketches.q52ApproxDistinct(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
