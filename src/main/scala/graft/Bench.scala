@@ -20,7 +20,7 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop per-query persisted intermediates so they don't accumulate
-        // across the 48-query session
+        // across the multi-query session
         spark.catalog.clearCache()
         name -> dt
       }
