@@ -105,11 +105,66 @@ object ScalePatterns {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** q63: ORC sink + scan roundtrip — the third columnar interchange format
+    * after parquet (native tables) and CSV/JSON (q21/q22). Same
+    * pushdown/pruning properties as parquet through the DataSource V1 path. */
+  def q63OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${SparkSupport.scratchDir}/graft_orc_rt"
+    Tables.part(s, dir)
+      .select("p_partkey", "p_brand", "p_size", "p_retailprice")
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .filter(col("p_size") >= 25)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("total_price"))
+      .orderBy("p_brand")
+  }
+
+  val q63Sql: String =
+    """SELECT p_brand, COUNT(*) AS n,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+      |FROM part WHERE p_size >= 25
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** q64: Hive-style partitioned layout + partition pruning. Events are
+    * written `partitionBy(event_type)`; the read-back filter on the
+    * partition column prunes whole directories BEFORE any file is opened
+    * (`PartitionFilters` on the scan — asserted in ScalePatternsSpec). At
+    * 100 TB this is the first and biggest pruning lever: a
+    * one-partition query reads one partition's bytes. */
+  def q64PartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${SparkSupport.scratchDir}/graft_events_parted"
+    Tables.events(s, dir)
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    partitionPrunedScan(s, tmp)
+  }
+
+  /** The pruned read (separate so the spec can assert the scan's
+    * PartitionFilters after the layout exists). */
+  def partitionPrunedScan(s: SparkSession, tmp: String): DataFrame =
+    s.read.parquet(tmp)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id") % 10)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+      .toDF("user_mod", "n", "sum_value")
+      .orderBy("user_mod")
+
+  val q64Sql: String =
+    """SELECT user_id % 10 AS user_mod, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 1 ORDER BY user_mod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q49_salted_join"   -> q49SaltedJoin,
-    "q50_bucketed_join" -> q50BucketedJoin)
+    "q49_salted_join"      -> q49SaltedJoin,
+    "q50_bucketed_join"    -> q50BucketedJoin,
+    "q63_orc_roundtrip"    -> q63OrcRoundtrip,
+    "q64_partition_pruning" -> q64PartitionPruning)
 
   val oracle: Map[String, String] = Map(
-    "q49_salted_join"   -> q49Sql,
-    "q50_bucketed_join" -> q50Sql)
+    "q49_salted_join"      -> q49Sql,
+    "q50_bucketed_join"    -> q50Sql,
+    "q63_orc_roundtrip"    -> q63Sql,
+    "q64_partition_pruning" -> q64Sql)
 }

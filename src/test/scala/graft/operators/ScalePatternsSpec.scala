@@ -63,6 +63,18 @@ class ScalePatternsSpec extends SparkSpec {
       s"bucketed scan-side exchange found — bucketing not consumed:\n$plan")
   }
 
+  test("partitioned scan prunes on the partition column") {
+    ScalePatterns.q64PartitionPruning(spark, dir).count() // writes the layout
+    val tmp = s"${graft.SparkSupport.scratchDir}/graft_events_parted"
+    val plan = ScalePatterns.partitionPrunedScan(spark, tmp)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition pruning on event_type:\n$plan")
+    // the data filter must NOT appear as a post-scan filter on a data column
+    assert(plan.contains("(event_type#") || plan.contains("event_type),"),
+      s"partition filter should reference the partition column:\n$plan")
+  }
+
   test("bucketed join result matches the raw-table join") {
     val bucketed = ScalePatterns.q50BucketedJoin(spark, dir)
       .collect().map(_.toSeq)
