@@ -33,7 +33,7 @@ object Bench {
     // them), and min-of-N is the standard estimator for the engine's actual
     // steady-state cost under external noise. The reported total is what a
     // long-lived session (the 100 TB deployment shape) would sustain.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     if (!sys.env.contains("SPARK_GRAFT_COLD")) runAll(timed = false)
     val results = (1 to reps).map(_ => runAll(timed = true))
       .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })

@@ -156,15 +156,54 @@ object ScalePatterns {
       |FROM events WHERE event_type = 'click'
       |GROUP BY 1 ORDER BY user_mod""".stripMargin
 
+  /** q65: the `spark.sql` entry point — the same engine through SQL text
+    * over registered temp views (every other gate query drives the
+    * DataFrame API; a complete library exposes both). The statement mixes
+    * a join, an aggregate, and a window so the SQL path exercises the
+    * planner end-to-end, and the text is ANSI enough to BE its own oracle. */
+  def q65SqlApi(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT * FROM (
+        |  SELECT c_mktsegment,
+        |    c_name,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+        |    COUNT(*) AS n_orders,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) DESC,
+        |               c_name) AS rnk
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_mktsegment, c_name)
+        |WHERE rnk <= 5
+        |ORDER BY c_mktsegment, rnk""".stripMargin)
+  }
+
+  val q65Sql: String =
+    """SELECT * FROM (
+      |  SELECT c_mktsegment,
+      |    c_name,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+      |    COUNT(*) AS n_orders,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) DESC,
+      |               c_name) AS rnk
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_mktsegment, c_name)
+      |WHERE rnk <= 5
+      |ORDER BY c_mktsegment, rnk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_salted_join"      -> q49SaltedJoin,
     "q50_bucketed_join"    -> q50BucketedJoin,
     "q63_orc_roundtrip"    -> q63OrcRoundtrip,
-    "q64_partition_pruning" -> q64PartitionPruning)
+    "q64_partition_pruning" -> q64PartitionPruning,
+    "q65_sql_api"          -> q65SqlApi)
 
   val oracle: Map[String, String] = Map(
     "q49_salted_join"      -> q49Sql,
     "q50_bucketed_join"    -> q50Sql,
     "q63_orc_roundtrip"    -> q63Sql,
-    "q64_partition_pruning" -> q64Sql)
+    "q64_partition_pruning" -> q64Sql,
+    "q65_sql_api"          -> q65Sql)
 }
