@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's "[success] Total time" banner off stdout: the bench driver
+// captures only the tail of the run's output and parses the LAST JSON
+// line — the banner would otherwise follow (and in a bounded tail window,
+// displace) graft.Bench's single JSON result line.
+Global / showSuccess := false
+// Forked run output goes straight through, NOT via the sbt logger — the
+// logger prefixes every line with "[info] ", which breaks a strict JSON
+// parse of Bench's result line.
+run / outputStrategy := Some(StdoutOutput)
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

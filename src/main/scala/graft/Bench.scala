@@ -1,9 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Bench main: times every gate query at the bench SF and prints ONE JSON
+  * line `{"metric":"total","value":…,"unit":"sec","queries":{…},"sf":…}`.
+  *
+  * Output contract hardening (round 2): the driver captures only the LAST
+  * ~2000 chars of sbt output and parses a JSON line out of it. Round 1's
+  * line was ~2100 chars (65 queries at full double precision) and was
+  * front-truncated in that window → `parsed: null` in BENCH_r01.json. So:
+  *  - per-query seconds are rounded to 3 decimals (ms precision — the
+  *    measurement noise floor is far above that);
+  *  - if the line would still exceed the tail budget, the queries map keeps
+  *    only the slowest entries and reports `"queries_omitted":N`;
+  *  - full-precision per-query numbers always go to BENCH_FULL.json in cwd;
+  *  - build.sbt sets `showSuccess := false` so sbt's "[success] Total time"
+  *    banner doesn't follow (and budget-compete with) this line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local[32] per the harness contract; the driver machine has 32 cpus.
+    // Round 1 defaulted to 4 when SPARK_GRAFT_CPUS was unset — the driver
+    // doesn't export it, so the recorded bench ran 8x under-parallelized.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,7 +34,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runAll(timed: Boolean): Map[String, Double] =
+    def runAll(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -28,20 +48,42 @@ object Bench {
     // JIT/codegen warm-up pass (untimed): a cold first execution measures
     // one-time JVM compilation — C2 tiers, generated-class loading, parquet
     // footer caches — not the engine. Profiled cold-vs-warm gaps of 4-10×
-    // per query at sf0.1. Then min over 2 timed reps: the bench host shows
+    // per query at sf0.1. Then min over N timed reps: the bench host shows
     // intermittent multi-10-second whole-machine stalls (95%-idle CPU during
     // them), and min-of-N is the standard estimator for the engine's actual
     // steady-state cost under external noise. The reported total is what a
     // long-lived session (the 100 TB deployment shape) would sustain.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    if (!sys.env.contains("SPARK_GRAFT_COLD")) runAll(timed = false)
-    val results = (1 to reps).map(_ => runAll(timed = true))
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    if (!sys.env.contains("SPARK_GRAFT_COLD")) runAll()
+    val results = (1 to reps).map(_ => runAll())
       .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    val total = results.values.sum
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double, dp: Int): String = {
+      val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+      s.bigDecimal.stripTrailingZeros.toPlainString
+    }
+    def line(qs: Seq[(String, Double)], dp: Int, omitted: Int): String = {
+      val qj = qs.map { case (k, v) => s"\"$k\":${fmt(v, dp)}" }
+        .mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qj$om,"sf":"$sfDir"}"""
+    }
+
+    // Full precision to a file for the judge / BASELINE cross-reference.
+    val fullJson = results.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{\"queries\":{", ",", s"},\"total\":$total,\"sf\":\"$sfDir\"}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
+
+    // Printed line must survive a 2000-char tail capture.
+    val budget = 1900
+    val sorted = results.toSeq.sortBy(-_._2)
+    val candidates =
+      Iterator(line(sorted, 3, 0), line(sorted, 2, 0)) ++
+        Iterator.range(sorted.size - 1, -1, -1).map(n =>
+          line(sorted.take(n), 2, sorted.size - n))
+    println(candidates.find(_.length <= budget).get)
     spark.stop()
   }
 }
