@@ -28,7 +28,9 @@ object SparkEntry {
       operators.Sketches.queries ++
       operators.TrainingPrep.queries ++
       operators.DupClusters.queries ++
-      operators.TextRanking.queries
+      operators.TextRanking.queries ++
+      operators.Temporal.queries ++
+      operators.RelationalExt2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +47,7 @@ object SparkEntry {
       operators.Sketches.oracle ++
       operators.TrainingPrep.oracle ++
       operators.DupClusters.oracle ++
-      operators.TextRanking.oracle
+      operators.TextRanking.oracle ++
+      operators.Temporal.oracle ++
+      operators.RelationalExt2.oracle
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Temporal operators: the as-of merge form must equal the brute-force
+  * definition, the bucketized range join must equal the theta join, and the
+  * SCD2/CDC outputs must satisfy their structural laws. */
+class TemporalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("as-of merge form equals brute-force max(ref.ts <= probe.ts)") {
+    val out = Temporal.q66AsofJoin(spark, dir)
+    val ev = graft.Tables.events(spark, dir)
+    val probes = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val refs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("r_user"), col("ts").as("pts"))
+    // brute force: inequality join then per-probe max — the quadratic
+    // definition the merge form must reproduce exactly
+    val brute = probes
+      .join(refs, col("user_id") === col("r_user") && col("pts") <= col("ts"), "left")
+      .groupBy("event_id")
+      .agg(max(col("pts")).as("want_ts"))
+    val joined = out
+      .withColumn("got", col("last_purchase_ts"))
+      .join(brute, Seq("event_id"), "left")
+      .withColumn("want", date_format(col("want_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    assert(joined.filter(
+      (col("got").isNull && col("want").isNotNull) ||
+      (col("got").isNotNull && col("want").isNull) ||
+      (col("got") =!= col("want"))).count() == 0)
+    assert(out.count() == probes.count(), "left semantics: every probe survives")
+  }
+
+  test("as-of tie at equal ts is inclusive (<=)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = Seq(
+      (1L, 7L, t, "click", 1.0),
+      (2L, 7L, t, "purchase", 5.0)).toDF("event_id", "user_id", "ts", "event_type", "value")
+    rows.createOrReplaceTempView("__asof_tie")
+    // reproduce the q66 pipeline inline on the tiny frame
+    val probes = rows.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val refs = rows.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("pvalue"))
+    val tagged = refs.select($"user_id", $"ts", lit(1).as("is_ref"),
+        struct($"ts".as("pts"), $"pvalue").as("ref"),
+        lit(null).cast("long").as("event_id"))
+      .unionByName(probes.select($"user_id", $"ts", lit(0).as("is_ref"),
+        lit(null).cast("struct<pts:timestamp,pvalue:double>").as("ref"), $"event_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"is_ref".desc)
+      .rowsBetween(Long.MinValue, 0)
+    val got = tagged.withColumn("last_ref", last($"ref", ignoreNulls = true).over(w))
+      .filter($"is_ref" === 0).select($"last_ref.pvalue").as[Option[Double]].head()
+    assert(got.contains(5.0), "a purchase at the same instant must match")
+  }
+
+  test("bucketized range join equals the theta join") {
+    val out = Temporal.q67RangeJoin(spark, dir).collect().map(_.toSeq)
+    val ev = graft.Tables.events(spark, dir)
+    val ranges = spark.range(60).select(
+      col("id").as("r_id"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id*12,0,0)").as("r_start"),
+      expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id*12+2,0,0)").as("r_end"))
+    val theta = ev.join(ranges,
+        col("ts") >= col("r_start") && col("ts") < col("r_end"))
+      .groupBy("r_id")
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.OracleSafe.dsum(col("value")).as("sum_value"))
+      .orderBy("r_id").collect().map(_.toSeq)
+    assert(out.toSeq == theta.toSeq)
+  }
+
+  test("SCD2 laws: one current row per key, contiguous non-overlapping spans") {
+    val scd = Temporal.q68Scd2(spark, dir).cache()
+    val perKey = scd.groupBy("o_custkey")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_current"),
+        count(lit(1)).as("n"), max(col("version_n")).as("max_v"))
+    assert(perKey.filter(col("n_current") =!= 1).count() == 0, "exactly one current")
+    assert(perKey.filter(col("n") =!= col("max_v")).count() == 0, "dense versions")
+    // span contiguity: valid_to of version k equals valid_from of k+1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("version_n"))
+    val broken = scd.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("next_from").isNotNull && col("valid_to") =!= col("next_from"))
+    assert(broken.count() == 0, "chained effectivity")
+    scd.unpersist()
+  }
+
+  test("CDC apply: highest-seq op wins and deletes remove the key") {
+    import spark.implicits._
+    val log = Seq(
+      (10L, 1L, "I", 1.0), (10L, 5L, "U", 2.0),          // update wins
+      (20L, 2L, "I", 1.0), (20L, 9L, "D", 0.0),          // deleted
+      (30L, 3L, "I", 7.0)                                // untouched
+    ).toDF("key", "seq", "op", "payload")
+    val compacted = log.groupBy($"key")
+      .agg(max(struct($"seq", $"op", $"payload")).as("last"))
+      .filter($"last.op" =!= "D")
+      .select($"key", $"last.seq".as("last_seq"), $"last.op".as("op"),
+        $"last.payload".as("payload"))
+      .orderBy("key").collect().map(_.toSeq)
+    assert(compacted.toSeq == Seq(Seq(10L, 5L, "U", 2.0), Seq(30L, 3L, "I", 7.0)))
+  }
+}
