@@ -30,7 +30,8 @@ object SparkEntry {
       operators.DupClusters.queries ++
       operators.TextRanking.queries ++
       operators.Temporal.queries ++
-      operators.RelationalExt2.queries
+      operators.RelationalExt2.queries ++
+      operators.TypedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
       operators.DupClusters.oracle ++
       operators.TextRanking.oracle ++
       operators.Temporal.oracle ++
-      operators.RelationalExt2.oracle
+      operators.RelationalExt2.oracle ++
+      operators.TypedOps.oracle
 }

@@ -114,13 +114,20 @@ object GraftFunctions {
     }
 }
 
-/** Standard deployment path: `spark.sql.extensions=graft.catalyst.GraftExtensions`. */
+/** Standard deployment path: `spark.sql.extensions=graft.catalyst.GraftExtensions`
+  * installs the WHOLE engine surface at session build time — the native
+  * function family, the top-k re-planning rule, and its physical strategy —
+  * with no imperative `ensureRegistered` calls needed (those remain for
+  * sessions the caller built without extensions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, doc, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, doc, ""),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }

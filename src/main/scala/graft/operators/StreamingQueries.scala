@@ -99,7 +99,28 @@ object StreamingQueries {
       |  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** q79: batch twin of the stream-static enrichment join — events ⟕ a
+    * 150-row user-tier dimension (broadcast), aggregated per tier. The
+    * streaming execution of the same `EventStreams.enriched` transform is
+    * exercised in StreamingSpec over MemoryStream. */
+  def q79StreamStatic(s: SparkSession, dir: String): DataFrame = {
+    val dim = s.range(150).select(col("id").as("user_id"),
+      concat(lit("tier_"), col("id") % 3).as("tier"))
+    EventStreams.enriched(Tables.events(s, dir), dim)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).cast("double").as("sum_value"))
+      .orderBy("tier")
+  }
+
+  val q79Sql: String =
+    """SELECT concat('tier_', CAST(user_id % 3 AS VARCHAR)) AS tier,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY tier""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_stream_static"   -> q79StreamStatic,
     "q41_sliding_window"  -> q41Sliding,
     "q42_session_window"  -> q42Sessions,
     "q43_hourly_by_type"  -> q43HourlyByType,
@@ -107,6 +128,7 @@ object StreamingQueries {
     "q53_stream_join"     -> q53StreamJoin)
 
   val oracle: Map[String, String] = Map(
+    "q79_stream_static"   -> q79Sql,
     "q41_sliding_window"  -> q41Sql,
     "q42_session_window"  -> q42Sql,
     "q43_hourly_by_type"  -> q43Sql,

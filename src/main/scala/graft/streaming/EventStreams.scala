@@ -138,6 +138,15 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment join: each (micro-batch of) events joins a
+    * static dimension broadcast to every task. No streaming state at all —
+    * the static side is re-planned per batch, so a dim refresh (re-read
+    * from storage) picks up new rows without restarting the query. The
+    * canonical shape for joining an unbounded fact stream to reference
+    * data at any scale. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
   /** Run a transform as a real stream from a folder of parquet (file
     * source) into an in-memory sink — the readStream→writeStream edge. */
   def runFileStream(spark: SparkSession, srcDir: String, schema: String,

@@ -139,6 +139,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches micro-batches from a broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.enriched(
+        mem.toDF().toDF("user_id", "ts", "value"), dim)
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:01:00"), 2.0),
+        (9L, ts("2024-01-01 10:02:00"), 3.0)) // not in dim → tier null
+      q.processAllAvailable()
+      val out = spark.table("enrich_t").select("user_id", "tier")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      assert(out == Set((1L, Some("gold")), (2L, Some("basic")), (9L, None)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink applies per-batch upserts to an external store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a driver-side "store" standing in for any idempotent-upsert target
+    val store = scala.collection.concurrent.TrieMap[Long, Double]()
+    val mem = MemoryStream[(Long, Double)]
+    val q = mem.toDF().toDF("user_id", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.groupBy("user_id")
+          .agg(sum(col("value").cast("decimal(38,6)")).cast("double").as("v"))
+          .collect().foreach { r =>
+            val k = r.getLong(0)
+            store(k) = store.getOrElse(k, 0.0) + r.getDouble(1)
+          }
+      }
+      .start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, 10.0))
+      q.processAllAvailable()
+      assert(store.toMap == Map(1L -> 13.0, 2L -> 5.0))
+    } finally q.stop()
+  }
+
   test("file-source stream produces the batch-identical hourly result") {
     import spark.implicits._
     val dir = tmpDir("stream_src")
