@@ -31,7 +31,8 @@ object SparkEntry {
       operators.TextRanking.queries ++
       operators.Temporal.queries ++
       operators.RelationalExt2.queries ++
-      operators.TypedOps.queries
+      operators.TypedOps.queries ++
+      operators.TrainingPrep2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
       operators.TextRanking.oracle ++
       operators.Temporal.oracle ++
       operators.RelationalExt2.oracle ++
-      operators.TypedOps.oracle
+      operators.TypedOps.oracle ++
+      operators.TrainingPrep2.oracle
 }
