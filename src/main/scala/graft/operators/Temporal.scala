@@ -185,15 +185,87 @@ object Temporal {
       |WHERE rn = 1 AND op <> 'D'
       |ORDER BY key""".stripMargin
 
+  /** q87: value-based window frames — per-customer 30-day TRAILING order
+    * total via `rangeBetween` over a day index. The frame is bounded by the
+    * ORDER-BY VALUE (peers share one result — no tie nondeterminism), so
+    * the per-key state is a sliding 30-day buffer, independent of history
+    * length; partitioned by customer, never a global sort. */
+  def q87RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    Tables.orders(s, dir)
+      .withColumn("day", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .withColumn("trail30",
+        sum(col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double"))
+      .select("o_orderkey", "o_custkey", "day", "trail30")
+      .orderBy("o_orderkey")
+  }
+
+  val q87Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS INTEGER) AS day,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail30
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** q88: interval-overlap concurrency via sweep line — peak number of
+    * simultaneously-open 1-hour view sessions per day. Each interval emits
+    * (+1 at start, −1 at end); a running sum over (t, delta) is the exact
+    * concurrency curve, and its per-day max is the answer. Work is linear
+    * in intervals — never the |I|² pairwise-overlap join.
+    *
+    * Determinism: ends sort before starts at the same instant (half-open
+    * intervals), and permuting identical (t, delta) rows permutes identical
+    * prefix-sum values, so max-per-day is well-defined. The gate evaluates
+    * the curve at in-day delta points only (the oracle mirrors the same
+    * definition). This formulation uses one global window (fine at gate
+    * scale); the 100 TB shape splits intervals at day boundaries and
+    * partitions the sweep by day — same math, bounded partitions. */
+  def q88SweepConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.events(s, dir).filter(col("event_type") === "view")
+      .select(col("ts"), (col("ts") + expr("INTERVAL 1 HOUR")).as("te"))
+    val deltas = v.select(col("ts").as("t"), lit(1).as("delta"))
+      .unionByName(v.select(col("te").as("t"), lit(-1).as("delta")))
+    val w = Window.orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas
+      .withColumn("running", sum(col("delta")).over(w))
+      .groupBy(to_date(col("t")).as("day"))
+      .agg(max(col("running")).as("peak_concurrency"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("peak_concurrency"))
+      .orderBy("day")
+  }
+
+  val q88Sql: String =
+    """WITH v AS (
+      |  SELECT ts, ts + INTERVAL 1 HOUR AS te FROM events WHERE event_type = 'view'),
+      |deltas AS (
+      |  SELECT ts AS t, 1 AS delta FROM v
+      |  UNION ALL
+      |  SELECT te AS t, -1 AS delta FROM v),
+      |curve AS (
+      |  SELECT t, SUM(delta) OVER (ORDER BY t, delta
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      |  FROM deltas)
+      |SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
+      |  max(running) AS peak_concurrency
+      |FROM curve GROUP BY 1 ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q66_asof_join"  -> q66AsofJoin,
-    "q67_range_join" -> q67RangeJoin,
-    "q68_scd2"       -> q68Scd2,
-    "q69_cdc_apply"  -> q69CdcApply)
+    "q66_asof_join"         -> q66AsofJoin,
+    "q67_range_join"        -> q67RangeJoin,
+    "q68_scd2"              -> q68Scd2,
+    "q69_cdc_apply"         -> q69CdcApply,
+    "q87_range_frame"       -> q87RangeFrame,
+    "q88_sweep_concurrency" -> q88SweepConcurrency)
 
   val oracle: Map[String, String] = Map(
-    "q66_asof_join"  -> q66Sql,
-    "q67_range_join" -> q67Sql,
-    "q68_scd2"       -> q68Sql,
-    "q69_cdc_apply"  -> q69Sql)
+    "q66_asof_join"         -> q66Sql,
+    "q67_range_join"        -> q67Sql,
+    "q68_scd2"              -> q68Sql,
+    "q69_cdc_apply"         -> q69Sql,
+    "q87_range_frame"       -> q87Sql,
+    "q88_sweep_concurrency" -> q88Sql)
 }

@@ -92,6 +92,41 @@ class TemporalSpec extends SparkSpec {
     scd.unpersist()
   }
 
+  test("range frame equals an explicit self-join trailing sum") {
+    val out = Temporal.q87RangeFrame(spark, dir)
+    val o = graft.Tables.orders(spark, dir)
+      .withColumn("day", datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"), col("o_totalprice"))
+    val brute = o.as("a").join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("b.day") <= col("a.day") && col("b.day") >= col("a.day") - 30)
+      .groupBy(col("a.o_orderkey").as("o_orderkey"))
+      .agg(sum(col("b.o_totalprice").cast("decimal(38,6)")).cast("double").as("want"))
+    val bad = out.join(brute, "o_orderkey")
+      .filter(col("trail30") =!= col("want"))
+    assert(bad.count() == 0)
+  }
+
+  test("sweep-line peak equals brute-force point evaluation") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // known overlap structure: 3 overlapping, then 1 isolated
+    val ts = Seq("2024-03-01 10:00:00", "2024-03-01 10:20:00",
+      "2024-03-01 10:40:00", "2024-03-01 15:00:00")
+      .map(Timestamp.valueOf)
+    val ev = ts.zipWithIndex.map { case (t, i) => (i.toLong, t, 1L, "view", 0.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val v = ev.select(col("ts"), (col("ts") + expr("INTERVAL 1 HOUR")).as("te"))
+    val deltas = v.select(col("ts").as("t"), lit(1).as("delta"))
+      .unionByName(v.select(col("te").as("t"), lit(-1).as("delta")))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Long.MinValue, 0)
+    val peak = deltas.withColumn("running", sum(col("delta")).over(w))
+      .agg(max("running")).collect().head.getLong(0)
+    assert(peak == 3, "10:40 sits inside both earlier 1h windows")
+  }
+
   test("CDC apply: highest-seq op wins and deletes remove the key") {
     import spark.implicits._
     val log = Seq(
