@@ -128,6 +128,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    ext.injectOptimizerRule(_ => graft.plans.DedupCollapseRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }

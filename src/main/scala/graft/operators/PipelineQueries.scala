@@ -94,8 +94,14 @@ object PipelineQueries {
         when(col("s_suppkey") % 5 === 0, lit(""))
           .otherwise(concat(col("s_name"), lit(".ORG"))).as("Acct_891"))
 
-  /** The full conformed silver table through the real pipeline kernel. */
+  /** The full conformed silver table through the real pipeline kernel.
+    * Registers the graft optimizer rules: gold consumption patterns
+    * (distinct/pivot over the per-branch-deduplicated silver) trigger
+    * [[graft.plans.DedupCollapseRule]], which deletes the branch dedup
+    * shuffles that the downstream duplicate-insensitive aggregate makes
+    * redundant. */
   def silverUnified(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftOptimizations.ensure(s)
     val bank = Silver.bankData(
       Silver.cleanseBankInstitutions(rawInstitutions(s, dir)),
       Silver.cleanseBankFinancials(rawFinancials(s, dir)))
@@ -111,12 +117,17 @@ object PipelineQueries {
   def p25SilverUnified(s: SparkSession, dir: String): DataFrame =
     silverUnified(s, dir).orderBy("institution_type", "charter_number", "quarter_date")
 
+  // p26/p27 consume the ROW transforms, not the write-layout wrappers: the
+  // gate's verification orderBy is itself an exchange, which would turn the
+  // layout repartition into dead work (the same reasoning that splits
+  // Silver.conformed from Silver.unified). The layout wrappers are covered
+  // by MedallionSpec's write-path assertions.
   def p26GoldDirectory(s: SparkSession, dir: String): DataFrame =
-    Gold.institutionDirectoryByType(silverUnified(s, dir))
+    Gold.directoryRows(silverUnified(s, dir))
       .orderBy("institution_type", "charter_number")
 
   def p27GoldState(s: SparkSession, dir: String): DataFrame =
-    Gold.assetsDepositsByState(silverUnified(s, dir))
+    Gold.assetsDepositsRows(silverUnified(s, dir))
       .orderBy("year", "quarter", "state", "charter_number")
 
   /** Quarterly wide table via the native-pivot rewrite, on the credit-union

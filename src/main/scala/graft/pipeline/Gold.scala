@@ -24,14 +24,23 @@ object Gold {
     df.select((pinned ++ dated).map(col).toSeq: _*)
   }
 
-  /** `institution_directory_by_type` (BuildGoldLayer.py:149-160): the
-    * distinct institution directory, clustered by (type, name) with
-    * name-sorted files for Athena-style consumers. Distinct runs BEFORE the
-    * layout repartition (the reference's distinct-after-sort re-shuffles and
-    * destroys its own clustering — same output set, one less shuffle). */
-  def institutionDirectoryByType(silver: DataFrame): DataFrame =
+  /** The directory ROWS: distinct institutions over the 6 identity columns.
+    * Row semantics only — no layout. In-plan consumers (the gate queries,
+    * anything that re-sorts or re-aggregates) compose from here, exactly as
+    * gold consumers compose from [[Silver.conformed]]: a layout repartition
+    * would be dead work under any downstream exchange. */
+  def directoryRows(silver: DataFrame): DataFrame =
     silver.select("name", "charter_number", "institution_type", "city", "state", "website")
       .distinct()
+
+  /** `institution_directory_by_type` (BuildGoldLayer.py:149-160): the
+    * distinct institution directory, clustered by (type, name) with
+    * name-sorted files for Athena-style consumers — [[directoryRows]] plus
+    * the WRITE layout. Distinct runs BEFORE the layout repartition (the
+    * reference's distinct-after-sort re-shuffles and destroys its own
+    * clustering — same output set, one less shuffle). */
+  def institutionDirectoryByType(silver: DataFrame): DataFrame =
+    directoryRows(silver)
       .repartition(col("institution_type"), col("name"))
       .sortWithinPartitions("name")
 
@@ -40,12 +49,15 @@ object Gold {
     * quarter derive natively (`year()`/`quarter()`) instead of the
     * reference's date_format + dict-replace + cast chain — identical values
     * (SURVEY.md §4.3), foldable expressions. */
-  def assetsDepositsByState(silver: DataFrame): DataFrame =
+  def assetsDepositsRows(silver: DataFrame): DataFrame =
     silver.select("charter_number", "name", "state", "city",
         "assets_total", "deposits_total", "quarter_date")
       .withColumn("year", year(col("quarter_date")))
       .withColumn("quarter", quarter(col("quarter_date")))
       .drop("quarter_date")
+
+  def assetsDepositsByState(silver: DataFrame): DataFrame =
+    assetsDepositsRows(silver)
       .repartition(col("year"), col("quarter"), col("state"))
 
   /** `quarterly_assets_table` / `quarterly_deposits_table`
