@@ -251,7 +251,70 @@ object RelationalExt2 {
       |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** q89: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — NULL keys
+    * join the dimension's NULL row instead of silently dropping. Planned as
+    * a hash join on the null-safe key exactly like a plain equi-join (NULL
+    * becomes an ordinary key value), so the scale properties are unchanged
+    * — the usual fix-up (COALESCE to a sentinel) corrupts real sentinel
+    * values; `<=>` doesn't. */
+  def q89NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(s, dir)
+      .withColumn("k",
+        when(col("o_orderkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_orderkey") % 100))
+    val dim = s.range(100).select(col("id").as("dk"),
+        concat(lit("bucket_"), col("id")).as("label"))
+      .unionByName(s.range(1).select(lit(null).cast("long").as("dk"),
+        lit("bucket_null").as("label")))
+    facts.join(dim, col("k") <=> col("dk"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("label")
+  }
+
+  val q89Sql: String =
+    """WITH facts AS (
+      |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderkey % 100 END AS k,
+      |    o_totalprice
+      |  FROM orders),
+      |dim AS (
+      |  SELECT r AS dk, 'bucket_' || CAST(r AS VARCHAR) AS label
+      |  FROM (SELECT unnest(range(0, 100)) AS r)
+      |  UNION ALL SELECT NULL, 'bucket_null')
+      |SELECT label, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM facts JOIN dim ON k IS NOT DISTINCT FROM dk
+      |GROUP BY label ORDER BY label""".stripMargin
+
+  /** q90: posexplode with position arithmetic — per-vector argmax dimension.
+    * The generator emits (pos, value) pairs map-side; the argmax is one
+    * hash aggregate over `max(struct(|v|, -pos))` (pinned lowest-position
+    * tie rule), not a per-vector sort. */
+  def q90PosexplodeArgmax(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        abs(col("col").cast("double")).as("absval"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("absval"), (-col("pos")).as("negpos"))).as("m"))
+      .select(col("vec_id"), (-col("m.negpos")).cast("int").as("argmax_dim"),
+        col("m.absval").as("max_abs"))
+      .orderBy("vec_id")
+
+  val q90Sql: String =
+    """SELECT vec_id, CAST(pos AS INTEGER) AS argmax_dim, absval AS max_abs FROM (
+      |  SELECT vec_id, pos,
+      |    abs(CAST(embedding[pos + 1] AS DOUBLE)) AS absval,
+      |    row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY abs(CAST(embedding[pos + 1] AS DOUBLE)) DESC, pos) AS rn
+      |  FROM (SELECT vec_id, embedding,
+      |          unnest(range(0, len(embedding))) AS pos
+      |        FROM embeddings))
+      |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_null_safe_join"  -> q89NullSafeJoin,
+    "q90_posexplode_argmax" -> q90PosexplodeArgmax,
     "q70_cube"          -> q70Cube,
     "q71_stats_moments" -> q71StatsMoments,
     "q72_array_hof"     -> q72ArrayHof,
@@ -262,6 +325,8 @@ object RelationalExt2 {
     "q78_datetime"      -> q78Datetime)
 
   val oracle: Map[String, String] = Map(
+    "q89_null_safe_join"  -> q89Sql,
+    "q90_posexplode_argmax" -> q90Sql,
     "q70_cube"          -> q70Sql,
     "q71_stats_moments" -> q71Sql,
     "q72_array_hof"     -> q72Sql,

@@ -193,17 +193,65 @@ object ScalePatterns {
       |WHERE rnk <= 5
       |ORDER BY c_mktsegment, rnk""".stripMargin
 
+  /** The 16-bit×2 Morton (Z-order) interleave as a portable expression:
+    * z = Σ_i ((x≫i & 1) ≪ 2i) | ((y≫i & 1) ≪ (2i+1)). Pure integer
+    * arithmetic — identical in any engine. */
+  def zOrderExpr(x: String, y: String): String =
+    s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
+       |  acc + (shiftleft(shiftright($x, i) & 1, 2 * i)
+       |       + shiftleft(shiftright($y, i) & 1, 2 * i + 1)))""".stripMargin
+
+  /** q91: Z-order (Morton-curve) layout — the multi-dimensional clustering
+    * pattern behind Delta/Iceberg `OPTIMIZE ZORDER BY`. Interleaving the
+    * bits of two bucketized keys gives a 1-D sort key under which points
+    * close in EITHER dimension land close in the file order, so min/max
+    * row-group stats prune scans filtered on x, on y, or on both — a plain
+    * sort by (x, y) prunes only the leading column. Here: orders bucketized
+    * to (custkey%256, day%256), z computed map-side, and the gate audits
+    * the curve (per-z-range bucket counts + a box query both ways). The
+    * layout action at scale is `repartitionByRange(z).sortWithinPartitions
+    * (z).write` — exercised in ScalePatternsSpec with a locality assert. */
+  def q91ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val z = Tables.orders(s, dir)
+      .withColumn("xb", col("o_custkey") % 256)
+      .withColumn("yb",
+        datediff(col("o_orderdate"), lit("1990-01-01").cast("date")) % 256)
+      .withColumn("z", expr(zOrderExpr("xb", "yb")))
+    z.groupBy(expr("z div 4096").as("z_range"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("xb").between(10, 60) && col("yb").between(40, 160), 1)
+          .otherwise(0)).as("n_in_box"))
+      .filter(col("n_in_box") > 0)
+      .orderBy("z_range")
+  }
+
+  val q91Sql: String =
+    """WITH z AS (
+      |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 16)), (acc, i) ->
+      |      acc + (((o_custkey % 256) >> i) & 1) * (1 << (2 * i))
+      |          + (((date_diff('day', DATE '1990-01-01', o_orderdate) % 256) >> i) & 1)
+      |            * (1 << (2 * i + 1))) AS z,
+      |    o_custkey % 256 AS xb,
+      |    date_diff('day', DATE '1990-01-01', o_orderdate) % 256 AS yb
+      |  FROM orders)
+      |SELECT z // 4096 AS z_range, count(*) AS n,
+      |  SUM(CASE WHEN xb BETWEEN 10 AND 60 AND yb BETWEEN 40 AND 160
+      |      THEN 1 ELSE 0 END) AS n_in_box
+      |FROM z GROUP BY 1 HAVING n_in_box > 0 ORDER BY z_range""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_salted_join"      -> q49SaltedJoin,
     "q50_bucketed_join"    -> q50BucketedJoin,
     "q63_orc_roundtrip"    -> q63OrcRoundtrip,
     "q64_partition_pruning" -> q64PartitionPruning,
-    "q65_sql_api"          -> q65SqlApi)
+    "q65_sql_api"          -> q65SqlApi,
+    "q91_zorder_layout"    -> q91ZorderLayout)
 
   val oracle: Map[String, String] = Map(
     "q49_salted_join"      -> q49Sql,
     "q50_bucketed_join"    -> q50Sql,
     "q63_orc_roundtrip"    -> q63Sql,
     "q64_partition_pruning" -> q64Sql,
-    "q65_sql_api"          -> q65Sql)
+    "q65_sql_api"          -> q65Sql,
+    "q91_zorder_layout"    -> q91Sql)
 }

@@ -75,6 +75,28 @@ class ScalePatternsSpec extends SparkSpec {
       s"partition filter should reference the partition column:\n$plan")
   }
 
+  test("z-order layout clusters both dimensions (locality beats linear sort)") {
+    import spark.implicits._
+    // uniform 64x64 grid, one point per cell
+    val pts = (for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong))
+      .toDF("xb", "yb")
+      .withColumn("z", expr(ScalePatterns.zOrderExpr("xb", "yb")))
+    // carve the z-sorted order into 16 equal partitions (what
+    // repartitionByRange(z) does) and measure each partition's bounding box
+    val ranked = pts.withColumn("rk",
+        org.apache.spark.sql.functions.ntile(16)
+          .over(org.apache.spark.sql.expressions.Window.orderBy("z")))
+    def span(col1: String): Double = ranked.groupBy("rk")
+      .agg((max(col(col1)) - min(col(col1))).as("s"))
+      .agg(avg("s")).collect().head.getDouble(0)
+    val (sx, sy) = (span("xb"), span("yb"))
+    // a lexicographic (x, y) sort gives sy = 63 on every slice; the z curve
+    // bounds BOTH spans near sqrt(cells-per-slice) = 16
+    assert(sx <= 24 && sy <= 24, s"z-order spans: x=$sx y=$sy")
+    // and the curve is a bijection on the grid
+    assert(pts.select("z").distinct().count() == 64L * 64L)
+  }
+
   test("bucketed join result matches the raw-table join") {
     val bucketed = ScalePatterns.q50BucketedJoin(spark, dir)
       .collect().map(_.toSeq)
