@@ -32,7 +32,8 @@ object SparkEntry {
       operators.Temporal.queries ++
       operators.RelationalExt2.queries ++
       operators.TypedOps.queries ++
-      operators.TrainingPrep2.queries
+      operators.TrainingPrep2.queries ++
+      operators.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
       operators.Temporal.oracle ++
       operators.RelationalExt2.oracle ++
       operators.TypedOps.oracle ++
-      operators.TrainingPrep2.oracle
+      operators.TrainingPrep2.oracle ++
+      operators.Curation.oracle
 }

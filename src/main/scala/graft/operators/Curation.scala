@@ -1,0 +1,295 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.OracleSafe.dsum
+import graft.functions.PortableHash.shingles
+import graft.plans.TopKPerKey
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-curation operators, third batch (round 2): train/eval
+  * contamination detection, deterministic per-group sampling, incremental
+  * aggregate maintenance, snapshot diffing, skew diagnostics, per-domain
+  * caps, and vocabulary encoding. These are the operations a web-scale
+  * training-data pipeline runs between raw crawl and tokenized shards; the
+  * reference's medallion pipeline (SURVEY.md §2) stops at conformed silver
+  * tables, so everything here is north-star extension surface, built on the
+  * same portable-hash kernels so every query is DuckDB-hash-checkable.
+  */
+object Curation {
+
+  private val P = graft.functions.PortableHash.P
+
+  /** DuckDB twin of the native `poly_hash` over an arbitrary string expr. */
+  private def polyDuck(sExpr: String): String =
+    s"""list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |  list_transform(string_split($sExpr,''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, x) -> (acc * 31 + x) % $P)""".stripMargin
+
+  /** t92: train/eval contamination detection — the n-gram-overlap check run
+    * before any benchmark number is trusted: does an eval document's content
+    * appear in the training set? Eval = every 7th doc; overlap unit = the
+    * 5-token shingle (hashed to a long by the native codegen'd
+    * [[graft.catalyst.PolyHash]]).
+    *
+    * Scale shape: the training side collapses to DISTINCT gram hashes (one
+    * hash-keyed aggregate — at 100 TB this set is the dedup-index artifact,
+    * built once and reused across eval suites), and the probe is an equi-join
+    * keyed by the gram hash, linear in |eval grams|. Nothing is ever
+    * pairwise: a doc×doc formulation would be |eval|×|train| and is exactly
+    * what the gram-hash join avoids. The gram index is persisted because it
+    * feeds both the train and eval branches (Spark re-executes unshared
+    * subplans — see Dedup's cost notes). */
+  def t92Contamination(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val grams = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"explode(${shingles(5)}) AS g")
+      .selectExpr("doc_id", "poly_hash(g) AS h")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val train = grams.filter(col("doc_id") % 7 =!= 0).select("h").distinct()
+    grams.filter(col("doc_id") % 7 === 0)
+      .join(train.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("contamination", round(col("n_hit") / col("n_grams"), 6))
+      .withColumn("is_contaminated", (col("contamination") >= 0.1).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  val t92Sql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, ${polyDuck("sh")} AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(
+       |      range(1, len(string_split(lower(text),' ')) - 3),
+       |      i -> array_to_string((string_split(lower(text),' '))[i:i+4], ' ')))) AS sh
+       |    FROM documents)),
+       |t AS (SELECT DISTINCT h FROM s WHERE doc_id % 7 <> 0),
+       |e AS (SELECT doc_id, s.h, CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |      FROM s LEFT JOIN t ON s.h = t.h WHERE doc_id % 7 = 0)
+       |SELECT doc_id, count(*) AS n_grams, sum(hit) AS n_hit,
+       |  round(sum(hit) / count(*), 6) AS contamination,
+       |  CAST(round(sum(hit) / count(*), 6) >= 0.1 AS INTEGER) AS is_contaminated
+       |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q93: deterministic per-group uniform sample — "n rows per stratum",
+    * reproducible across engines, runs, and partitionings. Selection rule:
+    * the k smallest portable hashes of the row key per group (bottom-k by
+    * hash IS a uniform sample without replacement, and unlike `sample()`'s
+    * per-partition RNG it is a pure function of the data). Physically this
+    * routes through the custom [[graft.plans.TopKPerKey]] operator: each map
+    * task reduces to ≤ k rows per group before the exchange, so the shuffle
+    * carries k·tasks rows per group — never the input. The row_number window
+    * idiom the oracle uses would sort every row of every group. */
+  def q93GroupSample(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val o = Tables.orders(s, dir)
+      .selectExpr("o_orderpriority", "o_orderkey",
+        "poly_hash(CAST(o_orderkey AS STRING)) AS h")
+    TopKPerKey(o, Seq("o_orderpriority"), Seq("h" -> true, "o_orderkey" -> true), 20)
+      .orderBy("o_orderpriority", "h", "o_orderkey")
+  }
+
+  val q93Sql: String =
+    s"""SELECT o_orderpriority, o_orderkey, h FROM (
+       |  SELECT o_orderpriority, o_orderkey, h,
+       |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY h, o_orderkey) AS rn
+       |  FROM (SELECT o_orderpriority, o_orderkey,
+       |          ${polyDuck("CAST(o_orderkey AS VARCHAR)")} AS h
+       |        FROM orders))
+       |WHERE rn <= 20 ORDER BY o_orderpriority, h, o_orderkey""".stripMargin
+
+  /** q94: incremental aggregate maintenance — the materialized-view pattern
+    * that makes 100 TB aggregation tables affordable: keep per-key PARTIAL
+    * state (decimal sum + count — associative, commutative), aggregate only
+    * the new delta partition, and merge states by re-aggregation. History is
+    * never rescanned; the merge's cost is |keys|, not |rows|. The gate
+    * computes state(< 1999) ⊕ delta([1999, 2000-07)) and the oracle computes
+    * the full scan over (< 2000-07) directly — equality IS the maintenance
+    * invariant. Decimal state makes the merge order-independent (see
+    * [[graft.functions.OracleSafe]]). */
+  def q94IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(38,6)")).as("s"),
+          count(lit(1)).as("n"))
+    val o = Tables.orders(s, dir)
+    val state = partial(o.filter(col("o_orderdate") < lit("1999-01-01")))
+    val delta = partial(o.filter(col("o_orderdate") >= lit("1999-01-01") &&
+      col("o_orderdate") < lit("2000-07-01")))
+    state.unionByName(delta)
+      .groupBy("o_custkey")
+      .agg(sum(col("s")).cast("double").as("total"), sum(col("n")).as("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  val q94Sql: String =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n_orders
+      |FROM orders WHERE o_orderdate < TIMESTAMP '2000-07-01'
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  /** q95: snapshot diff — change detection between two table versions
+    * without a changelog: full-outer join on the key, per-row comparison,
+    * classify added/deleted/modified/same. v2 is derived from v1 with
+    * deterministic edits (keys %97 deleted, %13 repriced +10%, %101 cloned
+    * to new keys). The join is one hash-keyed shuffle per side; per-row
+    * comparison is map-side after the join. At 100 TB both snapshots are
+    * key-partitioned parquet, so the join co-locates and the diff streams.
+    * (Per-row double compares are IEEE-deterministic; nothing here depends
+    * on accumulation order.) */
+  def q95SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val kept = v1.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 1.1)
+          .otherwise(col("o_totalprice")))
+    val added = v1.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    val v2 = kept.unionByName(added)
+    v1.as("a").join(v2.as("b"), col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("b.o_orderkey").isNull, "deleted")
+          .when(col("a.o_orderkey").isNull, "added")
+          .when(col("a.o_totalprice") =!= col("b.o_totalprice") ||
+            col("a.o_orderstatus") =!= col("b.o_orderstatus"), "modified")
+          .otherwise("same"))
+      .withColumn("k", coalesce(col("a.o_orderkey"), col("b.o_orderkey")))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+      .orderBy("change_type")
+  }
+
+  val q95Sql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM v1 WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      |  FROM v1 WHERE o_orderkey % 101 = 0),
+      |d AS (
+      |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,
+      |    CASE WHEN b.o_orderkey IS NULL THEN 'deleted'
+      |         WHEN a.o_orderkey IS NULL THEN 'added'
+      |         WHEN a.o_totalprice <> b.o_totalprice
+      |           OR a.o_orderstatus <> b.o_orderstatus THEN 'modified'
+      |         ELSE 'same' END AS change_type
+      |  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+      |SELECT change_type, count(*) AS n, min(k) AS min_key, max(k) AS max_key
+      |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin
+
+  /** q97: key-skew diagnostics — the profiling query run BEFORE choosing a
+    * join/partitioning strategy at scale: per-key counts, each hot key's
+    * share of the table, and its multiple of the mean key load. Two
+    * hash-keyed aggregates (per-key, then 1-row global) plus a broadcast of
+    * the 1-row global — nothing driver-side, nothing quadratic. Feeding
+    * q49's salting decision ("is the histogram degenerate?") is the point:
+    * skew_x ≫ 1 on a join key means salt or AQE-skew-split. */
+  def q97SkewDiagnostics(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val global = counts.agg(
+      sum(col("cnt")).as("total_rows"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(global))
+      .withColumn("share", round(col("cnt") / col("total_rows"), 6))
+      .withColumn("skew_x", round(col("cnt") * col("n_keys") / col("total_rows"), 6))
+      .orderBy(col("cnt").desc, col("key"))
+      .limit(10)
+      .select("key", "cnt", "total_rows", "n_keys", "share", "skew_x")
+  }
+
+  val q97Sql: String =
+    """WITH c AS (
+      |  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |g AS (SELECT sum(cnt) AS total_rows, count(*) AS n_keys FROM c)
+      |SELECT key, cnt, total_rows, n_keys,
+      |  round(cnt / total_rows, 6) AS share,
+      |  round(cnt * n_keys / total_rows, 6) AS skew_x
+      |FROM c, g ORDER BY cnt DESC, key LIMIT 10""".stripMargin
+
+  /** t98: per-domain document cap — crawl curation's anti-monoculture rule:
+    * keep at most k documents per source domain, preferring the longest.
+    * Same [[TopKPerKey]] physics as q93: map-side per-domain heaps, the
+    * exchange carries ≤ k·tasks rows per domain even when one domain is 90%
+    * of the crawl (the exact skew case where the window idiom's sort dies). */
+  def t98DomainCap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("source", "doc_id", "n_chars")
+    TopKPerKey(d, Seq("source"), Seq("n_chars" -> false, "doc_id" -> true), 10)
+      .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+  }
+
+  val t98Sql: String =
+    """SELECT source, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 10 ORDER BY source, n_chars DESC, doc_id""".stripMargin
+
+  /** t99: vocabulary build + positional encode — the last hop before
+    * tokenized training shards: rank the corpus's top-100 tokens by
+    * frequency (id = frequency rank, ties broken lexically), then encode
+    * every document against the vocab. The vocab is a top-k over one
+    * hash-keyed count (tiny — it broadcasts); the encode is posexplode →
+    * broadcast join → per-doc re-aggregation, with a position-weighted
+    * checksum Σ pos·id proving the SEQUENCE round-trips (a bag-of-words
+    * error changes the checksum). OOV tokens map to id 0 and are counted —
+    * the vocab-coverage metric that sizes real tokenizers. */
+  def t99VocabEncode(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", "posexplode(split(lower(text), ' ')) AS (pos, tok)")
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(100)
+      .withColumn("vid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok"))))
+      .select("tok", "vid")
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("vid").isNull, 1).otherwise(0)).as("n_oov"),
+        sum((col("pos") + 1) * coalesce(col("vid"), lit(0))).as("enc_checksum"))
+      .orderBy("doc_id")
+  }
+
+  val t99Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(string_split(lower(text),' ')) + 1)) AS pos,
+      |    unnest(string_split(lower(text),' ')) AS tok
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS vid
+      |  FROM toks GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 100)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  SUM(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) AS n_oov,
+      |  SUM(pos * coalesce(vid, 0)) AS enc_checksum
+      |FROM toks LEFT JOIN vocab USING (tok)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t92_contamination"   -> t92Contamination,
+    "q93_group_sample"    -> q93GroupSample,
+    "q94_incremental_agg" -> q94IncrementalAgg,
+    "q95_snapshot_diff"   -> q95SnapshotDiff,
+    "q97_skew_diagnostics" -> q97SkewDiagnostics,
+    "t98_domain_cap"      -> t98DomainCap,
+    "t99_vocab_encode"    -> t99VocabEncode)
+
+  val oracle: Map[String, String] = Map(
+    "t92_contamination"   -> t92Sql,
+    "q93_group_sample"    -> q93Sql,
+    "q94_incremental_agg" -> q94Sql,
+    "q95_snapshot_diff"   -> q95Sql,
+    "q97_skew_diagnostics" -> q97Sql,
+    "t98_domain_cap"      -> t98Sql,
+    "t99_vocab_encode"    -> t99Sql)
+}

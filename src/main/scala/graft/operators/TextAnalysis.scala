@@ -51,21 +51,26 @@ object TextAnalysis {
         "doc_id",
         "length(text) AS n_chars",
         s"size($tokens) AS n_tokens",
-        s"round(aggregate(transform($tokens, t -> length(t)), 0, (a, x) -> a + x) " +
-          s"/ CAST(size($tokens) AS DOUBLE), 6) AS mean_token_len",
-        s"round(size(filter($tokens, t -> array_contains($stopArr, t))) " +
-          s"/ CAST(size($tokens) AS DOUBLE), 6) AS stopword_ratio",
-        "round(size(regexp_extract_all(lower(text), '[a-z]', 0)) " +
-          "/ CAST(length(text) AS DOUBLE), 6) AS alpha_ratio")
-      .selectExpr("doc_id", "n_chars", "n_tokens", "mean_token_len",
-        "stopword_ratio", "alpha_ratio",
-        // NOTE: 'D' suffixes are load-bearing — Spark SQL parses bare
-        // decimal literals as DECIMAL, which would silently switch the
-        // formula to decimal arithmetic and diverge from the double-math
-        // oracle at round() knife-edges.
+        s"aggregate(transform($tokens, t -> length(t)), 0, (a, x) -> a + x) " +
+          s"/ CAST(size($tokens) AS DOUBLE) AS raw_mean_len",
+        s"size(filter($tokens, t -> array_contains($stopArr, t))) " +
+          s"/ CAST(size($tokens) AS DOUBLE) AS raw_stop",
+        "size(regexp_extract_all(lower(text), '[a-z]', 0)) " +
+          "/ CAST(length(text) AS DOUBLE) AS raw_alpha")
+      .selectExpr("doc_id", "n_chars", "n_tokens",
+        "round(raw_mean_len, 6) AS mean_token_len",
+        "round(raw_stop, 6) AS stopword_ratio",
+        "round(raw_alpha, 6) AS alpha_ratio",
+        // The composite is computed from the UNROUNDED ratios: feeding
+        // already-rounded 6-decimal values through 1-decimal weights lands
+        // the 7th digit on an exact 5 for ~10% of rows — a round() midpoint
+        // where Spark (shortest-string HALF_UP) and DuckDB (numeric) can
+        // disagree by 1 ulp. Raw doubles make ties measure-zero. The 'D'
+        // suffixes are load-bearing: bare literals parse as DECIMAL and
+        // would switch the whole formula to decimal arithmetic.
         """round(least(n_chars / 500.0D, 1.0D) * 0.3D
-          |  + least(stopword_ratio * 5.0D, 1.0D) * 0.4D
-          |  + alpha_ratio * 0.3D, 6) AS quality_score""".stripMargin)
+          |  + least(raw_stop * 5.0D, 1.0D) * 0.4D
+          |  + raw_alpha * 0.3D, 6) AS quality_score""".stripMargin)
       .orderBy("doc_id")
   }
 
@@ -75,20 +80,23 @@ object TextAnalysis {
        |  SELECT doc_id,
        |    length(text) AS n_chars,
        |    len(string_split(lower(text), ' ')) AS n_tokens,
-       |    round(list_reduce(list_prepend(0,
+       |    list_reduce(list_prepend(0,
        |        list_transform(string_split(lower(text), ' '), t -> length(t))),
        |        (a, x) -> a + x)
-       |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS mean_token_len,
-       |    round(len(list_filter(string_split(lower(text), ' '),
+       |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS raw_mean_len,
+       |    len(list_filter(string_split(lower(text), ' '),
        |        t -> list_contains($stopList, t)))
-       |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 6) AS stopword_ratio,
-       |    round(len(regexp_extract_all(lower(text), '[a-z]'))
-       |      / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio
+       |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS raw_stop,
+       |    len(regexp_extract_all(lower(text), '[a-z]'))
+       |      / CAST(length(text) AS DOUBLE) AS raw_alpha
        |  FROM documents)
-       |SELECT doc_id, n_chars, n_tokens, mean_token_len, stopword_ratio, alpha_ratio,
+       |SELECT doc_id, n_chars, n_tokens,
+       |  round(raw_mean_len, 6) AS mean_token_len,
+       |  round(raw_stop, 6) AS stopword_ratio,
+       |  round(raw_alpha, 6) AS alpha_ratio,
        |  round(least(n_chars / 500.0, 1.0) * 0.3
-       |    + least(stopword_ratio * 5.0, 1.0) * 0.4
-       |    + alpha_ratio * 0.3, 6) AS quality_score
+       |    + least(raw_stop * 5.0, 1.0) * 0.4
+       |    + raw_alpha * 0.3, 6) AS quality_score
        |FROM q ORDER BY doc_id""".stripMargin
   }
 
