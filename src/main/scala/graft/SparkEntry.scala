@@ -33,7 +33,8 @@ object SparkEntry {
       operators.RelationalExt2.queries ++
       operators.TypedOps.queries ++
       operators.TrainingPrep2.queries ++
-      operators.Curation.queries
+      operators.Curation.queries ++
+      operators.ShardPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +56,6 @@ object SparkEntry {
       operators.RelationalExt2.oracle ++
       operators.TypedOps.oracle ++
       operators.TrainingPrep2.oracle ++
-      operators.Curation.oracle
+      operators.Curation.oracle ++
+      operators.ShardPrep.oracle
 }

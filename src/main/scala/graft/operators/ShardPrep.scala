@@ -1,0 +1,240 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shard-preparation operators, fourth training-pipeline batch (round 2):
+  * sequence packing, mixture sampling, repetition-based quality metrics, and
+  * event funnel analysis. These cover the last mile between a curated corpus
+  * and training shards (pack/mix), the Gopher/C4-style repetition filters
+  * that run before packing, and the product-analytics funnel shape over the
+  * events table. The reference pipeline (SURVEY.md §2) has no analogue —
+  * all north-star extension surface, every query DuckDB-oracle-checked.
+  */
+object ShardPrep {
+
+  /** t100: sequence packing — concat-then-chunk assignment of documents to
+    * fixed 256-token context windows, the standard pretraining shard layout.
+    * Each doc's token span is its per-source running offset; `pack_id` is
+    * the window containing the span start and `crosses` marks docs straddling
+    * a window boundary (the attention-masking case).
+    *
+    * Scale shape: the running sum partitions by `source`, so packing is
+    * embarrassingly parallel across sources/shards — one shuffle keyed by
+    * source, sequential only WITHIN a source (which is how real packers run:
+    * one worker per shard). A global (unpartitioned) cumsum would serialize
+    * the corpus through one task at 100 TB. Integer division (`div`) keeps
+    * window ids exact — token offsets exceed double's 2^53 exactness long
+    * before 100 TB. */
+  def t100SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .selectExpr("source", "doc_id",
+        "size(split(lower(text), ' ')) AS n_tokens")
+      .withColumn("start_pos",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .selectExpr("source", "doc_id", "n_tokens", "start_pos",
+        "start_pos div 256 AS pack_id",
+        "CAST((start_pos + n_tokens - 1) div 256 > start_pos div 256 AS INT) AS crosses")
+      .orderBy("source", "doc_id")
+  }
+
+  val t100Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    len(string_split(lower(text),' ')) AS n_tokens FROM documents),
+      |p AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_pos
+      |  FROM t)
+      |SELECT source, doc_id, n_tokens, start_pos,
+      |  start_pos // 256 AS pack_id,
+      |  CAST((start_pos + n_tokens - 1) // 256 > start_pos // 256 AS INTEGER) AS crosses
+      |FROM p ORDER BY source, doc_id""".stripMargin
+
+  /** t101: mixture sampling — downsample every source to the same token
+    * budget (the smallest source's total), the "data mixing" step that turns
+    * raw source proportions into a target training mixture. Rates become
+    * integer thresholds against the q75 LCG of the doc id, so selection is a
+    * pure function of the data: reproducible across engines, runs, and
+    * partitionings, with no RNG state.
+    *
+    * Scale shape: pass 1 is a per-source hash agg (|sources| rows — tiny,
+    * broadcast back); pass 2 is map-side filter + re-aggregation. Nothing
+    * driver-side, nothing quadratic; the broadcast join is the planner's
+    * choice for a 20-row dimension. */
+  def t101MixSample(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .selectExpr("source", "doc_id",
+        "size(split(lower(text), ' ')) AS n_tokens")
+    val totals = t.groupBy("source").agg(sum("n_tokens").as("total_tokens"))
+    val target = totals.agg(min("total_tokens").as("target"))
+    val rates = totals.crossJoin(broadcast(target))
+      .withColumn("thresh",
+        floor(col("target").cast("double") / col("total_tokens") * 1048576)
+          .cast("long"))
+      .select("source", "total_tokens", "thresh")
+    t.join(broadcast(rates), Seq("source"))
+      .withColumn("keep",
+        (col("doc_id") * 1103515245L + 12345L) % 1048576L < col("thresh"))
+      .groupBy("source")
+      .agg(min(col("total_tokens")).as("total_tokens"),
+        min(col("thresh")).as("thresh"),
+        sum(when(col("keep"), 1).otherwise(0)).as("n_kept"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  val t101Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    len(string_split(lower(text),' ')) AS n_tokens FROM documents),
+      |totals AS (
+      |  SELECT source, sum(n_tokens) AS total_tokens FROM t GROUP BY 1),
+      |rates AS (
+      |  SELECT source, total_tokens,
+      |    CAST(floor(CAST((SELECT min(total_tokens) FROM totals) AS DOUBLE)
+      |      / total_tokens * 1048576) AS BIGINT) AS thresh
+      |  FROM totals),
+      |k AS (
+      |  SELECT t.source, n_tokens, total_tokens, thresh,
+      |    (doc_id * 1103515245 + 12345) % 1048576 < thresh AS keep
+      |  FROM t JOIN rates ON t.source = rates.source)
+      |SELECT source, min(total_tokens) AS total_tokens, min(thresh) AS thresh,
+      |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+      |  sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS kept_tokens
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  /** t102: repetition metrics — the Gopher/C4-style quality signals that
+    * catch degenerate (looping, boilerplate) documents: distinct-token
+    * ratio, top-token share, and the fraction of word bigrams occurring
+    * more than once. Unlike t35's surface ratios these need within-document
+    * frequency tables, so the plan is two explode → (doc, term) → doc
+    * aggregation pipelines joined on doc_id.
+    *
+    * Scale shape: both aggregations key by (doc_id, term) then doc_id —
+    * linear in corpus token count, shuffle rows are (id, hash-sized term,
+    * count) triples, and no state exceeds one document's vocabulary. The
+    * `is_repetitive` flag derives from unrounded ratios (see t35's
+    * round-midpoint note). */
+  def t102Repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tokCounts = d
+      .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_tok_cnt"))
+    val gramCounts = d
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(split(lower(text),' ')) - 1),
+          |  i -> concat_ws(' ', slice(split(lower(text),' '), i, 2)))) AS g"""
+          .stripMargin)
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_grams"))
+    tokCounts.join(gramCounts, Seq("doc_id"))
+      .selectExpr("doc_id", "n_tokens",
+        "round(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS distinct_ratio",
+        "round(top_tok_cnt / CAST(n_tokens AS DOUBLE), 6) AS top_token_share",
+        "round(dup_grams / CAST(n_grams AS DOUBLE), 6) AS dup_bigram_frac",
+        "CAST(dup_grams / CAST(n_grams AS DOUBLE) > 0.2 AS INT) AS is_repetitive")
+      .orderBy("doc_id")
+  }
+
+  val t102Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents),
+      |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1,2),
+      |td AS (
+      |  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+      |    max(c) AS top_tok_cnt
+      |  FROM tc GROUP BY 1),
+      |grams AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(string_split(lower(text),' '))),
+      |    i -> array_to_string((string_split(lower(text),' '))[i:i+1], ' '))) AS g
+      |  FROM documents),
+      |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1,2),
+      |gd AS (
+      |  SELECT doc_id, sum(c) AS n_grams,
+      |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_grams
+      |  FROM gc GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |  round(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS distinct_ratio,
+      |  round(top_tok_cnt / CAST(n_tokens AS DOUBLE), 6) AS top_token_share,
+      |  round(dup_grams / CAST(n_grams AS DOUBLE), 6) AS dup_bigram_frac,
+      |  CAST(dup_grams / CAST(n_grams AS DOUBLE) > 0.2 AS INTEGER) AS is_repetitive
+      |FROM td JOIN gd USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q104: event funnel — strictly-ordered view → click → purchase
+    * conversion with mean stage delays. Each stage is a conditional-min
+    * aggregation keyed by user_id; stages chain by equi-join on the same
+    * key, so at scale every hop is co-partitioned on user_id and nothing
+    * re-shuffles (the canonical funnel plan — never a per-user sort or a
+    * session reconstruction). Delays sum exactly as integer microseconds;
+    * the single double division happens once at the end. */
+  def q104EventFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("us") > col("t_view"))
+      .groupBy("user_id")
+      .agg(min("us").as("t_click"), min("t_view").as("t_view2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("us") > col("t_click"))
+      .groupBy("user_id")
+      .agg(min("us").as("t_purchase"), min("t_click").as("t_click2"))
+    e.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+      .crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_click"),
+        sum(col("t_click") - col("t_view2")).as("d1")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase"),
+        sum(col("t_purchase") - col("t_click2")).as("d2")))
+      .selectExpr("n_users", "n_view", "n_click", "n_purchase",
+        "round(CAST(d1 AS DOUBLE) / n_click / 3600000000.0D, 4) AS view_to_click_h",
+        "round(CAST(d2 AS DOUBLE) / n_purchase / 3600000000.0D, 4) AS click_to_purchase_h")
+  }
+
+  val q104Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |v AS (SELECT user_id, min(us) AS t_view FROM e
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(us) AS t_click, min(t_view) AS t_view2
+      |      FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND us > t_view GROUP BY 1),
+      |p AS (SELECT e.user_id, min(us) AS t_purchase, min(t_click) AS t_click2
+      |      FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND us > t_click GROUP BY 1)
+      |SELECT
+      |  (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+      |  (SELECT count(*) FROM v) AS n_view,
+      |  (SELECT count(*) FROM c) AS n_click,
+      |  (SELECT count(*) FROM p) AS n_purchase,
+      |  round((SELECT CAST(sum(t_click - t_view2) AS DOUBLE) FROM c)
+      |    / (SELECT count(*) FROM c) / 3600000000.0, 4) AS view_to_click_h,
+      |  round((SELECT CAST(sum(t_purchase - t_click2) AS DOUBLE) FROM p)
+      |    / (SELECT count(*) FROM p) / 3600000000.0, 4) AS click_to_purchase_h"""
+      .stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t100_sequence_pack" -> t100SequencePack,
+    "t101_mix_sample"    -> t101MixSample,
+    "t102_repetition"    -> t102Repetition,
+    "q104_event_funnel"  -> q104EventFunnel)
+
+  val oracle: Map[String, String] = Map(
+    "t100_sequence_pack" -> t100Sql,
+    "t101_mix_sample"    -> t101Sql,
+    "t102_repetition"    -> t102Sql,
+    "q104_event_funnel"  -> q104Sql)
+}
