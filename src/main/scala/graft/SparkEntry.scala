@@ -34,7 +34,8 @@ object SparkEntry {
       operators.TypedOps.queries ++
       operators.TrainingPrep2.queries ++
       operators.Curation.queries ++
-      operators.ShardPrep.queries
+      operators.ShardPrep.queries ++
+      operators.RelationalExt3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
       operators.TypedOps.oracle ++
       operators.TrainingPrep2.oracle ++
       operators.Curation.oracle ++
-      operators.ShardPrep.oracle
+      operators.ShardPrep.oracle ++
+      operators.RelationalExt3.oracle
 }

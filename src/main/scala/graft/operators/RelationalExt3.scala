@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Third relational-extension battery (round 2): MapType operators and
+  * cohort retention. Maps are the one Catalyst container type the surface
+  * had not yet exercised (SURVEY §1.2 — the reference uses none); cohort
+  * retention is the canonical "activity matrix" aggregation over the events
+  * table. Outputs are canonicalized to scalar/string columns so both stay
+  * DuckDB-hash-comparable (the oracle never needs a MAP value on the wire).
+  */
+object RelationalExt3 {
+
+  /** q105: MapType battery — per-customer priority→count maps built with
+    * `map_from_entries` over sorted entry lists, then probed and reshaped
+    * with `element_at`, `map_filter`, `map_values`, `transform_values`, and
+    * `map_entries`. The map is canonical (entries sorted by key at build
+    * time), so the serialized `packed` column is deterministic.
+    *
+    * Scale shape: one (custkey, priority) hash agg, then one custkey agg —
+    * per-group state is bounded by the 5-value priority domain, never row
+    * count. The map ops are all map-side expression work. */
+  def q105MapBattery(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_custkey")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("o_orderpriority").as("k"), col("cnt").as("v"))))).as("m"))
+      .selectExpr("o_custkey",
+        "size(m) AS n_pri",
+        "coalesce(element_at(m, '1-URGENT'), 0L) AS urgent_cnt",
+        "aggregate(map_values(map_filter(m, (k, v) -> k IN ('1-URGENT', '2-HIGH'))), " +
+          "0L, (a, x) -> a + x) AS high_cnt",
+        "array_join(transform(map_entries(transform_values(m, (k, v) -> v * 2)), " +
+          "e -> concat(e.key, '=', e.value)), ',') AS packed")
+      .orderBy("o_custkey")
+
+  val q105Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, o_orderpriority AS pri, count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_custkey, count(*) AS n_pri,
+      |  coalesce(sum(CASE WHEN pri = '1-URGENT' THEN cnt END), 0) AS urgent_cnt,
+      |  coalesce(sum(CASE WHEN pri IN ('1-URGENT','2-HIGH') THEN cnt END), 0) AS high_cnt,
+      |  string_agg(pri || '=' || (cnt * 2), ',' ORDER BY pri) AS packed
+      |FROM pc GROUP BY 1 ORDER BY o_custkey""".stripMargin
+
+  /** q106: weekly cohort retention — users bucketed by first-active week,
+    * the activity matrix (cohort × week-offset → distinct active users), and
+    * the retention ratio against cohort size. Week arithmetic stays integral
+    * (both engines truncate to Monday and difference in whole days), so the
+    * only float op is the final ratio.
+    *
+    * Scale shape: first-touch is a per-user hash agg; the activity matrix is
+    * a distinct on (cohort, offset, user) — both shuffles key by user_id and
+    * co-partition with the join between them. Cohort sizes (|weeks| rows)
+    * broadcast back onto the matrix. */
+  def q106CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .selectExpr("user_id", "date_trunc('week', ts) AS w")
+    val f = e.groupBy("user_id").agg(min("w").as("cohort"))
+    val a = e.join(f, Seq("user_id"))
+      .selectExpr("user_id", "cohort",
+        "CAST(datediff(w, cohort) AS BIGINT) div 7 AS wk")
+      .distinct()
+    val cs = f.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    a.join(broadcast(cs), Seq("cohort"))
+      .groupBy("cohort", "wk")
+      .agg(count(lit(1)).as("n_active"), min("cohort_size").as("cohort_size"))
+      .selectExpr(
+        "date_format(cohort, 'yyyy-MM-dd') AS cohort_week",
+        "wk AS week_offset", "n_active", "cohort_size",
+        "round(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q106Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, min(date_trunc('week', CAST(ts AS TIMESTAMP))) AS cohort
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT DISTINCT f.user_id, cohort,
+      |    datediff('day', cohort, date_trunc('week', CAST(e.ts AS TIMESTAMP))) // 7 AS wk
+      |  FROM events e JOIN f ON e.user_id = f.user_id),
+      |cs AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+      |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, wk AS week_offset,
+      |  count(*) AS n_active, min(cohort_size) AS cohort_size,
+      |  round(count(*) / CAST(min(cohort_size) AS DOUBLE), 6) AS retention
+      |FROM a JOIN cs USING (cohort)
+      |GROUP BY cohort, wk ORDER BY cohort_week, week_offset""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_map_battery"     -> q105MapBattery,
+    "q106_cohort_retention" -> q106CohortRetention)
+
+  val oracle: Map[String, String] = Map(
+    "q105_map_battery"     -> q105Sql,
+    "q106_cohort_retention" -> q106Sql)
+}
