@@ -92,11 +92,40 @@ object RelationalExt3 {
       |FROM a JOIN cs USING (cohort)
       |GROUP BY cohort, wk ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** q107: the DataSourceV2 connector end-to-end — customers staged in the
+    * FDIC JSONL shape (`{"data": {...}}` per line, K5's sink), read back
+    * through [[graft.sources.v2.StagedFdicSource]] with an `EqualTo` filter
+    * and a projection, both PUSHED: the scan's `description()` carries
+    * `ReadFields`/`PushedFilters`, filtered records never materialize as
+    * rows, and pruned fields are never parsed. The V1 path (S1 + json_tuple
+    * flatten) reads the same bytes via `Bronze.readStagedFdicJson` —
+    * equality is asserted in StagedFdicSourceSpec; here the oracle checks
+    * values against the original table. */
+  def q107Dsv2Roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${graft.SparkSupport.scratchDir}/graft_staged_rt"
+    Tables.customer(s, dir)
+      .select(concat(lit("{\"data\": "),
+        to_json(struct(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+        lit("}")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    s.read.format(classOf[graft.sources.v2.StagedFdicSource].getName)
+      .option("fields", "c_custkey,c_name,c_mktsegment").load(tmp)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").cast("bigint").as("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  val q107Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_map_battery"     -> q105MapBattery,
-    "q106_cohort_retention" -> q106CohortRetention)
+    "q106_cohort_retention" -> q106CohortRetention,
+    "q107_dsv2_roundtrip"  -> q107Dsv2Roundtrip)
 
   val oracle: Map[String, String] = Map(
     "q105_map_battery"     -> q105Sql,
-    "q106_cohort_retention" -> q106Sql)
+    "q106_cohort_retention" -> q106Sql,
+    "q107_dsv2_roundtrip"  -> q107Sql)
 }

@@ -1,0 +1,300 @@
+package graft.sources.v2
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.stream.Collectors
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 reader for the FDIC staging format: JSONL files whose every
+  * line is `{"data": {"FIELD": value, ...}}` (the shape
+  * [[graft.sources.Ingest.stageFdicResponse]] writes and the reference
+  * appends at Helpers_FunctionsDicts.py:40-51). The V1 path reads these with
+  * `spark.read.json` + a `json_tuple` generator projection
+  * ([[graft.pipeline.Bronze.readStagedFdicJson]]); this connector is the
+  * same scan as a first-class table with the two pushdowns that matter at
+  * the ingest edge:
+  *
+  *  - '''column pruning''' ([[SupportsPushDownRequiredColumns]]): only the
+  *    requested fields are extracted per line — the generic JSON reader
+  *    tokenizes every field of every record no matter the projection;
+  *  - '''filter pushdown''' ([[SupportsPushDownFilters]]): `EqualTo` /
+  *    `IsNotNull` on string fields evaluate inside the reader, so filtered
+  *    records never become rows (`PushedFilters` is visible in
+  *    `explain`, mirroring the parquet scans).
+  *
+  * Parallelism is one [[InputPartition]] per staged file — ingest staging
+  * produces one file per (cert-range × quarter) request, so file count
+  * scales with ingest width and no single file needs splitting (real
+  * analytical reads happen after the immediate bronze-parquet landing;
+  * this source exists to make the landing itself distributed instead of a
+  * driver loop). All values surface as strings, exactly like the
+  * `json_tuple` path (bronze is schema-on-read; silver applies the declared
+  * schemas).
+  *
+  * Usage: `spark.read.format(classOf[StagedFdicSource].getName)
+  * .option("fields", "CERT,NAME,...").load(path)` — `fields` optional; when
+  * absent the schema is inferred from the first line's keys.
+  */
+class StagedFdicSource extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val fields = Option(options.get("fields")) match {
+      case Some(fs) => fs.split(",").map(_.trim).toSeq
+      case None => // peek at the first line of the first staged file
+        StagedFdicSource.listFiles(options.get("path")).headOption
+          .flatMap(f => Files.lines(f).findFirst().map[Option[String]](Some(_))
+            .orElse(None))
+          .map(line => StagedJsonLine.keys(line))
+          .getOrElse(Seq.empty)
+    }
+    StructType(fields.map(StructField(_, StringType, nullable = true)))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new StagedFdicTable(schema, properties.get("path"))
+}
+
+object StagedFdicSource {
+  private[v2] def listFiles(path: String): Seq[Path] = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p))
+      Files.list(p).collect(Collectors.toList[Path]).asScala.toSeq
+        .filter { f =>
+          val n = f.getFileName.toString
+          // skip writer metadata (_SUCCESS, .crc, hidden files)
+          !n.startsWith("_") && !n.startsWith(".") && !n.endsWith(".crc") &&
+            Files.isRegularFile(f)
+        }
+        .sortBy(_.toString)
+    else if (Files.exists(p)) Seq(p)
+    else Seq.empty
+  }
+}
+
+private[v2] class StagedFdicTable(schema: StructType, path: String)
+  extends Table with SupportsRead {
+  override def name(): String = s"staged_fdic($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StagedFdicScanBuilder(schema, path)
+}
+
+private[v2] class StagedFdicScanBuilder(fullSchema: StructType, path: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(_, _: String) => true
+      case IsNotNull(_)          => true
+      case _                     => false
+    }
+    pushed = accepted
+    rejected // Spark re-evaluates these above the scan
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = StagedFdicScan(path, required, pushed)
+}
+
+private[v2] case class StagedFdicScan(path: String, required: StructType,
+                                      pushed: Array[Filter])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"StagedFdicScan ReadFields: ${required.fieldNames.mkString("[", ",", "]")}, " +
+      s"PushedFilters: ${pushed.mkString("[", ",", "]")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    StagedFdicSource.listFiles(path)
+      .map(f => StagedFilePartition(f.toString): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    StagedFdicReaderFactory(required.fieldNames, pushed)
+}
+
+private[v2] case class StagedFilePartition(file: String) extends InputPartition
+
+private[v2] case class StagedFdicReaderFactory(fields: Array[String],
+                                               pushed: Array[Filter])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new StagedFdicPartitionReader(
+      p.asInstanceOf[StagedFilePartition].file, fields, pushed)
+}
+
+private[v2] class StagedFdicPartitionReader(file: String,
+                                            fields: Array[String],
+                                            pushed: Array[Filter])
+  extends PartitionReader[InternalRow] {
+
+  // A fully-pushed filter's column is pruned OUT of the read schema by
+  // Spark (the scan is trusted to apply it), so the line parser must
+  // extract filter attributes in addition to the output fields.
+  private val parseFields: Array[String] = (fields ++ pushed.flatMap {
+    case EqualTo(attr, _) => Seq(attr)
+    case IsNotNull(attr)  => Seq(attr)
+    case _                => Seq.empty
+  }).distinct
+
+  private val lines = Files.lines(Paths.get(file))
+  private val it = lines.iterator()
+  private var current: InternalRow = _
+
+  private def accepts(vals: Map[String, String]): Boolean = pushed.forall {
+    case EqualTo(attr, v: String) => vals.get(attr).exists(x => x != null && x == v)
+    case IsNotNull(attr)          => vals.get(attr).exists(_ != null)
+    case _                        => true
+  }
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && it.hasNext) {
+      val line = it.next()
+      if (line.nonEmpty) {
+        val vals = StagedJsonLine.extract(line, parseFields)
+        if (accepts(vals)) {
+          current = InternalRow.fromSeq(fields.toSeq.map(f =>
+            vals.get(f).filter(_ != null).map(UTF8String.fromString).orNull))
+        }
+      }
+    }
+    current != null
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}
+
+/** Minimal scanner for one staged line `{"data": {k: v, ...}}`. Values
+  * surface as strings exactly as `json_tuple` renders them: quoted strings
+  * unescaped, numbers/booleans as written, `null` as SQL NULL. Flat objects
+  * only — the staging writer never nests (Ingest.stageFdicResponse). */
+private[v2] object StagedJsonLine {
+
+  def keys(line: String): Seq[String] = {
+    val inner = innerObject(line)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < inner.length) {
+      i = skipWs(inner, i)
+      if (i < inner.length && inner(i) == '"') {
+        val (k, after) = readString(inner, i)
+        out += k
+        i = skipWs(inner, after)
+        if (i < inner.length && inner(i) == ':') i = skipValue(inner, i + 1)
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Extract the requested fields' values (null for JSON null / absent). */
+  def extract(line: String, wanted: Array[String]): Map[String, String] = {
+    val inner = innerObject(line)
+    val want = wanted.toSet
+    var out = Map.empty[String, String]
+    var i = 0
+    while (i < inner.length && out.size < want.size) {
+      i = skipWs(inner, i)
+      if (i < inner.length && inner(i) == '"') {
+        val (k, after) = readString(inner, i)
+        var j = skipWs(inner, after)
+        if (j < inner.length && inner(j) == ':') {
+          j = skipWs(inner, j + 1)
+          val (v, next) = readValue(inner, j)
+          if (want.contains(k)) out += (k -> v)
+          i = next
+        } else i = j
+      } else i += 1
+    }
+    out
+  }
+
+  private def innerObject(line: String): String = {
+    val start = line.indexOf("\"data\"")
+    if (start < 0) return ""
+    val open = line.indexOf('{', start)
+    if (open < 0) return ""
+    var depth = 0; var i = open; var inStr = false; var esc = false
+    while (i < line.length) {
+      val c = line(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) return line.substring(open + 1, i)
+        case _ =>
+      }
+      i += 1
+    }
+    ""
+  }
+
+  private def skipWs(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && (s(i) == ' ' || s(i) == '\t' || s(i) == ',')) i += 1
+    i
+  }
+
+  /** Returns (unescaped content, index after closing quote). */
+  private def readString(s: String, from: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var i = from + 1; var esc = false
+    while (i < s.length) {
+      val c = s(i)
+      if (esc) {
+        sb += (c match {
+          case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+          case other => other
+        })
+        esc = false
+      } else if (c == '\\') esc = true
+      else if (c == '"') return (sb.toString, i + 1)
+      else sb += c
+      i += 1
+    }
+    (sb.toString, i)
+  }
+
+  /** Returns (rendered value or null, index after the value). */
+  private def readValue(s: String, from: Int): (String, Int) = {
+    if (from >= s.length) return (null, from)
+    if (s(from) == '"') { val (v, n) = readString(s, from); (v, n) }
+    else {
+      var i = from
+      while (i < s.length && s(i) != ',' && s(i) != '}') i += 1
+      val raw = s.substring(from, i).trim
+      (if (raw == "null" || raw.isEmpty) null else raw, i)
+    }
+  }
+
+  private def skipValue(s: String, from: Int): Int =
+    readValue(s, skipWs(s, from))._2
+}

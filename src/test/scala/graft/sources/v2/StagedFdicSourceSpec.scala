@@ -1,0 +1,73 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StagedFdicSourceSpec extends SparkSpec {
+
+  private def fmt = classOf[StagedFdicSource].getName
+
+  private def stage(lines: Seq[String], n: Int = 1): String = {
+    val dir = Files.createTempDirectory("staged_fdic")
+    lines.grouped(math.max(1, math.ceil(lines.size / n.toDouble).toInt))
+      .zipWithIndex.foreach { case (chunk, i) =>
+        Files.writeString(dir.resolve(s"part$i.json"),
+          chunk.mkString("", "\n", "\n"))
+      }
+    dir.toString
+  }
+
+  private val sample = Seq(
+    """{"data": {"CERT": "1", "NAME": "ALPHA BANK", "STALP": "GA", "ASSET": 1200}}""",
+    """{"data": {"CERT": "2", "NAME": "BETA \"B\" CU", "STALP": "TX", "ASSET": null}}""",
+    """{"data": {"CERT": "3", "NAME": "GAMMA TRUST", "STALP": "GA", "ASSET": 77}}""")
+
+  test("reads staged lines with inferred schema; values match json_tuple rendering") {
+    val dir = stage(sample)
+    val df = spark.read.format(fmt).load(dir)
+    assert(df.columns.toSeq == Seq("CERT", "NAME", "STALP", "ASSET"))
+    val rows = df.orderBy("CERT").collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("ALPHA BANK", "BETA \"B\" CU", "GAMMA TRUST"))
+    // numbers render as written, JSON null is SQL NULL — json_tuple parity
+    assert(rows(0).getString(3) == "1200" && rows(1).isNullAt(3))
+  }
+
+  test("column pruning reaches the scan") {
+    val dir = stage(sample)
+    val df = spark.read.format(fmt).option("fields", "CERT,NAME,STALP,ASSET")
+      .load(dir).select("CERT", "STALP")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadFields: [CERT,STALP]"), plan)
+    assert(df.collect().map(_.getString(1)).sorted.toSeq == Seq("GA", "GA", "TX"))
+  }
+
+  test("EqualTo pushes into the reader and shows in the plan") {
+    val dir = stage(sample)
+    val df = spark.read.format(fmt).load(dir)
+      .filter(col("STALP") === "GA").select("CERT")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("EqualTo(STALP,GA)"), plan)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("1", "3"))
+  }
+
+  test("one input partition per staged file") {
+    val dir = stage((1 to 90).map(i => s"""{"data": {"CERT": "$i", "V": "x"}}"""), 3)
+    val df = spark.read.format(fmt).option("fields", "CERT,V").load(dir)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 90)
+  }
+
+  test("agrees with the V1 json_tuple read path on the same staging dir") {
+    val dir = stage(sample)
+    val v2 = spark.read.format(fmt).load(dir)
+      .select("CERT", "NAME", "STALP", "ASSET")
+    val v1 = graft.pipeline.Bronze.readStagedFdicJson(
+      spark, dir, Seq("CERT", "NAME", "STALP", "ASSET"))
+    assert(v2.orderBy("CERT").collect().toSeq ==
+      v1.orderBy("CERT").collect().toSeq)
+  }
+}
