@@ -90,6 +90,41 @@ object EventStreams {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Event-time-bounded dedup: `dropDuplicatesWithinWatermark` — unlike
+    * [[dedupEvents]] (one state entry per key until the watermark passes its
+    * FIRST arrival), this dedups keys whose duplicates arrive within the
+    * watermark delay of each other and evicts by event time, which is the
+    * right contract for at-least-once sources that re-deliver within a
+    * bounded window (a Kafka replay, an ingest retry). State is again
+    * bounded by rate × horizon. Streaming-only API (batch twin = plain
+    * dropDuplicates, same as d29). */
+  def dedupEventsWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Left-outer stream-stream join: attribution INCLUDING unconverted
+    * views. Same state-eviction constraints as [[attributedClicks]] —
+    * outer rows (views with no click) can only emit once the watermark
+    * proves no matching click can still arrive, so the null-padded results
+    * are late by the watermark delay: the streaming form of "conversion
+    * rate with a completeness horizon". */
+  def attributedClicksOuter(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   // ---- custom state: flatMapGroupsWithState sessionizer -----------------
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -109,6 +109,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups re-deliveries and evicts by event time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.dedupEventsWithinWatermark(
+      mem.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup_wm_t")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (2L, ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      // at-least-once re-delivery inside the 2h horizon → dropped
+      mem.addData((1L, ts("2024-01-01 10:20:00"), 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_wm_t").count() == 2)
+      // advance event time far past the horizon, then REUSE key 1: its
+      // state was evicted, so the new occurrence survives (the contract
+      // difference vs dropDuplicates, which would still drop it)
+      mem.addData((9L, ts("2024-01-02 10:00:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-01-02 09:00:00"), 5.0))
+      q.processAllAvailable()
+      val n1 = spark.table("dedup_wm_t")
+        .filter($"event_id" === 1L).count()
+      assert(n1 == 2, s"key 1 must reappear after eviction, got $n1")
+    } finally q.stop()
+  }
+
+  test("left-outer stream-stream join emits unconverted views after the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, Timestamp)]
+    val cMem = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStreams.attributedClicksOuter(
+      vMem.toDF().toDF("event_id", "user_id", "ts"),
+      cMem.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("attr_outer_t")
+      .outputMode("append").start()
+    try {
+      vMem.addData((100L, 1L, ts("2024-01-01 10:00:00")), // will convert
+        (101L, 2L, ts("2024-01-01 10:00:00")))            // never converts
+      cMem.addData((200L, 1L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      // watermark far enough that view 101's match window is provably closed
+      vMem.addData((110L, 9L, ts("2024-01-01 20:00:00")))
+      cMem.addData((210L, 9L, ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("attr_outer_t")
+        .select("view_id", "click_id").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(rows.get(100L).contains(Some(200L)), s"matched view, got $rows")
+      assert(rows.get(101L).contains(None),
+        s"unconverted view must emit null-padded after the horizon, got $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join attributes clicks to preceding views") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
