@@ -119,13 +119,39 @@ object RelationalExt3 {
     """SELECT c_custkey, c_name FROM customer
       |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
 
+  /** q108: unpivot — the inverse of the reference's quarterly wide-table
+    * pivot (A3/J3, BuildGoldLayer.py:92-139): orders pivoted to a
+    * status × priority count matrix, then melted back to long form with the
+    * native `unpivot` (generator-class, map-side — one output row per
+    * (id, value) cell, no shuffle beyond the pivot's own). Round-tripping
+    * through pivot∘unpivot and checking against the direct GROUP BY is the
+    * identity law that validates both directions. */
+  def q108Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority")
+      .agg(count(lit(1)))
+    wide.unpivot(Array(col("o_orderstatus")),
+        wide.columns.filter(_ != "o_orderstatus").map(col),
+        "o_orderpriority", "n")
+      .filter(col("n").isNotNull)
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val q108Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_map_battery"     -> q105MapBattery,
     "q106_cohort_retention" -> q106CohortRetention,
-    "q107_dsv2_roundtrip"  -> q107Dsv2Roundtrip)
+    "q107_dsv2_roundtrip"  -> q107Dsv2Roundtrip,
+    "q108_unpivot"         -> q108Unpivot)
 
   val oracle: Map[String, String] = Map(
     "q105_map_battery"     -> q105Sql,
     "q106_cohort_retention" -> q106Sql,
-    "q107_dsv2_roundtrip"  -> q107Sql)
+    "q107_dsv2_roundtrip"  -> q107Sql,
+    "q108_unpivot"         -> q108Sql)
 }

@@ -6,9 +6,10 @@ import java.util.stream.Collectors
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -84,13 +85,16 @@ object StagedFdicSource {
 }
 
 private[v2] class StagedFdicTable(schema: StructType, path: String)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"staged_fdic($path)"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StagedFdicScanBuilder(schema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new StagedFdicWriteBuilder(path, info.schema())
 }
 
 private[v2] class StagedFdicScanBuilder(fullSchema: StructType, path: String)
@@ -190,11 +194,104 @@ private[v2] class StagedFdicPartitionReader(file: String,
   override def close(): Unit = lines.close()
 }
 
+/** Write side: the K5 staging sink as a distributed V2 write with a
+  * two-phase commit. Each task writes its partition to a hidden temp file
+  * (`.staging-<jobId>/part-<pid>-<tid>.json`); the driver's job-level
+  * `commit` atomically renames all task files into the target directory
+  * (truncating it first under overwrite mode), and `abort` deletes the temp
+  * dir — a failed or speculative task never leaves partial data visible.
+  * String columns only (bronze staging is schema-on-read by design). */
+private[v2] class StagedFdicWriteBuilder(path: String, schema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      StagedFdicBatchWrite(path, schema.fieldNames, doTruncate)
+  }
+}
+
+private[v2] case class StagedTaskCommit(tempFile: String)
+  extends WriterCommitMessage
+
+private[v2] case class StagedFdicBatchWrite(path: String,
+                                            fields: Array[String],
+                                            truncate: Boolean)
+  extends BatchWrite {
+
+  private val stagingDir = s"$path/.staging-${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(stagingDir))
+    StagedFdicWriterFactory(stagingDir, fields)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val target = Paths.get(path)
+    Files.createDirectories(target)
+    if (truncate)
+      StagedFdicSource.listFiles(path).foreach(Files.delete)
+    messages.foreach { case StagedTaskCommit(tmp) =>
+      val f = Paths.get(tmp)
+      Files.move(f, target.resolve(f.getFileName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    Files.deleteIfExists(Paths.get(stagingDir))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val d = Paths.get(stagingDir)
+    if (Files.exists(d)) {
+      Files.list(d).collect(Collectors.toList[Path]).asScala
+        .foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(d)
+    }
+  }
+}
+
+private[v2] case class StagedFdicWriterFactory(stagingDir: String,
+                                               fields: Array[String])
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new StagedFdicDataWriter(
+      s"$stagingDir/part-$partitionId-$taskId.json", fields)
+}
+
+private[v2] class StagedFdicDataWriter(file: String, fields: Array[String])
+  extends DataWriter[InternalRow] {
+
+  private val out = Files.newBufferedWriter(Paths.get(file))
+
+  override def write(row: InternalRow): Unit = {
+    val body = fields.indices.map { i =>
+      val v = if (row.isNullAt(i)) "null"
+        else "\"" + StagedJsonLine.escape(row.getUTF8String(i).toString) + "\""
+      "\"" + fields(i) + "\": " + v
+    }.mkString("{", ", ", "}")
+    out.write(s"""{"data": $body}""")
+    out.newLine()
+  }
+
+  override def commit(): WriterCommitMessage = { out.close(); StagedTaskCommit(file) }
+  override def abort(): Unit = { out.close(); Files.deleteIfExists(Paths.get(file)) }
+  override def close(): Unit = ()
+}
+
 /** Minimal scanner for one staged line `{"data": {k: v, ...}}`. Values
   * surface as strings exactly as `json_tuple` renders them: quoted strings
   * unescaped, numbers/booleans as written, `null` as SQL NULL. Flat objects
   * only — the staging writer never nests (Ingest.stageFdicResponse). */
 private[v2] object StagedJsonLine {
+
+  /** JSON string escape for the write side (inverse of [[readString]]). */
+  def escape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\t' => "\\t"
+    case '\r' => "\\r"
+    case c    => c.toString
+  }
 
   def keys(line: String): Seq[String] = {
     val inner = innerObject(line)

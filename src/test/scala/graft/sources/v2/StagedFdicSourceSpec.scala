@@ -61,6 +61,35 @@ class StagedFdicSourceSpec extends SparkSpec {
     assert(df.count() == 90)
   }
 
+  test("V2 write: roundtrip through the staging sink, overwrite truncates, append adds") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("staged_w").toString
+    val df = Seq(("1", "ALPHA \"A\" BANK", "GA"), ("2", null, "TX"))
+      .toDF("CERT", "NAME", "STALP")
+    df.write.format(fmt).mode("overwrite").save(dir)
+    val back = spark.read.format(fmt)
+      .option("fields", "CERT,NAME,STALP").load(dir)
+    assert(back.orderBy("CERT").collect().toSeq == df.orderBy("CERT").collect().toSeq)
+    // no staging residue after commit
+    assert(Files.list(java.nio.file.Paths.get(dir)).noneMatch(
+      p => p.getFileName.toString.startsWith(".staging")))
+    // append accumulates (K1's quarterly-load semantics), overwrite resets
+    df.write.format(fmt).mode("append").save(dir)
+    assert(spark.read.format(fmt).option("fields", "CERT").load(dir).count() == 4)
+    df.write.format(fmt).mode("overwrite").save(dir)
+    assert(spark.read.format(fmt).option("fields", "CERT").load(dir).count() == 2)
+  }
+
+  test("V2 write output is byte-compatible with Ingest.stageFdicResponse lines") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("staged_compat").toString
+    Seq(("7", "DELTA TRUST")).toDF("CERT", "NAME")
+      .coalesce(1).write.format(fmt).mode("overwrite").save(dir)
+    val line = Files.readAllLines(
+      StagedFdicSource.listFiles(dir).head.toFile.toPath).get(0)
+    assert(line == """{"data": {"CERT": "7", "NAME": "DELTA TRUST"}}""", line)
+  }
+
   test("agrees with the V1 json_tuple read path on the same staging dir") {
     val dir = stage(sample)
     val v2 = spark.read.format(fmt).load(dir)
