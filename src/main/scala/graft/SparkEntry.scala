@@ -35,7 +35,8 @@ object SparkEntry {
       operators.TrainingPrep2.queries ++
       operators.Curation.queries ++
       operators.ShardPrep.queries ++
-      operators.RelationalExt3.queries
+      operators.RelationalExt3.queries ++
+      operators.Quality.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
       operators.TrainingPrep2.oracle ++
       operators.Curation.oracle ++
       operators.ShardPrep.oracle ++
-      operators.RelationalExt3.oracle
+      operators.RelationalExt3.oracle ++
+      operators.Quality.oracle
 }

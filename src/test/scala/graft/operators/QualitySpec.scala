@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("quarantine: corrupted rows route to quarantine, good rows parse, totals reconcile") {
+    val out = Quality.q109ParseQuarantine(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val total = graft.Tables.events(spark, dir).count()
+    val expQuarantine = graft.Tables.events(spark, dir)
+      .filter(col("event_id") % 17 === 0).count()
+    assert(out("quarantine")._1 == expQuarantine)
+    assert(out("good")._1 == total - expQuarantine)
+    assert(out("quarantine")._2 == 0L) // no parsed values leak from bad rows
+    assert(out("good")._2 > 0L)
+  }
+
+  test("column profile: one row per column, stats consistent with the table") {
+    val out = Quality.q110ColumnProfile(spark, dir).cache()
+    assert(out.count() == 5)
+    val cust = graft.Tables.customer(spark, dir)
+    val n = cust.count()
+    assert(out.filter(col("n_rows") =!= n).count() == 0)
+    val keyRow = out.filter(col("col_name") === "c_custkey").head()
+    assert(keyRow.getAs[Long]("n_distinct") == n) // primary key: all distinct
+    assert(keyRow.getAs[Long]("n_nulls") == 0)
+    // min/max are lexical on the string rendering (documented semantics)
+    val segRow = out.filter(col("col_name") === "c_mktsegment").head()
+    assert(segRow.getAs[Long]("n_distinct") == 5)
+    out.unpersist()
+  }
+}
