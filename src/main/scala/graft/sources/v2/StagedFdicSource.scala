@@ -124,10 +124,23 @@ private[v2] class StagedFdicScanBuilder(fullSchema: StructType, path: String)
 
 private[v2] case class StagedFdicScan(path: String, required: StructType,
                                       pushed: Array[Filter])
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** File-size statistics let the planner treat small staged tables as
+    * broadcast candidates (the same decision parquet scans get from their
+    * footers) — without this a V2 scan defaults to "unknown size" and a
+    * dimension-sized staging table would sort-merge join. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes =
+      StagedFdicSource.listFiles(path).map(f => Files.size(f)).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
 
   override def description(): String =
     s"StagedFdicScan ReadFields: ${required.fieldNames.mkString("[", ",", "]")}, " +

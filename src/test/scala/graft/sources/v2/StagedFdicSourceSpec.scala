@@ -90,6 +90,16 @@ class StagedFdicSourceSpec extends SparkSpec {
     assert(line == """{"data": {"CERT": "7", "NAME": "DELTA TRUST"}}""", line)
   }
 
+  test("size statistics make a small staged table a broadcast-join candidate") {
+    import spark.implicits._
+    val dir = stage(sample)
+    val staged = spark.read.format(fmt).load(dir)
+    val big = (1 to 1000).map(i => (i.toString, i)).toDF("CERT", "x")
+    val plan = big.join(staged, Seq("CERT"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("agrees with the V1 json_tuple read path on the same staging dir") {
     val dir = stage(sample)
     val v2 = spark.read.format(fmt).load(dir)
