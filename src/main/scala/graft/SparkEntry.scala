@@ -36,7 +36,11 @@ object SparkEntry {
       operators.Curation.queries ++
       operators.ShardPrep.queries ++
       operators.RelationalExt3.queries ++
-      operators.Quality.queries
+      operators.Quality.queries ++
+      operators.TableOps.queries ++
+      operators.TimeSeries.queries ++
+      operators.GraphOps.queries ++
+      operators.Drift.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +65,9 @@ object SparkEntry {
       operators.Curation.oracle ++
       operators.ShardPrep.oracle ++
       operators.RelationalExt3.oracle ++
-      operators.Quality.oracle
+      operators.Quality.oracle ++
+      operators.TableOps.oracle ++
+      operators.TimeSeries.oracle ++
+      operators.GraphOps.oracle ++
+      operators.Drift.oracle
 }

@@ -275,8 +275,45 @@ object Curation {
       |FROM toks LEFT JOIN vocab USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q118: weighted sampling without replacement (Efraimidis–Spirakis A-ES)
+    * — per-status k=10 orders drawn with probability proportional to
+    * `o_totalprice`. Each row gets an exponential race key r = −ln(u)/w with
+    * u ∈ (0,1] derived from the portable hash of its PRIMARY KEY (a pure
+    * function of the data — reproducible across engines, partitionings, and
+    * reruns, unlike `sample()`'s per-partition RNG); the k smallest r win.
+    *
+    * Scale shape: the key is map-side arithmetic; selection runs through
+    * [[TopKPerKey]]'s bounded per-partition heaps (no per-group sort, no
+    * full shuffle of losers) — the same skew-immune path as q93, now with
+    * weights. */
+  def q118WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val o = Tables.orders(s, dir)
+      .selectExpr("o_orderstatus", "o_orderkey", "o_totalprice",
+        "poly_hash(CAST(o_orderkey AS STRING)) AS h")
+      .selectExpr("o_orderstatus", "o_orderkey",
+        s"-ln((CAST(h AS DOUBLE) + 1.0D) / ${P + 1}.0D) / o_totalprice AS r")
+    TopKPerKey(o, Seq("o_orderstatus"), Seq("r" -> true, "o_orderkey" -> true), 10)
+      .selectExpr("o_orderstatus", "o_orderkey", "round(r * 1e6, 6) AS rank_key")
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  val q118Sql: String =
+    s"""WITH w AS (
+       |  SELECT o_orderstatus, o_orderkey,
+       |    -ln((${polyDuck("CAST(o_orderkey AS VARCHAR)")} + 1.0) / ${P + 1}.0)
+       |      / o_totalprice AS r
+       |  FROM orders),
+       |k AS (
+       |  SELECT o_orderstatus, o_orderkey, r,
+       |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY r, o_orderkey) AS rn
+       |  FROM w)
+       |SELECT o_orderstatus, o_orderkey, round(r * 1e6, 6) AS rank_key
+       |FROM k WHERE rn <= 10 ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t92_contamination"   -> t92Contamination,
+    "q118_weighted_sample" -> q118WeightedSample,
     "q93_group_sample"    -> q93GroupSample,
     "q94_incremental_agg" -> q94IncrementalAgg,
     "q95_snapshot_diff"   -> q95SnapshotDiff,
@@ -286,6 +323,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "t92_contamination"   -> t92Sql,
+    "q118_weighted_sample" -> q118Sql,
     "q93_group_sample"    -> q93Sql,
     "q94_incremental_agg" -> q94Sql,
     "q95_snapshot_diff"   -> q95Sql,

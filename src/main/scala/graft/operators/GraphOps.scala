@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational co-occurrence — complements
+  * [[DupClusters]] (connected components): triangle counting via the
+  * degree-ordered wedge algorithm, the structure metric behind clustering
+  * coefficients and community detection on co-occurrence graphs.
+  *
+  * The graph: parts are nodes; an undirected edge joins two parts that
+  * co-occur in the same order with high quantity (l_quantity ≥ 40). Edge
+  * generation per order is bounded by C(lines-per-order, 2) — lines-per-order
+  * is ≤ 13 in this schema, so the pair explosion is a constant factor of
+  * lineitem, never quadratic in the table.
+  */
+object GraphOps {
+
+  /** q117: triangle count, degree-ordered. Naive wedge joins blow up on hub
+    * nodes (a degree-d node contributes C(d,2) wedges — at 100 TB one
+    * celebrity key is quadratic death); orienting every edge from its
+    * (degree, id)-smaller endpoint to the larger bounds out-degree by
+    * O(√|E|), the classic arboricity bound, and counts each triangle exactly
+    * once — no /6 correction, no duplicate pairs. All joins are equi-joins
+    * on node keys → ordinary shuffle-hash plans; the oracle recomputes the
+    * same count with the naive SQL formulation (the COUNT is
+    * algorithm-independent).
+    *
+    * Output also carries edge/node/degree stats, the graph-shape summary
+    * that decides whether the next algorithm needs skew handling. */
+  /** Degree-ordered triangle count over a canonical (u < v) undirected edge
+    * list. Exposed for property tests (K4 → 4, paths → 0, …). */
+  def triangleCount(e: DataFrame): Long = {
+    val deg = degrees(e)
+    // orient from (deg, id)-smaller endpoint to larger
+    val oriented = e
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            col("du").as("ds"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"),
+              col("dv").as("ds"), col("du").as("dt"))).as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"),
+        col("o.ds").as("ds"), col("o.dt").as("dt"))
+    // wedges from each source; canonicalize the (t1, t2) pair by the same
+    // (degree, id) order so the closing edge is a single equi-join
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && (col("e1.dt") < col("e2.dt") ||
+          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.t").as("w1"), col("e2.t").as("w2"))
+    val tri = wedges.join(oriented.select(col("s").as("w1"), col("t").as("w2")),
+      Seq("w1", "w2"))
+    tri.count()
+  }
+
+  /** Per-node degree over a canonical undirected edge list. */
+  def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+
+  def q117TriangleCount(s: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 40)
+      .select("l_orderkey", "l_partkey").distinct()
+    // undirected edge list, canonical u < v; pair explosion bounded by
+    // C(13, 2) per order
+    val e = hi.as("a").join(hi.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+      .persist() // feeds degrees, orientation, and the closing join
+    // one action for all graph-shape stats (nodes, max degree, edge count
+    // via the handshake lemma) — separate count() jobs would rerun the scan
+    val stats = degrees(e)
+      .agg(count(lit(1)).as("nodes"), max("d").as("maxd"), sum("d").as("dsum"))
+      .head()
+    val nodes = stats.getLong(0)
+    val maxDeg = stats.getLong(1)
+    val nEdges = stats.getLong(2) / 2
+    val tris = triangleCount(e)
+    e.unpersist()
+    // every stat is already a driver-side scalar; the result is literal-only
+    s.range(1)
+      .select(lit(nodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+        lit(tris).as("triangles"), lit(maxDeg).as("max_degree"),
+        round(lit(2.0 * nEdges) / lit(nodes), 6).as("avg_degree"))
+  }
+
+  val q117Sql: String =
+    """WITH hi AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM hi a JOIN hi b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT x, count(*) AS d FROM (
+      |    SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1)
+      |SELECT
+      |  (SELECT count(*) FROM deg) AS n_nodes,
+      |  (SELECT count(*) FROM e) AS n_edges,
+      |  (SELECT count(*) FROM e e1
+      |     JOIN e e2 ON e1.v = e2.u
+      |     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS triangles,
+      |  (SELECT max(d) FROM deg) AS max_degree,
+      |  round(2.0 * (SELECT count(*) FROM e) / (SELECT count(*) FROM deg), 6)
+      |    AS avg_degree""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_triangle_count" -> q117TriangleCount)
+
+  val oracle: Map[String, String] = Map(
+    "q117_triangle_count" -> q117Sql)
+}

@@ -228,7 +228,34 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** s122: per-label centroids — the distributed vector mean that seeds
+    * k-means/IVF training and powers class prototypes. `posexplode` melts
+    * each vector to (label, dim, x) rows; the mean per (label, dim) runs as
+    * ONE hash aggregate with decimal-quantized sums (order-independent —
+    * vector addition must not depend on partitioning), and the long-form
+    * output is the engine-portable serialization of a |labels|×64 matrix.
+    *
+    * Scale shape: the explode is map-side (64 rows per vector, streamed, no
+    * generator shuffle); the aggregate's group domain is |labels|×dims —
+    * fixed-size state regardless of corpus size, partial-aggregated before
+    * the shuffle, so wire bytes are O(labels·dims·tasks). */
+  def s122LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy(col("label"), (col("p") + 1).as("dim"))
+      .agg(round(graft.functions.OracleSafe.davg(col("x").cast("double")), 6)
+        .as("centroid"))
+      .orderBy("label", "dim")
+
+  val s122Sql: String =
+    """SELECT label, i AS dim,
+      |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6)))
+      |          AS DOUBLE) / count(*), 6) AS centroid
+      |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s122_label_centroids" -> s122LabelCentroids,
     "s38_ann_brute"        -> s38AnnBrute,
     "s39_ann_ivf"          -> s39AnnIvf,
     "s40_ann_lsh"          -> s40AnnLsh,
@@ -236,6 +263,7 @@ object Similarity {
     "s48_ann_topk_plan"    -> s48AnnTopkPlan)
 
   val oracle: Map[String, String] = Map(
+    "s122_label_centroids" -> s122Sql,
     "s38_ann_brute"        -> s38Sql,
     "s39_ann_ivf"          -> s39Sql,
     "s40_ann_lsh"          -> s40Sql,

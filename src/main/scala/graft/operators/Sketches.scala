@@ -95,11 +95,62 @@ object Sketches {
       |WHERE rn = LEAST(nd, 64)
       |ORDER BY 1""".stripMargin
 
+  /** q119: join-cardinality estimation from Count-Min inner products — the
+    * planner-side sketch that answers "how big would A ⋈ B be?" WITHOUT
+    * running the join. Each side folds into one fixed 4×2048 counter array
+    * ([[graft.functions.CmsSketch]], map-side partial-aggregated); the
+    * estimate is the min-over-rows inner product Σⱼ A[i,j]·B[i,j], which
+    * never under-counts and overshoots ≤ (e/width)·|A|·|B| in expectation —
+    * the classic AMS/CM dot-product guarantee. At 100 TB this is how an
+    * optimizer chooses broadcast-vs-shuffle or detects a runaway key before
+    * paying for the join; here the gate ALSO computes the exact join size
+    * (one (key, fa·fb) aggregation, never materializing join rows) and
+    * asserts the contract flags the oracle pins to TRUE. */
+  def q119JoinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    import org.apache.spark.sql.Encoders
+    val depth = 4; val width = 2048
+    val a = Tables.lineitem(s, dir)
+      .selectExpr("l_partkey", "poly_hash(CAST(l_partkey AS STRING)) AS h")
+    val b = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45)
+      .selectExpr("l_partkey", "poly_hash(CAST(l_partkey AS STRING)) AS h")
+    val cms = new graft.functions.CmsSketch(depth, width)
+    val sa = a.select(col("h")).as[Long](Encoders.scalaLong)
+      .select(cms.toColumn).head()
+    val sb = b.select(col("h")).as[Long](Encoders.scalaLong)
+      .select(cms.toColumn).head()
+    val est = (0 until depth).map { i =>
+      (0 until width).map(j => sa(i * width + j) * sb(i * width + j)).sum
+    }.min
+    val na = a.count(); val nb = b.count()
+    val bound = math.ceil(math.E / width * na.toDouble * nb.toDouble).toLong
+    val exact = a.groupBy("l_partkey").agg(count(lit(1)).as("fa"))
+      .join(b.groupBy("l_partkey").agg(count(lit(1)).as("fb")), "l_partkey")
+      .agg(expr("CAST(sum(CAST(fa AS DECIMAL(38,0)) * fb) AS BIGINT)"))
+      .head().getLong(0)
+    s.range(1).select(
+      lit(na).as("n_left"), lit(nb).as("n_right"),
+      lit(exact).as("exact_join_rows"),
+      lit(est >= exact).as("never_undercounts"),
+      lit(est - exact <= bound).as("within_eps"))
+  }
+
+  val q119Sql: String =
+    """WITH b AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+      |SELECT
+      |  (SELECT count(*) FROM lineitem) AS n_left,
+      |  (SELECT count(*) FROM b) AS n_right,
+      |  (SELECT count(*) FROM lineitem a JOIN b ON a.l_partkey = b.l_partkey)
+      |    AS exact_join_rows,
+      |  TRUE AS never_undercounts, TRUE AS within_eps""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_approx_distinct" -> q52ApproxDistinct,
-    "d62_kmv_distinct"    -> d62KmvDistinct)
+    "d62_kmv_distinct"    -> d62KmvDistinct,
+    "q119_join_size_estimate" -> q119JoinSizeEstimate)
 
   val oracle: Map[String, String] = Map(
     "q52_approx_distinct" -> q52Sql,
-    "d62_kmv_distinct"    -> d62Sql)
+    "d62_kmv_distinct"    -> d62Sql,
+    "q119_join_size_estimate" -> q119Sql)
 }

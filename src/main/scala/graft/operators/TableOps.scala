@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{OracleSafe, PortableHash}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-management operators — the data-ops layer a 100 TB lakehouse needs
+  * around the query engine: cross-engine table fingerprinting (anti-entropy
+  * validation of replicated datasets), min/max-statistics file skipping (the
+  * data-skipping index every table format keeps), and small-file compaction
+  * (the maintenance job that keeps scan parallelism healthy after streaming
+  * or per-partition ingest writes thousands of tiny files).
+  *
+  * The reference writes its layers as parquet/Delta directories
+  * (/root/reference/pipelineApplication/silverLayer/BuildSilverLayer.py:326,
+  * goldLayer/BuildGoldLayer.py:218-223) but has no validation, skipping, or
+  * compaction story; these are the operational gaps at scale.
+  */
+object TableOps {
+
+  /** q111: order-independent table checksum — per-row portable polynomial
+    * hash over a canonical row rendering, summed exactly (decimal — addition
+    * commutes, so the checksum is identical under ANY partitioning or engine)
+    * and folded mod 1e9+7. Emitted per market segment plus a rollup total, so
+    * two copies of the table can be diffed segment-by-segment.
+    *
+    * Scale shape: pure map-side expression work + one partial-aggregated
+    * rollup (grouping-key domain = |segments| + 1); bytes shuffled are
+    * O(segments), independent of row count. This is how you verify a 100 TB
+    * cross-cluster copy without moving the data.
+    *
+    * Doubles never enter the canonical string (engine-specific formatting):
+    * `c_acctbal` is fixed-pointed to cents with portable floor(+0.5). */
+  def q111TableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val canon = "concat_ws('|', CAST(c_custkey AS STRING), c_name, " +
+      "CAST(c_nationkey AS STRING), c_mktsegment, " +
+      "CAST(CAST(floor(c_acctbal * 100d + 0.5d) AS BIGINT) AS STRING))"
+    Tables.customer(s, dir)
+      .selectExpr("c_mktsegment", s"${PortableHash.polyHash(canon)} AS h")
+      .rollup("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(h AS DECIMAL(38,0))) % 1000000007 AS BIGINT)")
+          .as("checksum"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n_rows"), col("checksum"))
+      .orderBy("segment")
+  }
+
+  val q111Sql: String =
+    """WITH h AS (
+      |  SELECT c_mktsegment,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(
+      |        concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+      |                  CAST(c_nationkey AS VARCHAR), c_mktsegment,
+      |                  CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)),
+      |        ''), c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM customer)
+      |SELECT coalesce(c_mktsegment, 'ALL') AS segment, count(*) AS n_rows,
+      |  CAST(sum(h) % 1000000007 AS BIGINT) AS checksum
+      |FROM h GROUP BY ROLLUP(c_mktsegment) ORDER BY segment""".stripMargin
+
+  /** q112: min/max file skipping — the data-skipping index. The table is laid
+    * out range-clustered on `l_shipdate` (16 files), a per-file min/max stats
+    * table is computed once (|files| rows — the metadata a Delta/Iceberg
+    * manifest carries), and a date-window query consults the stats FIRST,
+    * reading only files whose [min,max] intersects the predicate. The
+    * residual filter stays on the scan, so over-kept files cost I/O, never
+    * correctness.
+    *
+    * Scale shape: the stats collect is |files| rows (metadata-sized, this is
+    * the manifest read every lakehouse query planner does); the data read
+    * touches ~7% of files for this window instead of all of them. Combined
+    * with parquet row-group pruning inside each kept file, the scan cost
+    * tracks the predicate's selectivity, not the table size. The gate's
+    * `files_skipped` column asserts pruning actually happened. */
+  def q112FileSkipping(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${graft.SparkSupport.scratchDir}/graft_skipidx"
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate")
+      .repartitionByRange(16, col("l_shipdate"))
+      .write.mode("overwrite").parquet(tmp)
+    // min/max rendered as sortable strings — collect-side types then don't
+    // depend on the parquet timestamp flavor (NTZ vs LTZ)
+    val stats = s.read.parquet(tmp)
+      .groupBy(input_file_name().as("f"))
+      .agg(date_format(min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("lo"),
+        date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("hi"))
+      .collect()
+    val lo = "1996-01-01 00:00:00"
+    val hi = "1996-07-01 00:00:00"
+    val keep = stats
+      .filter(r => r.getString(2) >= lo && r.getString(1) < hi)
+      .map(_.getString(0))
+    require(keep.nonEmpty && keep.length < stats.length,
+      s"skipping index kept ${keep.length}/${stats.length} files")
+    s.read.parquet(keep.toIndexedSeq: _*)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        OracleSafe.dsum(col("l_quantity")).as("sum_qty"),
+        OracleSafe.dsum(col("l_extendedprice")).as("sum_price"))
+      .withColumn("files_skipped", lit(keep.length < stats.length))
+      .orderBy("l_returnflag")
+  }
+
+  val q112Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      |  TRUE AS files_skipped
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-07-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q113: small-file compaction — rewrite a fragmented table (64 shards,
+    * the shape a per-key streaming sink leaves behind) into
+    * target-sized files. The target file count comes from the ACTUAL listed
+    * bytes (filesystem metadata, |files| entries), not a guess; the rewrite
+    * is one `repartition(n)` pass. The gate aggregates the COMPACTED copy —
+    * hash-matching the oracle on the original table proves the rewrite is
+    * content-preserving, and `compacted` asserts the file count shrank.
+    *
+    * Scale shape: listing is metadata-only; the rewrite streams each row
+    * once through a round-robin exchange (no skew — compaction must not
+    * re-cluster, that's q91 Z-order's job). On a real lakehouse this runs
+    * per-partition-directory, so the unit of work stays bounded. */
+  def q113Compaction(s: SparkSession, dir: String): DataFrame = {
+    val frag = s"${graft.SparkSupport.scratchDir}/graft_frag"
+    val comp = s"${graft.SparkSupport.scratchDir}/graft_compact"
+    Tables.orders(s, dir).repartition(64).write.mode("overwrite").parquet(frag)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(frag))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val targetFileBytes = math.max(totalBytes / 4, 1L << 20)
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    s.read.parquet(frag).repartition(nOut)
+      .write.mode("overwrite").parquet(comp)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(comp))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    s.read.parquet(comp)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        OracleSafe.dsum(col("o_totalprice")).as("total"),
+        expr("CAST(sum(CAST(o_orderkey AS DECIMAL(38,0))) AS BIGINT)")
+          .as("key_sum"))
+      .withColumn("compacted", lit(outFiles < files.length))
+      .orderBy("o_orderstatus")
+  }
+
+  val q113Sql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  TRUE AS compacted
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_table_checksum" -> q111TableChecksum,
+    "q112_file_skipping"  -> q112FileSkipping,
+    "q113_compaction"     -> q113Compaction)
+
+  val oracle: Map[String, String] = Map(
+    "q111_table_checksum" -> q111Sql,
+    "q112_file_skipping"  -> q112Sql,
+    "q113_compaction"     -> q113Sql)
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.OracleSafe
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the events stream table: grid resampling with
+  * forward fill (the gap-repair step before any windowed model sees the
+  * data), exponentially-weighted moving averages (trend smoothing), and
+  * IQR outlier detection (robust anomaly flagging).
+  *
+  * The reference's only time dimension is quarterly report dates
+  * (/root/reference/pipelineApplication/goldLayer/BuildGoldLayer.py:92-139);
+  * these cover the continuous-time analytics a monitoring/feature pipeline
+  * needs. All three are engine-portable-deterministic: sums are
+  * decimal-quantized ([[OracleSafe]]), the EWMA is a strict left fold (same
+  * IEEE op sequence in any engine), and quartiles are computed by explicit
+  * rank selection, not an engine-private percentile kernel.
+  */
+object TimeSeries {
+
+  /** q114: resample + forward fill — hourly per-type totals joined onto the
+    * dense (type × hour) grid, gaps carrying the last observed value forward
+    * (`last(ignoreNulls)` over the ordered series; leading gaps → 0).
+    *
+    * Scale shape: the grid is GENERATED (`sequence` + explode — |types|×|hours|
+    * rows, no data shuffle to build it); the join and the fill window both
+    * key by series, so every series heals in parallel and the per-task state
+    * is one running value. The window's sort is bounded by hours-per-series,
+    * not events. */
+  def q114GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val hourly = ev
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), OracleSafe.dsum(col("value")).as("v"))
+    val bounds = ev.agg(min(date_trunc("hour", col("ts"))).as("lo"),
+      max(date_trunc("hour", col("ts"))).as("hi"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .selectExpr("event_type", "explode(sequence(lo, hi, interval 1 hour)) AS h")
+    val fillW = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("filled",
+        round(coalesce(last(col("v"), ignoreNulls = true).over(fillW),
+          lit(0.0)), 6))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"), col("filled"))
+      .orderBy("event_type", "hour")
+  }
+
+  val q114Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |    count(*) AS n, CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+      |             max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi FROM events),
+      |grid AS (
+      |  SELECT t.event_type, g.h
+      |  FROM (SELECT DISTINCT event_type FROM events) t,
+      |       (SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
+      |                                      INTERVAL 1 HOUR)) AS h) g)
+      |SELECT grid.event_type, strftime(grid.h, '%Y-%m-%d %H:00') AS hour,
+      |  coalesce(n, 0) AS n_events,
+      |  round(coalesce(last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY grid.event_type ORDER BY grid.h
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6) AS filled
+      |FROM grid LEFT JOIN hourly
+      |  ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+      |ORDER BY 1, 2""".stripMargin
+
+  /** q115: EWMA (α = 0.2) over per-type daily totals. The smoothing is a
+    * strict LEFT FOLD (`aggregate` HOF: acc ← 0.2·x + 0.8·acc), so the IEEE
+    * operation sequence is pinned — any engine folding the same list gets
+    * bit-identical doubles, unlike a windowed SUM whose accumulation tree is
+    * engine-private. Per-day values come from prefix folds (O(days²) slices —
+    * days-per-series is bounded; an unbounded stream would carry the single
+    * running accumulator per key instead, same fold, O(1) state).
+    *
+    * Scale shape: one (type, day) hash agg shrinks events to |series|×|days|
+    * rows; the fold state per series is its day list, never raw events. */
+  def q115Ewma(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+      .agg(OracleSafe.dsum(col("value")).as("v"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("d"), col("v")))).as("sv"))
+      .selectExpr("event_type",
+        "transform(sv, e -> e.d) AS ds",
+        "transform(sv, e -> e.v) AS xs")
+      .selectExpr("event_type", "ds", "xs",
+        "posexplode(sequence(1, size(xs))) AS (p, t)")
+      .selectExpr("event_type",
+        "date_format(element_at(ds, t), 'yyyy-MM-dd') AS day",
+        "round(aggregate(slice(xs, 1, t), 0.0D, (a, x) -> 0.2D * x + 0.8D * a), 6) AS ewma")
+      .orderBy("event_type", "day")
+
+  val q115Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+      |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, list(v ORDER BY d) AS xs, list(d ORDER BY d) AS ds
+      |      FROM daily GROUP BY 1),
+      |e AS (SELECT event_type, ds, xs,
+      |        unnest(generate_series(1, len(xs))) AS t FROM l)
+      |SELECT event_type, strftime(ds[t], '%Y-%m-%d') AS day,
+      |  round(list_reduce(list_prepend(0.0, xs[1:t]),
+      |                    (a, x) -> 0.2 * x + 0.8 * a), 6) AS ewma
+      |FROM e ORDER BY 1, 2""".stripMargin
+
+  /** q116: IQR outlier detection — per-type quartiles by EXPLICIT rank
+    * selection (row_number → the two straddling ranks → linear
+    * interpolation, i.e. type-7 quantiles spelled out), then the classic
+    * 1.5·IQR fence count. No engine-private percentile kernel is involved,
+    * so any SQL engine reproduces the exact doubles.
+    *
+    * Scale shape: the rank window partitions by series (parallel across
+    * types); only the 4 straddling rows per series survive the selection
+    * aggregate, and the fence check is a broadcast join of a |types|-row
+    * fence table back onto the data — one full-data window sort is the
+    * honest cost of exact quantiles (approximate → q52's KLL sketch). */
+  def q116IqrOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.events(s, dir)
+      .select("event_type", "value")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy("value")))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+    def pick(p: Double, off: Int, as: String) =
+      max(when(col("rn") === floor((col("n") - 1) * p) + off, col("value")))
+        .as(as)
+    val q = ranked.groupBy("event_type", "n")
+      .agg(pick(0.25, 1, "q1lo"), pick(0.25, 2, "q1hi"),
+        pick(0.75, 1, "q3lo"), pick(0.75, 2, "q3hi"))
+      .select(col("event_type"), col("n"),
+        (col("q1lo") + ((col("n") - 1) * 0.25 - floor((col("n") - 1) * 0.25)) *
+          (col("q1hi") - col("q1lo"))).as("q1"),
+        (col("q3lo") + ((col("n") - 1) * 0.75 - floor((col("n") - 1) * 0.75)) *
+          (col("q3hi") - col("q3lo"))).as("q3"))
+    ranked.select("event_type", "value").join(broadcast(q), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max(col("n")).as("n"), round(max("q1"), 6).as("q1"),
+        round(max("q3"), 6).as("q3"),
+        count(when(col("value") < col("q1") - lit(1.5) * (col("q3") - col("q1")) ||
+          col("value") > col("q3") + lit(1.5) * (col("q3") - col("q1")),
+          lit(1))).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  val q116Sql: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |qsel AS (
+      |  SELECT event_type, n,
+      |    max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT)+1 THEN value END) AS q1lo,
+      |    max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT)+2 THEN value END) AS q1hi,
+      |    max(CASE WHEN rn = CAST(floor((n-1)*0.75) AS BIGINT)+1 THEN value END) AS q3lo,
+      |    max(CASE WHEN rn = CAST(floor((n-1)*0.75) AS BIGINT)+2 THEN value END) AS q3hi
+      |  FROM ranked GROUP BY 1, 2),
+      |q AS (
+      |  SELECT event_type, n,
+      |    q1lo + ((n-1)*0.25 - floor((n-1)*0.25)) * (q1hi - q1lo) AS q1,
+      |    q3lo + ((n-1)*0.75 - floor((n-1)*0.75)) * (q3hi - q3lo) AS q3
+      |  FROM qsel)
+      |SELECT r.event_type, CAST(q.n AS BIGINT) AS n,
+      |  round(q.q1, 6) AS q1, round(q.q3, 6) AS q3,
+      |  count(CASE WHEN r.value < q.q1 - 1.5*(q.q3-q.q1)
+      |               OR r.value > q.q3 + 1.5*(q.q3-q.q1) THEN 1 END) AS n_outliers
+      |FROM ranked r JOIN q ON r.event_type = q.event_type
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_gap_fill"     -> q114GapFill,
+    "q115_ewma"         -> q115Ewma,
+    "q116_iqr_outliers" -> q116IqrOutliers)
+
+  val oracle: Map[String, String] = Map(
+    "q114_gap_fill"     -> q114Sql,
+    "q115_ewma"         -> q115Sql,
+    "q116_iqr_outliers" -> q116Sql)
+}

@@ -41,4 +41,28 @@ class CmsSketchSpec extends SparkSpec {
     assert(out.filter(!col("never_undercounts") || !col("within_eps")).count() == 0)
     assert(out.count() == 20)
   }
+
+  test("inner product never under-estimates a join size (q119 kernel)") {
+    import spark.implicits._
+    // skewed multiplicities on both sides, including keys absent from one
+    val left = (0 until 400).flatMap(i => Seq.fill(i % 7 + 1)(i.toLong * 31L))
+    val right = (200 until 600).flatMap(i => Seq.fill(i % 5 + 1)(i.toLong * 31L))
+    val sa = left.toDS().select(cms.toColumn).head()
+    val sb = right.toDS().select(cms.toColumn).head()
+    val est = (0 until 4).map { d =>
+      (0 until 256).map(j => sa(d * 256 + j) * sb(d * 256 + j)).sum
+    }.min
+    val fa = left.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fb = right.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = fa.map { case (k, n) => n * fb.getOrElse(k, 0L) }.sum
+    assert(est >= exact)
+    val bound = math.ceil(math.E / 256 * left.size.toDouble * right.size).toLong
+    assert(est - exact <= bound)
+  }
+
+  test("q119 gate flags hold on testdata") {
+    val out = graft.operators.Sketches.q119JoinSizeEstimate(
+      spark, "/root/testdata/sf0.001")
+    assert(out.filter(!col("never_undercounts") || !col("within_eps")).count() == 0)
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TableOpsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q111 checksum is invariant under repartitioning") {
+    val base = TableOps.q111TableChecksum(spark, sf).collect()
+    // same data, different physical layout → identical checksums
+    val tmp = tmpDir("chk")
+    graft.Tables.customer(spark, sf).repartition(13)
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val re = TableOps.q111TableChecksum(spark, tmp).collect()
+    assert(base.map(_.toSeq).toSeq === re.map(_.toSeq).toSeq)
+  }
+
+  test("q111 checksum detects a single-row mutation") {
+    val tmp = tmpDir("chkmut")
+    graft.Tables.customer(spark, sf)
+      .withColumn("c_name",
+        when(col("c_custkey") === 7, lit("tampered")).otherwise(col("c_name")))
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val a = TableOps.q111TableChecksum(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val b = TableOps.q111TableChecksum(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a("ALL") !== b("ALL"))
+    // exactly one segment checksum moved (plus the rollup total)
+    assert(a.count { case (k, v) => b(k) != v } === 2)
+  }
+
+  test("q112 skips files and still matches the unpruned answer") {
+    val pruned = TableOps.q112FileSkipping(spark, sf).collect()
+    assert(pruned.forall(_.getAs[Boolean]("files_skipped")))
+    val direct = graft.Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pruned.map(r => r.getString(0) -> r.getLong(1)).toMap === direct)
+  }
+
+  test("q113 compaction shrinks the file count and preserves content") {
+    val out = TableOps.q113Compaction(spark, sf).collect()
+    assert(out.forall(_.getAs[Boolean]("compacted")))
+    val comp = s"${graft.SparkSupport.scratchDir}/graft_compact"
+    val n = new java.io.File(comp).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(n < 64)
+    val orig = graft.Tables.orders(spark, sf).count()
+    assert(spark.read.parquet(comp).count() === orig)
+  }
+}

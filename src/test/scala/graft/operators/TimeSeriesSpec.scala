@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q114 grid is dense and gaps carry the last observed value") {
+    val rows = TimeSeries.q114GapFill(spark, sf).collect()
+    val types = rows.map(_.getString(0)).distinct
+    val hours = rows.map(_.getString(1)).distinct
+    assert(rows.length === types.length * hours.length)
+    // forward fill: wherever n_events = 0, filled equals the previous row's
+    // filled for the same type (grid rows are hour-ordered per type)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getString(1))
+      ordered.sliding(2).foreach {
+        case Array(prev, cur) if cur.getLong(2) == 0L =>
+          assert(cur.getDouble(3) === prev.getDouble(3))
+        case _ =>
+      }
+    }
+    // gaps add no events: grid totals reconcile with the raw table
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === graft.Tables.events(spark, sf).count())
+  }
+
+  test("q115 ewma satisfies the recurrence e_t = 0.2 x_t + 0.8 e_(t-1)") {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_format(date_trunc("day", col("ts")),
+        "yyyy-MM-dd").as("day"))
+      .agg(graft.functions.OracleSafe.dsum(col("value")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val ewma = TimeSeries.q115Ewma(spark, sf).collect()
+    ewma.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val ordered = rs.sortBy(_.getString(1))
+      var acc = 0.0
+      ordered.foreach { r =>
+        acc = 0.2 * daily((tpe, r.getString(1))) + 0.8 * acc
+        assert(math.abs(r.getDouble(2) - acc) < 1e-6,
+          s"$tpe ${r.getString(1)}")
+      }
+    }
+  }
+
+  test("q116 fence count matches a driver-side brute force") {
+    val out = TimeSeries.q116IqrOutliers(spark, sf).collect()
+    val byType = graft.Tables.events(spark, sf).select("event_type", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { r =>
+      val (tpe, n) = (r.getString(0), r.getLong(1))
+      val xs = byType(tpe)
+      assert(n === xs.length.toLong)
+      def quant(p: Double): Double = {
+        val pos = (xs.length - 1) * p
+        val lo = math.floor(pos).toInt
+        xs(lo) + (pos - lo) * (xs(math.min(lo + 1, xs.length - 1)) - xs(lo))
+      }
+      val (q1, q3) = (quant(0.25), quant(0.75))
+      val iqr = q3 - q1
+      val brute = xs.count(x => x < q1 - 1.5 * iqr || x > q3 + 1.5 * iqr)
+      assert(r.getLong(4) === brute.toLong, tpe)
+      assert(math.abs(r.getDouble(2) - q1) < 1e-6)
+      assert(math.abs(r.getDouble(3) - q3) < 1e-6)
+    }
+  }
+}
