@@ -40,7 +40,8 @@ object SparkEntry {
       operators.TableOps.queries ++
       operators.TimeSeries.queries ++
       operators.GraphOps.queries ++
-      operators.Drift.queries
+      operators.Drift.queries ++
+      operators.RelationalExt4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -69,5 +70,6 @@ object SparkEntry {
       operators.TableOps.oracle ++
       operators.TimeSeries.oracle ++
       operators.GraphOps.oracle ++
-      operators.Drift.oracle
+      operators.Drift.oracle ++
+      operators.RelationalExt4.oracle
 }
