@@ -33,7 +33,10 @@ object GraphOps {
     * list. Exposed for property tests (K4 → 4, paths → 0, …). */
   def triangleCount(e: DataFrame): Long = {
     val deg = degrees(e)
-    // orient from (deg, id)-smaller endpoint to larger
+    // orient from (deg, id)-smaller endpoint to larger; PERSIST — the plan
+    // below references `oriented` three times (both wedge legs + the closing
+    // join), and Spark re-executes unshared subplans (the round-1 lesson
+    // from the dedup suite: 2-3× on exactly this shape)
     val oriented = e
       .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
@@ -47,6 +50,7 @@ object GraphOps {
               col("dv").as("ds"), col("du").as("dt"))).as("o"))
       .select(col("o.s").as("s"), col("o.t").as("t"),
         col("o.ds").as("ds"), col("o.dt").as("dt"))
+      .persist()
     // wedges from each source; canonicalize the (t1, t2) pair by the same
     // (degree, id) order so the closing edge is a single equi-join
     val wedges = oriented.as("e1").join(oriented.as("e2"),
@@ -55,7 +59,9 @@ object GraphOps {
       .select(col("e1.t").as("w1"), col("e2.t").as("w2"))
     val tri = wedges.join(oriented.select(col("s").as("w1"), col("t").as("w2")),
       Seq("w1", "w2"))
-    tri.count()
+    val n = tri.count()
+    oriented.unpersist()
+    n
   }
 
   /** Per-node degree over a canonical undirected edge list. */

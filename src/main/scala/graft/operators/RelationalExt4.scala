@@ -165,15 +165,193 @@ object RelationalExt4 {
       |GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate), month(o_orderdate))
       |ORDER BY yr NULLS FIRST, qtr NULLS FIRST, mo NULLS FIRST""".stripMargin
 
+  /** q127: MERGE upsert — the Delta/Iceberg `MERGE INTO` statement expressed
+    * as its relational core: ONE co-partitioned full-outer join of target
+    * and source on the key, then per-row action classification
+    * (matched+fully-returned → DELETE, matched+partially-returned → UPDATE,
+    * source-only → INSERT, target-only → keep). This is exactly what a table
+    * format's MERGE compiles to — never a driver-side loop over actions, and
+    * each input row is read once.
+    *
+    * Target: orders before 1997. Source: per-order return stats from
+    * lineitem. The gate aggregates the FINAL table state, so insert, update,
+    * delete, and keep paths all land in the hash. */
+  def q127MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val target = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"))
+    val source = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("l_returnflag") === "R", lit(1))).as("n_returned"))
+    target.join(source, Seq("k"), "full_outer")
+      .selectExpr(
+        """CASE
+          |  WHEN status IS NULL THEN 'I'
+          |  WHEN n_lines IS NOT NULL AND n_returned = n_lines THEN 'D'
+          |  WHEN n_returned > 0 THEN 'U'
+          |  ELSE 'K' END AS action""".stripMargin,
+        """CASE
+          |  WHEN status IS NULL THEN 'N'
+          |  WHEN n_returned > 0 AND n_returned < n_lines THEN 'R'
+          |  ELSE status END AS new_status""".stripMargin,
+        """CASE
+          |  WHEN status IS NULL THEN CAST(n_lines * 1000 AS DOUBLE)
+          |  WHEN n_returned > 0 AND n_returned < n_lines THEN price * 0.9D
+          |  ELSE price END AS new_price""".stripMargin)
+      .filter(col("action") =!= "D") // deletes leave the table
+      .groupBy("new_status")
+      .agg(count(lit(1)).as("n"),
+        OracleSafe.dsum(col("new_price")).as("total"))
+      .orderBy("new_status")
+  }
+
+  val q127Sql: String =
+    """WITH target AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS status, o_totalprice AS price
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+      |source AS (
+      |  SELECT l_orderkey AS k, count(*) AS n_lines,
+      |    count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned
+      |  FROM lineitem GROUP BY 1),
+      |merged AS (
+      |  SELECT
+      |    CASE WHEN status IS NULL THEN 'I'
+      |         WHEN n_lines IS NOT NULL AND n_returned = n_lines THEN 'D'
+      |         WHEN n_returned > 0 THEN 'U' ELSE 'K' END AS action,
+      |    CASE WHEN status IS NULL THEN 'N'
+      |         WHEN n_returned > 0 AND n_returned < n_lines THEN 'R'
+      |         ELSE status END AS new_status,
+      |    CASE WHEN status IS NULL THEN CAST(n_lines * 1000 AS DOUBLE)
+      |         WHEN n_returned > 0 AND n_returned < n_lines THEN price * 0.9
+      |         ELSE price END AS new_price
+      |  FROM target FULL OUTER JOIN source USING (k))
+      |SELECT new_status, count(*) AS n,
+      |  CAST(SUM(CAST(new_price AS DECIMAL(38,6))) AS DOUBLE) AS total
+      |FROM merged WHERE action <> 'D'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q128: Spearman rank correlation between order value and the customer's
+    * account balance — the robust correlation a feature-quality monitor
+    * wants (insensitive to the heavy price tail that wrecks Pearson).
+    * Average-rank tie handling is made EXPLICIT (min-rank + (ties−1)/2), so
+    * ranks are half-integers any engine reproduces; the closing Pearson
+    * formula runs over decimal-exact moments cast once to double —
+    * deterministic to the last bit, no engine-private covariance kernel.
+    *
+    * Scale shape: two rank windows (global sorts — the honest cost of exact
+    * ranks; at 100 TB sample or bucket first), then ONE moment aggregate of
+    * 6 decimal sums — fixed-size state, partial-aggregated. */
+  def q128Spearman(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_totalprice").as("x"), col("c_acctbal").as("y"))
+    val ranked = joined
+      .withColumn("rx", rank().over(Window.orderBy("x")) +
+        (count(lit(1)).over(Window.partitionBy("x")) - 1) / 2.0)
+      .withColumn("ry", rank().over(Window.orderBy("y")) +
+        (count(lit(1)).over(Window.partitionBy("y")) - 1) / 2.0)
+    val D = "DECIMAL(38,6)"
+    ranked.agg(
+      count(lit(1)).as("n"),
+      expr(s"CAST(sum(CAST(rx AS $D)) AS DOUBLE)").as("sx"),
+      expr(s"CAST(sum(CAST(ry AS $D)) AS DOUBLE)").as("sy"),
+      expr(s"CAST(sum(CAST(rx * ry AS $D)) AS DOUBLE)").as("sxy"),
+      expr(s"CAST(sum(CAST(rx * rx AS $D)) AS DOUBLE)").as("sxx"),
+      expr(s"CAST(sum(CAST(ry * ry AS $D)) AS DOUBLE)").as("syy"))
+      .selectExpr("n",
+        """round((n * sxy - sx * sy) /
+          |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+          |  AS spearman_rho""".stripMargin)
+  }
+
+  val q128Sql: String =
+    """WITH j AS (
+      |  SELECT o_totalprice AS x, c_acctbal AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (
+      |  SELECT
+      |    rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+      |    rank() OVER (ORDER BY y) + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+      |  FROM j),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(rx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(ry AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(rx * ry AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(rx * rx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(ry * ry AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      |  FROM r)
+      |SELECT n, round((n * sxy - sx * sy) /
+      |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS spearman_rho
+      |FROM m""".stripMargin
+
+  /** q131: array set-operation battery — per-customer priority profiles for
+    * two periods as DISTINCT element arrays, compared with
+    * `array_intersect` / `array_union` / `array_except`. Canonicalization
+    * discipline: every emitted array is sorted then joined, so the string
+    * on the wire is engine-independent even though set-op output order is
+    * implementation-defined in BOTH engines.
+    *
+    * Scale shape: one grouped aggregate builds both profiles in a single
+    * pass (conditional collect_set — no self-join of periods); the set ops
+    * are per-row expression work over ≤5-element arrays. */
+  def q131ArraySetOps(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(
+        collect_set(when(col("o_orderdate") < lit("1997-01-01"),
+          col("o_orderpriority"))).as("p1"),
+        collect_set(when(col("o_orderdate") >= lit("1997-01-01"),
+          col("o_orderpriority"))).as("p2"))
+      .selectExpr("o_custkey",
+        "array_join(array_sort(array_intersect(p1, p2)), ',') AS in_both",
+        "array_join(array_sort(array_union(p1, p2)), ',') AS in_any",
+        "array_join(array_sort(array_except(p1, p2)), ',') AS only_early",
+        "size(array_intersect(p1, p2)) AS n_common")
+      .orderBy("o_custkey")
+
+  val q131Sql: String =
+    """WITH p AS (
+      |  SELECT o_custkey,
+      |    coalesce(list_distinct(list(o_orderpriority)
+      |      FILTER (WHERE o_orderdate < TIMESTAMP '1997-01-01')),
+      |      CAST([] AS VARCHAR[])) AS p1,
+      |    coalesce(list_distinct(list(o_orderpriority)
+      |      FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01')),
+      |      CAST([] AS VARCHAR[])) AS p2
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey,
+      |  coalesce(array_to_string(
+      |    list_sort(list_filter(p1, x -> list_contains(p2, x))), ','), '')
+      |    AS in_both,
+      |  coalesce(array_to_string(
+      |    list_sort(list_distinct(list_concat(p1, p2))), ','), '')
+      |    AS in_any,
+      |  coalesce(array_to_string(
+      |    list_sort(list_filter(p1, x -> NOT list_contains(p2, x))), ','), '')
+      |    AS only_early,
+      |  len(list_filter(p1, x -> list_contains(p2, x))) AS n_common
+      |FROM p ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_array_set_ops"    -> q131ArraySetOps,
     "q123_regional_revenue" -> q123RegionalRevenue,
     "q124_subquery_battery" -> q124SubqueryBattery,
     "q125_pivot_multi_agg"  -> q125PivotMultiAgg,
-    "q126_time_rollup"      -> q126TimeRollup)
+    "q126_time_rollup"      -> q126TimeRollup,
+    "q127_merge_upsert"     -> q127MergeUpsert,
+    "q128_spearman"         -> q128Spearman)
 
   val oracle: Map[String, String] = Map(
+    "q131_array_set_ops"    -> q131Sql,
     "q123_regional_revenue" -> q123Sql,
     "q124_subquery_battery" -> q124Sql,
     "q125_pivot_multi_agg"  -> q125Sql,
-    "q126_time_rollup"      -> q126Sql)
+    "q126_time_rollup"      -> q126Sql,
+    "q127_merge_upsert"     -> q127Sql,
+    "q128_spearman"         -> q128Sql)
 }

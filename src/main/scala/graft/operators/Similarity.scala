@@ -254,8 +254,68 @@ object Similarity {
       |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** s132: one k-means iteration — seed centers from the per-label means
+    * (s122's aggregate reshaped to center vectors), assign every vector to
+    * its nearest center by L2² (strict left-fold distance — bit-identical
+    * cross-engine), and report per-cluster size, migration count, and
+    * decimal-summed inertia. One such step per pass is exactly how
+    * large-scale k-means runs: centers broadcast (k·dims doubles), the
+    * corpus NEVER shuffles, and the argmin is a `min(struct(d2, k))` hash
+    * aggregate — no per-vector window sort, no skew sensitivity.
+    *
+    * Tie-break: equal distances resolve to the smaller center id, pinned in
+    * the struct ordering. */
+  def s132KmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val all = vecs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val centers = all
+      .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("label", "p")
+      .agg(round(graft.functions.OracleSafe.davg(col("x")), 6).as("c"))
+      .groupBy(col("label").as("klabel"))
+      .agg(expr("transform(sort_array(collect_list(struct(p, c))), e -> e.c)")
+        .as("cv"))
+    val out = all.as("e").crossJoin(broadcast(centers))
+      .selectExpr("vec_id", "label", "klabel",
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, " +
+          "(acc, x) -> acc + x) AS d2")
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("klabel"), col("label"))).as("b"))
+      .select(col("b.klabel").as("cluster"), col("b.label").as("label"),
+        col("b.d2").as("d2"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("label") =!= col("cluster"), lit(1))).as("n_moved"),
+        round(graft.functions.OracleSafe.dsum(col("d2")), 6).as("inertia"))
+      .orderBy("cluster")
+    out
+  }
+
+  val s132Sql: String =
+    s"""WITH e AS ($vecsDuck),
+       |cent AS (
+       |  SELECT label, i AS p,
+       |    round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6)))
+       |            AS DOUBLE) / count(*), 6) AS c
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+       |  GROUP BY 1, 2),
+       |cv AS (SELECT label AS klabel, list(c ORDER BY p) AS cv FROM cent GROUP BY 1),
+       |a AS (
+       |  SELECT e.vec_id, e.label, k.klabel,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |      j -> (e.v[j] - k.cv[j]) * (e.v[j] - k.cv[j]))), (x, y) -> x + y) AS d2
+       |  FROM e, cv k),
+       |best AS (
+       |  SELECT vec_id, label, klabel, d2,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, klabel) AS rn
+       |  FROM a)
+       |SELECT klabel AS cluster, count(*) AS n,
+       |  count(CASE WHEN label <> klabel THEN 1 END) AS n_moved,
+       |  round(CAST(sum(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE), 6) AS inertia
+       |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s122_label_centroids" -> s122LabelCentroids,
+    "s132_kmeans_step"     -> s132KmeansStep,
     "s38_ann_brute"        -> s38AnnBrute,
     "s39_ann_ivf"          -> s39AnnIvf,
     "s40_ann_lsh"          -> s40AnnLsh,
@@ -264,6 +324,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s122_label_centroids" -> s122Sql,
+    "s132_kmeans_step"     -> s132Sql,
     "s38_ann_brute"        -> s38Sql,
     "s39_ann_ivf"          -> s39Sql,
     "s40_ann_lsh"          -> s40Sql,

@@ -177,13 +177,90 @@ object TimeSeries {
       |FROM ranked r JOIN q ON r.event_type = q.event_type
       |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
 
+  /** q129: event-transition matrix — first-order Markov counts over each
+    * user's time-ordered event stream (`lag` per user), with the transition
+    * probability against the from-state total. The order within a user is
+    * pinned by (ts, event_id) so concurrent events can't flip across
+    * engines.
+    *
+    * Scale shape: the window partitions by user — millions of independent
+    * per-user sorts, each bounded by that user's history, never a global
+    * order. The matrix aggregate is |types|² groups out of any row count. */
+  def q129EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(col("n") /
+        sum("n").over(Window.partitionBy("from_type")), 6))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q129Sql: String =
+    """WITH t AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type,
+      |    event_type AS to_type
+      |  FROM events),
+      |m AS (
+      |  SELECT from_type, to_type, count(*) AS n
+      |  FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+      |FROM m ORDER BY from_type, to_type""".stripMargin
+
+  /** q130: running balance — per-customer cumulative order totals in order
+    * date sequence (the account-statement query). The running SUM
+    * accumulates in DECIMAL: decimal addition is exact and associative, so
+    * unlike a double running sum the prefix values are identical under any
+    * engine's window accumulation scheme (Spark folds linearly; other
+    * engines use segment trees — only exact arithmetic makes those agree).
+    *
+    * Scale shape: per-customer windows — parallel across customers, state
+    * is one accumulator; emitted rows capped to early 1996 to keep the gate
+    * output bounded (the window still spans full history). */
+  def q130RunningBalance(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("balance",
+        sum(col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double"))
+      .withColumn("n_orders", count(lit(1)).over(w))
+      .filter(col("o_orderdate") < lit("1995-03-01"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        col("n_orders"), col("balance"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q130Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS d,
+      |  count(*) OVER w AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+      |    AS balance
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |QUALIFY o_orderdate < TIMESTAMP '1995-03-01'
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_gap_fill"     -> q114GapFill,
     "q115_ewma"         -> q115Ewma,
-    "q116_iqr_outliers" -> q116IqrOutliers)
+    "q116_iqr_outliers" -> q116IqrOutliers,
+    "q129_event_transitions" -> q129EventTransitions,
+    "q130_running_balance"   -> q130RunningBalance)
 
   val oracle: Map[String, String] = Map(
     "q114_gap_fill"     -> q114Sql,
     "q115_ewma"         -> q115Sql,
-    "q116_iqr_outliers" -> q116Sql)
+    "q116_iqr_outliers" -> q116Sql,
+    "q129_event_transitions" -> q129Sql,
+    "q130_running_balance"   -> q130Sql)
 }

@@ -35,6 +35,81 @@ class RelationalExt4Spec extends SparkSpec {
     assert(total === graft.Tables.orders(spark, sf).count())
   }
 
+  test("q127 merge reconciles: keeps + updates + inserts, deletes gone") {
+    import org.apache.spark.sql.functions._
+    val out = RelationalExt4.q127MergeUpsert(spark, sf).collect()
+    val finalCount = out.map(_.getLong(1)).sum
+    val target = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < lit("1997-01-01"))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).toSet
+    val src = graft.Tables.lineitem(spark, sf)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("l_returnflag") === "R", lit(1))).as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val deletes = target.count(k => src.get(k).exists { case (n, r) => r == n })
+    val inserts = src.keySet.diff(target).size
+    assert(finalCount === target.size - deletes + inserts)
+    // inserted rows all carry status N
+    val nRow = out.find(_.getString(0) == "N").get
+    assert(nRow.getLong(1) === inserts.toLong)
+  }
+
+  test("q128 Spearman matches a driver-side computation and is in [-1,1]") {
+    import org.apache.spark.sql.functions._
+    val row = RelationalExt4.q128Spearman(spark, sf).head()
+    val rho = row.getDouble(1)
+    assert(rho >= -1.0 && rho <= 1.0)
+    val xs = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_totalprice", "c_acctbal").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    def avgRanks(v: Array[Double]): Array[Double] = {
+      val sorted = v.zipWithIndex.sortBy(_._1)
+      val ranks = new Array[Double](v.length)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+        val avg = (i + 1 + j) / 2.0 // mean of ranks i+1 .. j
+        (i until j).foreach(k => ranks(sorted(k)._2) = avg)
+        i = j
+      }
+      ranks
+    }
+    val rx = avgRanks(xs.map(_._1)); val ry = avgRanks(xs.map(_._2))
+    val n = xs.length.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val sxx = rx.map(a => a * a).sum
+    val syy = ry.map(a => a * a).sum
+    val brute = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(rho - brute) < 1e-6)
+  }
+
+  test("q131 set-op outputs are consistent: disjointness and containment") {
+    val rows = RelationalExt4.q131ArraySetOps(spark, sf).collect()
+    rows.foreach { r =>
+      def parts(i: Int) = r.getString(i).split(',').filter(_.nonEmpty).toSet
+      val (both, any, onlyEarly) = (parts(1), parts(2), parts(3))
+      assert(both.intersect(onlyEarly).isEmpty)
+      assert(both.subsetOf(any) && onlyEarly.subsetOf(any))
+      assert(r.getInt(4) === both.size)
+    }
+  }
+
+  test("s132 k-means step conserves vectors and bounds inertia") {
+    val rows = Similarity.s132KmeansStep(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ===
+      graft.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))     // moved ≤ assigned
+      assert(r.getDouble(3) >= 0.0)            // inertia non-negative
+    }
+  }
+
   test("q126 grains reconcile: each level totals the whole table") {
     val rows = RelationalExt4.q126TimeRollup(spark, sf).collect()
     val n = graft.Tables.orders(spark, sf).count()

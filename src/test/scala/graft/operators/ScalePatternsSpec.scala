@@ -97,6 +97,38 @@ class ScalePatternsSpec extends SparkSpec {
     assert(pts.select("z").distinct().count() == 64L * 64L)
   }
 
+  test("dynamic partition pruning fires from a dim-side filter") {
+    import spark.implicits._
+    ScalePatterns.q64PartitionPruning(spark, dir).count() // writes the layout
+    val tmp = s"${graft.SparkSupport.scratchDir}/graft_events_parted"
+    val fact = spark.read.parquet(tmp)
+    // the keep flag is only knowable at runtime — static pruning can't help,
+    // DPP must inject a subquery filter on the partition column. The dim
+    // must be a SOURCE with a visible Filter: a local Seq constant-folds the
+    // predicate away and DPP's selectivity check sees no predicate to reuse.
+    val dimPath = s"${graft.SparkSupport.scratchDir}/graft_dpp_dim"
+    Seq(("click", 1), ("view", 0), ("purchase", 0),
+      ("signup", 0), ("error", 0)).toDF("event_type", "keep")
+      .write.mode("overwrite").parquet(dimPath)
+    val q = fact.join(spark.read.parquet(dimPath).filter($"keep" === 1),
+        Seq("event_type"))
+      .groupBy("event_type").count()
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the scan:\n$plan")
+  }
+
+  test("AQE coalesces post-shuffle partitions at runtime") {
+    val q = graft.Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead"),
+      s"expected AQE to re-plan the exchange read:\n$plan")
+  }
+
   test("bucketed join result matches the raw-table join") {
     val bucketed = ScalePatterns.q50BucketedJoin(spark, dir)
       .collect().map(_.toSeq)

@@ -45,6 +45,33 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("q129 transition rows per source state sum to its outgoing total") {
+    val rows = TimeSeries.q129EventTransitions(spark, sf).collect()
+    // per from_type, probabilities sum to ~1
+    rows.groupBy(_.getString(0)).foreach { case (ft, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-4, s"$ft prob mass $p")
+    }
+    // total transitions = events minus one per active user
+    val ev = graft.Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === expected)
+  }
+
+  test("q130 balances step by exactly one order per row within a customer") {
+    val rows = TimeSeries.q130RunningBalance(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(3)) // by n_orders
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        // n_orders is dense from the customer's first order in the window
+        if (i > 0) {
+          assert(r.getLong(3) === ordered(i - 1).getLong(3) + 1)
+          assert(r.getDouble(4) > ordered(i - 1).getDouble(4))
+        }
+      }
+    }
+  }
+
   test("q116 fence count matches a driver-side brute force") {
     val out = TimeSeries.q116IqrOutliers(spark, sf).collect()
     val byType = graft.Tables.events(spark, sf).select("event_type", "value")
