@@ -90,7 +90,8 @@ private[v2] class StagedFdicTable(schema: StructType, path: String)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StagedFdicScanBuilder(schema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -221,6 +222,8 @@ private[v2] class StagedFdicWriteBuilder(path: String, schema: StructType)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       StagedFdicBatchWrite(path, schema.fieldNames, doTruncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      StagedFdicStreamingWrite(path, schema.fieldNames)
   }
 }
 
@@ -268,6 +271,64 @@ private[v2] case class StagedFdicWriterFactory(stagingDir: String,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new StagedFdicDataWriter(
       s"$stagingDir/part-$partitionId-$taskId.json", fields)
+}
+
+/** Streaming write: the same two-phase commit, per EPOCH. Task files are
+  * named `epoch-<id>-part-<pid>-<tid>.json`; the epoch-level `commit` first
+  * DELETES any already-visible files of that epoch, then atomically renames
+  * the new ones in — so a re-delivered epoch (failure between the sink
+  * commit and the checkpoint write, the classic streaming at-least-once
+  * window) REPLACES its previous output instead of duplicating it. Combined
+  * with the engine's checkpoint tracking this gives idempotent, effectively
+  * exactly-once file output — the property every streaming sink at scale
+  * must provide, because epoch redelivery is a certainty over enough
+  * machine-hours. Appends across epochs accumulate (the K1 quarterly-load
+  * shape); the V2 reader lists epoch files like any other staged file. */
+private[v2] case class StagedFdicStreamingWrite(path: String,
+                                                fields: Array[String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val stagingDir = s"$path/.staging-stream-${java.util.UUID.randomUUID()}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(stagingDir))
+    StagedFdicStreamingWriterFactory(stagingDir, fields)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val target = Paths.get(path)
+    Files.createDirectories(target)
+    // idempotence: a re-committed epoch replaces its prior output
+    StagedFdicSource.listFiles(path)
+      .filter(_.getFileName.toString.startsWith(s"epoch-$epochId-"))
+      .foreach(Files.delete)
+    messages.foreach { case StagedTaskCommit(tmp) =>
+      val f = Paths.get(tmp)
+      Files.move(f, target.resolve(f.getFileName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val d = Paths.get(stagingDir)
+    if (Files.exists(d)) {
+      Files.list(d).collect(Collectors.toList[Path]).asScala
+        .foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(d)
+    }
+  }
+}
+
+private[v2] case class StagedFdicStreamingWriterFactory(stagingDir: String,
+                                                        fields: Array[String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new StagedFdicDataWriter(
+      s"$stagingDir/epoch-$epochId-part-$partitionId-$taskId.json", fields)
 }
 
 private[v2] class StagedFdicDataWriter(file: String, fields: Array[String])

@@ -80,6 +80,40 @@ class StagedFdicSourceSpec extends SparkSpec {
     assert(spark.read.format(fmt).option("fields", "CERT").load(dir).count() == 2)
   }
 
+  test("streaming write commits per epoch; re-committed epochs replace, not duplicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("staged_stream").toString
+    val ckpt = Files.createTempDirectory("staged_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = in.toDF().toDF("CERT", "NAME")
+      .writeStream.format(fmt)
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    in.addData(("1", "ALPHA"), ("2", "BETA"))
+    q.processAllAvailable()
+    in.addData(("3", "GAMMA"))
+    q.processAllAvailable()
+    q.stop()
+    // both epochs visible, epoch-tagged files, no staging residue
+    val back = spark.read.format(fmt).option("fields", "CERT,NAME").load(dir)
+    assert(back.orderBy("CERT").collect().map(_.getString(0)).toSeq ==
+      Seq("1", "2", "3"))
+    val files = StagedFdicSource.listFiles(dir).map(_.getFileName.toString)
+    assert(files.nonEmpty && files.forall(_.startsWith("epoch-")), files)
+    assert(files.map(_.split("-")(1)).distinct.size == 2) // two epochs
+    // idempotence: manually re-commit epoch 0's worth of data — the write
+    // replaces that epoch's files instead of appending duplicates
+    val w = StagedFdicStreamingWrite(dir, Array("CERT", "NAME"))
+    val before = spark.read.format(fmt).option("fields", "CERT").load(dir).count()
+    w.commit(0L, Array.empty) // epoch 0 redelivered with no rows
+    val after = spark.read.format(fmt).option("fields", "CERT").load(dir).count()
+    val epoch0Gone = StagedFdicSource.listFiles(dir)
+      .forall(!_.getFileName.toString.startsWith("epoch-0-"))
+    assert(epoch0Gone && after < before)
+  }
+
   test("V2 write output is byte-compatible with Ingest.stageFdicResponse lines") {
     import spark.implicits._
     val dir = Files.createTempDirectory("staged_compat").toString
