@@ -103,7 +103,10 @@ object GraftFunctions {
     ("minhash16", "minhash16(hashes) - 16 permutation-min hashes of a hash list",
       (args: Seq[Expression]) => MinHash16(args.head)),
     ("lsh_bucket8", "lsh_bucket8(v) - 8-bit random-hyperplane LSH signature",
-      (args: Seq[Expression]) => LshBucket8(args.head)))
+      (args: Seq[Expression]) => LshBucket8(args.head)),
+    ("lev_within", "lev_within(s1, s2, k) - banded Levenshtein: exact distance if <= k, else k+1",
+      (args: Seq[Expression]) =>
+        BandedLevenshtein(args.head, args(1), litLong(args(2)).toInt)))
 
   /** Idempotent imperative registration — works on ANY session, including
     * one the harness built without our extensions class. */

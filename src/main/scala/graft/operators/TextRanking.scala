@@ -125,12 +125,35 @@ object TextRanking {
       |WHERE c_custkey % 10 = 0
       |ORDER BY c_nationkey, c_custkey""".stripMargin
 
+  /** q133: q60's verify pass through the native banded-Levenshtein kernel
+    * ([[graft.catalyst.BandedLevenshtein]], `lev_within(a, b, 1)`) instead
+    * of the full-matrix built-in — identical output (shares q60's oracle,
+    * the s46/s38 pattern), O(k·n) per candidate pair instead of O(n·m),
+    * with the |len diff| > k pre-check rejecting most pairs before the DP.
+    * At 100 TB the blocked-pair verify is the hot loop of entity
+    * resolution; the cutoff kernel is what makes it affordable. */
+  def q133FuzzyNative(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val names = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"),
+        expr("substring(s_name, length(s_name), 1)").as("block"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    names.as("a").join(names.as("b"),
+        col("a.block") === col("b.block") && col("a.s_suppkey") < col("b.s_suppkey"))
+      .select(col("a.s_suppkey").as("id1"), col("b.s_suppkey").as("id2"),
+        expr("lev_within(a.s_name, b.s_name, 1)").as("dist"))
+      .filter(col("dist") <= 1)
+      .orderBy("id1", "id2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_fuzzy_native"  -> q133FuzzyNative,
     "t59_tfidf_terms"    -> t59TfidfTerms,
     "q60_fuzzy_entity"   -> q60FuzzyEntity,
     "q61_window_battery" -> q61WindowBattery)
 
   val oracle: Map[String, String] = Map(
+    "q133_fuzzy_native"  -> q60Sql,
     "t59_tfidf_terms"    -> t59Sql,
     "q60_fuzzy_entity"   -> q60Sql,
     "q61_window_battery" -> q61Sql)
