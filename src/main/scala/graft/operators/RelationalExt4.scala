@@ -337,7 +337,42 @@ object RelationalExt4 {
       |  len(list_filter(p1, x -> list_contains(p2, x))) AS n_common
       |FROM p ORDER BY o_custkey""".stripMargin
 
+  /** q134: nested-JSON roundtrip — per-customer documents with an embedded
+    * order ARRAY (`to_json(struct(..., array<struct>))`), parsed back with
+    * a declared nested schema (`from_json` → explode of the inner array)
+    * and re-aggregated. The oracle computes the same numbers straight from
+    * the tables, so the hash-match proves serialize→parse→explode is the
+    * identity — the q13/q22 flat-JSON coverage extended to the nested shape
+    * real event payloads have.
+    *
+    * Scale shape: build and parse are both per-row expression work; the
+    * only shuffles are the two aggregates keyed by customer. The declared
+    * read schema means the parser materializes exactly the referenced
+    * fields — schema-on-read discipline, same as the bronze path. */
+  def q134JsonNested(s: SparkSession, dir: String): DataFrame = {
+    val doc = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(to_json(struct(col("o_custkey").as("cust"),
+        sort_array(collect_list(struct(col("o_orderkey").as("k"),
+          col("o_totalprice").as("p")))).as("orders"))).as("j"))
+    doc.select(from_json(col("j"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "cust BIGINT, orders ARRAY<STRUCT<k: BIGINT, p: DOUBLE>>")).as("d"))
+      .select(col("d.cust").as("o_custkey"), explode(col("d.orders")).as("o"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("o.k")).as("max_key"),
+        OracleSafe.dsum(col("o.p")).as("total"))
+      .orderBy("o_custkey")
+  }
+
+  val q134Sql: String =
+    """SELECT o_custkey, count(*) AS n_orders, max(o_orderkey) AS max_key,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_json_nested"      -> q134JsonNested,
     "q131_array_set_ops"    -> q131ArraySetOps,
     "q123_regional_revenue" -> q123RegionalRevenue,
     "q124_subquery_battery" -> q124SubqueryBattery,
@@ -347,6 +382,7 @@ object RelationalExt4 {
     "q128_spearman"         -> q128Spearman)
 
   val oracle: Map[String, String] = Map(
+    "q134_json_nested"      -> q134Sql,
     "q131_array_set_ops"    -> q131Sql,
     "q123_regional_revenue" -> q123Sql,
     "q124_subquery_battery" -> q124Sql,

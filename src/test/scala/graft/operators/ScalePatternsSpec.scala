@@ -119,6 +119,43 @@ class ScalePatternsSpec extends SparkSpec {
       s"expected a dynamic partition pruning filter on the scan:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // force a sort-merge join and make the skew detector sensitive enough
+      // to fire on test-sized data
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      // 90% of left rows share one key — the degenerate histogram q49's
+      // salting handles manually; here AQE must detect and split it
+      val left = spark.range(200000)
+        .select((when(col("id") % 10 < 9, 0L).otherwise(col("id") % 100))
+          .as("k"), col("id").as("v"))
+      val right = spark.range(100).select(col("id").as("k"),
+        (col("id") * 2).as("w"))
+      // global aggregate: a groupBy on the join key would REQUIRE the join's
+      // hash partitioning, and AQE refuses to split a skewed partition when
+      // that breaks a required distribution (it would add a shuffle)
+      val q = left.join(right, "k").agg(sum("w").as("s"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (key, Some(v)) => conf.set(key, v)
+      case (key, None)    => conf.unset(key)
+    }
+  }
+
   test("AQE coalesces post-shuffle partitions at runtime") {
     val q = graft.Tables.orders(spark, dir)
       .groupBy("o_orderstatus")
