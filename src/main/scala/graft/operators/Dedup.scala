@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.PortableHash._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -353,7 +354,50 @@ object Dedup {
       |SELECT id1, id2, round(cos, 6) AS cos FROM pairs
       |WHERE cos >= 0.98 ORDER BY id1, id2""".stripMargin
 
+  /** d135: INCREMENTAL dedup — the production form of d29. A 100 TB corpus
+    * is never re-deduped from scratch: the fingerprint index (distinct
+    * content hashes of the existing corpus) is a persisted table, and each
+    * ingest batch joins only ITS OWN hashes against it. Every delta doc is
+    * classified: `dup_index` (already in the corpus), `dup_delta`
+    * (duplicate within the batch — an earlier batch doc wins by id), or
+    * `unique` (admitted; its hash is what the index-maintenance write
+    * appends).
+    *
+    * Scale shape: the index side of the join carries ONE 32-byte hash per
+    * distinct historical document; the batch side is delta-sized. Nothing
+    * rescans history. The same pattern runs the near-dup variants
+    * incrementally — persist the minhash band index (d31) instead of the
+    * exact hash. */
+  def d135IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      md5(col("text")).as("h"))
+    val index = d.filter(col("doc_id") % 7 =!= 0).select("h").distinct()
+    val delta = d.filter(col("doc_id") % 7 === 0)
+    val withinDelta = Window.partitionBy("h").orderBy("doc_id")
+    delta
+      .join(index.withColumn("in_index", lit(1)), Seq("h"), "left")
+      .withColumn("rank_in_delta", row_number().over(withinDelta))
+      .select(col("doc_id"),
+        when(col("in_index") === 1, "dup_index")
+          .when(col("rank_in_delta") > 1, "dup_delta")
+          .otherwise("unique").as("status"))
+      .orderBy("doc_id")
+  }
+
+  val d135Sql: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |idx AS (SELECT DISTINCT h FROM d WHERE doc_id % 7 <> 0),
+      |delta AS (SELECT * FROM d WHERE doc_id % 7 = 0)
+      |SELECT delta.doc_id,
+      |  CASE WHEN idx.h IS NOT NULL THEN 'dup_index'
+      |       WHEN row_number() OVER (PARTITION BY delta.h ORDER BY delta.doc_id) > 1
+      |         THEN 'dup_delta'
+      |       ELSE 'unique' END AS status
+      |FROM delta LEFT JOIN idx ON delta.h = idx.h
+      |ORDER BY delta.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d135_incremental_dedup"  -> d135IncrementalDedup,
     "d29_dedup_exact"         -> d29Exact,
     "d30_dedup_ngram_jaccard" -> d30NgramJaccard,
     "d31_dedup_minhash_lsh"   -> d31MinhashLsh,
@@ -361,6 +405,7 @@ object Dedup {
     "d33_dedup_embedding"     -> d33Embedding)
 
   val oracle: Map[String, String] = Map(
+    "d135_incremental_dedup"  -> d135Sql,
     "d29_dedup_exact"         -> d29Sql,
     "d30_dedup_ngram_jaccard" -> d30Sql,
     "d31_dedup_minhash_lsh"   -> d31Sql,

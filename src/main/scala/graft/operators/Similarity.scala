@@ -313,9 +313,66 @@ object Similarity {
        |  round(CAST(sum(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE), 6) AS inertia
        |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** s137: embedding drift — per-label centroid shift between two corpus
+    * snapshots (first vs second half by vec_id), the monitor that catches a
+    * changed upstream encoder or corpus mix before it poisons retrieval.
+    * Centroids are the s122 aggregate per half (rounded → exact decimals);
+    * the shift is a strict-left-fold L2 over the 64-dim pair, so the
+    * reported drift is bit-identical cross-engine.
+    *
+    * Scale shape: two fixed-size (label × dim) aggregates and a |labels|-row
+    * join — nothing downstream of the first aggregate scales with corpus
+    * size. */
+  def s137CentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    def cent(half: DataFrame) = half
+      .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("label", "p")
+      .agg(round(graft.functions.OracleSafe.davg(col("x")), 6).as("c"))
+      .groupBy("label")
+      .agg(expr("transform(sort_array(collect_list(struct(p, c))), e -> e.c)")
+        .as("cv"))
+    val all = vecs(s, dir)
+    val a = cent(all.filter(col("vec_id") < 250))
+      .withColumnRenamed("cv", "ca")
+    val b = cent(all.filter(col("vec_id") >= 250))
+      .withColumnRenamed("cv", "cb")
+    a.join(b, "label")
+      .selectExpr("label",
+        """round(sqrt(aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),
+          |  0D, (acc, x) -> acc + x)), 6) AS l2_shift""".stripMargin)
+      .withColumn("drifted", col("l2_shift") > 0.5)
+      .orderBy("label")
+  }
+
+  val s137Sql: String =
+    s"""WITH e AS ($vecsDuck),
+       |ca AS (
+       |  SELECT label, i AS p,
+       |    round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6)))
+       |            AS DOUBLE) / count(*), 6) AS c
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+       |  WHERE vec_id < 250 GROUP BY 1, 2),
+       |cb AS (
+       |  SELECT label, i AS p,
+       |    round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6)))
+       |            AS DOUBLE) / count(*), 6) AS c
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+       |  WHERE vec_id >= 250 GROUP BY 1, 2),
+       |la AS (SELECT label, list(c ORDER BY p) AS ca FROM ca GROUP BY 1),
+       |lb AS (SELECT label, list(c ORDER BY p) AS cb FROM cb GROUP BY 1)
+       |SELECT label,
+       |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |    j -> (ca[j] - cb[j]) * (ca[j] - cb[j]))), (x, y) -> x + y)), 6)
+       |    AS l2_shift,
+       |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |    j -> (ca[j] - cb[j]) * (ca[j] - cb[j]))), (x, y) -> x + y)), 6) > 0.5
+       |    AS drifted
+       |FROM la JOIN lb USING (label) ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s122_label_centroids" -> s122LabelCentroids,
     "s132_kmeans_step"     -> s132KmeansStep,
+    "s137_centroid_drift"  -> s137CentroidDrift,
     "s38_ann_brute"        -> s38AnnBrute,
     "s39_ann_ivf"          -> s39AnnIvf,
     "s40_ann_lsh"          -> s40AnnLsh,
@@ -325,6 +382,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "s122_label_centroids" -> s122Sql,
     "s132_kmeans_step"     -> s132Sql,
+    "s137_centroid_drift"  -> s137Sql,
     "s38_ann_brute"        -> s38Sql,
     "s39_ann_ivf"          -> s39Sql,
     "s40_ann_lsh"          -> s40Sql,

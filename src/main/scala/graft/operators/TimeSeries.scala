@@ -250,7 +250,54 @@ object TimeSeries {
       |QUALIFY o_orderdate < TIMESTAMP '1995-03-01'
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q136: distinct users per 7-day sliding window (slide 1 day) — the
+    * weekly-active-users series. Sliding distinct-count can't use running
+    * window state (distinct doesn't decompose), so the scalable form is the
+    * BOUNDED MEMBERSHIP EXPLODE: each (user, day) pair joins the ≤7 windows
+    * containing it (`sequence` + explode — factor = window/slide, a
+    * constant), then one (window, user) distinct and one window count.
+    *
+    * Scale shape: pre-aggregating to distinct (user, day) BEFORE the
+    * explode caps the blow-up at active-user-days × 7, shuffles key by
+    * (window, user) then window, and no per-window state ever exceeds the
+    * distinct-user count. The same shape computes any sliding DISTINCT
+    * aggregate; approximate variant = q52's HLL per window. */
+  def q136SlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val bounds = Tables.events(s, dir)
+      .agg(min(date_trunc("day", col("ts"))).as("lo"),
+        max(date_trunc("day", col("ts"))).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .selectExpr("user_id",
+        "explode(sequence(greatest(lo, d - interval 6 days), least(d, hi - interval 6 days))) AS w")
+      .groupBy("w")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(date_format(col("w"), "yyyy-MM-dd").as("window_start"),
+        col("wau"))
+      .orderBy("window_start")
+  }
+
+  val q136Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+      |  FROM events),
+      |b AS (SELECT min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS lo,
+      |             max(date_trunc('day', CAST(ts AS TIMESTAMP))) AS hi
+      |      FROM events),
+      |m AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(greatest(lo, d - INTERVAL 6 DAY),
+      |                           least(d, hi - INTERVAL 6 DAY),
+      |                           INTERVAL 1 DAY)) AS w
+      |  FROM ud, b)
+      |SELECT strftime(w, '%Y-%m-%d') AS window_start,
+      |  count(DISTINCT user_id) AS wau
+      |FROM m GROUP BY w ORDER BY window_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_sliding_distinct" -> q136SlidingDistinct,
     "q114_gap_fill"     -> q114GapFill,
     "q115_ewma"         -> q115Ewma,
     "q116_iqr_outliers" -> q116IqrOutliers,
@@ -258,6 +305,7 @@ object TimeSeries {
     "q130_running_balance"   -> q130RunningBalance)
 
   val oracle: Map[String, String] = Map(
+    "q136_sliding_distinct" -> q136Sql,
     "q114_gap_fill"     -> q114Sql,
     "q115_ewma"         -> q115Sql,
     "q116_iqr_outliers" -> q116Sql,
