@@ -311,7 +311,89 @@ object Curation {
        |SELECT o_orderstatus, o_orderkey, round(r * 1e6, 6) AS rank_key
        |FROM k WHERE rn <= 10 ORDER BY o_orderstatus, o_orderkey""".stripMargin
 
+  /** q138: the end-to-end curation pipeline — the composition the engine
+    * exists for, as ONE dataflow: raw corpus (with planted copies) →
+    * exact dedup (min-id per content hash, id-semi-join back so only keys
+    * shuffle wide) → quality gate (t35's composite score on the raw
+    * doubles) → deterministic per-source cap (bottom-k by portable hash
+    * through [[TopKPerKey]]'s heaps) → per-source shard stats. Every stage
+    * is an operator already verified alone (d29 / t35 / t98); this query
+    * gates their COMPOSITION, where stage-boundary bugs (dropped columns,
+    * re-keyed ids, double-counted survivors) actually live.
+    *
+    * Scale shape: stages chain without materialization barriers — dedup
+    * shuffles (hash, id) pairs only, the quality gate is map-side, the cap
+    * is map-side heaps + one k-bounded exchange, and the final aggregate is
+    * |sources| rows. */
+  def q138CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val corpus = Dedup.corpusWithCopies(s, dir)
+    // stage 1: exact dedup — winners by key, then semi-join the payload back
+    val keep = corpus.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+    val deduped = corpus.join(keep.select("doc_id"), Seq("doc_id"))
+    // stage 2: quality gate (t35's composite, unrounded)
+    val stopArr = TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val toks = "split(lower(text), ' ')"
+    val scored = deduped.selectExpr("doc_id", "source", "text",
+        s"""least(length(text) / 500.0D, 1.0D) * 0.3D
+           |  + least(size(filter($toks, t -> array_contains($stopArr, t)))
+           |      / CAST(size($toks) AS DOUBLE) * 5.0D, 1.0D) * 0.4D
+           |  + size(regexp_extract_all(lower(text), '[a-z]', 0))
+           |      / CAST(length(text) AS DOUBLE) * 0.3D AS score""".stripMargin)
+      .filter(col("score") >= 0.55)
+    // stage 3: deterministic per-source cap, k smallest portable hashes
+    val capped = TopKPerKey(
+      scored.selectExpr("source", "doc_id", "score",
+        "poly_hash(CAST(doc_id AS STRING)) AS ph", s"size($toks) AS n_tokens"),
+      Seq("source"), Seq("ph" -> true, "doc_id" -> true), 100)
+    // stage 4: shard stats
+    capped.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(graft.functions.OracleSafe.davg(col("score")), 6).as("mean_score"))
+      .orderBy("source")
+  }
+
+  val q138Sql: String = {
+    val stopList = TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, 'copy' AS source, text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+       |dd AS (SELECT c.* FROM corpus c JOIN keep USING (doc_id)),
+       |scored AS (
+       |  SELECT doc_id, source, text,
+       |    least(length(text) / 500.0, 1.0) * 0.3
+       |      + least(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains($stopList, t)))
+       |        / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 5.0, 1.0) * 0.4
+       |      + len(regexp_extract_all(lower(text), '[a-z]'))
+       |        / CAST(length(text) AS DOUBLE) * 0.3 AS score
+       |  FROM dd),
+       |gated AS (SELECT * FROM scored WHERE score >= 0.55),
+       |hashed AS (
+       |  SELECT source, doc_id, score,
+       |    ${polyDuck("CAST(doc_id AS VARCHAR)")} AS ph,
+       |    len(string_split(lower(text), ' ')) AS n_tokens
+       |  FROM gated),
+       |capped AS (
+       |  SELECT * FROM (
+       |    SELECT source, doc_id, score, n_tokens,
+       |      row_number() OVER (PARTITION BY source ORDER BY ph, doc_id) AS rn
+       |    FROM hashed)
+       |  WHERE rn <= 100)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  round(CAST(sum(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+       |    AS mean_score
+       |FROM capped GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_curation_pipeline" -> q138CurationPipeline,
     "t92_contamination"   -> t92Contamination,
     "q118_weighted_sample" -> q118WeightedSample,
     "q93_group_sample"    -> q93GroupSample,
@@ -322,6 +404,7 @@ object Curation {
     "t99_vocab_encode"    -> t99VocabEncode)
 
   val oracle: Map[String, String] = Map(
+    "q138_curation_pipeline" -> q138Sql,
     "t92_contamination"   -> t92Sql,
     "q118_weighted_sample" -> q118Sql,
     "q93_group_sample"    -> q93Sql,

@@ -30,7 +30,7 @@ object Dedup {
 
   /** Documents ∪ exact copies of every 10th doc (re-keyed) — a corpus with
     * known planted duplicates, since the raw table has none. */
-  private def corpusWithCopies(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def corpusWithCopies(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
     d.unionByName(
       d.filter(col("doc_id") % 10 === 0)
@@ -38,7 +38,7 @@ object Dedup {
         .withColumn("source", lit("copy")))
   }
 
-  private val corpusSql =
+  private[operators] val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

@@ -39,7 +39,7 @@ object TextAnalysis {
       |  length(text) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[operators] val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Quality scoring: length/stopword/alpha ratios + mean token length,
     * combined into a single deterministic score — the heuristic filter a
