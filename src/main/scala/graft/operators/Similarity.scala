@@ -369,10 +369,57 @@ object Similarity {
        |    AS drifted
        |FROM la JOIN lb USING (label) ORDER BY label""".stripMargin
 
+  /** s139: distributed covariance matrix — the upper triangle over the
+    * first 16 embedding dimensions, the statistic behind PCA/whitening and
+    * feature-correlation audits. Each row EMITS its own (i, j, xᵢ·xⱼ)
+    * contributions (one map-side generator, 136 structs per vector — never
+    * a row×row or explode-then-self-join shape), and ONE hash aggregate
+    * with decimal-quantized sums closes the moments; the covariance formula
+    * runs in double on the exact sums.
+    *
+    * Scale shape: output cardinality is dims², fixed — partial aggregation
+    * collapses each task to ≤136 rows before the only shuffle. The same
+    * pass with all 64 dims is the input to a driver-side eigensolve (the
+    * 64×64 matrix is driver-sized at ANY corpus scale — that split is the
+    * whole point of distributed PCA). */
+  def s139Covariance(s: SparkSession, dir: String): DataFrame =
+    vecs(s, dir)
+      .selectExpr(
+        """explode(flatten(transform(sequence(1, 16), i ->
+          |  transform(sequence(i, 16), j -> struct(i AS i, j AS j,
+          |    element_at(v, i) * element_at(v, j) AS xy,
+          |    element_at(v, i) AS xi, element_at(v, j) AS xj))))) AS p"""
+          .stripMargin)
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(p.xy AS DECIMAL(38,12))) AS DOUBLE)").as("sxy"),
+        expr("CAST(sum(CAST(p.xi AS DECIMAL(38,12))) AS DOUBLE)").as("sxi"),
+        expr("CAST(sum(CAST(p.xj AS DECIMAL(38,12))) AS DOUBLE)").as("sxj"))
+      .selectExpr("CAST(i AS BIGINT) AS i", "CAST(j AS BIGINT) AS j",
+        "round((sxy - sxi * sxj / n) / n, 9) AS cov")
+      .orderBy("i", "j")
+
+  val s139Sql: String =
+    s"""WITH e AS ($vecsDuck),
+       |m AS (
+       |  SELECT i.i, j.j,
+       |    count(*) AS n,
+       |    CAST(sum(CAST(v[i.i] * v[j.j] AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+       |    CAST(sum(CAST(v[i.i] AS DECIMAL(38,12))) AS DOUBLE) AS sxi,
+       |    CAST(sum(CAST(v[j.j] AS DECIMAL(38,12))) AS DOUBLE) AS sxj
+       |  FROM e,
+       |    (SELECT unnest(generate_series(1, 16)) AS i) i,
+       |    (SELECT unnest(generate_series(1, 16)) AS j) j
+       |  WHERE j.j >= i.i
+       |  GROUP BY 1, 2)
+       |SELECT i, j, round((sxy - sxi * sxj / n) / n, 9) AS cov
+       |FROM m ORDER BY i, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s122_label_centroids" -> s122LabelCentroids,
     "s132_kmeans_step"     -> s132KmeansStep,
     "s137_centroid_drift"  -> s137CentroidDrift,
+    "s139_covariance"      -> s139Covariance,
     "s38_ann_brute"        -> s38AnnBrute,
     "s39_ann_ivf"          -> s39AnnIvf,
     "s40_ann_lsh"          -> s40AnnLsh,
@@ -383,6 +430,7 @@ object Similarity {
     "s122_label_centroids" -> s122Sql,
     "s132_kmeans_step"     -> s132Sql,
     "s137_centroid_drift"  -> s137Sql,
+    "s139_covariance"      -> s139Sql,
     "s38_ann_brute"        -> s38Sql,
     "s39_ann_ivf"          -> s39Sql,
     "s40_ann_lsh"          -> s40Sql,

@@ -44,6 +44,23 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("s139 covariance: diagonal is variance >= 0, one entry checks by hand") {
+    val rows = Similarity.s139Covariance(spark, sf).collect()
+    assert(rows.length === 136) // upper triangle of 16x16
+    rows.filter(r => r.getLong(0) == r.getLong(1))
+      .foreach(r => assert(r.getDouble(2) >= 0.0))
+    // brute-force cov(1, 2) from collected vectors
+    val vs = graft.Tables.embeddings(spark, sf)
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(_.getSeq[Double](0))
+    val n = vs.length.toDouble
+    val (x, y) = (vs.map(_(0)), vs.map(_(1)))
+    val brute = (x.zip(y).map { case (a, b) => a * b }.sum -
+      x.sum * y.sum / n) / n
+    val got = rows.find(r => r.getLong(0) == 1 && r.getLong(1) == 2).get.getDouble(2)
+    assert(math.abs(got - brute) < 1e-9)
+  }
+
   test("s137 drift is non-negative and covers every label once") {
     val rows = Similarity.s137CentroidDrift(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq === (0 until 10))
