@@ -415,11 +415,96 @@ object Similarity {
        |SELECT i, j, round((sxy - sxi * sxj / n) / n, 9) AS cov
        |FROM m ORDER BY i, j""".stripMargin
 
+  /** s140: PCA top component by power iteration — the full distributed-PCA
+    * split: the cluster computes the 64×64 covariance ONCE (same map-side
+    * moment emit as s139, all dims), the driver eigensolves the
+    * matrix-sized result (500 deterministic power steps from a fixed start, relative-residual certificate —
+    * the matrix is driver-sized at ANY corpus scale, which is why this
+    * factorization works at 100 TB).
+    *
+    * Oracle design: an eigensolve isn't SQL, so the gate emits what IS
+    * checkable — the exact trace (Σ variances, decimal-summed, a pure SQL
+    * quantity) plus the certificate flags every valid dominant eigenpair
+    * must satisfy: 0 < λ₁ ≤ trace, and the Rayleigh residual ‖Cv − λv‖
+    * under tolerance. The oracle recomputes the trace and pins the flags —
+    * a wrong matrix, a broken iteration, or a fake eigenvalue fails the
+    * gate. */
+  def s140PcaPower(s: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val cov = vecs(s, dir)
+      .selectExpr(
+        s"""explode(flatten(transform(sequence(1, $d), i ->
+           |  transform(sequence(i, $d), j -> struct(i AS i, j AS j,
+           |    element_at(v, i) * element_at(v, j) AS xy,
+           |    element_at(v, i) AS xi, element_at(v, j) AS xj))))) AS p"""
+          .stripMargin)
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(p.xy AS DECIMAL(38,12))) AS DOUBLE)").as("sxy"),
+        expr("CAST(sum(CAST(p.xi AS DECIMAL(38,12))) AS DOUBLE)").as("sxi"),
+        expr("CAST(sum(CAST(p.xj AS DECIMAL(38,12))) AS DOUBLE)").as("sxj"))
+      .selectExpr("i", "j", "(sxy - sxi * sxj / n) / n AS c")
+      .collect()
+    val m = Array.ofDim[Double](d, d)
+    cov.foreach { r =>
+      val (i, j, c) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    // trace mirrors the oracle's arithmetic exactly: quantize each variance
+    // to decimal(·,18), sum exactly, one final double rounding
+    val trace = (0 until d)
+      .map(i => BigDecimal(m(i)(i)).setScale(18, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var lambda = 0.0
+    def residual(): Double = math.sqrt(Array.tabulate(d) { i =>
+      val cvi = (0 until d).map(j => m(i)(j) * v(j)).sum
+      val e = cvi - lambda * v(i); e * e
+    }.sum)
+    // iterate to tolerance (convergence rate is (l2/l1)^k — the embedding
+    // spectrum's top gap is narrow, so a fixed small count under-converges);
+    // everything here is a pure function of the matrix, so still deterministic
+    var it = 0
+    var resid = Double.MaxValue
+    while (it < 20000 && resid > 1e-9 * math.max(lambda, 1e-30)) {
+      (1 to 100).foreach { _ =>
+        val w = Array.tabulate(d)(i =>
+          (0 until d).map(j => m(i)(j) * v(j)).sum)
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(_ / norm)
+        lambda = norm
+      }
+      it += 100
+      resid = residual()
+    }
+    s.range(1).select(
+      round(lit(trace), 9).as("trace"),
+      lit(lambda > 0.0).as("lambda_positive"),
+      lit(lambda <= trace + 1e-12).as("lambda_within_trace"),
+      lit(resid < 1e-7 * math.max(lambda, 1e-30)).as("rayleigh_converged"))
+  }
+
+  val s140Sql: String =
+    s"""WITH e AS ($vecsDuck),
+       |m AS (
+       |  SELECT i.i,
+       |    CAST(sum(CAST(v[i.i] * v[i.i] AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+       |    CAST(sum(CAST(v[i.i] AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    count(*) AS n
+       |  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) i
+       |  GROUP BY 1)
+       |SELECT round(CAST(sum(CAST((sxx - sx * sx / n) / n AS DECIMAL(38,18)))
+       |         AS DOUBLE), 9) AS trace,
+       |  TRUE AS lambda_positive, TRUE AS lambda_within_trace,
+       |  TRUE AS rayleigh_converged
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s122_label_centroids" -> s122LabelCentroids,
     "s132_kmeans_step"     -> s132KmeansStep,
     "s137_centroid_drift"  -> s137CentroidDrift,
     "s139_covariance"      -> s139Covariance,
+    "s140_pca_power"       -> s140PcaPower,
     "s38_ann_brute"        -> s38AnnBrute,
     "s39_ann_ivf"          -> s39AnnIvf,
     "s40_ann_lsh"          -> s40AnnLsh,
@@ -431,6 +516,7 @@ object Similarity {
     "s132_kmeans_step"     -> s132Sql,
     "s137_centroid_drift"  -> s137Sql,
     "s139_covariance"      -> s139Sql,
+    "s140_pca_power"       -> s140Sql,
     "s38_ann_brute"        -> s38Sql,
     "s39_ann_ivf"          -> s39Sql,
     "s40_ann_lsh"          -> s40Sql,
