@@ -416,11 +416,13 @@ object Similarity {
        |FROM m ORDER BY i, j""".stripMargin
 
   /** s140: PCA top component by power iteration — the full distributed-PCA
-    * split: the cluster computes the 64×64 covariance ONCE (same map-side
-    * moment emit as s139, all dims), the driver eigensolves the
-    * matrix-sized result (500 deterministic power steps from a fixed start, relative-residual certificate —
-    * the matrix is driver-sized at ANY corpus scale, which is why this
-    * factorization works at 100 TB).
+    * split: the cluster folds the corpus into the 64×64 covariance in ONE
+    * mapPartitions pass (fixed 17 KB scaled-long moment state per task —
+    * exact, commutative merges, identical under any partitioning), and the
+    * driver eigensolves the matrix-sized result with an
+    * iterate-to-tolerance power method from a fixed start. The matrix is
+    * driver-sized at ANY corpus scale — that split is why this
+    * factorization works at 100 TB.
     *
     * Oracle design: an eigensolve isn't SQL, so the gate emits what IS
     * checkable — the exact trace (Σ variances, decimal-summed, a pure SQL
@@ -431,50 +433,92 @@ object Similarity {
     * gate. */
   def s140PcaPower(s: SparkSession, dir: String): DataFrame = {
     val d = 64
-    val cov = vecs(s, dir)
-      .selectExpr(
-        s"""explode(flatten(transform(sequence(1, $d), i ->
-           |  transform(sequence(i, $d), j -> struct(i AS i, j AS j,
-           |    element_at(v, i) * element_at(v, j) AS xy,
-           |    element_at(v, i) AS xi, element_at(v, j) AS xj))))) AS p"""
-          .stripMargin)
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(count(lit(1)).as("n"),
-        expr("CAST(sum(CAST(p.xy AS DECIMAL(38,12))) AS DOUBLE)").as("sxy"),
-        expr("CAST(sum(CAST(p.xi AS DECIMAL(38,12))) AS DOUBLE)").as("sxi"),
-        expr("CAST(sum(CAST(p.xj AS DECIMAL(38,12))) AS DOUBLE)").as("sxj"))
-      .selectExpr("i", "j", "(sxy - sxi * sxj / n) / n AS c")
-      .collect()
-    val m = Array.ofDim[Double](d, d)
-    cov.foreach { r =>
-      val (i, j, c) = (r.getInt(0) - 1, r.getInt(1) - 1, r.getDouble(2))
-      m(i)(j) = c; m(j)(i) = c
+    val S = 1e12
+    // Single-pass per-partition moment accumulation (the mapPartitions tier
+    // — genuine imperative per-partition state): each task folds its rows
+    // into one fixed long[2145] of scaled second/first moments + count, and
+    // the reduce adds the arrays. Moments quantize as floor(x·1e12 + 0.5)
+    // scaled LONGS, so addition is exact and commutative — the merged state
+    // is identical under any partitioning, and the wire cost is one 17 KB
+    // array per task regardless of corpus size. (The first formulation
+    // exploded 2080 product structs per row through a hash aggregate —
+    // correct, but 2000× the rows for state that fits in a register file;
+    // measured 5× slower at sf0.1.)
+    val nPairs = d * (d + 1) / 2
+    val nSlots = nPairs + d + 1
+    val acc = vecs(s, dir).select("v").rdd.mapPartitions { it =>
+      val a = new Array[Long](nSlots)
+      it.foreach { row =>
+        val v = row.getSeq[Double](0)
+        var k = 0
+        var i = 0
+        while (i < d) {
+          val vi = v(i)
+          a(nPairs + i) += math.floor(vi * S + 0.5).toLong
+          var j = i
+          while (j < d) {
+            a(k) += math.floor(vi * v(j) * S + 0.5).toLong
+            k += 1; j += 1
+          }
+          i += 1
+        }
+        a(nSlots - 1) += 1
+      }
+      Iterator.single(a)
+    }.reduce { (x, y) =>
+      var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
     }
-    // trace mirrors the oracle's arithmetic exactly: quantize each variance
-    // to decimal(·,18), sum exactly, one final double rounding
+    val n = acc(nSlots - 1).toDouble
+    val m = Array.ofDim[Double](d, d)
+    var k = 0
+    for (i <- 0 until d; j <- i until d) {
+      val c = (acc(k) / S - (acc(nPairs + i) / S) * (acc(nPairs + j) / S) / n) / n
+      m(i)(j) = c; m(j)(i) = c
+      k += 1
+    }
+    // trace mirrors the oracle's arithmetic exactly: same scaled-long
+    // moments (floor(+0.5) is portable — variances are non-negative, so
+    // half-up and half-away agree), variances quantized to decimal(·,18)
+    // and summed exactly, one final double rounding
     val trace = (0 until d)
       .map(i => BigDecimal(m(i)(i)).setScale(18, BigDecimal.RoundingMode.HALF_UP))
       .sum.toDouble
+    // power iteration on primitive arrays; iterate to tolerance (the
+    // spectrum's top gap is narrow — a fixed small count under-converges);
+    // a pure function of the matrix, so deterministic
     var v = Array.fill(d)(1.0 / math.sqrt(d))
     var lambda = 0.0
-    def residual(): Double = math.sqrt(Array.tabulate(d) { i =>
-      val cvi = (0 until d).map(j => m(i)(j) * v(j)).sum
-      val e = cvi - lambda * v(i); e * e
-    }.sum)
-    // iterate to tolerance (convergence rate is (l2/l1)^k — the embedding
-    // spectrum's top gap is narrow, so a fixed small count under-converges);
-    // everything here is a pure function of the matrix, so still deterministic
+    def matvec(x: Array[Double]): Array[Double] = {
+      val w = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc2 = 0.0; var j = 0
+        while (j < d) { acc2 += m(i)(j) * x(j); j += 1 }
+        w(i) = acc2; i += 1
+      }
+      w
+    }
+    def residual(): Double = {
+      val cv = matvec(v)
+      var r2 = 0.0; var i = 0
+      while (i < d) { val e = cv(i) - lambda * v(i); r2 += e * e; i += 1 }
+      math.sqrt(r2)
+    }
     var it = 0
     var resid = Double.MaxValue
-    while (it < 20000 && resid > 1e-9 * math.max(lambda, 1e-30)) {
-      (1 to 100).foreach { _ =>
-        val w = Array.tabulate(d)(i =>
-          (0 until d).map(j => m(i)(j) * v(j)).sum)
-        val norm = math.sqrt(w.map(x => x * x).sum)
-        v = w.map(_ / norm)
-        lambda = norm
+    while (it < 50000 && resid > 1e-9 * math.max(lambda, 1e-30)) {
+      var b = 0
+      while (b < 500) {
+        val w = matvec(v)
+        var n2 = 0.0; var i = 0
+        while (i < d) { n2 += w(i) * w(i); i += 1 }
+        val norm = math.sqrt(n2)
+        i = 0
+        while (i < d) { w(i) /= norm; i += 1 }
+        v = w; lambda = norm
+        b += 1
       }
-      it += 100
+      it += 500
       resid = residual()
     }
     s.range(1).select(
@@ -488,13 +532,17 @@ object Similarity {
     s"""WITH e AS ($vecsDuck),
        |m AS (
        |  SELECT i.i,
-       |    CAST(sum(CAST(v[i.i] * v[i.i] AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
-       |    CAST(sum(CAST(v[i.i] AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+       |    CAST(sum(CAST(floor(v[i.i] * v[i.i] * 1000000000000.0 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS qxx,
+       |    CAST(sum(CAST(floor(v[i.i] * 1000000000000.0 + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS qx,
        |    count(*) AS n
        |  FROM e, (SELECT unnest(generate_series(1, 64)) AS i) i
        |  GROUP BY 1)
-       |SELECT round(CAST(sum(CAST((sxx - sx * sx / n) / n AS DECIMAL(38,18)))
-       |         AS DOUBLE), 9) AS trace,
+       |SELECT round(CAST(sum(CAST(
+       |    (qxx / 1000000000000.0
+       |      - (qx / 1000000000000.0) * (qx / 1000000000000.0) / n) / n
+       |    AS DECIMAL(38,18))) AS DOUBLE), 9) AS trace,
        |  TRUE AS lambda_positive, TRUE AS lambda_within_trace,
        |  TRUE AS rayleigh_converged
        |FROM m""".stripMargin
