@@ -396,8 +396,62 @@ object Dedup {
       |FROM delta LEFT JOIN idx ON delta.h = idx.h
       |ORDER BY delta.doc_id""".stripMargin
 
+  /** d141: n-gram Jaccard with a STOP-SHINGLE cap — d30 with shingles
+    * appearing in more than 10 documents dropped from the index before pair
+    * generation. This is the adversarial-robustness form at scale: pair
+    * volume is Σ C(bucket, 2), so one boilerplate shingle shared by 10⁶
+    * documents creates 5·10¹¹ candidate pairs under d30's plan; the cap
+    * bounds every bucket's contribution at C(10,2) and drops exactly the
+    * shingles with no discriminative power (the analogue of stopword
+    * removal / df-ceiling in TF-IDF). Jaccard is over the CAPPED shingle
+    * sets — per-doc sizes come from the same filtered index, so the measure
+    * stays an honest set similarity on the reduced universe.
+    *
+    * On this corpus the cap bites (max bucket 25 at sf0.1): near-dup pairs
+    * keep high J (copies share rare shingles too) while incidental overlap
+    * via common phrases drops — the oracle checks the exact reduced-universe
+    * values. */
+  def d141CappedJaccard(s: SparkSession, dir: String): DataFrame = {
+    val buckets = shingleIndex(s, dir)
+      .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= 10)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds sizes AND pair explosion
+    val n = buckets.selectExpr("explode(ids) AS doc_id")
+      .groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val pairs = buckets.selectExpr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
+      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
+      .withColumn("jac",
+        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .filter(col("jac") >= 0.2)
+      .select("id1", "id2", "common", "jac")
+      .orderBy("id1", "id2")
+  }
+
+  val d141Sql: String =
+    s"""WITH $shingleIndexSql,
+       |keep AS (SELECT h FROM s GROUP BY h HAVING count(*) <= 10),
+       |sc AS (SELECT s.doc_id, s.h FROM s JOIN keep USING (h)),
+       |n AS (SELECT doc_id, count(*) AS ns FROM sc GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+       |  FROM sc a JOIN sc b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, common,
+       |  round(common * 1.0 / (n1.ns + n2.ns - common), 6) AS jac
+       |FROM pairs JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
+       |WHERE round(common * 1.0 / (n1.ns + n2.ns - common), 6) >= 0.2
+       |ORDER BY id1, id2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d135_incremental_dedup"  -> d135IncrementalDedup,
+    "d141_capped_jaccard"     -> d141CappedJaccard,
     "d29_dedup_exact"         -> d29Exact,
     "d30_dedup_ngram_jaccard" -> d30NgramJaccard,
     "d31_dedup_minhash_lsh"   -> d31MinhashLsh,
@@ -406,6 +460,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "d135_incremental_dedup"  -> d135Sql,
+    "d141_capped_jaccard"     -> d141Sql,
     "d29_dedup_exact"         -> d29Sql,
     "d30_dedup_ngram_jaccard" -> d30Sql,
     "d31_dedup_minhash_lsh"   -> d31Sql,

@@ -44,6 +44,37 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("d141 capped Jaccard matches a driver-side reduced-universe brute force") {
+    def poly(str: String): Long =
+      str.foldLeft(7L)((h, c) => (h * 31 + c.toLong) % graft.functions.PortableHash.P)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val shingles = docs.map { case (id, text) =>
+      val toks = text.toLowerCase.split(" ")
+      id -> toks.sliding(3).map(_.mkString(" ")).toSeq.distinct.map(poly).toSet
+    }.toMap
+    // stop-shingle cap: drop hashes present in > 10 docs
+    val df = shingles.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val rare = df.filter(_._2 <= 10).keySet
+    val capped = shingles.view.mapValues(_.intersect(rare.toSet)).toMap
+    val inverted = capped.toSeq.flatMap { case (id, hs) => hs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val candidatePairs: Set[(Long, Long)] = inverted.values.flatMap { ids =>
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    }.toSet
+    val expected = candidatePairs.toSeq.flatMap { case (a, b) =>
+      val common = capped(a).intersect(capped(b)).size
+      val jac = BigDecimal(common.toDouble /
+        (capped(a).size + capped(b).size - common))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (jac >= 0.2) Some((a, b, common.toLong, jac)) else None
+    }.sortBy(p => (p._1, p._2))
+    val got = Dedup.d141CappedJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+  }
+
   test("s139 covariance: diagonal is variance >= 0, one entry checks by hand") {
     val rows = Similarity.s139Covariance(spark, sf).collect()
     assert(rows.length === 136) // upper triangle of 16x16
