@@ -243,6 +243,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end: file source through a transform into the DSv2 staging sink") {
+    import spark.implicits._
+    // both custom edges in ONE streaming job: parquet file source →
+    // map-side cleanse → epoch-committed StagedFdicSource sink
+    val src = tmpDir("e2e_src")
+    val dst = tmpDir("e2e_dst")
+    val ckpt = tmpDir("e2e_ckpt")
+    Seq((ts("2024-01-01 10:05:00"), "view", 4.25),
+      (ts("2024-01-01 10:06:00"), "click", 1.5))
+      .toDF("ts", "event_type", "value")
+      .write.mode("overwrite").parquet(src)
+    val q = spark.readStream
+      .schema("ts TIMESTAMP, event_type STRING, value DOUBLE").parquet(src)
+      .selectExpr("upper(event_type) AS ETYPE",
+        "CAST(CAST(value * 100 AS BIGINT) AS STRING) AS CENTS")
+      .writeStream.format(classOf[graft.sources.v2.StagedFdicSource].getName)
+      .option("path", dst).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // second batch arrives as a new file → new epoch, appended
+    Seq((ts("2024-01-01 10:07:00"), "view", 2.0))
+      .toDF("ts", "event_type", "value").write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read
+      .format(classOf[graft.sources.v2.StagedFdicSource].getName)
+      .option("fields", "ETYPE,CENTS").load(dst)
+    assert(back.orderBy("CENTS").collect().map(r =>
+      (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("CLICK", "150"), ("VIEW", "200"), ("VIEW", "425")))
+  }
+
   test("file-source stream produces the batch-identical hourly result") {
     import spark.implicits._
     val dir = tmpDir("stream_src")
