@@ -69,7 +69,7 @@ object Curation {
        |t AS (SELECT DISTINCT h FROM s WHERE doc_id % 7 <> 0),
        |e AS (SELECT doc_id, s.h, CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END AS hit
        |      FROM s LEFT JOIN t ON s.h = t.h WHERE doc_id % 7 = 0)
-       |SELECT doc_id, count(*) AS n_grams, sum(hit) AS n_hit,
+       |SELECT doc_id, count(*) AS n_grams, CAST(sum(hit) AS BIGINT) AS n_hit,
        |  round(sum(hit) / count(*), 6) AS contamination,
        |  CAST(round(sum(hit) / count(*), 6) >= 0.1 AS INTEGER) AS is_contaminated
        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin
@@ -209,7 +209,7 @@ object Curation {
   val q97Sql: String =
     """WITH c AS (
       |  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
-      |g AS (SELECT sum(cnt) AS total_rows, count(*) AS n_keys FROM c)
+      |g AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows, count(*) AS n_keys FROM c)
       |SELECT key, cnt, total_rows, n_keys,
       |  round(cnt / total_rows, 6) AS share,
       |  round(cnt * n_keys / total_rows, 6) AS skew_x
@@ -270,8 +270,8 @@ object Curation {
       |  SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS vid
       |  FROM toks GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 100)
       |SELECT doc_id, count(*) AS n_tokens,
-      |  SUM(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) AS n_oov,
-      |  SUM(pos * coalesce(vid, 0)) AS enc_checksum
+      |  CAST(SUM(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |  CAST(SUM(pos * coalesce(vid, 0)) AS BIGINT) AS enc_checksum
       |FROM toks LEFT JOIN vocab USING (tok)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
@@ -292,23 +292,29 @@ object Curation {
       .selectExpr("o_orderstatus", "o_orderkey", "o_totalprice",
         "poly_hash(CAST(o_orderkey AS STRING)) AS h")
       .selectExpr("o_orderstatus", "o_orderkey",
-        s"-ln((CAST(h AS DOUBLE) + 1.0D) / ${P + 1}.0D) / o_totalprice AS r")
-    TopKPerKey(o, Seq("o_orderstatus"), Seq("r" -> true, "o_orderkey" -> true), 10)
-      .selectExpr("o_orderstatus", "o_orderkey", "round(r * 1e6, 6) AS rank_key")
+        // Rank by the QUANTIZED key: a last-ulp ln() divergence between the
+        // JVM and DuckDB libm near the k-th boundary must not flip the
+        // selected set, so both engines sort the same 6-decimal fixture.
+        s"round(-ln((CAST(h AS DOUBLE) + 1.0D) / ${P + 1}.0D) / o_totalprice" +
+          " * 1e6, 6) AS rank_key")
+    TopKPerKey(o, Seq("o_orderstatus"),
+        Seq("rank_key" -> true, "o_orderkey" -> true), 10)
+      .select("o_orderstatus", "o_orderkey", "rank_key")
       .orderBy("o_orderstatus", "o_orderkey")
   }
 
   val q118Sql: String =
     s"""WITH w AS (
        |  SELECT o_orderstatus, o_orderkey,
-       |    -ln((${polyDuck("CAST(o_orderkey AS VARCHAR)")} + 1.0) / ${P + 1}.0)
-       |      / o_totalprice AS r
+       |    round(-ln((${polyDuck("CAST(o_orderkey AS VARCHAR)")} + 1.0) / ${P + 1}.0)
+       |      / o_totalprice * 1e6, 6) AS rank_key
        |  FROM orders),
        |k AS (
-       |  SELECT o_orderstatus, o_orderkey, r,
-       |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY r, o_orderkey) AS rn
+       |  SELECT o_orderstatus, o_orderkey, rank_key,
+       |    row_number() OVER (PARTITION BY o_orderstatus
+       |                       ORDER BY rank_key, o_orderkey) AS rn
        |  FROM w)
-       |SELECT o_orderstatus, o_orderkey, round(r * 1e6, 6) AS rank_key
+       |SELECT o_orderstatus, o_orderkey, rank_key
        |FROM k WHERE rn <= 10 ORDER BY o_orderstatus, o_orderkey""".stripMargin
 
   /** q138: the end-to-end curation pipeline — the composition the engine

@@ -415,7 +415,9 @@ object Dedup {
     val buckets = shingleIndex(s, dir)
       .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) <= 10)
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds sizes AND pair explosion
+      // feeds sizes AND pair explosion; released by the caller's
+      // clearCache() — see the lifetime note at s132KmeansStep
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = buckets.selectExpr("explode(ids) AS doc_id")
       .groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val pairs = buckets.selectExpr(

@@ -63,7 +63,8 @@ object Drift {
       |  FROM orders GROUP BY 1),
       |grid AS (
       |  SELECT CAST(g.range AS INT) AS bin,
-      |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+      |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+      |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
       |  FROM range(10) g LEFT JOIN binned ON binned.bin = g.range),
       |tot AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM grid),
       |terms AS (
@@ -108,7 +109,8 @@ object Drift {
       |  max(o_totalprice) AS hi,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
       |FROM (SELECT o_totalprice,
-      |        ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      |        CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+      |          AS INTEGER) AS decile
       |      FROM orders)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

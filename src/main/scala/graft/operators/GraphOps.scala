@@ -81,21 +81,47 @@ object GraphOps {
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
       .persist() // feeds degrees, orientation, and the closing join
-    // one action for all graph-shape stats (nodes, max degree, edge count
-    // via the handshake lemma) — separate count() jobs would rerun the scan
-    val stats = degrees(e)
+    val deg = degrees(e)
+    // graph-shape stats (nodes, max degree, edge count via the handshake
+    // lemma) as a 1-row AGGREGATE — kept in-plan, not collected separately
+    val stats = deg
       .agg(count(lit(1)).as("nodes"), max("d").as("maxd"), sum("d").as("dsum"))
+    // degree-ordered orientation (see [[triangleCount]] — inlined here so
+    // stats + triangles run as ONE action over the shared persisted inputs
+    // instead of round 2's two jobs re-deriving the same subplans)
+    val oriented = e
+      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            col("du").as("ds"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"),
+              col("dv").as("ds"), col("du").as("dt"))).as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"),
+        col("o.ds").as("ds"), col("o.dt").as("dt"))
+      .persist()
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && (col("e1.dt") < col("e2.dt") ||
+          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.t").as("w1"), col("e2.t").as("w2"))
+    val tri = wedges
+      .join(oriented.select(col("s").as("w1"), col("t").as("w2")), Seq("w1", "w2"))
+      .agg(count(lit(1)).as("triangles"))
+    // single driver round-trip: 1-row stats × 1-row triangle count
+    val row = stats.crossJoin(tri).selectExpr(
+        "nodes AS n_nodes", "dsum div 2 AS n_edges", "triangles",
+        "maxd AS max_degree",
+        "round(CAST(dsum AS DOUBLE) / nodes, 6) AS avg_degree")
       .head()
-    val nodes = stats.getLong(0)
-    val maxDeg = stats.getLong(1)
-    val nEdges = stats.getLong(2) / 2
-    val tris = triangleCount(e)
+    oriented.unpersist()
     e.unpersist()
-    // every stat is already a driver-side scalar; the result is literal-only
-    s.range(1)
-      .select(lit(nodes).as("n_nodes"), lit(nEdges).as("n_edges"),
-        lit(tris).as("triangles"), lit(maxDeg).as("max_degree"),
-        round(lit(2.0 * nEdges) / lit(nodes), 6).as("avg_degree"))
+    s.range(1).select(
+      lit(row.getLong(0)).as("n_nodes"), lit(row.getLong(1)).as("n_edges"),
+      lit(row.getLong(2)).as("triangles"), lit(row.getLong(3)).as("max_degree"),
+      lit(row.getDouble(4)).as("avg_degree"))
   }
 
   val q117Sql: String =

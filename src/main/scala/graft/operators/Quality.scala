@@ -45,8 +45,8 @@ object Quality {
   val q109Sql: String =
     """SELECT CASE WHEN event_id % 17 = 0 THEN 'quarantine' ELSE 'good' END AS branch,
       |  count(*) AS n,
-      |  sum(CASE WHEN event_id % 17 = 0 THEN 0
-      |           ELSE CAST(json_extract(props, '$.k') AS BIGINT) END) AS sum_k,
+      |  CAST(sum(CASE WHEN event_id % 17 = 0 THEN 0
+      |           ELSE CAST(json_extract(props, '$.k') AS BIGINT) END) AS BIGINT) AS sum_k,
       |  min(event_id) AS min_event_id
       |FROM events GROUP BY 1 ORDER BY branch""".stripMargin
 
@@ -85,7 +85,7 @@ object Quality {
       "c_acctbal")
     cols.map(c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          |  count(DISTINCT $c) AS n_distinct,
          |  min(CAST($c AS VARCHAR)) AS min_s, max(CAST($c AS VARCHAR)) AS max_s
          |FROM customer""".stripMargin)

@@ -37,7 +37,7 @@ object RelationalExt {
   val q09Sql: String =
     """SELECT c_nationkey, rn, c_custkey, c_acctbal, running_bal FROM (
       |  SELECT c_nationkey, c_custkey, c_acctbal,
-      |    row_number() OVER w AS rn,
+      |    CAST(row_number() OVER w AS INTEGER) AS rn,
       |    CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) OVER
       |      (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal
       |  FROM customer
@@ -127,14 +127,14 @@ object RelationalExt {
       |  lower(p_type) AS type_lo,
       |  substring(p_name, 1, 4) AS name4,
       |  concat_ws('|', p_brand, p_type) AS brand_type,
-      |  length(p_name) AS name_len,
+      |  CAST(length(p_name) AS INTEGER) AS name_len,
       |  abs(p_retailprice - 1000.0) AS absdev,
       |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
       |  CAST(ceil(p_retailprice / 10.0) AS BIGINT) AS price_ceil10,
       |  sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
       |  p_size % 5 AS size_mod,
-      |  greatest(p_size, 25) AS size_hi,
-      |  least(p_size, 25) AS size_lo,
+      |  CAST(greatest(p_size, 25) AS INTEGER) AS size_hi,
+      |  CAST(least(p_size, 25) AS INTEGER) AS size_lo,
       |  CASE WHEN p_size >= 25 THEN 'big' ELSE 'small' END AS size_class,
       |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
       |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
@@ -376,8 +376,8 @@ object RelationalExt {
       |  strftime(o_orderdate, '%-m/%-d/%Y') AS ds,
       |  CASE WHEN regexp_matches(strftime(o_orderdate, '%-m/%-d/%Y'), '^\d{1,2}/\d{1,2}/\d{4}$')
       |       THEN CAST(strptime(strftime(o_orderdate, '%-m/%-d/%Y'), '%-m/%-d/%Y') AS DATE) END AS parsed,
-      |  year(o_orderdate) AS yr,
-      |  quarter(o_orderdate) AS qtr,
+      |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
       |  CASE o_orderpriority WHEN '1-URGENT' THEN 'P1' WHEN '2-HIGH' THEN 'P2'
       |       WHEN '3-MEDIUM' THEN 'P3' ELSE 'OTHER' END AS prio,
       |  lower(o_orderstatus) AS status_lc,

@@ -183,7 +183,7 @@ object RelationalExt2 {
       |            WHEN (doc_id * 1103515245 + 12345) % 100 < 90 THEN 'val'
       |            ELSE 'test' END AS split,
       |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
-      |  sum(n_chars) AS sum_chars
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
 
   /** q77: exact median + deterministic mode per group. The built-in `mode`

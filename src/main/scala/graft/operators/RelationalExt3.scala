@@ -42,9 +42,9 @@ object RelationalExt3 {
     """WITH pc AS (
       |  SELECT o_custkey, o_orderpriority AS pri, count(*) AS cnt
       |  FROM orders GROUP BY 1, 2)
-      |SELECT o_custkey, count(*) AS n_pri,
-      |  coalesce(sum(CASE WHEN pri = '1-URGENT' THEN cnt END), 0) AS urgent_cnt,
-      |  coalesce(sum(CASE WHEN pri IN ('1-URGENT','2-HIGH') THEN cnt END), 0) AS high_cnt,
+      |SELECT o_custkey, CAST(count(*) AS INTEGER) AS n_pri,
+      |  CAST(coalesce(sum(CASE WHEN pri = '1-URGENT' THEN cnt END), 0) AS BIGINT) AS urgent_cnt,
+      |  CAST(coalesce(sum(CASE WHEN pri IN ('1-URGENT','2-HIGH') THEN cnt END), 0) AS BIGINT) AS high_cnt,
       |  string_agg(pri || '=' || (cnt * 2), ',' ORDER BY pri) AS packed
       |FROM pc GROUP BY 1 ORDER BY o_custkey""".stripMargin
 

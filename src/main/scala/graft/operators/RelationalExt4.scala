@@ -90,13 +90,13 @@ object RelationalExt4 {
 
   val q124Sql: String =
     """SELECT c_mktsegment, count(*) AS n_rich,
-      |  sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
+      |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM orders o
       |                        WHERE o.o_custkey = c.c_custkey
       |                          AND o.o_totalprice > 300000)
-      |           THEN 1 ELSE 0 END) AS n_big_spenders,
-      |  sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_big_spenders,
+      |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
       |                            WHERE o.o_custkey = c.c_custkey)
-      |           THEN 1 ELSE 0 END) AS n_inactive
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
       |FROM customer c
       |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
       |  AND c_nationkey IN (SELECT n_nationkey FROM nation
@@ -156,8 +156,9 @@ object RelationalExt4 {
         col("mo").asc_nulls_first)
 
   val q126Sql: String =
-    """SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
-      |  month(o_orderdate) AS mo, count(*) AS n,
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(month(o_orderdate) AS INTEGER) AS mo, count(*) AS n,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
       |  GROUPING(year(o_orderdate)) * 4 + GROUPING(quarter(o_orderdate)) * 2
       |    + GROUPING(month(o_orderdate)) AS lvl
@@ -334,7 +335,7 @@ object RelationalExt4 {
       |  coalesce(array_to_string(
       |    list_sort(list_filter(p1, x -> NOT list_contains(p2, x))), ','), '')
       |    AS only_early,
-      |  len(list_filter(p1, x -> list_contains(p2, x))) AS n_common
+      |  CAST(len(list_filter(p1, x -> list_contains(p2, x))) AS INTEGER) AS n_common
       |FROM p ORDER BY o_custkey""".stripMargin
 
   /** q134: nested-JSON roundtrip — per-customer documents with an embedded

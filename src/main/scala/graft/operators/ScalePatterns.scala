@@ -191,9 +191,9 @@ object ScalePatterns {
       |    c_name,
       |    CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
       |    COUNT(*) AS n_orders,
-      |    row_number() OVER (PARTITION BY c_mktsegment
+      |    CAST(row_number() OVER (PARTITION BY c_mktsegment
       |      ORDER BY CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) DESC,
-      |               c_name) AS rnk
+      |               c_name) AS INTEGER) AS rnk
       |  FROM customer JOIN orders ON c_custkey = o_custkey
       |  GROUP BY c_mktsegment, c_name)
       |WHERE rnk <= 5
@@ -241,8 +241,8 @@ object ScalePatterns {
       |    date_diff('day', DATE '1990-01-01', o_orderdate) % 256 AS yb
       |  FROM orders)
       |SELECT z // 4096 AS z_range, count(*) AS n,
-      |  SUM(CASE WHEN xb BETWEEN 10 AND 60 AND yb BETWEEN 40 AND 160
-      |      THEN 1 ELSE 0 END) AS n_in_box
+      |  CAST(SUM(CASE WHEN xb BETWEEN 10 AND 60 AND yb BETWEEN 40 AND 160
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_in_box
       |FROM z GROUP BY 1 HAVING n_in_box > 0 ORDER BY z_range""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

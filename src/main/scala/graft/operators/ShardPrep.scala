@@ -45,11 +45,13 @@ object ShardPrep {
   val t100Sql: String =
     """WITH t AS (
       |  SELECT source, doc_id,
-      |    len(string_split(lower(text),' ')) AS n_tokens FROM documents),
+      |    CAST(len(string_split(lower(text),' ')) AS INTEGER) AS n_tokens
+      |  FROM documents),
       |p AS (
       |  SELECT source, doc_id, n_tokens,
-      |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_pos
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_pos
       |  FROM t)
       |SELECT source, doc_id, n_tokens, start_pos,
       |  start_pos // 256 AS pack_id,
@@ -94,7 +96,8 @@ object ShardPrep {
       |  SELECT source, doc_id,
       |    len(string_split(lower(text),' ')) AS n_tokens FROM documents),
       |totals AS (
-      |  SELECT source, sum(n_tokens) AS total_tokens FROM t GROUP BY 1),
+      |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |  FROM t GROUP BY 1),
       |rates AS (
       |  SELECT source, total_tokens,
       |    CAST(floor(CAST((SELECT min(total_tokens) FROM totals) AS DOUBLE)
@@ -105,8 +108,9 @@ object ShardPrep {
       |    (doc_id * 1103515245 + 12345) % 1048576 < thresh AS keep
       |  FROM t JOIN rates ON t.source = rates.source)
       |SELECT source, min(total_tokens) AS total_tokens, min(thresh) AS thresh,
-      |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-      |  sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS kept_tokens
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+      |    AS kept_tokens
       |FROM k GROUP BY source ORDER BY source""".stripMargin
 
   /** t102: repetition metrics — the Gopher/C4-style quality signals that
@@ -166,7 +170,7 @@ object ShardPrep {
       |  SELECT doc_id, unnest(string_split(lower(text),' ')) AS tok FROM documents),
       |tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1,2),
       |td AS (
-      |  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
       |    max(c) AS top_tok_cnt
       |  FROM tc GROUP BY 1),
       |grams AS (

@@ -74,7 +74,8 @@ object Similarity {
        |  FROM q JOIN e c ON c.vec_id <> qid),
        |ranked AS (
        |  SELECT qid, nid, cos,
-       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |      AS INTEGER) AS rank
        |  FROM scored)
        |SELECT qid, rank, nid, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
@@ -151,7 +152,8 @@ object Similarity {
        |  JOIN cells c ON c.cell = probes.cell AND c.vec_id <> q.qid),
        |ranked AS (
        |  SELECT qid, nid, cos,
-       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |      AS INTEGER) AS rank
        |  FROM scored)
        |SELECT qid, rank, nid, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
@@ -189,10 +191,10 @@ object Similarity {
     s"""WITH e AS ($vecsDuck),
        |sigs AS (
        |  SELECT vec_id, v,
-       |    list_reduce(list_prepend(0, list_transform(range(0, 8), p ->
+       |    CAST(list_reduce(list_prepend(0, list_transform(range(0, 8), p ->
        |      CASE WHEN list_reduce(list_transform(range(1, 65), k ->
        |          v[k] * $planeDuck), (x, y) -> x + y) >= 0
-       |      THEN (1 << p) ELSE 0 END)), (a, b) -> a + b) AS bucket
+       |      THEN (1 << p) ELSE 0 END)), (a, b) -> a + b) AS INTEGER) AS bucket
        |  FROM e),
        |q AS (SELECT vec_id AS qid, v, bucket FROM sigs WHERE vec_id < 16),
        |scored AS (
@@ -200,7 +202,8 @@ object Similarity {
        |  FROM q JOIN sigs c ON q.bucket = c.bucket AND c.vec_id <> qid),
        |ranked AS (
        |  SELECT qid, bucket, nid, cos,
-       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |      AS INTEGER) AS rank
        |  FROM scored)
        |SELECT qid, bucket, rank, nid, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
@@ -248,7 +251,7 @@ object Similarity {
       .orderBy("label", "dim")
 
   val s122Sql: String =
-    """SELECT label, i AS dim,
+    """SELECT label, CAST(i AS INTEGER) AS dim,
       |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6)))
       |          AS DOUBLE) / count(*), 6) AS centroid
       |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
@@ -266,6 +269,11 @@ object Similarity {
     * Tie-break: equal distances resolve to the smaller center id, pinned in
     * the struct ordering. */
   def s132KmeansStep(s: SparkSession, dir: String): DataFrame = {
+    // Persist lifetime contract: the returned plan is lazy, so the persist
+    // cannot be released here — both gate runners (Verify/Bench) call
+    // spark.catalog.clearCache() after each query's action, and library
+    // callers own the same responsibility (or rely on MEMORY_AND_DISK LRU
+    // eviction). Applies to every multi-consumer persist in this package.
     val all = vecs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val centers = all
       .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
@@ -446,33 +454,57 @@ object Similarity {
     // measured 5× slower at sf0.1.)
     val nPairs = d * (d + 1) / 2
     val nSlots = nPairs + d + 1
+    // Each slot is a 128-bit accumulator split across two longs: a(k) wraps
+    // mod 2^64 and a(nSlots+k) counts the wraps (signed-overflow carry), so
+    // the scaled-long sums stay exact at ANY corpus size — a single Long
+    // per slot would saturate once sum(|vi·vj|)·1e12 passes 2^63 (~9.2e6
+    // unit-scale rows), which a 100 TB corpus blows through. The carry test
+    // is one branch per add, ~never taken, so the hot loop keeps its speed.
     val acc = vecs(s, dir).select("v").rdd.mapPartitions { it =>
-      val a = new Array[Long](nSlots)
+      val a = new Array[Long](2 * nSlots)
+      def add(k: Int, x: Long): Unit = {
+        val lo = a(k); val sum = lo + x
+        if (((lo ^ sum) & (x ^ sum)) < 0L)
+          a(nSlots + k) += (if (x >= 0L) 1L else -1L)
+        a(k) = sum
+      }
       it.foreach { row =>
         val v = row.getSeq[Double](0)
         var k = 0
         var i = 0
         while (i < d) {
           val vi = v(i)
-          a(nPairs + i) += math.floor(vi * S + 0.5).toLong
+          add(nPairs + i, math.floor(vi * S + 0.5).toLong)
           var j = i
           while (j < d) {
-            a(k) += math.floor(vi * v(j) * S + 0.5).toLong
+            add(k, math.floor(vi * v(j) * S + 0.5).toLong)
             k += 1; j += 1
           }
           i += 1
         }
-        a(nSlots - 1) += 1
+        add(nSlots - 1, 1L)
       }
       Iterator.single(a)
     }.reduce { (x, y) =>
-      var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x
+      var i = 0
+      while (i < nSlots) {
+        val lo = x(i); val sum = lo + y(i)
+        if (((lo ^ sum) & (y(i) ^ sum)) < 0L)
+          x(nSlots + i) += (if (y(i) >= 0L) 1L else -1L)
+        x(i) = sum
+        x(nSlots + i) += y(nSlots + i)
+        i += 1
+      }
+      x
     }
-    val n = acc(nSlots - 1).toDouble
+    // exact 128-bit value of slot k, as a double (final math is double anyway)
+    def slot(k: Int): Double =
+      ((BigInt(acc(nSlots + k)) << 64) + BigInt(acc(k))).toDouble
+    val n = slot(nSlots - 1)
     val m = Array.ofDim[Double](d, d)
     var k = 0
     for (i <- 0 until d; j <- i until d) {
-      val c = (acc(k) / S - (acc(nPairs + i) / S) * (acc(nPairs + j) / S) / n) / n
+      val c = (slot(k) / S - (slot(nPairs + i) / S) * (slot(nPairs + j) / S) / n) / n
       m(i)(j) = c; m(j)(i) = c
       k += 1
     }

@@ -123,7 +123,14 @@ object Sketches {
       (0 until width).map(j => sa(i * width + j) * sb(i * width + j)).sum
     }.min
     val na = a.count(); val nb = b.count()
-    val bound = math.ceil(math.E / width * na.toDouble * nb.toDouble).toLong
+    // The CM inner-product bound e/w·|A|·|B| holds only in expectation
+    // (P[overshoot > bound] ≈ e^-depth ≈ 2% with depth 4 — a pinned TRUE
+    // would be a coin-flip gate on a fresh SF). Gate at an 8× slack
+    // multiple instead: per-row Markov gives P ≤ 1/(8e) per estimate,
+    // min-over-depth ⇒ P[fail] ≤ (8e)^-4 ≈ 5e-6 — deterministic in
+    // practice while still asserting the sketch isn't wildly off.
+    // `never_undercounts` stays pinned: it is a structural CM guarantee.
+    val bound = 8L * math.ceil(math.E / width * na.toDouble * nb.toDouble).toLong
     val exact = a.groupBy("l_partkey").agg(count(lit(1)).as("fa"))
       .join(b.groupBy("l_partkey").agg(count(lit(1)).as("fb")), "l_partkey")
       .agg(expr("CAST(sum(CAST(fa AS DECIMAL(38,0)) * fb) AS BIGINT)"))
@@ -132,7 +139,7 @@ object Sketches {
       lit(na).as("n_left"), lit(nb).as("n_right"),
       lit(exact).as("exact_join_rows"),
       lit(est >= exact).as("never_undercounts"),
-      lit(est - exact <= bound).as("within_eps"))
+      lit(est - exact <= bound).as("within_slack_bound"))
   }
 
   val q119Sql: String =
@@ -142,7 +149,7 @@ object Sketches {
       |  (SELECT count(*) FROM b) AS n_right,
       |  (SELECT count(*) FROM lineitem a JOIN b ON a.l_partkey = b.l_partkey)
       |    AS exact_join_rows,
-      |  TRUE AS never_undercounts, TRUE AS within_eps""".stripMargin
+      |  TRUE AS never_undercounts, TRUE AS within_slack_bound""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_approx_distinct" -> q52ApproxDistinct,

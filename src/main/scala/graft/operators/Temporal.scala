@@ -250,7 +250,7 @@ object Temporal {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
       |  FROM deltas)
       |SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
-      |  max(running) AS peak_concurrency
+      |  CAST(max(running) AS BIGINT) AS peak_concurrency
       |FROM curve GROUP BY 1 ORDER BY day""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

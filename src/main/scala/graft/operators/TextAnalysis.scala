@@ -31,12 +31,13 @@ object TextAnalysis {
 
   val t34Sql: String =
     """SELECT doc_id,
-      |  len(string_split(lower(text), ' ')) AS n_ws_tokens,
-      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_word_tokens,
+      |  CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+      |    AS INTEGER) AS n_word_tokens,
       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
       |    list_transform(string_split(lower(text), ' '),
       |      t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), (a, x) -> a + x) AS n_subword_tokens,
-      |  length(text) AS n_chars
+      |  CAST(length(text) AS INTEGER) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
   private[operators] val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -78,8 +79,8 @@ object TextAnalysis {
     val stopList = stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH q AS (
        |  SELECT doc_id,
-       |    length(text) AS n_chars,
-       |    len(string_split(lower(text), ' ')) AS n_tokens,
+       |    CAST(length(text) AS INTEGER) AS n_chars,
+       |    CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
        |    list_reduce(list_prepend(0,
        |        list_transform(string_split(lower(text), ' '), t -> length(t))),
        |        (a, x) -> a + x)

@@ -56,7 +56,8 @@ object TextRanking {
       |  FROM tf JOIN df USING (t) CROSS JOIN n),
       |ranked AS (
       |  SELECT doc_id, t, score,
-      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS term_rank
+      |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t)
+      |      AS INTEGER) AS term_rank
       |  FROM scored)
       |SELECT doc_id, term_rank, t AS term, round(score, 6) AS score
       |FROM ranked WHERE term_rank <= 3
@@ -89,7 +90,7 @@ object TextRanking {
       |    substring(s_name, length(s_name), 1) AS block
       |  FROM supplier)
       |SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
-      |  levenshtein(a.s_name, b.s_name) AS dist
+      |  CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
       |FROM n a JOIN n b ON a.block = b.block AND a.s_suppkey < b.s_suppkey
       |WHERE levenshtein(a.s_name, b.s_name) <= 1
       |ORDER BY id1, id2""".stripMargin
@@ -117,7 +118,7 @@ object TextRanking {
       |  SELECT c_nationkey, c_custkey, c_acctbal,
       |    lag(c_acctbal, 1) OVER w AS prev_bal,
       |    lead(c_acctbal, 1) OVER w AS next_bal,
-      |    ntile(4) OVER w AS quartile,
+      |    CAST(ntile(4) OVER w AS INTEGER) AS quartile,
       |    round(cume_dist() OVER w, 6) AS cume,
       |    first_value(c_custkey) OVER w AS richest
       |  FROM customer
@@ -137,6 +138,8 @@ object TextRanking {
     val names = Tables.supplier(s, dir)
       .select(col("s_suppkey"), col("s_name"),
         expr("substring(s_name, length(s_name), 1)").as("block"))
+      // both self-join sides; released by the caller's clearCache() —
+      // see the lifetime note at Similarity.s132KmeansStep
       .persist(StorageLevel.MEMORY_AND_DISK)
     names.as("a").join(names.as("b"),
         col("a.block") === col("b.block") && col("a.s_suppkey") < col("b.s_suppkey"))

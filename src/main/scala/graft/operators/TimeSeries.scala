@@ -269,9 +269,16 @@ object TimeSeries {
     val bounds = Tables.events(s, dir)
       .agg(min(date_trunc("day", col("ts"))).as("lo"),
         max(date_trunc("day", col("ts"))).as("hi"))
+    // Explicit ASCENDING step + span guard: with no step, Spark's `sequence`
+    // flips to a descending step when start > stop — on a corpus spanning
+    // < 7 days (lo > hi-6, which makes start > stop for EVERY d) that emits
+    // spurious windows where DuckDB's explicit-step generate_series emits
+    // none. The guard reduces to the corpus-level span test (start ≤ stop
+    // ⟺ lo ≤ hi-6 here), under which the explicit step can never throw.
     ev.crossJoin(broadcast(bounds))
+      .filter(expr("lo <= hi - interval 6 days"))
       .selectExpr("user_id",
-        "explode(sequence(greatest(lo, d - interval 6 days), least(d, hi - interval 6 days))) AS w")
+        "explode(sequence(greatest(lo, d - interval 6 days), least(d, hi - interval 6 days), interval 1 day)) AS w")
       .groupBy("w")
       .agg(countDistinct(col("user_id")).as("wau"))
       .select(date_format(col("w"), "yyyy-MM-dd").as("window_start"),

@@ -82,7 +82,7 @@ object TrainingPrep {
       |    CAST((start - 1) / 40 AS INTEGER) AS chunk_idx,
       |    toks[start:start+49] AS chunk
       |  FROM st)
-      |SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
+      |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_tokens,
       |  list_reduce(list_prepend(CAST(7 AS BIGINT),
       |    list_transform(string_split(array_to_string(chunk, ' '), ''),
       |      c -> CAST(ascii(c) AS BIGINT))),

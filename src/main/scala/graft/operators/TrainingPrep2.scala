@@ -28,8 +28,8 @@ object TrainingPrep2 {
 
   val q82Sql: String =
     """SELECT lang, count(*) AS n_total,
-      |  SUM(CASE WHEN (doc_id * 1103515245 + 12345) % 100 <
-      |    (CASE WHEN lang = 'en' THEN 50 ELSE 20 END) THEN 1 ELSE 0 END) AS n_sampled,
+      |  CAST(SUM(CASE WHEN (doc_id * 1103515245 + 12345) % 100 <
+      |    (CASE WHEN lang = 'en' THEN 50 ELSE 20 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
       |  min(CASE WHEN lang = 'en' THEN 50 ELSE 20 END) AS rate_pct
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -63,7 +63,7 @@ object TypedOps {
 
   val q80Sql: String =
     """SELECT o_custkey,
-      |  SUM(CAST(floor(o_totalprice) AS BIGINT)) AS floor_total,
+      |  CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS floor_total,
       |  count(*) AS n_orders
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 

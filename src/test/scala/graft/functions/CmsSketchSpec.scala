@@ -63,6 +63,6 @@ class CmsSketchSpec extends SparkSpec {
   test("q119 gate flags hold on testdata") {
     val out = graft.operators.Sketches.q119JoinSizeEstimate(
       spark, "/root/testdata/sf0.001")
-    assert(out.filter(!col("never_undercounts") || !col("within_eps")).count() == 0)
+    assert(out.filter(!col("never_undercounts") || !col("within_slack_bound")).count() == 0)
   }
 }

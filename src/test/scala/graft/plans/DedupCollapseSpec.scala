@@ -78,8 +78,12 @@ class DedupCollapseSpec extends SparkSpec {
 
   test("p26 gold directory plan carries exactly one dedup aggregate with the rule") {
     withRule {
-      val p26 = graft.operators.PipelineQueries
-        .p26GoldDirectory(spark, "/root/testdata/sf0.001")
+      // the IN-PLAN derivation (p26's gate entry reads materialized silver,
+      // where the branch dedups are already gone by construction)
+      val p26 = graft.pipeline.Gold
+        .directoryRows(graft.operators.PipelineQueries
+          .silverUnified(spark, "/root/testdata/sf0.001"))
+        .orderBy("institution_type", "charter_number")
       assert(countAggregates(p26) == 1, p26.queryExecution.optimizedPlan.toString)
     }
   }

@@ -11,6 +11,39 @@ library itself has no Python dependency.
 """
 import sys, os, json, glob
 import duckdb, pandas as pd, numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _norm_type(t: pa.DataType) -> str:
+    """Canonical type label for the driver-parity strict check.
+
+    The driver's hash is type-sensitive: DuckDB HUGEINT (arrow decimal128)
+    vs Spark BIGINT, or BIGINT vs Spark INT, both flip the hash even when
+    values are identical. Normalize only flavors that genuinely hash the
+    same (timestamp unit/tz, string vs large_string, list vs large_list).
+    """
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_norm_type(t.value_type)}>"
+    return str(t)
+
+
+def type_check(name, spark_files, arrow_exp: pa.Table):
+    """Compare Spark parquet schema vs DuckDB arrow result column types."""
+    sp = pq.read_schema(spark_files[0])
+    exp_fields = {f.name: f.type for f in arrow_exp.schema}
+    errs = []
+    for f in sp:
+        if f.name not in exp_fields:
+            continue
+        a, b = _norm_type(f.type), _norm_type(exp_fields[f.name])
+        if a != b:
+            errs.append(f"col={f.name}: spark={a} oracle={b}")
+    return "; ".join(errs) if errs else None
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -71,12 +104,13 @@ def main():
             print(f"{status:28s} {name} rows={len(got)}")
             continue
         try:
-            exp = con.execute(oracles[name]).fetchdf()
+            arrow_exp = con.execute(oracles[name]).fetch_arrow_table()
+            exp = arrow_exp.to_pandas()
         except Exception as e:
             print(f"{'FAIL(oracle-sql-error)':28s} {name}: {e}")
             fails += 1
             continue
-        err = compare(name, got, exp)
+        err = compare(name, got, exp) or type_check(name, files, arrow_exp)
         if err:
             print(f"{'FAIL':28s} {name}: {err}")
             fails += 1
