@@ -46,6 +46,11 @@ object Media {
     * raw bytes deterministically. */
   def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
+    // HALF_UP quantization — same convention as Spark's round() and the
+    // DuckDB oracle's round(), so the stub's features are value-checkable
+    // cross-engine (m45's gate), not just smoke-tested
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     media.mapPartitions { rows =>
       // ??? <- real codec initialization would go here, once per partition
       rows.map { r =>
@@ -55,8 +60,7 @@ object Media {
           else bytes.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / bytes.length
         val frames = frameSample(bytes, 256).length
         MediaFeatures(r.media_id, r.kind, bytes.length,
-          math.rint(mean * 1e6) / 1e6, frames,
-          math.rint(r.width.toDouble / r.height * 1e6) / 1e6)
+          r6(mean), frames, r6(r.width.toDouble / r.height))
       }
     }
   }

@@ -451,7 +451,120 @@ object Dedup {
        |WHERE round(common * 1.0 / (n1.ns + n2.ns - common), 6) >= 0.2
        |ORDER BY id1, id2""".stripMargin
 
+  /** d142: INCREMENTAL MinHash+LSH — d31 run the way a 100 TB corpus
+    * actually runs it (SURVEY §9.4, the d135 pattern lifted to near-dup):
+    * the band index of the existing corpus is a PERSISTED artifact, and an
+    * ingest batch (here doc_id % 7 = 0, mirroring d135's split) generates
+    * candidates by (a) probing its own band keys against that index
+    * (delta×history equi-join) and (b) pairing within its own band buckets
+    * (delta×delta C(n,2) explosion). History NEVER self-joins — no
+    * history×history pair is ever generated, so each ingest costs
+    * O(delta × bands), not O(corpus²) or even O(corpus × bands).
+    *
+    * Verification joins candidate doc ids back to the shingle index
+    * (semi-join reduces the index to candidate docs first), computes common
+    * counts from the reduced buckets, and scores Jaccard exactly as d31 —
+    * the admitted batch's bands are what the index-maintenance write would
+    * append. `src` labels which side each pair hit. */
+  def d142IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val idx = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = idx.groupBy("doc_id")
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("ns"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.selectExpr("doc_id", "minhash16(hs) AS mh")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(0, 3), b -> concat(
+          |  CAST(b AS STRING), ':',
+          |  concat_ws('-', transform(slice(mh, b*4 + 1, 4),
+          |    x -> CAST(x AS STRING)))))) AS band_key""".stripMargin)
+    val histIndex = bands.filter(col("doc_id") % 7 =!= 0)
+      .groupBy("band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("hist_ids"))
+    val deltaBands = bands.filter(col("doc_id") % 7 === 0)
+      .persist(StorageLevel.MEMORY_AND_DISK) // probe side + delta-delta side
+    val deltaHist = deltaBands.join(histIndex, "band_key")
+      .selectExpr("doc_id AS did", "explode(hist_ids) AS hid")
+      .selectExpr("least(did, hid) AS id1", "greatest(did, hid) AS id2")
+    val deltaDelta = deltaBands.groupBy("band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .selectExpr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    val cand = deltaHist.unionByName(deltaDelta).distinct()
+    val candDocs = cand
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
+    val ridx = idx.join(candDocs, Seq("doc_id"), "left_semi")
+    val common = ridx.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .selectExpr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    val n = sigs.select(col("doc_id"), col("ns"))
+    cand.join(common, Seq("id1", "id2"), "left").na.fill(0L, Seq("common"))
+      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
+      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
+      .withColumn("jac",
+        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .withColumn("is_dup", (col("jac") >= 0.2).cast("int"))
+      .withColumn("src",
+        when(col("id1") % 7 === 0 && col("id2") % 7 === 0, "delta_delta")
+          .otherwise("delta_hist"))
+      .select("id1", "id2", "jac", "is_dup", "src")
+      .orderBy("id1", "id2")
+  }
+
+  val d142Sql: String = {
+    val polyDuck =
+      """list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |  list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
+        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+    s"""WITH $shingleIndexSql,
+       |d AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(string_split(lower(text),' ')) - 1),
+       |    i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS shingles
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(0, 16), i ->
+       |    list_min(list_transform(shingles, sh ->
+       |      ((2*i + 1) * ($polyDuck) + i*12345 + 678) % 1000000007))) AS mh
+       |  FROM d),
+       |bands AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+       |    CAST(b AS VARCHAR) || ':' || array_to_string(mh[b*4+1:b*4+4], '-'))) AS band_key
+       |  FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
+       |    greatest(a.doc_id, b.doc_id) AS id2
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+       |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+       |  UNION
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bands a JOIN bands b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0),
+       |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+       |common AS (
+       |  SELECT id1, id2, count(*) AS common
+       |  FROM cand JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2
+       |  WHERE sa.h = sb.h GROUP BY 1, 2)
+       |SELECT id1, id2,
+       |  round(coalesce(common, 0) * 1.0 / (n1.ns + n2.ns - coalesce(common, 0)), 6) AS jac,
+       |  CAST(round(coalesce(common, 0) * 1.0 / (n1.ns + n2.ns - coalesce(common, 0)), 6) >= 0.2 AS INTEGER) AS is_dup,
+       |  CASE WHEN id1 % 7 = 0 AND id2 % 7 = 0 THEN 'delta_delta'
+       |       ELSE 'delta_hist' END AS src
+       |FROM cand LEFT JOIN common USING (id1, id2)
+       |JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d142_incremental_minhash" -> d142IncrementalMinhash,
     "d135_incremental_dedup"  -> d135IncrementalDedup,
     "d141_capped_jaccard"     -> d141CappedJaccard,
     "d29_dedup_exact"         -> d29Exact,
@@ -461,6 +574,7 @@ object Dedup {
     "d33_dedup_embedding"     -> d33Embedding)
 
   val oracle: Map[String, String] = Map(
+    "d142_incremental_minhash" -> d142Sql,
     "d135_incremental_dedup"  -> d135Sql,
     "d141_capped_jaccard"     -> d141Sql,
     "d29_dedup_exact"         -> d29Sql,

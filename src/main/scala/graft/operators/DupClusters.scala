@@ -24,9 +24,18 @@ object DupClusters {
 
   /** Connected components of an undirected edge list via min-label
     * propagation. `nodes`: (id); `edges`: (src, dst). Returns (id, component)
-    * where component = min node id reachable. */
+    * where component = min node id reachable.
+    *
+    * O(diameter) rounds — the right tool for dup graphs (tiny cliques,
+    * diameter 1-2). For pathological chain-shaped graphs use
+    * [[connectedComponentsStar]] (O(log n) rounds). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxRounds: Int = 20): DataFrame = {
+                          maxRounds: Int = 20): DataFrame =
+    minLabelCC(nodes, edges, maxRounds)._1
+
+  private[operators] def minLabelCC(
+      nodes: DataFrame, edges: DataFrame, maxRounds: Int,
+      checkpointEvery: Int = 5): (DataFrame, Int) = {
     // symmetrize once; edges both ways so one join propagates both directions
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -40,16 +49,99 @@ object DupClusters {
       // neighbor labels: for edge (src→dst), dst receives src's current label
       val fromNeighbors = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(fromNeighbors)
+      var next = labels.unionByName(fromNeighbors)
         .groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      // lineage hygiene: each round's plan references the previous round
+      // TWICE (the union branch and the neighbor join), so the LOGICAL plan
+      // doubles per round — persist caches execution, not the tree, and by
+      // ~2^10 nodes plan rendering/optimization dominates or OOMs at deep
+      // diameters. localCheckpoint every ~5 rounds truncates lineage to the
+      // materialized blocks (executor-local — on a cluster, pair with
+      // reliable checkpointing if executor loss must be recoverable
+      // mid-computation).
+      if ((round + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
+      else next = next.persist(StorageLevel.MEMORY_AND_DISK)
       changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") =!= col("prev")).count()
       labels.unpersist()
       labels = next
       round += 1
     }
-    labels.withColumnRenamed("lbl", "component")
+    sym.unpersist()
+    (labels.withColumnRenamed("lbl", "component"), round)
+  }
+
+  /** Connected components via alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — converges in O(log n) rounds on ANY graph shape, including
+    * the long-chain pathologies where min-label propagation needs
+    * O(diameter) rounds. Same contract as [[connectedComponents]]; returns
+    * the round count for convergence tests.
+    *
+    * Per round: large-star hangs every strictly-larger neighbor of u onto
+    * min(N(u) ∪ {u}); small-star re-hangs the not-larger neighborhood the
+    * same way. Both are one groupBy + one join keyed by node id, and the
+    * edge set only ever shrinks toward the component stars — shuffle rows
+    * are (long, long) pairs throughout. */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxRounds: Int = 30): (DataFrame, Int) = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.unionByName(
+        e.select(col("v").as("u"), col("u").as("v")))
+      val m = nbrs.groupBy("u")
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      nbrs.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val hung = dir.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+      hung.filter(col("u") =!= col("v")).distinct()
+    }
+    var e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var done = e.isEmpty
+    var prev = (-1L, "")
+    while (!done && round < maxRounds) {
+      // localCheckpoint EVERY round: one star round references `e` ~12×
+      // (unions + both join sides of both stars), so the LOGICAL plan grows
+      // 12^rounds without truncation — persist caches execution but not the
+      // plan tree, and the optimizer itself OOMs after ~5 rounds. Eager
+      // checkpoint resets the plan to a LogicalRDD leaf each round; the
+      // materialization it forces doubles as the fingerprint scan below.
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // convergence = edge set fixed point; (count, order-free hash-sum) is
+      // an exact set fingerprint up to xxhash64 collision-sums — one cheap
+      // action per round instead of an EXCEPT join. DECIMAL accumulation:
+      // a long sum of ±2^63 hashes overflows (ANSI mode throws)
+      val fp = next.agg(count(lit(1)),
+          sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")))
+        .head()
+      val cur = (fp.getLong(0), String.valueOf(fp.get(1)))
+      e.unpersist()
+      e = next
+      done = cur == prev
+      prev = cur
+      round += 1
+    }
+    // fixed point is a forest of stars: every non-root points at its
+    // component minimum; roots (and isolated nodes) label themselves
+    val lbl = e.select(greatest(col("u"), col("v")).as("id"),
+        least(col("u"), col("v")).as("m"))
+      .groupBy("id").agg(min(col("m")).as("m"))
+    val out = nodes.select(col("id"))
+      .join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("m"), col("id")).as("component"))
+    (out, round)
   }
 
   /** d57: cluster the exact-dup corpus (documents ∪ planted copies, d29's

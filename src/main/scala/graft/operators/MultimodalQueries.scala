@@ -44,8 +44,11 @@ object MultimodalQueries {
       |FROM media ORDER BY media_id""".stripMargin
 
   /** The typed mapPartitions decode path (stubbed codec, real batch shape).
-    * No SQL oracle — mapPartitions is not SQL-expressible; the driver
-    * records the rows>0 check and MediaSpec asserts the feature values. */
+    * The mapPartitions OPERATOR is not SQL-expressible, but the stub's
+    * features are deterministic byte math (mean byte value, frame count at
+    * a 256-byte stride, HALF_UP-quantized aspect), so DuckDB recomputes
+    * every value from the same payload bytes — m45 is value-gated like any
+    * other query, with MediaSpec additionally pinning unit fixtures. */
   def m45MediaDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Media.decodeStub(
@@ -55,10 +58,31 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
+  /** The corpus is ASCII (octet_length(payload) = length(text)), so
+    * per-CHAR ascii() equals the per-BYTE value the stub folds over. */
+  val m45Sql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |    (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+      |    text, encode(text) AS payload,
+      |    CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+      |    CAST(n_chars % 480 + 1 AS INTEGER) AS height
+      |  FROM documents)
+      |SELECT media_id, kind,
+      |  CAST(octet_length(payload) AS INTEGER) AS n_bytes,
+      |  CASE WHEN octet_length(payload) = 0 THEN 0.0
+      |       ELSE round(list_reduce(list_transform(string_split(text, ''),
+      |              c -> CAST(ascii(c) AS BIGINT)), (a, x) -> a + x)
+      |            / CAST(octet_length(payload) AS DOUBLE), 6) END AS mean_byte,
+      |  CAST(ceil(octet_length(payload) / 256.0) AS INTEGER) AS n_frames,
+      |  round(width / CAST(height AS DOUBLE), 6) AS aspect
+      |FROM media ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m44_media_features" -> m44MediaFeatures,
     "m45_media_decode"   -> m45MediaDecode)
 
   val oracle: Map[String, String] = Map(
-    "m44_media_features" -> m44Sql)
+    "m44_media_features" -> m44Sql,
+    "m45_media_decode"   -> m45Sql)
 }

@@ -14,6 +14,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.caseSensitive", "true")
     .config("spark.ui.enabled", "false")
+    // bound plan-string rendering: iterative algorithms (CC loops) can carry
+    // wide plans between checkpoints, and the listener's explainString of an
+    // unbounded tree is an OOM vector in a 4-core test JVM
+    .config("spark.sql.maxPlanStringLength", "100000")
     .config("spark.local.dir", SparkSupport.scratchDir)
     .getOrCreate()
 

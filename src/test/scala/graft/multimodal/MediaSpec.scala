@@ -33,7 +33,8 @@ class MediaSpec extends SparkSpec {
       .collect().map(f => f.media_id -> f).toMap
     assert(feats(1L).n_bytes == 11)
     assert(feats(1L).mean_byte ==
-      math.rint("hello world".getBytes("UTF-8").map(_ & 0xff).sum / 11.0 * 1e6) / 1e6)
+      BigDecimal("hello world".getBytes("UTF-8").map(_ & 0xff).sum / 11.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(feats(0L).n_frames == 2) // 300 bytes / 256 stride → 2 slices
     assert(feats(2L).n_frames == 3)
   }

@@ -32,6 +32,47 @@ class DupClustersSpec extends SparkSpec {
     assert(a == b && a.values.toSet == Set(1L))
   }
 
+  test("star contraction: 1000-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    val n = 1000L
+    val (out, rounds) = DupClusters.connectedComponentsStar(
+      (0L until n).toDF("id"),
+      (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst"))
+    val labels = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(0L), "path must collapse to component 0")
+    // min-label would need ~999 rounds on this graph; star contraction is
+    // O(log n) — assert well under 2·log2(1000) ≈ 20
+    assert(rounds <= 20, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
+  test("star contraction matches min-label on mixed shapes") {
+    import spark.implicits._
+    val nodes = (1L to 12L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L),
+      (9L, 10L), (10L, 11L)).toDF("src", "dst")
+    val a = DupClusters.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (bDf, _) = DupClusters.connectedComponentsStar(nodes, edges)
+    val b = bDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, s"min-label $a != star $b")
+  }
+
+  test("min-label checkpointing: 25-chain at maxRounds=24 converges with bounded lineage") {
+    import spark.implicits._
+    val nodes = (0L until 25L).toDF("id")
+    val edges = (0L until 24L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (out, rounds) = DupClusters.minLabelCC(nodes, edges, maxRounds = 30,
+      checkpointEvery = 5)
+    assert(out.collect().map(_.getLong(1)).toSet == Set(0L))
+    assert(rounds >= 24, "a 24-diameter chain needs >= diameter rounds")
+    // the checkpoint every 5 rounds truncates lineage: the final plan must
+    // reflect at most ~5 rounds of join+agg (each doubling), not all ~25
+    val planLines = out.queryExecution.optimizedPlan.numberedTreeString
+      .linesIterator.size
+    assert(planLines < 400,
+      s"lineage not truncated: optimized plan has $planLines nodes")
+  }
+
   test("d57 components agree with per-hash min on the planted corpus") {
     val rows = DupClusters.d57DupComponents(spark, "/root/testdata/sf0.001")
       .collect()

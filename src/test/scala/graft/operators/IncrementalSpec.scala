@@ -97,4 +97,30 @@ class IncrementalSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).toSeq === (0 until 10))
     rows.foreach(r => assert(r.getDouble(1) >= 0.0))
   }
+
+  test("d142 emits only delta-touching pairs and agrees with d31 on them") {
+    val inc = Dedup.d142IncrementalMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getInt(3), r.getString(4))).toMap
+    // every pair touches the delta (doc_id % 7 == 0); src labels correctly
+    inc.foreach { case ((id1, id2), (_, _, src)) =>
+      assert(id1 % 7 == 0 || id2 % 7 == 0,
+        s"($id1,$id2) touches no delta doc — history must never self-join")
+      val expected =
+        if (id1 % 7 == 0 && id2 % 7 == 0) "delta_delta" else "delta_hist"
+      assert(src == expected, s"($id1,$id2)")
+    }
+    // the full-corpus run restricted to delta-touching pairs must agree on
+    // candidates and scores (the incremental path loses nothing)
+    val full = Dedup.d31MinhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    val fullDelta = full.filter { case ((a, b), _) => a % 7 == 0 || b % 7 == 0 }
+    assert(inc.keySet == fullDelta.keySet,
+      s"candidate sets differ: only-inc=${inc.keySet -- fullDelta.keySet} " +
+        s"only-full=${fullDelta.keySet -- inc.keySet}")
+    fullDelta.foreach { case (k, (jac, dup)) =>
+      assert(inc(k)._1 == jac && inc(k)._2 == dup, s"scores differ at $k")
+    }
+  }
 }
