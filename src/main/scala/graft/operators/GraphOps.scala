@@ -89,9 +89,13 @@ object GraphOps {
     // degree-ordered orientation (see [[triangleCount]] — inlined here so
     // stats + triangles run as ONE action over the shared persisted inputs
     // instead of round 2's two jobs re-deriving the same subplans)
+    // the degree table is |nodes| (long, long) rows — broadcast it so the
+    // two orientation joins cost zero exchanges on the edge side (at true
+    // 100 TB node counts this degrades gracefully: AQE falls back to a
+    // shuffle join when deg outgrows the broadcast threshold)
     val oriented = e
-      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
-      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
+      .join(broadcast(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du")), "u")
+      .join(broadcast(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv")), "v")
       .select(
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")),
