@@ -582,7 +582,45 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** d143: train/test split LEAKAGE AUDIT — the check a training pipeline
+    * runs after splitting: near-duplicate pairs whose members land in
+    * DIFFERENT splits leak evaluation data into training. Composition of
+    * two verified kernels (q138-style): q75's deterministic hash split
+    * assigns each doc its split; d31's MinHash+LSH near-dup detection
+    * supplies the pairs; the audit keeps confirmed duplicates that cross a
+    * split boundary. Empty output = clean split.
+    *
+    * Scale shape: inherits d31's blocking (no all-pairs path); the split
+    * assignment is map-side arithmetic on the pair rows, so the audit costs
+    * one projection + filter beyond the dedup it reuses. */
+  def d143SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: String): String =
+      s"""CASE WHEN ($c * 1103515245L + 12345L) % 100 < 80 THEN 'train'
+         |     WHEN ($c * 1103515245L + 12345L) % 100 < 90 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    d31MinhashLsh(s, dir)
+      .filter(col("is_dup") === 1)
+      .selectExpr("id1", "id2", "jac",
+        s"${splitOf("id1")} AS split1", s"${splitOf("id2")} AS split2")
+      .filter(col("split1") =!= col("split2"))
+      .orderBy("id1", "id2")
+  }
+
+  val d143Sql: String = {
+    val sp1 =
+      """CASE WHEN (id1 * 1103515245 + 12345) % 100 < 80 THEN 'train'
+        |     WHEN (id1 * 1103515245 + 12345) % 100 < 90 THEN 'val'
+        |     ELSE 'test' END""".stripMargin
+    val sp2 = sp1.replace("id1", "id2")
+    s"""WITH base AS ($d31Sql)
+       |SELECT id1, id2, jac, $sp1 AS split1, $sp2 AS split2
+       |FROM base
+       |WHERE is_dup = 1 AND ($sp1) <> ($sp2)
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d143_split_leakage"       -> d143SplitLeakage,
     "d142_incremental_minhash" -> d142IncrementalMinhash,
     "d135_incremental_dedup"  -> d135IncrementalDedup,
     "d141_capped_jaccard"     -> d141CappedJaccard,
@@ -593,6 +631,7 @@ object Dedup {
     "d33_dedup_embedding"     -> d33Embedding)
 
   val oracle: Map[String, String] = Map(
+    "d143_split_leakage"       -> d143Sql,
     "d142_incremental_minhash" -> d142Sql,
     "d135_incremental_dedup"  -> d135Sql,
     "d141_capped_jaccard"     -> d141Sql,
