@@ -61,8 +61,14 @@ object DupClusters {
       // mid-computation).
       if ((round + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
       else next = next.persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).count()
+      // round 0 always changes when any edge exists (a non-rep node adopts
+      // a smaller neighbor label), so its convergence action is skipped —
+      // on the star-shaped dup graphs d57 feeds (converge in round 0,
+      // detected in round 1) this halves the driver actions per run
+      changed =
+        if (round == 0) 1L
+        else next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+          .filter(col("lbl") =!= col("prev")).count()
       labels.unpersist()
       labels = next
       round += 1
