@@ -29,14 +29,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // Coalesce small shuffles to the ADVISORY size, not the cluster
-      // parallelism (the Spark-docs-recommended setting): at bench SFs most
-      // post-shuffle stages carry a few MB, and parallelismFirst=true pins
-      // them at `cpus` tasks — pure scheduler floor. At 100 TB the same
-      // setting is what keeps reducer counts proportional to data, and big
-      // stages still fan out via the advisory size.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+      // AQE coalescing stays at the Spark DEFAULT (parallelismFirst=true).
+      // Round 3 measured the size-based alternative (parallelismFirst=false
+      // + 32m advisory): it coalesces any exchange whose BYTES are small to
+      // 1 partition — but the dedup suite's plans put a C(n,2) pair
+      // Generate AFTER such exchanges (collect_list buckets are few MB,
+      // their explosion is not), serializing the explosion onto one core:
+      // d143 3.6 s vs 2.3 s, d30 2.6 s vs 1.9 s. The floor on the ~105
+      // small queries was unchanged (±3%). Post-shuffle row EXPANSION is
+      // invisible to size-based coalescing — the default's
+      // min-parallelism guard is the correct setting for this workload.
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", SparkSupport.scratchDir)
       .getOrCreate()

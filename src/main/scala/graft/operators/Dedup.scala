@@ -594,15 +594,23 @@ object Dedup {
     * assignment is map-side arithmetic on the pair rows, so the audit costs
     * one projection + filter beyond the dedup it reuses. */
   def d143SplitLeakage(s: SparkSession, dir: String): DataFrame = {
-    def splitOf(c: String): String =
-      s"""CASE WHEN ($c * 1103515245L + 12345L) % 100 < 80 THEN 'train'
-         |     WHEN ($c * 1103515245L + 12345L) % 100 < 90 THEN 'val'
-         |     ELSE 'test' END""".stripMargin
+    // the cross-split predicate is INTEGER bucket arithmetic so that when
+    // Catalyst pushes it below the candidate distinct (it does — into the
+    // per-pair explosion) each exploded pair pays two modular CASEs, not
+    // two string constructions + a compare; labels render only in the
+    // final projection over the handful of surviving rows
+    def bucketOf(c: String): String =
+      s"""CASE WHEN ($c * 1103515245L + 12345L) % 100 < 80 THEN 0
+         |     WHEN ($c * 1103515245L + 12345L) % 100 < 90 THEN 1
+         |     ELSE 2 END""".stripMargin
     d31MinhashLsh(s, dir)
       .filter(col("is_dup") === 1)
+      .withColumn("b1", expr(bucketOf("id1")))
+      .withColumn("b2", expr(bucketOf("id2")))
+      .filter(col("b1") =!= col("b2"))
       .selectExpr("id1", "id2", "jac",
-        s"${splitOf("id1")} AS split1", s"${splitOf("id2")} AS split2")
-      .filter(col("split1") =!= col("split2"))
+        "element_at(array('train', 'val', 'test'), b1 + 1) AS split1",
+        "element_at(array('train', 'val', 'test'), b2 + 1) AS split2")
       .orderBy("id1", "id2")
   }
 
