@@ -41,7 +41,9 @@ object SparkEntry {
       operators.TimeSeries.queries ++
       operators.GraphOps.queries ++
       operators.Drift.queries ++
-      operators.RelationalExt4.queries
+      operators.RelationalExt4.queries ++
+      operators.Curation2.queries ++
+      operators.GraphOps2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -71,5 +73,7 @@ object SparkEntry {
       operators.TimeSeries.oracle ++
       operators.GraphOps.oracle ++
       operators.Drift.oracle ++
-      operators.RelationalExt4.oracle
+      operators.RelationalExt4.oracle ++
+      operators.Curation2.oracle ++
+      operators.GraphOps2.oracle
 }

@@ -1,0 +1,239 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Corpus-curation operators, fourth batch (round 3): canonical-document
+  * selection over near-dup clusters and corpus-statistics language-model
+  * quality scoring — the two curation steps between "pairs found" (d31)
+  * and "corpus written" (q138) that a pretraining pipeline still needs:
+  * WHICH copy of each near-dup cluster survives, and how docs rank against
+  * the corpus's own token distribution.
+  */
+object Curation2 {
+
+  /** d144: canonical-document selection — the step AFTER near-dup detection
+    * (d31) and clustering (d57's connected components): every document gets
+    * its near-dup component, and each component keeps the HIGHEST-QUALITY
+    * member (t35's composite score; ties break to the smallest doc_id), not
+    * the arbitrary minimum id. Emits the full per-document verdict table:
+    * component, cluster size, quality, the cluster's canonical id, and the
+    * keep/drop flag — the table a curation pipeline joins against to filter
+    * the corpus.
+    *
+    * Scale shape: pairs come from d31's banded LSH (never all-pairs);
+    * components from min-label propagation (O(cluster diameter) rounds —
+    * dup clusters are near-cliques, 2-3 rounds); canonical + size resolve in
+    * ONE aggregation via `max(struct(quality, -doc_id))` (an argmax without
+    * a per-component window sort), and the verdict join is keyed by
+    * component — cluster-sized groups, skew-immune. Quality is computed
+    * map-side from the text; ranking compares RAW doubles, which are
+    * bit-identical cross-engine (per-row IEEE arithmetic only — no
+    * transcendental functions), so the argmax cannot flip between engines;
+    * the 6-decimal rounding is presentation only. */
+  def d144CanonicalDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.d31MinhashLsh(s, dir)
+      .filter(col("is_dup") === 1)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val comp = DupClusters.connectedComponents(
+      docs.select(col("doc_id").as("id")), pairs)
+    val stopArr =
+      TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val toks = "split(lower(text), ' ')"
+    // t35's composite, UNROUNDED (the q138 convention): raw doubles make
+    // round() midpoint ties measure-zero, and the argmax below compares the
+    // raw values so both engines rank the identical bits
+    val scored = docs.selectExpr("doc_id",
+      s"""least(length(text) / 500.0D, 1.0D) * 0.3D
+         |  + least(size(filter($toks, t -> array_contains($stopArr, t)))
+         |      / CAST(size($toks) AS DOUBLE) * 5.0D, 1.0D) * 0.4D
+         |  + size(regexp_extract_all(lower(text), '[a-z]', 0))
+         |      / CAST(length(text) AS DOUBLE) * 0.3D AS qr""".stripMargin)
+    val j = comp.withColumnRenamed("id", "doc_id").join(scored, "doc_id")
+    // one aggregation: size + argmax(quality, then min doc_id) per component
+    val canon = j.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("qr"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("component"), col("cluster_size"),
+        (-col("b.nid")).as("canonical_id"))
+    j.join(canon, "component")
+      .selectExpr("doc_id", "component", "cluster_size",
+        "round(qr, 6) AS quality", "canonical_id",
+        "CAST(doc_id = canonical_id AS INT) AS keep")
+      .orderBy("doc_id")
+  }
+
+  val d144Sql: String = {
+    val stopList =
+      TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH RECURSIVE ${Dedup.minhashPairCtes},
+       |pairs AS (
+       |  SELECT id1, id2
+       |  FROM cand LEFT JOIN common USING (id1, id2)
+       |  JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
+       |  WHERE round(coalesce(common, 0) * 1.0
+       |          / (n1.ns + n2.ns - coalesce(common, 0)), 6) >= 0.2),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION ALL SELECT id2 AS src, id1 AS dst FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS id, doc_id AS l FROM documents
+       |  UNION
+       |  SELECT e.dst AS id, r.l FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id AS doc_id, min(l) AS component FROM reach GROUP BY id),
+       |scored AS (
+       |  SELECT doc_id,
+       |    least(length(text) / 500.0, 1.0) * 0.3
+       |      + least(len(list_filter(string_split(lower(text), ' '),
+       |          t -> list_contains($stopList, t)))
+       |        / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 5.0, 1.0) * 0.4
+       |      + len(regexp_extract_all(lower(text), '[a-z]'))
+       |        / CAST(length(text) AS DOUBLE) * 0.3 AS qr
+       |  FROM documents),
+       |j AS (SELECT c.doc_id, c.component, s2.qr
+       |      FROM comp c JOIN scored s2 USING (doc_id)),
+       |ranked AS (
+       |  SELECT component, doc_id,
+       |    row_number() OVER (PARTITION BY component
+       |                       ORDER BY qr DESC, doc_id) AS rn
+       |  FROM j),
+       |canon AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,
+       |    min(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id
+       |  FROM ranked GROUP BY component)
+       |SELECT j.doc_id, j.component, canon.cluster_size,
+       |  round(j.qr, 6) AS quality, canon.canonical_id,
+       |  CAST(j.doc_id = canon.canonical_id AS INTEGER) AS keep
+       |FROM j JOIN canon USING (component)
+       |ORDER BY j.doc_id""".stripMargin
+  }
+
+  /** t146: unigram language-model scoring — each document's negative
+    * log-likelihood under the corpus's OWN unigram distribution (the CCNet
+    *-style LM quality signal: docs of frequent, typical tokens score low
+    * NLL; rare-token / junk docs score high and get filtered or
+    * down-weighted).
+    *
+    * Two-pass dataflow: (1) token frequencies — one map-side-combined
+    * groupBy over the exploded tokens; (2) scoring — the frequency table is
+    * BROADCAST back (vocabulary follows Heaps' law, sub-linear in corpus
+    * size — at 100 TB it is a few-GB table, stageable to parquet and
+    * broadcast or bucket-joined by token, while the corpus side never
+    * shuffles until the per-doc aggregate). The token explosion is scanned
+    * once and persisted for both passes.
+    *
+    * Determinism: per-token log-probabilities quantize to 6 decimals and
+    * accumulate as exact DECIMAL(38,6) (the [[graft.functions.OracleSafe]]
+    * convention) — the per-doc sum is order-independent and identical in
+    * any engine; `ln` evaluates once per DISTINCT (cnt, total) pair of
+    * integer-exact doubles, so a last-ulp libm divergence would need to
+    * land within one ulp of a 6-decimal midpoint to flip a hash
+    * (measure-zero in practice; the q118 precedent). */
+  def t146UnigramLogprob(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS tok")
+      // feeds the frequency build AND the scoring join — one corpus scan
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("total"))
+    toks.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(tot))
+      .selectExpr("doc_id",
+        "CAST(round(ln(cnt / CAST(total AS DOUBLE)), 6) AS DECIMAL(38,6)) AS lp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(slp AS DOUBLE) AS sum_lp",
+        "round(-CAST(slp AS DOUBLE) / n_tokens, 6) AS avg_nll")
+      .orderBy("doc_id")
+  }
+
+  val t146Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |tot AS (SELECT sum(cnt) AS total FROM freq),
+      |lp AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(cnt / CAST(total AS DOUBLE)), 6) AS DECIMAL(38,6)) AS lp
+      |  FROM toks JOIN freq USING (tok) CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(lp) AS DOUBLE) AS sum_lp,
+      |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_nll
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q147: CCNet-style head/middle/tail bucketing — split the corpus into
+    * LM-score terciles (t146's avg NLL: head = most fluent under the corpus
+    * unigram model, tail = most atypical) and report each bucket's volume,
+    * the sampling table CCNet (Wenzek et al., 2020) uses to keep head+middle
+    * and down-weight tail.
+    *
+    * Scale shape: bucketing happens on the VALUE DOMAIN, not the documents —
+    * avg_nll is 6-decimal-quantized, so distinct scores ≪ documents; the
+    * per-value (count, token-sum) table aggregates distributed, and only
+    * that compressed table passes through the cumulative window (the same
+    * domain-compression move as q121's equi-depth histogram). A cumulative
+    * cut 3·cum/N per VALUE keeps all equal-scored docs in one bucket —
+    * deterministic without a doc-level global sort, which is exactly what
+    * ntile-over-documents would have forced onto a single partition. */
+  def q147NllBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = t146UnigramLogprob(s, dir)
+    val vals = perDoc.groupBy("avg_nll")
+      .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("tk"))
+    // the window runs over the compressed value table only (small by
+    // construction); docs never globally sort
+    val w = Window.orderBy("avg_nll")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = vals
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .selectExpr("avg_nll", "c", "tk",
+        // bucket by the cumulative count BEFORE this value: ties share one
+        // bucket, cuts land at N/3 boundaries
+        "1 + CAST(floor(3.0D * (cum - c) / n) AS INT) AS bucket")
+    cut.groupBy("bucket")
+      .agg(sum(col("c")).as("n_docs"), sum(col("tk")).as("n_tokens"),
+        min(col("avg_nll")).as("nll_lo"), max(col("avg_nll")).as("nll_hi"),
+        round(sum(col("avg_nll").cast("decimal(38,6)") * col("c"))
+          .cast("double") / sum(col("c")), 6).as("mean_nll"))
+      .selectExpr("bucket",
+        "element_at(array('head', 'middle', 'tail'), bucket) AS label",
+        "n_docs", "n_tokens", "mean_nll", "nll_lo", "nll_hi")
+      .orderBy("bucket")
+  }
+
+  val q147Sql: String =
+    s"""WITH perdoc AS (${t146Sql.replace("ORDER BY doc_id", "")}),
+       |vals AS (
+       |  SELECT avg_nll, count(*) AS c, sum(n_tokens) AS tk
+       |  FROM perdoc GROUP BY avg_nll),
+       |cut AS (
+       |  SELECT avg_nll, c, tk,
+       |    1 + CAST(floor(3.0e0 * (sum(c) OVER (ORDER BY avg_nll
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+       |        / sum(c) OVER ()) AS INTEGER) AS bucket
+       |  FROM vals)
+       |SELECT bucket,
+       |  (['head', 'middle', 'tail'])[bucket] AS label,
+       |  CAST(sum(c) AS BIGINT) AS n_docs,
+       |  CAST(sum(tk) AS BIGINT) AS n_tokens,
+       |  round(CAST(sum(CAST(avg_nll AS DECIMAL(38,6)) * c) AS DOUBLE)
+       |    / sum(c), 6) AS mean_nll,
+       |  min(avg_nll) AS nll_lo, max(avg_nll) AS nll_hi
+       |FROM cut GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d144_canonical_docs"   -> d144CanonicalDocs,
+    "t146_unigram_logprob"  -> t146UnigramLogprob,
+    "q147_nll_buckets"      -> q147NllBuckets)
+
+  val oracle: Map[String, String] = Map(
+    "d144_canonical_docs"   -> d144Sql,
+    "t146_unigram_logprob"  -> t146Sql,
+    "q147_nll_buckets"      -> q147Sql)
+}

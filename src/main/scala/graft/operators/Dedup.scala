@@ -221,12 +221,16 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
-  val d31Sql: String = {
+  /** The d31 candidate/verify CTE chain (shingle index → 16-hash signatures
+    * → band keys → candidate pairs → shared-shingle counts), factored out so
+    * downstream oracle SQL can compose it (d144 chains connected components
+    * and canonical selection onto the same pair pipeline). */
+  private[operators] val minhashPairCtes: String = {
     val polyDuck =
       """list_reduce(list_prepend(CAST(7 AS BIGINT),
         |  list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
         |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
-    s"""WITH $shingleIndexSql,
+    s"""$shingleIndexSql,
        |d AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    range(1, len(string_split(lower(text),' ')) - 1),
@@ -248,14 +252,17 @@ object Dedup {
        |common AS (
        |  SELECT id1, id2, count(*) AS common
        |  FROM cand JOIN s sa ON sa.doc_id = id1 JOIN s sb ON sb.doc_id = id2
-       |  WHERE sa.h = sb.h GROUP BY 1, 2)
+       |  WHERE sa.h = sb.h GROUP BY 1, 2)""".stripMargin
+  }
+
+  val d31Sql: String =
+    s"""WITH $minhashPairCtes
        |SELECT id1, id2,
        |  round(coalesce(common, 0) * 1.0 / (n1.ns + n2.ns - coalesce(common, 0)), 6) AS jac,
        |  CAST(round(coalesce(common, 0) * 1.0 / (n1.ns + n2.ns - coalesce(common, 0)), 6) >= 0.2 AS INTEGER) AS is_dup
        |FROM cand LEFT JOIN common USING (id1, id2)
        |JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
        |ORDER BY id1, id2""".stripMargin
-  }
 
   /** 30-bit SimHash over distinct tokens: bit j of the signature is the
     * sign of Σ_tokens (±1 by bit j of the token hash). Computed map-side;

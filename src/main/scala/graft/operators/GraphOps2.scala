@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative link analysis over the q117 co-occurrence graph: PageRank with
+  * a FIXED unrolled iteration count and per-step decimal quantization — the
+  * authority/importance signal behind domain weighting and crawl
+  * prioritization in corpus curation, in a form two engines can agree on
+  * bit-for-bit.
+  *
+  * Why fixed + quantized rather than iterate-to-convergence: float PageRank
+  * converges to engine-dependent last-ulp values (accumulation order differs
+  * under any distributed partitioning), so a convergence-looped score can
+  * never hash-match an external oracle. Each step therefore quantizes every
+  * rank to a pico-scaled BIGINT via `floor(x·1e12 + 0.5)` — IEEE multiply/
+  * add/floor on identical bits, bit-identical in any engine (unlike
+  * `round(x, 12)`, whose near-midpoint behavior DIVERGES between Spark's
+  * BigDecimal HALF_UP and DuckDB's multiply-then-round path — measured: one
+  * rank in ~2k flipped at the 12th decimal). Integer addition commutes, so
+  * the per-iteration state is exact, order-independent, and a pure function
+  * of the previous iteration in ANY engine — the
+  * [[graft.functions.OracleSafe]] trick, lifted to iterative state on the
+  * integer lattice.
+  */
+object GraphOps2 {
+
+  /** q148: 3-iteration PageRank (damping 0.85) over the part co-occurrence
+    * graph (q117's edges: parts sharing an order with l_quantity ≥ 40).
+    *
+    * Scale shape: the graph symmetrizes once and persists; each iteration
+    * is one join (ranks onto adjacency, keyed by source) + one aggregation
+    * (contributions by target) — 2 shuffles per iteration, rows are
+    * (long, decimal) pairs, and the plan UNROLLS (no driver action inside
+    * the loop; the only scalar is the node count, metadata-sized like
+    * q117's stats row). Degree skew: a hub's contributions fan IN as an
+    * aggregation (map-side partial sums absorb the hot key), never a
+    * C(d, 2) explosion. At a 1000-executor scale the same unrolled plan
+    * runs with the adjacency bucketed by source so the per-iteration join
+    * is exchange-free on the big side. */
+  def q148Pagerank3(s: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 40)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = hi.as("a").join(hi.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    // undirected → both directions; reused by degrees + all 3 iterations
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+      .withColumnRenamed("u", "x")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node count: the one driver scalar (metadata-sized); every node has
+    // degree ≥ 1 by construction, so there are no dangling nodes
+    val n = deg.count()
+    val adj = sym.join(
+      broadcast(deg.select(col("x").as("u"), col("d"))), "u")
+    // rank state: picoranks k = floor(r·1e12 + 0.5) as BIGINT
+    var r = deg.select(col("x"),
+      expr(s"CAST(floor(1.0D / $n * 1e12D + 0.5D) AS BIGINT)").as("k"))
+    for (_ <- 1 to 3) {
+      // contribution r(u)/deg(u): double division of identical bits, then
+      // floor-quantize so the per-target sum is exact and order-independent
+      val contrib = adj.join(r, adj("u") === r("x"))
+        .selectExpr("v AS x",
+          "CAST(floor(CAST(k AS DOUBLE) / 1e12D / d * 1e12D + 0.5D) AS BIGINT) AS c")
+        .groupBy("x").agg(sum(col("c")).as("cs"))
+      r = deg.select(col("x")).join(contrib, Seq("x"), "left")
+        .selectExpr("x",
+          s"""CAST(floor((0.15D / $n + 0.85D *
+             |  (CAST(coalesce(cs, 0L) AS DOUBLE) / 1e12D)) * 1e12D + 0.5D)
+             |AS BIGINT) AS k""".stripMargin)
+    }
+    r.join(deg, "x")
+      .selectExpr("x AS node", "k AS pagerank_p12",
+        "CAST(k AS DOUBLE) / 1e12D AS pagerank", "d AS degree")
+      .orderBy("node")
+  }
+
+  val q148Sql: String = {
+    // one unrolled iteration: contributions keyed by target, then the
+    // damped update — mirrors the Spark loop body exactly
+    def iter(i: Int): String =
+      s"""c$i AS (
+         |  SELECT sym.v AS x,
+         |    sum(CAST(floor(CAST(k AS DOUBLE) / 1e12 / d * 1e12 + 0.5e0)
+         |        AS BIGINT)) AS cs
+         |  FROM sym JOIN deg ON sym.u = deg.x
+         |  JOIN r${i - 1} rr ON rr.x = sym.u
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT deg.x,
+         |    CAST(floor((0.15e0 / n + 0.85e0 *
+         |      (CAST(coalesce(cs, 0) AS DOUBLE) / 1e12)) * 1e12 + 0.5e0)
+         |    AS BIGINT) AS k
+         |  FROM deg LEFT JOIN c$i USING (x) CROSS JOIN nn)""".stripMargin
+    s"""WITH hi AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_quantity >= 40),
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM hi a JOIN hi b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |deg AS (SELECT u AS x, count(*) AS d FROM sym GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (
+       |  SELECT x, CAST(floor(1.0e0 / n * 1e12 + 0.5e0) AS BIGINT) AS k
+       |  FROM deg CROSS JOIN nn),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT r3.x AS node, k AS pagerank_p12,
+       |  CAST(k AS DOUBLE) / 1e12 AS pagerank,
+       |  CAST(d AS BIGINT) AS degree
+       |FROM r3 JOIN deg USING (x)
+       |ORDER BY node""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_pagerank3" -> q148Pagerank3)
+
+  val oracle: Map[String, String] = Map(
+    "q148_pagerank3" -> q148Sql)
+}
