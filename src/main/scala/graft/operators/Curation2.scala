@@ -35,11 +35,23 @@ object Curation2 {
     * the 6-decimal rounding is presentation only. */
   def d144CanonicalDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // persist the verified pair list: it feeds the CC's edge set AND its
+    // node set (endpoints) — without this the whole minhash pipeline above
+    // re-runs once per consumer (the d31 cost lesson)
     val pairs = Dedup.d31MinhashLsh(s, dir)
       .filter(col("is_dup") === 1)
       .select(col("id1").as("src"), col("id2").as("dst"))
-    val comp = DupClusters.connectedComponents(
-      docs.select(col("doc_id").as("id")), pairs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // CC runs on the DUP SUBGRAPH only (edge endpoints): iterative state is
+    // proportional to the duplicate graph — a sliver of any real corpus —
+    // not the corpus itself; singleton docs label themselves through the
+    // left join below and never enter a propagation round
+    val ends = pairs.select(col("src").as("id"))
+      .unionByName(pairs.select(col("dst").as("id"))).distinct()
+    val sub = DupClusters.connectedComponents(ends, pairs)
+    val comp = docs.select(col("doc_id").as("id"))
+      .join(sub.withColumnRenamed("component", "c"), Seq("id"), "left")
+      .selectExpr("id", "coalesce(c, id) AS component")
     val stopArr =
       TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
     val toks = "split(lower(text), ' ')"
@@ -53,6 +65,9 @@ object Curation2 {
          |  + size(regexp_extract_all(lower(text), '[a-z]', 0))
          |      / CAST(length(text) AS DOUBLE) * 0.3D AS qr""".stripMargin)
     val j = comp.withColumnRenamed("id", "doc_id").join(scored, "doc_id")
+      // feeds the canonical argmax AND the output join (multi-consumer
+      // persist convention; released by the runner's clearCache)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // one aggregation: size + argmax(quality, then min doc_id) per component
     val canon = j.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"),
