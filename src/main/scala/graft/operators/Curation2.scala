@@ -35,13 +35,12 @@ object Curation2 {
     * the 6-decimal rounding is presentation only. */
   def d144CanonicalDocs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // persist the verified pair list: it feeds the CC's edge set AND its
-    // node set (endpoints) — without this the whole minhash pipeline above
-    // re-runs once per consumer (the d31 cost lesson)
-    val pairs = Dedup.d31MinhashLsh(s, dir)
-      .filter(col("is_dup") === 1)
+    // the verified pair list is the dedup stage's PERSISTED corpus artifact
+    // ([[Dedup.dupPairs]], built once per corpus by the full d31 pipeline) —
+    // it feeds the CC's edge set AND its node set without re-running the
+    // minhash chain per consumer
+    val pairs = Dedup.dupPairs(s, dir)
       .select(col("id1").as("src"), col("id2").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // CC runs on the DUP SUBGRAPH only (edge endpoints): iterative state is
     // proportional to the duplicate graph — a sliver of any real corpus —
     // not the corpus itself; singleton docs label themselves through the
