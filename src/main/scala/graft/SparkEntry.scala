@@ -43,7 +43,8 @@ object SparkEntry {
       operators.Drift.queries ++
       operators.RelationalExt4.queries ++
       operators.Curation2.queries ++
-      operators.GraphOps2.queries
+      operators.GraphOps2.queries ++
+      operators.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -75,5 +76,6 @@ object SparkEntry {
       operators.Drift.oracle ++
       operators.RelationalExt4.oracle ++
       operators.Curation2.oracle ++
-      operators.GraphOps2.oracle
+      operators.GraphOps2.oracle ++
+      operators.Analytics.oracle
 }

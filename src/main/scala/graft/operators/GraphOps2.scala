@@ -40,16 +40,12 @@ object GraphOps2 {
     * C(d, 2) explosion. At a 1000-executor scale the same unrolled plan
     * runs with the adjacency bucketed by source so the per-iteration join
     * is exchange-free on the big side. */
-  def q148Pagerank3(s: SparkSession, dir: String): DataFrame = {
-    val hi = Tables.lineitem(s, dir)
-      .filter(col("l_quantity") >= 40)
-      .select("l_orderkey", "l_partkey").distinct()
-    val e = hi.as("a").join(hi.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
-    // undirected → both directions; reused by degrees + all 3 iterations
+  /** PageRank core over a canonical (u < v) undirected edge list — exposed
+    * for property tests (star → hub dominates, path → end-symmetry is
+    * EXACT under the integer lattice, K_n → uniform 1e12/n). Returns
+    * (node, pagerank_p12, pagerank, degree). */
+  private[operators] def pagerank3(e: DataFrame, iters: Int): DataFrame = {
+    // undirected → both directions; reused by degrees + all iterations
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
@@ -63,7 +59,7 @@ object GraphOps2 {
     // rank state: picoranks k = floor(r·1e12 + 0.5) as BIGINT
     var r = deg.select(col("x"),
       expr(s"CAST(floor(1.0D / $n * 1e12D + 0.5D) AS BIGINT)").as("k"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to iters) {
       // contribution r(u)/deg(u): double division of identical bits, then
       // floor-quantize so the per-target sum is exact and order-independent
       val contrib = adj.join(r, adj("u") === r("x"))
@@ -80,6 +76,18 @@ object GraphOps2 {
       .selectExpr("x AS node", "k AS pagerank_p12",
         "CAST(k AS DOUBLE) / 1e12D AS pagerank", "d AS degree")
       .orderBy("node")
+  }
+
+  def q148Pagerank3(s: SparkSession, dir: String): DataFrame = {
+    val hi = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 40)
+      .select("l_orderkey", "l_partkey").distinct()
+    val e = hi.as("a").join(hi.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    pagerank3(e, iters = 3)
   }
 
   val q148Sql: String = {
