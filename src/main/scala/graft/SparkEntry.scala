@@ -44,7 +44,8 @@ object SparkEntry {
       operators.RelationalExt4.queries ++
       operators.Curation2.queries ++
       operators.GraphOps2.queries ++
-      operators.Analytics.queries
+      operators.Analytics.queries ++
+      operators.Analytics2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -77,5 +78,6 @@ object SparkEntry {
       operators.RelationalExt4.oracle ++
       operators.Curation2.oracle ++
       operators.GraphOps2.oracle ++
-      operators.Analytics.oracle
+      operators.Analytics.oracle ++
+      operators.Analytics2.oracle
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Analytics2Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("groupwise ols: r2 bounded, groups partition events, and the slope " +
+    "matches Spark's independent regr_slope implementation") {
+    val out = Analytics2.q150GroupwiseOls(spark, dir).cache()
+    assert(out.filter(col("r2") < 0 || col("r2") > 1 + 1e-9).count() == 0)
+    val ev = graft.Tables.events(spark, dir)
+    assert(out.agg(sum("n")).head().getLong(0) == ev.count())
+    // independent check: Spark's built-in bivariate regression aggregate
+    // (different accumulation path) must agree to ~1e-4 on every group
+    val expect = ev.selectExpr("event_type",
+        "CAST(hour(ts) AS DOUBLE) AS x", "value AS y")
+      .groupBy("event_type")
+      .agg(expr("regr_slope(y, x)").as("es"), expr("regr_intercept(y, x)").as("ei"))
+    val joined = out.join(expect, "event_type")
+      .selectExpr("abs(slope - es) AS ds", "abs(intercept - ei) AS di")
+      .agg(max("ds"), max("di")).head()
+    assert(joined.getDouble(0) < 1e-4 && joined.getDouble(1) < 1e-4)
+    out.unpersist()
+  }
+
+  test("bm25: exactly the docs containing a query term are scored, scores " +
+    "positive, more distinct terms never hurt the hit count") {
+    val out = Analytics2.t151Bm25(spark, dir).cache()
+    val docs = graft.Tables.documents(spark, dir)
+    val expectHits = docs.filter(
+      col("text").contains("data") || col("text").contains("spark") ||
+        col("text").contains("join")).count()
+    // contains() over raw text can over-match substrings of other words in
+    // principle, but this corpus's vocabulary is space-separated whole
+    // words, so token-level and substring-level hits coincide
+    assert(out.count() == expectHits)
+    assert(out.filter(col("bm25") <= 0).count() == 0)
+    assert(out.filter(col("n_terms_hit") < 1 || col("n_terms_hit") > 3).count() == 0)
+    out.unpersist()
+  }
+}
