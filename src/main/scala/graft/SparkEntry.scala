@@ -45,7 +45,8 @@ object SparkEntry {
       operators.Curation2.queries ++
       operators.GraphOps2.queries ++
       operators.Analytics.queries ++
-      operators.Analytics2.queries
+      operators.Analytics2.queries ++
+      operators.Pretrain.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -79,5 +80,6 @@ object SparkEntry {
       operators.Curation2.oracle ++
       operators.GraphOps2.oracle ++
       operators.Analytics.oracle ++
-      operators.Analytics2.oracle
+      operators.Analytics2.oracle ++
+      operators.Pretrain.oracle
 }

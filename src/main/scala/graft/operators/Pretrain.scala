@@ -1,0 +1,413 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.PortableHash._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Pretraining-corpus curation, fourth batch: the filter/dedup stages a
+  * large-scale LLM data pipeline runs between raw crawl and tokenizer —
+  * Gopher-style rule filtering (Rae et al. 2021), CCNet-style duplicate
+  * chunk removal with document recomposition (Wenzek et al. 2020),
+  * duplicate-span profiling (the ExactSubstr signal of Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better"), SemDeDup
+  * semantic deduplication over embeddings (Abbas et al. 2023), and DSIR
+  * importance weighting (Xie et al. 2023).
+  *
+  * Determinism discipline (cross-engine oracle): integer arithmetic
+  * everywhere possible (poly_hash chunks, position checksums, rule flags);
+  * doubles only as ratios of exact integers (identical bits in both
+  * engines) or behind round(·, 6) before a DECIMAL(38,6) sum; rankings
+  * only over exact DECIMAL sums with id tie-breaks.
+  */
+object Pretrain {
+
+  // ---------------------------------------------------------------- t152
+
+  /** t152: Gopher-style quality rule battery — the cheap, map-only filter
+    * gate that runs BEFORE any shuffle-bearing dedup: token-count bounds,
+    * mean-word-length bounds, alpha-word fraction, and stopword presence,
+    * plus the conjunctive pass flag. Embarrassingly parallel (one
+    * projection, no shuffle but the presentation sort); at 100 TB this is
+    * the stage that discards ~half the corpus for the cost of a scan.
+    *
+    * All flags compare RAW ratios (exact-integer quotients — identical
+    * IEEE bits cross-engine); the rounded ratios are presentation only. */
+  def t152GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+    Tables.documents(s, dir)
+      .selectExpr(
+        "doc_id",
+        s"size($tokens) AS n_tokens",
+        s"aggregate(transform($tokens, t -> length(t)), 0, (a, x) -> a + x) AS sum_len",
+        s"size(filter($tokens, t -> t rlike '^[a-z]+$$')) AS n_alpha",
+        s"size(filter($stopArr, w -> array_contains($tokens, w))) AS n_stop")
+      .selectExpr("doc_id", "n_tokens",
+        "round(sum_len / CAST(n_tokens AS DOUBLE), 6) AS mean_wl",
+        "round(n_alpha / CAST(n_tokens AS DOUBLE), 6) AS alpha_frac",
+        "n_stop",
+        "CAST(n_tokens BETWEEN 50 AND 100000 AS INT) AS r_wc",
+        """CAST(sum_len / CAST(n_tokens AS DOUBLE) >= 3.0D
+          |  AND sum_len / CAST(n_tokens AS DOUBLE) <= 10.0D AS INT) AS r_mwl""".stripMargin,
+        "CAST(n_alpha / CAST(n_tokens AS DOUBLE) >= 0.8D AS INT) AS r_alpha",
+        "CAST(n_stop >= 1 AS INT) AS r_stop")
+      .selectExpr("doc_id", "n_tokens", "mean_wl", "alpha_frac", "n_stop",
+        "r_wc", "r_mwl", "r_alpha", "r_stop",
+        "r_wc * r_mwl * r_alpha * r_stop AS pass")
+      .orderBy("doc_id")
+  }
+
+  val t152Sql: String = {
+    val stopList = TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+       |    list_reduce(list_prepend(0,
+       |      list_transform(string_split(lower(text), ' '), t -> length(t))),
+       |      (a, x) -> a + x) AS sum_len,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |      t -> regexp_matches(t, '^[a-z]+$$'))) AS INTEGER) AS n_alpha,
+       |    CAST(len(list_filter($stopList,
+       |      w -> list_contains(string_split(lower(text), ' '), w))) AS INTEGER) AS n_stop
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, n_tokens,
+       |    round(sum_len / CAST(n_tokens AS DOUBLE), 6) AS mean_wl,
+       |    round(n_alpha / CAST(n_tokens AS DOUBLE), 6) AS alpha_frac,
+       |    n_stop,
+       |    CAST(n_tokens BETWEEN 50 AND 100000 AS INTEGER) AS r_wc,
+       |    CAST(sum_len / CAST(n_tokens AS DOUBLE) >= 3.0
+       |      AND sum_len / CAST(n_tokens AS DOUBLE) <= 10.0 AS INTEGER) AS r_mwl,
+       |    CAST(n_alpha / CAST(n_tokens AS DOUBLE) >= 0.8 AS INTEGER) AS r_alpha,
+       |    CAST(n_stop >= 1 AS INTEGER) AS r_stop
+       |  FROM q)
+       |SELECT doc_id, n_tokens, mean_wl, alpha_frac, n_stop,
+       |  r_wc, r_mwl, r_alpha, r_stop,
+       |  r_wc * r_mwl * r_alpha * r_stop AS pass
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t153
+
+  /** t153: CCNet-style duplicate-chunk removal with document recomposition.
+    * Documents segment into non-overlapping 8-token chunks ("lines" of a
+    * corpus without newlines); a chunk whose hash appears in MORE THAN 3
+    * distinct documents is boilerplate and is struck from every document
+    * carrying it. Output is the per-document retention profile plus an
+    * order-proving checksum Σ (idx+1)·(hash mod 1e5) over KEPT chunks — the
+    * recomposed document is a pure function of these rows.
+    *
+    * Scale shape: the chunk table shuffles once keyed by hash to count
+    * distinct carriers (map-side combine on (hash, doc) pairs), then joins
+    * back by hash — both exchanges are chunk-keyed, never doc×doc. The
+    * carrier-count table is vocabulary-sized, NOT corpus-sized, but is
+    * joined (not broadcast) because at 100 TB a chunk-hash table is
+    * executor-memory-sized. */
+  def t153LineDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val chunks = Dedup.corpusWithCopies(s, dir)
+      .selectExpr("doc_id", s"$tokens AS toks")
+      .selectExpr("doc_id", "toks",
+        "posexplode(sequence(1, size(toks), 8)) AS (ci, start)")
+      .selectExpr("doc_id", "ci",
+        "size(slice(toks, start, 8)) AS n_toks",
+        "poly_hash(concat_ws(' ', slice(toks, start, 8))) AS h")
+      // feeds the carrier count AND the recomposition — one corpus scan
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val carriers = chunks.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val out = chunks.join(carriers, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") <= 3, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("nd") <= 3, col("n_toks").cast("long")).otherwise(0L))
+          .as("n_tokens_kept"),
+        sum(when(col("nd") <= 3, (col("ci") + 1) * (col("h") % 100000))
+          .otherwise(0L)).as("checksum"))
+      .orderBy("doc_id")
+    out
+  }
+
+  val t153Sql: String =
+    s"""WITH ${Dedup.corpusSql},
+      |t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+      |st AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS start FROM t),
+      |ch AS (
+      |  SELECT doc_id, CAST((start - 1) / 8 AS INTEGER) AS ci,
+      |    CAST(len(toks[start:start+7]) AS INTEGER) AS n_toks,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(array_to_string(toks[start:start+7], ' '), ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM st),
+      |carriers AS (
+      |  SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN nd <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN nd <= 3 THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+      |  CAST(sum(CASE WHEN nd <= 3 THEN (ci + 1) * (h % 100000) ELSE 0 END)
+      |    AS BIGINT) AS checksum
+      |FROM ch JOIN carriers USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t154
+
+  /** t154: duplicate-span profiling — for every document, the fraction of
+    * its overlapping 5-token windows whose hash also occurs in ANOTHER
+    * document, and the longest consecutive run of such windows (the span a
+    * char-level dedup would excise). This is the per-document ExactSubstr
+    * signal: dup_frac ≈ 1 marks a near-clone, a long max_run with low
+    * dup_frac marks an embedded boilerplate block.
+    *
+    * Scale shape: one shuffle keyed by gram hash for carrier counts, one
+    * equi-join back, then doc-keyed aggregation; the run detection is a
+    * per-doc window function over ONLY the duplicated positions
+    * (islands-by-offset: pos − row_number is constant within a run). No
+    * doc×doc product anywhere. */
+  def t154DupSpans(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val grams = Dedup.corpusWithCopies(s, dir)
+      .selectExpr("doc_id", s"$tokens AS toks")
+      .selectExpr("doc_id",
+        """posexplode(transform(sequence(1, size(toks) - 4),
+          |  i -> poly_hash(concat_ws(' ', slice(toks, i, 5))))) AS (p, h)""".stripMargin)
+      .selectExpr("doc_id", "p + 1 AS pos", "h")
+      // feeds the carrier count AND the per-doc flags — one corpus scan
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val carriers = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val flagged = grams.join(carriers, "h")
+      .selectExpr("doc_id", "pos", "CAST(nd >= 2 AS INT) AS isdup")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), sum(col("isdup")).as("n_dup"))
+    val runs = flagged.filter(col("isdup") === 1)
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("runlen"))
+      .groupBy("doc_id").agg(max(col("runlen")).as("max_run"))
+    base.join(runs, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_windows", "n_dup",
+        "round(n_dup / CAST(n_windows AS DOUBLE), 6) AS dup_frac",
+        "coalesce(max_run, CAST(0 AS BIGINT)) AS max_run")
+      .orderBy("doc_id")
+  }
+
+  val t154Sql: String =
+    s"""WITH ${Dedup.corpusSql},
+      |t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM corpus),
+      |g AS (
+      |  SELECT doc_id, i AS pos,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(array_to_string(toks[i:i+4], ' '), ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM t)),
+      |carriers AS (
+      |  SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h),
+      |flagged AS (
+      |  SELECT doc_id, pos, CAST(nd >= 2 AS INTEGER) AS isdup
+      |  FROM g JOIN carriers USING (h)),
+      |base AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |    CAST(sum(isdup) AS BIGINT) AS n_dup
+      |  FROM flagged GROUP BY doc_id),
+      |runs AS (
+      |  SELECT doc_id, CAST(max(runlen) AS BIGINT) AS max_run FROM (
+      |    SELECT doc_id, grp, count(*) AS runlen FROM (
+      |      SELECT doc_id, pos,
+      |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |      FROM flagged WHERE isdup = 1)
+      |    GROUP BY doc_id, grp)
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, n_windows, n_dup,
+      |  round(n_dup / CAST(n_windows AS DOUBLE), 6) AS dup_frac,
+      |  coalesce(max_run, CAST(0 AS BIGINT)) AS max_run
+      |FROM base b LEFT JOIN runs r ON b.doc_id = r.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d155
+
+  /** d155: SemDeDup — semantic deduplication over embeddings. Vectors
+    * cluster into sign-cells (the deterministic stand-in for k-means cells,
+    * as s39's IVF); within each cell, every pair with cosine ≥ 0.98 is a
+    * semantic duplicate, and the member CLOSER to the cell centroid is
+    * dropped (SemDeDup keeps the extreme point — it carries the most
+    * information the cluster mean doesn't). Corpus = embeddings ∪ the d33
+    * perturbed copies so near pairs exist at every SF.
+    *
+    * Scale shape: centroids are cell-count-sized (broadcast); the pair scan
+    * is cell-blocked — quadratic only within a cluster, the SemDeDup
+    * contract (cluster count scales with corpus so cluster size stays
+    * bounded). Drop decisions compare raw centroid-cosines: both engines
+    * compute them from identical DOUBLE bits via the same sequential fold,
+    * so the comparison — not an epsilon — is deterministic. */
+  def d155SemDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val base = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") % 10 === 0)
+        .selectExpr("vec_id + 1000000 AS vec_id",
+          "transform(v, (x, i) -> x + 0.001D * CAST(i % 3 AS DOUBLE)) AS v"))
+    val cells = corpus.selectExpr("vec_id", "v",
+      """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
+        |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
+        |       CAST(CAST(v[2] >= 0 AS INT) AS STRING)) AS cell""".stripMargin)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds centroids + both join sides
+    val cent = cells
+      .selectExpr("cell", "posexplode(v) AS (dim, x)")
+      .groupBy("cell", "dim")
+      .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .selectExpr("cell", "transform(dm, e -> e.m) AS cv")
+    val scored = cells.join(broadcast(cent), "cell")
+      .selectExpr("cell", "vec_id", "v", "cosine_sim(v, cv) AS ctr_cos")
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the pair scan
+    val dropped = scored.as("a").join(scored.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .filter(expr("cosine_sim(a.v, b.v) >= 0.98D"))
+      .filter(col("b.ctr_cos") < col("a.ctr_cos") ||
+        (col("b.ctr_cos") === col("a.ctr_cos") && col("b.vec_id") < col("a.vec_id")))
+      .select(col("a.vec_id").as("vec_id"), col("a.cell").as("cell"),
+        col("a.ctr_cos").as("c"))
+      .distinct()
+    dropped.selectExpr("vec_id", "cell", "round(c, 6) AS ctr_cos")
+      .orderBy("vec_id")
+  }
+
+  val d155Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(range(1, 65), k -> v[k] + 0.001 * CAST((k-1) % 3 AS DOUBLE)) AS v
+      |  FROM base WHERE vec_id % 10 = 0),
+      |cells AS (
+      |  SELECT vec_id, v,
+      |    CAST(CAST(v[1] >= 0 AS INTEGER) AS VARCHAR) ||
+      |    CAST(CAST(v[2] >= 0 AS INTEGER) AS VARCHAR) ||
+      |    CAST(CAST(v[3] >= 0 AS INTEGER) AS VARCHAR) AS cell
+      |  FROM corpus),
+      |centdim AS (
+      |  SELECT cell, k, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+      |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS k FROM cells)
+      |  GROUP BY cell, k),
+      |cent AS (SELECT cell, list(m ORDER BY k) AS cv FROM centdim GROUP BY cell),
+      |scored AS (
+      |  SELECT c.cell, c.vec_id, c.v,
+      |    list_reduce(list_transform(range(1, 65), k -> c.v[k] * t.cv[k]), (x, y) -> x + y) /
+      |    (sqrt(list_reduce(list_transform(range(1, 65), k -> c.v[k] * c.v[k]), (x, y) -> x + y)) *
+      |     sqrt(list_reduce(list_transform(range(1, 65), k -> t.cv[k] * t.cv[k]), (x, y) -> x + y))) AS ctr_cos
+      |  FROM cells c JOIN cent t ON c.cell = t.cell),
+      |dropped AS (
+      |  SELECT DISTINCT a.vec_id, a.cell, a.ctr_cos AS c
+      |  FROM scored a JOIN scored b
+      |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |  WHERE list_reduce(list_transform(range(1, 65), k -> a.v[k] * b.v[k]), (x, y) -> x + y) /
+      |    (sqrt(list_reduce(list_transform(range(1, 65), k -> a.v[k] * a.v[k]), (x, y) -> x + y)) *
+      |     sqrt(list_reduce(list_transform(range(1, 65), k -> b.v[k] * b.v[k]), (x, y) -> x + y))) >= 0.98
+      |    AND (b.ctr_cos < a.ctr_cos OR (b.ctr_cos = a.ctr_cos AND b.vec_id < a.vec_id)))
+      |SELECT vec_id, cell, round(c, 6) AS ctr_cos
+      |FROM dropped ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- t156
+
+  /** t156: DSIR importance weights — each document scored by the
+    * log-likelihood ratio of a TARGET-domain unigram LM (here: the
+    * `src0` slice) against the corpus LM, Laplace-smoothed; the top-100
+    * by exact summed ratio are `selected` (importance resampling picks
+    * proportionally; the deterministic gate takes the head).
+    *
+    * Determinism: the ln argument is assembled as ONE division of two
+    * double-exact integer products ((tc+1)(ct+V)) / ((tt+V)(cc+1)) —
+    * identical bits cross-engine — then quantized to DECIMAL(38,6)
+    * per token ([[graft.functions.OracleSafe]] discipline); doc ranking
+    * compares exact DECIMAL sums with a doc_id tie-break.
+    *
+    * Scale shape: both frequency tables are vocabulary-sized broadcasts;
+    * the corpus token stream is scanned once (persisted across the
+    * frequency build and the scoring join). The global top-100 rank runs
+    * over PER-DOC aggregate rows — for corpus-scale doc counts the same
+    * selection runs through the TopKPerKey physical operator (s48). */
+  def t156DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", "source", "explode(split(lower(text), ' ')) AS tok")
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both LMs + the scoring join
+    val cc = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
+    val tc = toks.filter(col("source") === "src0")
+      .groupBy("tok").agg(count(lit(1)).as("tc"))
+    val stats = cc.agg(sum(col("cc")).as("ct"), count(lit(1)).as("vocab"))
+      .crossJoin(tc.agg(sum(col("tc")).as("tt")))
+    toks.join(broadcast(cc), "tok")
+      .join(broadcast(tc), Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        """CAST(round(ln(
+          |  ((coalesce(tc, CAST(0 AS BIGINT)) + 1.0D) * (ct + vocab)) /
+          |  ((tt + vocab) * (cc + 1.0D))), 6) AS DECIMAL(38,6)) AS lr""".stripMargin)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("slr"))
+      .withColumn("sel_rank",
+        row_number().over(Window.orderBy(col("slr").desc, col("doc_id"))))
+      .selectExpr("doc_id", "n_tokens",
+        "CAST(slr AS DOUBLE) AS log_weight",
+        "CAST(sel_rank <= 100 AS INT) AS selected")
+      .orderBy("doc_id")
+  }
+
+  val t156Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |cc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cc FROM toks GROUP BY tok),
+      |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS tc FROM toks
+      |       WHERE source = 'src0' GROUP BY tok),
+      |stats AS (
+      |  SELECT CAST(sum(cc) AS BIGINT) AS ct, CAST(count(*) AS BIGINT) AS vocab,
+      |    (SELECT CAST(sum(tc) AS BIGINT) FROM tc) AS tt
+      |  FROM cc),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(
+      |      ((coalesce(tc, CAST(0 AS BIGINT)) + 1.0) * (ct + vocab)) /
+      |      ((tt + vocab) * (cc + 1.0))), 6) AS DECIMAL(38,6)) AS lr
+      |  FROM toks JOIN cc USING (tok) LEFT JOIN tc USING (tok) CROSS JOIN stats),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(lr) AS slr
+      |  FROM scored GROUP BY doc_id),
+      |ranked AS (
+      |  SELECT doc_id, n_tokens, slr,
+      |    row_number() OVER (ORDER BY slr DESC, doc_id) AS sel_rank
+      |  FROM agg)
+      |SELECT doc_id, n_tokens, CAST(slr AS DOUBLE) AS log_weight,
+      |  CAST(sel_rank <= 100 AS INTEGER) AS selected
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t152_gopher_rules" -> t152GopherRules,
+    "t153_line_dedup"   -> t153LineDedup,
+    "t154_dup_spans"    -> t154DupSpans,
+    "d155_semdedup"     -> d155SemDedup,
+    "t156_dsir_weights" -> t156DsirWeights)
+
+  val oracle: Map[String, String] = Map(
+    "t152_gopher_rules" -> t152Sql,
+    "t153_line_dedup"   -> t153Sql,
+    "t154_dup_spans"    -> t154Sql,
+    "d155_semdedup"     -> d155Sql,
+    "t156_dsir_weights" -> t156Sql)
+}
