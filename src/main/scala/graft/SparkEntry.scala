@@ -46,7 +46,8 @@ object SparkEntry {
       operators.GraphOps2.queries ++
       operators.Analytics.queries ++
       operators.Analytics2.queries ++
-      operators.Pretrain.queries
+      operators.Pretrain.queries ++
+      operators.Pretrain2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -81,5 +82,6 @@ object SparkEntry {
       operators.GraphOps2.oracle ++
       operators.Analytics.oracle ++
       operators.Analytics2.oracle ++
-      operators.Pretrain.oracle
+      operators.Pretrain.oracle ++
+      operators.Pretrain2.oracle
 }

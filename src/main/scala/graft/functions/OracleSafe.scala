@@ -25,4 +25,27 @@ object OracleSafe {
 
   /** Order-independent average: exact decimal sum / count, divided in double. */
   def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(c)
+
+  /** Midpoint-proof quantized sum: per-row floor(x·1e6 + 0.5) scaled longs
+    * summed exactly, divided back in double. The decimal-cast path (dsum)
+    * rounds each raw double HALF_UP at the 6th decimal — an operation whose
+    * tie-handling differs between engines when a row lands exactly on a
+    * midpoint (observed once at sf0.1: one d² row in ~5k flipped the 6th
+    * decimal of a kmeans inertia). floor on identical IEEE bits cannot
+    * diverge; integer addition is exact; the two final divisions are single
+    * deterministic IEEE ops. Trade-off: truncating quantization (bias
+    * < 1e-6·n) instead of round-half-even — fine for gate metrics.
+    *
+    * DuckDB twin:
+    * {{{ CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 }}} */
+  def qsum6(c: Column): Column =
+    sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("double") / lit(1e6)
+
+  /** Midpoint-proof quantized mean — qsum6 / count, all deterministic ops.
+    * DuckDB twin appends {{{ / count(*) }}} before the 1e6 division:
+    * {{{ CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+    *       / count(*) / 1e6 }}} */
+  def qmean6(c: Column): Column =
+    sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("double") /
+      count(c) / lit(1e6)
 }

@@ -1,0 +1,187 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.PortableHash._
+import graft.multimodal.Media
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pretraining-corpus curation, fifth batch: tokenizer-training support
+  * (the BPE merge-pair count, Sennrich et al. 2016), content-defined
+  * chunking (the rolling-hash boundary rule of LBFS/rsync-style storage
+  * dedup), a k-anonymity audit over quasi-identifiers, and multimodal
+  * frame sampling through the typed Dataset path ([[Media.frameSample]]).
+  * All integer-deterministic — no float leaves an exact-quotient or
+  * round(·, 6) form.
+  */
+object Pretrain2 {
+
+  // ---------------------------------------------------------------- t157
+
+  /** t157: BPE merge-pair counting — the inner loop of byte-pair-encoding
+    * tokenizer training: count adjacent symbol pairs across the corpus
+    * weighted by word frequency, and flag the argmax (the pair the next
+    * merge rule would fuse).
+    *
+    * Scale shape: the corpus collapses to the VOCABULARY first (word →
+    * count, one shuffle with map-side combine); pair explosion runs over
+    * distinct words only — corpus size never reaches the pair stage. That
+    * is exactly how production BPE trainers stay tractable on TB corpora.
+    * The argmax is a rank over the pair table (alphabet²-sized). */
+  def t157BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .selectExpr(s"explode($tokens) AS w")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    words.filter(length(col("w")) >= 2)
+      .selectExpr("cnt",
+        "explode(transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))) AS pair")
+      .groupBy("pair").agg(sum(col("cnt")).as("n"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("pair"))))
+      .selectExpr("pair", "n", "CAST(rk = 1 AS INT) AS is_merge")
+      .orderBy("pair")
+  }
+
+  val t157Sql: String =
+    """WITH w AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |p AS (
+      |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+      |    SELECT cnt, unnest(list_transform(range(1, length(w)),
+      |      i -> substr(w, i, 2))) AS pair
+      |    FROM w WHERE length(w) >= 2)
+      |  GROUP BY pair),
+      |r AS (
+      |  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rk FROM p)
+      |SELECT pair, n, CAST(rk = 1 AS INTEGER) AS is_merge
+      |FROM r ORDER BY pair""".stripMargin
+
+  // ---------------------------------------------------------------- t158
+
+  /** t158: content-defined chunking — chunk boundaries where the rolling
+    * hash of the last 4 characters satisfies h mod 16 = 0 (the rsync/LBFS
+    * boundary rule). Unlike fixed-stride chunking (t153, q55), CDC
+    * boundaries survive insertions — an edit shifts at most the chunks it
+    * touches, which is what makes chunk-level dedup of revisioned corpora
+    * work. Per document: cut count, chunk count, mean chunk length, and
+    * the boundary-position checksum.
+    *
+    * Map-only (one projection per doc, boundary scan inside a single
+    * higher-order filter — no shuffle, no explosion); embarrassingly
+    * parallel at any scale. */
+  def t158CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val bnd = s"filter(sequence(4, length(text)), i -> " +
+      s"${polyHash("substring(text, i - 3, 4)")} % 16 = 0)"
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "length(text) AS len", s"$bnd AS bnds")
+      .selectExpr("doc_id", "len",
+        "size(bnds) AS n_cuts",
+        "size(filter(bnds, b -> b < len)) + 1 AS n_chunks",
+        "aggregate(bnds, CAST(0 AS BIGINT), (a, x) -> a + x) AS cut_checksum")
+      .selectExpr("doc_id", "len", "n_cuts", "n_chunks",
+        "round(len / CAST(n_chunks AS DOUBLE), 6) AS mean_chunk_len",
+        "cut_checksum")
+      .orderBy("doc_id")
+  }
+
+  val t158Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, CAST(length(text) AS INTEGER) AS len,
+      |    list_filter(range(4, length(text) + 1), i ->
+      |      list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(string_split(substr(text, i - 3, 4), ''),
+      |          c -> CAST(ascii(c) AS BIGINT))),
+      |        (acc, x) -> (acc * 31 + x) % 1000000007) % 16 = 0) AS bnds
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, len,
+      |    CAST(len(bnds) AS INTEGER) AS n_cuts,
+      |    CAST(len(list_filter(bnds, x -> x < len)) + 1 AS INTEGER) AS n_chunks,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), bnds),
+      |      (a, x) -> a + x) AS BIGINT) AS cut_checksum
+      |  FROM b)
+      |SELECT doc_id, len, n_cuts, n_chunks,
+      |  round(len / CAST(n_chunks AS DOUBLE), 6) AS mean_chunk_len,
+      |  cut_checksum
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q159
+
+  /** q159: k-anonymity audit — group the corpus by its quasi-identifier
+    * tuple (lang, source, size bucket) and flag groups below k = 5: the
+    * release-readiness check a curated dataset runs after PII redaction
+    * (t83) — redacting direct identifiers is not enough if a rare
+    * attribute combination isolates a document. One aggregation, group
+    * rows only (the suppression step consumes `k_ok = 0` groups). */
+  def q159KAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("lang", "source",
+        "CAST(floor(n_chars / 100) AS INT) AS size_bucket")
+      .groupBy("lang", "source", "size_bucket")
+      .agg(count(lit(1)).as("n"))
+      .selectExpr("lang", "source", "size_bucket", "n",
+        "CAST(n >= 5 AS INT) AS k_ok")
+      .orderBy("lang", "source", "size_bucket")
+
+  val q159Sql: String =
+    """SELECT lang, source,
+      |  CAST(floor(n_chars / 100) AS INTEGER) AS size_bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) >= 5 AS INTEGER) AS k_ok
+      |FROM documents
+      |GROUP BY lang, source, CAST(floor(n_chars / 100) AS INTEGER)
+      |ORDER BY lang, source, size_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- m160
+
+  /** m160: multimodal frame sampling through the TYPED path — every
+    * payload yields one 16-byte sample per 256-byte stride via
+    * [[Media.frameSample]] (the I-frame-sampling contract: reduce payload
+    * width BEFORE any shuffle), exploded to one row per frame with its
+    * offset and hex sample. The flatMap is the Dataset operator a real
+    * codec UDF would run; the oracle recomputes every byte from the same
+    * payload with SQL substring math. */
+  def m160FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Media.mediaTable(Tables.documents(s, dir))
+      .as[Media.MediaRow]
+      .flatMap { r =>
+        Media.frameSample(r.payload, 256).zipWithIndex.map { case (f, i) =>
+          (r.media_id, i, i * 256 + 1, f.length,
+            f.map(b => "%02X".format(b & 0xff)).mkString)
+        }
+      }
+      .toDF("media_id", "frame_idx", "offset", "frame_len", "frame_hex")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val m160Sql: String =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, encode(text) AS payload FROM documents),
+      |fr AS (
+      |  SELECT media_id, payload, octet_length(payload) AS nb,
+      |    unnest(range(0, CAST(ceil(octet_length(payload) / 256.0) AS BIGINT))) AS i
+      |  FROM media)
+      |SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+      |  CAST(i * 256 + 1 AS INTEGER) AS offset,
+      |  CAST(least(16, nb - (i * 256 + 1) + 1) AS INTEGER) AS frame_len,
+      |  upper(substr(hex(payload), CAST(i * 256 AS INTEGER) * 2 + 1,
+      |    2 * CAST(least(16, nb - (i * 256 + 1) + 1) AS INTEGER))) AS frame_hex
+      |FROM fr ORDER BY media_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t157_bpe_pairs"    -> t157BpePairs,
+    "t158_cdc_chunks"   -> t158CdcChunks,
+    "q159_k_anonymity"  -> q159KAnonymity,
+    "m160_frame_sample" -> m160FrameSample)
+
+  val oracle: Map[String, String] = Map(
+    "t157_bpe_pairs"    -> t157Sql,
+    "t158_cdc_chunks"   -> t158Sql,
+    "q159_k_anonymity"  -> q159Sql,
+    "m160_frame_sample" -> m160Sql)
+}

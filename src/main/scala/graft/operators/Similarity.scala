@@ -246,14 +246,16 @@ object Similarity {
     Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("p", "x")))
       .groupBy(col("label"), (col("p") + 1).as("dim"))
-      .agg(round(graft.functions.OracleSafe.davg(col("x").cast("double")), 6)
+      // qmean6, not round(davg): round()'s HALF_UP tie-handling diverged
+      // cross-engine on one midpoint row at sf0.1; floor-scale cannot
+      .agg(graft.functions.OracleSafe.qmean6(col("x").cast("double"))
         .as("centroid"))
       .orderBy("label", "dim")
 
   val s122Sql: String =
     """SELECT label, CAST(i AS INTEGER) AS dim,
-      |  round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6)))
-      |          AS DOUBLE) / count(*), 6) AS centroid
+      |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+      |          AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS centroid
       |FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -278,7 +280,7 @@ object Similarity {
     val centers = all
       .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
       .groupBy("label", "p")
-      .agg(round(graft.functions.OracleSafe.davg(col("x")), 6).as("c"))
+      .agg(graft.functions.OracleSafe.qmean6(col("x")).as("c"))
       .groupBy(col("label").as("klabel"))
       .agg(expr("transform(sort_array(collect_list(struct(p, c))), e -> e.c)")
         .as("cv"))
@@ -293,7 +295,7 @@ object Similarity {
       .groupBy("cluster")
       .agg(count(lit(1)).as("n"),
         count(when(col("label") =!= col("cluster"), lit(1))).as("n_moved"),
-        round(graft.functions.OracleSafe.dsum(col("d2")), 6).as("inertia"))
+        graft.functions.OracleSafe.qsum6(col("d2")).as("inertia"))
       .orderBy("cluster")
     out
   }
@@ -302,8 +304,8 @@ object Similarity {
     s"""WITH e AS ($vecsDuck),
        |cent AS (
        |  SELECT label, i AS p,
-       |    round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6)))
-       |            AS DOUBLE) / count(*), 6) AS c
+       |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+       |            AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS c
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
        |  GROUP BY 1, 2),
        |cv AS (SELECT label AS klabel, list(c ORDER BY p) AS cv FROM cent GROUP BY 1),
@@ -318,15 +320,17 @@ object Similarity {
        |  FROM a)
        |SELECT klabel AS cluster, count(*) AS n,
        |  count(CASE WHEN label <> klabel THEN 1 END) AS n_moved,
-       |  round(CAST(sum(CAST(d2 AS DECIMAL(38,6))) AS DOUBLE), 6) AS inertia
+       |  CAST(sum(CAST(floor(d2 * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+       |    AS inertia
        |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** s137: embedding drift — per-label centroid shift between two corpus
     * snapshots (first vs second half by vec_id), the monitor that catches a
     * changed upstream encoder or corpus mix before it poisons retrieval.
-    * Centroids are the s122 aggregate per half (rounded → exact decimals);
-    * the shift is a strict-left-fold L2 over the 64-dim pair, so the
-    * reported drift is bit-identical cross-engine.
+    * Centroids are the s122 aggregate per half (floor-scale quantized
+    * means — exact integer sums, deterministic divisions); the shift is a
+    * strict-left-fold L2 over the 64-dim pair, floor-scale quantized, so
+    * the reported drift is bit-identical cross-engine.
     *
     * Scale shape: two fixed-size (label × dim) aggregates and a |labels|-row
     * join — nothing downstream of the first aggregate scales with corpus
@@ -335,7 +339,7 @@ object Similarity {
     def cent(half: DataFrame) = half
       .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
       .groupBy("label", "p")
-      .agg(round(graft.functions.OracleSafe.davg(col("x")), 6).as("c"))
+      .agg(graft.functions.OracleSafe.qmean6(col("x")).as("c"))
       .groupBy("label")
       .agg(expr("transform(sort_array(collect_list(struct(p, c))), e -> e.c)")
         .as("cv"))
@@ -346,8 +350,9 @@ object Similarity {
       .withColumnRenamed("cv", "cb")
     a.join(b, "label")
       .selectExpr("label",
-        """round(sqrt(aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),
-          |  0D, (acc, x) -> acc + x)), 6) AS l2_shift""".stripMargin)
+        """CAST(floor(sqrt(aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),
+          |  0D, (acc, x) -> acc + x)) * 1e6 + 0.5D) AS BIGINT) / 1e6 AS l2_shift"""
+          .stripMargin)
       .withColumn("drifted", col("l2_shift") > 0.5)
       .orderBy("label")
   }
@@ -356,25 +361,25 @@ object Similarity {
     s"""WITH e AS ($vecsDuck),
        |ca AS (
        |  SELECT label, i AS p,
-       |    round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6)))
-       |            AS DOUBLE) / count(*), 6) AS c
+       |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+       |            AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS c
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
        |  WHERE vec_id < 250 GROUP BY 1, 2),
        |cb AS (
        |  SELECT label, i AS p,
-       |    round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,6)))
-       |            AS DOUBLE) / count(*), 6) AS c
+       |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5)
+       |            AS BIGINT)) AS DOUBLE) / count(*) / 1e6 AS c
        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
        |  WHERE vec_id >= 250 GROUP BY 1, 2),
        |la AS (SELECT label, list(c ORDER BY p) AS ca FROM ca GROUP BY 1),
        |lb AS (SELECT label, list(c ORDER BY p) AS cb FROM cb GROUP BY 1)
        |SELECT label,
-       |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-       |    j -> (ca[j] - cb[j]) * (ca[j] - cb[j]))), (x, y) -> x + y)), 6)
-       |    AS l2_shift,
-       |  round(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
-       |    j -> (ca[j] - cb[j]) * (ca[j] - cb[j]))), (x, y) -> x + y)), 6) > 0.5
-       |    AS drifted
+       |  CAST(floor(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |    j -> (ca[j] - cb[j]) * (ca[j] - cb[j]))), (x, y) -> x + y)) * 1e6 + 0.5)
+       |    AS BIGINT) / 1e6 AS l2_shift,
+       |  CAST(floor(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+       |    j -> (ca[j] - cb[j]) * (ca[j] - cb[j]))), (x, y) -> x + y)) * 1e6 + 0.5)
+       |    AS BIGINT) / 1e6 > 0.5 AS drifted
        |FROM la JOIN lb USING (label) ORDER BY label""".stripMargin
 
   /** s139: distributed covariance matrix — the upper triangle over the

@@ -113,11 +113,15 @@ object StreamingQueries {
       .orderBy("tier")
   }
 
+  // the CASE mirrors the LEFT join: events whose user_id falls outside the
+  // 150-row static dim surface as a NULL tier group (first seen at sf0.1,
+  // where user_ids exceed the dim domain)
   val q79Sql: String =
-    """SELECT concat('tier_', CAST(user_id % 3 AS VARCHAR)) AS tier,
+    """SELECT CASE WHEN user_id < 150
+      |    THEN concat('tier_', CAST(user_id % 3 AS VARCHAR)) END AS tier,
       |  count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
-      |FROM events GROUP BY 1 ORDER BY tier""".stripMargin
+      |FROM events GROUP BY 1 ORDER BY tier NULLS FIRST""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q79_stream_static"   -> q79StreamStatic,
