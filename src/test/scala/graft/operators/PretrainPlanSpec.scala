@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-shape assertions for the pretraining-curation batches: the scale
+  * claims in the Scaladocs (blocked joins, no doc×doc products, broadcast
+  * dimension sides) hold in the PHYSICAL plan, not just in intent. */
+class PretrainPlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("chunk/span dedup join by hash keys — no cartesian anywhere") {
+    for (q <- Seq(Pretrain.t153LineDedup(spark, sf),
+                  Pretrain.t154DupSpans(spark, sf))) {
+      val plan = physical(q)
+      assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
+  test("semdedup blocks the pair scan on the cell key and broadcasts " +
+    "the centroid table") {
+    val plan = physical(Pretrain.d155SemDedup(spark, sf))
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // centroids
+    // the pair scan is an equi-join on cell (hash or sort-merge), never
+    // a nested loop over the corpus
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("dsir broadcasts both vocabulary-sized LMs; the only nested-loop " +
+    "join is the 1-row stats cross join") {
+    val plan = physical(Pretrain2.t157BpePairs(spark, sf))
+    assert(!plan.toLowerCase.contains("cartesianproduct"), plan)
+    val dsir = physical(Pretrain.t156DsirWeights(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(dsir).size >= 2, dsir)
+    // two scalar cross joins: stats = (ct, vocab) × (tt), and stats onto
+    // the token stream — both 1-row build sides, never corpus × corpus
+    assert("BroadcastNestedLoopJoin".r.findAllIn(dsir).size <= 2, dsir)
+    assert(!dsir.toLowerCase.contains("cartesianproduct"), dsir)
+  }
+
+  test("map-only operators stay map-only: one exchange at most (the " +
+    "presentation sort) for gopher rules and cdc chunks") {
+    for (q <- Seq(Pretrain.t152GopherRules(spark, sf),
+                  Pretrain2.t158CdcChunks(spark, sf))) {
+      val plan = physical(q)
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"expected map-only + sort, got $exchanges:\n$plan")
+    }
+  }
+}
