@@ -36,16 +36,23 @@ object OracleSafe {
     * deterministic IEEE ops. Trade-off: truncating quantization (bias
     * < 1e-6·n) instead of round-half-even — fine for gate metrics.
     *
+    * The scaled longs accumulate in DECIMAL(38,0) (not Long): a wrapping
+    * Long sum would silently saturate once Σ|x|·1e6 passes 2^63 (~9.2e12
+    * unit-scale row-sum — a 100 TB corpus reaches it); DuckDB's BIGINT sum
+    * already widens to int128, so decimal accumulation keeps both sides
+    * exact at any scale.
+    *
     * DuckDB twin:
     * {{{ CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 }}} */
   def qsum6(c: Column): Column =
-    sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("double") / lit(1e6)
+    sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
+      lit(1e6)
 
   /** Midpoint-proof quantized mean — qsum6 / count, all deterministic ops.
     * DuckDB twin appends {{{ / count(*) }}} before the 1e6 division:
     * {{{ CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
     *       / count(*) / 1e6 }}} */
   def qmean6(c: Column): Column =
-    sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("double") /
+    sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
       count(c) / lit(1e6)
 }

@@ -171,17 +171,101 @@ object Pretrain2 {
       |    2 * CAST(least(16, nb - (i * 256 + 1) + 1) AS INTEGER))) AS frame_hex
       |FROM fr ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- q161
+
+  /** q161: per-source corpus report card — the governance rollup a corpus
+    * owner reads before a training run: documents, rule-pass rate (t152's
+    * battery, composed as a verified kernel — the d143 pattern), token
+    * volume, and the downsample decision for sources whose pass rate falls
+    * under 50%. Group rows only; every ratio is an exact-integer quotient. */
+  def q161SourceReport(s: SparkSession, dir: String): DataFrame = {
+    val rules = Pretrain.t152GopherRules(s, dir)
+    val src = Tables.documents(s, dir).select("doc_id", "source")
+    rules.join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pass")).as("n_pass"),
+        sum(col("n_tokens")).as("n_tokens_total"))
+      .selectExpr("source", "n_docs", "n_pass", "n_tokens_total",
+        "round(n_pass / CAST(n_docs AS DOUBLE), 6) AS pass_rate",
+        "CAST(n_pass / CAST(n_docs AS DOUBLE) < 0.5D AS INT) AS downsample")
+      .orderBy("source")
+  }
+
+  val q161Sql: String =
+    s"""WITH base AS (${Pretrain.t152Sql}),
+       |j AS (SELECT b.doc_id, b.n_tokens, b.pass, d.source
+       |      FROM base b JOIN documents d USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pass) AS BIGINT) AS n_pass,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+       |  round(CAST(sum(pass) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+       |    AS pass_rate,
+       |  CAST(CAST(sum(pass) AS BIGINT) / CAST(count(*) AS DOUBLE) < 0.5
+       |    AS INTEGER) AS downsample
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- d162
+
+  /** d162: LSH index-quality evaluation — precision/recall of d31's
+    * band-bucket candidate generation against d30's exact shingle-Jaccard
+    * ground truth, the measurement that decides band/row tuning before a
+    * corpus-wide dedup run. Composes the two verified kernels (the d143
+    * pattern): truth = exact pairs at J ≥ 0.2, candidates = band
+    * collisions, hits = verified candidates (a verified candidate is in
+    * truth by construction — J is the same measure). One summary row.
+    *
+    * Scale shape: both kernels are bucket-blocked (never all-pairs); the
+    * metrics are three counting aggregates over pair sets. */
+  def d162LshRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = Dedup.d30NgramJaccard(s, dir).select("id1", "id2")
+    val cand = Dedup.d31MinhashLsh(s, dir)
+    val t = truth.agg(count(lit(1)).as("n_truth"))
+    cand.agg(count(lit(1)).as("n_cand"), sum(col("is_dup")).as("nd"))
+      .crossJoin(broadcast(t))
+      .selectExpr("n_truth", "n_cand", "CAST(nd AS BIGINT) AS n_hit",
+        "round(nd / CAST(n_cand AS DOUBLE), 6) AS precision",
+        "round(nd / CAST(n_truth AS DOUBLE), 6) AS recall")
+  }
+
+  val d162Sql: String =
+    s"""WITH ${Dedup.minhashPairCtes},
+       |tcommon AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+       |  FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id1, id2 FROM tcommon
+       |  JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
+       |  WHERE round(common * 1.0 / (n1.ns + n2.ns - common), 6) >= 0.2),
+       |cs AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_cand,
+       |    CAST(sum(CAST(round(coalesce(common, 0) * 1.0
+       |        / (n1.ns + n2.ns - coalesce(common, 0)), 6) >= 0.2 AS INTEGER))
+       |      AS BIGINT) AS n_hit
+       |  FROM cand LEFT JOIN common USING (id1, id2)
+       |  JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id),
+       |ts AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+       |SELECT n_truth, n_cand, n_hit,
+       |  round(n_hit / CAST(n_cand AS DOUBLE), 6) AS precision,
+       |  round(n_hit / CAST(n_truth AS DOUBLE), 6) AS recall
+       |FROM cs CROSS JOIN ts""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t157_bpe_pairs"    -> t157BpePairs,
     "t158_cdc_chunks"   -> t158CdcChunks,
     "q159_k_anonymity"  -> q159KAnonymity,
-    "m160_frame_sample" -> m160FrameSample)
+    "m160_frame_sample" -> m160FrameSample,
+    "q161_source_report" -> q161SourceReport,
+    "d162_lsh_recall"   -> d162LshRecall)
 
   val oracle: Map[String, String] = Map(
     "t157_bpe_pairs"    -> t157Sql,
     "t158_cdc_chunks"   -> t158Sql,
     "q159_k_anonymity"  -> q159Sql,
-    "m160_frame_sample" -> m160Sql)
+    "m160_frame_sample" -> m160Sql,
+    "q161_source_report" -> q161Sql,
+    "d162_lsh_recall"   -> d162Sql)
 }

@@ -49,6 +49,42 @@ class Pretrain2Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("source report: doc counts partition the corpus and the downsample " +
+    "flag mirrors the pass rate") {
+    val out = Pretrain2.q161SourceReport(spark, dir).cache()
+    assert(out.agg(sum("n_docs")).head().getLong(0) ==
+      graft.Tables.documents(spark, dir).count())
+    assert(out.filter(col("n_pass") > col("n_docs")).count() == 0)
+    assert(out.filter(
+      (col("pass_rate") < 0.5 - 1e-9 && col("downsample") === 0) ||
+        (col("pass_rate") >= 0.5 && col("downsample") === 1)).count() == 0)
+    // cross-check one source against the composed kernel directly
+    val perDoc = Pretrain.t152GopherRules(spark, dir)
+      .join(graft.Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
+      .filter(col("source") === "src0")
+    val row = out.filter(col("source") === "src0").head()
+    assert(row.getAs[Long]("n_docs") == perDoc.count())
+    assert(row.getAs[Long]("n_pass") ==
+      perDoc.agg(sum("pass")).head().getLong(0))
+    out.unpersist()
+  }
+
+  test("lsh recall: hits bound by candidates and truth, ratios consistent") {
+    val row = Pretrain2.d162LshRecall(spark, dir).head()
+    val (nTruth, nCand, nHit) = (row.getAs[Long]("n_truth"),
+      row.getAs[Long]("n_cand"), row.getAs[Long]("n_hit"))
+    assert(nHit <= nCand && nHit <= nTruth)
+    assert(nTruth > 0 && nCand > 0)
+    // a verified candidate IS a truth pair (same J measure, same cut), so
+    // recall = hits/truth exactly; cross-check hits against the kernels
+    val truth = Dedup.d30NgramJaccard(spark, dir).select("id1", "id2")
+    val verified = Dedup.d31MinhashLsh(spark, dir)
+      .filter(col("is_dup") === 1).select("id1", "id2")
+    assert(verified.join(truth, Seq("id1", "id2")).count() == nHit)
+    assert(math.abs(row.getAs[Double]("recall") -
+      nHit.toDouble / nTruth) < 1e-6 + 1e-9)
+  }
+
   test("frame sample: per-media frame counts match ceil(bytes/256) and " +
     "sampled hex re-reads from the payload") {
     val out = Pretrain2.m160FrameSample(spark, dir).cache()
