@@ -47,7 +47,8 @@ object SparkEntry {
       operators.Analytics.queries ++
       operators.Analytics2.queries ++
       operators.Pretrain.queries ++
-      operators.Pretrain2.queries
+      operators.Pretrain2.queries ++
+      operators.Similarity2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -83,5 +84,6 @@ object SparkEntry {
       operators.Analytics.oracle ++
       operators.Analytics2.oracle ++
       operators.Pretrain.oracle ++
-      operators.Pretrain2.oracle
+      operators.Pretrain2.oracle ++
+      operators.Similarity2.oracle
 }

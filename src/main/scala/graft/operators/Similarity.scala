@@ -30,11 +30,11 @@ object Similarity {
       |  (sqrt(list_reduce(list_transform(range(1, 65), k -> q.v[k] * q.v[k]), (x, y) -> x + y)) *
       |   sqrt(list_reduce(list_transform(range(1, 65), k -> c.v[k] * c.v[k]), (x, y) -> x + y)))""".stripMargin
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private[operators] def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
 
-  private val vecsDuck =
+  private[operators] val vecsDuck =
     "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
 
   /** Exact top-5 cosine neighbors for 16 probe vectors: broadcast the tiny
