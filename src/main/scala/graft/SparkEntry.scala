@@ -48,6 +48,7 @@ object SparkEntry {
       operators.Analytics2.queries ++
       operators.Pretrain.queries ++
       operators.Pretrain2.queries ++
+      operators.Pretrain3.queries ++
       operators.Similarity2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,5 +86,6 @@ object SparkEntry {
       operators.Analytics2.oracle ++
       operators.Pretrain.oracle ++
       operators.Pretrain2.oracle ++
+      operators.Pretrain3.oracle ++
       operators.Similarity2.oracle
 }

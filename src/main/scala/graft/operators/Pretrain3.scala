@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.PortableHash._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Pretraining-corpus curation, sixth batch: the BPE merge LOOP (t157 ran
+  * one pair count; t164 learns an ordered rule list) and bigram language-
+  * model scoring with stupid backoff (t146's unigram signal upgraded to
+  * the context-aware form CCNet-style filters actually deploy).
+  *
+  * Determinism discipline unchanged: integer-exact counts, quantized
+  * log-probs accumulated in DECIMAL, rank ties broken lexicographically.
+  */
+object Pretrain3 {
+
+  // ---------------------------------------------------------------- t164
+
+  /** t164: BPE merge-rule learning, 3 rounds — the Sennrich et al. 2016
+    * training loop: represent each vocabulary word as a space-joined symbol
+    * sequence, count adjacent symbol pairs weighted by word frequency, fuse
+    * the most frequent pair (ties: lexicographically smaller), re-count,
+    * repeat. Output: the ordered rule list (round, pair, n) — the artifact
+    * a tokenizer ships.
+    *
+    * Scale shape: the corpus collapses to the VOCABULARY before the loop
+    * (word → count, one map-side-combined shuffle; Heaps' law keeps the
+    * vocab sub-linear in corpus size), so each round's pair count runs
+    * over distinct words only. The argmax is a 1-row aggregate CROSS-JOINED
+    * back (broadcast of one row — no driver collect, the whole loop is one
+    * lazy plan). Merge application is a single string replace per word:
+    * symbols are space-joined, so fusing pair "a b" is replace(" a b " →
+    * " ab ") on the padded sequence — left-to-right non-overlapping in both
+    * engines, the exact BPE greedy semantics. Rounds are a fixed unroll
+    * (tokenizer training fixes the merge budget up front); the vocab
+    * persists so round k does not recompute rounds 1..k-1. */
+  def t164BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val vocab0 = Tables.documents(s, dir)
+      .selectExpr(s"explode($tokens) AS w")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .selectExpr("concat_ws(' ', split(w, '')) AS seq", "cnt")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def pairCounts(vocab: DataFrame): DataFrame = vocab
+      // guard single-symbol words: sequence(1, 0) would DESCEND (the q136
+      // lesson) and element_at(a, 0) throws under ANSI
+      .filter("size(split(seq, ' ')) >= 2")
+      .selectExpr("cnt",
+        """explode(transform(sequence(1, size(split(seq, ' ')) - 1), i ->
+          |  concat(element_at(split(seq, ' '), i), ' ',
+          |         element_at(split(seq, ' '), i + 1)))) AS pair""".stripMargin)
+      .groupBy("pair").agg(sum(col("cnt")).as("n"))
+
+    def best(pc: DataFrame): DataFrame = pc
+      .agg(min(struct((-col("n")).as("negn"), col("pair").as("pair"))).as("b"))
+      .selectExpr("b.pair AS pair", "-b.negn AS n")
+
+    def applyMerge(vocab: DataFrame, b: DataFrame): DataFrame = vocab
+      .crossJoin(broadcast(b))
+      .selectExpr(
+        """trim(replace(concat(' ', seq, ' '), concat(' ', pair, ' '),
+          |  concat(' ', replace(pair, ' ', ''), ' '))) AS seq""".stripMargin,
+        "cnt")
+
+    val b1 = best(pairCounts(vocab0))
+    val v1 = applyMerge(vocab0, b1).persist(StorageLevel.MEMORY_AND_DISK)
+    val b2 = best(pairCounts(v1))
+    val v2 = applyMerge(v1, b2).persist(StorageLevel.MEMORY_AND_DISK)
+    val b3 = best(pairCounts(v2))
+    b1.selectExpr("1 AS round", "pair", "n")
+      .unionByName(b2.selectExpr("2 AS round", "pair", "n"))
+      .unionByName(b3.selectExpr("3 AS round", "pair", "n"))
+      .orderBy("round")
+  }
+
+  val t164Sql: String = {
+    def pairs(v: String) =
+      s"""SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
+         |  SELECT cnt, unnest(list_transform(
+         |    range(1, len(string_split(seq, ' '))),
+         |    i -> (string_split(seq, ' '))[i] || ' ' ||
+         |         (string_split(seq, ' '))[i + 1])) AS pair
+         |  FROM $v)
+         |GROUP BY pair""".stripMargin
+    def best(p: String) =
+      s"SELECT pair, n FROM $p ORDER BY n DESC, pair LIMIT 1"
+    def apply(v: String, b: String) =
+      s"""SELECT trim(replace(' ' || seq || ' ', ' ' || $b.pair || ' ',
+         |  ' ' || replace($b.pair, ' ', '') || ' ')) AS seq, cnt
+         |FROM $v, $b""".stripMargin
+    s"""WITH v0 AS (
+       |  SELECT array_to_string(string_split(w, ''), ' ') AS seq,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents)
+       |  GROUP BY 1),
+       |p1 AS (${pairs("v0")}),
+       |b1 AS (${best("p1")}),
+       |v1 AS (${apply("v0", "b1")}),
+       |p2 AS (${pairs("v1")}),
+       |b2 AS (${best("p2")}),
+       |v2 AS (${apply("v1", "b2")}),
+       |p3 AS (${pairs("v2")}),
+       |b3 AS (${best("p3")})
+       |SELECT 1 AS round, pair, n FROM b1
+       |UNION ALL SELECT 2, pair, n FROM b2
+       |UNION ALL SELECT 3, pair, n FROM b3
+       |ORDER BY round""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t165
+
+  /** t165: bigram LM scoring with stupid backoff (Brants et al. 2007) —
+    * each document's NLL under the corpus's own bigram model: p(w|prev) =
+    * c(prev,w)/c(prev) when the bigram was seen, else 0.4·c(w)/T; document
+    * openers score under the unigram. The context-aware upgrade of t146's
+    * quality signal: junk that happens to use frequent tokens in improbable
+    * ORDER (boilerplate soup, shuffled scrapes) now scores high-NLL.
+    *
+    * Scale shape: token adjacency comes from a map-side array transform
+    * (no window shuffle, no lag); the count tables are vocabulary- and
+    * bigram-vocabulary-sized (Heaps-sublinear; broadcast here, bucket-join
+    * by token at 100 TB — the t146 contract). Per-token log-probs quantize
+    * to 6 decimals and accumulate as exact DECIMAL — order-independent,
+    * engine-identical ([[graft.functions.OracleSafe]] convention; `ln` of
+    * exact-integer-ratio doubles, the t146/q118 precedent). */
+  def t165BigramNll(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"$tokens AS a")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(1, size(a)), i ->
+          |  struct(CASE WHEN i = 1 THEN NULL
+          |           ELSE element_at(a, i - 1) END AS prev,
+          |         element_at(a, i) AS tok))) AS e""".stripMargin)
+      .selectExpr("doc_id", "e.prev AS prev", "e.tok AS tok")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("total"))
+    val bi = toks.filter(col("prev").isNotNull)
+      .groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+    toks
+      .join(broadcast(uni), Seq("tok"))
+      .join(broadcast(uni.selectExpr("tok AS prev", "cu AS cprev")),
+        Seq("prev"), "left")
+      .join(broadcast(bi), Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(tot))
+      .selectExpr("doc_id",
+        """CAST(round(CASE
+          |  WHEN prev IS NULL THEN ln(cu / CAST(total AS DOUBLE))
+          |  WHEN cb IS NOT NULL THEN ln(cb / CAST(cprev AS DOUBLE))
+          |  ELSE ln(0.4D * cu / CAST(total AS DOUBLE)) END, 6)
+          |AS DECIMAL(38,6)) AS lp""".stripMargin,
+        "CAST(cb IS NULL AND prev IS NOT NULL AS INT) AS backed_off")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("backed_off")).as("n_backoff"),
+        sum(col("lp")).as("slp"))
+      .selectExpr("doc_id", "n_tokens", "n_backoff",
+        "round(-CAST(slp AS DOUBLE) / n_tokens, 6) AS avg_nll")
+      .orderBy("doc_id")
+  }
+
+  val t165Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN i = 1 THEN NULL ELSE a[i - 1] END AS prev,
+      |    a[i] AS tok
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+      |        FROM documents),
+      |    unnest(generate_series(1, len(a))) AS t(i)),
+      |uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+      |tot AS (SELECT sum(cu) AS total FROM uni),
+      |bi AS (SELECT prev, tok, count(*) AS cb FROM toks
+      |       WHERE prev IS NOT NULL GROUP BY prev, tok),
+      |lp AS (
+      |  SELECT doc_id,
+      |    CAST(round(CASE
+      |      WHEN t.prev IS NULL THEN ln(u.cu / CAST(total AS DOUBLE))
+      |      WHEN b.cb IS NOT NULL THEN ln(b.cb / CAST(p.cu AS DOUBLE))
+      |      ELSE ln(0.4 * u.cu / CAST(total AS DOUBLE)) END, 6)
+      |    AS DECIMAL(38,6)) AS lp,
+      |    CAST(b.cb IS NULL AND t.prev IS NOT NULL AS INTEGER) AS backed_off
+      |  FROM toks t
+      |  JOIN uni u ON u.tok = t.tok
+      |  LEFT JOIN uni p ON p.tok = t.prev
+      |  LEFT JOIN bi b ON b.prev = t.prev AND b.tok = t.tok
+      |  CROSS JOIN tot)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(backed_off) AS BIGINT) AS n_backoff,
+      |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_nll
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t164_bpe_merges" -> t164BpeMerges,
+    "t165_bigram_nll" -> t165BigramNll)
+
+  val oracle: Map[String, String] = Map(
+    "t164_bpe_merges" -> t164Sql,
+    "t165_bigram_nll" -> t165Sql)
+}
