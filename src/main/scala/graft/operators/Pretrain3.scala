@@ -192,13 +192,183 @@ object Pretrain3 {
       |  round(-CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_nll
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q167
+
+  /** q167: temperature-scaled language mixing (α = 0.5) — the multilingual
+    * pretraining sampler (XLM-R / mBERT convention): languages are sampled
+    * proportional to (n_l/N)^α, flattening the natural distribution so
+    * low-resource languages aren't starved. Output per language: token
+    * volume, natural share, temperature share, and the per-doc sampling
+    * rate that realizes the temperature share at constant total volume
+    * (rate > 1 = upsample/repeat, the standard low-resource treatment).
+    *
+    * α is pinned at 0.5 because sqrt is IEEE-754 correctly rounded in
+    * every engine — pow(x, 0.3) is libm-dependent and could flip a hash by
+    * an ulp. The sqrt weights quantize to scaled longs BEFORE the
+    * cross-language sum, so shares are exact-integer quotients.
+    *
+    * Scale shape: one map-side-combined aggregate to |languages| rows;
+    * everything after is arithmetic on a handful of group rows. */
+  def q167TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(s, dir)
+      .selectExpr("lang", s"size($tokens) AS nt")
+      .groupBy("lang").agg(sum(col("nt")).as("n_tok"))
+      .withColumn("qw",
+        floor(sqrt(col("n_tok").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+    val tot = perLang.agg(sum(col("n_tok")).as("n_total"),
+      sum(col("qw")).as("qw_total"))
+    perLang.crossJoin(broadcast(tot))
+      .selectExpr("lang", "n_tok",
+        "round(n_tok / CAST(n_total AS DOUBLE), 6) AS nat_share",
+        "round(qw / CAST(qw_total AS DOUBLE), 6) AS temp_share",
+        "round(CAST(qw AS DOUBLE) * n_total / qw_total / n_tok, 6) AS rate")
+      .orderBy("lang")
+  }
+
+  val q167Sql: String =
+    """WITH pl AS (
+      |  SELECT lang, CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+      |    AS n_tok
+      |  FROM documents GROUP BY lang),
+      |q AS (
+      |  SELECT lang, n_tok,
+      |    CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |      AS qw
+      |  FROM pl),
+      |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total,
+      |               CAST(sum(qw) AS BIGINT) AS qw_total FROM q)
+      |SELECT lang, n_tok,
+      |  round(n_tok / CAST(n_total AS DOUBLE), 6) AS nat_share,
+      |  round(qw / CAST(qw_total AS DOUBLE), 6) AS temp_share,
+      |  round(CAST(qw AS DOUBLE) * n_total / qw_total / n_tok, 6) AS rate
+      |FROM q CROSS JOIN tot ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q168
+
+  /** q168: positional phrase search — the inverted-index-with-positions
+    * join every search engine runs for quoted queries: postings(term →
+    * doc, position), phrase hit where the two terms' postings align at
+    * adjacent positions. The phrase operand is data-derived (the corpus's
+    * most frequent adjacent pair, t164's round-1 argmax over TOKENS — the
+    * self-referential probe convention of s38/t92). Output: per-doc match
+    * counts for matching docs.
+    *
+    * Scale shape: postings build map-side (array transform, no window);
+    * the phrase join is an equi-join on (doc, position) between two
+    * term-filtered postings lists — each side pre-filtered by its term, so
+    * join input is posting-list-sized, not corpus-sized. A 100 TB corpus
+    * shards this by term with the same plan. */
+  def q168PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"$tokens AS a")
+      .selectExpr("doc_id",
+        "posexplode(a) AS (pos, tok)")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // most frequent adjacent token pair = the phrase operand (1 row)
+    val phrase = toks
+      .selectExpr("doc_id", "pos + 1 AS nxt", "tok AS w1")
+      .join(toks.selectExpr("doc_id", "pos AS nxt", "tok AS w2"),
+        Seq("doc_id", "nxt"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .agg(min(struct((-col("n")).as("negn"), col("w1").as("w1"),
+        col("w2").as("w2"))).as("b"))
+      .selectExpr("b.w1 AS w1", "b.w2 AS w2")
+    toks.crossJoin(broadcast(phrase))
+      .filter(col("tok") === col("w1"))
+      .selectExpr("doc_id", "pos + 1 AS nxt", "w2")
+      .join(toks.selectExpr("doc_id", "pos AS nxt", "tok AS t2"),
+        Seq("doc_id", "nxt"))
+      .filter(col("t2") === col("w2"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_match"))
+      .orderBy("doc_id")
+  }
+
+  val q168Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, i - 1 AS pos, a[i] AS tok
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+      |        FROM documents),
+      |    unnest(generate_series(1, len(a))) AS t(i)),
+      |pairs AS (
+      |  SELECT t1.tok AS w1, t2.tok AS w2, count(*) AS n
+      |  FROM toks t1 JOIN toks t2
+      |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+      |  GROUP BY 1, 2),
+      |phrase AS (SELECT w1, w2 FROM pairs ORDER BY n DESC, w1, w2 LIMIT 1)
+      |SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_match
+      |FROM toks t1 JOIN phrase p ON t1.tok = p.w1
+      |JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+      |  AND t2.tok = p.w2
+      |GROUP BY t1.doc_id ORDER BY t1.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t169
+
+  /** t169: BPE encoding — apply t164's learned rule list, in training
+    * order, to every document (train → apply, the full tokenizer round
+    * trip). Each token's symbol sequence passes through the three merges
+    * as broadcast single-replace maps; output per document: symbol count
+    * after merging and how many fusions occurred (chars − symbols).
+    *
+    * Scale shape: three map-only projections over the corpus with a 1-row
+    * broadcast each — no shuffle until the per-doc count; the rule list a
+    * production encoder ships is longer but the dataflow is identical
+    * (rules fold into one map-side automaton). */
+  def t169BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val rules = t164BpeMerges(s, dir)
+      .groupBy()
+      .agg(expr("""transform(array_sort(collect_list(struct(round, pair))),
+        |  e -> e.pair)""".stripMargin).as("rules"))
+    val merged = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"explode($tokens) AS w")
+      .selectExpr("doc_id", "concat_ws(' ', split(w, '')) AS seq")
+      .crossJoin(broadcast(rules))
+      .selectExpr("doc_id",
+        """aggregate(rules, seq, (acc, r) ->
+          |  trim(replace(concat(' ', acc, ' '), concat(' ', r, ' '),
+          |    concat(' ', replace(r, ' ', ''), ' ')))) AS seq""".stripMargin)
+    merged
+      .selectExpr("doc_id", "size(split(seq, ' ')) AS n_sym",
+        "length(replace(seq, ' ', '')) AS n_char")
+      .groupBy("doc_id")
+      .agg(sum(col("n_sym")).as("n_symbols"),
+        sum(col("n_char") - col("n_sym")).as("n_fused"))
+      .orderBy("doc_id")
+  }
+
+  val t169Sql: String =
+    s"""WITH rulelist AS (
+       |  SELECT list(pair ORDER BY round) AS rules FROM ($t164Sql)),
+       |seqs AS (
+       |  SELECT doc_id,
+       |    array_to_string(string_split(w, ''), ' ') AS seq
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |        FROM documents)),
+       |m AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(seq, rules), (acc, r) ->
+       |      trim(replace(' ' || acc || ' ', ' ' || r || ' ',
+       |        ' ' || replace(r, ' ', '') || ' '))) AS seq
+       |  FROM seqs CROSS JOIN rulelist)
+       |SELECT doc_id,
+       |  CAST(sum(len(string_split(seq, ' '))) AS BIGINT) AS n_symbols,
+       |  CAST(sum(length(replace(seq, ' ', ''))
+       |         - len(string_split(seq, ' '))) AS BIGINT) AS n_fused
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t164_bpe_merges" -> t164BpeMerges,
-    "t165_bigram_nll" -> t165BigramNll)
+    "t164_bpe_merges"     -> t164BpeMerges,
+    "t165_bigram_nll"     -> t165BigramNll,
+    "q167_temperature_mix" -> q167TemperatureMix,
+    "q168_phrase_search"  -> q168PhraseSearch,
+    "t169_bpe_encode"     -> t169BpeEncode)
 
   val oracle: Map[String, String] = Map(
-    "t164_bpe_merges" -> t164Sql,
-    "t165_bigram_nll" -> t165Sql)
+    "t164_bpe_merges"     -> t164Sql,
+    "t165_bigram_nll"     -> t165Sql,
+    "q167_temperature_mix" -> q167Sql,
+    "q168_phrase_search"  -> q168Sql,
+    "t169_bpe_encode"     -> t169Sql)
 }

@@ -27,6 +27,53 @@ class Pretrain3Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("temperature mix: shares sum to ~1, flattening moves every share " +
+    "toward uniform, and rate preserves total volume") {
+    val out = Pretrain3.q167TemperatureMix(spark, dir).cache()
+    val n = out.count()
+    assert(n >= 2)
+    val sums = out.agg(sum("nat_share"), sum("temp_share")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-4)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-4)
+    // α = 0.5 flattens: above-average languages shrink, below-average grow
+    val bad = out.filter(
+      (col("nat_share") > lit(1.0) / n && col("temp_share") > col("nat_share") + 1e-9) ||
+        (col("nat_share") < lit(1.0) / n && col("temp_share") < col("nat_share") - 1e-9))
+    assert(bad.count() == 0)
+    // expected resampled volume Σ rate·n_tok ≈ N
+    val total = out.agg(sum("n_tok")).head().getLong(0).toDouble
+    val resampled = out.agg(sum(col("rate") * col("n_tok"))).head().getDouble(0)
+    assert(math.abs(resampled / total - 1.0) < 1e-3)
+    out.unpersist()
+  }
+
+  test("phrase search: matches equal the corpus count of the top bigram") {
+    val out = Pretrain3.q168PhraseSearch(spark, dir).cache()
+    assert(out.count() > 0)
+    // total matches across docs = the argmax pair's corpus frequency, which
+    // round-1 of the token-level pair count reproduces independently
+    val toks = graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "posexplode(split(lower(text), ' ')) AS (pos, tok)")
+    val top = toks.as("a")
+      .join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.tok"), col("b.tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a.tok"), col("b.tok"))
+      .head().getAs[Long]("n")
+    assert(out.agg(sum("n_match")).head().getLong(0) == top)
+    out.unpersist()
+  }
+
+  test("bpe encode: fusions are non-negative, bounded by chars, and total " +
+    "fused count is positive once rules exist") {
+    val out = Pretrain3.t169BpeEncode(spark, dir).cache()
+    assert(out.count() ==
+      graft.Tables.documents(spark, dir).count())
+    assert(out.filter(col("n_symbols") <= 0).count() == 0)
+    assert(out.agg(sum("n_fused")).head().getLong(0) > 0)
+    out.unpersist()
+  }
+
   test("bigram nll: per-doc rows, token counts match the unigram kernel, " +
     "and a seen-bigram corpus backs off less than fully") {
     val out = Pretrain3.t165BigramNll(spark, dir).cache()
