@@ -49,7 +49,8 @@ object SparkEntry {
       operators.Pretrain.queries ++
       operators.Pretrain2.queries ++
       operators.Pretrain3.queries ++
-      operators.Similarity2.queries
+      operators.Similarity2.queries ++
+      operators.Curation3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -87,5 +88,6 @@ object SparkEntry {
       operators.Pretrain.oracle ++
       operators.Pretrain2.oracle ++
       operators.Pretrain3.oracle ++
-      operators.Similarity2.oracle
+      operators.Similarity2.oracle ++
+      operators.Curation3.oracle
 }

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.PortableHash._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Pretraining-corpus curation, seventh batch: a LEARNED language
+  * classifier (multinomial Naive Bayes with add-one smoothing — the
+  * fastText-style upgrade of t36's fixed heuristic, trained and evaluated
+  * on the corpus itself under a hash split) and the dedup funnel report
+  * (the stage-by-stage survival accounting every curation run publishes).
+  */
+object Curation3 {
+
+  // ---------------------------------------------------------------- t170
+
+  /** t170: Naive Bayes language identification — train multinomial NB with
+    * add-one smoothing on even doc_ids, score odd doc_ids: pred =
+    * argmax_lang [ ln p(lang) + Σ_tok ln p(tok|lang) ]. The learned
+    * counterpart to t36's fixed n-gram heuristic, and the shape of every
+    * bag-of-words quality/domain classifier in a curation stack (fastText
+    * lang-id, quality scorers): training IS two counting aggregates.
+    *
+    * Scale shape: the model is (lang × vocab) counts — Heaps-sublinear;
+    * broadcast here, bucket-join by token at 100 TB (the t146 contract).
+    * Scoring joins each test token against the model, then one aggregate
+    * per (doc, lang): the corpus shuffles once, by doc — |langs|-fold
+    * fan-out happens map-side through the broadcast class list.
+    *
+    * Determinism: log-probs are ln of exact-integer-ratio doubles,
+    * 6-decimal-quantized into DECIMAL(38,6) (order-independent sums, the
+    * t146/t165 convention); the argmax compares exact decimals with ties
+    * to the lexicographically smaller language. */
+  def t170NbLangid(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).selectExpr("doc_id", "lang", "text")
+    val toks = docs
+      .selectExpr("doc_id", "lang", "doc_id % 2 = 0 AS is_train",
+        s"explode($tokens) AS tok")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val train = toks.filter(col("is_train"))
+    // model: class priors (doc counts), per-class token totals, vocab size
+    val priors = docs.filter(col("doc_id") % 2 === 0)
+      .groupBy("lang").agg(count(lit(1)).as("nd"))
+    val classTot = train.groupBy(col("lang").as("clang"))
+      .agg(count(lit(1)).as("nl"))
+    val counts = train.groupBy(col("lang").as("clang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val consts = priors.agg(sum(col("nd")).as("nd_total")).crossJoin(
+      train.agg(countDistinct(col("tok")).as("vsize")))
+    val classes = priors.join(classTot, col("lang") === col("clang"))
+      .crossJoin(consts)
+      .selectExpr("clang", "nl", "vsize",
+        "CAST(round(ln(nd / CAST(nd_total AS DOUBLE)), 6) AS DECIMAL(38,6)) AS prior")
+    val scored = toks.filter(!col("is_train"))
+      .join(broadcast(classes), lit(true))
+      .join(broadcast(counts), Seq("clang", "tok"), "left")
+      .selectExpr("doc_id", "lang", "clang", "prior",
+        """CAST(round(ln((coalesce(c, 0) + 1) / CAST(nl + vsize AS DOUBLE)), 6)
+          |AS DECIMAL(38,6)) AS lp""".stripMargin)
+      .groupBy("doc_id", "lang", "clang", "prior")
+      .agg(sum(col("lp")).as("slp"))
+      .selectExpr("doc_id", "lang", "clang", "prior + slp AS score")
+    scored.groupBy(col("doc_id"), col("lang").as("true_lang"))
+      .agg(min(struct((-col("score")).as("negs"), col("clang").as("clang")))
+        .as("b"))
+      .selectExpr("doc_id", "b.clang AS pred_lang", "true_lang",
+        "CAST(b.clang = true_lang AS INT) AS correct")
+      .orderBy("doc_id")
+  }
+
+  val t170Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, doc_id % 2 = 0 AS is_train,
+      |    unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |priors AS (
+      |  SELECT lang, count(*) AS nd FROM documents
+      |  WHERE doc_id % 2 = 0 GROUP BY lang),
+      |classtot AS (
+      |  SELECT lang AS clang, count(*) AS nl FROM toks
+      |  WHERE is_train GROUP BY lang),
+      |counts AS (
+      |  SELECT lang AS clang, tok, count(*) AS c FROM toks
+      |  WHERE is_train GROUP BY lang, tok),
+      |consts AS (
+      |  SELECT (SELECT sum(nd) FROM priors) AS nd_total,
+      |    (SELECT count(DISTINCT tok) FROM toks WHERE is_train) AS vsize),
+      |classes AS (
+      |  SELECT p.lang AS clang, ct.nl, consts.vsize,
+      |    CAST(round(ln(p.nd / CAST(consts.nd_total AS DOUBLE)), 6)
+      |      AS DECIMAL(38,6)) AS prior
+      |  FROM priors p JOIN classtot ct ON ct.clang = p.lang
+      |  CROSS JOIN consts),
+      |scored AS (
+      |  SELECT t.doc_id, t.lang, k.clang, k.prior,
+      |    sum(CAST(round(ln((coalesce(c.c, 0) + 1)
+      |        / CAST(k.nl + k.vsize AS DOUBLE)), 6) AS DECIMAL(38,6)))
+      |      AS slp
+      |  FROM toks t CROSS JOIN classes k
+      |  LEFT JOIN counts c ON c.clang = k.clang AND c.tok = t.tok
+      |  WHERE NOT t.is_train
+      |  GROUP BY 1, 2, 3, 4),
+      |best AS (
+      |  SELECT doc_id, lang AS true_lang, clang, prior + slp AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY prior + slp DESC, clang) AS rn
+      |  FROM scored)
+      |SELECT doc_id, clang AS pred_lang, true_lang,
+      |  CAST(clang = true_lang AS INTEGER) AS correct
+      |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d171
+
+  /** d171: dedup funnel report — stage-by-stage document and token
+    * survival through the curation cascade: raw → exact dedup (min-id per
+    * content hash) → near-dup canonical selection (d144's connected-
+    * component keep flags, fed by the persisted verified-pair layout) →
+    * Gopher quality rules (t152 pass). The accounting table every corpus
+    * release ships: what each stage cost in volume.
+    *
+    * Scale shape: a composition of verified kernels (the q138/q161
+    * pattern); each stage adds one semi-join on doc_id against a
+    * survivor set, and the four stage aggregates are one pass each over
+    * the doc-level (not token-level) table. */
+  def d171DedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", s"size($tokens) AS nt")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exact = d.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+    val nearKeep = Curation2.d144CanonicalDocs(s, dir)
+      .filter(col("keep") === 1).select("doc_id")
+    val qualKeep = Pretrain.t152GopherRules(s, dir)
+      .filter(col("pass") === 1).select("doc_id")
+    val s1 = d.join(exact.select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s2 = s1.join(nearKeep, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s3 = s2.join(qualKeep, Seq("doc_id"), "left_semi")
+    def stage(df: DataFrame, i: Int, name: String) = df
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .selectExpr(s"$i AS stage", s"'$name' AS stage_name",
+        "n_docs", "n_tokens")
+    stage(d, 0, "raw")
+      .unionByName(stage(s1, 1, "exact"))
+      .unionByName(stage(s2, 2, "near_dup"))
+      .unionByName(stage(s3, 3, "quality"))
+      .orderBy("stage")
+  }
+
+  def d171Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS nt
+       |  FROM documents),
+       |ex AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+       |nk AS (SELECT doc_id FROM (${Curation2.d144Sql}) WHERE keep = 1),
+       |qk AS (SELECT doc_id FROM (${Pretrain.t152Sql}) WHERE pass = 1),
+       |s1 AS (SELECT d.* FROM d JOIN ex USING (doc_id)),
+       |s2 AS (SELECT s1.* FROM s1 JOIN nk USING (doc_id)),
+       |s3 AS (SELECT s2.* FROM s2 JOIN qk USING (doc_id))
+       |SELECT 0 AS stage, 'raw' AS stage_name,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens FROM d
+       |UNION ALL SELECT 1, 'exact', CAST(count(*) AS BIGINT),
+       |  CAST(sum(nt) AS BIGINT) FROM s1
+       |UNION ALL SELECT 2, 'near_dup', CAST(count(*) AS BIGINT),
+       |  CAST(sum(nt) AS BIGINT) FROM s2
+       |UNION ALL SELECT 3, 'quality', CAST(count(*) AS BIGINT),
+       |  CAST(sum(nt) AS BIGINT) FROM s3
+       |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- maps
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t170_nb_langid"   -> t170NbLangid,
+    "d171_dedup_funnel" -> d171DedupFunnel)
+
+  val oracle: Map[String, String] = Map(
+    "t170_nb_langid"   -> t170Sql,
+    "d171_dedup_funnel" -> d171Sql)
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Curation3Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("nb langid: scores every held-out doc, predictions come from " +
+    "trained classes, and the argmax is deterministic") {
+    // NOTE on what is NOT asserted: the synthetic corpus draws every
+    // language's text from one shared vocabulary (verified: per-lang top
+    // tokens are identical), so no bag-of-words model can beat the
+    // majority class HERE — accuracy assertions belong to real corpora.
+    // The value-exact oracle gate carries the model-math correctness.
+    val out = Curation3.t170NbLangid(spark, dir).cache()
+    val docs = graft.Tables.documents(spark, dir)
+    assert(out.count() == docs.filter(col("doc_id") % 2 === 1).count())
+    val trainLangs = docs.filter(col("doc_id") % 2 === 0)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(out.select("pred_lang").distinct().collect()
+      .forall(r => trainLangs(r.getString(0))))
+    assert(out.filter(col("correct") =!= 0 && col("correct") =!= 1).count() == 0)
+    assert(out.filter((col("pred_lang") === col("true_lang")) =!=
+      (col("correct") === 1)).count() == 0)
+    // decimal-exact scoring ⇒ the same argmax on every execution
+    val again = Curation3.t170NbLangid(spark, dir)
+    assert(out.exceptAll(again).count() == 0 &&
+      again.exceptAll(out).count() == 0)
+    out.unpersist()
+  }
+
+  test("dedup funnel: four monotone stages starting at the full corpus") {
+    val out = Curation3.d171DedupFunnel(spark, dir).cache()
+    val rows = out.orderBy("stage").collect()
+    assert(rows.length == 4)
+    assert(rows(0).getAs[Long]("n_docs") ==
+      graft.Tables.documents(spark, dir).count())
+    for (i <- 1 to 3) {
+      assert(rows(i).getAs[Long]("n_docs") <= rows(i - 1).getAs[Long]("n_docs"))
+      assert(rows(i).getAs[Long]("n_tokens") <= rows(i - 1).getAs[Long]("n_tokens"))
+    }
+    // the quality stage agrees with the t152 kernel intersected upstream
+    assert(rows(3).getAs[Long]("n_docs") <=
+      Pretrain.t152GopherRules(spark, dir).filter(col("pass") === 1).count())
+    out.unpersist()
+  }
+}
