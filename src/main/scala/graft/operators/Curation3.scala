@@ -171,13 +171,64 @@ object Curation3 {
        |  CAST(sum(nt) AS BIGINT) FROM s3
        |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- d172
+
+  /** d172: MinHash estimator calibration — for every VERIFIED near-dup
+    * pair, the sketch-estimated Jaccard (fraction of agreeing minhash
+    * coordinates, the unbiased MinHash estimator) against the exact
+    * shingle Jaccard the verification pass computed. d162 measures the
+    * index's recall; this measures its ESTIMATION bias — together they are
+    * the two calibration curves that size a MinHash deployment (how many
+    * permutations, how many bands) before a corpus-wide run.
+    *
+    * Scale shape: joins the persisted pair layout ([[Dedup.dupPairs]])
+    * against the 16-coordinate signatures — pair-list-sized work; the
+    * coordinate agreement count is a map-side zip_with fold. All outputs
+    * are exact rationals (k/16) or already-quantized values. */
+  def d172MinhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val sigs = Dedup.shingleIndex(s, dir)
+      .groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+      .selectExpr("doc_id", "minhash16(hs) AS mh")
+    Dedup.dupPairs(s, dir)
+      .join(sigs.selectExpr("doc_id AS id1", "mh AS mh1"), "id1")
+      .join(sigs.selectExpr("doc_id AS id2", "mh AS mh2"), "id2")
+      .selectExpr("id1", "id2", "jac",
+        "size(filter(zip_with(mh1, mh2, (a, b) -> a = b), x -> x)) AS n_agree")
+      .selectExpr("id1", "id2", "jac",
+        "round(n_agree / 16.0D, 6) AS est",
+        "round(abs(round(n_agree / 16.0D, 6) - jac), 6) AS abs_err")
+      .orderBy("id1", "id2")
+  }
+
+  val d172Sql: String =
+    s"""WITH ${Dedup.minhashPairCtes},
+       |vp AS (
+       |  SELECT id1, id2,
+       |    round(coalesce(common, 0) * 1.0
+       |      / (n1.ns + n2.ns - coalesce(common, 0)), 6) AS jac
+       |  FROM cand LEFT JOIN common USING (id1, id2)
+       |  JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
+       |  WHERE round(coalesce(common, 0) * 1.0
+       |      / (n1.ns + n2.ns - coalesce(common, 0)), 6) >= 0.2),
+       |ag AS (
+       |  SELECT vp.id1, vp.id2, vp.jac,
+       |    len(list_filter(range(1, 17), i -> a.mh[i] = b.mh[i])) AS n_agree
+       |  FROM vp JOIN sig a ON a.doc_id = vp.id1
+       |  JOIN sig b ON b.doc_id = vp.id2)
+       |SELECT id1, id2, jac, round(n_agree / 16.0, 6) AS est,
+       |  round(abs(round(n_agree / 16.0, 6) - jac), 6) AS abs_err
+       |FROM ag ORDER BY id1, id2""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t170_nb_langid"   -> t170NbLangid,
-    "d171_dedup_funnel" -> d171DedupFunnel)
+    "t170_nb_langid"    -> t170NbLangid,
+    "d171_dedup_funnel" -> d171DedupFunnel,
+    "d172_minhash_calibration" -> d172MinhashCalibration)
 
   val oracle: Map[String, String] = Map(
-    "t170_nb_langid"   -> t170Sql,
-    "d171_dedup_funnel" -> d171Sql)
+    "t170_nb_langid"    -> t170Sql,
+    "d171_dedup_funnel" -> d171Sql,
+    "d172_minhash_calibration" -> d172Sql)
 }

@@ -81,7 +81,7 @@ object Dedup {
     * [[PipelineQueries.silverMaterialized]]. The tokenize→shingle→hash
     * projection still runs distributed on first build; rebuilds trigger
     * only when the corpus dir changes. */
-  private def shingleIndex(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def shingleIndex(s: SparkSession, dir: String): DataFrame = {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
     val path = shingleIdxCache.computeIfAbsent(dir, d => {
       val p = s"${graft.SparkSupport.scratchDir}/graft_shingle_idx_" +
@@ -95,7 +95,7 @@ object Dedup {
     s.read.parquet(path)
   }
 
-  private val shingleIndexSql =
+  private[operators] val shingleIndexSql =
     """s AS (
       |  SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
       |      list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),

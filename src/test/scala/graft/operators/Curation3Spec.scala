@@ -31,6 +31,22 @@ class Curation3Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("minhash calibration: one row per verified pair, est on the 1/16 " +
+    "grid, and the error column is |est - jac|") {
+    val out = Curation3.d172MinhashCalibration(spark, dir).cache()
+    val nPairs = Dedup.d31MinhashLsh(spark, dir)
+      .filter(col("is_dup") === 1).count()
+    assert(out.count() == nPairs && nPairs > 0)
+    assert(out.filter(
+      (col("est") * 16) =!= round(col("est") * 16, 0)).count() == 0)
+    assert(out.filter(
+      abs(round(abs(col("est") - col("jac")), 6) - col("abs_err")) > 1e-9)
+      .count() == 0)
+    // verified pairs have jac >= 0.2, so the sketch should agree somewhere
+    assert(out.agg(max("est")).head().getDouble(0) > 0.0)
+    out.unpersist()
+  }
+
   test("dedup funnel: four monotone stages starting at the full corpus") {
     val out = Curation3.d171DedupFunnel(spark, dir).cache()
     val rows = out.orderBy("stage").collect()
