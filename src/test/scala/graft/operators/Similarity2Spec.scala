@@ -20,6 +20,19 @@ class Similarity2Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pq adc search: 3 ranked rows per probe with monotone distances") {
+    val out = Similarity2.s173PqAdcSearch(spark, dir).cache()
+    assert(out.count() == 16 * 3)
+    assert(out.filter(col("adc") < 0).count() == 0)
+    // within a query, rank order IS distance order (ties broken by nid)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy("rank")
+    assert(out.withColumn("prev", lag(col("adc"), 1).over(w))
+      .filter(col("prev").isNotNull && col("adc") < col("prev"))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("pq codes: one row per vector, 8 codes in [0,3], and the error of " +
     "a vector equals the sum of its per-subspace best distances") {
     val out = Similarity2.s166PqCodes(spark, dir).cache()
