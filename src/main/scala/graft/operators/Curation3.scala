@@ -220,15 +220,74 @@ object Curation3 {
        |  round(abs(round(n_agree / 16.0, 6) - jac), 6) AS abs_err
        |FROM ag ORDER BY id1, id2""".stripMargin
 
+  // ---------------------------------------------------------------- q174
+
+  /** q174: user-session sequence extraction — the behavioral-data prep
+    * that turns an event log into training sequences: per user, sessions
+    * cut at 30-minute inactivity gaps (the industry-standard
+    * sessionization rule, the batch twin of q42's streaming session
+    * window), each emitting its event count, wall-clock span, and the
+    * ordered event-type initial string (capped at 20 — the context-window
+    * discipline of t100 applied to behavioral tokens).
+    *
+    * Scale shape: one shuffle keyed by user_id; the gap cut, running
+    * session index, and sequence assembly are all window/aggregate work
+    * INSIDE the user partition. Sequence assembly collects at most the
+    * session's events and emits at most 20 — bounded state per group. */
+  def q174UserSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .selectExpr("user_id", "ts", "event_id",
+        "substring(event_type, 1, 1) AS c")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        (col("prev").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev")) > 1800000L)
+          .cast("int"))
+      .withColumn("session_idx", sum(col("is_new")).over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_millis(col("ts"))) - min(unix_millis(col("ts"))))
+          .as("duration_ms"),
+        expr("""concat_ws('', transform(
+          |  slice(array_sort(collect_list(struct(ts, event_id, c))), 1, 20),
+          |  e -> e.c))""".stripMargin).as("seq"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val q174Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c
+      |  FROM events),
+      |cut AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM cut)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT) AS duration_ms,
+      |  array_to_string(list(c ORDER BY ts, event_id)[1:20], '') AS seq
+      |FROM sess GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t170_nb_langid"    -> t170NbLangid,
     "d171_dedup_funnel" -> d171DedupFunnel,
-    "d172_minhash_calibration" -> d172MinhashCalibration)
+    "d172_minhash_calibration" -> d172MinhashCalibration,
+    "q174_user_sessions" -> q174UserSessions)
 
   val oracle: Map[String, String] = Map(
     "t170_nb_langid"    -> t170Sql,
     "d171_dedup_funnel" -> d171Sql,
-    "d172_minhash_calibration" -> d172Sql)
+    "d172_minhash_calibration" -> d172Sql,
+    "q174_user_sessions" -> q174Sql)
 }

@@ -47,6 +47,25 @@ class Curation3Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("user sessions: events partition into sessions, spans respect the " +
+    "30-minute cut, and sequences are capped at 20") {
+    val out = Curation3.q174UserSessions(spark, dir).cache()
+    val events = graft.Tables.events(spark, dir)
+    assert(out.agg(sum("n_events")).head().getLong(0) == events.count())
+    // session_idx starts at 1 per user and is dense
+    assert(out.groupBy("user_id").agg(min("session_idx").as("mn"),
+        max("session_idx").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() == 0)
+    assert(out.filter(length(col("seq")) >
+      least(col("n_events"), lit(20))).count() == 0)
+    assert(out.filter(col("duration_ms") < 0).count() == 0)
+    // a session's span is consistent with its cut rule: a session of n
+    // events has at most (n-1) gaps each <= 30 min
+    assert(out.filter(col("duration_ms") >
+      (col("n_events") - 1) * 1800000L).count() == 0)
+    out.unpersist()
+  }
+
   test("dedup funnel: four monotone stages starting at the full corpus") {
     val out = Curation3.d171DedupFunnel(spark, dir).cache()
     val rows = out.orderBy("stage").collect()
