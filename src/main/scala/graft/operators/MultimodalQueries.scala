@@ -78,11 +78,65 @@ object MultimodalQueries {
       |  round(width / CAST(height AS DOUBLE), 6) AS aspect
       |FROM media ORDER BY media_id""".stripMargin
 
+  /** m175: interleaved multimodal sequence packing — the vision-language
+    * training-prep arithmetic: each document contributes its TEXT tokens
+    * plus one placeholder token per media FRAME (the patch-token budget of
+    * a VLM: a frame is ceil-of-256-bytes, m44/m160's rule), and the
+    * combined streams pack into 512-token context windows per source with
+    * t100's concat-then-chunk running offsets. Output per doc: the two
+    * token budgets, the pack id, and whether the doc straddles a window.
+    *
+    * Scale shape: token budgets are map-side byte/array math; the running
+    * offset is t100's per-source parallel cumsum — no global sort, no
+    * single-partition window. */
+  def m175InterleavedPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Media.mediaTable(Tables.documents(s, dir))
+      .selectExpr("media_id AS doc_id",
+        "CAST(ceil(octet_length(payload) / 256.0D) AS INTEGER) AS n_media_tok")
+      .join(Tables.documents(s, dir).selectExpr("doc_id", "source",
+        "size(split(lower(text), ' ')) AS n_text_tok"), "doc_id")
+      .selectExpr("source", "doc_id", "n_text_tok", "n_media_tok",
+        "n_text_tok + n_media_tok AS n_total")
+      .withColumn("start_pos",
+        coalesce(sum(col("n_total")).over(w), lit(0L)))
+      .selectExpr("source", "doc_id", "n_text_tok", "n_media_tok",
+        "start_pos", "start_pos div 512 AS pack_id",
+        "CAST((start_pos + n_total - 1) div 512 > start_pos div 512 AS INT)" +
+          " AS crosses")
+      .orderBy("source", "doc_id")
+  }
+
+  val m175Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_text_tok,
+      |    CAST(ceil(octet_length(encode(text)) / 256.0) AS INTEGER)
+      |      AS n_media_tok
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, doc_id, n_text_tok, n_media_tok,
+      |    n_text_tok + n_media_tok AS n_total,
+      |    CAST(coalesce(sum(n_text_tok + n_media_tok) OVER (
+      |      PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS start_pos
+      |  FROM t)
+      |SELECT source, doc_id, n_text_tok, n_media_tok, start_pos,
+      |  start_pos // 512 AS pack_id,
+      |  CAST((start_pos + n_total - 1) // 512 > start_pos // 512 AS INTEGER)
+      |    AS crosses
+      |FROM p ORDER BY source, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m44_media_features" -> m44MediaFeatures,
-    "m45_media_decode"   -> m45MediaDecode)
+    "m45_media_decode"   -> m45MediaDecode,
+    "m175_interleaved_pack" -> m175InterleavedPack)
 
   val oracle: Map[String, String] = Map(
     "m44_media_features" -> m44Sql,
-    "m45_media_decode"   -> m45Sql)
+    "m45_media_decode"   -> m45Sql,
+    "m175_interleaved_pack" -> m175Sql)
 }

@@ -39,6 +39,29 @@ class MediaSpec extends SparkSpec {
     assert(feats(2L).n_frames == 3)
   }
 
+  test("interleaved pack: budgets add up, packs advance with the running " +
+    "offset, and crosses marks exactly the straddling docs") {
+    val out = graft.operators.MultimodalQueries
+      .m175InterleavedPack(spark, "/root/testdata/sf0.001").cache()
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(out.count() == docs.count())
+    // media budget = ceil(bytes/256) >= 1, text budget >= 1
+    assert(out.filter(col("n_media_tok") < 1 || col("n_text_tok") < 1)
+      .count() == 0)
+    // the running offset is consistent: within a source, start_pos is
+    // strictly increasing by the previous doc's total
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val bad = out
+      .withColumn("expect", lag(col("start_pos") + col("n_text_tok") +
+        col("n_media_tok"), 1).over(w))
+      .filter(col("expect").isNotNull && col("start_pos") =!= col("expect"))
+    assert(bad.count() == 0)
+    assert(out.filter(col("pack_id") =!= (col("start_pos") / 512)
+      .cast("long")).count() == 0)
+    out.unpersist()
+  }
+
   test("frameSample slices fixed-width frames at the stride") {
     val frames = Media.frameSample(Array.fill[Byte](600)(1), 256)
     assert(frames.length == 3)
