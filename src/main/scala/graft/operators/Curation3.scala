@@ -277,17 +277,168 @@ object Curation3 {
       |FROM sess GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  // ---------------------------------------------------------------- t176
+
+  /** t176: n-gram novelty — per document, the fraction of its distinct
+    * 3-shingles appearing in NO earlier document (first-seen by doc_id):
+    * the marginal-diversity curve a corpus grows by, the signal that says
+    * when additional scraping stops adding content. First-seen attribution
+    * is one min-aggregate over the persisted shingle inverted index
+    * ([[Dedup.shingleIndex]]) joined back by gram hash — gram-keyed
+    * shuffles only, never doc×doc.  */
+  def t176GramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val idx = Dedup.shingleIndex(s, dir)
+    val first = idx.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    idx.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("doc_id") === col("first_doc")).cast("long")).as("n_novel"))
+      .selectExpr("doc_id", "n_grams", "n_novel",
+        "round(n_novel / CAST(n_grams AS DOUBLE), 6) AS novelty")
+      .orderBy("doc_id")
+  }
+
+  val t176Sql: String =
+    s"""WITH ${Dedup.shingleIndexSql},
+       |f AS (SELECT h, min(doc_id) AS first_doc FROM s GROUP BY h)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CAST(s.doc_id = f.first_doc AS INTEGER)) AS BIGINT)
+       |    AS n_novel,
+       |  round(CAST(sum(CAST(s.doc_id = f.first_doc AS INTEGER)) AS BIGINT)
+       |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+       |FROM s JOIN f USING (h)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q177
+
+  /** q177: frequent itemset pairs — support counting for event-type pairs
+    * CO-OCCURRING in a session (q174's 30-minute cut): the first step of
+    * market-basket / association-rule mining, done the scalable way — the
+    * per-session distinct item set explodes to C(n,2) ordered pairs (n =
+    * distinct event types in one session, bounded by the type alphabet,
+    * NOT by session length), then one count per pair. Top-10 by support.
+    *
+    * Scale shape: sessionization is q174's user-keyed window; the pair
+    * explosion is bounded per session; the support table is
+    * alphabet²-sized, so the global top-10 rank is driver-trivial. */
+  def q177ItemsetPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, dir)
+      .selectExpr("user_id", "ts", "event_id", "event_type")
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("is_new",
+        (col("prev").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev")) > 1800000L)
+          .cast("int"))
+      .withColumn("session_idx", sum(col("is_new")).over(run))
+      .select("user_id", "session_idx", "event_type").distinct()
+      .groupBy("user_id", "session_idx")
+      .agg(sort_array(collect_list(col("event_type"))).as("items"))
+    sess
+      .selectExpr(
+        """explode(flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items) - i - 1),
+          |    y -> struct(x AS e1, y AS e2))))) AS p""".stripMargin)
+      .groupBy(col("p.e1").as("e1"), col("p.e2").as("e2"))
+      .agg(count(lit(1)).as("support"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("support").desc, col("e1"), col("e2"))))
+      .filter(col("rank") <= 10)
+      .select("rank", "e1", "e2", "support")
+      .orderBy("rank")
+  }
+
+  val q177Sql: String =
+    """WITH cut AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM cut),
+      |st AS (SELECT DISTINCT user_id, session_idx, event_type FROM sess),
+      |pairs AS (
+      |  SELECT a.event_type AS e1, b.event_type AS e2
+      |  FROM st a JOIN st b USING (user_id, session_idx)
+      |  WHERE a.event_type < b.event_type),
+      |sup AS (
+      |  SELECT e1, e2, CAST(count(*) AS BIGINT) AS support
+      |  FROM pairs GROUP BY e1, e2),
+      |ranked AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY support DESC, e1, e2)
+      |    AS INTEGER) AS rank, e1, e2, support
+      |  FROM sup)
+      |SELECT rank, e1, e2, support FROM ranked
+      |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- t178
+
+  /** t178: character-entropy quality signal — per document, the Shannon
+    * entropy (nats) of its character distribution: near-zero = degenerate
+    * repetition, near-ln(alphabet) = random noise; both tails are junk a
+    * quality filter cuts. Map-side explode to (doc, char) counts, one
+    * doc-keyed aggregate; per-char log-probs quantize and the entropy sum
+    * accumulates exactly (c·lp in DECIMAL — integer × quantized value),
+    * so the reported entropy is engine-identical. */
+  def t178CharEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(text, '')) AS ch")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      // widths chosen so the decimal PRODUCT stays inside 38 digits in
+      // BOTH engines (DuckDB errors past 38): (18,3) × (19,6) → (38,9)
+      .selectExpr("doc_id", "n",
+        "CAST(c AS DECIMAL(18,3)) * CAST(round(ln(c / CAST(n AS DOUBLE)), 6)" +
+          " AS DECIMAL(19,6)) AS clp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_chars"), max(col("n")).as("n_chars"),
+        sum(col("clp")).as("sclp"))
+      .selectExpr("doc_id", "n_chars", "n_distinct_chars",
+        "round(-CAST(sclp AS DOUBLE) / n_chars, 6) AS entropy")
+      .orderBy("doc_id")
+
+  val t178Sql: String =
+    """WITH cc AS (
+      |  SELECT doc_id, ch, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |    FROM documents)
+      |  GROUP BY doc_id, ch),
+      |w AS (
+      |  SELECT doc_id, ch, c, sum(c) OVER (PARTITION BY doc_id) AS n
+      |  FROM cc),
+      |lp AS (
+      |  SELECT doc_id, n,
+      |    CAST(c AS DECIMAL(18,3)) *
+      |      CAST(round(ln(c / CAST(n AS DOUBLE)), 6) AS DECIMAL(19,6)) AS clp
+      |  FROM w)
+      |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+      |  round(-CAST(sum(clp) AS DOUBLE) / max(n), 6) AS entropy
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t170_nb_langid"    -> t170NbLangid,
     "d171_dedup_funnel" -> d171DedupFunnel,
     "d172_minhash_calibration" -> d172MinhashCalibration,
-    "q174_user_sessions" -> q174UserSessions)
+    "q174_user_sessions" -> q174UserSessions,
+    "t176_gram_novelty" -> t176GramNovelty,
+    "q177_itemset_pairs" -> q177ItemsetPairs,
+    "t178_char_entropy" -> t178CharEntropy)
 
   val oracle: Map[String, String] = Map(
     "t170_nb_langid"    -> t170Sql,
     "d171_dedup_funnel" -> d171Sql,
     "d172_minhash_calibration" -> d172Sql,
-    "q174_user_sessions" -> q174Sql)
+    "q174_user_sessions" -> q174Sql,
+    "t176_gram_novelty" -> t176Sql,
+    "q177_itemset_pairs" -> q177Sql,
+    "t178_char_entropy" -> t178Sql)
 }

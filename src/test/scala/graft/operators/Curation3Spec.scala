@@ -66,6 +66,45 @@ class Curation3Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("gram novelty: doc 0 is fully novel, totals partition the index, " +
+    "and novelty is a valid fraction") {
+    val out = Curation3.t176GramNovelty(spark, dir).cache()
+    // the smallest doc_id can only contain first-seen grams
+    val first = out.orderBy("doc_id").head()
+    assert(first.getAs[Long]("n_novel") == first.getAs[Long]("n_grams"))
+    assert(out.filter(col("n_novel") > col("n_grams")).count() == 0)
+    // every gram is novel in exactly one doc: Σ n_novel = |distinct grams|
+    val distinctGrams = Dedup.shingleIndex(spark, dir)
+      .select("h").distinct().count()
+    assert(out.agg(sum("n_novel")).head().getLong(0) == distinctGrams)
+    out.unpersist()
+  }
+
+  test("itemset pairs: supports bounded by session count, ranks dense, " +
+    "pairs ordered") {
+    val out = Curation3.q177ItemsetPairs(spark, dir).cache()
+    assert(out.count() <= 10 && out.count() > 0)
+    assert(out.filter(col("e1") >= col("e2")).count() == 0)
+    val nSessions = Curation3.q174UserSessions(spark, dir).count()
+    assert(out.filter(col("support") > nSessions).count() == 0)
+    val ranks = out.orderBy("rank").collect().map(_.getAs[Int]("rank"))
+    assert(ranks.sameElements(1 to ranks.length))
+    out.unpersist()
+  }
+
+  test("char entropy: bounded by ln of the alphabet size and zero only " +
+    "for single-char docs") {
+    val out = Curation3.t178CharEntropy(spark, dir).cache()
+    assert(out.count() == graft.Tables.documents(spark, dir).count())
+    // 0 <= H <= ln(n_distinct_chars) (+ quantization slack)
+    assert(out.filter(col("entropy") < -1e-6).count() == 0)
+    assert(out.filter(col("entropy") >
+      log(col("n_distinct_chars").cast("double")) + 1e-3).count() == 0)
+    assert(out.filter(col("n_distinct_chars") === 1 &&
+      col("entropy") =!= 0.0).count() == 0)
+    out.unpersist()
+  }
+
   test("dedup funnel: four monotone stages starting at the full corpus") {
     val out = Curation3.d171DedupFunnel(spark, dir).cache()
     val rows = out.orderBy("stage").collect()
