@@ -356,6 +356,52 @@ object Pretrain3 {
        |         - len(string_split(seq, ' '))) AS BIGINT) AS n_fused
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t180
+
+  /** t180: tokenizer fertility report — per language, symbols-per-word
+    * under the learned BPE vocabulary (t169's encoding): the metric
+    * multilingual tokenizer papers report, and the fairness check a
+    * shared-vocab deployment runs — a language with high fertility pays
+    * more context window per word. Closes the tokenizer loop: t164
+    * trains, t169 encodes, t180 evaluates.
+    *
+    * Scale shape: one |languages|-row aggregate over t169's per-doc
+    * output joined to the doc dimension — group rows only; ratios are
+    * exact-integer quotients. */
+  def t180Fertility(s: SparkSession, dir: String): DataFrame = {
+    val enc = t169BpeEncode(s, dir)
+    val dim = Tables.documents(s, dir)
+      .selectExpr("doc_id", "lang", s"size($tokens) AS n_words")
+    enc.join(dim, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_symbols")).as("n_symbols"),
+        sum(col("n_fused")).as("n_fused"))
+      .selectExpr("lang", "n_docs", "n_words", "n_symbols", "n_fused",
+        "round(n_symbols / CAST(n_words AS DOUBLE), 6) AS fertility",
+        "round(n_fused / CAST(n_words AS DOUBLE), 6) AS fusions_per_word")
+      .orderBy("lang")
+  }
+
+  val t180Sql: String =
+    s"""WITH enc AS ($t169Sql),
+       |dim AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_words
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_symbols) AS BIGINT) AS n_symbols,
+       |  CAST(sum(n_fused) AS BIGINT) AS n_fused,
+       |  round(CAST(sum(n_symbols) AS BIGINT)
+       |    / CAST(CAST(sum(n_words) AS BIGINT) AS DOUBLE), 6) AS fertility,
+       |  round(CAST(sum(n_fused) AS BIGINT)
+       |    / CAST(CAST(sum(n_words) AS BIGINT) AS DOUBLE), 6)
+       |    AS fusions_per_word
+       |FROM enc JOIN dim USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -363,12 +409,14 @@ object Pretrain3 {
     "t165_bigram_nll"     -> t165BigramNll,
     "q167_temperature_mix" -> q167TemperatureMix,
     "q168_phrase_search"  -> q168PhraseSearch,
-    "t169_bpe_encode"     -> t169BpeEncode)
+    "t169_bpe_encode"     -> t169BpeEncode,
+    "t180_fertility"      -> t180Fertility)
 
   val oracle: Map[String, String] = Map(
     "t164_bpe_merges"     -> t164Sql,
     "t165_bigram_nll"     -> t165Sql,
     "q167_temperature_mix" -> q167Sql,
     "q168_phrase_search"  -> q168Sql,
-    "t169_bpe_encode"     -> t169Sql)
+    "t169_bpe_encode"     -> t169Sql,
+    "t180_fertility"      -> t180Sql)
 }

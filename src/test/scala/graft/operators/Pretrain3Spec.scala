@@ -74,6 +74,21 @@ class Pretrain3Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("fertility: language rollup conserves the encode totals and " +
+    "fertility sits in (0, max-word-length]") {
+    val out = Pretrain3.t180Fertility(spark, dir).cache()
+    val enc = Pretrain3.t169BpeEncode(spark, dir)
+    assert(out.agg(sum("n_symbols")).head().getLong(0) ==
+      enc.agg(sum("n_symbols")).head().getLong(0))
+    assert(out.agg(sum("n_docs")).head().getLong(0) ==
+      graft.Tables.documents(spark, dir).count())
+    // merged symbols can never outnumber words' characters, and every
+    // word is at least one symbol
+    assert(out.filter(col("fertility") < 1.0 - 1e-9).count() == 0)
+    assert(out.filter(col("fusions_per_word") < 0).count() == 0)
+    out.unpersist()
+  }
+
   test("bigram nll: per-doc rows, token counts match the unigram kernel, " +
     "and a seen-bigram corpus backs off less than fully") {
     val out = Pretrain3.t165BigramNll(spark, dir).cache()
