@@ -422,6 +422,66 @@ object Curation3 {
       |  round(-CAST(sum(clp) AS DOUBLE) / max(n), 6) AS entropy
       |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d181
+
+  /** d181: prefix-filtering similarity join (All-Pairs / PPJoin, Bayardo
+    * et al. 2007; Xiao et al. 2008) — the EXACT similarity join that
+    * doesn't index every token: order each doc's shingles by ascending
+    * global document frequency (rarest first) and index only the PREFIX of
+    * length n − ⌈t·n⌉ + 1. Pigeonhole guarantees any pair with J ≥ t
+    * shares a prefix token, so candidate generation touches a fraction of
+    * the index while staying COMPLETE — unlike MinHash (d31), no recall
+    * loss. The gate claim is exactly that: d181's output is asserted
+    * (spec) and oracle-checked (d30's own SQL) to EQUAL the full
+    * bucket-join d30.
+    *
+    * Scale shape: document frequencies are one gram-keyed aggregate; the
+    * per-doc frequency rank is a window inside the doc partition; the
+    * bucket explosion (the d30 pattern) runs over prefix postings only —
+    * rarest-first ordering makes those buckets the SMALLEST ones, which
+    * is what bounds C(n,2) under boilerplate better than the raw index. */
+  def d181PrefixFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = Dedup.shingleIndex(s, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = idx.groupBy("h").agg(count(lit(1)).as("df"))
+    val n = idx.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val prefix = idx.join(dfreq, "h").join(n, "doc_id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "h")))
+      .filter(col("pos") <=
+        col("ns") - ceil(col("ns") * lit(0.2)).cast("long") + 1)
+      .select("doc_id", "h")
+    val cand = prefix.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .selectExpr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+    // exact verification: shared-shingle counts from the FULL index bucket
+    // explosion (the d31 shape), restricted to candidates
+    val common = idx.groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .selectExpr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("id1", "id2"))
+      .join(n.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("ns", "n1"), "id1")
+      .join(n.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("ns", "n2"), "id2")
+      .withColumn("jac",
+        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .filter(col("jac") >= 0.2)
+      .select("id1", "id2", "common", "jac")
+      .orderBy("id1", "id2")
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -431,7 +491,8 @@ object Curation3 {
     "q174_user_sessions" -> q174UserSessions,
     "t176_gram_novelty" -> t176GramNovelty,
     "q177_itemset_pairs" -> q177ItemsetPairs,
-    "t178_char_entropy" -> t178CharEntropy)
+    "t178_char_entropy" -> t178CharEntropy,
+    "d181_prefix_filter_join" -> d181PrefixFilterJoin)
 
   val oracle: Map[String, String] = Map(
     "t170_nb_langid"    -> t170Sql,
@@ -440,5 +501,8 @@ object Curation3 {
     "q174_user_sessions" -> q174Sql,
     "t176_gram_novelty" -> t176Sql,
     "q177_itemset_pairs" -> q177Sql,
-    "t178_char_entropy" -> t178Sql)
+    "t178_char_entropy" -> t178Sql,
+    // completeness IS the claim: the prefix-filtered join must reproduce
+    // the full bucket join bit-for-bit, so it gates on d30's own oracle
+    "d181_prefix_filter_join" -> Dedup.d30Sql)
 }

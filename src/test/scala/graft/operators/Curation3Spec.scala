@@ -105,6 +105,17 @@ class Curation3Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("prefix filter join: exactly the d30 result from a fraction of " +
+    "the postings") {
+    val out = Curation3.d181PrefixFilterJoin(spark, dir).cache()
+    val full = Dedup.d30NgramJaccard(spark, dir)
+    // completeness AND precision: set equality with the full bucket join
+    assert(out.exceptAll(full).count() == 0)
+    assert(full.exceptAll(out).count() == 0)
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+
   test("dedup funnel: four monotone stages starting at the full corpus") {
     val out = Curation3.d171DedupFunnel(spark, dir).cache()
     val rows = out.orderBy("stage").collect()
