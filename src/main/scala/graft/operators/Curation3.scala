@@ -234,19 +234,41 @@ object Curation3 {
     * session index, and sequence assembly are all window/aggregate work
     * INSIDE the user partition. Sequence assembly collects at most the
     * session's events and emits at most 20 — bounded state per group. */
-  def q174UserSessions(s: SparkSession, dir: String): DataFrame = {
+  /** Events with their 30-minute-gap session index — the single
+    * sessionization kernel q174 and q177 share (one definition of the cut
+    * rule, ordering key, and gap constant). */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
-      .selectExpr("user_id", "ts", "event_id",
-        "substring(event_type, 1, 1) AS c")
+      .select("user_id", "ts", "event_id", "event_type")
       .withColumn("prev", lag(col("ts"), 1).over(w))
       .withColumn("is_new",
         (col("prev").isNull ||
           unix_millis(col("ts")) - unix_millis(col("prev")) > 1800000L)
           .cast("int"))
       .withColumn("session_idx", sum(col("is_new")).over(run))
+      .select("user_id", "session_idx", "ts", "event_id", "event_type")
+  }
+
+  /** The q174/q177 sessionization kernel as composable CTEs (`cut`,
+    * `sess`). */
+  private val sessionizedCtes: String =
+    """cut AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM cut)""".stripMargin
+
+  def q174UserSessions(s: SparkSession, dir: String): DataFrame =
+    sessionized(s, dir)
+      .withColumn("c", substring(col("event_type"), 1, 1))
       .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).as("n_events"),
         (max(unix_millis(col("ts"))) - min(unix_millis(col("ts"))))
@@ -255,27 +277,17 @@ object Curation3 {
           |  slice(array_sort(collect_list(struct(ts, event_id, c))), 1, 20),
           |  e -> e.c))""".stripMargin).as("seq"))
       .orderBy("user_id", "session_idx")
-  }
 
   val q174Sql: String =
-    """WITH e AS (
-      |  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS c
-      |  FROM events),
-      |cut AS (
-      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
-      |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
-      |    THEN 1 ELSE 0 END AS is_new
-      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      |sess AS (
-      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
-      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
-      |  FROM cut)
-      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-      |  CAST(count(*) AS BIGINT) AS n_events,
-      |  CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT) AS duration_ms,
-      |  array_to_string(list(c ORDER BY ts, event_id)[1:20], '') AS seq
-      |FROM sess GROUP BY user_id, session_idx
-      |ORDER BY user_id, session_idx""".stripMargin
+    s"""WITH $sessionizedCtes
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(max(epoch_ms(ts)) - min(epoch_ms(ts)) AS BIGINT) AS duration_ms,
+       |  array_to_string(
+       |    list(substr(event_type, 1, 1) ORDER BY ts, event_id)[1:20], '')
+       |    AS seq
+       |FROM sess GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
 
   // ---------------------------------------------------------------- t176
 
@@ -323,16 +335,7 @@ object Curation3 {
     * alphabet²-sized, so the global top-10 rank is driver-trivial. */
   def q177ItemsetPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = Tables.events(s, dir)
-      .selectExpr("user_id", "ts", "event_id", "event_type")
-      .withColumn("prev", lag(col("ts"), 1).over(w))
-      .withColumn("is_new",
-        (col("prev").isNull ||
-          unix_millis(col("ts")) - unix_millis(col("prev")) > 1800000L)
-          .cast("int"))
-      .withColumn("session_idx", sum(col("is_new")).over(run))
+    val sess = sessionized(s, dir)
       .select("user_id", "session_idx", "event_type").distinct()
       .groupBy("user_id", "session_idx")
       .agg(sort_array(collect_list(col("event_type"))).as("items"))
@@ -351,17 +354,8 @@ object Curation3 {
   }
 
   val q177Sql: String =
-    """WITH cut AS (
-      |  SELECT user_id, ts, event_id, event_type,
-      |    CASE WHEN lag(ts) OVER w IS NULL
-      |        OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
-      |      THEN 1 ELSE 0 END AS is_new
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-      |sess AS (
-      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id
-      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
-      |  FROM cut),
-      |st AS (SELECT DISTINCT user_id, session_idx, event_type FROM sess),
+    s"""WITH $sessionizedCtes,
+       |st AS (SELECT DISTINCT user_id, session_idx, event_type FROM sess),
       |pairs AS (
       |  SELECT a.event_type AS e1, b.event_type AS e2
       |  FROM st a JOIN st b USING (user_id, session_idx)
@@ -460,15 +454,21 @@ object Curation3 {
           |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
-    // exact verification: shared-shingle counts from the FULL index bucket
-    // explosion (the d31 shape), restricted to candidates
+      // feeds the semi-join filter AND the final join
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // exact verification: shared-shingle counts from the full-index bucket
+    // explosion, SEMI-JOINED against the candidate set BEFORE the count —
+    // the aggregate state is candidate-sized, not all-co-bucketed-pairs,
+    // which is the whole point of prefix filtering
     val common = idx.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .selectExpr(
         """explode(flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1),
           |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .join(cand, Seq("id1", "id2"), "left_semi")
+      .groupBy("id1", "id2")
       .agg(count(lit(1)).as("common"))
     cand.join(common, Seq("id1", "id2"))
       .join(n.withColumnRenamed("doc_id", "id1")

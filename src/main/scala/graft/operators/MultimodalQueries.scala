@@ -93,11 +93,14 @@ object MultimodalQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Media.mediaTable(Tables.documents(s, dir))
-      .selectExpr("media_id AS doc_id",
-        "CAST(ceil(octet_length(payload) / 256.0D) AS INTEGER) AS n_media_tok")
-      .join(Tables.documents(s, dir).selectExpr("doc_id", "source",
-        "size(split(lower(text), ' ')) AS n_text_tok"), "doc_id")
+    // one projection over one scan: the media payload IS encode(text)
+    // (Media.mediaTable's linkage contract, media_id = doc_id), so the
+    // frame budget derives in place — no doc_id self-join
+    Tables.documents(s, dir)
+      .selectExpr("source", "doc_id",
+        "size(split(lower(text), ' ')) AS n_text_tok",
+        "CAST(ceil(octet_length(encode(text, 'UTF-8')) / 256.0D) AS INTEGER)" +
+          " AS n_media_tok")
       .selectExpr("source", "doc_id", "n_text_tok", "n_media_tok",
         "n_text_tok + n_media_tok AS n_total")
       .withColumn("start_pos",

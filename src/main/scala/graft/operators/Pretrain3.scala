@@ -32,10 +32,19 @@ object Pretrain3 {
     * back (broadcast of one row — no driver collect, the whole loop is one
     * lazy plan). Merge application is a single string replace per word:
     * symbols are space-joined, so fusing pair "a b" is replace(" a b " →
-    * " ab ") on the padded sequence — left-to-right non-overlapping in both
-    * engines, the exact BPE greedy semantics. Rounds are a fixed unroll
-    * (tokenizer training fixes the merge budget up front); the vocab
-    * persists so round k does not recompute rounds 1..k-1. */
+    * " ab ") on the padded sequence.
+    *
+    * SEMANTICS, precisely: replace scans the ORIGINAL string left-to-right
+    * substituting non-overlapping occurrences of the PADDED pattern —
+    * identical in the JVM and DuckDB, which is what the gate pins. Because
+    * adjacent occurrences share a delimiter space, ABUTTING repeats of the
+    * pair ("a b a b") merge alternately within one round rather than
+    * exhaustively as strict leftmost-greedy BPE would; the skipped
+    * occurrence surfaces as a pair again next round. A deterministic,
+    * monotone merge variant — not a bit-exact clone of the reference
+    * tokenizer's inner scan. Rounds are a fixed unroll (tokenizer training
+    * fixes the merge budget up front); the vocab persists so round k does
+    * not recompute rounds 1..k-1. */
   def t164BpeMerges(s: SparkSession, dir: String): DataFrame = {
     val vocab0 = Tables.documents(s, dir)
       .selectExpr(s"explode($tokens) AS w")
@@ -265,12 +274,19 @@ object Pretrain3 {
       .selectExpr("doc_id",
         "posexplode(a) AS (pos, tok)")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // most frequent adjacent token pair = the phrase operand (1 row)
-    val phrase = toks
-      .selectExpr("doc_id", "pos + 1 AS nxt", "tok AS w1")
-      .join(toks.selectExpr("doc_id", "pos AS nxt", "tok AS w2"),
-        Seq("doc_id", "nxt"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    // most frequent adjacent token pair = the phrase operand (1 row);
+    // adjacency comes from t165's map-side array transform — the postings
+    // self-join is reserved for the term-filtered phrase match below
+    val phrase = Tables.documents(s, dir)
+      .selectExpr(s"$tokens AS a")
+      // single-token docs: sequence(1, 0) would DESCEND (the q136 lesson)
+      .filter("size(a) >= 2")
+      .selectExpr(
+        """explode(transform(sequence(1, size(a) - 1), i ->
+          |  struct(element_at(a, i) AS w1,
+          |         element_at(a, i + 1) AS w2))) AS e""".stripMargin)
+      .groupBy(col("e.w1").as("w1"), col("e.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
       .agg(min(struct((-col("n")).as("negn"), col("w1").as("w1"),
         col("w2").as("w2"))).as("b"))
       .selectExpr("b.w1 AS w1", "b.w2 AS w2")

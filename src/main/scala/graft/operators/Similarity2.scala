@@ -104,8 +104,7 @@ object Similarity2 {
         expr("""concat_ws('-', transform(
           |  array_sort(collect_list(struct(m, b.code AS code))),
           |  e -> CAST(e.code AS STRING)))""".stripMargin).as("codes"),
-        (sum(floor(col("b.d2") * lit(1e6) + lit(0.5)).cast("decimal(38,0)"))
-          .cast("double") / lit(1e6)).as("qerr"))
+        graft.functions.OracleSafe.qsum6(col("b.d2")).as("qerr"))
       .orderBy("vec_id")
   }
 

@@ -8,8 +8,13 @@ import graft.SparkSpec
 class Batch67PlanSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
-  private def physical(df: org.apache.spark.sql.DataFrame): String =
+  private def physical(df: org.apache.spark.sql.DataFrame): String = {
+    // plans are asserted CACHE-INDEPENDENT: another suite's persisted
+    // subplans would otherwise substitute InMemoryRelations (whose stored
+    // plan strings carry their own joins) into the measured shape
+    spark.catalog.clearCache()
     df.queryExecution.executedPlan.toString
+  }
 
   test("pq codes: the 32-codeword codebook broadcasts and the corpus " +
     "never enters a nested loop") {
