@@ -610,6 +610,25 @@ object Dedup {
     s.read.parquet(path)
   }
 
+  private val exactPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** d30's exact-Jaccard pair list (J ≥ 0.2) as a PERSISTED corpus
+    * artifact — the ground-truth twin of [[dupPairs]]: index-quality
+    * evaluations (d162's recall denominator) consume the truth table, not
+    * a per-query re-derivation of the full bucket join. d30 itself still
+    * computes live as the detection gate. */
+  private[operators] def exactPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = exactPairsCache.computeIfAbsent(dir, d => {
+      val p = s"${graft.SparkSupport.scratchDir}/graft_exact_pairs_" +
+        java.lang.Integer.toHexString(d.hashCode)
+      d30NgramJaccard(s, d).select("id1", "id2", "jac")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** d143: train/test split LEAKAGE AUDIT — the check a training pipeline
     * runs after splitting: near-duplicate pairs whose members land in
     * DIFFERENT splits leak evaluation data into training. Composition of

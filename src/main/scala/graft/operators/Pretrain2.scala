@@ -218,7 +218,9 @@ object Pretrain2 {
     * Scale shape: both kernels are bucket-blocked (never all-pairs); the
     * metrics are three counting aggregates over pair sets. */
   def d162LshRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = Dedup.d30NgramJaccard(s, dir).select("id1", "id2")
+    // ground truth reads the persisted exact-pair layout (the dupPairs
+    // premise applied to d30) instead of re-running the full bucket join
+    val truth = Dedup.exactPairs(s, dir).select("id1", "id2")
     val cand = Dedup.d31MinhashLsh(s, dir)
     val t = truth.agg(count(lit(1)).as("n_truth"))
     cand.agg(count(lit(1)).as("n_cand"), sum(col("is_dup")).as("nd"))
