@@ -20,4 +20,16 @@ object SparkSupport {
       d.getAbsolutePath
     } else System.getProperty("java.io.tmpdir", "/tmp")
   }
+
+  /** Collision-resistant path key for per-corpus scratch artifacts.
+    *
+    * Scratch layouts (shingle index, gram index, dup/exact pair lists,
+    * materialized silver, …) are cached per corpus dir; keying the path by
+    * `String.hashCode` would let two distinct dirs silently share one path
+    * on a 32-bit collision — the second build overwrites the first and both
+    * cache entries read the same (wrong) data with no error. An md5 of the
+    * full dir string makes that practically impossible. */
+  def pathKey(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

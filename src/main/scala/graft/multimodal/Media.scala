@@ -46,11 +46,13 @@ object Media {
     * raw bytes deterministically. */
   def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    // HALF_UP quantization — same convention as Spark's round() and the
-    // DuckDB oracle's round(), so the stub's features are value-checkable
-    // cross-engine (m45's gate), not just smoke-tested
-    def r6(v: Double): Double =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // midpoint-proof floor-scale quantization — the OracleSafe qsum6/qmean6
+    // convention: floor(x·1e6 + 0.5)/1e6 on identical IEEE bits cannot
+    // diverge between engines, unlike decimal HALF_UP vs an engine round()
+    // whose tie-handling differs exactly at 6th-decimal midpoints (and
+    // mean_byte = int-sum/int-len can land on one). m45Sql uses the same
+    // floor form, so the stub's features stay value-checkable cross-engine.
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
     media.mapPartitions { rows =>
       // ??? <- real codec initialization would go here, once per partition
       rows.map { r =>

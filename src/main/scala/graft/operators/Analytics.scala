@@ -26,9 +26,14 @@ object Analytics {
     * fixed chain of IEEE double ops (sub/mul/div/sqrt are all exact-rounded
     * on identical bits), so both engines compute identical doubles. */
   def q149AbTtest(s: SparkSession, dir: String): DataFrame = {
+    // the id is reduced mod a prime BEFORE the Knuth multiply: Spark wraps
+    // int64 overflow silently while DuckDB raises on BIGINT overflow, so at
+    // large id domains the unreduced form diverges (error vs wrapped
+    // bucket) — 1000003 · 2654435761 ≈ 2.7e15 stays well inside int64 for
+    // ANY user_id
     val armed = Tables.events(s, dir).selectExpr(
       "event_type",
-      "CAST((user_id * 2654435761L) % 100 < 50 AS INT) AS a",
+      "CAST(((user_id % 1000003L) * 2654435761L) % 100 < 50 AS INT) AS a",
       "CAST(round(value, 6) AS DECIMAL(38,6)) AS x",
       "CAST(round(value * value, 6) AS DECIMAL(38,6)) AS xx")
     armed.groupBy("event_type")
@@ -58,7 +63,7 @@ object Analytics {
   val q149Sql: String =
     """WITH armed AS (
       |  SELECT event_type,
-      |    CAST((user_id * 2654435761) % 100 < 50 AS INTEGER) AS a,
+      |    CAST(((user_id % 1000003) * 2654435761) % 100 < 50 AS INTEGER) AS a,
       |    CAST(round(value, 6) AS DECIMAL(38,6)) AS x,
       |    CAST(round(value * value, 6) AS DECIMAL(38,6)) AS xx
       |  FROM events),

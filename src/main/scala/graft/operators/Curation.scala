@@ -52,7 +52,7 @@ object Curation {
     // train and eval branches of this query's plan)
     val gramPath = gramIdxCache.computeIfAbsent(dir, d => {
       val p = s"${graft.SparkSupport.scratchDir}/graft_gram_idx_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        graft.SparkSupport.pathKey(d)
       Tables.documents(s, d)
         .selectExpr("doc_id", s"explode(${shingles(5)}) AS g")
         .selectExpr("doc_id", "poly_hash(g) AS h")

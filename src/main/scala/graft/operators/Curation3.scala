@@ -456,18 +456,24 @@ object Curation3 {
       .distinct()
       // feeds the semi-join filter AND the final join
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // exact verification: shared-shingle counts from the full-index bucket
-    // explosion, SEMI-JOINED against the candidate set BEFORE the count —
-    // the aggregate state is candidate-sized, not all-co-bucketed-pairs,
-    // which is the whole point of prefix filtering
-    val common = idx.groupBy("h")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .selectExpr(
-        """explode(flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
-      .join(cand, Seq("id1", "id2"), "left_semi")
+    // exact verification, CANDIDATE-BOUNDED (round-3 judge finding): the
+    // prior form semi-joined the candidate set against the FULL-index
+    // bucket explosion — the aggregate state was candidate-sized but row
+    // GENERATION was still Σ C(bucket,2) over the raw index (one
+    // boilerplate shingle shared by 10⁶ docs = 5·10¹¹ generated pairs,
+    // exactly the pathology d141's cap exists to kill). Now the index is
+    // first semi-join-reduced to candidate docs (one linear scan, the d142
+    // verification pattern), then each candidate pair joins to its two
+    // docs' shingle rows — work is Σ over candidates of |shingles(doc)|,
+    // independent of bucket sizes. Matching on h per (id1, id2) counts
+    // multiplicity exactly as the bucket join does, so the d30-oracle
+    // equality claim is unchanged.
+    val candDocs = cand
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
+    val ridx = idx.join(candDocs, Seq("doc_id"), "left_semi")
+    val common = cand
+      .join(ridx.withColumnRenamed("doc_id", "id1"), "id1")
+      .join(ridx.withColumnRenamed("doc_id", "id2"), Seq("id2", "h"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("common"))
     cand.join(common, Seq("id1", "id2"))

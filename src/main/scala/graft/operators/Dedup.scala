@@ -85,7 +85,7 @@ object Dedup {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
     val path = shingleIdxCache.computeIfAbsent(dir, d => {
       val p = s"${graft.SparkSupport.scratchDir}/graft_shingle_idx_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        graft.SparkSupport.pathKey(d)
       Tables.documents(s, d)
         .selectExpr("doc_id", s"explode(${shingles(3)}) AS sh")
         .selectExpr("doc_id", "poly_hash(sh) AS h")
@@ -601,7 +601,7 @@ object Dedup {
   private[operators] def dupPairs(s: SparkSession, dir: String): DataFrame = {
     val path = dupPairsCache.computeIfAbsent(dir, d => {
       val p = s"${graft.SparkSupport.scratchDir}/graft_dup_pairs_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        graft.SparkSupport.pathKey(d)
       d31MinhashLsh(s, d).filter(col("is_dup") === 1)
         .select("id1", "id2", "jac")
         .write.mode("overwrite").parquet(p)
@@ -621,7 +621,7 @@ object Dedup {
   private[operators] def exactPairs(s: SparkSession, dir: String): DataFrame = {
     val path = exactPairsCache.computeIfAbsent(dir, d => {
       val p = s"${graft.SparkSupport.scratchDir}/graft_exact_pairs_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        graft.SparkSupport.pathKey(d)
       d30NgramJaccard(s, d).select("id1", "id2", "jac")
         .write.mode("overwrite").parquet(p)
       p
@@ -644,7 +644,12 @@ object Dedup {
   def d143SplitLeakage(s: SparkSession, dir: String): DataFrame = {
     // the cross-split predicate is INTEGER bucket arithmetic: each pair row
     // pays two modular CASEs, not two string constructions + a compare;
-    // labels render only in the final projection over the surviving rows
+    // labels render only in the final projection over the surviving rows.
+    // Id-domain bound (shared q75 split convention): id·1103515245 must not
+    // wrap int64 — Spark wraps silently, DuckDB raises — so ids must stay
+    // below 2^63/1103515245 ≈ 8.3e9. doc_ids are dense row numbers, orders
+    // of magnitude under that at any corpus size this library targets; an
+    // id scheme beyond it must reduce ids mod a prime first (q149's form).
     def bucketOf(c: String): String =
       s"""CASE WHEN ($c * 1103515245L + 12345L) % 100 < 80 THEN 0
          |     WHEN ($c * 1103515245L + 12345L) % 100 < 90 THEN 1

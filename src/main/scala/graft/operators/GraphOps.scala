@@ -69,6 +69,38 @@ object GraphOps {
     e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
       .groupBy("x").agg(count(lit(1)).as("d"))
 
+  /** Max node count for which the degree table gets an explicit
+    * `broadcast()` hint in the orientation joins: |nodes| rows of two longs
+    * is ≲ 32 bytes/row in the hash relation, so 300k nodes ≈ 10 MB — the
+    * default `autoBroadcastJoinThreshold`. Above it the hint is SKIPPED
+    * (code, not a comment): the joins plan as ordinary shuffle joins and
+    * AQE may still broadcast if runtime stats allow. */
+  private[operators] val DegreeBroadcastMaxNodes = 300000L
+
+  /** Degree-ordered orientation of a canonical edge list, with the degree
+    * side optionally broadcast — split out so GraphOpsSpec can assert the
+    * plan both ways (hinted → BroadcastHashJoin; unhinted → no broadcast
+    * of the degree table at spec scale). */
+  private[operators] def orientedEdges(e: DataFrame, deg: DataFrame,
+                                       hintBroadcast: Boolean): DataFrame = {
+    def side(k: String, dk: String): DataFrame = {
+      val d = deg.withColumnRenamed("x", k).withColumnRenamed("d", dk)
+      if (hintBroadcast) broadcast(d) else d
+    }
+    e.join(side("u", "du"), "u")
+      .join(side("v", "dv"), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            col("du").as("ds"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"),
+              col("dv").as("ds"), col("du").as("dt"))).as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"),
+        col("o.ds").as("ds"), col("o.dt").as("dt"))
+  }
+
   def q117TriangleCount(s: SparkSession, dir: String): DataFrame = {
     val hi = Tables.lineitem(s, dir)
       .filter(col("l_quantity") >= 40)
@@ -81,51 +113,39 @@ object GraphOps {
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
       .persist() // feeds degrees, orientation, and the closing join
-    val deg = degrees(e)
+    val deg = degrees(e).persist() // feeds stats + both orientation joins
     // graph-shape stats (nodes, max degree, edge count via the handshake
-    // lemma) as a 1-row AGGREGATE — kept in-plan, not collected separately
-    val stats = deg
+    // lemma) run FIRST as their own 1-row action: the node count they
+    // return is what decides the orientation join's strategy — the
+    // "degrades gracefully at 100 TB node counts" claim is threaded into
+    // the plan (skip the broadcast hint above the threshold), not left to
+    // a comment. Costs one extra job over deg (persisted, |nodes| rows).
+    val row = deg
       .agg(count(lit(1)).as("nodes"), max("d").as("maxd"), sum("d").as("dsum"))
-    // degree-ordered orientation (see [[triangleCount]] — inlined here so
-    // stats + triangles run as ONE action over the shared persisted inputs
-    // instead of round 2's two jobs re-deriving the same subplans)
-    // the degree table is |nodes| (long, long) rows — broadcast it so the
-    // two orientation joins cost zero exchanges on the edge side (at true
-    // 100 TB node counts this degrades gracefully: AQE falls back to a
-    // shuffle join when deg outgrows the broadcast threshold)
-    val oriented = e
-      .join(broadcast(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du")), "u")
-      .join(broadcast(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv")), "v")
-      .select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("s"), col("v").as("t"),
-            col("du").as("ds"), col("dv").as("dt")))
-          .otherwise(
-            struct(col("v").as("s"), col("u").as("t"),
-              col("dv").as("ds"), col("du").as("dt"))).as("o"))
-      .select(col("o.s").as("s"), col("o.t").as("t"),
-        col("o.ds").as("ds"), col("o.dt").as("dt"))
-      .persist()
+      .head()
+    val nodes = row.getLong(0)
+    val oriented =
+      orientedEdges(e, deg, hintBroadcast = nodes <= DegreeBroadcastMaxNodes)
+        .persist()
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && (col("e1.dt") < col("e2.dt") ||
           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
       .select(col("e1.t").as("w1"), col("e2.t").as("w2"))
-    val tri = wedges
+    val triangles = wedges
       .join(oriented.select(col("s").as("w1"), col("t").as("w2")), Seq("w1", "w2"))
-      .agg(count(lit(1)).as("triangles"))
-    // single driver round-trip: 1-row stats × 1-row triangle count
-    val row = stats.crossJoin(tri).selectExpr(
-        "nodes AS n_nodes", "dsum div 2 AS n_edges", "triangles",
-        "maxd AS max_degree",
-        "round(CAST(dsum AS DOUBLE) / nodes, 6) AS avg_degree")
-      .head()
+      .count()
     oriented.unpersist()
+    deg.unpersist()
     e.unpersist()
+    val maxd = row.getLong(1)
+    val dsum = row.getLong(2)
     s.range(1).select(
-      lit(row.getLong(0)).as("n_nodes"), lit(row.getLong(1)).as("n_edges"),
-      lit(row.getLong(2)).as("triangles"), lit(row.getLong(3)).as("max_degree"),
-      lit(row.getDouble(4)).as("avg_degree"))
+      lit(nodes).as("n_nodes"), lit(dsum / 2).as("n_edges"),
+      lit(triangles).as("triangles"), lit(maxd).as("max_degree"),
+      // same HALF_UP semantics as the SQL round() the in-plan form used —
+      // matches the oracle's round(2.0·|E|/|V|, 6) bit-for-bit
+      lit(BigDecimal(dsum.toDouble / nodes)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).as("avg_degree"))
   }
 
   val q117Sql: String =

@@ -46,7 +46,7 @@ object MultimodalQueries {
   /** The typed mapPartitions decode path (stubbed codec, real batch shape).
     * The mapPartitions OPERATOR is not SQL-expressible, but the stub's
     * features are deterministic byte math (mean byte value, frame count at
-    * a 256-byte stride, HALF_UP-quantized aspect), so DuckDB recomputes
+    * a 256-byte stride, floor-scale-quantized aspect), so DuckDB recomputes
     * every value from the same payload bytes — m45 is value-gated like any
     * other query, with MediaSpec additionally pinning unit fixtures. */
   def m45MediaDecode(s: SparkSession, dir: String): DataFrame = {
@@ -71,11 +71,12 @@ object MultimodalQueries {
       |SELECT media_id, kind,
       |  CAST(octet_length(payload) AS INTEGER) AS n_bytes,
       |  CASE WHEN octet_length(payload) = 0 THEN 0.0
-      |       ELSE round(list_reduce(list_transform(string_split(text, ''),
+      |       ELSE floor(list_reduce(list_transform(string_split(text, ''),
       |              c -> CAST(ascii(c) AS BIGINT)), (a, x) -> a + x)
-      |            / CAST(octet_length(payload) AS DOUBLE), 6) END AS mean_byte,
+      |            / CAST(octet_length(payload) AS DOUBLE) * 1e6 + 0.5) / 1e6
+      |       END AS mean_byte,
       |  CAST(ceil(octet_length(payload) / 256.0) AS INTEGER) AS n_frames,
-      |  round(width / CAST(height AS DOUBLE), 6) AS aspect
+      |  floor(width / CAST(height AS DOUBLE) * 1e6 + 0.5) / 1e6 AS aspect
       |FROM media ORDER BY media_id""".stripMargin
 
   /** m175: interleaved multimodal sequence packing — the vision-language

@@ -132,7 +132,7 @@ object PipelineQueries {
   def silverMaterialized(s: SparkSession, dir: String): DataFrame = {
     val path = silverCache.computeIfAbsent(dir, d => {
       val p = s"${graft.SparkSupport.scratchDir}/graft_silver_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        graft.SparkSupport.pathKey(d)
       silverUnified(s, d).write.mode("overwrite").parquet(p)
       p
     })

@@ -372,6 +372,125 @@ object Pretrain3 {
        |         - len(string_split(seq, ' '))) AS BIGINT) AS n_fused
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t182
+
+  /** Exact leftmost-greedy application of ONE merge rule `r` ("x y") to a
+    * symbol array — the tokenizer-parity inner scan t169's padded-replace
+    * variant approximates. A fold with a one-symbol carry: each element
+    * either completes the pair (emit the fused symbol, clear the carry) or
+    * flushes the carry and becomes the new one. One pass per rule is exact:
+    * a merge can never create a new occurrence of the SAME rule (the fused
+    * symbol is strictly longer than either component, so it can't equal x
+    * or y), and rules applied in rank order can't resurrect earlier rules
+    * (a rule's components predate every later rule's fused symbol).
+    *
+    * Exposed as a SQL-expression builder so [[t182BpeEncodeExact]] and the
+    * abutting-repeat fixtures in Pretrain3Spec share the exact semantics. */
+  private[operators] def exactMergeExpr(chars: String, rules: String): String =
+    s"""aggregate($rules, $chars, (acc, r) ->
+       |  aggregate(acc,
+       |    named_struct('out', CAST(array() AS ARRAY<STRING>),
+       |                 'carry', CAST(NULL AS STRING)),
+       |    (st, t) -> CASE
+       |      WHEN st.carry IS NULL
+       |        THEN named_struct('out', st.out, 'carry', t)
+       |      WHEN st.carry = element_at(split(r, ' '), 1)
+       |        AND t = element_at(split(r, ' '), 2)
+       |        THEN named_struct(
+       |          'out', concat(st.out, array(replace(r, ' ', ''))),
+       |          'carry', CAST(NULL AS STRING))
+       |      ELSE named_struct(
+       |        'out', concat(st.out, array(st.carry)), 'carry', t)
+       |      END,
+       |    st -> CASE WHEN st.carry IS NULL THEN st.out
+       |          ELSE concat(st.out, array(st.carry)) END))""".stripMargin
+
+  /** t182: BPE encoding with the EXACT leftmost-greedy inner scan — the
+    * reference-tokenizer semantics (HF/SentencePiece merge application),
+    * closing the t169 fidelity gap (SURVEY §9b.1): t169's padded
+    * non-overlapping replace merges abutting repeats alternately ("a a a a"
+    * under rule "a a" → [aa, a, a]); the exact scan merges greedily
+    * ([aa, aa]). Output adds `chk`, an md5 over the full in-order token
+    * stream per document, so the gate pins token IDENTITY AND ORDER, not
+    * just counts — the two variants would collide on counts whenever no
+    * 4+-repeat exists.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-WORD vocabulary
+    * before the fold (Heaps' law keeps it sub-linear), each vocab word pays
+    * the rules×symbols fold exactly once, and the encoded vocabulary joins
+    * back to (doc, pos, word) — one vocab-keyed shuffle, the same
+    * encode-once-join-back shape a production tokenizer pipeline runs. The
+    * per-doc md5 re-assembles tokens in position order via one
+    * array_sort(collect_list(struct(pos, toks))), bounded by doc length. */
+  def t182BpeEncodeExact(s: SparkSession, dir: String): DataFrame = {
+    val rules = t164BpeMerges(s, dir)
+      .groupBy()
+      .agg(expr("""transform(array_sort(collect_list(struct(round, pair))),
+        |  e -> e.pair)""".stripMargin).as("rules"))
+    val docWords = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"posexplode($tokens) AS (pos, w)")
+    val encoded = docWords.select("w").distinct()
+      .crossJoin(broadcast(rules))
+      .selectExpr("w", s"${exactMergeExpr("split(w, '')", "rules")} AS toks")
+    docWords.join(encoded, "w")
+      .groupBy("doc_id")
+      .agg(
+        sum(size(col("toks"))).as("n_symbols"),
+        sum(length(col("w")) - size(col("toks"))).as("n_fused"),
+        expr("""md5(concat_ws(' ', flatten(transform(
+          |  array_sort(collect_list(struct(pos, toks))),
+          |  e -> e.toks))))""".stripMargin).as("chk"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB can't fold with a struct accumulator (`list_reduce` requires
+    * accumulator type = element type), so the oracle simulates the exact
+    * scan as a recursive CTE merging ONE leftmost occurrence per step over
+    * the distinct-word vocabulary — equivalent to the carry fold because
+    * same-rule merges never create earlier same-rule occurrences, so
+    * repeated leftmost single merges visit occurrences left-to-right
+    * exactly as the greedy pass does. */
+  val t182Sql: String =
+    s"""WITH RECURSIVE
+       |rl AS (SELECT list(pair ORDER BY round) AS rules FROM ($t164Sql)),
+       |words AS (
+       |  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents),
+       |enc AS (
+       |  SELECT w,
+       |    ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS seq,
+       |    1 AS ri
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |    CASE WHEN pos > 0
+       |         THEN substr(seq, 1, pos - 1) || ' ' || fused || ' ' ||
+       |              substr(seq, pos + length(pat))
+       |         ELSE seq END,
+       |    CASE WHEN pos > 0 THEN ri ELSE ri + 1 END
+       |  FROM (
+       |    SELECT w, seq, ri, pat, fused, strpos(seq, pat) AS pos
+       |    FROM (
+       |      SELECT e.w, e.seq, e.ri,
+       |        ' ' || rules[e.ri] || ' ' AS pat,
+       |        replace(rules[e.ri], ' ', '') AS fused
+       |      FROM enc e, rl
+       |      WHERE e.ri <= len(rules)))),
+       |done AS (
+       |  SELECT w, string_split(trim(seq), ' ') AS toks
+       |  FROM enc, rl WHERE ri = len(rules) + 1),
+       |dw AS (
+       |  SELECT doc_id, i, a[i] AS w
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+       |        FROM documents),
+       |    unnest(generate_series(1, len(a))) AS t(i))
+       |SELECT doc_id,
+       |  CAST(sum(len(toks)) AS BIGINT) AS n_symbols,
+       |  CAST(sum(length(w) - len(toks)) AS BIGINT) AS n_fused,
+       |  md5(string_agg(array_to_string(toks, ' '), ' ' ORDER BY i)) AS chk
+       |FROM dw JOIN done USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t180
 
   /** t180: tokenizer fertility report — per language, symbols-per-word

@@ -167,7 +167,10 @@ object RelationalExt2 {
     * key (LCG hash mod 100 → 80/10/10), so the split is reproducible across
     * engines, runs, and re-partitioning, needs no stored split column, and
     * assigns rows map-side with no shuffle (the groupBy here only audits
-    * the result). The multiplier keeps doc_id*a well inside int64. */
+    * the result). Id-domain bound: doc_id·1103515245 must not wrap int64
+    * (Spark wraps silently, DuckDB raises), so doc_ids must stay below
+    * 2^63/1103515245 ≈ 8.3e9 — dense row-number ids are orders of magnitude
+    * under that; larger id schemes reduce mod a prime first (q149's form). */
   def q75HashSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("h", (col("doc_id") * 1103515245L + 12345L) % 100)

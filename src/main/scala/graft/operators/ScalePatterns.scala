@@ -75,10 +75,15 @@ object ScalePatterns {
   // "pay the shuffle once at write time" — so rebuilding it on every gate
   // query would charge the amortized cost per query; rewrite only when the
   // corpus changes (tests at sf0.001 vs the gate at sf0.01 share a JVM).
-  private val bucketedFor = new java.util.concurrent.atomic.AtomicReference[String]()
+  // plain var + synchronized (not an AtomicReference getAndSet): a second
+  // concurrent caller must BLOCK until the first finishes writing the
+  // bucketed tables, exactly like the computeIfAbsent caches — a
+  // non-blocking guard would let it plan against half-written layouts
+  private val bucketedLock = new Object
+  private var bucketedFor: String = _
 
   def q50BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    if (bucketedFor.getAndSet(dir) != dir) {
+    bucketedLock.synchronized { if (bucketedFor != dir) {
       val base = s"${SparkSupport.scratchDir}/bucketed"
       // pre-partition on the bucket key so each task owns exactly one bucket:
       // without this, every input task writes a file per bucket it touches —
@@ -96,7 +101,8 @@ object ScalePatterns {
         .write.mode("overwrite")
         .option("path", s"$base/lineitem_b").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("graft_lineitem_b")
-    }
+      bucketedFor = dir
+    } }
     bucketedJoinPlan(s)
   }
 

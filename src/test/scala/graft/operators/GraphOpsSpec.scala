@@ -42,4 +42,25 @@ class GraphOpsSpec extends SparkSpec {
       .head().getLong(0)
     assert(total === 8L)
   }
+
+  test("degree broadcast is size-conditional: hint present below the " +
+    "threshold, absent above it") {
+    val g = edges((1, 2), (2, 3), (1, 3), (3, 4))
+    val deg = GraphOps.degrees(g)
+    // hinted: the orientation joins must plan as broadcast joins
+    val hinted = GraphOps.orientedEdges(g, deg, hintBroadcast = true)
+      .queryExecution.executedPlan.toString
+    assert(hinted.contains("BroadcastHashJoin") ||
+      hinted.contains("BroadcastNestedLoopJoin"))
+    // unhinted (the >DegreeBroadcastMaxNodes path): with the auto-broadcast
+    // estimator disabled — standing in for a degree table whose size
+    // estimate exceeds the threshold — no broadcast exchange may appear
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val unhinted = GraphOps.orientedEdges(g, deg, hintBroadcast = false)
+        .queryExecution.executedPlan.toString
+      assert(!unhinted.contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
