@@ -24,17 +24,32 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) — a type Spark's parquet
-    * reader rejects outright. Read nanos as raw longs and truncate to
-    * micros with integer division (`div`, not `/`: epoch-nanos ≈ 1.7e18
-    * exceeds double's 2^53 exact-integer range, so float division would
-    * corrupt low-order digits). Matches DuckDB's nanos→micros truncation,
-    * so oracle comparisons agree. */
+  /** `events.parquet` has shipped with two `ts` physical types across
+    * harness generations: TIMESTAMP(NANOS) — which Spark's parquet reader
+    * rejects outright, so it is read as raw longs
+    * (`legacy.parquet.nanosAsLong`) and truncated to micros with integer
+    * division (`div`, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53
+    * exact-integer range, so float division would corrupt low-order
+    * digits) — and plain TIMESTAMP(MICROS), which both Spark and DuckDB
+    * read natively. Dispatch on the decoded type so either layout yields
+    * the same TIMESTAMP_NTZ micros column and oracle comparisons agree. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val t = table(s, d, "events")
+    t.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        t.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // `timestamp_micros` above yields TIMESTAMP_LTZ; mirror it for the
+        // native-read layout (sessions run UTC, so the NTZ wall-clock IS
+        // the UTC instant) — downstream epoch extractors (unix_millis,
+        // unix_micros) accept only LTZ, and the driver's oracle compare
+        // normalizes away the remaining flavor difference
+        t.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => t
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

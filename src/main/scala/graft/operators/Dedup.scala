@@ -589,6 +589,153 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  private val histBandIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** LSH band derivation shared by d142/d185: per-doc minhash16 signature
+    * over the hashed shingle rows, cut into 4 bands of 4. */
+  private def bandsOf(idx: DataFrame): DataFrame =
+    idx.groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
+      .selectExpr("doc_id", "minhash16(hs) AS mh")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(0, 3), b -> concat(
+          |  CAST(b AS STRING), ':',
+          |  concat_ws('-', transform(slice(mh, b*4 + 1, 4),
+          |    x -> CAST(x AS STRING)))))) AS band_key""".stripMargin)
+
+  /** The corpus LSH band index (band_key, doc_id) as a PERSISTED artifact —
+    * what d142 calls "the band index of the existing corpus is a persisted
+    * table", made literal: built once per corpus dir to scratch parquet
+    * (one distributed pass over [[shingleIndex]]), read back columnar by
+    * every ingest batch. This is the index-maintenance contract at 100 TB:
+    * the write that admits a batch appends its bands here; no later batch
+    * ever recomputes history's signatures. */
+  private[operators] def historyBandIndex(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val path = histBandIdxCache.computeIfAbsent(dir, d => {
+      val p = s"${graft.SparkSupport.scratchDir}/graft_band_idx_" +
+        graft.SparkSupport.pathKey(d)
+      bandsOf(shingleIndex(s, d)).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** d185: incremental MinHash+LSH across a TRUE snapshot boundary — d142's
+    * pattern run the way consecutive crawls actually meet (SURVEY §9b
+    * carried item): the history is the ENTIRE corpus, its band index a
+    * persisted cross-JVM artifact ([[historyBandIndex]]), and the ingest
+    * batch is a RE-KEYED second snapshot (every doc_id ≡ 0 mod 3
+    * re-ingested under id + 10⁷ — the re-crawl case where content returns
+    * under a fresh key, so exact-id dedup is blind to it). Candidates:
+    * batch bands probe the persisted index (delta×history equi-join) plus
+    * within-batch band buckets (delta×delta); history never self-joins.
+    * Verification is candidate-bounded (the d181 form): per-pair shingle
+    * matches over the semi-join-reduced union of history shingles and the
+    * batch's own shingle rows. Every re-ingested doc must surface its
+    * original at jac = 1.0 (asserted in IncrementalSpec) alongside any
+    * genuine near-dups — the admitted-batch bands are what the
+    * index-maintenance write appends.
+    *
+    * Scale shape: batch work is O(delta × bands) probes + Σ C(batch
+    * bucket, 2) pairs; the only history-sized reads are the two persisted
+    * columnar artifacts, both pruned to candidate docs before any
+    * per-pair work. */
+  def d185SnapshotIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val histBands = historyBandIndex(s, dir)
+      .withColumnRenamed("doc_id", "hist_id")
+    val histShingles = shingleIndex(s, dir)
+    // the batch's own shingle table: identical rows to re-tokenizing the
+    // re-crawled texts (content is unchanged — only the key moved), so the
+    // persisted index supplies them without a second tokenize pass
+    val deltaShingles = histShingles.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deltaBands = bandsOf(deltaShingles)
+      .persist(StorageLevel.MEMORY_AND_DISK) // probe side + delta-delta side
+    val deltaHist = deltaBands.join(histBands, "band_key")
+      .select(col("hist_id").as("id1"), col("doc_id").as("id2"))
+    val deltaDelta = deltaBands.groupBy("band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .selectExpr(
+        """explode(flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    val cand = deltaHist.unionByName(deltaDelta).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
+    val r = histShingles.unionByName(deltaShingles)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val common = cand
+      .join(r.withColumnRenamed("doc_id", "id1"), "id1")
+      .join(r.withColumnRenamed("doc_id", "id2"), Seq("id2", "h"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("common"))
+    val n = r.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    cand.join(common, Seq("id1", "id2"), "left").na.fill(0L, Seq("common"))
+      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
+      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
+      .withColumn("jac",
+        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .withColumn("is_dup", (col("jac") >= 0.2).cast("int"))
+      .withColumn("src",
+        when(col("id1") >= 10000000L, "delta_delta").otherwise("delta_hist"))
+      .select("id1", "id2", "jac", "is_dup", "src")
+      .orderBy("id1", "id2")
+  }
+
+  val d185Sql: String = {
+    val polyDuck =
+      """list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |  list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
+        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+    s"""WITH $shingleIndexSql,
+       |d AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(string_split(lower(text),' ')) - 1),
+       |    i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS shingles
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(0, 16), i ->
+       |    list_min(list_transform(shingles, sh ->
+       |      ((2*i + 1) * ($polyDuck) + i*12345 + 678) % 1000000007))) AS mh
+       |  FROM d),
+       |bands AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+       |    CAST(b AS VARCHAR) || ':' || array_to_string(mh[b*4+1:b*4+4], '-'))) AS band_key
+       |  FROM sig),
+       |dbands AS (
+       |  SELECT doc_id + 10000000 AS doc_id, band_key
+       |  FROM bands WHERE doc_id % 3 = 0),
+       |cand AS (
+       |  SELECT b.doc_id AS id1, a.doc_id AS id2
+       |  FROM dbands a JOIN bands b ON a.band_key = b.band_key
+       |  UNION
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM dbands a JOIN dbands b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |su AS (
+       |  SELECT doc_id, h FROM s
+       |  UNION ALL
+       |  SELECT doc_id + 10000000 AS doc_id, h FROM s WHERE doc_id % 3 = 0),
+       |n AS (SELECT doc_id, count(*) AS ns FROM su GROUP BY doc_id),
+       |common AS (
+       |  SELECT id1, id2, count(*) AS common
+       |  FROM cand JOIN su sa ON sa.doc_id = id1 JOIN su sb ON sb.doc_id = id2
+       |  WHERE sa.h = sb.h GROUP BY 1, 2)
+       |SELECT id1, id2,
+       |  round(coalesce(common, 0) * 1.0 / (n1.ns + n2.ns - coalesce(common, 0)), 6) AS jac,
+       |  CAST(round(coalesce(common, 0) * 1.0 / (n1.ns + n2.ns - coalesce(common, 0)), 6) >= 0.2 AS INTEGER) AS is_dup,
+       |  CASE WHEN id1 >= 10000000 THEN 'delta_delta' ELSE 'delta_hist' END AS src
+       |FROM cand LEFT JOIN common USING (id1, id2)
+       |JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   private val dupPairsCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -680,6 +827,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d143_split_leakage"       -> d143SplitLeakage,
     "d142_incremental_minhash" -> d142IncrementalMinhash,
+    "d185_snapshot_incremental" -> d185SnapshotIncremental,
     "d135_incremental_dedup"  -> d135IncrementalDedup,
     "d141_capped_jaccard"     -> d141CappedJaccard,
     "d29_dedup_exact"         -> d29Exact,
@@ -691,6 +839,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "d143_split_leakage"       -> d143Sql,
     "d142_incremental_minhash" -> d142Sql,
+    "d185_snapshot_incremental" -> d185Sql,
     "d135_incremental_dedup"  -> d135Sql,
     "d141_capped_jaccard"     -> d141Sql,
     "d29_dedup_exact"         -> d29Sql,

@@ -545,7 +545,8 @@ object Pretrain3 {
     "q167_temperature_mix" -> q167TemperatureMix,
     "q168_phrase_search"  -> q168PhraseSearch,
     "t169_bpe_encode"     -> t169BpeEncode,
-    "t180_fertility"      -> t180Fertility)
+    "t180_fertility"      -> t180Fertility,
+    "t182_bpe_exact"      -> t182BpeEncodeExact)
 
   val oracle: Map[String, String] = Map(
     "t164_bpe_merges"     -> t164Sql,
@@ -553,5 +554,6 @@ object Pretrain3 {
     "q167_temperature_mix" -> q167Sql,
     "q168_phrase_search"  -> q168Sql,
     "t169_bpe_encode"     -> t169Sql,
-    "t180_fertility"      -> t180Sql)
+    "t180_fertility"      -> t180Sql,
+    "t182_bpe_exact"      -> t182Sql)
 }

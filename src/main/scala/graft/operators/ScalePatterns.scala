@@ -260,13 +260,75 @@ object ScalePatterns {
       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_in_box
       |FROM z GROUP BY 1 HAVING n_in_box > 0 ORDER BY z_range""".stripMargin
 
+  /** The 90%-one-key skewed fact the q183/q184 pair joins: lineitem keyed
+    * by a degenerate derived key (9 of 10 rows land on k=0, the rest spread
+    * over 97 residues). Deterministic arithmetic on l_orderkey so the
+    * DuckDB oracle reproduces it exactly. */
+  private def skewedFact(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        when(col("l_orderkey") % 10 < 9, lit(0L))
+          .otherwise(col("l_orderkey") % 97 + 1).as("k"),
+        col("l_extendedprice"))
+
+  /** The 98-key dimension both sides of the pair join to. */
+  private def skewDim(s: SparkSession): DataFrame =
+    s.range(98).select(col("id").as("k"),
+      concat(lit("grp_"), (col("id") % 7).cast("string")).as("grp"))
+
+  /** q183: the SALTED half of the bench-grade skew demonstration
+    * (SURVEY §9b.5). Same 90%-one-key fact as q184, same result, but the
+    * join runs through [[saltedEquiJoin]] (32-way spread) with the small
+    * side shuffle-hash-hinted so the measurement exercises SHUFFLE-join
+    * physics — an un-hinted plan would broadcast the 98·32-row dim and
+    * no skew would exist to relieve. BENCH_r{N}.json carries q183 vs q184
+    * seconds side by side: that delta IS the measured cost of leaving a
+    * degenerate key histogram unsalted at this SF, the evidence behind
+    * the 100 TB salting story (where the hot task is not a local[32]
+    * straggler but a multi-hour one). AQE skew-split stays at default
+    * thresholds and does not fire at this scale (hot partition ≪ 256 MB)
+    * — the split-based relief is asserted separately in
+    * ScalePatternsSpec with sensitized thresholds. */
+  def q183SkewSalted(s: SparkSession, dir: String): DataFrame =
+    saltedEquiJoin(skewedFact(s, dir), skewDim(s).hint("shuffle_hash"),
+        "k", salt = 32)
+      .groupBy("k", "grp")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("k")
+
+  /** q184: the UNSALTED control — identical fact, dim, hint, and result;
+    * the hot key's entire row set lands on ONE reduce task. Exists to be
+    * measured against q183 (see there). */
+  def q184SkewUnsalted(s: SparkSession, dir: String): DataFrame =
+    skewedFact(s, dir).join(skewDim(s).hint("shuffle_hash"), "k")
+      .groupBy("k", "grp")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("k")
+
+  /** One oracle for both halves: the pair differs only in join physics. */
+  val q183Sql: String =
+    """WITH fact AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+      |              ELSE l_orderkey % 97 + 1 END AS k,
+      |    l_extendedprice
+      |  FROM lineitem),
+      |dim AS (
+      |  SELECT i AS k, 'grp_' || CAST(i % 7 AS VARCHAR) AS grp
+      |  FROM range(98) t(i))
+      |SELECT k, grp, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM fact JOIN dim USING (k)
+      |GROUP BY k, grp ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_salted_join"      -> q49SaltedJoin,
     "q50_bucketed_join"    -> q50BucketedJoin,
     "q63_orc_roundtrip"    -> q63OrcRoundtrip,
     "q64_partition_pruning" -> q64PartitionPruning,
     "q65_sql_api"          -> q65SqlApi,
-    "q91_zorder_layout"    -> q91ZorderLayout)
+    "q91_zorder_layout"    -> q91ZorderLayout,
+    "q183_skew_salted"     -> q183SkewSalted,
+    "q184_skew_unsalted"   -> q184SkewUnsalted)
 
   val oracle: Map[String, String] = Map(
     "q49_salted_join"      -> q49Sql,
@@ -274,5 +336,7 @@ object ScalePatterns {
     "q63_orc_roundtrip"    -> q63Sql,
     "q64_partition_pruning" -> q64Sql,
     "q65_sql_api"          -> q65Sql,
-    "q91_zorder_layout"    -> q91Sql)
+    "q91_zorder_layout"    -> q91Sql,
+    "q183_skew_salted"     -> q183Sql,
+    "q184_skew_unsalted"   -> q183Sql)
 }

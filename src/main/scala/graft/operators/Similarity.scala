@@ -584,6 +584,72 @@ object Similarity {
        |  TRUE AS rayleigh_converged
        |FROM m""".stripMargin
 
+  /** s188: Matryoshka-style two-stage ANN — coarse scoring on the PREFIX
+    * of the embedding (first 8 of 64 dims), exact reranking on the full
+    * vector for the shortlist only. MRL-trained embeddings make every
+    * prefix a valid embedding of the same space, so a deployment stores
+    * the 8-dim prefix as its own column: stage 1 reads 8 floats/row
+    * instead of 64 (8× scan-byte reduction — at 100 TB THE dominant cost)
+    * and scores the whole corpus cheaply; stage 2 fetches full vectors for
+    * |queries|·32 rows — shortlist-sized, no matter how big the corpus is.
+    * Complementary to IVF/LSH (s39/s40): those prune CANDIDATES, this
+    * prunes BYTES-PER-CANDIDATE; production stacks compose both.
+    *
+    * `coarse_rank` rides along in the output so the gate pins the stage-1
+    * ordering too — the rerank visibly reorders (coarse_rank ≠ rank), the
+    * evidence the two-stage structure exists. Both stages' cosines are
+    * sequential double folds, bit-identical to the oracle. */
+  def s188MatryoshkaRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val w = org.apache.spark.sql.expressions.Window
+    val all = vecs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val q = all.filter(col("vec_id") < 16)
+      .selectExpr("vec_id AS qid", "v AS qv", "slice(v, 1, 8) AS qp")
+    val shortlist = broadcast(q.select("qid", "qp")).as("q")
+      .join(all.selectExpr("vec_id", "slice(v, 1, 8) AS cp").as("c"),
+        col("c.vec_id") =!= col("qid"))
+      .selectExpr("qid", "c.vec_id AS nid", "cosine_sim(qp, cp) AS pcos")
+      .withColumn("coarse_rank", row_number().over(
+        w.partitionBy("qid").orderBy(col("pcos").desc, col("nid"))))
+      .filter(col("coarse_rank") <= 32)
+      .select("qid", "nid", "coarse_rank")
+    shortlist
+      .join(all.select(col("vec_id").as("nid"), col("v").as("cv")), "nid")
+      .join(broadcast(q.select("qid", "qv")), "qid")
+      .selectExpr("qid", "nid", "coarse_rank", "cosine_sim(qv, cv) AS cos")
+      .withColumn("rank", row_number().over(
+        w.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= 5)
+      .selectExpr("qid", "rank", "nid", "round(cos, 6) AS cos",
+        "CAST(coarse_rank AS INT) AS coarse_rank")
+      .orderBy("qid", "rank")
+  }
+
+  val s188Sql: String = {
+    val pcosDuck = cosDuck.replace("range(1, 65)", "range(1, 9)")
+    s"""WITH e AS ($vecsDuck),
+       |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 16),
+       |coarse AS (
+       |  SELECT qid, c.vec_id AS nid, $pcosDuck AS pcos
+       |  FROM q JOIN e c ON c.vec_id <> qid),
+       |sl AS (
+       |  SELECT qid, nid,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, nid)
+       |      AS INTEGER) AS coarse_rank
+       |  FROM coarse
+       |  QUALIFY coarse_rank <= 32),
+       |exact AS (
+       |  SELECT sl.qid, sl.nid, sl.coarse_rank, $cosDuck AS cos
+       |  FROM sl JOIN q ON q.qid = sl.qid JOIN e c ON c.vec_id = sl.nid),
+       |ranked AS (
+       |  SELECT qid, nid, coarse_rank, cos,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid)
+       |      AS INTEGER) AS rank
+       |  FROM exact)
+       |SELECT qid, rank, nid, round(cos, 6) AS cos, coarse_rank
+       |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s122_label_centroids" -> s122LabelCentroids,
     "s132_kmeans_step"     -> s132KmeansStep,
@@ -594,7 +660,8 @@ object Similarity {
     "s39_ann_ivf"          -> s39AnnIvf,
     "s40_ann_lsh"          -> s40AnnLsh,
     "s46_ann_brute_native" -> s46AnnBruteNative,
-    "s48_ann_topk_plan"    -> s48AnnTopkPlan)
+    "s48_ann_topk_plan"    -> s48AnnTopkPlan,
+    "s188_matryoshka_rerank" -> s188MatryoshkaRerank)
 
   val oracle: Map[String, String] = Map(
     "s122_label_centroids" -> s122Sql,
@@ -606,5 +673,6 @@ object Similarity {
     "s39_ann_ivf"          -> s39Sql,
     "s40_ann_lsh"          -> s40Sql,
     "s46_ann_brute_native" -> s38Sql,
-    "s48_ann_topk_plan"    -> s38Sql)
+    "s48_ann_topk_plan"    -> s38Sql,
+    "s188_matryoshka_rerank" -> s188Sql)
 }

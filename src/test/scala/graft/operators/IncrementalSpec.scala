@@ -123,4 +123,28 @@ class IncrementalSpec extends SparkSpec {
       assert(inc(k)._1 == jac && inc(k)._2 == dup, s"scores differ at $k")
     }
   }
+
+  test("d185 re-ingested snapshot: every batch doc rediscovers its original " +
+    "at jac=1.0 via the persisted band index, and no history pair appears") {
+    val rows = Dedup.d185SnapshotIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getInt(3), r.getString(4))).toMap
+    // every pair touches the batch (id >= 10M); src labels are consistent
+    rows.foreach { case ((id1, id2), (_, _, src)) =>
+      assert(id2 >= 10000000L, s"($id1,$id2) touches no batch doc")
+      val expected = if (id1 >= 10000000L) "delta_delta" else "delta_hist"
+      assert(src == expected, s"($id1,$id2)")
+    }
+    // a re-crawl returns identical content under a fresh key: the probe
+    // against the persisted history index MUST recover (orig, orig+10M)
+    // as an exact match for every batch doc with at least one shingle
+    val batchIds = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 3 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    batchIds.foreach { id =>
+      val k = (id, id + 10000000L)
+      assert(rows.contains(k), s"self-pair $k not recovered")
+      assert(rows(k)._1 == 1.0 && rows(k)._2 == 1, s"self-pair $k not exact")
+    }
+  }
 }

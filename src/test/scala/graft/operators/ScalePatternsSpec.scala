@@ -166,6 +166,23 @@ class ScalePatternsSpec extends SparkSpec {
       s"expected AQE to re-plan the exchange read:\n$plan")
   }
 
+  test("skew demo pair: identical results, salted spreads the hot key, " +
+    "neither side broadcasts") {
+    val salted = ScalePatterns.q183SkewSalted(spark, dir)
+    val unsalted = ScalePatterns.q184SkewUnsalted(spark, dir)
+    assert(salted.collect().map(_.toSeq).toSeq ==
+      unsalted.collect().map(_.toSeq).toSeq)
+    val ps = salted.queryExecution.executedPlan.toString
+    val pu = unsalted.queryExecution.executedPlan.toString
+    // the demo measures SHUFFLE-join physics: a broadcast would erase the
+    // skew both halves exist to compare
+    assert(!ps.contains("BroadcastHashJoin"), s"salted half broadcast:\n$ps")
+    assert(!pu.contains("BroadcastHashJoin"), s"unsalted half broadcast:\n$pu")
+    // the salted plan joins on (k, __salt) — the hot key is spread
+    assert(ps.contains("__salt"), s"expected __salt in join keys:\n$ps")
+    assert(!pu.contains("__salt"), s"control must not salt:\n$pu")
+  }
+
   test("bucketed join result matches the raw-table join") {
     val bucketed = ScalePatterns.q50BucketedJoin(spark, dir)
       .collect().map(_.toSeq)

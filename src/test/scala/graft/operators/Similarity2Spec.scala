@@ -46,4 +46,41 @@ class Similarity2Spec extends SparkSpec {
     assert(out.filter(col("qerr") < 0).count() == 0)
     out.unpersist()
   }
+
+  test("s188 matryoshka rerank replicates a driver-side two-stage search") {
+    val vs = graft.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vs.filter(_._1 < 16).flatMap { case (qid, qv) =>
+      val shortlist = vs.filter(_._1 != qid)
+        .map { case (nid, cv) => (nid, cos(qv, cv, 8)) }
+        .sortBy { case (nid, p) => (-p, nid) }.take(32)
+        .zipWithIndex.map { case ((nid, _), i) => (nid, i + 1) }
+      shortlist
+        .map { case (nid, cr) => (nid, cr, cos(qv, vs.find(_._1 == nid).get._2, 64)) }
+        .sortBy { case (nid, _, c) => (-c, nid) }.take(5)
+        .zipWithIndex
+        .map { case ((nid, cr, c), i) => (qid, i + 1, nid, c, cr) }
+    }
+    val got = Similarity.s188MatryoshkaRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._5) == (e._1, e._2, e._3, e._5),
+        s"ids/ranks differ: got $g expected $e")
+      assert(math.abs(g._4 - e._4) <= 1e-6, s"cos differs: got $g expected $e")
+    }
+    // the rerank must VISIBLY reorder somewhere — otherwise the second
+    // stage is dead weight and the demo demonstrates nothing
+    assert(got.exists(r => r._2 != r._5))
+  }
 }
