@@ -282,10 +282,16 @@ object ScalePatterns {
     * side shuffle-hash-hinted so the measurement exercises SHUFFLE-join
     * physics — an un-hinted plan would broadcast the 98·32-row dim and
     * no skew would exist to relieve. BENCH_r{N}.json carries q183 vs q184
-    * seconds side by side: that delta IS the measured cost of leaving a
-    * degenerate key histogram unsalted at this SF, the evidence behind
-    * the 100 TB salting story (where the hot task is not a local[32]
-    * straggler but a multi-hour one). AQE skew-split stays at default
+    * seconds side by side. Measured at sf0.1/local[32]: salted 0.88 s vs
+    * unsalted 0.54 s — at THIS scale the hot task (540k cheap probe rows,
+    * ~20 ms of real work) sits far below the salt machinery's cost (one
+    * extra-wide exchange + 32× dim replication), so the pair honestly
+    * exposes the OVERHEAD side of the trade. That is the point of
+    * measuring it: salting is not free, and pays only when per-key reduce
+    * work dwarfs exchange cost — at 100 TB the unsalted hot task is hours
+    * while the salt overhead is unchanged. The scale-invariant evidence is
+    * the plan shape (hot key spread over 32 sub-keys vs one task),
+    * asserted in ScalePatternsSpec. AQE skew-split stays at default
     * thresholds and does not fire at this scale (hot partition ≪ 256 MB)
     * — the split-based relief is asserted separately in
     * ScalePatternsSpec with sensitized thresholds. */

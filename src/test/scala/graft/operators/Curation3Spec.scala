@@ -105,11 +105,12 @@ class Curation3Spec extends SparkSpec {
     out.unpersist()
   }
 
-  test("prefix filter join: exactly the d30 result from a fraction of " +
-    "the postings") {
+  test("prefix filter join: exactly the d30 result at t=0.8 from a " +
+    "fraction of the postings") {
     val out = Curation3.d181PrefixFilterJoin(spark, dir).cache()
-    val full = Dedup.d30NgramJaccard(spark, dir)
+    val full = Dedup.d30NgramJaccard(spark, dir).filter(col("jac") >= 0.8)
     // completeness AND precision: set equality with the full bucket join
+    // restricted to the threshold the prefix index is built for
     assert(out.exceptAll(full).count() == 0)
     assert(full.exceptAll(out).count() == 0)
     assert(out.count() > 0)

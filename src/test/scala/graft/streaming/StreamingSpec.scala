@@ -87,6 +87,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer runs unchanged on the RocksDB state store — the " +
+    "at-scale state backend") {
+    // The default HDFS-backed store keeps every key's state ON HEAP —
+    // fine per-task locally, an OOM at 100 TB streaming state. RocksDB
+    // keeps state off-heap/on-disk with incremental checkpointing; the
+    // provider is a pure config swap, so the same stateful transform must
+    // produce identical sessions. This pins that none of our state logic
+    // accidentally depends on the default provider's semantics (e.g.
+    // object identity across get/put — RocksDB round-trips through bytes).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_rocks_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        EventStreams.Event(1L, ts("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(1L, ts("2024-01-01 12:30:00"), 5.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_rocks_t").orderBy("start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2), r.getDouble(3)))
+      assert(out.contains((1L, "2024-01-01 10:00:00.0", 2, 3.0)),
+        s"RocksDB-backed run must close the same session; got ${out.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
