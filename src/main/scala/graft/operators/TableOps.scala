@@ -175,13 +175,54 @@ object TableOps {
       |  TRUE AS compacted
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q186: schema evolution on a plain-parquet table — the non-Delta half
+    * of the reference's `overwriteSchema=True` story (BuildGoldLayer.py:
+    * 230,235; K4 in SURVEY §2). A v1 producer writes (o_orderkey,
+    * o_totalprice); a v2 producer APPENDS files that carry a new
+    * o_orderpriority column — v1 files are never rewritten (at 100 TB,
+    * rewriting history for a column add is the thing you cannot afford).
+    * `mergeSchema=true` reconciles the footers at read time: v1 rows
+    * surface the new column as NULL, which the query maps to a sentinel
+    * bucket. The oracle reproduces the exact same rows from the base
+    * table, so the gate value-checks the whole evolution round-trip.
+    *
+    * Scale notes: mergeSchema pays one footer read per file at planning
+    * (table formats move this to a manifest — q112's territory); the data
+    * path is unchanged — column pruning and pushdown still work on both
+    * file generations. */
+  def q186SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${graft.SparkSupport.scratchDir}/graft_evolving"
+    Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(tmp)
+    Tables.orders(s, dir).filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("append").parquet(tmp)
+    s.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n"),
+        OracleSafe.dsum(col("o_totalprice")).as("total"))
+      .orderBy("priority")
+  }
+
+  val q186Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+      |            ELSE o_orderpriority END AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY 1 ORDER BY priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_table_checksum" -> q111TableChecksum,
     "q112_file_skipping"  -> q112FileSkipping,
-    "q113_compaction"     -> q113Compaction)
+    "q113_compaction"     -> q113Compaction,
+    "q186_schema_evolution" -> q186SchemaEvolution)
 
   val oracle: Map[String, String] = Map(
     "q111_table_checksum" -> q111Sql,
     "q112_file_skipping"  -> q112Sql,
-    "q113_compaction"     -> q113Sql)
+    "q113_compaction"     -> q113Sql,
+    "q186_schema_evolution" -> q186Sql)
 }

@@ -42,6 +42,26 @@ class TableOpsSpec extends SparkSpec {
     assert(pruned.map(r => r.getString(0) -> r.getLong(1)).toMap === direct)
   }
 
+  test("q186 merges evolved footers: v1 rows null-backfill the new column " +
+    "and no file is rewritten") {
+    TableOps.q186SchemaEvolution(spark, sf).count() // writes both generations
+    val tmp = s"${graft.SparkSupport.scratchDir}/graft_evolving"
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
+    // the union schema carries the evolved column
+    assert(merged.columns.toSet ==
+      Set("o_orderkey", "o_totalprice", "o_orderpriority"))
+    // v1 generation (even keys) surfaces NULLs; v2 carries real values
+    assert(merged.filter(col("o_orderkey") % 2 === 0 &&
+      col("o_orderpriority").isNotNull).count() == 0)
+    assert(merged.filter(col("o_orderkey") % 2 =!= 0 &&
+      col("o_orderpriority").isNull).count() == 0)
+    // nothing lost across generations
+    assert(merged.count() == graft.Tables.orders(spark, sf).count())
+    // and a v1-era reader (no mergeSchema) still works on its own columns
+    val v1View = spark.read.parquet(tmp).select("o_orderkey", "o_totalprice")
+    assert(v1View.count() == merged.count())
+  }
+
   test("q113 compaction shrinks the file count and preserves content") {
     val out = TableOps.q113Compaction(spark, sf).collect()
     assert(out.forall(_.getAs[Boolean]("compacted")))
