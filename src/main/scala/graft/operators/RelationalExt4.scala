@@ -372,7 +372,38 @@ object RelationalExt4 {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q187: correlated LATERAL derived table — per-nation top-2 customers
+    * by balance through the SQL-standard lateral join (`FROM nation,
+    * LATERAL (SELECT … WHERE c_nationkey = n_nationkey ORDER BY … LIMIT
+    * 2)`), the surface form analysts reach for before window functions.
+    * Catalyst decorrelates the subquery (DecorrelateInnerQuery) into a
+    * ranked join — same physics as q09's window — so the lateral form is
+    * sugar, not a nested loop: no per-outer-row re-execution survives in
+    * the physical plan. DuckDB runs the identical statement. */
+  def q187LateralTopk(s: SparkSession, dir: String): DataFrame = {
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT n_name, c_name,
+        |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2)
+        |ORDER BY n_name, bal_cents DESC, c_name""".stripMargin)
+  }
+
+  val q187Sql: String =
+    """SELECT n_name, c_name,
+      |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2)
+      |ORDER BY n_name, bal_cents DESC, c_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_lateral_topk"     -> q187LateralTopk,
     "q134_json_nested"      -> q134JsonNested,
     "q131_array_set_ops"    -> q131ArraySetOps,
     "q123_regional_revenue" -> q123RegionalRevenue,
@@ -383,6 +414,7 @@ object RelationalExt4 {
     "q128_spearman"         -> q128Spearman)
 
   val oracle: Map[String, String] = Map(
+    "q187_lateral_topk"     -> q187Sql,
     "q134_json_nested"      -> q134Sql,
     "q131_array_set_ops"    -> q131Sql,
     "q123_regional_revenue" -> q123Sql,

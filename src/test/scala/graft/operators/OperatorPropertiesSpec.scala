@@ -140,4 +140,35 @@ class OperatorPropertiesSpec extends SparkSpec {
     val dup = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
     assert(dup.exists(_.getDouble(2) == 1.0), "exact duplicate must score J=1")
   }
+
+  test("t182 exact-merge fold equals a reference greedy scan on random " +
+    "words and rule lists") {
+    import spark.implicits._
+    // reference: leftmost-greedy single-pass application of one rule
+    def applyRule(syms: List[String], x: String, y: String): List[String] =
+      syms match {
+        case a :: b :: rest if a == x && b == y => (x + y) :: applyRule(rest, x, y)
+        case a :: rest => a :: applyRule(rest, x, y)
+        case Nil => Nil
+      }
+    val wordGen = Gen.listOfN(8, Gen.oneOf("a", "b", "c")).map(_.mkString)
+    val rulesGen = Gen.listOfN(3, for {
+      x <- Gen.oneOf("a", "b", "c", "ab", "aa", "bc")
+      y <- Gen.oneOf("a", "b", "c", "ab", "aa", "bc")
+    } yield s"$x $y")
+    forAll(Gen.zip(wordGen, rulesGen), minSuccessful = 20) { case (w, rules) =>
+      if (w.nonEmpty) {
+        val expected = rules.foldLeft(w.split("").toList) { (syms, r) =>
+          val Array(x, y) = r.split(" ", 2)
+          applyRule(syms, x, y)
+        }
+        val got = Seq(w).toDF("w")
+          .withColumn("rules", typedLit(rules))
+          .selectExpr(
+            Pretrain3.exactMergeExpr("split(w, '')", "rules") + " AS toks")
+          .head().getAs[scala.collection.Seq[String]]("toks").toList
+        assert(got == expected, s"word=$w rules=$rules")
+      }
+    }
+  }
 }

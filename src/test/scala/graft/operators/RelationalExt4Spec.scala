@@ -120,4 +120,27 @@ class RelationalExt4Spec extends SparkSpec {
     }
     assert(rows.count(_.getLong(5) == 7L) === 1)
   }
+
+  test("q187 lateral subquery decorrelates: ranked join, no nested loop, " +
+    "exactly 2 rows per nation with customers") {
+    val df = RelationalExt4.q187LateralTopk(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"),
+      s"lateral must decorrelate to a ranked join:\n$plan")
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"),
+      s"expected the rank-limit formulation:\n$plan")
+    val rows = df.collect()
+    val perNation = rows.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perNation.values.forall(_ <= 2))
+    // top-2 per nation matches the window formulation
+    import org.apache.spark.sql.functions.{col, row_number}
+    val expect = graft.Tables.customer(spark, sf)
+      .join(graft.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("n_name")
+          .orderBy(col("c_acctbal").desc, col("c_name"))))
+      .filter(col("rk") <= 2).count()
+    assert(rows.length.toLong == expect)
+  }
 }
