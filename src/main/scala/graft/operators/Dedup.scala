@@ -494,19 +494,16 @@ object Dedup {
     * append. `src` labels which side each pair hit. */
   def d142IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
     val idx = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    val sigs = idx.groupBy("doc_id")
-      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("ns"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = sigs.selectExpr("doc_id", "minhash16(hs) AS mh")
-      .selectExpr("doc_id",
-        """explode(transform(sequence(0, 3), b -> concat(
-          |  CAST(b AS STRING), ':',
-          |  concat_ws('-', transform(slice(mh, b*4 + 1, 4),
-          |    x -> CAST(x AS STRING)))))) AS band_key""".stripMargin)
-    val histIndex = bands.filter(col("doc_id") % 7 =!= 0)
+    // the history side comes from the PERSISTED band index — the premise
+    // made literal (round 4; d185 shares the artifact): history signatures
+    // are never recomputed in-query, only the batch pays minhash+banding.
+    // bandsOf uses the same minhash16/band arithmetic that built the
+    // artifact, so keys join exactly.
+    val histIndex = historyBandIndex(s, dir)
+      .filter(col("doc_id") % 7 =!= 0)
       .groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("hist_ids"))
-    val deltaBands = bands.filter(col("doc_id") % 7 === 0)
+    val deltaBands = bandsOf(idx.filter(col("doc_id") % 7 === 0))
       .persist(StorageLevel.MEMORY_AND_DISK) // probe side + delta-delta side
     val deltaHist = deltaBands.join(histIndex, "band_key")
       .selectExpr("doc_id AS did", "explode(hist_ids) AS hid")
@@ -530,7 +527,7 @@ object Dedup {
           |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
-    val n = sigs.select(col("doc_id"), col("ns"))
+    val n = idx.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     cand.join(common, Seq("id1", "id2"), "left").na.fill(0L, Seq("common"))
       .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
       .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")

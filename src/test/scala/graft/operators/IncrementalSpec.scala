@@ -124,6 +124,18 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("d142/d185 read the persisted band-index artifact — history bands " +
+    "come from parquet, not recomputation") {
+    // force the artifact to exist, then check both plans scan it
+    Dedup.d185SnapshotIncremental(spark, sf).count()
+    Seq(Dedup.d142IncrementalMinhash(spark, sf),
+        Dedup.d185SnapshotIncremental(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_band_idx_"),
+        s"expected a scan of the persisted band index:\n${plan.take(2000)}")
+    }
+  }
+
   test("d185 re-ingested snapshot: every batch doc rediscovers its original " +
     "at jac=1.0 via the persisted band index, and no history pair appears") {
     val rows = Dedup.d185SnapshotIncremental(spark, sf).collect()
