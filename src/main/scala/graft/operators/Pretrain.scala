@@ -179,10 +179,14 @@ object Pretrain {
       .selectExpr("doc_id", "p + 1 AS pos", "h")
       // feeds the carrier count AND the per-doc flags — one corpus scan
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // "in another doc" ⇔ min(doc) ≠ max(doc) per hash: same predicate as
+    // count(DISTINCT doc_id) >= 2 but min/max partial-aggregate map-side
+    // in one phase, where countDistinct pays a distinct-expand (second
+    // shuffle-width) — the cheaper form at any scale
     val carriers = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
     val flagged = grams.join(carriers, "h")
-      .selectExpr("doc_id", "pos", "CAST(nd >= 2 AS INT) AS isdup")
+      .selectExpr("doc_id", "pos", "CAST(mn <> mx AS INT) AS isdup")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = flagged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"), sum(col("isdup")).as("n_dup"))
