@@ -173,6 +173,72 @@ object EventStreams {
       }
   }
 
+  /** The same gap sessionizer on `transformWithState` — Spark 4's
+    * arbitrary-state API (the successor to flatMapGroupsWithState): typed
+    * state via the StatefulProcessorHandle (ValueState here; List/Map
+    * state and TTL are the API's scale levers), explicit timer
+    * registration instead of a single per-key timeout, and state
+    * round-tripped through encoders — which is what binds it to the
+    * RocksDB state-store provider (bytes, not heap objects; the only
+    * provider transformWithState supports, and the one a 100 TB streaming
+    * state deployment runs anyway). StreamingSpec asserts it emits exactly
+    * the sessions [[sessionize]] emits on the same input. */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[SessionOut]
+      var cur = if (state.exists()) Some(state.get()) else None
+      // a previously registered close-timer is superseded by new activity
+      cur.foreach(s => getHandle.deleteTimer(s.lastTs + gapMs))
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastTs <= gapMs =>
+            cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+          case Some(s) =>
+            closed ::= SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer(s.lastTs + gapMs)
+      }
+      closed.reverseIterator
+    }
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator(SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.sum))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[sessionize]] through the transformWithState API — same contract,
+    * same output type; requires the RocksDB state-store provider on the
+    * session (see [[SessionProcessor]]). */
+  def sessionizeTws(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Stream-static enrichment join: each (micro-batch of) events joins a
     * static dimension broadcast to every task. No streaming state at all —
     * the static side is re-planned per batch, so a dim refresh (re-read

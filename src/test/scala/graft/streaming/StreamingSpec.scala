@@ -126,6 +126,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState sessionizer matches the flatMapGroupsWithState " +
+    "contract on the same input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // transformWithState supports ONLY the RocksDB provider
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionizeTws(mem.toDS(), gapMs = 30 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_tws_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        EventStreams.Event(1L, ts("2024-01-01 10:10:00"), 2.0))
+      q.processAllAvailable()
+      // a 2h-later event closes the first session (gap exceeded)
+      mem.addData(EventStreams.Event(1L, ts("2024-01-01 12:30:00"), 5.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_tws_t").orderBy("start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2), r.getDouble(3)))
+      assert(out.contains((1L, "2024-01-01 10:00:00.0", 2, 3.0)),
+        s"first session should have closed; got ${out.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
