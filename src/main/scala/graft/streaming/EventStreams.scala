@@ -226,6 +226,50 @@ object EventStreams {
     }
   }
 
+  case class RecentOut(user_id: Long, ts: java.sql.Timestamp,
+                       n_window: Int, sum_window: Double)
+
+  /** Per-key bounded last-N feature buffer on `ListState` — the streaming
+    * feature-serving pattern: each event emits aggregates over the user's
+    * most recent `n` events (row-driven, not time-driven — the "last 5
+    * transactions" feature a fraud model reads). State per key is EXACTLY
+    * ≤ n rows by construction (trimmed on every update), so total state is
+    * |active keys|·n regardless of stream length — with the RocksDB
+    * provider, the bytes-on-disk shape that holds at any key cardinality.
+    * ListState appends are incremental (no read-modify-write of a single
+    * blob, unlike packing the buffer into one ValueState row). */
+  class RecentEventsProcessor(n: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, RecentOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ListState}
+    @transient private var buf: ListState[Event] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Event]("recent",
+        org.apache.spark.sql.Encoders.product[Event], TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[RecentOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var window = if (buf.exists()) buf.get().toList else Nil
+      val out = sorted.map { e =>
+        window = (window :+ e).takeRight(n)
+        RecentOut(userId, e.ts, window.size,
+          window.map(_.value).sum)
+      }
+      buf.put(window.toArray)
+      out.iterator
+    }
+  }
+
+  /** [[RecentEventsProcessor]] over a grouped event stream. */
+  def recentWindow(events: Dataset[Event], n: Int): Dataset[RecentOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(n),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** [[sessionize]] through the transformWithState API — same contract,
     * same output type; requires the RocksDB state-store provider on the
     * session (see [[SessionProcessor]]). */

@@ -160,6 +160,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ListState last-N buffer: window aggregates are exact and state " +
+    "stays bounded across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.recentWindow(mem.toDS(), n = 3)
+      .writeStream.format("memory").queryName("recent_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+        EventStreams.Event(1L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      // second batch: buffer carries over; 4th event must evict the 1st
+      mem.addData(
+        EventStreams.Event(1L, ts("2024-01-01 10:02:00"), 4.0),
+        EventStreams.Event(1L, ts("2024-01-01 10:03:00"), 8.0))
+      q.processAllAvailable()
+      val out = spark.table("recent_t").orderBy("ts").collect()
+        .map(r => (r.getInt(2), r.getDouble(3)))
+      // windows: [1], [1,2], [1,2,4], [2,4,8] — the last is n-capped
+      assert(out.toSeq == Seq((1, 1.0), (2, 3.0), (3, 7.0), (3, 14.0)),
+        s"got ${out.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
