@@ -260,6 +260,51 @@ object EventStreams {
     }
   }
 
+  case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+                        event_type: String)
+  case class ProfileOut(user_id: Long, ts: java.sql.Timestamp,
+                        event_type: String, type_count: Long,
+                        distinct_types: Int)
+
+  /** Per-key running profile on `MapState` — completes the typed-state
+    * trio (ValueState: [[SessionProcessor]]; ListState:
+    * [[RecentEventsProcessor]]): a per-user event-type histogram updated
+    * in place, emitting each event's running type count and the user's
+    * distinct-type cardinality. MapState gives point lookups and
+    * per-entry updates — the state shape for per-key sub-keyed counters
+    * (profile/feature stores), where a ValueState blob would rewrite the
+    * whole histogram per event and a ListState would scan it. State per
+    * key is |distinct types| entries, bounded by the type domain. */
+  class ProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedEvent, ProfileOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, MapState}
+    @transient private var hist: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getMapState[String, Long]("hist",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[TypedEvent],
+        timers: TimerValues): Iterator[ProfileOut] = {
+      rows.toSeq.sortBy(_.ts.getTime).map { e =>
+        val n = (if (hist.containsKey(e.event_type))
+          hist.getValue(e.event_type) else 0L) + 1L
+        hist.updateValue(e.event_type, n)
+        ProfileOut(userId, e.ts, e.event_type, n, hist.keys().size)
+      }.iterator
+    }
+  }
+
+  /** [[ProfileProcessor]] over a grouped typed-event stream. */
+  def typeProfile(events: Dataset[TypedEvent]): Dataset[ProfileOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** [[RecentEventsProcessor]] over a grouped event stream. */
   def recentWindow(events: Dataset[Event], n: Int): Dataset[RecentOut] = {
     import events.sparkSession.implicits._

@@ -196,6 +196,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("MapState profile: per-type counters update in place across " +
+    "micro-batches and distinct-type cardinality grows monotonically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[EventStreams.TypedEvent]
+    val q = EventStreams.typeProfile(mem.toDS())
+      .writeStream.format("memory").queryName("profile_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        EventStreams.TypedEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        EventStreams.TypedEvent(1L, ts("2024-01-01 10:01:00"), "view"))
+      q.processAllAvailable()
+      mem.addData(
+        EventStreams.TypedEvent(1L, ts("2024-01-01 10:02:00"), "click"),
+        EventStreams.TypedEvent(1L, ts("2024-01-01 10:03:00"), "view"))
+      q.processAllAvailable()
+      val out = spark.table("profile_t").orderBy("ts").collect()
+        .map(r => (r.getString(2), r.getLong(3), r.getInt(4)))
+      assert(out.toSeq == Seq(
+        ("view", 1L, 1), ("view", 2L, 1),   // batch 1
+        ("click", 1L, 2), ("view", 3L, 2)), // batch 2: state carried over
+        s"got ${out.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming dedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
