@@ -32,9 +32,15 @@ object Tables {
     * exact-integer range, so float division would corrupt low-order
     * digits) — and plain TIMESTAMP(MICROS), which both Spark and DuckDB
     * read natively. Dispatch on the decoded type so either layout yields
-    * the same TIMESTAMP_NTZ micros column and oracle comparisons agree. */
+    * the same TIMESTAMP_LTZ micros column and oracle comparisons agree. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the NTZ→LTZ cast below reinterprets the wall-clock in the SESSION
+    // timezone; the whole oracle contract (and the nanos layout's
+    // timestamp_micros) is epoch-UTC, so pin the session rather than rely
+    // on every entry point having configured it — a non-UTC host shell
+    // would otherwise shift every ts by its local offset silently
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     val t = table(s, d, "events")
     t.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -42,10 +48,10 @@ object Tables {
           "timestamp_micros(ts div 1000)"))
       case _: org.apache.spark.sql.types.TimestampNTZType =>
         // `timestamp_micros` above yields TIMESTAMP_LTZ; mirror it for the
-        // native-read layout (sessions run UTC, so the NTZ wall-clock IS
-        // the UTC instant) — downstream epoch extractors (unix_millis,
-        // unix_micros) accept only LTZ, and the driver's oracle compare
-        // normalizes away the remaining flavor difference
+        // native-read layout (under the UTC session just pinned, the NTZ
+        // wall-clock IS the UTC instant) — downstream epoch extractors
+        // (unix_millis, unix_micros) accept only LTZ, and the driver's
+        // oracle compare normalizes away the remaining flavor difference
         t.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
       case _ => t

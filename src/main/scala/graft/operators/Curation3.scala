@@ -469,10 +469,7 @@ object Curation3 {
       .select("doc_id", "h")
     val cand = prefix.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .selectExpr(
-        """explode(flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .selectExpr(s"${Dedup.pairExplodeExpr} AS p")
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
     cand
@@ -490,7 +487,7 @@ object Curation3 {
   }
 
   /** d30's oracle restricted to the t = 0.8 regime d181 targets. */
-  val d181Sql: String = Dedup.d30Sql.replace(">= 0.2", ">= 0.8")
+  val d181Sql: String = Dedup.d30SqlAt("0.8")
 
   // ---------------------------------------------------------------- maps
 

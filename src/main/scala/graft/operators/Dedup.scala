@@ -95,6 +95,17 @@ object Dedup {
     s.read.parquet(path)
   }
 
+  /** C(n,2) ordered-pair explosion over a sorted `ids` array column — THE
+    * bucket pair generator every near-dup candidate/verification stage
+    * shares (one definition: a slice off-by-one would otherwise need
+    * fixing at eight call sites across Dedup/Curation3). Emits
+    * struct(id1, id2) with id1 < id2 in array order; callers alias it
+    * `AS p` and project/aggregate on p.id1/p.id2. */
+  private[graft] val pairExplodeExpr: String =
+    """explode(flatten(transform(ids, (x, i) ->
+      |  transform(slice(ids, i + 2, size(ids) - i - 1),
+      |    y -> struct(x AS id1, y AS id2)))))""".stripMargin
+
   private[operators] val shingleIndexSql =
     """s AS (
       |  SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
@@ -124,10 +135,7 @@ object Dedup {
     val n = idx.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     val pairs = idx.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .selectExpr(
-        """explode(flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .selectExpr(s"$pairExplodeExpr AS p")
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
     pairs
@@ -140,7 +148,11 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
-  val d30Sql: String =
+  /** d30's oracle parameterized by the Jaccard gate — d30 runs at 0.2,
+    * d181's prefix-filter twin at its design threshold 0.8 (a string
+    * template, not post-hoc `.replace` surgery on the finished SQL, which
+    * would silently no-op if the literal ever moved). */
+  def d30SqlAt(threshold: String): String =
     s"""WITH $shingleIndexSql,
        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
        |pairs AS (
@@ -150,8 +162,10 @@ object Dedup {
        |SELECT id1, id2, common,
        |  round(common * 1.0 / (n1.ns + n2.ns - common), 6) AS jac
        |FROM pairs JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
-       |WHERE round(common * 1.0 / (n1.ns + n2.ns - common), 6) >= 0.2
+       |WHERE round(common * 1.0 / (n1.ns + n2.ns - common), 6) >= $threshold
        |ORDER BY id1, id2""".stripMargin
+
+  val d30Sql: String = d30SqlAt("0.2")
 
   /** MinHash+LSH near-dup: band-bucket candidate generation (docs agreeing
     * on any 4-row band), then exact Jaccard verification of candidates only
@@ -191,10 +205,7 @@ object Dedup {
           |    x -> CAST(x AS STRING)))))) AS band_key""".stripMargin)
       .groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .selectExpr(
-        """explode(flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .selectExpr(s"$pairExplodeExpr AS p")
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
     val n = sigs.select(col("doc_id"), col("ns"))
@@ -205,10 +216,7 @@ object Dedup {
     // explosion shuffles only (id1, id2) longs, keyed by shingle hash.
     val common = idx.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .selectExpr(
-        """explode(flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .selectExpr(s"$pairExplodeExpr AS p")
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
     cand.join(common, Seq("id1", "id2"), "left").na.fill(0L, Seq("common"))
@@ -446,10 +454,7 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = buckets.selectExpr("explode(ids) AS doc_id")
       .groupBy("doc_id").agg(count(lit(1)).as("ns"))
-    val pairs = buckets.selectExpr(
-        """explode(flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+    val pairs = buckets.selectExpr(s"$pairExplodeExpr AS p")
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
     pairs
@@ -510,10 +515,7 @@ object Dedup {
       .selectExpr("least(did, hid) AS id1", "greatest(did, hid) AS id2")
     val deltaDelta = deltaBands.groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .selectExpr(
-        """explode(flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .selectExpr(s"$pairExplodeExpr AS p")
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
     val cand = deltaHist.unionByName(deltaDelta).distinct()
     val candDocs = cand
@@ -521,10 +523,7 @@ object Dedup {
     val ridx = idx.join(candDocs, Seq("doc_id"), "left_semi")
     val common = ridx.groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .selectExpr(
-        """explode(flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .selectExpr(s"$pairExplodeExpr AS p")
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
     val n = idx.groupBy("doc_id").agg(count(lit(1)).as("ns"))
@@ -655,10 +654,7 @@ object Dedup {
       .select(col("hist_id").as("id1"), col("doc_id").as("id2"))
     val deltaDelta = deltaBands.groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .selectExpr(
-        """explode(flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |    y -> struct(x AS id1, y AS id2))))) AS p""".stripMargin)
+      .selectExpr(s"$pairExplodeExpr AS p")
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
     val cand = deltaHist.unionByName(deltaDelta).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

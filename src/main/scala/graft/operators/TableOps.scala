@@ -191,7 +191,11 @@ object TableOps {
     * path is unchanged — column pruning and pushdown still work on both
     * file generations. */
   def q186SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${graft.SparkSupport.scratchDir}/graft_evolving"
+    // corpus-keyed like every other scratch artifact (SparkSupport.pathKey
+    // Scaladoc): a fixed path would let two corpus dirs or concurrent JVMs
+    // overwrite each other's generations mid-read
+    val tmp = s"${graft.SparkSupport.scratchDir}/graft_evolving_" +
+      graft.SparkSupport.pathKey(dir)
     Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
       .select("o_orderkey", "o_totalprice")
       .write.mode("overwrite").parquet(tmp)

@@ -249,13 +249,18 @@ object EventStreams {
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[RecentOut] = {
       val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var window = if (buf.exists()) buf.get().toList else Nil
+      val before = if (buf.exists()) buf.get().toList else Nil
+      var window = before
       val out = sorted.map { e =>
         window = (window :+ e).takeRight(n)
         RecentOut(userId, e.ts, window.size,
           window.map(_.value).sum)
       }
-      buf.put(window.toArray)
+      // incremental append is the point of ListState: while the buffer is
+      // under capacity the new events APPEND (no read-modify-write of the
+      // stored rows); only an eviction rewrites the trimmed buffer
+      if (before.size + sorted.size <= n) buf.appendList(sorted.toArray)
+      else buf.put(window.toArray)
       out.iterator
     }
   }

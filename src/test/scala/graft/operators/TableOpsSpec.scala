@@ -45,7 +45,8 @@ class TableOpsSpec extends SparkSpec {
   test("q186 merges evolved footers: v1 rows null-backfill the new column " +
     "and no file is rewritten") {
     TableOps.q186SchemaEvolution(spark, sf).count() // writes both generations
-    val tmp = s"${graft.SparkSupport.scratchDir}/graft_evolving"
+    val tmp = s"${graft.SparkSupport.scratchDir}/graft_evolving_" +
+      graft.SparkSupport.pathKey(sf)
     val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
     // the union schema carries the evolved column
     assert(merged.columns.toSet ==

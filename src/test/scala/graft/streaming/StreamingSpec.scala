@@ -13,6 +13,20 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  /** Run `body` with the RocksDB state-store provider on the session
+    * (required by transformWithState; the at-scale backend for the other
+    * stateful ops), restoring the prior provider afterwards. */
+  private def withRocksDBProvider(body: => Unit): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("hourlyByType aggregates incrementally over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -98,31 +112,23 @@ class StreamingSpec extends SparkSpec {
     // object identity across get/put — RocksDB round-trips through bytes).
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val mem = MemoryStream[EventStreams.Event]
-    val q = EventStreams.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000)
-      .writeStream.format("memory").queryName("sessions_rocks_t")
-      .outputMode("append").start()
-    try {
-      mem.addData(
-        EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
-        EventStreams.Event(1L, ts("2024-01-01 10:10:00"), 2.0))
-      q.processAllAvailable()
-      mem.addData(EventStreams.Event(1L, ts("2024-01-01 12:30:00"), 5.0))
-      q.processAllAvailable()
-      val out = spark.table("sessions_rocks_t").orderBy("start").collect()
-        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2), r.getDouble(3)))
-      assert(out.contains((1L, "2024-01-01 10:00:00.0", 2, 3.0)),
-        s"RocksDB-backed run must close the same session; got ${out.toSeq}")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+    withRocksDBProvider {
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000)
+        .writeStream.format("memory").queryName("sessions_rocks_t")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+          EventStreams.Event(1L, ts("2024-01-01 10:10:00"), 2.0))
+        q.processAllAvailable()
+        mem.addData(EventStreams.Event(1L, ts("2024-01-01 12:30:00"), 5.0))
+        q.processAllAvailable()
+        val out = spark.table("sessions_rocks_t").orderBy("start").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2), r.getDouble(3)))
+        assert(out.contains((1L, "2024-01-01 10:00:00.0", 2, 3.0)),
+          s"RocksDB-backed run must close the same session; got ${out.toSeq}")
+      } finally q.stop()
     }
   }
 
@@ -130,33 +136,25 @@ class StreamingSpec extends SparkSpec {
     "contract on the same input") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
     // transformWithState supports ONLY the RocksDB provider
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val mem = MemoryStream[EventStreams.Event]
-    val q = EventStreams.sessionizeTws(mem.toDS(), gapMs = 30 * 60 * 1000)
-      .writeStream.format("memory").queryName("sessions_tws_t")
-      .outputMode("append").start()
-    try {
-      mem.addData(
-        EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
-        EventStreams.Event(1L, ts("2024-01-01 10:10:00"), 2.0))
-      q.processAllAvailable()
-      // a 2h-later event closes the first session (gap exceeded)
-      mem.addData(EventStreams.Event(1L, ts("2024-01-01 12:30:00"), 5.0))
-      q.processAllAvailable()
-      val out = spark.table("sessions_tws_t").orderBy("start").collect()
-        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2), r.getDouble(3)))
-      assert(out.contains((1L, "2024-01-01 10:00:00.0", 2, 3.0)),
-        s"first session should have closed; got ${out.toSeq}")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+    withRocksDBProvider {
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.sessionizeTws(mem.toDS(), gapMs = 30 * 60 * 1000)
+        .writeStream.format("memory").queryName("sessions_tws_t")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+          EventStreams.Event(1L, ts("2024-01-01 10:10:00"), 2.0))
+        q.processAllAvailable()
+        // a 2h-later event closes the first session (gap exceeded)
+        mem.addData(EventStreams.Event(1L, ts("2024-01-01 12:30:00"), 5.0))
+        q.processAllAvailable()
+        val out = spark.table("sessions_tws_t").orderBy("start").collect()
+          .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2), r.getDouble(3)))
+        assert(out.contains((1L, "2024-01-01 10:00:00.0", 2, 3.0)),
+          s"first session should have closed; got ${out.toSeq}")
+      } finally q.stop()
     }
   }
 
@@ -164,35 +162,27 @@ class StreamingSpec extends SparkSpec {
     "stays bounded across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val mem = MemoryStream[EventStreams.Event]
-    val q = EventStreams.recentWindow(mem.toDS(), n = 3)
-      .writeStream.format("memory").queryName("recent_t")
-      .outputMode("append").start()
-    try {
-      mem.addData(
-        EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
-        EventStreams.Event(1L, ts("2024-01-01 10:01:00"), 2.0))
-      q.processAllAvailable()
-      // second batch: buffer carries over; 4th event must evict the 1st
-      mem.addData(
-        EventStreams.Event(1L, ts("2024-01-01 10:02:00"), 4.0),
-        EventStreams.Event(1L, ts("2024-01-01 10:03:00"), 8.0))
-      q.processAllAvailable()
-      val out = spark.table("recent_t").orderBy("ts").collect()
-        .map(r => (r.getInt(2), r.getDouble(3)))
-      // windows: [1], [1,2], [1,2,4], [2,4,8] — the last is n-capped
-      assert(out.toSeq == Seq((1, 1.0), (2, 3.0), (3, 7.0), (3, 14.0)),
-        s"got ${out.toSeq}")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+    withRocksDBProvider {
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.recentWindow(mem.toDS(), n = 3)
+        .writeStream.format("memory").queryName("recent_t")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          EventStreams.Event(1L, ts("2024-01-01 10:00:00"), 1.0),
+          EventStreams.Event(1L, ts("2024-01-01 10:01:00"), 2.0))
+        q.processAllAvailable()
+        // second batch: buffer carries over; 4th event must evict the 1st
+        mem.addData(
+          EventStreams.Event(1L, ts("2024-01-01 10:02:00"), 4.0),
+          EventStreams.Event(1L, ts("2024-01-01 10:03:00"), 8.0))
+        q.processAllAvailable()
+        val out = spark.table("recent_t").orderBy("ts").collect()
+          .map(r => (r.getInt(2), r.getDouble(3)))
+        // windows: [1], [1,2], [1,2,4], [2,4,8] — the last is n-capped
+        assert(out.toSeq == Seq((1, 1.0), (2, 3.0), (3, 7.0), (3, 14.0)),
+          s"got ${out.toSeq}")
+      } finally q.stop()
     }
   }
 
@@ -200,35 +190,27 @@ class StreamingSpec extends SparkSpec {
     "micro-batches and distinct-type cardinality grows monotonically") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val mem = MemoryStream[EventStreams.TypedEvent]
-    val q = EventStreams.typeProfile(mem.toDS())
-      .writeStream.format("memory").queryName("profile_t")
-      .outputMode("append").start()
-    try {
-      mem.addData(
-        EventStreams.TypedEvent(1L, ts("2024-01-01 10:00:00"), "view"),
-        EventStreams.TypedEvent(1L, ts("2024-01-01 10:01:00"), "view"))
-      q.processAllAvailable()
-      mem.addData(
-        EventStreams.TypedEvent(1L, ts("2024-01-01 10:02:00"), "click"),
-        EventStreams.TypedEvent(1L, ts("2024-01-01 10:03:00"), "view"))
-      q.processAllAvailable()
-      val out = spark.table("profile_t").orderBy("ts").collect()
-        .map(r => (r.getString(2), r.getLong(3), r.getInt(4)))
-      assert(out.toSeq == Seq(
-        ("view", 1L, 1), ("view", 2L, 1),   // batch 1
-        ("click", 1L, 2), ("view", 3L, 2)), // batch 2: state carried over
-        s"got ${out.toSeq}")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+    withRocksDBProvider {
+      val mem = MemoryStream[EventStreams.TypedEvent]
+      val q = EventStreams.typeProfile(mem.toDS())
+        .writeStream.format("memory").queryName("profile_t")
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          EventStreams.TypedEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+          EventStreams.TypedEvent(1L, ts("2024-01-01 10:01:00"), "view"))
+        q.processAllAvailable()
+        mem.addData(
+          EventStreams.TypedEvent(1L, ts("2024-01-01 10:02:00"), "click"),
+          EventStreams.TypedEvent(1L, ts("2024-01-01 10:03:00"), "view"))
+        q.processAllAvailable()
+        val out = spark.table("profile_t").orderBy("ts").collect()
+          .map(r => (r.getString(2), r.getLong(3), r.getInt(4)))
+        assert(out.toSeq == Seq(
+          ("view", 1L, 1), ("view", 2L, 1),   // batch 1
+          ("click", 1L, 2), ("view", 3L, 2)), // batch 2: state carried over
+          s"got ${out.toSeq}")
+      } finally q.stop()
     }
   }
 
