@@ -80,11 +80,22 @@ object Bench {
     // shape, while a cold engine pays the build once. That asymmetry vs a
     // from-scratch yardstick run is DISCLOSED, not hidden: the warm-up
     // total is reported separately (`warmup_sec` below and in
-    // BENCH_FULL.json) so a reader can reconstruct the cold-start cost.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // BENCH_FULL.json), SPLIT into its layout-build share (the one-time
+    // physical organization a production deployment amortizes across all
+    // later queries — SparkSupport.layoutBuildNanos, accrued at every
+    // build site) and the residual JVM/JIT/codegen share, so the
+    // amortization claim stays itemized as queries are added.
+    // Three timed reps (min-of-3): the host's documented multi-10s stalls
+    // occasionally survive min-of-2 and show up as phantom per-query
+    // regressions (q148/q138 wobble, round 4).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val warmupSec: Double =
       if (sys.env.contains("SPARK_GRAFT_COLD")) -1.0
       else { val t0 = System.nanoTime(); runAll(); (System.nanoTime() - t0) / 1e9 }
+    val warmupLayoutSec: Double =
+      if (warmupSec < 0) -1.0 else SparkSupport.layoutBuildNanos.get() / 1e9
+    val warmupJitSec: Double =
+      if (warmupSec < 0) -1.0 else warmupSec - warmupLayoutSec
     val results = (1 to reps).map(_ => runAll())
       .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     val total = results.values.sum
@@ -97,13 +108,15 @@ object Bench {
       val qj = qs.map { case (k, v) => s"\"$k\":${fmt(v, dp)}" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","warmup_sec":${fmt(warmupSec, 1)},"queries":$qj$om,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","warmup_sec":${fmt(warmupSec, 1)},"warmup_layout_sec":${fmt(warmupLayoutSec, 1)},"warmup_jit_sec":${fmt(warmupJitSec, 1)},"reps":$reps,"queries":$qj$om,"sf":"$sfDir"}"""
     }
 
     // Full precision to a file for the judge / BASELINE cross-reference.
     val fullJson = results.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{\"queries\":{", ",",
-        s"},\"total\":$total,\"warmup_sec\":$warmupSec,\"sf\":\"$sfDir\"}")
+        s"},\"total\":$total,\"warmup_sec\":$warmupSec" +
+          s",\"warmup_layout_sec\":$warmupLayoutSec" +
+          s",\"warmup_jit_sec\":$warmupJitSec,\"reps\":$reps,\"sf\":\"$sfDir\"}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
 

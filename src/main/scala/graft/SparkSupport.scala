@@ -32,4 +32,101 @@ object SparkSupport {
   def pathKey(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Content fingerprint of a corpus dir: file names + sizes + mtimes,
+    * folded into one md5. Folding this into an artifact's path key makes a
+    * REGENERATED corpus (same dir, new files — the driver does this between
+    * rounds) produce a fresh artifact path instead of a stale read, both
+    * within a JVM and across JVMs sharing the scratch dir. */
+  def corpusFingerprint(dir: String): String = {
+    val entries = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File]).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    pathKey(dir + "|" + entries.mkString(","))
+  }
+
+  /** Wall-clock nanos spent building persisted corpus layouts this JVM —
+    * every [[layoutArtifact]] build adds here. [[graft.Bench]] reads it to
+    * split the untimed warm-up into its layout-build share vs its
+    * JVM/JIT/codegen share, so the amortized-layout methodology stays
+    * auditable (the two costs trend differently as queries are added). */
+  val layoutBuildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Account `f`'s wall-clock to the layout-build total (for build sites,
+    * e.g. bucketed catalog tables, that cannot route through
+    * [[layoutArtifact]]'s path contract). Reentrancy-aware: a layout build
+    * that triggers another (dupPairs → d31 → shingleIndex) accrues only the
+    * OUTERMOST wall-clock, so the total is real elapsed time, not a
+    * double-count of nested builds. */
+  def timedLayoutBuild[T](f: => T): T =
+    if (layoutDepth.get > 0) f
+    else {
+      layoutDepth.set(1)
+      val t0 = System.nanoTime()
+      try f finally {
+        layoutDepth.set(0)
+        layoutBuildNanos.addAndGet(System.nanoTime() - t0): Unit
+      }
+    }
+
+  private val layoutDepth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
+
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // per-key build locks — NOT computeIfAbsent on artifactCache: layout
+  // builds nest (dupPairs builds via d31 which reads shingleIndex), and
+  // recursive computeIfAbsent on one ConcurrentHashMap may deadlock or
+  // throw. Lock acquisition order follows the build-dependency DAG, so
+  // distinct per-key monitors cannot cycle.
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Build-once persisted scratch artifact, shared by every corpus layout
+    * (shingle/gram/band indexes, pair lists, materialized silver, evolving
+    * table). Returns the artifact directory for (kind, corpus dir); `build`
+    * runs at most once per (corpus dir CONTENT, kind) per scratch dir:
+    *
+    *  - the path key folds in [[corpusFingerprint]], so a regenerated
+    *    corpus builds fresh instead of serving stale data;
+    *  - `build` writes into a UNIQUE temp dir that is renamed into place —
+    *    concurrent JVMs on the same corpus race on the rename, not on the
+    *    bytes, so a reader never sees a half-written artifact (the loser's
+    *    temp dir is discarded and the winner's artifact is used);
+    *  - a destination left incomplete by a crashed builder (no _SUCCESS
+    *    marker) is cleared and rebuilt rather than trusted;
+    *  - build wall-clock accrues to [[layoutBuildNanos]].
+    */
+  def layoutArtifact(kind: String, dir: String)(build: String => Unit): String = {
+    val key = s"$kind|$dir|${corpusFingerprint(dir)}"
+    val cached = artifactCache.get(key)
+    if (cached != null) return cached
+    val lock = artifactLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = artifactCache.get(key) // built while we waited on the lock
+      if (again != null) return again
+      val dest = new java.io.File(s"$scratchDir/graft_${kind}_${pathKey(key)}")
+      if (!new java.io.File(dest, "_SUCCESS").isFile) timedLayoutBuild {
+        if (dest.exists()) deleteRecursively(dest) // crashed half-build
+        val tmp = new java.io.File(
+          dest.getPath + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+        build(tmp.getPath)
+        if (!tmp.renameTo(dest)) {
+          // lost the cross-JVM race: the winner's artifact is in place
+          deleteRecursively(tmp)
+          require(new java.io.File(dest, "_SUCCESS").isFile,
+            s"layout artifact $dest: rename failed and no complete artifact present")
+        }
+      }
+      artifactCache.put(key, dest.getPath)
+      dest.getPath
+    }
+  }
 }

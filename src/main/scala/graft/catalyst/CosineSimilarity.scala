@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -106,7 +107,18 @@ object GraftFunctions {
       (args: Seq[Expression]) => LshBucket8(args.head)),
     ("lev_within", "lev_within(s1, s2, k) - banded Levenshtein: exact distance if <= k, else k+1",
       (args: Seq[Expression]) =>
-        BandedLevenshtein(args.head, args(1), litLong(args(2)).toInt)))
+        BandedLevenshtein(args.head, args(1), litLong(args(2)).toInt)),
+    // Spark ships these two for its own runtime row-level filtering
+    // (InjectRuntimeFilter) but does not register them publicly; surfacing
+    // them keeps a user-declared bloom prefilter fully in-plan — the build
+    // is a scalar subquery, the probe codegens — with no driver round-trip.
+    ("bloom_filter_agg",
+      "bloom_filter_agg(x, est_items, num_bits) - serialized bloom filter of a column",
+      (args: Seq[Expression]) =>
+        new BloomFilterAggregate(args.head, args(1), args(2))),
+    ("might_contain",
+      "might_contain(bloom, x) - codegen'd bloom-filter membership probe",
+      (args: Seq[Expression]) => BloomFilterMightContain(args.head, args(1))))
 
   /** Idempotent imperative registration — works on ANY session, including
     * one the harness built without our extensions class. */

@@ -41,24 +41,18 @@ object Curation {
     * what the gram-hash join avoids. The gram index is persisted because it
     * feeds both the train and eval branches (Spark re-executes unshared
     * subplans — see Dedup's cost notes). */
-  private val gramIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def t92Contamination(s: SparkSession, dir: String): DataFrame = {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
     // the 5-gram hash index is the built-once corpus artifact the Scaladoc
     // describes — materialized per corpus dir exactly like Dedup's shingle
     // index, then read back (still persisted in-memory: it feeds both the
     // train and eval branches of this query's plan)
-    val gramPath = gramIdxCache.computeIfAbsent(dir, d => {
-      val p = s"${graft.SparkSupport.scratchDir}/graft_gram_idx_" +
-        graft.SparkSupport.pathKey(d)
-      Tables.documents(s, d)
+    val gramPath = graft.SparkSupport.layoutArtifact("gram_idx", dir) { p =>
+      Tables.documents(s, dir)
         .selectExpr("doc_id", s"explode(${shingles(5)}) AS g")
         .selectExpr("doc_id", "poly_hash(g) AS h")
         .write.mode("overwrite").parquet(p)
-      p
-    })
+    }
     val grams = s.read.parquet(gramPath)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val train = grams.filter(col("doc_id") % 7 =!= 0).select("h").distinct()

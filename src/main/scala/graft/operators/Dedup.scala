@@ -69,9 +69,6 @@ object Dedup {
     * to a Java loop. (Hash collisions are possible at P=1e9+7 — and identical
     * in the oracle, which uses the same arithmetic, so results still
     * hash-match.) */
-  private val shingleIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** The shingle inverted index is a PERSISTED corpus artifact, not a
     * per-query derivation — that is the d142 premise ("the band index of
     * the existing corpus is a persisted table") applied to its parent
@@ -80,18 +77,16 @@ object Dedup {
     * to scratch parquet and read back, exactly like the silver layout in
     * [[PipelineQueries.silverMaterialized]]. The tokenize→shingle→hash
     * projection still runs distributed on first build; rebuilds trigger
-    * only when the corpus dir changes. */
+    * only when the corpus dir (or its CONTENT — see
+    * [[graft.SparkSupport.layoutArtifact]]) changes. */
   private[operators] def shingleIndex(s: SparkSession, dir: String): DataFrame = {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
-    val path = shingleIdxCache.computeIfAbsent(dir, d => {
-      val p = s"${graft.SparkSupport.scratchDir}/graft_shingle_idx_" +
-        graft.SparkSupport.pathKey(d)
-      Tables.documents(s, d)
+    val path = graft.SparkSupport.layoutArtifact("shingle_idx", dir) { p =>
+      Tables.documents(s, dir)
         .selectExpr("doc_id", s"explode(${shingles(3)}) AS sh")
         .selectExpr("doc_id", "poly_hash(sh) AS h")
         .write.mode("overwrite").parquet(p)
-      p
-    })
+    }
     s.read.parquet(path)
   }
 
@@ -585,9 +580,6 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
-  private val histBandIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** LSH band derivation shared by d142/d185: per-doc minhash16 signature
     * over the hashed shingle rows, cut into 4 bands of 4. */
   private def bandsOf(idx: DataFrame): DataFrame =
@@ -608,12 +600,9 @@ object Dedup {
     * ever recomputes history's signatures. */
   private[operators] def historyBandIndex(s: SparkSession, dir: String): DataFrame = {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
-    val path = histBandIdxCache.computeIfAbsent(dir, d => {
-      val p = s"${graft.SparkSupport.scratchDir}/graft_band_idx_" +
-        graft.SparkSupport.pathKey(d)
-      bandsOf(shingleIndex(s, d)).write.mode("overwrite").parquet(p)
-      p
-    })
+    val path = graft.SparkSupport.layoutArtifact("band_idx", dir) { p =>
+      bandsOf(shingleIndex(s, dir)).write.mode("overwrite").parquet(p)
+    }
     s.read.parquet(path)
   }
 
@@ -729,9 +718,6 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
-  private val dupPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Confirmed near-dup pairs (d31's verified output, is_dup rows) as a
     * PERSISTED corpus artifact — the same layout premise as [[shingleIndex]]
     * and d142's band index: the dedup stage's pair list is a table the
@@ -739,19 +725,13 @@ object Dedup {
     * selection) consume, not a per-query derivation. Built once per corpus
     * by the full d31 pipeline, then read back as columnar (id1, id2, jac). */
   private[operators] def dupPairs(s: SparkSession, dir: String): DataFrame = {
-    val path = dupPairsCache.computeIfAbsent(dir, d => {
-      val p = s"${graft.SparkSupport.scratchDir}/graft_dup_pairs_" +
-        graft.SparkSupport.pathKey(d)
-      d31MinhashLsh(s, d).filter(col("is_dup") === 1)
+    val path = graft.SparkSupport.layoutArtifact("dup_pairs", dir) { p =>
+      d31MinhashLsh(s, dir).filter(col("is_dup") === 1)
         .select("id1", "id2", "jac")
         .write.mode("overwrite").parquet(p)
-      p
-    })
+    }
     s.read.parquet(path)
   }
-
-  private val exactPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** d30's exact-Jaccard pair list (J ≥ 0.2) as a PERSISTED corpus
     * artifact — the ground-truth twin of [[dupPairs]]: index-quality
@@ -759,13 +739,10 @@ object Dedup {
     * a per-query re-derivation of the full bucket join. d30 itself still
     * computes live as the detection gate. */
   private[operators] def exactPairs(s: SparkSession, dir: String): DataFrame = {
-    val path = exactPairsCache.computeIfAbsent(dir, d => {
-      val p = s"${graft.SparkSupport.scratchDir}/graft_exact_pairs_" +
-        graft.SparkSupport.pathKey(d)
-      d30NgramJaccard(s, d).select("id1", "id2", "jac")
+    val path = graft.SparkSupport.layoutArtifact("exact_pairs", dir) { p =>
+      d30NgramJaccard(s, dir).select("id1", "id2", "jac")
         .write.mode("overwrite").parquet(p)
-      p
-    })
+    }
     s.read.parquet(path)
   }
 

@@ -114,9 +114,6 @@ object PipelineQueries {
     Silver.conformed(bank, cu)
   }
 
-  private val silverCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Materialized silver — the medallion contract made literal: silver is
     * written ONCE per corpus and every gold build READS the shared layout
     * instead of re-deriving the whole bronze→silver dataflow per query
@@ -130,12 +127,9 @@ object PipelineQueries {
     * multi-key (name+charter+…), so bucket metadata on one key removes no
     * exchange here (q50 covers the bucketed-layout path). */
   def silverMaterialized(s: SparkSession, dir: String): DataFrame = {
-    val path = silverCache.computeIfAbsent(dir, d => {
-      val p = s"${graft.SparkSupport.scratchDir}/graft_silver_" +
-        graft.SparkSupport.pathKey(d)
-      silverUnified(s, d).write.mode("overwrite").parquet(p)
-      p
-    })
+    val path = graft.SparkSupport.layoutArtifact("silver", dir) { p =>
+      silverUnified(s, dir).write.mode("overwrite").parquet(p)
+    }
     s.read.parquet(path)
   }
 

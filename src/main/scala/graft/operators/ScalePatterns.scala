@@ -83,7 +83,7 @@ object ScalePatterns {
   private var bucketedFor: String = _
 
   def q50BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    bucketedLock.synchronized { if (bucketedFor != dir) {
+    bucketedLock.synchronized { if (bucketedFor != dir) SparkSupport.timedLayoutBuild {
       val base = s"${SparkSupport.scratchDir}/bucketed"
       // pre-partition on the bucket key so each task owns exactly one bucket:
       // without this, every input task writes a file per bucket it touches —

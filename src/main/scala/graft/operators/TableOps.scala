@@ -191,17 +191,19 @@ object TableOps {
     * path is unchanged — column pruning and pushdown still work on both
     * file generations. */
   def q186SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    // corpus-keyed like every other scratch artifact (SparkSupport.pathKey
-    // Scaladoc): a fixed path would let two corpus dirs or concurrent JVMs
-    // overwrite each other's generations mid-read
-    val tmp = s"${graft.SparkSupport.scratchDir}/graft_evolving_" +
-      graft.SparkSupport.pathKey(dir)
-    Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
-      .select("o_orderkey", "o_totalprice")
-      .write.mode("overwrite").parquet(tmp)
-    Tables.orders(s, dir).filter(col("o_orderkey") % 2 =!= 0)
-      .select("o_orderkey", "o_totalprice", "o_orderpriority")
-      .write.mode("append").parquet(tmp)
+    // the two-generation table is a build-once corpus artifact like every
+    // other scratch layout (SparkSupport.layoutArtifact): re-running both
+    // generation writes per invocation charged two table writes to every
+    // q186 timing, and concurrent invocations could interleave the
+    // overwrite/append pair (double-appended v2 files)
+    val tmp = graft.SparkSupport.layoutArtifact("evolving", dir) { p =>
+      Tables.orders(s, dir).filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(p)
+      Tables.orders(s, dir).filter(col("o_orderkey") % 2 =!= 0)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("append").parquet(p)
+    }
     s.read.option("mergeSchema", "true").parquet(tmp)
       .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
         .as("priority"))

@@ -94,20 +94,26 @@ object TypedOps {
     * filtering (Spark's `spark.sql.optimizer.runtime.bloomFilter`, here
     * made explicit so the mechanics are visible and testable).
     *
-    * The small side's keys build a driver-side Bloom filter (one extra tiny
-    * job); the fact scan drops non-candidate rows MAP-SIDE through
-    * `might_contain` before any shuffle, and the exact broadcast semi-join
-    * afterwards removes the false positives — so results are exact, while
-    * the shuffle/join volume is cut to ~|matching| + ε. At 100 TB this is
-    * the difference between shuffling the whole fact table and shuffling
-    * the 1% that can match. */
+    * The small side's keys build a Bloom filter via Spark's own
+    * `bloom_filter_agg` evaluated as a SCALAR SUBQUERY — the sketch never
+    * visits the driver (contrast `df.stat.bloomFilter`, which collects it).
+    * The fact scan drops non-candidate rows MAP-SIDE through the codegen'd
+    * `might_contain` probe before any shuffle, and the exact broadcast
+    * semi-join afterwards removes the false positives — so results are
+    * exact, while the shuffle/join volume is cut to ~|matching| + ε. At
+    * 100 TB this is the difference between shuffling the whole fact table
+    * and shuffling the 1% that can match. 20_000 bits ≈ 1% fpp at the
+    * 2_000-key estimate (the same sizing the old driver-side build used). */
   def q76BloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     val hot = Tables.customer(s, dir)
       .filter(col("c_acctbal") > 9000).select(col("c_custkey"))
-    val bloom = hot.stat.bloomFilter("c_custkey", 2000, 0.01)
-    val mightContain = udf((k: Long) => bloom.mightContain(k))
+    hot.createOrReplaceTempView("graft_q76_hot")
     Tables.orders(s, dir)
-      .filter(mightContain(col("o_custkey")))                 // approximate, map-side
+      .filter(expr( // approximate, map-side, fully in-plan
+        """might_contain(
+          |  (SELECT bloom_filter_agg(c_custkey, 2000L, 20000L) FROM graft_q76_hot),
+          |  o_custkey)""".stripMargin))
       .join(broadcast(hot), col("o_custkey") === col("c_custkey"), "left_semi") // exact
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))

@@ -38,6 +38,18 @@ class TypedOpsSpec extends SparkSpec {
     assert(got.toSeq == exact.toSeq)
   }
 
+  test("bloom prefilter is fully in-plan: native probe, no UDF, no driver build") {
+    val qe = TypedOps.q76BloomPrefilter(spark, dir).queryExecution
+    val physical = qe.executedPlan.toString
+    // the probe is Spark's native BloomFilterMightContain, not a wrapped lambda
+    assert(physical.contains("might_contain"), physical)
+    assert(!physical.contains("UDF"), physical)
+    // the filter side is built by bloom_filter_agg inside a scalar subquery —
+    // the sketch flows plan-to-plan, never through the driver
+    assert(physical.contains("bloom_filter_agg"), physical)
+    assert(physical.contains("Subquery"), physical)
+  }
+
   test("scala UDF tier agrees with its native replacement on every row") {
     // q81 filters on udf==native in-plan; equality of counts with the
     // unfiltered aggregate proves the tiers agreed on every row
