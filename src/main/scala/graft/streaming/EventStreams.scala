@@ -196,8 +196,11 @@ object EventStreams {
       val sorted = rows.toSeq.sortBy(_.ts.getTime)
       var closed = List.empty[SessionOut]
       var cur = if (state.exists()) Some(state.get()) else None
-      // a previously registered close-timer is superseded by new activity
-      cur.foreach(s => getHandle.deleteTimer(s.lastTs + gapMs))
+      // new activity supersedes ANY previously registered close-timer —
+      // clearing via listTimers (not just lastTs + gapMs) also removes
+      // timers orphaned by restart/replay edges where the stored lastTs no
+      // longer matches the timer that was persisted with it
+      getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
@@ -223,6 +226,76 @@ object EventStreams {
         state.clear()
         Iterator(SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.sum))
       } else Iterator.empty
+    }
+  }
+
+  /** Replay-safe event-time sessionizer — the form a REPLAYABLE 100 TB log
+    * needs. [[SessionProcessor]] assumes in-order arrival per key: a late
+    * (but within-watermark) event regresses its stored `lastTs`, and two
+    * provisional sessions that a late "bridge" event joins can never merge.
+    * This variant keeps the textbook session-window state instead — a list
+    * of DISJOINT candidate intervals (separated by > gap) in `ListState` —
+    * and makes emission exclusively WATERMARK-DRIVEN:
+    *
+    *  - each input event merges every interval it touches (within gap on
+    *    either side) into one, so out-of-order and bridging arrivals
+    *    converge to the same intervals as an in-order run;
+    *  - `handleInputRows` emits NOTHING; only the event-time timer emits,
+    *    and it closes exactly the intervals whose `lastTs + gap` the
+    *    watermark has passed. Since the stream drops rows older than the
+    *    watermark, no future event can touch a closed interval — emission
+    *    is final by construction, with no emitted-then-extended races;
+    *  - one timer per key (the EARLIEST close), re-registered from the
+    *    surviving intervals after every change; stale timers are cleared
+    *    wholesale via listTimers.
+    *
+    * StreamingSpec asserts an out-of-order replay (late arrival + bridge
+    * event across micro-batches) emits exactly the sessions the in-order
+    * run emits. */
+  class ReplaySessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimeMode, TimerValues, TTLConfig}
+    @transient private var sessions: ListState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[SessionState]("sessions",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def load(): List[SessionState] =
+      if (sessions.exists()) sessions.get().toList else Nil
+
+    /** Persist the interval set and re-arm the single earliest close-timer. */
+    private def store(ss: List[SessionState]): Unit = {
+      sessions.clear()
+      if (ss.nonEmpty) sessions.put(ss.sortBy(_.start).toArray)
+      getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
+      if (ss.nonEmpty) getHandle.registerTimer(ss.map(_.lastTs).min + gapMs)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      var ss = load()
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        val (touched, rest) =
+          ss.partition(s => t >= s.start - gapMs && t <= s.lastTs + gapMs)
+        val merged = touched.foldLeft(SessionState(t, t, 1, e.value)) {
+          (a, s) => SessionState(math.min(a.start, s.start),
+            math.max(a.lastTs, s.lastTs), a.n + s.n, a.sum + s.sum)
+        }
+        ss = merged :: rest
+      }
+      store(ss)
+      Iterator.empty // emission is exclusively watermark-driven
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val (closed, open) = load().partition(s => s.lastTs + gapMs <= wm)
+      store(open)
+      closed.sortBy(_.start).map(s =>
+        SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.sum)).iterator
     }
   }
 
@@ -329,6 +402,18 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** [[ReplaySessionProcessor]] over a grouped event stream — the
+    * out-of-order-tolerant, watermark-emitting sessionizer. */
+  def sessionizeReplay(events: Dataset[Event], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new ReplaySessionProcessor(gapMs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }

@@ -158,6 +158,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("replay sessionizer: out-of-order arrival emits the sessions the " +
+    "in-order run emits (late event + bridge merge across micro-batches)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gap 30 min. True event times for user 1: 10:00, 10:20, 10:40 — ONE
+    // session (each adjacent pair ≤ 30 min) — then 13:30 opens another.
+    // Replay order delivers 10:00 and 10:40 first (provisionally TWO
+    // intervals: 40 min apart), then 10:20 late in a later micro-batch,
+    // bridging them — the merge the in-order-only processor cannot do.
+    def run(name: String)(batches: Seq[EventStreams.Event]*): Seq[(Long, String, Int, Double)] = {
+      withRocksDBProvider {
+        val mem = MemoryStream[EventStreams.Event]
+        val q = EventStreams.sessionizeReplay(mem.toDS(), gapMs = 30 * 60 * 1000)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+          // empty nudge batches let the advanced watermark fire the timers
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      spark.table(name).orderBy("start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2), r.getDouble(3)))
+        .toSeq
+    }
+    val e = (h: String, v: Double) => EventStreams.Event(1L, ts(s"2024-01-01 $h"), v)
+    val outOfOrder = run("replay_ooo_t")(
+      Seq(e("10:00:00", 1.0), e("10:40:00", 4.0)),
+      Seq(e("10:20:00", 2.0)), // late bridge, well within the 2h watermark
+      Seq(e("13:30:00", 8.0)), // advances wm to 11:30 > 10:40 + gap
+      Seq(e("16:30:00", 0.5))) // advances wm to 14:30 > 13:30 + gap
+    val inOrder = run("replay_ord_t")(
+      Seq(e("10:00:00", 1.0), e("10:20:00", 2.0)),
+      Seq(e("10:40:00", 4.0)),
+      Seq(e("13:30:00", 8.0)),
+      Seq(e("16:30:00", 0.5)))
+    assert(outOfOrder == inOrder,
+      s"replay must converge: ooo=$outOfOrder in-order=$inOrder")
+    assert(outOfOrder.contains((1L, "2024-01-01 10:00:00.0", 3, 7.0)),
+      s"bridged session must merge to n=3 sum=7.0; got $outOfOrder")
+    assert(outOfOrder.contains((1L, "2024-01-01 13:30:00.0", 1, 8.0)),
+      s"second session must close once the watermark passes; got $outOfOrder")
+  }
+
   test("ListState last-N buffer: window aggregates are exact and state " +
     "stays bounded across micro-batches") {
     import spark.implicits._
