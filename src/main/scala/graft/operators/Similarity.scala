@@ -25,10 +25,16 @@ object Similarity {
       |(sqrt(aggregate(transform(q.v, x -> x * x), 0D, (acc, x) -> acc + x)) *
       | sqrt(aggregate(transform(c.v, x -> x * x), 0D, (acc, x) -> acc + x)))""".stripMargin
 
-  private val cosDuck =
-    """list_reduce(list_transform(range(1, 65), k -> q.v[k] * c.v[k]), (x, y) -> x + y) /
-      |  (sqrt(list_reduce(list_transform(range(1, 65), k -> q.v[k] * q.v[k]), (x, y) -> x + y)) *
-      |   sqrt(list_reduce(list_transform(range(1, 65), k -> c.v[k] * c.v[k]), (x, y) -> x + y)))""".stripMargin
+  /** DuckDB cosine over the first `dim` dims — a TEMPLATE of the dimension
+    * (the d30SqlAt pattern) so prefix variants (s188's coarse stage) derive
+    * from the same source instead of post-hoc string surgery on the full
+    * form, which would silently become full-dim if the literal drifted. */
+  private def cosDuckAt(dim: Int): String =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}), k -> q.v[k] * c.v[k]), (x, y) -> x + y) /
+       |  (sqrt(list_reduce(list_transform(range(1, ${dim + 1}), k -> q.v[k] * q.v[k]), (x, y) -> x + y)) *
+       |   sqrt(list_reduce(list_transform(range(1, ${dim + 1}), k -> c.v[k] * c.v[k]), (x, y) -> x + y)))""".stripMargin
+
+  private val cosDuck = cosDuckAt(64)
 
   private[operators] def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -626,7 +632,7 @@ object Similarity {
   }
 
   val s188Sql: String = {
-    val pcosDuck = cosDuck.replace("range(1, 65)", "range(1, 9)")
+    val pcosDuck = cosDuckAt(8) // the coarse stage scores the 8-dim prefix
     s"""WITH e AS ($vecsDuck),
        |q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 16),
        |coarse AS (
