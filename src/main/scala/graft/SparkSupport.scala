@@ -114,7 +114,15 @@ object SparkSupport {
       if (again != null) return again
       val dest = new java.io.File(s"$scratchDir/graft_${kind}_${pathKey(key)}")
       if (!new java.io.File(dest, "_SUCCESS").isFile) timedLayoutBuild {
-        if (dest.exists()) deleteRecursively(dest) // crashed half-build
+        if (dest.exists()) {
+          // crashed half-build: evict by ATOMIC rename-to-trash, then delete
+          // the trash — deleting dest in place would race a concurrent JVM
+          // whose completed rename landed between our check and our delete
+          val trash = new java.io.File(
+            dest.getPath + ".trash-" + java.util.UUID.randomUUID().toString.take(8))
+          if (dest.renameTo(trash)) deleteRecursively(trash)
+          else if (dest.exists()) deleteRecursively(dest) // rename refused; fall back
+        }
         val tmp = new java.io.File(
           dest.getPath + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
         build(tmp.getPath)

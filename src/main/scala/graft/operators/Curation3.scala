@@ -473,12 +473,14 @@ object Curation3 {
     val idx = Dedup.shingleIndex(s, dir)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = idx.groupBy("h").agg(count(lit(1)).as("df"))
-    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // prefix cut + final n1/n2 joins
+    // ns rides the SAME doc_id window partitioning as the rank — one
+    // exchange serves both, where a separate groupBy(doc_id) size table
+    // would re-shuffle and re-join the full index (measured ~0.4 s of the
+    // round-4 form's cost at sf0.1)
+    val byDoc = Window.partitionBy("doc_id")
     val prefix = idx.join(dfreq, "h")
-      .join(sizes, "doc_id")
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("doc_id").orderBy("df", "h")))
+      .withColumn("ns", count(lit(1)).over(byDoc))
+      .withColumn("pos", row_number().over(byDoc.orderBy("df", "h")))
       .filter(col("pos") <=
         col("ns") - ceil(col("ns") * lit(t)).cast("long") + 1)
       .select("doc_id", "h", "pos", "ns")
@@ -506,13 +508,17 @@ object Curation3 {
       .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
     val r = idx.join(candDocs, Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // doc sizes come from r (candidate docs only — the d185 form), not a
+    // second full-index aggregate: r already holds every row of every
+    // candidate doc, so the counts are identical and |cand-doc|-sized
+    val n = r.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     cand
       .join(r.withColumnRenamed("doc_id", "id1"), "id1")
       .join(r.withColumnRenamed("doc_id", "id2"), Seq("id2", "h"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("id1"), col("ns").as("n1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("ns").as("n2")), "id2")
+      .join(n.select(col("doc_id").as("id1"), col("ns").as("n1")), "id1")
+      .join(n.select(col("doc_id").as("id2"), col("ns").as("n2")), "id2")
       .withColumn("jac",
         round(col("common") / (col("n1") + col("n2") - col("common")), 6))
       .filter(col("jac") >= t)

@@ -45,8 +45,10 @@ class TableOpsSpec extends SparkSpec {
   test("q186 merges evolved footers: v1 rows null-backfill the new column " +
     "and no file is rewritten") {
     TableOps.q186SchemaEvolution(spark, sf).count() // writes both generations
-    val tmp = s"${graft.SparkSupport.scratchDir}/graft_evolving_" +
-      graft.SparkSupport.pathKey(sf)
+    // resolve the artifact through the same helper the operator uses; the
+    // build closure must never run — the artifact exists after the call above
+    val tmp = graft.SparkSupport.layoutArtifact("evolving", sf)(_ =>
+      fail("q186 artifact should already have been built"))
     val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
     // the union schema carries the evolved column
     assert(merged.columns.toSet ==

@@ -41,6 +41,13 @@ def main():
     print(json.dumps({"metric": "duckdb_total", "value": round(total, 3),
                       "unit": "sec", "n_queries": len(results),
                       "sf": sf_dir}))
+    # per-query JSON for the Spark-vs-DuckDB ratio artifact
+    # (BENCH_ORACLE_r{N}.json merges this with BENCH_FULL.json)
+    if len(sys.argv) > 4:
+        with open(sys.argv[4], "w") as f:
+            json.dump({"queries": {k: round(v, 4) for k, v in results.items()},
+                       "total": round(total, 3), "reps": reps,
+                       "sf": sf_dir}, f)
 
 
 if __name__ == "__main__":
