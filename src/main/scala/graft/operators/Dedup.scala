@@ -718,6 +718,174 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** The WRITE side of the band-index lifecycle (SURVEY §9d round-6
+    * candidate 1): d142/d185 prove the PROBE side (an ingest batch never
+    * rescans history); this artifact is the index MAINTENANCE that makes
+    * that probe possible across batches — admit a batch by APPENDING its
+    * bands as a new generation, then COMPACT the accumulated small
+    * generations (the q113 small-file pattern applied to the dedup index).
+    *
+    * Layout under the artifact root:
+    *  - `gen0/`           — the standing history index (at scale these
+    *    files already exist on the lake; staged once here so the artifact
+    *    is self-contained and cross-JVM readable),
+    *  - `delta_gen{0,1,2}/` — the admitted batch (d185's re-keyed
+    *    snapshot, doc_id % 3 = 0 under id + 10⁷) written as three
+    *    micro-batch generations, i.e. the many-small-files state a
+    *    streaming admit loop actually produces,
+    *  - `compact/`        — those delta generations folded into one
+    *    band_key-clustered generation (few files, sorted within
+    *    partitions so band probes touch contiguous row groups).
+    *
+    * Readers consume `gen0 ∪ compact`; the staged generations are retained
+    * so IncrementalSpec can assert compaction is row-set-identical and
+    * actually reduces file count. History is NEVER rewritten by an admit
+    * or a compact — only delta generations fold, so at 100 TB the write
+    * amplification is O(batch), not O(corpus). */
+  private[operators] def admittedBandIndex(s: SparkSession, dir: String): String = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    graft.SparkSupport.layoutArtifact("band_idx_g2", dir) { p =>
+      historyBandIndex(s, dir).write.parquet(s"$p/gen0")
+      val g1 = bandsOf(shingleIndex(s, dir).filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("h")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (0 to 2).foreach { g =>
+        g1.filter(pmod(floor(col("doc_id") / 3), lit(3)) === g)
+          .write.parquet(s"$p/delta_gen$g")
+      }
+      g1.unpersist()
+      s.read.parquet((0 to 2).map(g => s"$p/delta_gen$g"): _*)
+        .repartition(4, col("band_key"))
+        .sortWithinPartitions("band_key")
+        .write.parquet(s"$p/compact")
+      // multi-directory artifact: layoutArtifact's completeness contract
+      // wants a root _SUCCESS; each Spark write marked its own subdir, so
+      // the root marker lands only after every generation is in place
+      new java.io.File(p, "_SUCCESS").createNewFile(): Unit
+    }
+  }
+
+  /** d189: probe the ADMITTED-AND-COMPACTED index with a SECOND batch —
+    * the gate that proves the [[admittedBandIndex]] write lifecycle
+    * round-trips. Batch 2 (doc_id % 5 = 0 re-keyed under id + 2·10⁷)
+    * generates candidates exactly as d185 does, but its index probe reads
+    * `gen0 ∪ compact` — so any hit on an id in [10⁷, 2·10⁷) can only have
+    * come through the append→compact path (batch 1's bands survive
+    * admission and compaction, or those pairs vanish and the oracle
+    * catches it). Docs with doc_id % 15 = 0 are in BOTH batches and must
+    * surface their cross-generation twin at jac = 1.0. `src` labels
+    * which index generation served each pair: delta_hist (gen0),
+    * delta_gen1 (the compacted admit), delta_delta (within batch 2).
+    *
+    * Scale shape: identical to d185 — O(batch2 × bands) probes plus
+    * Σ C(batch2 bucket, 2) pairs; the index read is columnar and pruned
+    * to matching band keys; verification is candidate-bounded over
+    * semi-join-reduced shingle rows. */
+  def d189AdmitCompact(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val root = admittedBandIndex(s, dir)
+    val index = s.read.parquet(s"$root/gen0", s"$root/compact")
+      .withColumnRenamed("doc_id", "idx_id")
+    val histShingles = shingleIndex(s, dir)
+    // both batches re-ingest unchanged content under fresh keys, so the
+    // persisted shingle index supplies their rows without re-tokenizing
+    val gen1Shingles = histShingles.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("h"))
+    val batch2Shingles = histShingles.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val b2Bands = bandsOf(batch2Shingles)
+      .persist(StorageLevel.MEMORY_AND_DISK) // probe side + delta-delta side
+    val probe = b2Bands.join(index, "band_key")
+      .select(col("idx_id").as("id1"), col("doc_id").as("id2"))
+    val within = b2Bands.groupBy("band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .selectExpr(s"$pairExplodeExpr AS p")
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    val cand = probe.unionByName(within).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candDocs = cand
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
+    val r = histShingles.unionByName(gen1Shingles).unionByName(batch2Shingles)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val common = cand
+      .join(r.withColumnRenamed("doc_id", "id1"), "id1")
+      .join(r.withColumnRenamed("doc_id", "id2"), Seq("id2", "h"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("common"))
+    val n = r.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    cand.join(common, Seq("id1", "id2"), "left").na.fill(0L, Seq("common"))
+      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
+      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
+      .withColumn("jac",
+        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .withColumn("is_dup", (col("jac") >= 0.2).cast("int"))
+      .withColumn("src",
+        when(col("id1") >= 20000000L, "delta_delta")
+          .when(col("id1") >= 10000000L, "delta_gen1")
+          .otherwise("delta_hist"))
+      .select("id1", "id2", "jac", "is_dup", "src")
+      .orderBy("id1", "id2")
+  }
+
+  val d189Sql: String = {
+    val polyDuck =
+      """list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |  list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
+        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+    s"""WITH $shingleIndexSql,
+       |d AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(string_split(lower(text),' ')) - 1),
+       |    i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS shingles
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, list_transform(range(0, 16), i ->
+       |    list_min(list_transform(shingles, sh ->
+       |      ((2*i + 1) * ($polyDuck) + i*12345 + 678) % 1000000007))) AS mh
+       |  FROM d),
+       |bands AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+       |    CAST(b AS VARCHAR) || ':' || array_to_string(mh[b*4+1:b*4+4], '-'))) AS band_key
+       |  FROM sig),
+       |idx AS (
+       |  SELECT doc_id, band_key FROM bands
+       |  UNION ALL
+       |  SELECT doc_id + 10000000 AS doc_id, band_key
+       |  FROM bands WHERE doc_id % 3 = 0),
+       |b2 AS (
+       |  SELECT doc_id + 20000000 AS doc_id, band_key
+       |  FROM bands WHERE doc_id % 5 = 0),
+       |cand AS (
+       |  SELECT i.doc_id AS id1, a.doc_id AS id2
+       |  FROM b2 a JOIN idx i ON a.band_key = i.band_key
+       |  UNION
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM b2 a JOIN b2 b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |su AS (
+       |  SELECT doc_id, h FROM s
+       |  UNION ALL
+       |  SELECT doc_id + 10000000 AS doc_id, h FROM s WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 20000000 AS doc_id, h FROM s WHERE doc_id % 5 = 0),
+       |n AS (SELECT doc_id, count(*) AS ns FROM su GROUP BY doc_id),
+       |common AS (
+       |  SELECT id1, id2, count(*) AS common
+       |  FROM cand JOIN su sa ON sa.doc_id = id1 JOIN su sb ON sb.doc_id = id2
+       |  WHERE sa.h = sb.h GROUP BY 1, 2)
+       |SELECT id1, id2,
+       |  round(coalesce(common, 0) * 1.0 / (n1.ns + n2.ns - coalesce(common, 0)), 6) AS jac,
+       |  CAST(round(coalesce(common, 0) * 1.0 / (n1.ns + n2.ns - coalesce(common, 0)), 6) >= 0.2 AS INTEGER) AS is_dup,
+       |  CASE WHEN id1 >= 20000000 THEN 'delta_delta'
+       |       WHEN id1 >= 10000000 THEN 'delta_gen1'
+       |       ELSE 'delta_hist' END AS src
+       |FROM cand LEFT JOIN common USING (id1, id2)
+       |JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
+       |ORDER BY id1, id2""".stripMargin
+  }
+
   /** Confirmed near-dup pairs (d31's verified output, is_dup rows) as a
     * PERSISTED corpus artifact — the same layout premise as [[shingleIndex]]
     * and d142's band index: the dedup stage's pair list is a table the
@@ -798,6 +966,7 @@ object Dedup {
     "d143_split_leakage"       -> d143SplitLeakage,
     "d142_incremental_minhash" -> d142IncrementalMinhash,
     "d185_snapshot_incremental" -> d185SnapshotIncremental,
+    "d189_admit_compact"       -> d189AdmitCompact,
     "d135_incremental_dedup"  -> d135IncrementalDedup,
     "d141_capped_jaccard"     -> d141CappedJaccard,
     "d29_dedup_exact"         -> d29Exact,
@@ -810,6 +979,7 @@ object Dedup {
     "d143_split_leakage"       -> d143Sql,
     "d142_incremental_minhash" -> d142Sql,
     "d185_snapshot_incremental" -> d185Sql,
+    "d189_admit_compact"       -> d189Sql,
     "d135_incremental_dedup"  -> d135Sql,
     "d141_capped_jaccard"     -> d141Sql,
     "d29_dedup_exact"         -> d29Sql,

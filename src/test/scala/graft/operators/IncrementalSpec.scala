@@ -161,4 +161,53 @@ class IncrementalSpec extends SparkSpec {
       assert(rows(k)._1 == 1.0 && rows(k)._2 == 1, s"self-pair $k not exact")
     }
   }
+
+  test("d189 admit+compact: compaction is row-set-identical, reduces file " +
+    "count, and batch 2 rediscovers gen-1 twins through the compacted index") {
+    val root = Dedup.admittedBandIndex(spark, sf)
+    // compaction invariance: the folded generation carries exactly the
+    // rows of the staged micro-batch generations
+    val staged = spark.read
+      .parquet((0 to 2).map(g => s"$root/delta_gen$g"): _*)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val compact = spark.read.parquet(s"$root/compact")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(compact === staged, "compaction changed the band row set")
+    // ...and actually compacts: fewer data files than the staged gens
+    def parquetFiles(p: String): Int =
+      Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+        .count(f => f.getName.endsWith(".parquet") && f.length > 0)
+    val stagedFiles = (0 to 2).map(g => parquetFiles(s"$root/delta_gen$g")).sum
+    assert(parquetFiles(s"$root/compact") < stagedFiles,
+      s"compact has ${parquetFiles(s"$root/compact")} files vs $stagedFiles staged")
+    // history is never rewritten: gen0 matches the standing history index
+    val gen0 = spark.read.parquet(s"$root/gen0").count()
+    // probe gate: docs in BOTH batches (doc_id % 15 == 0) must surface the
+    // original (gen0 path) AND the batch-1 twin (append→compact path),
+    // both exact — if compaction dropped batch 1's bands, the gen1 pair
+    // vanishes here before the oracle ever sees it
+    val rows = Dedup.d189AdmitCompact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getInt(3), r.getString(4))).toMap
+    rows.foreach { case ((id1, id2), (_, _, src)) =>
+      assert(id2 >= 20000000L, s"($id1,$id2) touches no batch-2 doc")
+      val expected =
+        if (id1 >= 20000000L) "delta_delta"
+        else if (id1 >= 10000000L) "delta_gen1"
+        else "delta_hist"
+      assert(src == expected, s"($id1,$id2)")
+    }
+    val bothIds = Dedup.shingleIndex(spark, sf)
+      .filter(col("doc_id") % 15 === 0)
+      .select("doc_id").distinct().collect().map(_.getLong(0))
+    assert(bothIds.nonEmpty && gen0 > 0)
+    bothIds.foreach { id =>
+      val viaHist = (id, id + 20000000L)
+      val viaGen1 = (id + 10000000L, id + 20000000L)
+      assert(rows.contains(viaHist) && rows(viaHist)._1 == 1.0,
+        s"original $viaHist not recovered exact via gen0")
+      assert(rows.contains(viaGen1) && rows(viaGen1)._1 == 1.0,
+        s"twin $viaGen1 not recovered exact via the compacted admit")
+    }
+  }
 }
