@@ -252,29 +252,40 @@ object EventStreams {
     * StreamingSpec asserts an out-of-order replay (late arrival + bridge
     * event across micro-batches) emits exactly the sessions the in-order
     * run emits. */
-  class ReplaySessionProcessor(gapMs: Long)
-      extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, Event, SessionOut] {
-    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimeMode, TimerValues, TTLConfig}
+  /** The interval-set session logic shared by [[ReplaySessionProcessor]]
+    * and [[BootstrapSessionProcessor]] — a list of DISJOINT candidate
+    * intervals in `ListState`, merged on arrival, emitted only by the
+    * watermark timer. Factored as a self-typed mixin because the bootstrap
+    * variant must extend `StatefulProcessorWithInitialState` (a CLASS, not
+    * a trait), so the two processors cannot share a superclass. */
+  private[streaming] trait IntervalSessions {
+    self: org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] =>
+    import org.apache.spark.sql.streaming.{ListState, TTLConfig}
+
+    protected def gapMs: Long
     @transient private var sessions: ListState[SessionState] = _
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+
+    protected def initSessions(): Unit =
       sessions = getHandle.getListState[SessionState]("sessions",
         org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
 
-    private def load(): List[SessionState] =
+    protected def load(): List[SessionState] =
       if (sessions.exists()) sessions.get().toList else Nil
 
     /** Persist the interval set and re-arm the single earliest close-timer. */
-    private def store(ss: List[SessionState]): Unit = {
+    protected def store(ss: List[SessionState]): Unit = {
       sessions.clear()
       if (ss.nonEmpty) sessions.put(ss.sortBy(_.start).toArray)
       getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
       if (ss.nonEmpty) getHandle.registerTimer(ss.map(_.lastTs).min + gapMs)
     }
 
-    override def handleInputRows(userId: Long, rows: Iterator[Event],
-        timers: TimerValues): Iterator[SessionOut] = {
-      var ss = load()
+    /** Merge every event into the interval(s) it touches (within gap on
+      * either side); out-of-order and bridging arrivals converge to the
+      * same intervals as an in-order run. */
+    protected def absorb(initial: List[SessionState],
+        rows: Iterator[Event]): List[SessionState] = {
+      var ss = initial
       rows.foreach { e =>
         val t = e.ts.getTime
         val (touched, rest) =
@@ -285,18 +296,77 @@ object EventStreams {
         }
         ss = merged :: rest
       }
-      store(ss)
-      Iterator.empty // emission is exclusively watermark-driven
+      ss
     }
 
-    override def handleExpiredTimer(userId: Long, timers: TimerValues,
-        info: ExpiredTimerInfo): Iterator[SessionOut] = {
-      val wm = timers.getCurrentWatermarkInMs()
+    /** Close exactly the intervals the watermark has passed; keep the rest. */
+    protected def expire(userId: Long, wm: Long): Iterator[SessionOut] = {
       val (closed, open) = load().partition(s => s.lastTs + gapMs <= wm)
       store(open)
       closed.sortBy(_.start).map(s =>
         SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.sum)).iterator
     }
+  }
+
+  class ReplaySessionProcessor(protected val gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOut] with IntervalSessions {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues}
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      initSessions()
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      store(absorb(load(), rows))
+      Iterator.empty // emission is exclusively watermark-driven
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] =
+      expire(userId, timers.getCurrentWatermarkInMs())
+  }
+
+  /** A bootstrap row: the per-user OPEN session as of the batch→stream
+    * cutover, read from the batch table that was sessionized offline. */
+  case class BootstrapSession(user_id: Long, start: Long, lastTs: Long,
+                              n: Int, sum: Double)
+
+  /** [[ReplaySessionProcessor]] with INITIAL STATE — the batch→stream
+    * cutover shape (SURVEY §9d round-6 candidate 2): a deployment that has
+    * been sessionizing a 100 TB log in batch turns on streaming without
+    * either dropping the sessions open at the cutover or replaying history.
+    * `transformWithState`'s initial-state surface delivers each key's
+    * bootstrap row ONCE, before any input; `handleInitialState` seeds the
+    * interval list and arms its close-timer, so a pre-cutover session with
+    * no further activity still closes by watermark, and a post-cutover
+    * event within gap EXTENDS it (no split, no double-count).
+    *
+    * Extends `StatefulProcessorWithInitialState[K, I, O, S]` — S is the
+    * bootstrap row type, keyed by the same grouping as the stream. */
+  class BootstrapSessionProcessor(protected val gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, Event, SessionOut, BootstrapSession] with IntervalSessions {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues}
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      initSessions()
+
+    override def handleInitialState(userId: Long, init: BootstrapSession,
+        timers: TimerValues): Unit =
+      // merging with load() (not overwriting) keeps the seed idempotent if
+      // a key is ever delivered both a bootstrap row and early input rows
+      store(SessionState(init.start, init.lastTs, init.n, init.sum) :: load())
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[SessionOut] = {
+      // absorb() merges post-cutover events into the seeded interval when
+      // within gap — continuity across the cutover, not a fresh session
+      store(absorb(load(), rows))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] =
+      expire(userId, timers.getCurrentWatermarkInMs())
   }
 
   case class RecentOut(user_id: Long, ts: java.sql.Timestamp,
@@ -416,6 +486,23 @@ object EventStreams {
       .transformWithState(new ReplaySessionProcessor(gapMs),
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
+  }
+
+  /** [[BootstrapSessionProcessor]] over a grouped event stream, seeded
+    * from a batch table of open sessions (the cutover snapshot). The
+    * initial-state dataset is keyed by the SAME grouping as the stream, so
+    * seeds co-locate with their key's state partition — one shuffle of the
+    * (small) snapshot, no history replay. */
+  def sessionizeBootstrap(events: Dataset[Event], gapMs: Long,
+      openSessions: Dataset[BootstrapSession]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new BootstrapSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        openSessions.groupByKey(_.user_id))
   }
 
   /** Stream-static enrichment join: each (micro-batch of) events joins a

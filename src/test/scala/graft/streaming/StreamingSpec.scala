@@ -202,6 +202,65 @@ class StreamingSpec extends SparkSpec {
       s"second session must close once the watermark passes; got $outOfOrder")
   }
 
+  test("bootstrap sessionizer: initial state seeded from a batch snapshot " +
+    "yields the sessions a full-history replay yields — extension across " +
+    "the cutover, closure of idle seeds, no double-count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val e = (u: Long, h: String, v: Double) =>
+      EventStreams.Event(u, ts(s"2024-01-01 $h"), v)
+    // gap 30 min. Full history:
+    //   user 1: 10:00, 10:10 (pre-cutover) + 10:30 (post) -> ONE session n=3
+    //   user 2: 10:05 (pre-cutover only, idle after)      -> ONE session n=1
+    //   user 3: 11:00 (post-cutover only)                 -> ONE session n=1
+    // Cutover at 10:15: the batch snapshot carries users 1 and 2 as open.
+    val pre = Seq(e(1L, "10:00:00", 1.0), e(1L, "10:10:00", 2.0),
+      e(2L, "10:05:00", 7.0))
+    val post = Seq(e(1L, "10:30:00", 4.0), e(3L, "11:00:00", 9.0))
+    val closer = Seq(e(9L, "16:00:00", 0.1)) // advances wm past every close
+    def collectSessions(name: String): Seq[(Long, String, Int, Double)] =
+      spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getInt(2),
+          r.getDouble(3))).toSeq.sorted
+    // reference: the whole history through the replay sessionizer
+    withRocksDBProvider {
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.sessionizeReplay(mem.toDS(), gapMs = 30 * 60 * 1000)
+        .writeStream.format("memory").queryName("boot_ref_t")
+        .outputMode("append").start()
+      try {
+        Seq(pre, post, closer).foreach { b => mem.addData(b); q.processAllAvailable() }
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    // cutover: batch-sessionize the pre-cutover history driver-side into
+    // the open-session snapshot, then stream ONLY the post-cutover events
+    val snapshot = pre.groupBy(_.user_id).toSeq.map { case (u, evs) =>
+      val sorted = evs.sortBy(_.ts.getTime)
+      EventStreams.BootstrapSession(u, sorted.head.ts.getTime,
+        sorted.last.ts.getTime, sorted.size, sorted.map(_.value).sum)
+    }
+    withRocksDBProvider {
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.sessionizeBootstrap(mem.toDS(),
+          gapMs = 30 * 60 * 1000, snapshot.toDS())
+        .writeStream.format("memory").queryName("boot_cut_t")
+        .outputMode("append").start()
+      try {
+        Seq(post, closer).foreach { b => mem.addData(b); q.processAllAvailable() }
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val ref = collectSessions("boot_ref_t")
+    val cut = collectSessions("boot_cut_t")
+    assert(ref.nonEmpty && cut == ref,
+      s"bootstrap must match full-history replay: ref=$ref cut=$cut")
+    // the load-bearing cases, stated explicitly: cross-cutover extension
+    // (n=3, not a fresh n=1 session) and idle-seed closure (user 2)
+    assert(cut.contains((1L, "2024-01-01 10:00:00.0", 3, 7.0)), s"got $cut")
+    assert(cut.contains((2L, "2024-01-01 10:05:00.0", 1, 7.0)), s"got $cut")
+  }
+
   test("ListState last-N buffer: window aggregates are exact and state " +
     "stays bounded across micro-batches") {
     import spark.implicits._
