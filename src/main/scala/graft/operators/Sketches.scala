@@ -151,13 +151,74 @@ object Sketches {
       |    AS exact_join_rows,
       |  TRUE AS never_undercounts, TRUE AS within_slack_bound""".stripMargin
 
+  /** q191: quantiles from a DETERMINISTIC bottom-k hash sample — the
+    * bounded-memory one-pass quantile path that completes the sketch
+    * family (KMV distinct / CMS frequency + join size / Bloom membership /
+    * now quantiles). The sample is the k rows with the smallest portable
+    * hash of their event_id (uniform over the stream, mergeable: union two
+    * shards' samples and re-take bottom-k — KMV's set math applied to
+    * order statistics), so unlike approx_percentile's order-dependent GK
+    * state the estimate is REPRODUCIBLE cross-engine and the oracle checks
+    * the values, not a tolerance flag.
+    *
+    * Scale shape: `orderBy(h).limit(k)` compiles to TakeOrderedAndProject —
+    * per-partition bottom-k heaps then one driver merge of |partitions|·k
+    * rows; no global sort, no single-partition shuffle. The full-data
+    * exact quantiles ride along as the error column (the gate doubles as
+    * an accuracy report, the s163-recall pattern). */
+  def q191SketchQuantiles(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val k = 256
+    val qsArr = "array(0.1D, 0.25D, 0.5D, 0.75D, 0.9D)"
+    // ties on h (hash collisions) are broken by the unique event_id so the
+    // boundary of the limit is deterministic on both engines
+    val sample = Tables.events(s, dir)
+      .selectExpr("value", "poly_hash(CAST(event_id AS STRING)) AS h",
+        "event_id")
+      .orderBy("h", "event_id").limit(k)
+    val est = sample.agg(expr(s"percentile(value, $qsArr)").as("es"))
+    val exact = Tables.events(s, dir)
+      .agg(expr(s"percentile(value, $qsArr)").as("xs"))
+    est.crossJoin(exact)
+      .selectExpr(
+        s"""explode(transform(sequence(0, 4), i -> struct(
+           |  element_at($qsArr, i + 1) AS q,
+           |  element_at(es, i + 1) AS e,
+           |  element_at(xs, i + 1) AS x))) AS z""".stripMargin)
+      .selectExpr("z.q AS q", "round(z.e, 6) AS est",
+        "round(z.x, 6) AS exact_q", "round(abs(z.e - z.x), 6) AS abs_err")
+      .orderBy("q")
+  }
+
+  val q191Sql: String =
+    """WITH smp AS (
+      |  SELECT value FROM (
+      |    SELECT value,
+      |      list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |        list_transform(string_split(CAST(event_id AS VARCHAR), ''),
+      |          c -> CAST(ascii(c) AS BIGINT))),
+      |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
+      |      event_id
+      |    FROM events ORDER BY h, event_id LIMIT 256)),
+      |e AS (SELECT quantile_cont(value, [0.1, 0.25, 0.5, 0.75, 0.9]) AS es
+      |      FROM smp),
+      |x AS (SELECT quantile_cont(value, [0.1, 0.25, 0.5, 0.75, 0.9]) AS xs
+      |      FROM events),
+      |i AS (SELECT unnest(range(1, 6)) AS i)
+      |SELECT CAST(([0.1, 0.25, 0.5, 0.75, 0.9])[i] AS DOUBLE) AS q,
+      |  round(es[i], 6) AS est, round(xs[i], 6) AS exact_q,
+      |  round(abs(es[i] - xs[i]), 6) AS abs_err
+      |FROM e, x, i ORDER BY q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_approx_distinct" -> q52ApproxDistinct,
     "d62_kmv_distinct"    -> d62KmvDistinct,
-    "q119_join_size_estimate" -> q119JoinSizeEstimate)
+    "q119_join_size_estimate" -> q119JoinSizeEstimate,
+    "q191_sketch_quantiles" -> q191SketchQuantiles)
 
   val oracle: Map[String, String] = Map(
     "q52_approx_distinct" -> q52Sql,
     "d62_kmv_distinct"    -> d62Sql,
-    "q119_join_size_estimate" -> q119Sql)
+    "q119_join_size_estimate" -> q119Sql,
+    "q191_sketch_quantiles" -> q191Sql)
 }
