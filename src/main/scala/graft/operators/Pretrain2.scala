@@ -107,6 +107,111 @@ object Pretrain2 {
       |  cut_checksum
       |FROM f ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t192
+
+  /** One (doc_id, h) row per CDC chunk of `textExpr` — t158's boundary
+    * rule turned into actual chunk rows, fingerprinted with the native
+    * codegen'd poly_hash. Shared by t192's cache side and delta side. */
+  private def chunkRows(df: DataFrame, textExpr: String): DataFrame =
+    df.selectExpr("doc_id", s"$textExpr AS t")
+      .selectExpr("doc_id", "t", "length(t) AS len",
+        s"filter(sequence(4, length(t)), i -> " +
+          s"${polyHash("substring(t, i - 3, 4)")} % 16 = 0) AS bnds")
+      .selectExpr("doc_id", "t", "len", "filter(bnds, b -> b < len) AS cb")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(0, size(cb)), k ->
+          |  substring(t,
+          |    IF(k = 0, 1, element_at(cb, k) + 1),
+          |    IF(k = size(cb), len, element_at(cb, k + 1))
+          |      - IF(k = 0, 1, element_at(cb, k) + 1) + 1))) AS chunk""".stripMargin)
+      .selectExpr("doc_id", "poly_hash(chunk) AS h")
+
+  /** The mid-document insertion edit (v2 of every doc_id % 4 = 0 doc):
+    * the revision case fixed-stride chunking handles worst (every chunk
+    * after the insertion point shifts) and CDC handles best. */
+  private val editedTextExpr: String =
+    """concat(
+      |  substring(text, 1, CAST(floor(length(text) / 2) AS INT)),
+      |  ' zq edit marker ',
+      |  substring(text, CAST(floor(length(text) / 2) AS INT) + 1,
+      |    length(text) - CAST(floor(length(text) / 2) AS INT)))""".stripMargin
+
+  /** t192: INCREMENTAL RE-EMBEDDING via chunk-fingerprint cache diff —
+    * the embedding-cache invalidation step of a revisioned 100 TB corpus:
+    * v1's CDC chunk fingerprints are the cache (one row per embedded
+    * chunk, global — any document's chunk embedding is reusable); a
+    * revised document re-chunks and LEFT-joins the cache, and only the
+    * cache misses pay the (GPU-priced) embedding call. Because the
+    * chunker is content-defined (t158), a mid-document insertion
+    * invalidates only the chunk(s) spanning the edit — the boundaries
+    * downstream of the insertion re-synchronize, so the unchanged suffix
+    * hits the cache. Fixed-stride chunking would re-embed everything
+    * after the edit point.
+    *
+    * Output per revised doc: chunk count, cache hits, misses to embed,
+    * and the reuse rate. Scale shape: chunking/fingerprinting is map-only
+    * per side; the diff is one equi-join keyed by fingerprint against the
+    * distinct cache — at production scale the cache is the persisted
+    * embedding-store key index (the d189 lifecycle applies to it
+    * verbatim) and the delta side is only the revised documents. */
+  def t192EmbedCacheDiff(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val docs = Tables.documents(s, dir)
+    val cache = chunkRows(docs, "text").select("h").distinct()
+    val v2 = chunkRows(docs.filter(col("doc_id") % 4 === 0), editedTextExpr)
+    v2.join(cache.withColumn("cached", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), count(col("cached")).as("n_cached"))
+      .selectExpr("doc_id", "n_chunks", "n_cached",
+        "n_chunks - n_cached AS n_new",
+        "round(n_cached / CAST(n_chunks AS DOUBLE), 6) AS reuse_rate")
+      .orderBy("doc_id")
+  }
+
+  /** Chunk-row CTE body over a relation `src`(doc_id, t) — DuckDB twin of
+    * [[chunkRows]]. */
+  private def chunkRowsSql(src: String): String =
+    s"""SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |    list_transform(string_split(chunk, ''),
+       |      c -> CAST(ascii(c) AS BIGINT))),
+       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+       |FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(cb) + 1), k ->
+       |    substr(t,
+       |      CASE WHEN k = 0 THEN 1 ELSE cb[k] + 1 END,
+       |      (CASE WHEN k = len(cb) THEN len ELSE cb[k + 1] END) -
+       |      (CASE WHEN k = 0 THEN 1 ELSE cb[k] + 1 END) + 1))) AS chunk
+       |  FROM (
+       |    SELECT doc_id, t, len, list_filter(bnds, b -> b < len) AS cb
+       |    FROM (
+       |      SELECT doc_id, t, CAST(length(t) AS INTEGER) AS len,
+       |        list_filter(range(4, length(t) + 1), i ->
+       |          list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |            list_transform(string_split(substr(t, i - 3, 4), ''),
+       |              c -> CAST(ascii(c) AS BIGINT))),
+       |            (acc, x) -> (acc * 31 + x) % 1000000007) % 16 = 0) AS bnds
+       |      FROM $src)))""".stripMargin
+
+  val t192Sql: String =
+    s"""WITH v1src AS (SELECT doc_id, text AS t FROM documents),
+       |v2src AS (
+       |  SELECT doc_id,
+       |    substr(text, 1, CAST(floor(length(text) / 2) AS INTEGER))
+       |    || ' zq edit marker ' ||
+       |    substr(text, CAST(floor(length(text) / 2) AS INTEGER) + 1,
+       |      length(text) - CAST(floor(length(text) / 2) AS INTEGER)) AS t
+       |  FROM documents WHERE doc_id % 4 = 0),
+       |c1 AS (${chunkRowsSql("v1src")}),
+       |v2 AS (${chunkRowsSql("v2src")}),
+       |cache AS (SELECT DISTINCT h FROM c1)
+       |SELECT v2.doc_id, count(*) AS n_chunks,
+       |  count(cache.h) AS n_cached,
+       |  count(*) - count(cache.h) AS n_new,
+       |  round(count(cache.h) / CAST(count(*) AS DOUBLE), 6) AS reuse_rate
+       |FROM v2 LEFT JOIN cache ON v2.h = cache.h
+       |GROUP BY v2.doc_id ORDER BY v2.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q159
 
   /** q159: k-anonymity audit — group the corpus by its quasi-identifier
@@ -258,6 +363,7 @@ object Pretrain2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t157_bpe_pairs"    -> t157BpePairs,
     "t158_cdc_chunks"   -> t158CdcChunks,
+    "t192_embed_cache_diff" -> t192EmbedCacheDiff,
     "q159_k_anonymity"  -> q159KAnonymity,
     "m160_frame_sample" -> m160FrameSample,
     "q161_source_report" -> q161SourceReport,
@@ -266,6 +372,7 @@ object Pretrain2 {
   val oracle: Map[String, String] = Map(
     "t157_bpe_pairs"    -> t157Sql,
     "t158_cdc_chunks"   -> t158Sql,
+    "t192_embed_cache_diff" -> t192Sql,
     "q159_k_anonymity"  -> q159Sql,
     "m160_frame_sample" -> m160Sql,
     "q161_source_report" -> q161Sql,
