@@ -164,6 +164,76 @@ object Similarity {
        |SELECT qid, rank, nid, round(cos, 6) AS cos
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  /** s193: IVF index ADMIT — the d189 write-lifecycle story on the VECTOR
+    * side: a batch of new vectors (vec_id % 7 = 0) joins an ALREADY-BUILT
+    * IVF structure whose coarse quantizer is FROZEN (cells + per-cell
+    * centroids derived from the standing corpus only, vec_id % 7 ≠ 0 —
+    * the trained-once quantizer a production vector store keeps stable so
+    * old posting lists stay valid). Each batch vector is assigned to its
+    * nearest frozen centroid by cosine — a broadcast of k centroids and a
+    * map-side argmax, O(batch × k) with the corpus never touched: the
+    * posting-list append is these assignment rows. `matches_sign` flags
+    * vectors whose trained-centroid assignment disagrees with their raw
+    * sign cell — the quantization-drift signal that tells the store when
+    * the quantizer needs retraining (the s137 drift check's actionable
+    * form). */
+  def s193IvfAdmit(s: SparkSession, dir: String): DataFrame = {
+    val cellExpr =
+      """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
+        |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
+        |       CAST(CAST(v[2] >= 0 AS INT) AS STRING))""".stripMargin
+    val all = vecs(s, dir).selectExpr("vec_id", "v", s"$cellExpr AS sign_cell")
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds centroid + batch sides
+    // frozen quantizer: per-cell decimal-mean centroids of HISTORY only
+    val cent = all.filter(col("vec_id") % 7 =!= 0)
+      .selectExpr("sign_cell AS cell", "posexplode(v) AS (dim, x)")
+      .groupBy("cell", "dim")
+      .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .selectExpr("cell", "transform(dm, e -> e.m) AS cv")
+    all.filter(col("vec_id") % 7 === 0).as("q")
+      .join(broadcast(cent).as("c"), lit(true))
+      .selectExpr("vec_id", "sign_cell", "cell",
+        cosExpr.replace("c.v", "c.cv") + " AS ccos")
+      .withColumn("crank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crank") === 1)
+      .selectExpr("vec_id", "cell", "round(ccos, 6) AS ccos",
+        "CAST(cell = sign_cell AS INT) AS matches_sign")
+      .orderBy("vec_id")
+  }
+
+  val s193Sql: String =
+    s"""WITH e AS ($vecsDuck),
+       |cells AS (
+       |  SELECT vec_id, v,
+       |    CAST(CAST(v[1] >= 0 AS INTEGER) AS VARCHAR) ||
+       |    CAST(CAST(v[2] >= 0 AS INTEGER) AS VARCHAR) ||
+       |    CAST(CAST(v[3] >= 0 AS INTEGER) AS VARCHAR) AS cell
+       |  FROM e),
+       |centdim AS (
+       |  SELECT cell, k, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS k
+       |        FROM cells WHERE vec_id % 7 <> 0)
+       |  GROUP BY cell, k),
+       |cent AS (SELECT cell, list(m ORDER BY k) AS cv FROM centdim GROUP BY cell),
+       |scored AS (
+       |  SELECT q.vec_id, q.cell AS sign_cell, c.cell,
+       |    ${cosDuck.replace("c.v", "c.cv")} AS ccos
+       |  FROM (SELECT vec_id, v, cell FROM cells WHERE vec_id % 7 = 0) q
+       |  CROSS JOIN cent c),
+       |r AS (
+       |  SELECT vec_id, sign_cell, cell, ccos,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell)
+       |      AS crank
+       |  FROM scored)
+       |SELECT vec_id, cell, round(ccos, 6) AS ccos,
+       |  CAST(cell = sign_cell AS INTEGER) AS matches_sign
+       |FROM r WHERE crank = 1 ORDER BY vec_id""".stripMargin
+
   /** Random-hyperplane LSH ANN: 8 deterministic integer-arithmetic planes →
     * 8-bit bucket signature; candidates share the bucket; exact cosine +
     * top-3 within it. Plane weights w(p,d) = lcg(p·64+d) mapped to
@@ -667,9 +737,11 @@ object Similarity {
     "s40_ann_lsh"          -> s40AnnLsh,
     "s46_ann_brute_native" -> s46AnnBruteNative,
     "s48_ann_topk_plan"    -> s48AnnTopkPlan,
-    "s188_matryoshka_rerank" -> s188MatryoshkaRerank)
+    "s188_matryoshka_rerank" -> s188MatryoshkaRerank,
+    "s193_ivf_admit"       -> s193IvfAdmit)
 
   val oracle: Map[String, String] = Map(
+    "s193_ivf_admit"       -> s193Sql,
     "s122_label_centroids" -> s122Sql,
     "s132_kmeans_step"     -> s132Sql,
     "s137_centroid_drift"  -> s137Sql,
