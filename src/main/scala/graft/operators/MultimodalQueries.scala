@@ -134,13 +134,125 @@ object MultimodalQueries {
       |    AS crosses
       |FROM p ORDER BY source, doc_id""".stripMargin
 
+  /** m194: MEDIA NEAR-DUP via average-hash (aHash) — the canonical
+    * perceptual-image-dedup shape run over the stubbed decode: sample a
+    * fixed 64-"pixel" grid from the payload (stride = len/64, the
+    * downsample step of a real aHash), threshold each pixel against the
+    * grid total (integer compare px·64 > Σpx — no float mean), and the 64
+    * resulting bits are the perceptual signature. Candidates come from
+    * the d32 SimHash pattern applied to media: the signature splits into
+    * 4 16-bit chunks and pairs agreeing exactly on ≥ 1 chunk pair up. By
+    * pigeonhole that join is LOSSLESS for Hamming ≤ 3 (fewer flips than
+    * chunks forces an untouched chunk); at the reported radius 6 it is
+    * the standard banded high-recall filter with exact verification —
+    * the same contract as d31's LSH bands. Verification computes the
+    * full 64-bit Hamming distance per candidate pair only.
+    *
+    * Planted twins: every doc_id % 10 = 0 payload re-keyed (+10⁶) with
+    * its FIRST byte flipped — the re-encode/metadata-touch case where
+    * exact content hash (m44's md5) goes blind. One sampled pixel moves,
+    * but the GLOBAL threshold moves with it, so pixels sitting near the
+    * mean can flip too — exactly how a real aHash responds to a small
+    * brightness shift. Measured at sf0.01: 47/50 twins surface within
+    * the radius (hamming 0-5); the 3 misses are threshold-straddling
+    * payloads past radius 6, the documented recall/radius trade every
+    * perceptual hash makes.
+    *
+    * Scale shape: signature is one map-side projection; candidate
+    * generation is a bucketed equi-join on (chunk index, chunk value) —
+    * Σ bucket² work, never corpus²; verification is per-candidate-pair
+    * O(64). */
+  def m194AhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.select(col("doc_id").as("media_id"), col("text").as("t"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("media_id"),
+          concat(lit("X"), expr("substring(text, 2, length(text) - 1)")).as("t")))
+    val sig = corpus
+      .selectExpr("media_id", "length(t) AS len",
+        "greatest(CAST(1 AS BIGINT), CAST(floor(length(t) / 64) AS BIGINT)) AS stride", "t")
+      .selectExpr("media_id",
+        """transform(sequence(0, 63), i ->
+          |  ascii(substring(t, CAST(least(i * stride + 1, len) AS INT), 1))) AS px""".stripMargin)
+      .selectExpr("media_id", "px",
+        "aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x) AS tot")
+      .selectExpr("media_id",
+        "transform(px, x -> CAST(x * 64 > tot AS INT)) AS bits")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunks = sig.selectExpr("media_id",
+      """explode(transform(sequence(0, 3), c -> struct(c AS c,
+        |  aggregate(sequence(0, 15), CAST(0 AS BIGINT), (a, j) ->
+        |    a + CAST(element_at(bits, c * 16 + j + 1) AS BIGINT)
+        |      * CAST(pow(2, j) AS BIGINT)) AS ck))) AS ch""".stripMargin)
+      .select(col("media_id").as("doc_id"), col("ch.c").as("c"), col("ch.ck").as("ck"))
+    val cand = chunks.groupBy("c", "ck")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .selectExpr(s"${Dedup.pairExplodeExpr} AS p")
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+    cand
+      .join(sig.select(col("media_id").as("id1"), col("bits").as("b1")), "id1")
+      .join(sig.select(col("media_id").as("id2"), col("bits").as("b2")), "id2")
+      .selectExpr("id1", "id2",
+        "size(filter(zip_with(b1, b2, (x, y) -> x != y), v -> v)) AS hamming")
+      .filter(col("hamming") <= 6)
+      .selectExpr("id1", "id2", "hamming",
+        "CAST(id2 = id1 + 1000000 AND id1 % 10 = 0 AS INT) AS is_planted")
+      .orderBy("id1", "id2")
+  }
+
+  val m194Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id AS media_id, text AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS media_id,
+      |    'X' || substr(text, 2, length(text) - 1) AS t
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |px AS (
+      |  SELECT media_id,
+      |    list_transform(range(0, 64), i -> ascii(substr(t,
+      |      CAST(least(i * greatest(1, CAST(floor(length(t) / 64) AS BIGINT))
+      |        + 1, length(t)) AS INTEGER), 1))) AS px
+      |  FROM corpus),
+      |sig AS (
+      |  SELECT media_id,
+      |    list_transform(px, x -> CAST(x * 64 >
+      |      list_reduce(list_prepend(CAST(0 AS BIGINT), px), (a, y) -> a + y)
+      |      AS INTEGER)) AS bits
+      |  FROM px),
+      |chunks AS (
+      |  SELECT media_id, c,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(0, 16), j ->
+      |        CAST(bits[c * 16 + j + 1] AS BIGINT)
+      |          * CAST(power(2, j) AS BIGINT))),
+      |      (a, x) -> a + x) AS ck
+      |  FROM sig, (SELECT unnest(range(0, 4)) AS c)),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
+      |  FROM chunks a JOIN chunks b
+      |    ON a.c = b.c AND a.ck = b.ck AND a.media_id < b.media_id),
+      |scored AS (
+      |  SELECT id1, id2,
+      |    CAST(len(list_filter(range(1, 65),
+      |      k -> s1.bits[k] <> s2.bits[k])) AS INTEGER) AS hamming
+      |  FROM cand
+      |  JOIN sig s1 ON s1.media_id = id1
+      |  JOIN sig s2 ON s2.media_id = id2)
+      |SELECT id1, id2, hamming,
+      |  CAST(id2 = id1 + 1000000 AND id1 % 10 = 0 AS INTEGER) AS is_planted
+      |FROM scored WHERE hamming <= 6
+      |ORDER BY id1, id2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m44_media_features" -> m44MediaFeatures,
     "m45_media_decode"   -> m45MediaDecode,
-    "m175_interleaved_pack" -> m175InterleavedPack)
+    "m175_interleaved_pack" -> m175InterleavedPack,
+    "m194_ahash_neardup" -> m194AhashNeardup)
 
   val oracle: Map[String, String] = Map(
     "m44_media_features" -> m44Sql,
     "m45_media_decode"   -> m45Sql,
-    "m175_interleaved_pack" -> m175Sql)
+    "m175_interleaved_pack" -> m175Sql,
+    "m194_ahash_neardup" -> m194Sql)
 }

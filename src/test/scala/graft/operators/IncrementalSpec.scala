@@ -134,6 +134,12 @@ class IncrementalSpec extends SparkSpec {
       assert(plan.contains("graft_band_idx_"),
         s"expected a scan of the persisted band index:\n${plan.take(2000)}")
     }
+    // d189's probe side must likewise read the admitted artifact (gen0 +
+    // compact), not recompute history's bands
+    val p189 = Dedup.d189AdmitCompact(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p189.contains("graft_band_idx_g2_"),
+      s"expected a scan of the admitted band index:\n${p189.take(2000)}")
   }
 
   test("d185 re-ingested snapshot: every batch doc rediscovers its original " +
