@@ -80,4 +80,23 @@ object KmvSketch {
 
   /** Column form: `kmv(col, k)` over a pre-hashed long column. */
   def kmv(c: Column, k: Int): Column = udaf(new Agg(k)).apply(c)
+
+  /** State-exposing form: the sorted k-minimum hash ARRAY itself, not the
+    * finished estimate — the mergeable sketch state that KMV set algebra
+    * (d195 union/intersection estimates) consumes downstream. Same bounded
+    * reduce/merge as [[Agg]]; `finish` is the identity, so the output is
+    * still deterministic under any partitioning. */
+  class ArrAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    private val inner = new Agg(k)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(b: Array[Long], h: Long): Array[Long] = inner.reduce(b, h)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Column form: `kmvArr(col, k)` — the sorted k-minimum hash array. */
+  def kmvArr(c: Column, k: Int): Column = udaf(new ArrAgg(k)).apply(c)
 }

@@ -78,17 +78,22 @@ object GraphOps2 {
       .orderBy("node")
   }
 
-  def q148Pagerank3(s: SparkSession, dir: String): DataFrame = {
+  /** The q117/q148/q198 co-occurrence edge list: parts sharing an order
+    * with l_quantity ≥ 40, canonical u < v, distinct — one definition so
+    * the three graph primitives provably analyze the SAME graph. */
+  private[operators] def coEdges(s: SparkSession, dir: String): DataFrame = {
     val hi = Tables.lineitem(s, dir)
       .filter(col("l_quantity") >= 40)
       .select("l_orderkey", "l_partkey").distinct()
-    val e = hi.as("a").join(hi.as("b"),
+    hi.as("a").join(hi.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
       .distinct()
-    pagerank3(e, iters = 3)
   }
+
+  def q148Pagerank3(s: SparkSession, dir: String): DataFrame =
+    pagerank3(coEdges(s, dir), iters = 3)
 
   val q148Sql: String = {
     // one unrolled iteration: contributions keyed by target, then the
@@ -130,9 +135,96 @@ object GraphOps2 {
        |ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q198
+
+  private[operators] val KcoreK = 3
+  private[operators] val KcoreRounds = 10
+
+  /** q198: k-core decomposition (k = 3) of the part co-occurrence graph by
+    * synchronous degree peeling — repeatedly delete every node whose degree
+    * in the surviving induced subgraph is below k. The k-core is the
+    * density backbone behind link-farm/spam pruning in crawl curation
+    * (low-core pages hang off the graph's periphery) and a standard
+    * community-detection preconditioner; it complements q117 (triangles),
+    * q148 (PageRank) and d57 (components) as the fourth graph primitive.
+    *
+    * Scale shape: each round is two semi-join-shaped equi-joins (edges
+    * against the alive set on both endpoints) + one map-side-combined
+    * degree count — the alive set only SHRINKS, so per-round cost is
+    * monotonically decreasing and a hub's edges fan in as an aggregation,
+    * never a pair explosion. The loop unrolls into one lazy plan per round
+    * with `localCheckpoint` truncating lineage (the d57 discipline for
+    * iterative graph state).
+    *
+    * Determinism: the peel is a pure set fixpoint — no floats anywhere —
+    * but the ROUND COUNT must match the oracle's, so both engines run
+    * exactly [[KcoreRounds]] synchronous rounds (GraphOps2Spec asserts the
+    * fixpoint is reached well within that budget on the gate corpora; once
+    * converged, extra rounds are identities in both engines). */
+  def q198KcorePeel(s: SparkSession, dir: String): DataFrame =
+    kcore(coEdges(s, dir), KcoreK, KcoreRounds)
+
+  /** k-core peel over a canonical (u < v) undirected edge list — exposed
+    * for property tests (K_{k+1} survives whole, trees peel to nothing,
+    * a clique plus a pendant path sheds exactly the path). Returns
+    * (node, core_degree) for the surviving induced subgraph. */
+  private[operators] def kcore(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var alive = sym.select(col("u").as("n")).distinct()
+    for (_ <- 1 to rounds) {
+      alive = sym
+        .join(alive.select(col("n").as("u")), "u")
+        .join(alive.select(col("n").as("v")), "v")
+        .groupBy("u").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("u").as("n"))
+        .localCheckpoint() // truncate the per-round lineage (d57 discipline)
+    }
+    sym
+      .join(alive.select(col("n").as("u")), "u")
+      .join(alive.select(col("n").as("v")), "v")
+      .groupBy("u").agg(count(lit(1)).as("core_degree"))
+      .selectExpr("u AS node", "core_degree")
+      .orderBy("node")
+  }
+
+  val q198Sql: String = {
+    // one unrolled peel round: degree within the alive-induced subgraph,
+    // keep nodes at or above k — mirrors the Spark loop body exactly.
+    // AS MATERIALIZED is load-bearing: each round references its
+    // predecessor TWICE (both endpoints), and DuckDB inlines plain CTEs,
+    // which would expand the 10-round chain to 2^10 copies of round 1.
+    def peel(i: Int): String =
+      s"""a$i AS MATERIALIZED (
+         |  SELECT n FROM (
+         |    SELECT sym.u AS n, count(*) AS d
+         |    FROM sym JOIN a${i - 1} p ON sym.u = p.n
+         |    JOIN a${i - 1} q ON sym.v = q.n
+         |    GROUP BY 1)
+         |  WHERE d >= $KcoreK)""".stripMargin
+    s"""WITH hi AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_quantity >= 40),
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM hi a JOIN hi b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |a0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM sym),
+       |${(1 to KcoreRounds).map(peel).mkString(",\n")}
+       |SELECT sym.u AS node, count(*) AS core_degree
+       |FROM sym JOIN a$KcoreRounds p ON sym.u = p.n
+       |JOIN a$KcoreRounds q ON sym.v = q.n
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q148_pagerank3" -> q148Pagerank3)
+    "q148_pagerank3" -> q148Pagerank3,
+    "q198_kcore_peel" -> q198KcorePeel)
 
   val oracle: Map[String, String] = Map(
-    "q148_pagerank3" -> q148Sql)
+    "q148_pagerank3" -> q148Sql,
+    "q198_kcore_peel" -> q198Sql)
 }

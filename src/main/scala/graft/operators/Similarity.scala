@@ -20,7 +20,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object Similarity {
 
-  private val cosExpr =
+  private[operators] val cosExpr =
     """aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
       |(sqrt(aggregate(transform(q.v, x -> x * x), 0D, (acc, x) -> acc + x)) *
       | sqrt(aggregate(transform(c.v, x -> x * x), 0D, (acc, x) -> acc + x)))""".stripMargin
@@ -34,7 +34,7 @@ object Similarity {
        |  (sqrt(list_reduce(list_transform(range(1, ${dim + 1}), k -> q.v[k] * q.v[k]), (x, y) -> x + y)) *
        |   sqrt(list_reduce(list_transform(range(1, ${dim + 1}), k -> c.v[k] * c.v[k]), (x, y) -> x + y)))""".stripMargin
 
-  private val cosDuck = cosDuckAt(64)
+  private[operators] val cosDuck = cosDuckAt(64)
 
   private[operators] def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)

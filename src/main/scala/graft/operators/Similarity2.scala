@@ -205,15 +205,199 @@ object Similarity2 {
        |  round(CAST(s6 AS DOUBLE) / 1e6, 6) AS adc
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s196
+
+  /** s196: hybrid retrieval with reciprocal-rank fusion — query-by-example
+    * on document 0, fusing a LEXICAL leg (Okapi BM25 over the 8 RAREST
+    * terms of the query doc — lowest document frequency, the
+    * keyword-extraction step of a real hybrid searcher) with a SEMANTIC leg
+    * (cosine against the query doc's embedding; vec_id is doc-aligned in
+    * this corpus). Fusion is standard RRF (Cormack et al.):
+    * Σ 1/(60 + rank_leg), a missing leg contributing 0 — the score-free
+    * combiner RAG stacks use because BM25 and cosine scales don't mix.
+    *
+    * Scale shape: the lexical leg touches only the 8 query-term posting
+    * lists (inverted-index access, never the corpus vocabulary); the
+    * semantic leg is one broadcast-query corpus scan. Both legs here rank
+    * their FULL candidate sets so the oracle is exact; at 100 TB each leg
+    * is already a top-k operator (s48's TopKPerKey plan / posting-list
+    * top-k) and the fusion join runs on two k-sized lists.
+    *
+    * Determinism: BM25 contributions quantize to DECIMAL(38,6) before the
+    * per-doc sum (t151's rational-idf kernel verbatim); ranks are integers
+    * with doc_id tie-breaks; the RRF sum is two IEEE divisions + one add
+    * on identical bits. RRF ties (a lex/sem rank swap yields the exact
+    * same double) break by doc_id in both engines. */
+  def s196HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.Tables.documents(s, dir)
+      .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS t")
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds postings, lengths, tf
+    val dt = toks.distinct()
+    val d0 = dt.filter(col("doc_id") === 0).select("t")
+    val dfq = dt.join(broadcast(d0), "t")
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val qt = dfq
+      .withColumn("r", row_number().over(Window.orderBy(col("df"), col("t"))))
+      .filter(col("r") <= 8).select("t", "df")
+    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot"))
+    val tf = toks.filter(col("doc_id") =!= 0)
+      .join(broadcast(qt.select("t")), "t")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val lex = tf.join(broadcast(qt), "t")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        """CAST(round(
+          |  (n_docs - df + 0.5D) / (df + 0.5D) *
+          |  tf * 2.2D / (tf + 1.2D * (0.25D + 0.75D * len
+          |    / (CAST(tot AS DOUBLE) / n_docs))), 6)
+          |AS DECIMAL(38,6)) AS c""".stripMargin)
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("sc"))
+      .selectExpr("doc_id", "CAST(round(CAST(sc AS DOUBLE), 6) AS DOUBLE) AS bm25")
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+    val all = Similarity.vecs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sem = broadcast(all.filter(col("vec_id") === 0).select(col("v"))).as("q")
+      .crossJoin(all.filter(col("vec_id") =!= 0).as("c"))
+      .selectExpr("c.vec_id AS doc_id", s"${Similarity.cosExpr} AS cos")
+      .withColumn("sem_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+    sem.join(lex.select("doc_id", "lex_rank"), Seq("doc_id"), "left")
+      .selectExpr("doc_id", "lex_rank", "sem_rank",
+        "round(coalesce(1.0D / (60 + lex_rank), 0D) + 1.0D / (60 + sem_rank), 6) AS rrf")
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= 20)
+      .select("rank", "doc_id", "lex_rank", "sem_rank", "rrf")
+      .orderBy("rank")
+  }
+
+  val s196Sql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |  FROM documents),
+       |dt AS MATERIALIZED (SELECT DISTINCT doc_id, t FROM toks),
+       |d0 AS (SELECT t FROM dt WHERE doc_id = 0),
+       |dfq AS (SELECT t, count(*) AS df FROM dt
+       |        WHERE t IN (SELECT t FROM d0) GROUP BY t),
+       |qt AS (SELECT t, df FROM (
+       |         SELECT t, df, row_number() OVER (ORDER BY df, t) AS r FROM dfq)
+       |       WHERE r <= 8),
+       |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, sum(len) AS tot FROM lens),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+       |       WHERE doc_id <> 0 AND t IN (SELECT t FROM qt)
+       |       GROUP BY doc_id, t),
+       |c AS (
+       |  SELECT doc_id,
+       |    CAST(round(
+       |      (n_docs - df + 0.5e0) / (df + 0.5e0) *
+       |      tf * 2.2e0 / (tf + 1.2e0 * (0.25e0 + 0.75e0 * len
+       |        / (CAST(tot AS DOUBLE) / n_docs))), 6)
+       |    AS DECIMAL(38,6)) AS c
+       |  FROM tf JOIN qt USING (t) JOIN lens USING (doc_id) CROSS JOIN stats),
+       |lex AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
+       |        FROM c GROUP BY doc_id),
+       |lexr AS (SELECT doc_id, CAST(row_number() OVER
+       |           (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rank
+       |         FROM lex),
+       |e AS (${Similarity.vecsDuck}),
+       |q AS (SELECT v FROM e WHERE vec_id = 0),
+       |sem AS (SELECT c.vec_id AS doc_id, ${Similarity.cosDuck} AS cos
+       |        FROM q, e c WHERE c.vec_id <> 0),
+       |semr AS (SELECT doc_id, CAST(row_number() OVER
+       |           (ORDER BY cos DESC, doc_id) AS INTEGER) AS sem_rank
+       |         FROM sem),
+       |f AS (SELECT s.doc_id, lex_rank, sem_rank,
+       |        round(coalesce(1e0 / (60 + lex_rank), 0e0)
+       |          + 1e0 / (60 + sem_rank), 6) AS rrf
+       |      FROM semr s LEFT JOIN lexr l ON s.doc_id = l.doc_id),
+       |r AS (SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+       |        AS INTEGER) AS rank, doc_id, lex_rank, sem_rank, rrf
+       |      FROM f)
+       |SELECT rank, doc_id, lex_rank, sem_rank, rrf
+       |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- s197
+
+  /** s197: hard-negative mining — for each anchor vector (vec_id < 25, a
+    * contrastive training batch), the top-5 most-similar vectors with a
+    * DIFFERENT label (the hard negatives a triplet/InfoNCE loss wants),
+    * plus the hardest POSITIVE (max same-label cosine) and the margin
+    * pos − neg per pair — negative margin rows are exactly the anchors
+    * where a foreign vector sits closer than any same-class one, the
+    * embedding-quality diagnostic that decides whether a corpus needs
+    * re-embedding before semantic dedup (d33/d155 trust these distances).
+    *
+    * Scale shape: the anchor batch broadcasts (training batches are tiny
+    * against the corpus); the corpus streams through ONE scan feeding both
+    * the negative window and the positive max — no corpus self-join. The
+    * per-anchor window is bounded by the corpus scan's row count per
+    * anchor; at 100 TB the same shape runs per-shard with s48's TopKPerKey
+    * bounded heap and a final k-way merge.
+    *
+    * Determinism: cosine is the strict left fold (bit-identical to the
+    * oracle's list_reduce), max is order-independent, ranks tie-break on
+    * nid, and all emitted floats round at 6. */
+  def s197HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Similarity.vecs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val anchors = all.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("aid"), col("label").as("albl"), col("v"))
+    val scored = broadcast(anchors).as("q")
+      .join(all.as("c"), col("c.vec_id") =!= col("aid"))
+      .selectExpr("aid", "albl", "c.vec_id AS nid", "c.label AS nlbl",
+        s"${Similarity.cosExpr} AS cos")
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds negatives AND positives
+    val negs = scored.filter(col("nlbl") =!= col("albl"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("aid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rank") <= 5)
+    val pos = scored.filter(col("nlbl") === col("albl"))
+      .groupBy("aid").agg(max(col("cos")).as("pos_cos"))
+    negs.join(pos, Seq("aid"), "left")
+      .selectExpr("aid", "rank", "nid", "nlbl AS neg_label",
+        "round(cos, 6) AS cos", "round(pos_cos, 6) AS pos_cos",
+        "round(pos_cos - cos, 6) AS margin")
+      .orderBy("aid", "rank")
+  }
+
+  val s197Sql: String =
+    s"""WITH e AS (${Similarity.vecsDuck}),
+       |a AS (SELECT vec_id AS aid, label AS albl, v FROM e WHERE vec_id < 25),
+       |scored AS MATERIALIZED (
+       |  SELECT aid, albl, c.vec_id AS nid, c.label AS nlbl,
+       |    ${Similarity.cosDuck} AS cos
+       |  FROM a q JOIN e c ON c.vec_id <> aid),
+       |negs AS (
+       |  SELECT aid, nid, nlbl, cos,
+       |    CAST(row_number() OVER (PARTITION BY aid ORDER BY cos DESC, nid)
+       |      AS INTEGER) AS rank
+       |  FROM scored WHERE nlbl <> albl),
+       |pos AS (SELECT aid, max(cos) AS pos_cos FROM scored
+       |        WHERE nlbl = albl GROUP BY aid)
+       |SELECT negs.aid, rank, nid, nlbl AS neg_label,
+       |  round(cos, 6) AS cos, round(pos_cos, 6) AS pos_cos,
+       |  round(pos_cos - cos, 6) AS margin
+       |FROM negs LEFT JOIN pos USING (aid)
+       |WHERE rank <= 5 ORDER BY aid, rank""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s163_ann_recall"   -> s163AnnRecall,
     "s166_pq_codes"     -> s166PqCodes,
-    "s173_pq_adc_search" -> s173PqAdcSearch)
+    "s173_pq_adc_search" -> s173PqAdcSearch,
+    "s196_hybrid_rrf"   -> s196HybridRrf,
+    "s197_hard_negatives" -> s197HardNegatives)
 
   val oracle: Map[String, String] = Map(
     "s163_ann_recall"   -> s163Sql,
     "s166_pq_codes"     -> s166Sql,
-    "s173_pq_adc_search" -> s173Sql)
+    "s173_pq_adc_search" -> s173Sql,
+    "s196_hybrid_rrf"   -> s196Sql,
+    "s197_hard_negatives" -> s197Sql)
 }

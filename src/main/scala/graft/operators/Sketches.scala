@@ -210,15 +210,114 @@ object Sketches {
       |  round(abs(es[i] - xs[i]), 6) AS abs_err
       |FROM e, x, i ORDER BY q""".stripMargin
 
+  /** d195: corpus-overlap estimation by KMV SET ALGEBRA — "how much of
+    * corpus B's shingle set is already in corpus A?" answered WITHOUT ever
+    * joining the corpora. Each corpus folds to one k-minimum-value array
+    * ([[graft.functions.KmvSketch.kmvArr]] — fixed k·8 bytes, map-side
+    * combined); union cardinality comes from the merged sketch's k-th
+    * hash, and the intersection/Jaccard from the fraction ρ of the union
+    * sketch's members present in BOTH input sketches (the theta-sketch
+    * set-operation construction, Dasgupta et al., on KMV state). This is
+    * the 100 TB shape for "should we even ingest this crawl?": two cheap
+    * streaming passes + array math on two k-arrays, versus d30's
+    * corpus×corpus join.
+    *
+    * Corpora: sources src0–src9 vs src10–src19 over the persisted shingle
+    * index ([[Dedup.shingleIndex]] — built once per corpus, shared with
+    * the whole near-dup family). The exact union/intersection ride along
+    * as gate truth (one distinct-hash aggregation — affordable at gate SF,
+    * dropped in production where the sketches ARE the answer).
+    *
+    * Determinism: sketch state is the k smallest DISTINCT hashes — pure
+    * set math, order-independent — and every estimate is integer
+    * arithmetic ((k−1)·P div h_k; ρ in basis points via integer div), so
+    * the oracle re-derives every column bit-for-bit. */
+  def d195CorpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val k = 256
+    val src = graft.Tables.documents(s, dir)
+      .selectExpr("doc_id", "CAST(substring(source, 4) AS INT) < 10 AS in_a")
+    val tagged = Dedup.shingleIndex(s, dir).join(src, "doc_id")
+      .select(col("in_a"), col("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds both sketches + exact truth
+    val sk = tagged.groupBy("in_a")
+      .agg(graft.functions.KmvSketch.kmvArr(col("h"), k).as("arr"),
+        countDistinct(col("h")).as("dn"))
+    val a = sk.filter(col("in_a"))
+      .select(col("arr").as("ka"), col("dn").as("exact_a"))
+    val b = sk.filter(!col("in_a"))
+      .select(col("arr").as("kb"), col("dn").as("exact_b"))
+    val ex = tagged.groupBy("h").agg(
+        max(when(col("in_a"), 1).otherwise(0)).as("ia"),
+        max(when(col("in_a"), 0).otherwise(1)).as("ib"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(col("ia") * col("ib")).as("exact_inter"))
+    val P = graft.functions.PortableHash.P
+    a.crossJoin(b).crossJoin(ex) // three 1-row frames — the scalar-attach pattern
+      .withColumn("ku", expr(s"slice(array_sort(array_union(ka, kb)), 1, $k)"))
+      .withColumn("nu", expr("CAST(size(ku) AS BIGINT)"))
+      .withColumn("kth", expr("element_at(ku, CAST(nu AS INT))"))
+      .withColumn("est_union", expr(
+        s"CASE WHEN nu < $k THEN nu ELSE ${(k - 1).toLong}L * ${P}L div kth END"))
+      .withColumn("in_both", expr(
+        "CAST(size(filter(ku, x -> array_contains(ka, x) AND array_contains(kb, x))) AS BIGINT)"))
+      .selectExpr(s"$k AS k", "nu AS n_union_sketch", "kth AS kth_hash",
+        "est_union", "in_both",
+        "in_both * est_union div nu AS est_inter",
+        "10000L * in_both div nu AS jaccard_bp",
+        "exact_a", "exact_b", "exact_union", "exact_inter",
+        "10000L * exact_inter div exact_union AS exact_jaccard_bp")
+  }
+
+  val d195Sql: String =
+    s"""WITH ${Dedup.shingleIndexSql},
+       |tagged AS MATERIALIZED (
+       |  SELECT CAST(substring(source, 4) AS INT) < 10 AS in_a, h
+       |  FROM s JOIN documents USING (doc_id)),
+       |hs AS MATERIALIZED (SELECT DISTINCT in_a, h FROM tagged),
+       |ka AS (SELECT list(h ORDER BY h) AS ka
+       |       FROM (SELECT h FROM hs WHERE in_a ORDER BY h LIMIT 256)),
+       |kb AS (SELECT list(h ORDER BY h) AS kb
+       |       FROM (SELECT h FROM hs WHERE NOT in_a ORDER BY h LIMIT 256)),
+       |da AS (SELECT count(*) AS exact_a FROM hs WHERE in_a),
+       |db AS (SELECT count(*) AS exact_b FROM hs WHERE NOT in_a),
+       |ex AS (
+       |  SELECT count(*) AS exact_union,
+       |    CAST(sum(CASE WHEN ia > 0 AND ib > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS exact_inter
+       |  FROM (SELECT h, max(CASE WHEN in_a THEN 1 ELSE 0 END) AS ia,
+       |               max(CASE WHEN in_a THEN 0 ELSE 1 END) AS ib
+       |        FROM tagged GROUP BY h)),
+       |u AS (SELECT ka, kb, (list_sort(list_distinct(ka || kb)))[1:256] AS ku
+       |      FROM ka, kb),
+       |m AS (SELECT ka, kb, ku, CAST(len(ku) AS BIGINT) AS nu,
+       |        ku[len(ku)] AS kth,
+       |        CAST(len(list_filter(ku, x -> list_contains(ka, x)
+       |          AND list_contains(kb, x))) AS BIGINT) AS in_both
+       |      FROM u),
+       |est AS (SELECT nu, kth, in_both,
+       |        CASE WHEN nu < 256 THEN nu
+       |             ELSE CAST(255 AS BIGINT) * 1000000007 // kth END AS est_union
+       |      FROM m)
+       |SELECT 256 AS k, nu AS n_union_sketch, kth AS kth_hash,
+       |  est_union, in_both,
+       |  in_both * est_union // nu AS est_inter,
+       |  CAST(10000 AS BIGINT) * in_both // nu AS jaccard_bp,
+       |  exact_a, exact_b, exact_union, exact_inter,
+       |  CAST(10000 AS BIGINT) * exact_inter // exact_union AS exact_jaccard_bp
+       |FROM est, da, db, ex""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q52_approx_distinct" -> q52ApproxDistinct,
     "d62_kmv_distinct"    -> d62KmvDistinct,
     "q119_join_size_estimate" -> q119JoinSizeEstimate,
-    "q191_sketch_quantiles" -> q191SketchQuantiles)
+    "q191_sketch_quantiles" -> q191SketchQuantiles,
+    "d195_corpus_overlap" -> d195CorpusOverlap)
 
   val oracle: Map[String, String] = Map(
     "q52_approx_distinct" -> q52Sql,
     "d62_kmv_distinct"    -> d62Sql,
     "q119_join_size_estimate" -> q119Sql,
-    "q191_sketch_quantiles" -> q191Sql)
+    "q191_sketch_quantiles" -> q191Sql,
+    "d195_corpus_overlap" -> d195Sql)
 }

@@ -57,4 +57,40 @@ class GraphOps2Spec extends SparkSpec {
     assert(out.filter(col("significant") === 1).count() == 0)
     out.unpersist()
   }
+
+  test("kcore: K4 survives a 3-core peel intact, every node at degree 3") {
+    val out = GraphOps2.kcore(
+      edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L),
+      k = 3, rounds = 4).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getLong(1) == 3L))
+  }
+
+  test("kcore: a tree peels to nothing at k = 2") {
+    val out = GraphOps2.kcore(
+      edges(1L -> 2L, 2L -> 3L, 2L -> 4L, 4L -> 5L), k = 2, rounds = 4).collect()
+    assert(out.isEmpty)
+  }
+
+  test("kcore: clique plus pendant path sheds exactly the path, and one " +
+    "extra round is the identity (fixpoint reached)") {
+    val e = edges(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L,
+      4L -> 5L, 5L -> 6L, 6L -> 7L)
+    val r = GraphOps2.kcore(e, k = 3, rounds = 4).collect()
+      .map(_.getLong(0)).toSet
+    assert(r == Set(1L, 2L, 3L, 4L))
+    val r2 = GraphOps2.kcore(e, k = 3, rounds = 5).collect()
+      .map(_.getLong(0)).toSet
+    assert(r2 == r)
+  }
+
+  test("kcore: the q198 round budget reaches the fixpoint on the test " +
+    "corpus — an 11th round changes nothing") {
+    val e = GraphOps2.coEdges(spark, "/root/testdata/sf0.001")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def run(r: Int) = GraphOps2.kcore(e, GraphOps2.KcoreK, r).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(run(GraphOps2.KcoreRounds) == run(GraphOps2.KcoreRounds + 1))
+    e.unpersist()
+  }
 }

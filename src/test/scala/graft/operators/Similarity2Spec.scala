@@ -83,4 +83,56 @@ class Similarity2Spec extends SparkSpec {
     // stage is dead weight and the demo demonstrates nothing
     assert(got.exists(r => r._2 != r._5))
   }
+
+  test("s196 hybrid rrf: 20 unique docs ranked 1..20, fusion arithmetic " +
+    "recomputes from the emitted leg ranks, rrf is monotone in rank") {
+    val out = Similarity2.s196HybridRrf(spark, dir).collect()
+    assert(out.length == 20)
+    assert(out.map(_.getInt(0)).toSeq == (1 to 20))
+    assert(out.map(_.getLong(1)).distinct.length == 20)
+    var prev = Double.MaxValue
+    out.foreach { r =>
+      val lex = if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getInt(2))
+      val rrf = r.getDouble(4)
+      assert(math.abs(rrf - (lex + 1.0 / (60 + r.getInt(3)))) < 2e-6,
+        s"fusion arithmetic off for $r")
+      assert(rrf <= prev + 1e-12, "rrf must be non-increasing in rank")
+      prev = rrf
+    }
+    // the query doc itself must never be retrieved
+    assert(out.forall(_.getLong(1) != 0L))
+  }
+
+  test("s197 hard negatives: labels are disjoint from the anchor's, the " +
+    "top negative matches a driver-side replica, margins are consistent") {
+    val out = Similarity2.s197HardNegatives(spark, dir).collect()
+    val vs = graft.Tables.embeddings(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val lbl = vs.map(v => v._1 -> v._3).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // per-anchor: at most 5 rows, ranks contiguous from 1
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    out.foreach { r =>
+      val (aid, nid) = (r.getLong(0), r.getLong(2))
+      assert(lbl(nid) != lbl(aid), s"negative shares the anchor label: $r")
+      assert(r.getInt(3) == lbl(nid))
+      // margin = pos_cos − cos, all rounded at 6 — consistent to quantum
+      assert(math.abs(r.getDouble(6) - (r.getDouble(5) - r.getDouble(4))) < 2.1e-6)
+    }
+    // driver-side replica of anchor 0's hardest negative
+    val (a0v, a0l) = vs.find(_._1 == 0L).map(v => (v._2, v._3)).get
+    val expTop = vs.filter(v => v._1 != 0L && v._3 != a0l)
+      .map(v => (cos(a0v, v._2), v._1))
+      .sortBy { case (c, id) => (-c, id) }.head._2
+    val gotTop = out.find(r => r.getLong(0) == 0L && r.getInt(1) == 1).get.getLong(2)
+    assert(gotTop == expTop)
+  }
 }

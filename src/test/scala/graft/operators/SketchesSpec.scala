@@ -80,4 +80,30 @@ class SketchesSpec extends SparkSpec {
       assert(r.getBoolean(5), s"KLL flag false for ${r.getString(0)}/${r.getString(1)}")
     }
   }
+
+  test("kmv array state: partition-invariant, sorted, distinct, and exactly " +
+    "the k smallest distinct inputs") {
+    import spark.implicits._
+    val data = (1 to 1000).map(i => (i * 37 % 101).toLong) // heavy duplication
+    def sk(parts: Int): Seq[Long] = data.toDF("h").repartition(parts)
+      .agg(graft.functions.KmvSketch.kmvArr(col("h"), 32)).head().getSeq[Long](0)
+    val a = sk(1)
+    assert(a == sk(7), "merged partial sketches must equal the 1-partition sketch")
+    assert(a.length == 32)
+    assert(a == a.sorted && a.distinct == a)
+    assert(a == data.distinct.sorted.take(32))
+  }
+
+  test("d195 corpus overlap: sketch estimates sit inside KMV error bounds " +
+    "of the exact truth the gate row carries") {
+    val r = Sketches.d195CorpusOverlap(spark, "/root/testdata/sf0.001").head()
+    val (estU, exU) = (r.getLong(3), r.getLong(9))
+    val (estJ, exJ) = (r.getLong(6), r.getLong(11))
+    assert(exU > 0 && r.getLong(10) > 0, "fixture must actually overlap")
+    // k=256 ⇒ rse ≈ 1/√255 ≈ 6.3%; allow 4.5σ
+    assert(math.abs(estU - exU) <= 0.3 * exU, s"union est $estU vs exact $exU")
+    assert(math.abs(estJ - exJ) <= 1500, s"jaccard est $estJ vs exact $exJ bp")
+    // intersection estimate inherits both errors — bound via the union
+    assert(math.abs(r.getLong(5) - r.getLong(10)) <= 0.35 * exU)
+  }
 }
