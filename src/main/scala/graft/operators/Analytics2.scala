@@ -146,11 +146,206 @@ object Analytics2 {
        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t199
+
+  /** t199: quality-classifier training step — two unrolled FULL-BATCH
+    * gradient-descent steps of a logistic-style linear model, the
+    * distributed-training shape of a fasttext-grade quality filter
+    * expressed as Spark aggregations.
+    *
+    * Supervision is LABEL DISTILLATION: y = (t35's heuristic quality
+    * composite ≥ 0.55) — the setup where an expensive rule pipeline's
+    * verdicts train a cheap linear scorer that replaces it (the CCNet
+    * wiki-side construction). It is also the only honest choice on this
+    * corpus: the synthetic lang/source labels are independent of the text
+    * (measured — every non-English t36 profile score is identically zero),
+    * so no text feature can learn them. The model sees the three composite
+    * signals plus mean-token-length (a feature the label does NOT use) and
+    * has to find the boundary itself; measured train accuracy ~0.88
+    * against a 0.52 base rate at sf0.01.
+    *
+    * The two ingredients that make 2 steps from w = 0 actually learn:
+    * features are CENTERED by their corpus means (decimal-exact, one extra
+    * broadcast aggregate — without centering the boundary cannot leave the
+    * origin in few steps and the model collapses to the majority vote),
+    * and the gradient is CLASS-BALANCED (n/2n₊, n/2n₋ — zeroes the
+    * base-rate pull on the bias).
+    *
+    * Scale shape: one step = one map-side pass quantizing per-row gradient
+    * contributions to scaled longs + a 5-row aggregate; the weight vector
+    * broadcasts back for the next step. No driver-side loop state beyond
+    * the unroll — the corpus streams once per step regardless of size,
+    * which is exactly how full-batch GD distributes.
+    *
+    * Determinism: the activation is the RATIONAL fast sigmoid
+    * σ(z) = 0.5 + z/(2(1+|z|)) — same monotone S-curve, zero libm (exp
+    * would hang the gate on engine-specific rounding, the t151 log-idf
+    * lesson); gradients quantize per-row via floor-scale 1e6
+    * ([[graft.functions.OracleSafe]] discipline) and sum exactly, so the
+    * weights after each step are a pure function of the corpus in ANY
+    * engine. Output: per-feature weights after each step + training
+    * accuracy at the final weights (prediction = sign of the linear
+    * score, threshold exact at 0). */
+  def t199QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash.tokens
+    val stopArr = TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val raw = graft.Tables.documents(s, dir)
+      .selectExpr(
+        "length(text) AS n_chars",
+        s"size($tokens) AS n_toks",
+        s"aggregate(transform($tokens, t -> length(t)), 0, (a, x) -> a + x) AS tok_chars",
+        s"size(filter($tokens, t -> array_contains($stopArr, t))) AS n_stop",
+        "size(regexp_extract_all(lower(text), '[a-z]', 0)) AS n_alpha")
+      .selectExpr(
+        "least(n_chars / 500.0D, 1.0D) AS f1",
+        "least(n_stop / CAST(n_toks AS DOUBLE) * 5.0D, 1.0D) AS f2",
+        "n_alpha / CAST(n_chars AS DOUBLE) AS f3",
+        "least(tok_chars / CAST(n_toks AS DOUBLE) / 10.0D, 1.0D) AS f4")
+      .selectExpr(
+        "CAST(0.3D * f1 + 0.4D * f2 + 0.3D * f3 >= 0.55D AS INT) AS y",
+        "f1", "f2", "f3", "f4")
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds means + the feature pass
+    // corpus feature means (decimal-exact, order-independent) → centering
+    val mu = raw.agg(
+      (sum(col("f1").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("m1"),
+      (sum(col("f2").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("m2"),
+      (sum(col("f3").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("m3"),
+      (sum(col("f4").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("m4"))
+    val feats = raw.crossJoin(broadcast(mu))
+      .selectExpr("y",
+        "array(1.0D, f1 - m1, f2 - m2, f3 - m3, f4 - m4) AS f")
+      .persist(StorageLevel.MEMORY_AND_DISK) // three passes: grad1, grad2, accuracy
+    // class-balanced weights n/(2·n_pos), n/(2·n_neg): with ~44% positives
+    // an unbalanced gradient just learns the base rate (every weight goes
+    // negative, the model collapses to the majority vote — measured); the
+    // standard imbalance correction zeroes the bias pull and lets the
+    // feature signal drive. cw is a deterministic double from two exact
+    // counts, identical in both engines.
+    val tot = feats.agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+      .selectExpr("n", "n_pos", "n - n_pos AS n_neg")
+    val cwExpr =
+      "CASE WHEN y = 1 THEN n / (2.0D * n_pos) ELSE n / (2.0D * n_neg) END"
+    // step 1 from w = 0: σ(0) = 0.5 exactly, so the gradient needs no model
+    val w1 = feats
+      .crossJoin(broadcast(tot))
+      .selectExpr("y", s"$cwExpr AS cw", "posexplode(f) AS (j, x)")
+      .selectExpr("j",
+        "CAST(floor(cw * (y - 0.5D) * x * 1e6D + 0.5D) AS DECIMAL(38,0)) AS g6")
+      .groupBy("j").agg(sum(col("g6")).as("sg6"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("j", "CAST(sg6 AS DOUBLE) / n / 1e6D AS w")
+    val w1row = w1.groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(j, w))), e -> e.w)")
+        .as("wa"))
+    // step 2: broadcast w1, fast-sigmoid the linear score, one more pass
+    val d2 = feats.crossJoin(broadcast(w1row))
+      .crossJoin(broadcast(tot))
+      .withColumn("z",
+        expr("aggregate(zip_with(f, wa, (x, w) -> x * w), 0D, (a, x) -> a + x)"))
+      .withColumn("p", expr("0.5D + z / (2.0D * (1.0D + abs(z)))"))
+      .selectExpr("y", "p", s"$cwExpr AS cw", "posexplode(f) AS (j, x)")
+      .selectExpr("j",
+        "CAST(floor(cw * (y - p) * x * 1e6D + 0.5D) AS DECIMAL(38,0)) AS g6")
+      .groupBy("j").agg(sum(col("g6")).as("sg6"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("j", "CAST(sg6 AS DOUBLE) / n / 1e6D AS d")
+    val w2 = w1.join(d2, "j").selectExpr("j", "w", "w + d AS w2")
+    val w2row = w2.groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(j, w2))), e -> e.w2)")
+        .as("wa2"))
+    val acc = feats.crossJoin(broadcast(w2row))
+      .selectExpr(
+        """CAST((aggregate(zip_with(f, wa2, (x, w) -> x * w), 0D,
+          |  (a, x) -> a + x) >= 0D) = (y = 1) AS INT) AS ok""".stripMargin)
+      .agg(sum(col("ok")).as("n_ok"), count(lit(1)).as("nn"))
+      .selectExpr("round(n_ok / CAST(nn AS DOUBLE), 6) AS train_acc")
+    w2.crossJoin(broadcast(acc))
+      .selectExpr("j",
+        """element_at(array('bias', 'len_c', 'stop_c', 'alpha_c',
+          |  'mean_len_c'), j + 1) AS feature""".stripMargin,
+        "round(w, 6) AS w_step1", "round(w2, 6) AS w_step2", "train_acc")
+      .orderBy("j")
+  }
+
+  val t199Sql: String = {
+    val stopList = bmStopList
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT
+       |    least(length(text) / 500.0e0, 1.0e0) AS f1,
+       |    least(len(list_filter(string_split(lower(text), ' '),
+       |        t -> list_contains($stopList, t)))
+       |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 5.0e0,
+       |      1.0e0) AS f2,
+       |    len(regexp_extract_all(lower(text), '[a-z]'))
+       |      / CAST(length(text) AS DOUBLE) AS f3,
+       |    least(list_reduce(list_prepend(0, list_transform(
+       |        string_split(lower(text), ' '), t -> length(t))), (a, x) -> a + x)
+       |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 10.0e0,
+       |      1.0e0) AS f4
+       |  FROM documents),
+       |lab AS MATERIALIZED (
+       |  SELECT CAST(0.3e0 * f1 + 0.4e0 * f2 + 0.3e0 * f3 >= 0.55e0 AS INT) AS y,
+       |    f1, f2, f3, f4
+       |  FROM raw),
+       |mu AS (
+       |  SELECT
+       |    CAST(sum(CAST(f1 AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m1,
+       |    CAST(sum(CAST(f2 AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m2,
+       |    CAST(sum(CAST(f3 AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m3,
+       |    CAST(sum(CAST(f4 AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m4
+       |  FROM lab),
+       |feats AS MATERIALIZED (
+       |  SELECT y, [1.0e0, f1 - m1, f2 - m2, f3 - m3, f4 - m4] AS f
+       |  FROM lab, mu),
+       |nn AS (SELECT count(*) AS n, sum(y) AS n_pos,
+       |         count(*) - sum(y) AS n_neg FROM feats),
+       |g1 AS (
+       |  SELECT j, sum(CAST(floor(
+       |      (CASE WHEN y = 1 THEN n / (2.0e0 * n_pos)
+       |            ELSE n / (2.0e0 * n_neg) END)
+       |      * (y - 0.5e0) * f[j] * 1e6 + 0.5e0) AS BIGINT)) AS sg6
+       |  FROM feats, nn, (SELECT unnest(range(1, 6)) AS j) js GROUP BY j),
+       |w1 AS (SELECT j, CAST(sg6 AS DOUBLE) / n / 1e6 AS w FROM g1, nn),
+       |w1a AS (SELECT list(w ORDER BY j) AS wa FROM w1),
+       |s2 AS MATERIALIZED (
+       |  SELECT y, f,
+       |    list_reduce(list_prepend(0.0e0, list_transform(range(1, 6),
+       |      j -> f[j] * wa[j])), (a, x) -> a + x) AS z
+       |  FROM feats, w1a),
+       |g2 AS (
+       |  SELECT j, sum(CAST(floor(
+       |      (CASE WHEN y = 1 THEN n / (2.0e0 * n_pos)
+       |            ELSE n / (2.0e0 * n_neg) END)
+       |      * (y - (0.5e0 + z / (2.0e0 * (1.0e0 + abs(z)))))
+       |      * f[j] * 1e6 + 0.5e0) AS BIGINT)) AS sg6
+       |  FROM s2, nn, (SELECT unnest(range(1, 6)) AS j) js GROUP BY j),
+       |w2 AS (SELECT w1.j, w1.w, w1.w + CAST(g2.sg6 AS DOUBLE) / n / 1e6 AS w2
+       |       FROM w1 JOIN g2 ON w1.j = g2.j, nn),
+       |w2a AS (SELECT list(w2 ORDER BY j) AS wa2 FROM w2),
+       |accd AS (
+       |  SELECT CAST((list_reduce(list_prepend(0.0e0, list_transform(range(1, 6),
+       |      j -> f[j] * wa2[j])), (a, x) -> a + x) >= 0e0) = (y = 1) AS INT)
+       |    AS ok
+       |  FROM feats, w2a),
+       |acc AS (SELECT round(sum(ok) / CAST(count(*) AS DOUBLE), 6) AS train_acc
+       |        FROM accd)
+       |SELECT CAST(w2.j - 1 AS INTEGER) AS j,
+       |  (['bias', 'len_c', 'stop_c', 'alpha_c', 'mean_len_c'])[w2.j]
+       |    AS feature,
+       |  round(w, 6) AS w_step1, round(w2, 6) AS w_step2, train_acc
+       |FROM w2, acc ORDER BY j""".stripMargin
+  }
+
+  private def bmStopList: String =
+    TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q150_groupwise_ols" -> q150GroupwiseOls,
-    "t151_bm25"          -> t151Bm25)
+    "t151_bm25"          -> t151Bm25,
+    "t199_quality_classifier" -> t199QualityClassifier)
 
   val oracle: Map[String, String] = Map(
     "q150_groupwise_ols" -> q150Sql,
-    "t151_bm25"          -> t151Sql)
+    "t151_bm25"          -> t151Sql,
+    "t199_quality_classifier" -> t199Sql)
 }

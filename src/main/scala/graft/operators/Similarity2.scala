@@ -385,6 +385,128 @@ object Similarity2 {
        |FROM negs LEFT JOIN pos USING (aid)
        |WHERE rank <= 5 ORDER BY aid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s206
+
+  /** s206: IVF-PQ end-to-end search — the production billion-vector ANN
+    * dataflow assembled from the verified kernels: the IVF coarse stage
+    * (s39's sign-cell quantizer + decimal-mean centroids, queries probe
+    * their 2 nearest cells) RESTRICTS the scan to two posting lists, and
+    * the PQ fine stage (s173's asymmetric distance: a broadcast
+    * query×subspace×codeword lookup table over s166's stored 8-code rows)
+    * scores only those candidates. This is the composition FAISS calls
+    * IVFADC: the coarse index bounds IO (2/8 of the corpus touched), the
+    * codes bound bytes-per-candidate (8 vs 256), and neither stage ever
+    * joins the corpus to itself.
+    *
+    * Scale shape: centroids (8 rows), the probe map (queries × 2), the
+    * codebook (32 rows) and the ADC table (queries × 8 × 4) all broadcast;
+    * the corpus-side code table shuffles once on the posting-cell join and
+    * aggregates 8 rows per (query, candidate) map-side. At 100 TB the code
+    * table is the bucketed standing layout (d189's admit/compact applies
+    * verbatim) and the scan reads only probed buckets — partition pruning
+    * on the cell key.
+    *
+    * Determinism: every stage reuses the kernels' exact arithmetic
+    * (decimal-mean centroids, floor-quantized distance table, exact BIGINT
+    * ADC sums); ranks tie-break on vec_id. The gate oracle recomputes the
+    * full composition. */
+  def s206IvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cellExpr =
+      """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
+        |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
+        |       CAST(CAST(v[2] >= 0 AS INT) AS STRING))""".stripMargin
+    val all = Similarity.vecs(s, dir)
+      .selectExpr("vec_id", "v", s"$cellExpr AS cell")
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds centroids, probes, postings
+    val cent = all
+      .selectExpr("cell", "posexplode(v) AS (dim, x)")
+      .groupBy("cell", "dim")
+      .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .selectExpr("cell", "transform(dm, e -> e.m) AS cv")
+    val q = all.filter(col("vec_id") < 16).select(col("vec_id").as("qid"), col("v"))
+    val probes = broadcast(q).as("q")
+      .join(broadcast(cent).as("c"), lit(true))
+      .selectExpr("qid", "cell",
+        Similarity.cosExpr.replace("c.v", "c.cv") + " AS ccos")
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crank") <= 2)
+      .select("qid", "cell")
+    val sub = pqSub(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val cb = pqCodebook(sub)
+    val postings = pqAssign(sub, cb)
+      .selectExpr("vec_id", "m", "b.code AS code")
+      .join(all.select("vec_id", "cell"), "vec_id")
+    val dt = sub.filter(col("vec_id") < 16)
+      .selectExpr("vec_id AS qid", "m AS qm", "sv AS qsv")
+      .join(broadcast(cb), col("qm") === col("m"))
+      .selectExpr("qid", "m", "code",
+        """CAST(floor(aggregate(zip_with(qsv, cw, (x, y) -> (x - y) * (x - y)),
+          |  0D, (acc, x) -> acc + x) * 1e6 + 0.5) AS BIGINT) AS q6""".stripMargin)
+    postings.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(dt), Seq("qid", "m", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("q6")).as("s6"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("s6"), col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .selectExpr("qid", "rank", "vec_id AS nid",
+        "round(CAST(s6 AS DOUBLE) / 1e6, 6) AS adc")
+      .orderBy("qid", "rank")
+  }
+
+  val s206Sql: String =
+    s"""WITH $pqCtes,
+       |cells AS (
+       |  SELECT vec_id, v,
+       |    CAST(CAST(v[1] >= 0 AS INTEGER) AS VARCHAR) ||
+       |    CAST(CAST(v[2] >= 0 AS INTEGER) AS VARCHAR) ||
+       |    CAST(CAST(v[3] >= 0 AS INTEGER) AS VARCHAR) AS cell
+       |  FROM e),
+       |centdim AS (
+       |  SELECT cell, k, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS k FROM cells)
+       |  GROUP BY cell, k),
+       |cent AS (SELECT cell, list(m ORDER BY k) AS cv FROM centdim GROUP BY cell),
+       |q AS (SELECT vec_id AS qid, v FROM cells WHERE vec_id < 16),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY
+       |      list_reduce(list_transform(range(1, 65), k -> q.v[k] * c.cv[k]), (x, y) -> x + y) /
+       |      (sqrt(list_reduce(list_transform(range(1, 65), k -> q.v[k] * q.v[k]), (x, y) -> x + y)) *
+       |       sqrt(list_reduce(list_transform(range(1, 65), k -> c.cv[k] * c.cv[k]), (x, y) -> x + y)))
+       |      DESC, cell) AS crank
+       |    FROM q CROSS JOIN cent c)
+       |  WHERE crank <= 2),
+       |postings AS (
+       |  SELECT b.vec_id, b.m, b.code, cl.cell
+       |  FROM best b JOIN cells cl USING (vec_id) WHERE rn = 1),
+       |dt AS (
+       |  SELECT s.vec_id AS qid, b.m, b.code,
+       |    CAST(floor(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+       |      j -> (s.sv[j] - b.cw[j]) * (s.sv[j] - b.cw[j]))),
+       |      (x, y) -> x + y) * 1e6 + 0.5) AS BIGINT) AS q6
+       |  FROM sub s JOIN cb b ON s.m = b.m
+       |  WHERE s.vec_id < 16),
+       |adc AS (
+       |  SELECT p.qid, po.vec_id, CAST(sum(dt.q6) AS BIGINT) AS s6
+       |  FROM probes p JOIN postings po ON po.cell = p.cell
+       |  JOIN dt ON dt.qid = p.qid AND dt.m = po.m AND dt.code = po.code
+       |  WHERE po.vec_id <> p.qid
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, vec_id, s6, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY s6, vec_id) AS INTEGER) AS rank
+       |  FROM adc)
+       |SELECT qid, rank, vec_id AS nid,
+       |  round(CAST(s6 AS DOUBLE) / 1e6, 6) AS adc
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -392,12 +514,14 @@ object Similarity2 {
     "s166_pq_codes"     -> s166PqCodes,
     "s173_pq_adc_search" -> s173PqAdcSearch,
     "s196_hybrid_rrf"   -> s196HybridRrf,
-    "s197_hard_negatives" -> s197HardNegatives)
+    "s197_hard_negatives" -> s197HardNegatives,
+    "s206_ivfpq_search" -> s206IvfPqSearch)
 
   val oracle: Map[String, String] = Map(
     "s163_ann_recall"   -> s163Sql,
     "s166_pq_codes"     -> s166Sql,
     "s173_pq_adc_search" -> s173Sql,
     "s196_hybrid_rrf"   -> s196Sql,
-    "s197_hard_negatives" -> s197Sql)
+    "s197_hard_negatives" -> s197Sql,
+    "s206_ivfpq_search" -> s206Sql)
 }

@@ -41,4 +41,27 @@ class Analytics2Spec extends SparkSpec {
     assert(out.filter(col("n_terms_hit") < 1 || col("n_terms_hit") > 3).count() == 0)
     out.unpersist()
   }
+
+  test("t199 quality classifier: the distilled model actually learns — " +
+    "accuracy clears the base rate, label-driving features carry positive " +
+    "growing weights, balancing keeps the bias near zero") {
+    val out = Analytics2.t199QualityClassifier(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 5)
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("bias", "len_c", "stop_c", "alpha_c", "mean_len_c"))
+    val acc = out.head.getDouble(4)
+    assert(out.forall(_.getDouble(4) == acc))
+    assert(acc > 0.7, s"train accuracy $acc should clear the ~0.5 base rate")
+    val byName = out.map(r => r.getString(1) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // the label weights length 0.3 / stop 0.4 — both must come out positive
+    // and strengthen from step 1 to step 2 (GD is still descending)
+    for (f <- Seq("len_c", "stop_c")) {
+      val (w1, w2) = byName(f)
+      assert(w1 > 0 && w2 > w1, s"$f: w1=$w1 w2=$w2")
+    }
+    val (b1, b2) = byName("bias")
+    assert(math.abs(b1) < 0.01 && math.abs(b2) < 0.01,
+      "class balancing must keep the bias near zero")
+  }
 }

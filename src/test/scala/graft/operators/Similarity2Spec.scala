@@ -135,4 +135,26 @@ class Similarity2Spec extends SparkSpec {
     val gotTop = out.find(r => r.getLong(0) == 0L && r.getInt(1) == 1).get.getLong(2)
     assert(gotTop == expTop)
   }
+
+  test("s206 ivf-pq: 3 ranked rows per probe, monotone adc, agrees with " +
+    "unrestricted ADC on shared pairs, and restriction never finds a " +
+    "closer candidate than the full scan") {
+    val out = Similarity2.s206IvfPqSearch(spark, dir).cache()
+    assert(out.count() == 16 * 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy("rank")
+    assert(out.withColumn("prev", lag(col("adc"), 1).over(w))
+      .filter(col("prev").isNotNull && col("adc") < col("prev"))
+      .count() == 0)
+    val full = Similarity2.s173PqAdcSearch(spark, dir).cache()
+    // same (qid, nid) pair ⇒ identical ADC distance (same codes, same table)
+    assert(out.as("a").join(full.as("b"), Seq("qid", "nid"))
+      .filter(col("a.adc") =!= col("b.adc")).count() == 0)
+    // cell restriction can only LOSE candidates: per query, the full scan's
+    // best distance is a lower bound on the restricted scan's best
+    val cmp = out.filter(col("rank") === 1).select(col("qid"), col("adc").as("ra"))
+      .join(full.filter(col("rank") === 1).select(col("qid"), col("adc").as("fa")), "qid")
+    assert(cmp.filter(col("ra") < col("fa")).count() == 0)
+    out.unpersist(); full.unpersist()
+  }
 }
