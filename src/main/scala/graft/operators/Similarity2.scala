@@ -358,7 +358,7 @@ object Similarity2 {
       .filter(col("rank") <= 5)
     val pos = scored.filter(col("nlbl") === col("albl"))
       .groupBy("aid").agg(max(col("cos")).as("pos_cos"))
-    negs.join(pos, Seq("aid"), "left")
+    negs.join(broadcast(pos), Seq("aid"), "left") // |anchors| rows — broadcast, not SMJ
       .selectExpr("aid", "rank", "nid", "nlbl AS neg_label",
         "round(cos, 6) AS cos", "round(pos_cos, 6) AS pos_cos",
         "round(pos_cos - cos, 6) AS margin")

@@ -253,7 +253,7 @@ object Sketches {
       .agg(count(lit(1)).as("exact_union"),
         sum(col("ia") * col("ib")).as("exact_inter"))
     val P = graft.functions.PortableHash.P
-    a.crossJoin(b).crossJoin(ex) // three 1-row frames — the scalar-attach pattern
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(ex)) // three 1-row frames — scalar attach
       .withColumn("ku", expr(s"slice(array_sort(array_union(ka, kb)), 1, $k)"))
       .withColumn("nu", expr("CAST(size(ku) AS BIGINT)"))
       .withColumn("kth", expr("element_at(ku, CAST(nu AS INT))"))
