@@ -42,6 +42,7 @@ object SparkEntry {
       operators.GraphOps.queries ++
       operators.Drift.queries ++
       operators.RelationalExt4.queries ++
+      operators.RelationalExt5.queries ++
       operators.Curation2.queries ++
       operators.GraphOps2.queries ++
       operators.Analytics.queries ++
@@ -81,6 +82,7 @@ object SparkEntry {
       operators.GraphOps.oracle ++
       operators.Drift.oracle ++
       operators.RelationalExt4.oracle ++
+      operators.RelationalExt5.oracle ++
       operators.Curation2.oracle ++
       operators.GraphOps2.oracle ++
       operators.Analytics.oracle ++

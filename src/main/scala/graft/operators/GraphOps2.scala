@@ -172,7 +172,18 @@ object GraphOps2 {
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var alive = sym.select(col("u").as("n")).distinct()
-    for (_ <- 1 to rounds) {
+      .localCheckpoint()
+    // peeling is MONOTONE (each round's alive ⊆ the last), so an unchanged
+    // COUNT is an unchanged SET — once a round deletes nothing, every
+    // remaining round is the identity and can be skipped with a result
+    // bit-identical to running the full budget (the oracle's converged
+    // rounds are no-ops on its side too). The count reads the checkpointed
+    // round output — metadata-priced, no recompute.
+    var cnt = alive.count()
+    var prev = -1L
+    var r = 0
+    while (r < rounds && cnt != prev) {
+      prev = cnt
       alive = sym
         .join(alive.select(col("n").as("u")), "u")
         .join(alive.select(col("n").as("v")), "v")
@@ -180,6 +191,8 @@ object GraphOps2 {
         .filter(col("d") >= k)
         .select(col("u").as("n"))
         .localCheckpoint() // truncate the per-round lineage (d57 discipline)
+      cnt = alive.count()
+      r += 1
     }
     sym
       .join(alive.select(col("n").as("u")), "u")

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Spark 4 SQL-surface parity: the VARIANT semi-structured type and
+  * recursive CTEs — the two engine features that close the gap with
+  * warehouse SQL dialects (Snowflake VARIANT, ANSI recursive queries).
+  * Both gate queries run the SAME SQL text shape in DuckDB, so the oracle
+  * validates semantics, not just values.
+  */
+object RelationalExt5 {
+
+  // ---------------------------------------------------------------- q209
+
+  /** q209: VARIANT ingestion + typed-path extraction — `parse_json` turns
+    * the events `props` JSON string into Spark 4's binary VARIANT type
+    * once, and every downstream access is `variant_get(v, '$.path', type)`
+    * — a typed O(1) path read on the encoded value, not a re-parse (the
+    * open-format answer to Snowflake's VARIANT; q134 covers the classic
+    * schema-on-read functions, this covers the TYPED semi-structured
+    * path). The query groups on an extracted int (proving extraction
+    * composes with aggregation), and pins the null-semantics of a missing
+    * path via `try_variant_get` — at 100 TB, variant columns shred into
+    * parquet without exploding schema width, and the typed reads push into
+    * the scan.
+    *
+    * Oracle: DuckDB's `json_extract` on the same string column — the
+    * VALUES must agree even though the representations differ (binary
+    * variant vs JSON text), which is exactly the portability contract a
+    * lakehouse needs. */
+  def q209VariantJson(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_v209")
+    s.sql("""
+      SELECT event_type,
+        CAST(variant_get(parse_json(props), '$.k', 'int') DIV 10 AS INT)
+          AS k_bucket,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(variant_get(parse_json(props), '$.k', 'int')) AS BIGINT)
+          AS sum_k,
+        CAST(min(variant_get(parse_json(props), '$.k', 'int')) AS INT)
+          AS min_k,
+        CAST(sum(CAST(try_variant_get(parse_json(props), '$.missing', 'int')
+          IS NULL AS INT)) AS BIGINT) AS n_missing_path
+      FROM events_v209
+      GROUP BY event_type, k_bucket
+      ORDER BY event_type, k_bucket""")
+  }
+
+  val q209Sql: String =
+    """SELECT event_type,
+      |  CAST(CAST(json_extract(props, '$.k') AS INTEGER) // 10 AS INTEGER)
+      |    AS k_bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+      |    AS sum_k,
+      |  CAST(min(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+      |    AS min_k,
+      |  CAST(sum(CAST(json_extract(props, '$.missing') IS NULL AS INTEGER))
+      |    AS BIGINT) AS n_missing_path
+      |FROM events
+      |GROUP BY event_type, k_bucket
+      |ORDER BY event_type, k_bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q210
+
+  /** q210: recursive CTE — bounded-depth reachability (BFS walks) over the
+    * q117/q148/q198 part co-occurrence graph, written as ANSI
+    * `WITH RECURSIVE` and executed natively by Spark 4's recursion
+    * operator; the DuckDB oracle runs the STRUCTURALLY IDENTICAL recursive
+    * SQL, so the gate pins the recursion semantics themselves (iteration
+    * count, UNION ALL multiplicity, cycle behavior) across engines.
+    *
+    * From the minimum-id node, walks of depth ≤ 3: per reached node, its
+    * BFS depth (min over walks) and the number of distinct walks — walk
+    * multiplicity counts revisits through cycles, which is what makes the
+    * cross-engine agreement a REAL recursion test rather than a set
+    * reachability one. Depth is bounded, so termination does not rely on
+    * fixpoint detection (the d57/q198 iterative operators remain the
+    * unbounded-round implementations; this is the SQL-surface form).
+    *
+    * Scale: each recursion level is one equi-join of the frontier against
+    * the edge list — the same per-round shape as q198's peel; a production
+    * hierarchy walk (org charts, category trees, BOM explosions) bounds
+    * depth exactly like this. */
+  def q210RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v210")
+    s.sql("""
+      WITH RECURSIVE hi AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem_v210
+        WHERE l_quantity >= 40),
+      e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM hi a JOIN hi b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      reach(n, d) AS (
+        SELECT (SELECT min(u) FROM sym) AS n, 0 AS d
+        UNION ALL
+        SELECT sym.v AS n, r.d + 1 AS d
+        FROM reach r JOIN sym ON sym.u = r.n
+        WHERE r.d < 3)
+      SELECT n AS node, CAST(min(d) AS INT) AS depth,
+        CAST(count(*) AS BIGINT) AS n_walks
+      FROM reach GROUP BY n ORDER BY depth, node""")
+  }
+
+  val q210Sql: String =
+    """WITH RECURSIVE hi AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_quantity >= 40),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM hi a JOIN hi b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |sym AS MATERIALIZED (
+      |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      |reach(n, d) AS (
+      |  SELECT (SELECT min(u) FROM sym) AS n, 0 AS d
+      |  UNION ALL
+      |  SELECT sym.v AS n, r.d + 1 AS d
+      |  FROM reach r JOIN sym ON sym.u = r.n
+      |  WHERE r.d < 3)
+      |SELECT n AS node, CAST(min(d) AS INTEGER) AS depth,
+      |  CAST(count(*) AS BIGINT) AS n_walks
+      |FROM reach GROUP BY n ORDER BY depth, node""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_variant_json"  -> q209VariantJson,
+    "q210_recursive_cte" -> q210RecursiveCte)
+
+  val oracle: Map[String, String] = Map(
+    "q209_variant_json"  -> q209Sql,
+    "q210_recursive_cte" -> q210Sql)
+}

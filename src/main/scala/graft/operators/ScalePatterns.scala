@@ -326,7 +326,61 @@ object ScalePatterns {
       |FROM fact JOIN dim USING (k)
       |GROUP BY k, grp ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------- q207
+
+  /** q207: global ordinal assignment WITHOUT a single-partition sort — the
+    * "give every row a stable global row number" operation (doc-ID
+    * assignment, corpus sharding) that naively compiles to
+    * `row_number() OVER (ORDER BY …)` = one Exchange SinglePartition = the
+    * classic 100 TB scale-killer. The distributed form: range-repartition
+    * on the sort key, rank WITHIN each partition (parallel windows), count
+    * rows per partition, prefix-sum the |partitions|-sized count table
+    * (metadata-sized — its single-partition window is 32 rows, not the
+    * corpus), broadcast the offsets back, ordinal = offset + local rank.
+    *
+    * Determinism: range boundaries come from SAMPLING and differ run to
+    * run, but offset + local rank is the global (o_orderdate, o_orderkey)
+    * rank under ANY disjoint ordered partitioning — the output is
+    * partitioning-invariant even though the partitioning isn't
+    * deterministic. The oracle computes the same ordinal with the naive
+    * global window, proving the two forms equal; ScalePatternsSpec asserts
+    * the corpus-sized side of THIS plan has no SinglePartition exchange.
+    * Output sampled every 97th ordinal to keep the gate row count small
+    * at any SF. */
+  def q207GlobalOrdinals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderdate")
+      .repartitionByRange(parts, col("o_orderdate"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // |partitions| rows: counts → exclusive prefix sums (this window's
+    // SinglePartition is over 32 rows of metadata, not the table)
+    val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
+      .withColumn("off",
+        coalesce(sum(col("c")).over(
+          Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "off")
+    ranged
+      .withColumn("lr", row_number().over(
+        Window.partitionBy("pid").orderBy("o_orderdate", "o_orderkey")))
+      .join(broadcast(offsets), "pid")
+      .selectExpr("off + lr AS ordinal", "o_orderkey", "o_orderdate")
+      .filter(expr("(off + lr) % 97 = 1"))
+      .orderBy("ordinal")
+  }
+
+  val q207Sql: String =
+    """SELECT ordinal, o_orderkey, o_orderdate FROM (
+      |  SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+      |    AS ordinal, o_orderkey, o_orderdate
+      |  FROM orders)
+      |WHERE ordinal % 97 = 1 ORDER BY ordinal""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_global_ordinals" -> q207GlobalOrdinals,
     "q49_salted_join"      -> q49SaltedJoin,
     "q50_bucketed_join"    -> q50BucketedJoin,
     "q63_orc_roundtrip"    -> q63OrcRoundtrip,
@@ -337,6 +391,7 @@ object ScalePatterns {
     "q184_skew_unsalted"   -> q184SkewUnsalted)
 
   val oracle: Map[String, String] = Map(
+    "q207_global_ordinals" -> q207Sql,
     "q49_salted_join"      -> q49Sql,
     "q50_bucketed_join"    -> q50Sql,
     "q63_orc_roundtrip"    -> q63Sql,

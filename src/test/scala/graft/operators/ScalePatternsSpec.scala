@@ -195,4 +195,33 @@ class ScalePatternsSpec extends SparkSpec {
       .orderBy("o_custkey").collect().map(_.toSeq)
     assert(bucketed.toSeq == raw.toSeq)
   }
+
+  test("global ordinals equal the naive single-partition window's, but the " +
+    "corpus-sized window is partitioned and only the 32-row offset table " +
+    "collapses to one partition") {
+    val q = ScalePatterns.q207GlobalOrdinals(spark, dir)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = graft.Tables.orders(spark, dir)
+      .withColumn("ordinal", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy("o_orderdate", "o_orderkey")).cast("long"))
+      .filter(col("ordinal") % 97 === 1)
+      .orderBy("ordinal")
+      .select("ordinal", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == naive.toSeq)
+    // plan text from a FRESH (un-executed) frame: after execution AQE
+    // replaces materialized stages with opaque references and the offset
+    // exchange disappears from the printed tree
+    val plan = ScalePatterns.q207GlobalOrdinals(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized rank window runs per range partition (keyed by pid)
+    assert(plan.contains("windowspecdefinition(pid"),
+      s"expected the big window partitioned by pid:\n$plan")
+    // exactly ONE SinglePartition exchange — the |partitions|-row offset
+    // prefix-sum — and none feeding directly off a file scan
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles == 1, s"expected exactly one metadata-sized " +
+      s"SinglePartition exchange, found $singles:\n$plan")
+  }
 }
