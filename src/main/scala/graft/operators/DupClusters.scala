@@ -191,9 +191,120 @@ object DupClusters {
       |  COUNT(*) OVER (PARTITION BY component) AS cluster_size
       |FROM comp ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d218
+
+  /** d218: INCREMENTAL component maintenance — the clustering half of the
+    * d135/d142/d185 incremental-dedup story: the standing corpus's
+    * duplicate components are a PERSISTED labeling; when a batch arrives,
+    * its near-dup pairs can join existing clusters, bridge two clusters
+    * into one, or form new ones — and the labeling must be repaired
+    * WITHOUT re-clustering history.
+    *
+    * Algorithm: (1) new pairs = verified pairs with ≥1 batch endpoint
+    * (from the persisted [[Dedup.dupPairs]] artifact — the minhash chain
+    * never re-runs); (2) affected components = those containing a standing
+    * endpoint of a new pair (a standing node with its FIRST pair labels
+    * itself — the left-join singleton case); (3) each affected component
+    * collapses to a STAR (member → its label; the label is the min member,
+    * so it is itself a node), and CC re-runs on stars ∪ new pairs ∪ batch
+    * nodes only; (4) unaffected labels pass through untouched. Min-label
+    * CC gives the same component id (global min doc_id) as a from-scratch
+    * run — which is exactly what the oracle computes, full recursive CC
+    * over the union pair graph.
+    *
+    * Scale shape: iterative state is |affected members + batch| — the
+    * sliver of the corpus the batch actually touches — versus d57's
+    * full-graph rounds; history is read only through the label table
+    * (probe-never-rescan, the d185 premise applied to cluster state). The
+    * output's `src` column marks each row batch / affected / kept, so the
+    * gate verifies the REPAIR BOUNDARY, not just the labels. */
+  def d218IncrementalComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.dupPairs(s, dir).select("id1", "id2")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val standingPairs = pairs
+      .filter(col("id1") % 7 =!= 0 && col("id2") % 7 =!= 0)
+    // the standing labeling is a persisted corpus artifact, like the band
+    // index it derives from
+    val path = graft.SparkSupport.layoutArtifact("cc_labels", dir) { p =>
+      val ends = standingPairs.select(col("id1").as("id"))
+        .unionByName(standingPairs.select(col("id2").as("id"))).distinct()
+      connectedComponents(ends,
+          standingPairs.select(col("id1").as("src"), col("id2").as("dst")))
+        .write.mode("overwrite").parquet(p)
+    }
+    val labels = s.read.parquet(path)
+    val newPairs = pairs
+      .filter(col("id1") % 7 === 0 || col("id2") % 7 === 0)
+    incrementalRepair(labels, newPairs, batchPred = "id % 7 = 0")
+      .orderBy("doc_id")
+  }
+
+  /** The d218 repair core over an existing labeling and a batch's new pair
+    * list — exposed for property tests (bridge merges, join-existing,
+    * fresh cliques, first-pair singletons all must equal a from-scratch
+    * CC). `batchPred` is a SQL boolean over `id` deciding batch
+    * membership. Returns (doc_id, component, src ∈ batch/affected/kept). */
+  private[operators] def incrementalRepair(
+      labelsIn: DataFrame, newPairsIn: DataFrame,
+      batchPred: String): DataFrame = {
+    val labels = labelsIn
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds touched, members, kept
+    val newPairs = newPairsIn.select("id1", "id2")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ends = newPairs.select(col("id1").as("id"))
+      .unionByName(newPairs.select(col("id2").as("id")))
+    val touched = ends.filter(expr(s"NOT ($batchPred)")).distinct()
+      .join(labels, Seq("id"), "left")
+      .selectExpr("id", "coalesce(component, id) AS component")
+    val affected = touched.select("component").distinct()
+    val members = labels.join(affected, "component")
+      .select("id", "component")
+      .unionByName(touched).distinct()
+    val starEdges = members.filter(col("id") =!= col("component"))
+      .select(col("component").as("src"), col("id").as("dst"))
+    val batchNodes = ends.filter(expr(batchPred)).distinct()
+    val subNodes = members.select("id").unionByName(batchNodes).distinct()
+    val subEdges = starEdges.unionByName(
+      newPairs.select(col("id1").as("src"), col("id2").as("dst")))
+    val repaired = connectedComponents(subNodes, subEdges)
+    val kept = labels.join(affected, Seq("component"), "left_anti")
+      .selectExpr("id AS doc_id", "component", "'kept' AS src")
+    val re = repaired.selectExpr("id AS doc_id", "component",
+      s"CASE WHEN $batchPred THEN 'batch' ELSE 'affected' END AS src")
+    kept.unionByName(re)
+  }
+
+  val d218Sql: String =
+    s"""WITH RECURSIVE ${Dedup.minhashPairCtes},
+       |pairs AS (
+       |  SELECT id1, id2
+       |  FROM cand LEFT JOIN common USING (id1, id2)
+       |  JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
+       |  WHERE round(coalesce(common, 0) * 1.0
+       |          / (n1.ns + n2.ns - coalesce(common, 0)), 6) >= 0.2),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+       |          UNION ALL SELECT id2 AS src, id1 AS dst FROM pairs),
+       |vs AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS l FROM vs
+       |  UNION
+       |  SELECT e.dst AS id, r.l FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(l) AS component FROM reach GROUP BY id),
+       |hasb AS (SELECT component,
+       |    max(CASE WHEN id % 7 = 0 THEN 1 ELSE 0 END) AS hb
+       |  FROM comp GROUP BY component)
+       |SELECT comp.id AS doc_id, comp.component,
+       |  CASE WHEN comp.id % 7 = 0 THEN 'batch'
+       |       WHEN hb = 1 THEN 'affected'
+       |       ELSE 'kept' END AS src
+       |FROM comp JOIN hasb USING (component)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d57_dup_components" -> d57DupComponents)
+    "d57_dup_components" -> d57DupComponents,
+    "d218_incremental_cc" -> d218IncrementalComponents)
 
   val oracle: Map[String, String] = Map(
-    "d57_dup_components" -> d57Sql)
+    "d57_dup_components" -> d57Sql,
+    "d218_incremental_cc" -> d218Sql)
 }

@@ -125,6 +125,41 @@ object EventStreams {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Per-document LSH band keys, derived MAP-SIDE in one projection
+    * (shingle → poly_hash → minhash16 → 4 bands of 4) — the same
+    * arithmetic as the batch dedup family's band index, so a stream's keys
+    * probe the batch-built artifact directly. Works on static AND
+    * streaming frames (stateless, no shuffle). */
+  def bandKeys(docs: DataFrame): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(docs.sparkSession)
+    import graft.functions.PortableHash.shingles
+    docs.selectExpr("doc_id",
+        s"transform(${shingles(3)}, sh -> poly_hash(sh)) AS hs")
+      .selectExpr("doc_id", "minhash16(hs) AS mh")
+      .selectExpr("doc_id",
+        """explode(transform(sequence(0, 3), b -> concat(
+          |  CAST(b AS STRING), ':',
+          |  concat_ws('-', transform(slice(mh, b*4 + 1, 4),
+          |    x -> CAST(x AS STRING)))))) AS band_key""".stripMargin)
+  }
+
+  /** Streaming near-dup ADMISSION probe — the d185 batch probe as a
+    * continuous query: arriving documents derive band keys map-side
+    * ([[bandKeys]]) and stream-static inner-join the PERSISTED band index
+    * of the standing corpus; each emitted row is a (new doc, history doc)
+    * CANDIDATE for the verification stage. Docs with no output rows are
+    * clean admissions — the caller's foreachBatch anti-joins the batch
+    * against its candidates (StreamingSpec shows the pattern). Stateless,
+    * append-mode, no stream-side shuffle; at 100 TB the static side is the
+    * bucketed band layout (d189's admit/compact output) and the join
+    * prunes to the buckets the micro-batch touches. */
+  def admissionCandidates(docs: DataFrame, bandIndex: DataFrame): DataFrame =
+    bandKeys(docs)
+      .join(bandIndex.select(col("band_key"), col("doc_id").as("hit_id")),
+        "band_key")
+      .filter(col("doc_id") =!= col("hit_id"))
+      .select("doc_id", "band_key", "hit_id")
+
   // ---- custom state: flatMapGroupsWithState sessionizer -----------------
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

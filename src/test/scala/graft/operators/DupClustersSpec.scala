@@ -86,4 +86,26 @@ class DupClustersSpec extends SparkSpec {
     val singletons = rows.filter(r => r.getLong(0) < 1000000L && r.getLong(0) % 10 != 0)
     assert(singletons.forall(r => r.getLong(1) == r.getLong(0) && r.getLong(2) == 1L))
   }
+
+  test("incremental repair equals from-scratch labels across every merge " +
+    "shape: bridge, fresh clique, first-pair singleton, untouched") {
+    import spark.implicits._
+    // standing labeling: {1,2,3} → 1, {10,11} → 10, {20,21} → 20 (untouched)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)).toDF("id", "component")
+    // batch (id ≥ 100): 100 BRIDGES components 1 and 10; 101-102 form a
+    // fresh batch-only clique; 103 attaches to standing node 30, which has
+    // no prior pair (the label-yourself singleton path)
+    val newPairs = Seq((100L, 2L), (100L, 11L), (101L, 102L), (103L, 30L))
+      .toDF("id1", "id2")
+    val out = DupClusters.incrementalRepair(labels, newPairs, "id >= 100")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val expected = Set(
+      (1L, 1L, "affected"), (2L, 1L, "affected"), (3L, 1L, "affected"),
+      (10L, 1L, "affected"), (11L, 1L, "affected"), (100L, 1L, "batch"),
+      (101L, 101L, "batch"), (102L, 101L, "batch"),
+      (30L, 30L, "affected"), (103L, 30L, "batch"),
+      (20L, 20L, "kept"), (21L, 20L, "kept"))
+    assert(out == expected)
+  }
 }

@@ -447,6 +447,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming admission gate: a near-copy hits the standing band index, " +
+    "novel docs admit clean via the per-batch anti-join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // standing corpus: two docs; its band index is the batch-built artifact
+    val standing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "data pipelines shuffle partitions across executors with broadcast joins"))
+      .toDF("doc_id", "text")
+    val index = EventStreams.bandKeys(standing)
+    // stream: 100 is a near-copy of doc 1 (one word changed → shares bands),
+    // 101/102 are novel
+    val mem = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.Set[Long]()
+    val suspects = scala.collection.mutable.Set[(Long, Long)]()
+    val q = EventStreams.admissionCandidates(
+        mem.toDF().toDF("doc_id", "text"), index)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        suspects ++= batch.select("doc_id", "hit_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        ()
+      }.start()
+    val docs = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog again and again tonight",
+      101L -> "completely unrelated content about cooking pasta with fresh tomatoes basil",
+      102L -> "orbital mechanics requires delta v budgets for interplanetary transfer windows")
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    // admission = the batch anti-joined against its candidate doc_ids
+    val hitIds = suspects.map(_._1)
+    admitted ++= docs.map(_._1).filterNot(hitIds)
+    assert(suspects.nonEmpty && suspects.forall(_ == (100L -> 1L)),
+      s"only the near-copy may hit, and only against doc 1: $suspects")
+    assert(admitted == Set(101L, 102L))
+  }
+
   test("foreachBatch sink applies per-batch upserts to an external store") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
