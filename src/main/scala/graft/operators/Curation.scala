@@ -41,19 +41,25 @@ object Curation {
     * what the gram-hash join avoids. The gram index is persisted because it
     * feeds both the train and eval branches (Spark re-executes unshared
     * subplans — see Dedup's cost notes). */
-  def t92Contamination(s: SparkSession, dir: String): DataFrame = {
+  /** The 5-gram hash index as a built-once corpus artifact (t92's layout,
+    * shared with t219's splice) — materialized per corpus dir exactly like
+    * Dedup's shingle index, then read back columnar. */
+  private[operators] def gramIndex(s: SparkSession, dir: String): DataFrame = {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
-    // the 5-gram hash index is the built-once corpus artifact the Scaladoc
-    // describes — materialized per corpus dir exactly like Dedup's shingle
-    // index, then read back (still persisted in-memory: it feeds both the
-    // train and eval branches of this query's plan)
     val gramPath = graft.SparkSupport.layoutArtifact("gram_idx", dir) { p =>
       Tables.documents(s, dir)
         .selectExpr("doc_id", s"explode(${shingles(5)}) AS g")
         .selectExpr("doc_id", "poly_hash(g) AS h")
         .write.mode("overwrite").parquet(p)
     }
-    val grams = s.read.parquet(gramPath)
+    s.read.parquet(gramPath)
+  }
+
+  def t92Contamination(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    // persisted in-memory on top of the layout: it feeds both the train
+    // and eval branches of this query's plan
+    val grams = gramIndex(s, dir)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val train = grams.filter(col("doc_id") % 7 =!= 0).select("h").distinct()
     grams.filter(col("doc_id") % 7 === 0)
@@ -406,9 +412,182 @@ object Curation {
        |FROM capped GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t219
+
+  /** t219: decontamination SPLICE — the REMOVAL step after t92's
+    * detection: every training-doc token covered by a 5-token window whose
+    * gram hash also appears in the eval set is excised; overlapping
+    * windows merge into maximal spans (the islands trick, t154's run
+    * detection applied to removal); the cleaned text reassembles from the
+    * surviving tokens in order. This is the step that actually repairs a
+    * contaminated corpus rather than merely scoring it — the
+    * deduplicate-text-datasets "cut the duplicated bytes" operation, at
+    * token granularity, against an eval suite.
+    *
+    * Scale shape: eval grams collapse to a DISTINCT hash set (the gram
+    * index is the shared persisted artifact); the probe is one equi-join
+    * keyed by gram hash; span merge and token splice are per-doc window/
+    * anti-join work keyed by doc_id — nothing pairwise, and only AFFECTED
+    * docs ever re-materialize text (clean docs don't pay a rewrite, the
+    * copy-on-write discipline a 100 TB decontamination job needs).
+    *
+    * Output (affected docs only): token counts, removed-token count, span
+    * count, and the md5 of the cleaned text — the gate hashes the repaired
+    * CONTENT, not just the statistics. */
+  def t219Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .filter(col("doc_id") % 7 =!= 0)
+      .selectExpr("doc_id", s"${graft.functions.PortableHash.tokens} AS tk")
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds windows, splice, sizes
+    val wins = toks.selectExpr("doc_id",
+        """posexplode(transform(sequence(1, size(tk) - 4),
+          |  i -> poly_hash(concat_ws(' ', slice(tk, i, 5))))) AS (p, h)""".stripMargin)
+      .selectExpr("doc_id", "p + 1 AS pos", "h")
+    val ev = gramIndex(s, dir).filter(col("doc_id") % 7 === 0)
+      .select("h").distinct()
+    val hits = wins.join(ev, "h").select("doc_id", "pos")
+    val covered = hits
+      .selectExpr("doc_id", "explode(sequence(pos, pos + 4)) AS i")
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds spans, counts, anti-join
+    val spans = covered
+      .withColumn("grp", col("i") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("i")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"),
+        countDistinct(col("grp")).as("n_spans"))
+    val affected = covered.select("doc_id").distinct()
+    val tp = toks.join(affected, "doc_id")
+      .selectExpr("doc_id", "posexplode(tk) AS (j, t)")
+      .selectExpr("doc_id", "j + 1 AS i", "t")
+    val cleaned = tp.join(covered, Seq("doc_id", "i"), "left_anti")
+      .groupBy("doc_id")
+      .agg(expr("""md5(concat_ws(' ', transform(
+        |  array_sort(collect_list(struct(i, t))), e -> e.t)))""".stripMargin)
+        .as("clean_md5"))
+    toks.selectExpr("doc_id", "size(tk) AS n_tokens")
+      .join(spans, "doc_id")
+      .join(cleaned, Seq("doc_id"), "left") // fully-covered docs clean to ''
+      .selectExpr("doc_id", "n_tokens", "n_removed", "n_spans",
+        "coalesce(clean_md5, md5('')) AS clean_md5")
+      .orderBy("doc_id")
+  }
+
+  val t219Sql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |wins AS (
+       |  SELECT doc_id, i AS pos,
+       |    ${polyDuck("array_to_string(tk[i:i+4], ' ')")} AS h
+       |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i
+       |        FROM toks)),
+       |ev AS (
+       |  SELECT DISTINCT ${polyDuck("sh")} AS h
+       |  FROM (SELECT unnest(list_distinct(list_transform(
+       |          range(1, len(string_split(lower(text), ' ')) - 3),
+       |          i -> array_to_string(
+       |            (string_split(lower(text), ' '))[i:i+4], ' ')))) AS sh
+       |        FROM documents WHERE doc_id % 7 = 0)),
+       |hits AS (SELECT DISTINCT w.doc_id, w.pos FROM wins w JOIN ev USING (h)),
+       |cov AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, i FROM (
+       |    SELECT doc_id, unnest(range(pos, pos + 5)) AS i FROM hits)),
+       |sp AS (
+       |  SELECT doc_id, count(*) AS n_removed, count(DISTINCT grp) AS n_spans
+       |  FROM (SELECT doc_id, i,
+       |          i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |        FROM cov)
+       |  GROUP BY doc_id),
+       |tp AS (
+       |  SELECT doc_id, generate_subscripts(tk, 1) AS i, unnest(tk) AS t
+       |  FROM toks WHERE doc_id IN (SELECT doc_id FROM cov)),
+       |kept AS (
+       |  SELECT tp.doc_id, tp.i, tp.t FROM tp
+       |  LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.i = cov.i
+       |  WHERE cov.i IS NULL),
+       |cl AS (
+       |  SELECT doc_id, md5(string_agg(t, ' ' ORDER BY i)) AS clean_md5
+       |  FROM kept GROUP BY doc_id),
+       |nt AS (SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens FROM toks)
+       |SELECT nt.doc_id, n_tokens, n_removed, n_spans,
+       |  coalesce(clean_md5, md5('')) AS clean_md5
+       |FROM nt JOIN sp ON nt.doc_id = sp.doc_id
+       |LEFT JOIN cl ON nt.doc_id = cl.doc_id
+       |ORDER BY nt.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q220
+
+  /** q220: Neyman allocation — distribute a fixed sampling budget across
+    * strata proportional to N_h·S_h (stratum size × standard deviation),
+    * the optimal-variance design for stratified estimation and the
+    * principled version of "how many docs should each source contribute
+    * to the eval sample?" (uniform per-stratum sampling over-samples
+    * homogeneous sources; q82/q93 do the DRAWING, this computes the
+    * BUDGET). Allocation uses the largest-remainder (Hamilton) method so
+    * the integer allocations sum to the budget exactly.
+    *
+    * Determinism: moments are exact integer sums; S_h derives through one
+    * fixed IEEE chain; weights quantize to scaled longs BEFORE the
+    * cross-stratum total (order-independent — a double Σw_h would depend
+    * on accumulation order), and apportionment (floor quotas + remainder
+    * ranking) is pure integer arithmetic with a stratum-name tie-break.
+    * One aggregation over the corpus + window math on |strata| rows. */
+  def q220NeymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 100
+    val m = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .selectExpr("source", "n",
+        """sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+          |  / n) / (n - 1)) AS sd""".stripMargin)
+      .selectExpr("source", "n", "sd",
+        "CAST(floor(n * sd * 1e6D + 0.5D) AS BIGINT) AS w6")
+    val a = m.crossJoin(broadcast(m.agg(sum(col("w6")).as("W"))))
+      .selectExpr("source", "n", "sd",
+        s"CAST($budget AS BIGINT) * w6 DIV W AS base",
+        s"CAST($budget AS BIGINT) * w6 % W AS rem")
+    a.crossJoin(broadcast(
+        a.agg((lit(budget) - sum(col("base"))).as("L"))))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .selectExpr("source", "n AS n_docs", "round(sd, 6) AS sd",
+        "base + CAST(rk <= L AS BIGINT) AS alloc")
+      .orderBy("source")
+  }
+
+  val q220Sql: String =
+    """WITH m AS (
+      |  SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sx,
+      |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n,
+      |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |      / n) / (n - 1)) AS sd
+      |  FROM m),
+      |w6 AS (SELECT source, n, sd,
+      |         CAST(floor(n * sd * 1e6 + 0.5e0) AS BIGINT) AS w6 FROM w),
+      |tw AS (SELECT CAST(sum(w6) AS BIGINT) AS W FROM w6),
+      |a AS (SELECT source, n, sd,
+      |        CAST(100 AS BIGINT) * w6 // W AS base,
+      |        CAST(100 AS BIGINT) * w6 % W AS rem
+      |      FROM w6, tw),
+      |lv AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS L FROM a)
+      |SELECT source, n AS n_docs, round(sd, 6) AS sd,
+      |  base + CAST(row_number() OVER (ORDER BY rem DESC, source) <= L
+      |    AS BIGINT) AS alloc
+      |FROM a, lv ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_curation_pipeline" -> q138CurationPipeline,
     "t92_contamination"   -> t92Contamination,
+    "t219_decontaminate"  -> t219Decontaminate,
+    "q220_neyman_alloc"   -> q220NeymanAlloc,
     "q118_weighted_sample" -> q118WeightedSample,
     "q93_group_sample"    -> q93GroupSample,
     "q94_incremental_agg" -> q94IncrementalAgg,
@@ -420,6 +599,8 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q138_curation_pipeline" -> q138Sql,
     "t92_contamination"   -> t92Sql,
+    "t219_decontaminate"  -> t219Sql,
+    "q220_neyman_alloc"   -> q220Sql,
     "q118_weighted_sample" -> q118Sql,
     "q93_group_sample"    -> q93Sql,
     "q94_incremental_agg" -> q94Sql,

@@ -529,6 +529,77 @@ object Curation3 {
   /** d30's oracle restricted to the t = 0.8 regime d181 targets. */
   val d181Sql: String = Dedup.d30SqlAt("0.8")
 
+  // ---------------------------------------------------------------- d225
+
+  /** d225: containment join (ASYMMETRIC prefix filter) at C ≥ 0.9 — find
+    * documents CONTAINED in another: C(A→B) = |S_A ∩ S_B| / |S_A|. This is
+    * the quote/boilerplate-superset detector a dedup pass needs beside the
+    * symmetric joins: a 50-shingle doc fully inside a 500-shingle doc has
+    * J ≈ 0.1 (invisible to d30/d31/d181 at their thresholds) but C = 1.0
+    * (the corpus plants exactly these — 25 full-containment pairs at
+    * sf0.01). Emitted per DIRECTION: (contained, container).
+    *
+    * Prefix bound, asymmetric (Chaudhuri et al. SSJoin 2006): if
+    * |S_A ∩ S_B| ≥ t|A| then A has at most |A| − ⌈t|A|⌉ shingles outside
+    * B, so A's rarest-first prefix of length |A| − ⌈t|A|⌉ + 1 must hit B —
+    * only the CONTAINED side is prefix-indexed (~10% of its shingles at
+    * t = 0.9, and the rarest ones, so posting lists stay short); the
+    * container side keeps full postings. Candidate generation is a
+    * posting-list join, never C(bucket, 2).
+    *
+    * Verification is candidate-bounded and multiset-exact (the d181
+    * conventions), and the threshold compare is EXACT INTEGER
+    * (common·10 ≥ |A|·9) — no float boundary anywhere. */
+  def d225ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = Dedup.shingleIndex(s, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = idx.groupBy("h").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val prefix = idx.join(dfreq, "h")
+      .withColumn("na", count(lit(1)).over(byDoc))
+      .withColumn("pos", row_number().over(byDoc.orderBy("df", "h")))
+      .filter(col("pos") <=
+        col("na") - ceil(col("na") * lit(0.9)).cast("long") + 1)
+      .select(col("doc_id").as("ida"), col("h"))
+    val cand = prefix
+      .join(idx.select(col("doc_id").as("idb"), col("h")), "h")
+      .filter(col("ida") =!= col("idb"))
+      .select("ida", "idb").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the semi-join + verify
+    val candDocs = cand
+      .select(explode(array(col("ida"), col("idb"))).as("doc_id")).distinct()
+    val r = idx.join(candDocs, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = r.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    cand
+      .join(r.withColumnRenamed("doc_id", "ida"), "ida")
+      .join(r.withColumnRenamed("doc_id", "idb"), Seq("idb", "h"))
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("common"))
+      .join(n.select(col("doc_id").as("ida"), col("ns").as("na")), "ida")
+      .join(n.select(col("doc_id").as("idb"), col("ns").as("nb")), "idb")
+      .filter(col("common") * 10 >= col("na") * 9)
+      .selectExpr("ida AS contained_id", "idb AS container_id",
+        "na AS ns_contained", "nb AS ns_container",
+        "round(common / CAST(na AS DOUBLE), 6) AS containment")
+      .orderBy("contained_id", "container_id")
+  }
+
+  val d225Sql: String =
+    s"""WITH ${Dedup.shingleIndexSql},
+       |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS common
+       |  FROM s a JOIN s b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT ida AS contained_id, idb AS container_id,
+       |  n1.ns AS ns_contained, n2.ns AS ns_container,
+       |  round(common / CAST(n1.ns AS DOUBLE), 6) AS containment
+       |FROM common JOIN n n1 ON ida = n1.doc_id JOIN n n2 ON idb = n2.doc_id
+       |WHERE common * 10 >= n1.ns * 9
+       |ORDER BY contained_id, container_id""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -539,7 +610,8 @@ object Curation3 {
     "t176_gram_novelty" -> t176GramNovelty,
     "q177_itemset_pairs" -> q177ItemsetPairs,
     "t178_char_entropy" -> t178CharEntropy,
-    "d181_prefix_filter_join" -> d181PrefixFilterJoin)
+    "d181_prefix_filter_join" -> d181PrefixFilterJoin,
+    "d225_containment_join" -> d225ContainmentJoin)
 
   val oracle: Map[String, String] = Map(
     "t170_nb_langid"    -> t170Sql,
@@ -551,5 +623,8 @@ object Curation3 {
     "t178_char_entropy" -> t178Sql,
     // completeness IS the claim: the prefix-filtered join must reproduce
     // the full bucket join bit-for-bit, so it gates on d30's own oracle
-    "d181_prefix_filter_join" -> d181Sql)
+    "d181_prefix_filter_join" -> d181Sql,
+    // same claim, asymmetric: the oracle is the NAIVE all-sharing-pairs
+    // containment join — the prefix filter must lose nothing
+    "d225_containment_join" -> d225Sql)
 }

@@ -132,4 +132,23 @@ class Curation3Spec extends SparkSpec {
       Pretrain.t152GopherRules(spark, dir).filter(col("pass") === 1).count())
     out.unpersist()
   }
+
+  test("containment join: the asymmetric prefix filter loses nothing " +
+    "against the naive all-pairs containment, and pairs exist") {
+    val out = Curation3.d225ContainmentJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Dedup.shingleIndex(spark, dir)
+    val n = idx.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val brute = idx.as("a")
+      .join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("cm"))
+      .join(n.select(col("doc_id").as("ida"), col("ns")), "ida")
+      .filter(col("cm") * 10 >= col("ns") * 9)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == brute)
+    assert(out.nonEmpty, "the corpus plants containment pairs")
+  }
 }

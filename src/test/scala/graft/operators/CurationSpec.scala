@@ -105,4 +105,42 @@ class CurationSpec extends SparkSpec {
       assert(plan.contains("TopKPerKey"), s"expected TopKPerKey node in:\n$plan")
     }
   }
+
+  test("decontamination splice: a driver-side replica reproduces span " +
+    "counts and the cleaned-text hash for every affected doc") {
+    val out = Curation.t219Decontaminate(spark, dir).collect()
+    assert(out.nonEmpty, "the corpus must contain train/eval contamination")
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ph(s: String): Long = {
+      var a = 7L; s.foreach(c => a = (a * 31 + c.toInt) % 1000000007L); a
+    }
+    def grams5(toks: Array[String]): Seq[(Int, Long)] =
+      (0 to toks.length - 5).map(i => (i + 1, ph(toks.slice(i, i + 5).mkString(" "))))
+    val evalSet = docs.filter(_._1 % 7 == 0).values
+      .flatMap(t => grams5(t.toLowerCase.split(" ", -1)).map(_._2)).toSet
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 7 != 0, "only training docs are spliced")
+      val toks = docs(id).toLowerCase.split(" ", -1)
+      val covered = grams5(toks).filter(g => evalSet(g._2))
+        .flatMap(p => p._1 to p._1 + 4).toSet
+      assert(r.getInt(1) == toks.length)
+      assert(r.getLong(2) == covered.size, s"doc $id removed-token count")
+      val cleaned = toks.zipWithIndex
+        .collect { case (t, j) if !covered(j + 1) => t }.mkString(" ")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(cleaned.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(4) == md5, s"doc $id cleaned-text hash")
+    }
+  }
+
+  test("neyman allocation: integer allocations sum exactly to the budget " +
+    "and the heaviest N·S stratum draws at least a mean share") {
+    val out = Curation.q220NeymanAlloc(spark, dir).collect()
+    assert(out.map(_.getLong(3)).sum == 100L)
+    assert(out.forall(_.getLong(3) >= 0L))
+    val top = out.maxBy(r => r.getLong(1) * r.getDouble(2))
+    assert(top.getLong(3) >= 100L / out.length)
+  }
 }
