@@ -168,9 +168,98 @@ object GraphOps {
       |  round(2.0 * (SELECT count(*) FROM e) / (SELECT count(*) FROM deg), 6)
       |    AS avg_degree""".stripMargin
 
+  // ---------------------------------------------------------------- q242
+
+  private val AaMaxCenterDeg = 64
+  private val AaTopK = 50
+
+  /** q242: Adamic-Adar link prediction — for non-adjacent node pairs
+    * sharing neighbors, score Σ_{v ∈ N(u)∩N(w)} 1/ln(deg v): common
+    * neighbors weighted inversely by how promiscuous they are, the
+    * classic "which parts will co-occur next" recommender signal over the
+    * q117 co-occurrence graph (same edges as triangles/PageRank/k-core —
+    * the fourth consumer of one graph definition).
+    *
+    * Hub handling is PRINCIPLED truncation, not a hack: wedge generation
+    * from a center v costs C(deg v, 2), but v's CONTRIBUTION to any score
+    * is 1/ln(deg v) — vanishing exactly where the cost explodes — so
+    * centers with deg > 64 are excluded from scoring (each dropped term
+    * is < 1/ln 64 ≈ 0.24) and the quadratic blowup is capped at C(64, 2)
+    * per node. The oracle applies the same cap, so the gate is exact.
+    *
+    * Determinism: per-wedge weights quantize to scaled longs
+    * (floor(1e6/ln(deg) + 0.5) — ln of an exact small integer, the
+    * t146/t165 precedent) and sum exactly; existing edges leave via an
+    * anti-join on the canonical pair; top-50 by (score, pair) with integer
+    * ordering. */
+  def q242AdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = GraphOps2.coEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = degrees(e)
+    // symmetric adjacency restricted to low-degree centers
+    val adj = e.select(col("u").as("c"), col("v").as("n"))
+      .unionByName(e.select(col("v").as("c"), col("u").as("n")))
+      .join(deg.select(col("x").as("c"), col("d")), "c")
+      .filter(col("d") <= AaMaxCenterDeg)
+    val wedges = adj.as("a").join(adj.as("b"),
+        col("a.c") === col("b.c") && col("a.n") < col("b.n"))
+      .selectExpr("a.n AS u", "b.n AS w",
+        s"CAST(floor(1e6D / ln(a.d) + 0.5D) AS BIGINT) AS c6")
+    val scored = wedges.groupBy("u", "w")
+      .agg(sum(col("c6")).as("score6"), count(lit(1)).as("n_common"))
+      .join(e.select(col("u"), col("v").as("w")).withColumn("ex", lit(1)),
+        Seq("u", "w"), "left_anti") // drop already-connected pairs
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score6").desc, col("u"), col("w"))))
+      .filter(col("rank") <= AaTopK)
+      .selectExpr("rank", "u", "w", "n_common",
+        "round(CAST(score6 AS DOUBLE) / 1e6, 6) AS aa_score")
+      .orderBy("rank")
+    scored
+  }
+
+  val q242Sql: String =
+    s"""WITH hi AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_quantity >= 40),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM hi a JOIN hi b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |deg AS (
+       |  SELECT x, count(*) AS d FROM (
+       |    SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+       |  GROUP BY x),
+       |adj AS MATERIALIZED (
+       |  SELECT s.c, s.n, deg.d FROM (
+       |    SELECT u AS c, v AS n FROM e UNION ALL SELECT v AS c, u AS n FROM e) s
+       |  JOIN deg ON s.c = deg.x WHERE deg.d <= $AaMaxCenterDeg),
+       |wedges AS (
+       |  SELECT a.n AS u, b.n AS w,
+       |    CAST(floor(1e6 / ln(a.d) + 0.5e0) AS BIGINT) AS c6
+       |  FROM adj a JOIN adj b ON a.c = b.c AND a.n < b.n),
+       |scored AS (
+       |  SELECT u, w, CAST(sum(c6) AS BIGINT) AS score6,
+       |    count(*) AS n_common
+       |  FROM wedges GROUP BY u, w),
+       |nonedge AS (
+       |  SELECT s.* FROM scored s LEFT JOIN e
+       |    ON s.u = e.u AND s.w = e.v
+       |  WHERE e.u IS NULL),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER
+       |    (ORDER BY score6 DESC, u, w) AS INTEGER) AS rank
+       |  FROM nonedge)
+       |SELECT rank, u, w, n_common,
+       |  round(CAST(score6 AS DOUBLE) / 1e6, 6) AS aa_score
+       |FROM ranked WHERE rank <= $AaTopK ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q117_triangle_count" -> q117TriangleCount)
+    "q117_triangle_count" -> q117TriangleCount,
+    "q242_adamic_adar"    -> q242AdamicAdar)
 
   val oracle: Map[String, String] = Map(
-    "q117_triangle_count" -> q117Sql)
+    "q117_triangle_count" -> q117Sql,
+    "q242_adamic_adar"    -> q242Sql)
 }

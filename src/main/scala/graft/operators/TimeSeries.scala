@@ -303,8 +303,101 @@ object TimeSeries {
       |  count(DISTINCT user_id) AS wau
       |FROM m GROUP BY w ORDER BY window_start""".stripMargin
 
+  // ---------------------------------------------------------------- q232
+
+  /** q232: CUSUM changepoint detection — per event_type, the one-sided
+    * cumulative-sum statistic over the hourly mean series: S⁺_h =
+    * max(0, S⁺_{h−1} + (x_h − μ − k)) with slack k = σ/2, the classic
+    * Page test for a sustained upward level shift (the monitoring primitive
+    * that catches drift EWMA smoothing hides — q115's complement).
+    *
+    * The clamped recursion is NOT expressed as a fold: S⁺_j = P_j −
+    * min_{i≤j} P_i where P is the plain cumulative sum of (x − μ − k) —
+    * prefix-minus-running-min turns the reset-at-zero recursion into two
+    * stock window functions, each one pass over the series, partitioned
+    * per event_type (parallel across series, the monitoring-at-scale
+    * shape).
+    *
+    * Determinism: hourly means quantize to scaled longs; μ, k, and every
+    * prefix are INTEGER arithmetic on those (integer-div truncation
+    * documented in-line); σ is one sqrt on an exactly-derived double,
+    * floor-quantized before use. The alarm threshold compare (max S⁺ >
+    * 4σ) is integer-vs-integer. */
+  def q232CusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(OracleSafe.qsum6(col("value")).as("sm"), count(lit(1)).as("c"))
+      // hourly mean, re-quantized to a scaled long — the series the CUSUM
+      // runs on is integer from here down
+      .selectExpr("event_type", "h",
+        "CAST(floor(sm / c * 1e6D + 0.5D) AS BIGINT) AS x6")
+    val byType = Window.partitionBy("event_type")
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"),
+        // x6² sums in exact decimal: a long Σx6² can pass 2^63 on wide
+        // value ranges (DuckDB's hugeint sum already can't wrap)
+        sum((col("x6") * col("x6")).cast("decimal(38,0)")).as("sxx"))
+      .selectExpr("event_type", "n",
+        "sx DIV n AS mu6", // integer mean (truncating; documented)
+        """CAST(floor(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+          |  * CAST(sx AS DOUBLE) / n) / n) + 0.5D) AS BIGINT)
+          |AS sigma6""".stripMargin)
+    val cus = hourly.join(broadcast(stats), "event_type")
+      .withColumn("d", expr("x6 - mu6 - sigma6 DIV 2"))
+      .withColumn("p", sum(col("d")).over(byType.orderBy("h")))
+      .withColumn("runmin", min(col("p")).over(byType.orderBy("h")))
+      .withColumn("cus", col("p") - least(col("runmin"), lit(0L)))
+    cus.groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        max(col("mu6")).as("mu6"), max(col("sigma6")).as("sigma6"),
+        // argmax with LATEST-hour tie-break (struct max is lexicographic)
+        max(struct(col("cus"), col("h"))).as("b"))
+      .selectExpr("event_type", "n_hours", "mu6", "sigma6",
+        "b.cus AS max_cusum6",
+        "CAST(b.h AS STRING) AS peak_hour",
+        "CAST(b.cus > 4 * sigma6 AS INT) AS alarm")
+      .orderBy("event_type")
+  }
+
+  val q232Sql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |    CAST(floor(
+      |      CAST(sum(CAST(floor(value * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE)
+      |        / 1e6 / count(*) * 1e6 + 0.5e0) AS BIGINT) AS x6
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(x6) AS BIGINT) // count(*) AS mu6,
+      |    CAST(floor(sqrt((CAST(sum(x6 * x6) AS DOUBLE)
+      |      - CAST(sum(x6) AS DOUBLE) * CAST(sum(x6) AS DOUBLE) / count(*))
+      |      / count(*)) + 0.5e0) AS BIGINT) AS sigma6
+      |  FROM hourly GROUP BY 1),
+      |dd AS (
+      |  SELECT h.event_type, h.h, n, mu6, sigma6,
+      |    x6 - mu6 - sigma6 // 2 AS d
+      |  FROM hourly h JOIN stats USING (event_type)),
+      |pp AS (
+      |  SELECT *, sum(d) OVER (PARTITION BY event_type ORDER BY h
+      |    ROWS UNBOUNDED PRECEDING) AS p
+      |  FROM dd),
+      |cus AS (
+      |  SELECT *, p - least(min(p) OVER (PARTITION BY event_type ORDER BY h
+      |    ROWS UNBOUNDED PRECEDING), 0) AS cus
+      |  FROM pp),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY cus DESC, h DESC) AS rn
+      |  FROM cus)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_hours, mu6, sigma6,
+      |  CAST(cus AS BIGINT) AS max_cusum6, CAST(h AS VARCHAR) AS peak_hour,
+      |  CAST(cus > 4 * sigma6 AS INTEGER) AS alarm
+      |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_sliding_distinct" -> q136SlidingDistinct,
+    "q232_cusum_changepoint" -> q232CusumChangepoint,
     "q114_gap_fill"     -> q114GapFill,
     "q115_ewma"         -> q115Ewma,
     "q116_iqr_outliers" -> q116IqrOutliers,
@@ -313,6 +406,7 @@ object TimeSeries {
 
   val oracle: Map[String, String] = Map(
     "q136_sliding_distinct" -> q136Sql,
+    "q232_cusum_changepoint" -> q232Sql,
     "q114_gap_fill"     -> q114Sql,
     "q115_ewma"         -> q115Sql,
     "q116_iqr_outliers" -> q116Sql,

@@ -63,4 +63,45 @@ class GraphOpsSpec extends SparkSpec {
       assert(!unhinted.contains("BroadcastHashJoin"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("adamic-adar: ranked predictions exclude existing edges and a " +
+    "driver-side replica reproduces the whole top list") {
+    val dir = "/root/testdata/sf0.001"
+    val out = GraphOps.q242AdamicAdar(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.nonEmpty)
+    assert(out.map(_._1).toSeq == (1 to out.length))
+    val edges = GraphOps2.coEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edgeSet = edges.toSet
+    out.foreach { p => assert(!edgeSet((p._2, p._3)), s"predicted an edge: $p") }
+    // replica: symmetric adjacency, centers capped at deg 64, quantized sums
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val wedge = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    val adj = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (c, ns) => c -> ns.map(_._2).sorted }
+    adj.foreach { case (c, ns) =>
+      if (deg(c) <= 64) {
+        val c6 = math.floor(1e6 / math.log(deg(c).toDouble) + 0.5).toLong
+        for (i <- ns.indices; j <- i + 1 until ns.length) {
+          val k = (ns(i), ns(j))
+          val (s0, n0) = wedge.getOrElse(k, (0L, 0L))
+          wedge(k) = (s0 + c6, n0 + 1)
+        }
+      }
+    }
+    val expected = wedge.toSeq
+      .filter { case (k, _) => !edgeSet(k) }
+      .sortBy { case ((u, w), (s6, _)) => (-s6, u, w) }
+      .take(out.length)
+      .zipWithIndex
+      .map { case (((u, w), (s6, nc)), i) =>
+        (i + 1, u, w, nc, math.rint(s6.toDouble / 1e6 * 1e6) / 1e6) }
+    assert(out.toSeq.map(t => (t._1, t._2, t._3, t._4)) ==
+      expected.map(t => (t._1, t._2, t._3, t._4)))
+    out.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) < 2e-6) }
+  }
 }

@@ -94,4 +94,41 @@ class TimeSeriesSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) - q3) < 1e-6)
     }
   }
+
+  test("cusum changepoint: a driver-side clamped-recursion fold reproduces " +
+    "every per-type maximum — the prefix-minus-running-min identity holds") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TimeSeries.q232CusumChangepoint(spark, dir).collect()
+    assert(out.nonEmpty)
+    // replicate: hourly scaled means → integer stats → clamped CUSUM fold
+    val rows = graft.Tables.events(spark, dir)
+      .selectExpr("event_type", "CAST(date_trunc('hour', ts) AS STRING) AS h",
+        "value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val byType = rows.groupBy(_._1)
+    out.foreach { r =>
+      val et = r.getString(0)
+      val hourly = byType(et).groupBy(_._2).toSeq.sortBy(_._1).map {
+        case (_, es) =>
+          val s6 = es.map(e => math.floor(e._3 * 1e6 + 0.5).toLong).sum
+          math.floor(s6.toDouble / 1e6 / es.length * 1e6 + 0.5).toLong
+      }
+      val n = hourly.length
+      val mu = hourly.sum / n
+      val sx = hourly.sum.toDouble
+      // Σx² exceeds 2^53 — accumulate exactly, convert once (the engines'
+      // decimal-sum-then-cast path)
+      val sxx = hourly.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      val sigma = math.floor(math.sqrt((sxx - sx * sx / n) / n) + 0.5).toLong
+      val k = sigma / 2
+      var sPlus = 0L; var best = 0L
+      hourly.foreach { x =>
+        sPlus = math.max(0L, sPlus + (x - mu - k))
+        best = math.max(best, sPlus)
+      }
+      assert(r.getLong(1) == n, s"$et n_hours")
+      assert(r.getLong(4) == best, s"$et: fold gives $best, query ${r.getLong(4)}")
+      assert(r.getInt(6) == (if (best > 4 * sigma) 1 else 0))
+    }
+  }
 }
