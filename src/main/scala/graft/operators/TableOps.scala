@@ -220,15 +220,67 @@ object TableOps {
       |FROM orders
       |GROUP BY 1 ORDER BY priority""".stripMargin
 
+  // ---------------------------------------------------------------- q251
+
+  /** q251: transaction-log time travel — the K4 (transactional gold
+    * writes) semantics on plain parquet via [[graft.sources.TxLog]]: a
+    * versioned table is built once per corpus with the gold layer's write
+    * history in miniature (append, append, atomic OVERWRITE, append), and
+    * the query reads every version's snapshot. Version 2's numbers must
+    * survive versions 3-4 unchanged (immutable log prefix = stable time
+    * travel), and version 3 must show the overwrite REPLACED v1-v2's rows
+    * rather than adding to them — the two semantics plain `mode(...)`
+    * parquet writes cannot give and the reference's Delta gold layer
+    * relies on (BuildGoldLayer.py:219-235).
+    *
+    * The oracle recomputes each version's expected contents directly from
+    * the orders table — the log machinery must land exactly the rows the
+    * commit history implies. Concurrency/crash behavior (rename
+    * arbitration, lost-race retry, invisible half-commits) is TxLogSpec's
+    * territory; this gate pins the snapshot algebra. */
+  def q251TxlogTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val table = graft.SparkSupport.layoutArtifact("txlog_demo", dir) { p =>
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      TxLog.append(s, o.filter(col("o_orderkey") % 4 === 0), p)
+      TxLog.append(s, o.filter(col("o_orderkey") % 4 === 1), p)
+      TxLog.overwrite(s, o.filter(col("o_orderkey") % 4 === 2), p)
+      TxLog.append(s, o.filter(col("o_orderkey") % 4 === 3), p)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    (1 to 4).map { v =>
+      TxLog.read(s, table, Some(v))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sk"))
+        .selectExpr(s"$v AS version", "n AS n_rows", "sk AS sum_orderkey")
+    }.reduce(_.unionByName(_)).orderBy("version")
+  }
+
+  val q251Sql: String =
+    """SELECT 1 AS version, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_orderkey
+      |FROM orders WHERE o_orderkey % 4 = 0
+      |UNION ALL
+      |SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      |UNION ALL
+      |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 4 = 2
+      |UNION ALL
+      |SELECT 4, count(*), CAST(sum(o_orderkey) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 4 IN (2, 3)
+      |ORDER BY version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_table_checksum" -> q111TableChecksum,
     "q112_file_skipping"  -> q112FileSkipping,
     "q113_compaction"     -> q113Compaction,
-    "q186_schema_evolution" -> q186SchemaEvolution)
+    "q186_schema_evolution" -> q186SchemaEvolution,
+    "q251_txlog_time_travel" -> q251TxlogTimeTravel)
 
   val oracle: Map[String, String] = Map(
     "q111_table_checksum" -> q111Sql,
     "q112_file_skipping"  -> q112Sql,
     "q113_compaction"     -> q113Sql,
-    "q186_schema_evolution" -> q186Sql)
+    "q186_schema_evolution" -> q186Sql,
+    "q251_txlog_time_travel" -> q251Sql)
 }

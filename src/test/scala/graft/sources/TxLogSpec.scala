@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** The commit-protocol behaviors the q251 gate can't express: rename
+  * arbitration under version conflicts, lost-race retry, invisibility of
+  * half-commits and unreferenced stage files, and time-travel stability. */
+class TxLogSpec extends SparkSpec {
+
+  private def freshTable(): String = tmpDir("txlog")
+
+  private def df(xs: (Long, String)*) = {
+    import spark.implicits._
+    xs.toDF("k", "s")
+  }
+
+  test("append/read roundtrip and version numbering") {
+    val t = freshTable()
+    assert(TxLog.versions(t).isEmpty)
+    val v1 = TxLog.append(spark, df(1L -> "a", 2L -> "b"), t)
+    val v2 = TxLog.append(spark, df(3L -> "c"), t)
+    assert((v1, v2) == (1, 2))
+    assert(TxLog.read(spark, t).count() == 3)
+    assert(TxLog.read(spark, t, Some(1)).count() == 2)
+  }
+
+  test("overwrite replaces the live set; time travel still sees the past") {
+    val t = freshTable()
+    TxLog.append(spark, df(1L -> "a"), t)
+    TxLog.append(spark, df(2L -> "b"), t)
+    TxLog.overwrite(spark, df(9L -> "z"), t)
+    val head = TxLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(head == Set(9L), "overwrite must REPLACE, not add")
+    // the pre-overwrite snapshot is unchanged — immutable log prefix
+    val v2 = TxLog.read(spark, t, Some(2)).collect().map(_.getLong(0)).toSet
+    assert(v2 == Set(1L, 2L))
+    // a later append lands on top of the overwrite only
+    TxLog.append(spark, df(10L -> "y"), t)
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(9L, 10L))
+  }
+
+  test("version conflict: a squatting commit forces the loser to retry and " +
+    "land on the next version with its actions intact") {
+    val t = freshTable()
+    TxLog.append(spark, df(1L -> "a"), t)
+    // another writer claims version 2 out from under us
+    TxLog.commit(t, add = Seq.empty, remove = Seq.empty)
+    val v = TxLog.append(spark, df(2L -> "b"), t)
+    assert(v == 3, "loser must re-read and land one version later")
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("half-commits and unreferenced stage files are invisible to readers") {
+    val t = freshTable()
+    TxLog.append(spark, df(1L -> "a"), t)
+    // a crashed writer's temp commit file — replay must ignore it
+    Files.writeString(Paths.get(t, "_graft_log", ".tmp-crashed.json"),
+      """{"version":99,"add":["bogus/part-x.parquet"],"remove":[]}""")
+    // a fully staged but never-committed data dir — also invisible
+    df(666L -> "ghost").write.parquet(Paths.get(t, "stage-ghost").toString)
+    assert(TxLog.versions(t) == Seq(1))
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("overwrite recomputes its remove set on retry — a commit that lands " +
+    "between stage and publish still gets replaced") {
+    val t = freshTable()
+    TxLog.append(spark, df(1L -> "a"), t)
+    // squat the version an overwrite will first try, after it would have
+    // read the live set: simulate by committing an extra add first
+    val extra = TxLog.append(spark, df(2L -> "b"), t)
+    assert(extra == 2)
+    TxLog.overwrite(spark, df(9L -> "z"), t)
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(9L))
+  }
+}
