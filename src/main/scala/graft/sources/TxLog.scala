@@ -108,6 +108,79 @@ object TxLog {
   def commit(table: String, add: Seq[String], remove: Seq[String]): Int =
     commitWith(table)(() => (add, remove))
 
+  /** Claim EXACTLY version `v` — returns false if another writer got
+    * there first. The primitive snapshot-isolation conflict detection
+    * builds on: a writer that staged work against version v−1 must NOT
+    * blindly land at a later version (its inputs may be stale). */
+  def tryCommitAt(table: String, v: Int,
+                  add: Seq[String], remove: Seq[String]): Boolean = {
+    Files.createDirectories(logPath(table))
+    val tmp = Files.createTempFile(logPath(table), ".tmp-", ".json")
+    Files.writeString(tmp, commitJson(v, add, remove))
+    try {
+      Files.move(tmp, versionFile(table, v), StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
+  }
+
+  /** OPTIMIZE: rewrite the live set into `partFiles` compacted files and
+    * publish as ONE commit — q113's small-file compaction under
+    * transactional visibility (readers see the old layout or the new,
+    * never a mix). Conflict-safe: the compacted data is staged from a
+    * specific snapshot version, and the commit must land at EXACTLY the
+    * next version — if any concurrent write intervenes, the staged
+    * compaction is discarded and the whole operation re-runs against the
+    * new head (rewriting stale data would silently drop the concurrent
+    * commit's rows). */
+  def optimize(spark: SparkSession, table: String, partFiles: Int = 1): Int = {
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val base = versions(table).lastOption.getOrElse(0)
+      val live = liveFiles(table, Some(base))
+      require(live.nonEmpty, s"optimize: $table is empty")
+      val snapshot = spark.read.parquet(live.map(f => s"$table/$f"): _*)
+      val staged = stage(snapshot, table, partFiles)
+      if (tryCommitAt(table, base + 1, add = staged, remove = live))
+        return base + 1
+      // lost the race: staged files become unreferenced garbage for vacuum
+    }
+    throw new IllegalStateException(s"optimize $table: too many conflicts")
+  }
+
+  /** VACUUM: delete data files not referenced by the snapshot of ANY
+    * retained version (the newest `retainVersions` commits). Time travel
+    * older than the horizon stops working — the documented trade the
+    * protocol makes for reclaiming space. The log records stay (metadata-
+    * sized); only data files are removed. Returns the deleted files. */
+  def vacuum(table: String, retainVersions: Int = 1): Seq[String] = {
+    val vs = versions(table)
+    val retained = vs.takeRight(math.max(1, retainVersions))
+    val keep = retained.flatMap(v => liveFiles(table, Some(v))).toSet
+    val root = Paths.get(table)
+    val stageDirs = Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("stage-")).toSeq
+    val deleted = scala.collection.mutable.Buffer[String]()
+    stageDirs.foreach { sd =>
+      Files.list(sd).iterator().asScala.toSeq.foreach { f =>
+        val rel = s"${sd.getFileName}/${f.getFileName}"
+        val isData = f.getFileName.toString.endsWith(".parquet")
+        if (isData && !keep(rel)) { Files.delete(f); deleted += rel }
+      }
+      // drop a stage dir once no data files remain (markers included)
+      val left = Files.list(sd).iterator().asScala.toSeq
+      if (!left.exists(_.getFileName.toString.endsWith(".parquet"))) {
+        left.foreach(Files.delete)
+        Files.delete(sd)
+      }
+    }
+    deleted.toSeq
+  }
+
   private def commitWith(table: String)
                         (actions: () => (Seq[String], Seq[String])): Int = {
     Files.createDirectories(logPath(table))

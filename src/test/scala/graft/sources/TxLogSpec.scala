@@ -74,4 +74,38 @@ class TxLogSpec extends SparkSpec {
     TxLog.overwrite(spark, df(9L -> "z"), t)
     assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(9L))
   }
+
+  test("optimize compacts the live set in one commit without changing rows, " +
+    "and refuses to land over a concurrent commit") {
+    val t = freshTable()
+    TxLog.append(spark, df(1L -> "a", 2L -> "b"), t)
+    TxLog.append(spark, df(3L -> "c"), t)
+    val before = TxLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    val filesBefore = TxLog.liveFiles(t).size
+    val v = TxLog.optimize(spark, t, partFiles = 1)
+    assert(v == 3)
+    assert(TxLog.liveFiles(t).size == 1 && filesBefore > 1)
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == before)
+    // conflict path: squat the next version, optimize must land AFTER it
+    // with the squatter's effect preserved (re-ran against the new head)
+    TxLog.commit(t, add = Seq.empty, remove = Seq.empty)
+    val v2 = TxLog.optimize(spark, t)
+    assert(v2 == 5, "optimize re-runs against the post-conflict head")
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == before)
+  }
+
+  test("vacuum deletes only unreferenced files; head reads survive, " +
+    "pre-horizon time travel dies") {
+    val t = freshTable()
+    TxLog.append(spark, df(1L -> "a"), t)
+    TxLog.overwrite(spark, df(9L -> "z"), t)
+    TxLog.optimize(spark, t)
+    val deleted = TxLog.vacuum(t, retainVersions = 1)
+    assert(deleted.nonEmpty, "the overwritten + pre-compaction files must go")
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(9L))
+    // version-1 files are vacuumed: the old snapshot is no longer readable
+    intercept[Exception] {
+      TxLog.read(spark, t, Some(1)).collect()
+    }
+  }
 }
