@@ -238,9 +238,12 @@ object TableOps {
     * commit history implies. Concurrency/crash behavior (rename
     * arbitration, lost-race retry, invisible half-commits) is TxLogSpec's
     * territory; this gate pins the snapshot algebra. */
-  def q251TxlogTimeTravel(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.TxLog
-    val table = graft.SparkSupport.layoutArtifact("txlog_demo", dir) { p =>
+  /** The versioned demo table (append, append, overwrite, append — the
+    * gold-layer history in miniature), built once per corpus; shared by
+    * q251 (time travel) and q252 (version-diff CDC). */
+  private def txlogDemo(s: SparkSession, dir: String): String =
+    graft.SparkSupport.layoutArtifact("txlog_demo", dir) { p =>
+      import graft.sources.TxLog
       val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
       TxLog.append(s, o.filter(col("o_orderkey") % 4 === 0), p)
       TxLog.append(s, o.filter(col("o_orderkey") % 4 === 1), p)
@@ -248,6 +251,10 @@ object TableOps {
       TxLog.append(s, o.filter(col("o_orderkey") % 4 === 3), p)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
     }
+
+  def q251TxlogTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val table = txlogDemo(s, dir)
     (1 to 4).map { v =>
       TxLog.read(s, table, Some(v))
         .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sk"))
@@ -270,17 +277,62 @@ object TableOps {
       |FROM orders WHERE o_orderkey % 4 IN (2, 3)
       |ORDER BY version""".stripMargin
 
+  // ---------------------------------------------------------------- q252
+
+  /** q252: change data feed between TxLog versions — the q95 snapshot
+    * diff run against the transaction log's time travel: any two versions
+    * of a table can be diffed into insert/delete row sets WITHOUT the
+    * table having recorded changes at write time (the log's immutable
+    * prefix makes every historical state addressable). The demo diffs the
+    * pre-overwrite snapshot against HEAD (everything replaced) and the
+    * post-overwrite snapshot against HEAD (one pure append — zero
+    * deletes), the two shapes a downstream incremental consumer
+    * distinguishes. Keys only — anti-joins per side; at scale each side
+    * prunes to its live file lists, never a full-history scan. */
+  def q252TxlogCdc(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val table = txlogDemo(s, dir)
+    def snap(v: Int) = TxLog.read(s, table, Some(v)).select("o_orderkey")
+    def side(from: Int, to: Int, a: DataFrame, b: DataFrame, kind: String) =
+      b.join(a, Seq("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("o_orderkey")), lit(0L)).as("sum_orderkey"))
+        .selectExpr(s"$from AS from_v", s"$to AS to_v", s"'$kind' AS change",
+          "n_rows", "sum_orderkey")
+    def diff(from: Int, to: Int): DataFrame = {
+      val a = snap(from); val b = snap(to)
+      side(from, to, a, b, "insert").unionByName(side(from, to, b, a, "delete"))
+    }
+    diff(2, 4).unionByName(diff(3, 4)).orderBy("from_v", "change")
+  }
+
+  val q252Sql: String =
+    """SELECT 2 AS from_v, 4 AS to_v, 'insert' AS change, count(*) AS n_rows,
+      |  CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) AS sum_orderkey
+      |FROM orders WHERE o_orderkey % 4 IN (2, 3)
+      |UNION ALL
+      |SELECT 2, 4, 'delete', count(*), CAST(coalesce(sum(o_orderkey), 0) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      |UNION ALL
+      |SELECT 3, 4, 'insert', count(*), CAST(coalesce(sum(o_orderkey), 0) AS BIGINT)
+      |FROM orders WHERE o_orderkey % 4 = 3
+      |UNION ALL
+      |SELECT 3, 4, 'delete', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      |ORDER BY from_v, change""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_table_checksum" -> q111TableChecksum,
     "q112_file_skipping"  -> q112FileSkipping,
     "q113_compaction"     -> q113Compaction,
     "q186_schema_evolution" -> q186SchemaEvolution,
-    "q251_txlog_time_travel" -> q251TxlogTimeTravel)
+    "q251_txlog_time_travel" -> q251TxlogTimeTravel,
+    "q252_txlog_cdc"      -> q252TxlogCdc)
 
   val oracle: Map[String, String] = Map(
     "q111_table_checksum" -> q111Sql,
     "q112_file_skipping"  -> q112Sql,
     "q113_compaction"     -> q113Sql,
     "q186_schema_evolution" -> q186Sql,
-    "q251_txlog_time_travel" -> q251Sql)
+    "q251_txlog_time_travel" -> q251Sql,
+    "q252_txlog_cdc"      -> q252Sql)
 }

@@ -80,6 +80,41 @@ object TxLog {
              partFiles: Int = 2): Int =
     commit(table, add = stage(df, table, partFiles), remove = Seq.empty)
 
+  /** EXACTLY-ONCE batch append for streaming sinks: the commit record
+    * carries the micro-batch id, and a re-delivered batch (foreachBatch
+    * replays after restart) is recognized and skipped — the
+    * idempotent-sink contract Structured Streaming requires from
+    * foreachBatch targets. Returns the version holding the batch (new or
+    * pre-existing). The id check re-runs inside the claim loop, so two
+    * workers racing the SAME batch id cannot both land it. */
+  def appendBatch(spark: SparkSession, df: DataFrame, table: String,
+                  batchId: Long, partFiles: Int = 2): Int = {
+    committedBatch(table, batchId) match {
+      case Some(v) => v // replay — already durable, stage nothing
+      case None =>
+        val staged = stage(df, table, partFiles)
+        var attempts = 0
+        while (attempts < 100) {
+          attempts += 1
+          committedBatch(table, batchId) match {
+            case Some(v) => return v // a racing worker landed it first
+            case None =>
+              val v = versions(table).lastOption.getOrElse(0) + 1
+              if (tryCommitAt(table, v, staged, Seq.empty, Some(batchId)))
+                return v
+          }
+        }
+        throw new IllegalStateException(s"appendBatch $table: too many conflicts")
+    }
+  }
+
+  /** The version that committed `batchId`, if any. */
+  def committedBatch(table: String, batchId: Long): Option[Int] =
+    versions(table).find { v =>
+      val txt = Files.readString(versionFile(table, v))
+      s""""batchId":$batchId[,}]""".r.findFirstIn(txt).isDefined
+    }
+
   /** Replace the table contents atomically; returns the version. */
   def overwrite(spark: SparkSession, df: DataFrame, table: String,
                 partFiles: Int = 2): Int = {
@@ -112,11 +147,11 @@ object TxLog {
     * there first. The primitive snapshot-isolation conflict detection
     * builds on: a writer that staged work against version v−1 must NOT
     * blindly land at a later version (its inputs may be stale). */
-  def tryCommitAt(table: String, v: Int,
-                  add: Seq[String], remove: Seq[String]): Boolean = {
+  def tryCommitAt(table: String, v: Int, add: Seq[String],
+                  remove: Seq[String], batchId: Option[Long] = None): Boolean = {
     Files.createDirectories(logPath(table))
     val tmp = Files.createTempFile(logPath(table), ".tmp-", ".json")
-    Files.writeString(tmp, commitJson(v, add, remove))
+    Files.writeString(tmp, commitJson(v, add, remove, batchId))
     try {
       Files.move(tmp, versionFile(table, v), StandardCopyOption.ATOMIC_MOVE)
       true
@@ -204,9 +239,11 @@ object TxLog {
     throw new IllegalStateException(s"commit to $table: too many conflicts")
   }
 
-  private def commitJson(v: Int, add: Seq[String], remove: Seq[String]): String = {
+  private def commitJson(v: Int, add: Seq[String], remove: Seq[String],
+                         batchId: Option[Long] = None): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
-    s"""{"version":$v,"add":${arr(add)},"remove":${arr(remove)}}"""
+    val bid = batchId.map(b => s""","batchId":$b""").getOrElse("")
+    s"""{"version":$v,"add":${arr(add)},"remove":${arr(remove)}$bid}"""
   }
 
   private def readCommit(table: String, v: Int): (Seq[String], Seq[String]) = {
