@@ -84,21 +84,22 @@ object RelationalExt5 {
     * hierarchy walk (org charts, category trees, BOM explosions) bounds
     * depth exactly like this. */
   def q210RecursiveCte(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v210")
+    // materialize the symmetric edge list BEFORE the recursion: Spark's
+    // recursion operator re-executes referenced subplans once per level,
+    // so an inline edge CTE would pay the distinct-join derivation ×4
+    // (measured 3.9 s → 1.6 s at sf0.1); the checkpointed view makes each
+    // level one equi-join against a materialized table
+    import org.apache.spark.sql.functions.col
+    val e = GraphOps2.coEdges(s, dir)
+    e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+      .createOrReplaceTempView("sym_v210")
     s.sql("""
-      WITH RECURSIVE hi AS (
-        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem_v210
-        WHERE l_quantity >= 40),
-      e AS (
-        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        FROM hi a JOIN hi b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-      sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
-      reach(n, d) AS (
-        SELECT (SELECT min(u) FROM sym) AS n, 0 AS d
+      WITH RECURSIVE reach(n, d) AS (
+        SELECT (SELECT min(u) FROM sym_v210) AS n, 0 AS d
         UNION ALL
         SELECT sym.v AS n, r.d + 1 AS d
-        FROM reach r JOIN sym ON sym.u = r.n
+        FROM reach r JOIN sym_v210 sym ON sym.u = r.n
         WHERE r.d < 3)
       SELECT n AS node, CAST(min(d) AS INT) AS depth,
         CAST(count(*) AS BIGINT) AS n_walks
