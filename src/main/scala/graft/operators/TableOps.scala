@@ -320,13 +320,53 @@ object TableOps {
       |SELECT 3, 4, 'delete', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
       |ORDER BY from_v, change""".stripMargin
 
+  // ---------------------------------------------------------------- q253
+
+  /** q253: transactional MERGE on the log — q127 shows what MERGE compiles
+    * to; this RUNS one under [[graft.sources.TxLog]]'s commit protocol:
+    * base = the %4=0 order slice; the upsert batch doubles the price of
+    * every %8=0 key (matched → replace) and inserts the %4=1 slice
+    * (unmatched → insert), landing as ONE commit with file-granular
+    * copy-on-write (only files containing matched keys rewrite). The gate
+    * reads the merged HEAD and checks per-class counts and exact decimal
+    * price sums against the oracle's direct recomputation — the merge must
+    * have replaced, inserted, and preserved exactly the right rows. */
+  def q253TxlogMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val table = graft.SparkSupport.layoutArtifact("txlog_merge", dir) { p =>
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      TxLog.append(s, o.filter(col("o_orderkey") % 4 === 0), p)
+      val updates = o.filter(col("o_orderkey") % 8 === 0)
+        .selectExpr("o_orderkey", "o_totalprice * 2 AS o_totalprice")
+        .unionByName(o.filter(col("o_orderkey") % 4 === 1))
+      TxLog.merge(s, updates, p, "o_orderkey")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    TxLog.read(s, table)
+      .groupBy((col("o_orderkey") % 4).as("klass"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        OracleSafe.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("klass")
+  }
+
+  val q253Sql: String =
+    """SELECT o_orderkey % 4 AS klass, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice * 2
+      |                     ELSE o_totalprice END AS DECIMAL(38,6)))
+      |    AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_table_checksum" -> q111TableChecksum,
     "q112_file_skipping"  -> q112FileSkipping,
     "q113_compaction"     -> q113Compaction,
     "q186_schema_evolution" -> q186SchemaEvolution,
     "q251_txlog_time_travel" -> q251TxlogTimeTravel,
-    "q252_txlog_cdc"      -> q252TxlogCdc)
+    "q252_txlog_cdc"      -> q252TxlogCdc,
+    "q253_txlog_merge"    -> q253TxlogMerge)
 
   val oracle: Map[String, String] = Map(
     "q111_table_checksum" -> q111Sql,
@@ -334,5 +374,6 @@ object TableOps {
     "q113_compaction"     -> q113Sql,
     "q186_schema_evolution" -> q186Sql,
     "q251_txlog_time_travel" -> q251Sql,
-    "q252_txlog_cdc"      -> q252Sql)
+    "q252_txlog_cdc"      -> q252Sql,
+    "q253_txlog_merge"    -> q253Sql)
 }

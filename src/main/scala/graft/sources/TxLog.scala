@@ -186,6 +186,49 @@ object TxLog {
     throw new IllegalStateException(s"optimize $table: too many conflicts")
   }
 
+  /** MERGE (upsert) by `key`: rows of `updates` replace same-key rows in
+    * the table; unmatched update rows insert — published as ONE commit.
+    * FILE-GRANULAR copy-on-write: only live files that actually CONTAIN a
+    * matched key are rewritten (their unmatched rows survive into the
+    * rewrite); untouched files carry over by reference — at 100 TB a
+    * point-update rewrites a handful of files, not the table. The hit-file
+    * discovery is a semi-join collecting FILE NAMES (metadata-sized), not
+    * rows. Conflict-safe like [[optimize]]: staged against a snapshot,
+    * must land at exactly the next version, else the whole merge re-runs
+    * against the new head. */
+  def merge(spark: SparkSession, updates: DataFrame, table: String,
+            key: String, partFiles: Int = 2): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val base = versions(table).lastOption.getOrElse(0)
+      val live = liveFiles(table, Some(base))
+      val keys = updates.select(key).distinct()
+      val hitAbs: Set[String] =
+        if (live.isEmpty) Set.empty
+        else spark.read.parquet(live.map(f => s"$table/$f"): _*)
+          .withColumn("_graft_file", input_file_name())
+          .join(keys, Seq(key), "left_semi")
+          .select("_graft_file").distinct()
+          .collect().map(_.getString(0)).toSet
+      val hitRel = live.filter(f => hitAbs.exists(_.endsWith(f)))
+      val survivors =
+        if (hitRel.isEmpty) None
+        else Some(spark.read.parquet(hitRel.map(f => s"$table/$f"): _*)
+          .join(keys, Seq(key), "left_anti"))
+      val rewrite = survivors match {
+        case Some(sv) => sv.unionByName(updates.select(sv.columns.map(col): _*))
+        case None     => updates
+      }
+      val staged = stage(rewrite, table, partFiles)
+      if (tryCommitAt(table, base + 1, add = staged, remove = hitRel))
+        return base + 1
+      // lost the race: staged files become vacuum-collectable garbage
+    }
+    throw new IllegalStateException(s"merge into $table: too many conflicts")
+  }
+
   /** VACUUM: delete data files not referenced by the snapshot of ANY
     * retained version (the newest `retainVersions` commits). Time travel
     * older than the horizon stops working — the documented trade the

@@ -94,6 +94,41 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == before)
   }
 
+  test("merge: matched keys replaced, unmatched inserted, files without a " +
+    "matched key carry over untouched (copy-on-write is file-granular)") {
+    import spark.implicits._
+    val t = freshTable()
+    // two separate commits → two disjoint file sets
+    TxLog.append(spark, df(1L -> "a", 2L -> "b"), t, partFiles = 1)
+    TxLog.append(spark, df(10L -> "x", 11L -> "y"), t, partFiles = 1)
+    val filesBefore = TxLog.liveFiles(t)
+    TxLog.merge(spark, Seq(2L -> "B!", 5L -> "new").toDF("k", "s"), t, "k")
+    val out = TxLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B!", 5L -> "new",
+      10L -> "x", 11L -> "y"))
+    // the (10, 11) file contains no matched key — it must survive BY
+    // REFERENCE, not be rewritten
+    val untouched = filesBefore(1)
+    assert(TxLog.liveFiles(t).contains(untouched),
+      "file without matched keys must carry over")
+    assert(!TxLog.liveFiles(t).contains(filesBefore.head),
+      "file with the matched key must be rewritten out")
+  }
+
+  test("merge conflict: a commit landing mid-merge forces a re-run that " +
+    "preserves the concurrent writer's rows") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, df(1L -> "a"), t)
+    // squat the version merge will first try
+    TxLog.commit(t, add = Seq.empty, remove = Seq.empty)
+    val v = TxLog.merge(spark, Seq(1L -> "A!").toDF("k", "s"), t, "k")
+    assert(v == 3, "merge must re-run and land after the squatter")
+    assert(TxLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "A!"))
+  }
+
   test("vacuum deletes only unreferenced files; head reads survive, " +
     "pre-horizon time travel dies") {
     val t = freshTable()
