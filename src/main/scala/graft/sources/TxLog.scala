@@ -233,7 +233,14 @@ object TxLog {
     * retained version (the newest `retainVersions` commits). Time travel
     * older than the horizon stops working — the documented trade the
     * protocol makes for reclaiming space. The log records stay (metadata-
-    * sized); only data files are removed. Returns the deleted files. */
+    * sized); only data files are removed. Returns the deleted files.
+    *
+    * Caveat (shared with Delta's VACUUM at low retention): run with no
+    * IN-FLIGHT writers — a writer that has staged files but not yet
+    * published its commit has no log reference protecting them, so a
+    * concurrent vacuum would collect its stage. Production schedules
+    * vacuum in a maintenance window or tracks staging leases; this
+    * implementation documents the contract rather than hiding it. */
   def vacuum(table: String, retainVersions: Int = 1): Seq[String] = {
     val vs = versions(table)
     val retained = vs.takeRight(math.max(1, retainVersions))
