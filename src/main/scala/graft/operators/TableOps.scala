@@ -359,6 +359,48 @@ object TableOps {
       |FROM orders WHERE o_orderkey % 4 IN (0, 1)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q254
+
+  /** q254: manifest-level data skipping on the log — q112's min/max file
+    * pruning INTEGRATED with the transaction log: [[graft.sources.TxLog
+    * .appendWithStats]] records per-file (min, max) of the key in the
+    * COMMIT itself (the Iceberg-manifest shape, collected in one
+    * distributed pass at write time), and a bounded read prunes files
+    * from metadata alone — no footer reads, no directory listing, no
+    * scan of non-matching files. The write range-partitions by the key so
+    * file ranges are tight; the gate reads keys below max/4, which must
+    * both SKIP files (spec-asserted via the require here) and agree with
+    * the oracle's direct recomputation. */
+  def q254TxlogSkipping(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val table = graft.SparkSupport.layoutArtifact("txlog_stats", dir) { p =>
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+        .repartitionByRange(16, col("o_orderkey"))
+      TxLog.appendWithStats(s, o, p, "o_orderkey", partFiles = 8)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    // the one driver scalar (metadata-sized, the q117 convention)
+    val hi = Tables.orders(s, dir).agg(max(col("o_orderkey"))).head().getLong(0) / 4
+    val total = TxLog.liveFiles(table).size
+    val kept = TxLog.pruneFiles(table, 0L, hi)
+    require(kept.nonEmpty && kept.size < total,
+      s"stats pruning kept ${kept.size}/$total files — nothing skipped")
+    TxLog.readPruned(s, table, 0L, hi)
+      .filter(col("o_orderkey") < hi)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        OracleSafe.dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("files_skipped", lit(kept.size < total))
+  }
+
+  val q254Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      |  TRUE AS files_skipped
+      |FROM orders
+      |WHERE o_orderkey < (SELECT max(o_orderkey) // 4 FROM orders)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_table_checksum" -> q111TableChecksum,
     "q112_file_skipping"  -> q112FileSkipping,
@@ -366,7 +408,8 @@ object TableOps {
     "q186_schema_evolution" -> q186SchemaEvolution,
     "q251_txlog_time_travel" -> q251TxlogTimeTravel,
     "q252_txlog_cdc"      -> q252TxlogCdc,
-    "q253_txlog_merge"    -> q253TxlogMerge)
+    "q253_txlog_merge"    -> q253TxlogMerge,
+    "q254_txlog_skipping" -> q254TxlogSkipping)
 
   val oracle: Map[String, String] = Map(
     "q111_table_checksum" -> q111Sql,
@@ -375,5 +418,6 @@ object TableOps {
     "q186_schema_evolution" -> q186Sql,
     "q251_txlog_time_travel" -> q251Sql,
     "q252_txlog_cdc"      -> q252Sql,
-    "q253_txlog_merge"    -> q253Sql)
+    "q253_txlog_merge"    -> q253Sql,
+    "q254_txlog_skipping" -> q254Sql)
 }

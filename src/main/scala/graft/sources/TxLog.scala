@@ -51,7 +51,10 @@ object TxLog {
       .toSeq.sorted
   }
 
-  /** Live data files (relative to the table root) at `asOf` (None = HEAD). */
+  /** Live data-file ENTRIES (relative path, optionally suffixed
+    * `#min#max` file statistics) at `asOf` (None = HEAD). Remove lists
+    * match entries verbatim, so entries — not bare paths — are the unit
+    * of log bookkeeping; use [[entryPath]] to resolve a path. */
   def liveFiles(table: String, asOf: Option[Int] = None): Seq[String] = {
     val vs = versions(table)
     val replay = asOf match {
@@ -67,18 +70,78 @@ object TxLog {
     live.toSeq
   }
 
+  /** The data-file path of an add/live entry (strips the stats suffix). */
+  def entryPath(entry: String): String = entry.takeWhile(_ != '#')
+
+  /** Live (path, Option(min, max)) pairs — the per-file statistics an
+    * [[appendWithStats]] writer recorded in its commit. */
+  def liveFilesWithStats(table: String, asOf: Option[Int] = None)
+      : Seq[(String, Option[(Long, Long)])] =
+    liveFiles(table, asOf).map { e =>
+      e.split('#') match {
+        case Array(p, lo, hi) => (p, Some((lo.toLong, hi.toLong)))
+        case _                => (entryPath(e), None)
+      }
+    }
+
   /** Snapshot read; empty-schema-safe only when the table has data. */
   def read(spark: SparkSession, table: String,
            asOf: Option[Int] = None): DataFrame = {
-    val files = liveFiles(table, asOf).map(f => s"$table/$f")
+    val files = liveFiles(table, asOf).map(e => s"$table/${entryPath(e)}")
     require(files.nonEmpty, s"no live files in $table at $asOf")
     spark.read.parquet(files: _*)
+  }
+
+  /** Paths of live files whose [min, max] stats intersect [lo, hi) — the
+    * lakehouse DATA-SKIPPING read: predicate bounds prune at the manifest
+    * (metadata) level before any scan. Files committed without stats are
+    * conservatively kept. */
+  def pruneFiles(table: String, lo: Long, hi: Long,
+                 asOf: Option[Int] = None): Seq[String] =
+    liveFilesWithStats(table, asOf).collect {
+      case (p, Some((mn, mx))) if mx >= lo && mn < hi => p
+      case (p, None)                                  => p
+    }
+
+  /** Stats-pruned snapshot read over [lo, hi) of the stats column. The
+    * caller still applies the row-level filter — pruning is file-granular
+    * and sound (never drops a file that could match), not exact. */
+  def readPruned(spark: SparkSession, table: String, lo: Long, hi: Long,
+                 asOf: Option[Int] = None): DataFrame = {
+    val kept = pruneFiles(table, lo, hi, asOf)
+    require(kept.nonEmpty, s"no candidate files in $table for [$lo, $hi)")
+    spark.read.parquet(kept.map(f => s"$table/$f"): _*)
   }
 
   /** Append `df` as a new commit; returns the committed version. */
   def append(spark: SparkSession, df: DataFrame, table: String,
              partFiles: Int = 2): Int =
     commit(table, add = stage(df, table, partFiles), remove = Seq.empty)
+
+  /** Append with per-file (min, max) statistics of a LONG column recorded
+    * in the commit — the Iceberg-manifest shape: stats are collected in
+    * ONE distributed pass over the just-staged files (group by
+    * input_file_name) at WRITE time, so every later [[readPruned]] prunes
+    * from metadata alone. Range-partition `df` by the stats column first
+    * and the per-file ranges come out tight (disjoint), which is what
+    * makes the pruning selective. */
+  def appendWithStats(spark: SparkSession, df: DataFrame, table: String,
+                      statsCol: String, partFiles: Int = 8): Int = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val rels = stage(df, table, partFiles)
+    val stats = spark.read.parquet(rels.map(f => s"$table/$f"): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val entries = rels.map { rel =>
+      stats.find(_._1.endsWith(rel)) match {
+        case Some((_, lo, hi)) => s"$rel#$lo#$hi"
+        case None              => rel // zero-row file: no stats, kept conservatively
+      }
+    }
+    commit(table, add = entries, remove = Seq.empty)
+  }
 
   /** EXACTLY-ONCE batch append for streaming sinks: the commit record
     * carries the micro-batch id, and a re-delivered batch (foreachBatch
@@ -177,7 +240,8 @@ object TxLog {
       val base = versions(table).lastOption.getOrElse(0)
       val live = liveFiles(table, Some(base))
       require(live.nonEmpty, s"optimize: $table is empty")
-      val snapshot = spark.read.parquet(live.map(f => s"$table/$f"): _*)
+      val snapshot =
+        spark.read.parquet(live.map(e => s"$table/${entryPath(e)}"): _*)
       val staged = stage(snapshot, table, partFiles)
       if (tryCommitAt(table, base + 1, add = staged, remove = live))
         return base + 1
@@ -207,15 +271,16 @@ object TxLog {
       val keys = updates.select(key).distinct()
       val hitAbs: Set[String] =
         if (live.isEmpty) Set.empty
-        else spark.read.parquet(live.map(f => s"$table/$f"): _*)
+        else spark.read.parquet(live.map(e => s"$table/${entryPath(e)}"): _*)
           .withColumn("_graft_file", input_file_name())
           .join(keys, Seq(key), "left_semi")
           .select("_graft_file").distinct()
           .collect().map(_.getString(0)).toSet
-      val hitRel = live.filter(f => hitAbs.exists(_.endsWith(f)))
+      val hitRel = live.filter(e => hitAbs.exists(_.endsWith(entryPath(e))))
       val survivors =
         if (hitRel.isEmpty) None
-        else Some(spark.read.parquet(hitRel.map(f => s"$table/$f"): _*)
+        else Some(spark.read.parquet(
+            hitRel.map(e => s"$table/${entryPath(e)}"): _*)
           .join(keys, Seq(key), "left_anti"))
       val rewrite = survivors match {
         case Some(sv) => sv.unionByName(updates.select(sv.columns.map(col): _*))
@@ -244,7 +309,8 @@ object TxLog {
   def vacuum(table: String, retainVersions: Int = 1): Seq[String] = {
     val vs = versions(table)
     val retained = vs.takeRight(math.max(1, retainVersions))
-    val keep = retained.flatMap(v => liveFiles(table, Some(v))).toSet
+    val keep = retained.flatMap(v => liveFiles(table, Some(v)))
+      .map(entryPath).toSet
     val root = Paths.get(table)
     val stageDirs = Files.list(root).iterator().asScala
       .filter(p => Files.isDirectory(p) &&

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.SparkSpec
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
 
 /** The commit-protocol behaviors the q251 gate can't express: rename
   * arbitration under version conflicts, lost-race retry, invisibility of
@@ -127,6 +128,35 @@ class TxLogSpec extends SparkSpec {
     assert(v == 3, "merge must re-run and land after the squatter")
     assert(TxLog.read(spark, t).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap == Map(1L -> "A!"))
+  }
+
+  test("file statistics: pruned reads skip non-matching files, keep " +
+    "stat-less files conservatively, and agree with the full scan") {
+    import spark.implicits._
+    val t = freshTable()
+    // two stats-bearing commits with disjoint key ranges + one legacy
+    // (stat-less) append that pruning must never drop
+    TxLog.appendWithStats(spark,
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "s"), t, "k", partFiles = 1)
+    TxLog.appendWithStats(spark,
+      (100L to 110L).map(k => (k, s"v$k")).toDF("k", "s"), t, "k", partFiles = 1)
+    TxLog.append(spark, Seq((5000L, "legacy")).toDF("k", "s"), t, partFiles = 1)
+    assert(TxLog.liveFilesWithStats(t).count(_._2.isDefined) == 2)
+    // [0, 50) matches only the first file — plus the stat-less one
+    val kept = TxLog.pruneFiles(t, 0L, 50L)
+    assert(kept.size == 2, s"expected first + legacy file, got $kept")
+    val pruned = TxLog.readPruned(spark, t, 0L, 50L)
+      .filter(col("k") < 50L).collect().map(_.getLong(0)).toSet
+    val full = TxLog.read(spark, t)
+      .filter(col("k") < 50L).collect().map(_.getLong(0)).toSet
+    assert(pruned == full && full == (1L to 10L).toSet)
+    // stats survive the log round-trip with exact bounds
+    val stats = TxLog.liveFilesWithStats(t).flatMap(_._2).sortBy(_._1)
+    assert(stats == Seq((1L, 10L), (100L, 110L)))
+    // merge/vacuum interop: entries with stats still resolve to paths
+    TxLog.merge(spark, Seq((5L, "V5")).toDF("k", "s"), t, "k")
+    assert(TxLog.read(spark, t).filter(col("k") === 5L)
+      .head().getString(1) == "V5")
   }
 
   test("vacuum deletes only unreferenced files; head reads survive, " +
