@@ -600,6 +600,65 @@ object Curation3 {
        |WHERE common * 10 >= n1.ns * 9
        |ORDER BY contained_id, container_id""".stripMargin
 
+  // ---------------------------------------------------------------- d268
+
+  /** d268: match EVIDENCE — for every confirmed near-dup pair, the 3
+    * rarest shared shingles (by global document frequency): the
+    * explainability record a human reviewer or an appeals process reads
+    * when a dedup decision is challenged ("these docs were merged because
+    * they share THESE improbable phrases"). Rare shared shingles are
+    * exactly the high-information evidence — common ones (boilerplate)
+    * prove nothing, which is the same insight d181's prefix filter
+    * exploits for candidate generation, reused here for justification.
+    *
+    * Scale shape: consumes the PERSISTED pair and shingle layouts (no
+    * pair generation re-runs); the shingle rows semi-join-reduce to pair
+    * docs before the per-pair intersection (d181's candidate-bounded
+    * verification shape); the df table is vocabulary-sized. Per-pair
+    * output is capped at 3 rows by the window. */
+  def d268MatchEvidence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = Dedup.shingleIndex(s, dir)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.dupPairs(s, dir).select("id1", "id2")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val docs = pairs
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
+    val r = idx.join(docs, Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfreq = idx.groupBy("h").agg(count(lit(1)).as("df"))
+    pairs
+      .join(r.withColumnRenamed("doc_id", "id1"), "id1")
+      .join(r.withColumnRenamed("doc_id", "id2"), Seq("id2", "h"))
+      .join(dfreq, "h")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("id1", "id2").orderBy(col("df"), col("h"))))
+      .filter(col("rank") <= 3)
+      .select("id1", "id2", "rank", "h", "df")
+      .orderBy("id1", "id2", "rank")
+  }
+
+  val d268Sql: String =
+    s"""WITH ${Dedup.minhashPairCtes},
+       |pairs AS (
+       |  SELECT id1, id2
+       |  FROM cand LEFT JOIN common USING (id1, id2)
+       |  JOIN n n1 ON id1 = n1.doc_id JOIN n n2 ON id2 = n2.doc_id
+       |  WHERE round(coalesce(common, 0) * 1.0
+       |          / (n1.ns + n2.ns - coalesce(common, 0)), 6) >= 0.2),
+       |dfq AS (SELECT h, count(*) AS df FROM s GROUP BY h),
+       |shared AS (
+       |  SELECT p.id1, p.id2, a.h FROM pairs p
+       |  JOIN s a ON a.doc_id = p.id1
+       |  JOIN s b ON b.doc_id = p.id2 AND b.h = a.h),
+       |ranked AS (
+       |  SELECT id1, id2, shared.h, df,
+       |    CAST(row_number() OVER (PARTITION BY id1, id2 ORDER BY df, shared.h)
+       |      AS INTEGER) AS rank
+       |  FROM shared JOIN dfq ON dfq.h = shared.h)
+       |SELECT id1, id2, rank, h, df
+       |FROM ranked WHERE rank <= 3 ORDER BY id1, id2, rank""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -611,7 +670,8 @@ object Curation3 {
     "q177_itemset_pairs" -> q177ItemsetPairs,
     "t178_char_entropy" -> t178CharEntropy,
     "d181_prefix_filter_join" -> d181PrefixFilterJoin,
-    "d225_containment_join" -> d225ContainmentJoin)
+    "d225_containment_join" -> d225ContainmentJoin,
+    "d268_match_evidence" -> d268MatchEvidence)
 
   val oracle: Map[String, String] = Map(
     "t170_nb_langid"    -> t170Sql,
@@ -626,5 +686,6 @@ object Curation3 {
     "d181_prefix_filter_join" -> d181Sql,
     // same claim, asymmetric: the oracle is the NAIVE all-sharing-pairs
     // containment join — the prefix filter must lose nothing
-    "d225_containment_join" -> d225Sql)
+    "d225_containment_join" -> d225Sql,
+    "d268_match_evidence" -> d268Sql)
 }

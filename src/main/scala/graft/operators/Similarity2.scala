@@ -507,6 +507,37 @@ object Similarity2 {
        |  round(CAST(s6 AS DOUBLE) / 1e6, 6) AS adc
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s256
+
+  /** s256: IVF-PQ recall@3 — the END-TO-END accuracy number for the s206
+    * composition against s38's exact truth, closing the ANN evaluation
+    * triangle: s163 isolates the coarse stage's loss (IVF cell
+    * restriction), s173's spec isolates the fine stage's (quantized
+    * distances), and this measures their PRODUCT — the only number a
+    * deployment actually ships on. Same join-against-truth kernel as
+    * s163; the oracle recomputes both pipelines end to end. */
+  def s256IvfpqRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = Similarity.s38AnnBrute(s, dir)
+      .filter(col("rank") <= 3).select("qid", "nid")
+    val got = s206IvfPqSearch(s, dir).select("qid", "nid")
+    truth.join(got.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hit"))
+      .selectExpr("qid", "n_hit", "round(n_hit / 3.0D, 6) AS recall_at_3")
+      .orderBy("qid")
+  }
+
+  val s256Sql: String =
+    s"""WITH truth AS (
+       |  SELECT qid, nid FROM (${Similarity.s38Sql}) WHERE rank <= 3),
+       |got AS (SELECT qid, nid FROM ($s206Sql)),
+       |j AS (
+       |  SELECT t.qid, CASE WHEN g.nid IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM truth t LEFT JOIN got g ON g.qid = t.qid AND g.nid = t.nid)
+       |SELECT qid, CAST(sum(hit) AS INTEGER) AS n_hit,
+       |  round(CAST(sum(hit) AS INTEGER) / 3.0, 6) AS recall_at_3
+       |FROM j GROUP BY qid ORDER BY qid""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -515,7 +546,8 @@ object Similarity2 {
     "s173_pq_adc_search" -> s173PqAdcSearch,
     "s196_hybrid_rrf"   -> s196HybridRrf,
     "s197_hard_negatives" -> s197HardNegatives,
-    "s206_ivfpq_search" -> s206IvfPqSearch)
+    "s206_ivfpq_search" -> s206IvfPqSearch,
+    "s256_ivfpq_recall" -> s256IvfpqRecall)
 
   val oracle: Map[String, String] = Map(
     "s163_ann_recall"   -> s163Sql,
@@ -523,5 +555,6 @@ object Similarity2 {
     "s173_pq_adc_search" -> s173Sql,
     "s196_hybrid_rrf"   -> s196Sql,
     "s197_hard_negatives" -> s197Sql,
-    "s206_ivfpq_search" -> s206Sql)
+    "s206_ivfpq_search" -> s206Sql,
+    "s256_ivfpq_recall" -> s256Sql)
 }

@@ -151,4 +151,28 @@ class Curation3Spec extends SparkSpec {
     assert(out == brute)
     assert(out.nonEmpty, "the corpus plants containment pairs")
   }
+
+  test("match evidence: every confirmed pair gets 1-3 ranked rows, the " +
+    "cited shingles are genuinely shared, and rarity orders the ranks") {
+    val out = Curation3.d268MatchEvidence(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.nonEmpty)
+    val pairs = Dedup.dupPairs(spark, dir).select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byDoc = Dedup.shingleIndex(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    out.groupBy(p => (p._1, p._2)).foreach { case (pair, rows) =>
+      assert(pairs(pair), s"evidence for a non-pair: $pair")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+      // df non-decreasing in rank (rarest first)
+      assert(rows.sortBy(_._3).map(_._5).toSeq ==
+        rows.map(_._5).sorted.toSeq)
+    }
+    // every confirmed pair has at least one evidence row (shares a shingle)
+    assert(out.map(p => (p._1, p._2)).toSet == pairs)
+    out.foreach { case (id1, id2, _, h, _) =>
+      assert(byDoc(id1)(h) && byDoc(id2)(h), s"unshared evidence $h") }
+  }
 }

@@ -157,4 +157,17 @@ class Similarity2Spec extends SparkSpec {
     assert(cmp.filter(col("ra") < col("fa")).count() == 0)
     out.unpersist(); full.unpersist()
   }
+
+  test("s256 ivfpq recall: one row per probe, bounded in [0,1], and the " +
+    "hit counts equal a direct intersection of the two kernels") {
+    val out = Similarity2.s256IvfpqRecall(spark, dir).cache()
+    assert(out.count() == 16)
+    assert(out.filter(col("n_hit") < 0 || col("n_hit") > 3).count() == 0)
+    val truth = Similarity.s38AnnBrute(spark, dir)
+      .filter(col("rank") <= 3).select("qid", "nid")
+    val got = Similarity2.s206IvfPqSearch(spark, dir).select("qid", "nid")
+    val expected = truth.join(got, Seq("qid", "nid")).count()
+    assert(out.agg(sum("n_hit")).head().getLong(0) == expected)
+    out.unpersist()
+  }
 }
