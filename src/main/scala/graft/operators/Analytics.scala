@@ -93,9 +93,117 @@ object Analytics {
       |    AS significant
       |FROM m ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q276
+
+  /** q276: CUPED variance reduction — the experimentation technique that
+    * makes A/B tests resolve faster: each unit's post-period metric y is
+    * adjusted by its own PRE-period covariate x (y* = y − θ(x − x̄), θ =
+    * cov(x, y)/var(x), pooled across arms), removing the between-user
+    * variance the randomization already balanced. Deng et al. 2013 — the
+    * standard production upgrade of q149's plain t-test. Units are users
+    * (q149's hash arms); pre/post split at the month midpoint.
+    *
+    * Scale shape: one pass folds events to per-user (x, y) sums; θ and x̄
+    * are ONE pooled moment row (map-side combined, broadcast back); the
+    * adjustment is per-row arithmetic; per-arm stats are a second 2-row
+    * aggregate. No unit-level anything leaves the executors twice.
+    *
+    * Determinism: per-user sums are exact decimals; every cross-moment
+    * (Σx, Σy, Σxy, Σx², Σy*², …) accumulates via floor-scale quantized
+    * longs ([[graft.functions.OracleSafe.qsum6]] — order-independent), so
+    * θ and the adjusted variances derive through one fixed IEEE chain.
+    * The gate emits the per-arm variance-reduction share. On THIS corpus
+    * user activity is memoryless (values are iid draws), so θ lands near
+    * zero and the reduction is small (~0.3-0.7%) — which demonstrates
+    * CUPED's safety property rather than its best case: the pooled θ
+    * minimizes the POOLED residual sum of squares, so the pooled adjusted
+    * variance can never exceed the raw one in-sample (Analytics2Spec
+    * reconstructs and asserts exactly that; a single small arm can wobble
+    * either way, which the spec deliberately does not forbid). */
+  def q276CupedAdjust(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.OracleSafe.qsum6
+    val users = Tables.events(s, dir).selectExpr(
+        "user_id",
+        "CAST(((user_id % 1000003L) * 2654435761L) % 100 < 50 AS INT) AS arm",
+        "CAST(ts AS DATE) >= DATE'2024-01-15' AS post",
+        "CAST(round(value, 6) AS DECIMAL(38,6)) AS v")
+      .groupBy("user_id", "arm")
+      .agg(sum(when(col("post"), col("v"))).as("sy"),
+        sum(when(!col("post"), col("v"))).as("sx"))
+      .selectExpr("user_id", "arm",
+        "CAST(coalesce(sy, 0) AS DOUBLE) AS y",
+        "CAST(coalesce(sx, 0) AS DOUBLE) AS x")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mom = users.agg(count(lit(1)).as("n"),
+        qsum6(col("x")).as("sx"), qsum6(col("y")).as("sy"),
+        qsum6(expr("x * y")).as("sxy"), qsum6(expr("x * x")).as("sxx"))
+      .selectExpr(
+        "(sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta",
+        "sx / n AS mx")
+    users.crossJoin(broadcast(mom))
+      .withColumn("ya", expr("y - theta * (x - mx)"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        max(col("theta")).as("theta"),
+        qsum6(col("y")).as("sy"), qsum6(expr("y * y")).as("syy"),
+        qsum6(col("ya")).as("sa"), qsum6(expr("ya * ya")).as("saa"))
+      .selectExpr("arm", "n_users", "theta",
+        "sy / n_users AS my",
+        "(syy - sy * sy / n_users) / (n_users - 1) AS vy",
+        "sa / n_users AS ma",
+        "(saa - sa * sa / n_users) / (n_users - 1) AS va")
+      .selectExpr("arm", "n_users", "round(theta, 6) AS theta",
+        "round(my, 6) AS mean_y", "round(vy, 6) AS var_y",
+        "round(ma, 6) AS mean_adj", "round(va, 6) AS var_adj",
+        "round(1.0D - va / vy, 6) AS var_reduction")
+      .orderBy("arm")
+  }
+
+  val q276Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(((user_id % 1000003) * 2654435761) % 100 < 50 AS INTEGER) AS arm,
+      |    CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+      |      THEN CAST(round(value, 6) AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS y,
+      |    CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+      |      THEN CAST(round(value, 6) AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS x
+      |  FROM events GROUP BY 1, 2),
+      |mom AS (
+      |  SELECT
+      |    (CAST(sum(CAST(floor(x * y * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6
+      |      - CAST(sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6
+      |        * (CAST(sum(CAST(floor(y * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6)
+      |        / count(*))
+      |    / (CAST(sum(CAST(floor(x * x * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6
+      |      - CAST(sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6
+      |        * (CAST(sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6)
+      |        / count(*)) AS theta,
+      |    CAST(sum(CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6
+      |      / count(*) AS mx
+      |  FROM u),
+      |adj AS (SELECT arm, y, y - theta * (x - mx) AS ya FROM u, mom),
+      |st AS (
+      |  SELECT arm, count(*) AS n,
+      |    CAST(sum(CAST(floor(y * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6 AS sy,
+      |    CAST(sum(CAST(floor(y * y * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6 AS syy,
+      |    CAST(sum(CAST(floor(ya * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6 AS sa,
+      |    CAST(sum(CAST(floor(ya * ya * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6 AS saa
+      |  FROM adj GROUP BY arm)
+      |SELECT arm, CAST(n AS BIGINT) AS n_users,
+      |  round((SELECT theta FROM mom), 6) AS theta,
+      |  round(sy / n, 6) AS mean_y,
+      |  round((syy - sy * sy / n) / (n - 1), 6) AS var_y,
+      |  round(sa / n, 6) AS mean_adj,
+      |  round((saa - sa * sa / n) / (n - 1), 6) AS var_adj,
+      |  round(1e0 - ((saa - sa * sa / n) / (n - 1))
+      |    / ((syy - sy * sy / n) / (n - 1)), 6) AS var_reduction
+      |FROM st ORDER BY arm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q149_ab_ttest" -> q149AbTtest)
+    "q149_ab_ttest" -> q149AbTtest,
+    "q276_cuped_adjust" -> q276CupedAdjust)
 
   val oracle: Map[String, String] = Map(
-    "q149_ab_ttest" -> q149Sql)
+    "q149_ab_ttest" -> q149Sql,
+    "q276_cuped_adjust" -> q276Sql)
 }

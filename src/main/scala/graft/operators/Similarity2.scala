@@ -428,7 +428,25 @@ object Similarity2 {
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .selectExpr("cell", "transform(dm, e -> e.m) AS cv")
     val q = all.filter(col("vec_id") < 16).select(col("vec_id").as("qid"), col("v"))
-    val probes = broadcast(q).as("q")
+    val sub = pqSub(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val cb = pqCodebook(sub)
+    val postings = pqAssign(sub, cb)
+      .selectExpr("vec_id", "m", "b.code AS code")
+      .join(all.select("vec_id", "cell"), "vec_id")
+    val qsub = sub.filter(col("vec_id") < 16)
+      .selectExpr("vec_id AS qid", "m AS qm", "sv AS qsv")
+    ivfpqSearch(q, qsub, cent, cb, postings)
+  }
+
+  /** The IVF-PQ QUERY path over a PROVIDED index (centroids, codebook,
+    * cell-tagged postings) — the searcher/index seam: s206 feeds it the
+    * just-built in-memory index, s275 the same index read back from
+    * versioned TxLog tables. `queries` = (qid, v); `qsub` = (qid, qm,
+    * qsv) query subvectors. */
+  private def ivfpqSearch(queries: DataFrame, qsub: DataFrame,
+      cent: DataFrame, cb: DataFrame, postings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probes = broadcast(queries).as("q")
       .join(broadcast(cent).as("c"), lit(true))
       .selectExpr("qid", "cell",
         Similarity.cosExpr.replace("c.v", "c.cv") + " AS ccos")
@@ -436,13 +454,7 @@ object Similarity2 {
         Window.partitionBy("qid").orderBy(col("ccos").desc, col("cell"))))
       .filter(col("crank") <= 2)
       .select("qid", "cell")
-    val sub = pqSub(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    val cb = pqCodebook(sub)
-    val postings = pqAssign(sub, cb)
-      .selectExpr("vec_id", "m", "b.code AS code")
-      .join(all.select("vec_id", "cell"), "vec_id")
-    val dt = sub.filter(col("vec_id") < 16)
-      .selectExpr("vec_id AS qid", "m AS qm", "sv AS qsv")
+    val dt = qsub
       .join(broadcast(cb), col("qm") === col("m"))
       .selectExpr("qid", "m", "code",
         """CAST(floor(aggregate(zip_with(qsv, cw, (x, y) -> (x - y) * (x - y)),
@@ -458,6 +470,65 @@ object Similarity2 {
       .selectExpr("qid", "rank", "vec_id AS nid",
         "round(CAST(s6 AS DOUBLE) / 1e6, 6) AS adc")
       .orderBy("qid", "rank")
+  }
+
+  // ---------------------------------------------------------------- s275
+
+  /** s275: the IVF-PQ index AS VERSIONED DATA — centroids, codebook, and
+    * cell-tagged posting/code table are committed to three
+    * [[graft.sources.TxLog]] tables once per corpus, and the SEARCHER
+    * reads the index back from those tables (only query vectors come from
+    * the corpus). Gate: the answers must be BIT-IDENTICAL to s206's
+    * in-memory build (same oracle), proving the index round-trips through
+    * the parquet/array encodings and the log intact.
+    *
+    * This is the production vector-store shape the session's pieces add
+    * up to: s193 admits new vectors against a frozen quantizer, d189-style
+    * commits land them as posting appends, TxLog versions/compacts/prunes
+    * the index tables, and the searcher is a pure reader of a snapshot —
+    * index rebuilds become overwrite commits, rollback is time travel. */
+  def s275IvfpqFromTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val cellExpr =
+      """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
+        |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
+        |       CAST(CAST(v[2] >= 0 AS INT) AS STRING))""".stripMargin
+    val root = graft.SparkSupport.layoutArtifact("ivfpq_index", dir) { p =>
+      val all = Similarity.vecs(s, dir)
+        .selectExpr("vec_id", "v", s"$cellExpr AS cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cent = all
+        .selectExpr("cell", "posexplode(v) AS (dim, x)")
+        .groupBy("cell", "dim")
+        .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .selectExpr("cell", "transform(dm, e -> e.m) AS cv")
+      val sub = pqSub(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val cb = pqCodebook(sub)
+      val postings = pqAssign(sub, cb)
+        .selectExpr("vec_id", "m", "b.code AS code")
+        .join(all.select("vec_id", "cell"), "vec_id")
+      TxLog.append(s, cent, s"$p/centroids", partFiles = 1)
+      TxLog.append(s, cb, s"$p/codebook", partFiles = 1)
+      TxLog.append(s, postings, s"$p/postings", partFiles = 2)
+      all.unpersist(); sub.unpersist()
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    val cent = TxLog.read(s, s"$root/centroids")
+    val cb = TxLog.read(s, s"$root/codebook")
+    val postings = TxLog.read(s, s"$root/postings")
+    // only the QUERY vectors touch the corpus
+    val qAll = Similarity.vecs(s, dir).filter(col("vec_id") < 16)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = qAll.select(col("vec_id").as("qid"), col("v"))
+    val qsub = qAll
+      .selectExpr("vec_id",
+        """explode(transform(sequence(0, 7), m ->
+          |  struct(m AS m, slice(v, m * 8 + 1, 8) AS sv))) AS e""".stripMargin)
+      .selectExpr("vec_id AS qid", "e.m AS qm", "e.sv AS qsv")
+    ivfpqSearch(q, qsub, cent, cb, postings)
   }
 
   val s206Sql: String =
@@ -547,7 +618,8 @@ object Similarity2 {
     "s196_hybrid_rrf"   -> s196HybridRrf,
     "s197_hard_negatives" -> s197HardNegatives,
     "s206_ivfpq_search" -> s206IvfPqSearch,
-    "s256_ivfpq_recall" -> s256IvfpqRecall)
+    "s256_ivfpq_recall" -> s256IvfpqRecall,
+    "s275_ivfpq_from_table" -> s275IvfpqFromTable)
 
   val oracle: Map[String, String] = Map(
     "s163_ann_recall"   -> s163Sql,
@@ -556,5 +628,8 @@ object Similarity2 {
     "s196_hybrid_rrf"   -> s196Sql,
     "s197_hard_negatives" -> s197Sql,
     "s206_ivfpq_search" -> s206Sql,
-    "s256_ivfpq_recall" -> s256Sql)
+    "s256_ivfpq_recall" -> s256Sql,
+    // the persisted-index searcher must reproduce the in-memory build
+    // bit-for-bit — same oracle as s206
+    "s275_ivfpq_from_table" -> s206Sql)
 }

@@ -64,4 +64,32 @@ class Analytics2Spec extends SparkSpec {
     assert(math.abs(b1) < 0.01 && math.abs(b2) < 0.01,
       "class balancing must keep the bias near zero")
   }
+
+  test("cuped: arms share one pooled theta, users partition, and the " +
+    "adjustment never meaningfully hurts (safety property)") {
+    val out = Analytics.q276CupedAdjust(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 2)
+    assert(out.map(_.getDouble(2)).distinct.length == 1, "pooled theta")
+    val nUsers = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("user_id").distinct().count()
+    assert(out.map(_.getLong(1)).sum == nUsers)
+    // the in-sample guarantee is POOLED (θ = argmin of the pooled residual
+    // SS): reconstruct pooled sums of squares from per-arm stats — a
+    // single small arm CAN get worse in-sample, the pooled total cannot
+    def pooledSS(mean: Int, variance: Int): Double = {
+      val n = out.map(_.getLong(1).toDouble)
+      val m = out.map(r => r.getDouble(mean))
+      val v = out.map(r => r.getDouble(variance))
+      val bigM = n.zip(m).map { case (a, b) => a * b }.sum / n.sum
+      n.zip(m).zip(v).map { case ((ni, mi), vi) =>
+        (ni - 1) * vi + ni * (mi - bigM) * (mi - bigM) }.sum
+    }
+    assert(pooledSS(5, 6) <= pooledSS(3, 4) * 1.0001,
+      "pooled adjusted SS must not exceed the raw pooled SS")
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(7) - (1.0 - r.getDouble(6) / r.getDouble(4)))
+        < 2e-5)
+    }
+  }
 }

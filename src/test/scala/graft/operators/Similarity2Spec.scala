@@ -170,4 +170,18 @@ class Similarity2Spec extends SparkSpec {
     assert(out.agg(sum("n_hit")).head().getLong(0) == expected)
     out.unpersist()
   }
+
+  test("s275 persisted-index search is row-identical to the in-memory " +
+    "build, and the index tables are real versioned logs") {
+    val fromTable = Similarity2.s275IvfpqFromTable(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val inMemory = Similarity2.s206IvfPqSearch(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromTable == inMemory)
+    // the artifact contains three committed TxLog tables
+    val root = graft.SparkSupport.layoutArtifact("ivfpq_index", dir)(_ => ())
+    for (t <- Seq("centroids", "codebook", "postings"))
+      assert(graft.sources.TxLog.versions(s"$root/$t") == Seq(1),
+        s"$t must be one committed version")
+  }
 }
