@@ -199,11 +199,121 @@ object Analytics {
       |    / ((syy - sy * sy / n) / (n - 1)), 6) AS var_reduction
       |FROM st ORDER BY arm""".stripMargin
 
+  // ---------------------------------------------------------------- q280
+
+  /** q280: Poisson bootstrap — confidence intervals for the per-type mean
+    * WITHOUT resampling rows: each row contributes to replicate b with a
+    * Poisson(1) multiplicity (the m-out-of-n approximation of
+    * with-replacement sampling that made the bootstrap feasible on
+    * massive data — Chamandy et al. 2012), so all B = 32 replicates
+    * compute in ONE pass as weighted aggregates, no per-replicate shuffle
+    * and no row duplication beyond the ×B projection.
+    *
+    * Determinism (where textbook bootstraps die on the gate): the Poisson
+    * draw is the inverse CDF applied to a HASH-derived uniform
+    * (poly_hash(event_id:b)/P — reproducible anywhere), with the CDF
+    * thresholds as fixed 6-decimal literals (no runtime exp); replicate
+    * sums quantize to scaled longs. The interval is exact rank selection
+    * over the 32 replicate means (4th/29th order statistics ≈ 10%/90%),
+    * and the replicate spread (bootstrap SE) comes from quantized
+    * moments. */
+  def q280PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.OracleSafe.qsum6
+    import org.apache.spark.sql.expressions.Window
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val B = 32
+    val rep = Tables.events(s, dir)
+      // the rolling hash is LINEAR, so two replicate strings differing only
+      // in the b prefix hash to a CONSTANT offset of each other across all
+      // ids — u(·, b₀) and u(·, b₁) correlate at 0.9999 and every replicate
+      // reuses one weight pattern (measured: intervals collapsed around a
+      // single biased weighted mean, excluding the point estimate). The
+      // QUADRATIC finalizer (h² + h mod P) breaks the linearity: measured
+      // cross-replicate correlation −0.03, mean 0.50, sd 0.289 ≈ √(1/12).
+      .selectExpr("event_type", "CAST(round(value, 6) AS DECIMAL(38,6)) AS v",
+        s"""explode(transform(sequence(0, ${B - 1}), b -> struct(b AS b,
+           |  poly_hash(concat(CAST(b AS STRING), ':', CAST(event_id AS STRING)))
+           |    AS h))) AS e""".stripMargin)
+      .selectExpr("event_type", "v", "e.b AS b",
+        "((e.h * e.h + e.h) % 1000000007L) / 1000000007.0D AS u")
+      .selectExpr("event_type", "v", "b",
+        """CASE WHEN u < 0.367879D THEN 0 WHEN u < 0.735759D THEN 1
+          |     WHEN u < 0.919699D THEN 2 WHEN u < 0.981012D THEN 3
+          |     WHEN u < 0.996340D THEN 4 ELSE 5 END AS w""".stripMargin)
+    val means = rep.groupBy("event_type", "b")
+      .agg(sum(expr("w * v")).as("swv"), sum(col("w")).as("sw"))
+      .selectExpr("event_type", "b", "CAST(swv AS DOUBLE) / sw AS mb")
+    val ranked = means.withColumn("rn", row_number().over(
+      Window.partitionBy("event_type").orderBy(col("mb"), col("b"))))
+    val ci = ranked.groupBy("event_type")
+      .agg(
+        max(when(col("rn") === 4, col("mb"))).as("lo"),
+        max(when(col("rn") === 29, col("mb"))).as("hi"),
+        count(lit(1)).as("nb"),
+        qsum6(col("mb")).as("sm"), qsum6(expr("mb * mb")).as("smm"))
+    val point = Tables.events(s, dir)
+      .selectExpr("event_type", "CAST(round(value, 6) AS DECIMAL(38,6)) AS v")
+      .groupBy("event_type")
+      .agg((sum(col("v")).cast("double") / count(lit(1))).as("pm"))
+    point.join(ci, "event_type")
+      .selectExpr("event_type", "round(pm, 6) AS point_mean",
+        "round(lo, 6) AS boot_p10", "round(hi, 6) AS boot_p90",
+        "round(sqrt((smm - sm * sm / nb) / (nb - 1)), 6) AS boot_se")
+      .orderBy("event_type")
+  }
+
+  val q280Sql: String =
+    """WITH rep AS (
+      |  SELECT event_type, CAST(round(value, 6) AS DECIMAL(38,6)) AS v, b,
+      |    CASE WHEN u < 0.367879 THEN 0 WHEN u < 0.735759 THEN 1
+      |         WHEN u < 0.919699 THEN 2 WHEN u < 0.981012 THEN 3
+      |         WHEN u < 0.996340 THEN 4 ELSE 5 END AS w
+      |  FROM (
+      |    SELECT event_type, value, b,
+      |      ((h * h + h) % 1000000007) / CAST(1000000007 AS DOUBLE) AS u
+      |    FROM (
+      |      SELECT event_type, value, b,
+      |        list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |          list_transform(string_split(
+      |            CAST(b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR), ''),
+      |            c -> CAST(ascii(c) AS BIGINT))),
+      |          (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |      FROM events, (SELECT unnest(range(0, 32)) AS b) bs))),
+      |means AS (
+      |  SELECT event_type, b,
+      |    CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS BIGINT) AS mb
+      |  FROM rep GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |    ORDER BY mb, b) AS rn
+      |  FROM means),
+      |ci AS (
+      |  SELECT event_type,
+      |    max(CASE WHEN rn = 4 THEN mb END) AS lo,
+      |    max(CASE WHEN rn = 29 THEN mb END) AS hi,
+      |    count(*) AS nb,
+      |    CAST(sum(CAST(floor(mb * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / 1e6
+      |      AS sm,
+      |    CAST(sum(CAST(floor(mb * mb * 1e6 + 0.5e0) AS BIGINT)) AS DOUBLE)
+      |      / 1e6 AS smm
+      |  FROM ranked GROUP BY 1),
+      |pt AS (
+      |  SELECT event_type,
+      |    CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) AS DOUBLE)
+      |      / count(*) AS pm
+      |  FROM events GROUP BY 1)
+      |SELECT pt.event_type, round(pm, 6) AS point_mean,
+      |  round(lo, 6) AS boot_p10, round(hi, 6) AS boot_p90,
+      |  round(sqrt((smm - sm * sm / nb) / (nb - 1)), 6) AS boot_se
+      |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q149_ab_ttest" -> q149AbTtest,
-    "q276_cuped_adjust" -> q276CupedAdjust)
+    "q276_cuped_adjust" -> q276CupedAdjust,
+    "q280_poisson_bootstrap" -> q280PoissonBootstrap)
 
   val oracle: Map[String, String] = Map(
     "q149_ab_ttest" -> q149Sql,
-    "q276_cuped_adjust" -> q276Sql)
+    "q276_cuped_adjust" -> q276Sql,
+    "q280_poisson_bootstrap" -> q280Sql)
 }

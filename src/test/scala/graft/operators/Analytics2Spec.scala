@@ -92,4 +92,31 @@ class Analytics2Spec extends SparkSpec {
         < 2e-5)
     }
   }
+
+  test("poisson bootstrap: intervals are ordered, contain their point " +
+    "estimate, and the replicate spread is in the theoretical ballpark") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Analytics.q280PoissonBootstrap(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ev = graft.Tables.events(spark, dir)
+      .selectExpr("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    out.foreach { r =>
+      val (et, pm, lo, hi, se) = (r.getString(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi, s"$et: interval inverted")
+      // the decorrelated replicates must bracket the point estimate —
+      // exactly what the pre-fix (linear-hash) version FAILED
+      assert(lo <= pm && pm <= hi, s"$et: point $pm outside [$lo, $hi]")
+      // Poisson bootstrap SE of the mean ≈ √2·σ/√n (E[w²] = 2); allow a
+      // wide band for B = 32 replicate noise
+      val vs = ev(et).map(_._2)
+      val n = vs.length
+      val m = vs.sum / n
+      val sd = math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (n - 1))
+      val theory = math.sqrt(2.0) * sd / math.sqrt(n.toDouble)
+      assert(se > theory / 3 && se < theory * 3,
+        s"$et: se $se vs theoretical $theory")
+    }
+  }
 }
