@@ -440,6 +440,11 @@ object Curation {
     val toks = Tables.documents(s, dir)
       .filter(col("doc_id") % 7 =!= 0)
       .selectExpr("doc_id", s"${graft.functions.PortableHash.tokens} AS tk")
+      // a sub-5-token doc has no 5-gram windows; without this guard
+      // Spark's sequence(1, size-4) DESCENDS for size < 5 (bogus/negative
+      // slice starts) where DuckDB's range() is simply empty. Such docs
+      // can never be affected, so dropping them is semantics-preserving.
+      .filter(expr("size(tk) >= 5"))
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds windows, splice, sizes
     val wins = toks.selectExpr("doc_id",
         """posexplode(transform(sequence(1, size(tk) - 4),

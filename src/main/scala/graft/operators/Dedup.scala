@@ -580,16 +580,24 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  /** Band-key derivation over a 16-long minhash column `mh` (4 bands of
+    * 4, "<band>:<h-h-h-h>") — ONE definition shared by the batch index
+    * build ([[bandsOf]]) and the STREAMING admission probe
+    * ([[graft.streaming.EventStreams.bandKeys]]): the stream-static join
+    * matches on these strings, so a drifted copy would silently return
+    * zero candidates and admit every near-dup as clean. */
+  private[graft] val bandKeyExpr: String =
+    """explode(transform(sequence(0, 3), b -> concat(
+      |  CAST(b AS STRING), ':',
+      |  concat_ws('-', transform(slice(mh, b*4 + 1, 4),
+      |    x -> CAST(x AS STRING)))))) AS band_key""".stripMargin
+
   /** LSH band derivation shared by d142/d185: per-doc minhash16 signature
     * over the hashed shingle rows, cut into 4 bands of 4. */
   private def bandsOf(idx: DataFrame): DataFrame =
     idx.groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
       .selectExpr("doc_id", "minhash16(hs) AS mh")
-      .selectExpr("doc_id",
-        """explode(transform(sequence(0, 3), b -> concat(
-          |  CAST(b AS STRING), ':',
-          |  concat_ws('-', transform(slice(mh, b*4 + 1, 4),
-          |    x -> CAST(x AS STRING)))))) AS band_key""".stripMargin)
+      .selectExpr("doc_id", bandKeyExpr)
 
   /** The corpus LSH band index (band_key, doc_id) as a PERSISTED artifact —
     * what d142 calls "the band index of the existing corpus is a persisted

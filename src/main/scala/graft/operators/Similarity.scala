@@ -36,6 +36,15 @@ object Similarity {
 
   private[operators] val cosDuck = cosDuckAt(64)
 
+  /** The deterministic 3-bit sign-cell coarse quantizer (8 cells standing
+    * in for trained centroids) — ONE definition for every consumer
+    * (s39 probe, s193 admit, the s206/s275 IVF-PQ builds): a drifted copy
+    * would silently disagree with the persisted posting layout. */
+  private[operators] val signCellExpr =
+    """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
+      |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
+      |       CAST(CAST(v[2] >= 0 AS INT) AS STRING))""".stripMargin
+
   private[operators] def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
@@ -91,10 +100,7 @@ object Similarity {
     * from an order-independent decimal mean, queries probe their 2 nearest
     * centroids, exact search only within probed cells. */
   def s39AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val cellExpr =
-      """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
-        |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
-        |       CAST(CAST(v[2] >= 0 AS INT) AS STRING))""".stripMargin
+    val cellExpr = signCellExpr
     val all = vecs(s, dir).selectExpr("vec_id", "v", s"$cellExpr AS cell")
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds centroids, probes, and corpus side
     // per-cell centroid: decimal-summed per-dimension mean (order-independent)
@@ -178,10 +184,7 @@ object Similarity {
     * the quantizer needs retraining (the s137 drift check's actionable
     * form). */
   def s193IvfAdmit(s: SparkSession, dir: String): DataFrame = {
-    val cellExpr =
-      """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
-        |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
-        |       CAST(CAST(v[2] >= 0 AS INT) AS STRING))""".stripMargin
+    val cellExpr = signCellExpr
     val all = vecs(s, dir).selectExpr("vec_id", "v", s"$cellExpr AS sign_cell")
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds centroid + batch sides
     // frozen quantizer: per-cell decimal-mean centroids of HISTORY only

@@ -411,13 +411,25 @@ object Similarity2 {
     * ADC sums); ranks tie-break on vec_id. The gate oracle recomputes the
     * full composition. */
   def s206IvfPqSearch(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cellExpr =
-      """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
-        |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
-        |       CAST(CAST(v[2] >= 0 AS INT) AS STRING))""".stripMargin
+    val ix = ivfpqBuild(s, dir)
+    val q = ix.all.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("v"))
+    val qsub = ix.sub.filter(col("vec_id") < 16)
+      .selectExpr("vec_id AS qid", "m AS qm", "sv AS qsv")
+    ivfpqSearch(q, qsub, ix.cent, ix.cb, ix.postings)
+  }
+
+  private case class IvfpqIndex(all: DataFrame, sub: DataFrame,
+      cent: DataFrame, cb: DataFrame, postings: DataFrame)
+
+  /** Build the IVF-PQ index triple (centroids, codebook, cell-tagged
+    * postings) plus its inputs — ONE definition for the in-memory (s206)
+    * and persisted (s275) paths: the two share an oracle, so a drifted
+    * copy of this build would surface as a phantom TxLog round-trip
+    * failure. */
+  private def ivfpqBuild(s: SparkSession, dir: String): IvfpqIndex = {
     val all = Similarity.vecs(s, dir)
-      .selectExpr("vec_id", "v", s"$cellExpr AS cell")
+      .selectExpr("vec_id", "v", s"${Similarity.signCellExpr} AS cell")
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds centroids, probes, postings
     val cent = all
       .selectExpr("cell", "posexplode(v) AS (dim, x)")
@@ -427,15 +439,12 @@ object Similarity2 {
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .selectExpr("cell", "transform(dm, e -> e.m) AS cv")
-    val q = all.filter(col("vec_id") < 16).select(col("vec_id").as("qid"), col("v"))
     val sub = pqSub(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val cb = pqCodebook(sub)
     val postings = pqAssign(sub, cb)
       .selectExpr("vec_id", "m", "b.code AS code")
       .join(all.select("vec_id", "cell"), "vec_id")
-    val qsub = sub.filter(col("vec_id") < 16)
-      .selectExpr("vec_id AS qid", "m AS qm", "sv AS qsv")
-    ivfpqSearch(q, qsub, cent, cb, postings)
+    IvfpqIndex(all, sub, cent, cb, postings)
   }
 
   /** The IVF-PQ QUERY path over a PROVIDED index (centroids, codebook,
@@ -489,31 +498,12 @@ object Similarity2 {
     * index rebuilds become overwrite commits, rollback is time travel. */
   def s275IvfpqFromTable(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxLog
-    val cellExpr =
-      """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
-        |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
-        |       CAST(CAST(v[2] >= 0 AS INT) AS STRING))""".stripMargin
     val root = graft.SparkSupport.layoutArtifact("ivfpq_index", dir) { p =>
-      val all = Similarity.vecs(s, dir)
-        .selectExpr("vec_id", "v", s"$cellExpr AS cell")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val cent = all
-        .selectExpr("cell", "posexplode(v) AS (dim, x)")
-        .groupBy("cell", "dim")
-        .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .selectExpr("cell", "transform(dm, e -> e.m) AS cv")
-      val sub = pqSub(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val cb = pqCodebook(sub)
-      val postings = pqAssign(sub, cb)
-        .selectExpr("vec_id", "m", "b.code AS code")
-        .join(all.select("vec_id", "cell"), "vec_id")
-      TxLog.append(s, cent, s"$p/centroids", partFiles = 1)
-      TxLog.append(s, cb, s"$p/codebook", partFiles = 1)
-      TxLog.append(s, postings, s"$p/postings", partFiles = 2)
-      all.unpersist(); sub.unpersist()
+      val ix = ivfpqBuild(s, dir) // the ONE build definition s206 also runs
+      TxLog.append(s, ix.cent, s"$p/centroids", partFiles = 1)
+      TxLog.append(s, ix.cb, s"$p/codebook", partFiles = 1)
+      TxLog.append(s, ix.postings, s"$p/postings", partFiles = 2)
+      ix.all.unpersist(); ix.sub.unpersist()
       java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
     }
     val cent = TxLog.read(s, s"$root/centroids")

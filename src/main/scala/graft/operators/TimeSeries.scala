@@ -335,9 +335,13 @@ object TimeSeries {
     val byType = Window.partitionBy("event_type")
     val stats = hourly.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(col("x6")).as("sx"),
-        // x6² sums in exact decimal: a long Σx6² can pass 2^63 on wide
-        // value ranges (DuckDB's hugeint sum already can't wrap)
-        sum((col("x6") * col("x6")).cast("decimal(38,0)")).as("sxx"))
+        // x6² entirely in decimal: casting AFTER a Long multiply would
+        // wrap first (x6 > 3e9 ⇒ x6² > 2^63) and then sum the wrapped
+        // value exactly — the cast must precede the product. decimal(19,0)
+        // operands keep the (38,0) product exact; DuckDB's hugeint
+        // arithmetic can't wrap on its side
+        sum(col("x6").cast("decimal(19,0)") * col("x6").cast("decimal(19,0)"))
+          .as("sxx"))
       .selectExpr("event_type", "n",
         "sx DIV n AS mu6", // integer mean (truncating; documented)
         """CAST(floor(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)

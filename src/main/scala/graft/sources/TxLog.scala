@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** A minimal parquet TRANSACTION LOG — the Delta/Iceberg commit protocol
@@ -15,10 +15,14 @@ import scala.jdk.CollectionConverters._
   *  - State is the replay of `_graft_log/vNNNNN.json` commit records, each
   *    holding `add` / `remove` file lists (relative paths). Version k's
   *    snapshot = replay of v1..vk.
-  *  - A commit is published by ATOMIC_MOVE of a temp file onto its version
-  *    name — the filesystem is the arbiter: two writers racing for version
-  *    k cannot both win the rename, the loser re-reads the log and retries
-  *    at k+1 (optimistic concurrency, the Delta protocol's core).
+  *  - A commit is published by HARD-LINKING a temp file onto its version
+  *    name — link(2) fails with EEXIST if the target exists, so the
+  *    filesystem is the arbiter: two writers racing for version k cannot
+  *    both win, the loser re-reads the log and retries at k+1 (optimistic
+  *    concurrency, the Delta protocol's core). NOT rename: POSIX
+  *    rename(2) silently REPLACES an existing target, so an ATOMIC_MOVE
+  *    "arbiter" would let both racers succeed and destroy the winner's
+  *    commit record (verified empirically on this filesystem).
   *  - Readers never lock: a snapshot is a pure function of the immutable
   *    log prefix, so TIME TRAVEL (`read(asOf = k)`) and concurrent-writer
   *    isolation come for free. Half-written commits are invisible (temps
@@ -40,15 +44,26 @@ object TxLog {
   private def versionFile(table: String, v: Int): Path =
     logPath(table).resolve(f"v$v%05d.json")
 
-  /** Committed versions, ascending (replay order). */
+  /** List a directory with the stream CLOSED (Files.list leaks a directory
+    * fd until GC otherwise — and versions() runs on every commit attempt
+    * and every replay). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private val VersionName = "v(\\d+)\\.json".r
+
+  /** Committed versions, ascending (replay order). Width-agnostic: the
+    * writer zero-pads to 5 digits but versions past 99999 grow wider, and
+    * a fixed-width match would make them invisible to replay. */
   def versions(table: String): Seq[Int] = {
     val lp = logPath(table)
     if (!Files.isDirectory(lp)) Seq.empty
-    else Files.list(lp).iterator().asScala
+    else listDir(lp)
       .map(_.getFileName.toString)
-      .collect { case n if n.matches("v\\d{5}\\.json") =>
-        n.substring(1, 6).toInt }
-      .toSeq.sorted
+      .collect { case VersionName(d) => d.toInt }
+      .sorted
   }
 
   /** Live data-file ENTRIES (relative path, optionally suffixed
@@ -156,27 +171,36 @@ object TxLog {
       case Some(v) => v // replay — already durable, stage nothing
       case None =>
         val staged = stage(df, table, partFiles)
+        // only commits NEWER than the last scan can newly hold the batch
+        // id, so each retry reads just the delta — a contended append
+        // stays O(log length), not O(retries × log length). checked starts
+        // at 0 (NOT at the pre-stage head): a racer landing between the
+        // probe above and here must not be skipped.
+        var checked = 0
         var attempts = 0
         while (attempts < 100) {
           attempts += 1
-          committedBatch(table, batchId) match {
+          val vs = versions(table)
+          vs.filter(_ > checked).find(hasBatchId(table, _, batchId)) match {
             case Some(v) => return v // a racing worker landed it first
             case None =>
-              val v = versions(table).lastOption.getOrElse(0) + 1
-              if (tryCommitAt(table, v, staged, Seq.empty, Some(batchId)))
-                return v
+              checked = vs.lastOption.getOrElse(0)
+              if (tryCommitAt(table, checked + 1, staged, Seq.empty,
+                  Some(batchId)))
+                return checked + 1
           }
         }
         throw new IllegalStateException(s"appendBatch $table: too many conflicts")
     }
   }
 
+  private def hasBatchId(table: String, v: Int, batchId: Long): Boolean =
+    s""""batchId":$batchId[,}]""".r
+      .findFirstIn(Files.readString(versionFile(table, v))).isDefined
+
   /** The version that committed `batchId`, if any. */
   def committedBatch(table: String, batchId: Long): Option[Int] =
-    versions(table).find { v =>
-      val txt = Files.readString(versionFile(table, v))
-      s""""batchId":$batchId[,}]""".r.findFirstIn(txt).isDefined
-    }
+    versions(table).find(hasBatchId(table, _, batchId))
 
   /** Replace the table contents atomically; returns the version. */
   def overwrite(spark: SparkSession, df: DataFrame, table: String,
@@ -194,11 +218,28 @@ object TxLog {
     val name = s"stage-${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = Paths.get(table, name)
     df.coalesce(partFiles).write.mode("errorifexists").parquet(dir.toString)
-    Files.list(dir).iterator().asScala
+    listDir(dir)
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && n.startsWith("part-"))
-      .toSeq.sorted
+      .sorted
       .map(f => s"$name/$f")
+  }
+
+  /** Publish a commit record at exactly `v` — true iff WE created it.
+    * The arbitration primitive is createLink (link(2)): it fails with
+    * EEXIST when the version name is taken, atomically. rename(2) would
+    * silently REPLACE the winner's record (verified on this filesystem —
+    * both racers would "succeed" and one commit would be destroyed). */
+  private def publish(table: String, v: Int, json: String): Boolean = {
+    Files.createDirectories(logPath(table))
+    val tmp = Files.createTempFile(logPath(table), ".tmp-", ".json")
+    Files.writeString(tmp, json)
+    try {
+      Files.createLink(versionFile(table, v), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Optimistic-concurrency commit: claim the next version by atomic
@@ -211,18 +252,8 @@ object TxLog {
     * builds on: a writer that staged work against version v−1 must NOT
     * blindly land at a later version (its inputs may be stale). */
   def tryCommitAt(table: String, v: Int, add: Seq[String],
-                  remove: Seq[String], batchId: Option[Long] = None): Boolean = {
-    Files.createDirectories(logPath(table))
-    val tmp = Files.createTempFile(logPath(table), ".tmp-", ".json")
-    Files.writeString(tmp, commitJson(v, add, remove, batchId))
-    try {
-      Files.move(tmp, versionFile(table, v), StandardCopyOption.ATOMIC_MOVE)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
-    }
-  }
+                  remove: Seq[String], batchId: Option[Long] = None): Boolean =
+    publish(table, v, commitJson(v, add, remove, batchId))
 
   /** OPTIMIZE: rewrite the live set into `partFiles` compacted files and
     * publish as ONE commit — q113's small-file compaction under
@@ -283,7 +314,8 @@ object TxLog {
             hitRel.map(e => s"$table/${entryPath(e)}"): _*)
           .join(keys, Seq(key), "left_anti"))
       val rewrite = survivors match {
-        case Some(sv) => sv.unionByName(updates.select(sv.columns.map(col): _*))
+        case Some(sv) =>
+          sv.unionByName(updates.select(sv.columns.toIndexedSeq.map(col): _*))
         case None     => updates
       }
       val staged = stage(rewrite, table, partFiles)
@@ -312,18 +344,18 @@ object TxLog {
     val keep = retained.flatMap(v => liveFiles(table, Some(v)))
       .map(entryPath).toSet
     val root = Paths.get(table)
-    val stageDirs = Files.list(root).iterator().asScala
+    val stageDirs = listDir(root)
       .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("stage-")).toSeq
+        p.getFileName.toString.startsWith("stage-"))
     val deleted = scala.collection.mutable.Buffer[String]()
     stageDirs.foreach { sd =>
-      Files.list(sd).iterator().asScala.toSeq.foreach { f =>
+      listDir(sd).foreach { f =>
         val rel = s"${sd.getFileName}/${f.getFileName}"
         val isData = f.getFileName.toString.endsWith(".parquet")
         if (isData && !keep(rel)) { Files.delete(f); deleted += rel }
       }
       // drop a stage dir once no data files remain (markers included)
-      val left = Files.list(sd).iterator().asScala.toSeq
+      val left = listDir(sd)
       if (!left.exists(_.getFileName.toString.endsWith(".parquet"))) {
         left.foreach(Files.delete)
         Files.delete(sd)
@@ -334,23 +366,13 @@ object TxLog {
 
   private def commitWith(table: String)
                         (actions: () => (Seq[String], Seq[String])): Int = {
-    Files.createDirectories(logPath(table))
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
       val (add, remove) = actions()
       val v = versions(table).lastOption.getOrElse(0) + 1
-      val tmp = Files.createTempFile(logPath(table), ".tmp-", ".json")
-      Files.writeString(tmp, commitJson(v, add, remove))
-      try {
-        // ATOMIC_MOVE without REPLACE_EXISTING: the filesystem arbitrates —
-        // exactly one writer's rename lands on vNNNNN.json
-        Files.move(tmp, versionFile(table, v), StandardCopyOption.ATOMIC_MOVE)
-        return v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // lost the race — re-read, retry
-      }
+      if (publish(table, v, commitJson(v, add, remove))) return v
+      // lost the race — re-read the log, recompute actions, retry
     }
     throw new IllegalStateException(s"commit to $table: too many conflicts")
   }

@@ -136,11 +136,9 @@ object EventStreams {
     docs.selectExpr("doc_id",
         s"transform(${shingles(3)}, sh -> poly_hash(sh)) AS hs")
       .selectExpr("doc_id", "minhash16(hs) AS mh")
-      .selectExpr("doc_id",
-        """explode(transform(sequence(0, 3), b -> concat(
-          |  CAST(b AS STRING), ':',
-          |  concat_ws('-', transform(slice(mh, b*4 + 1, 4),
-          |    x -> CAST(x AS STRING)))))) AS band_key""".stripMargin)
+      // the SAME band-key expression the batch index build uses — the
+      // stream-static join matches on these strings verbatim
+      .selectExpr("doc_id", graft.operators.Dedup.bandKeyExpr)
   }
 
   /** Streaming near-dup ADMISSION probe — the d185 batch probe as a

@@ -41,6 +41,21 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == Set(9L, 10L))
   }
 
+  test("arbitration primitive: claiming an EXISTING version fails and " +
+    "leaves the winner's commit record untouched") {
+    val t = freshTable()
+    TxLog.append(spark, df(1L -> "a"), t)
+    val before = TxLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    // rename(2) would silently REPLACE v00001.json here — both racers
+    // would 'succeed' and the winner's add-entries would vanish from every
+    // snapshot; link(2) must refuse
+    assert(!TxLog.tryCommitAt(t, 1, add = Seq("bogus/part-x.parquet"),
+      remove = Seq.empty), "claiming a taken version must fail")
+    assert(TxLog.versions(t) == Seq(1))
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == before,
+      "the winner's committed data must survive the losing claim")
+  }
+
   test("version conflict: a squatting commit forces the loser to retry and " +
     "land on the next version with its actions intact") {
     val t = freshTable()
