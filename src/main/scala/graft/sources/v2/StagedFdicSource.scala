@@ -54,8 +54,11 @@ class StagedFdicSource extends TableProvider {
       case Some(fs) => fs.split(",").map(_.trim).toSeq
       case None => // peek at the first line of the first staged file
         StagedFdicSource.listFiles(options.get("path")).headOption
-          .flatMap(f => Files.lines(f).findFirst().map[Option[String]](Some(_))
-            .orElse(None))
+          .flatMap { f =>
+            val s = Files.lines(f) // close the stream — driver-side leak
+            try s.findFirst().map[Option[String]](Some(_)).orElse(None)
+            finally s.close()
+          }
           .map(line => StagedJsonLine.keys(line))
           .getOrElse(Seq.empty)
     }
@@ -68,10 +71,17 @@ class StagedFdicSource extends TableProvider {
 }
 
 object StagedFdicSource {
+  /** Directory listing with the stream CLOSED (Files.list leaks a
+    * directory fd until GC otherwise; this runs on every plan/commit). */
+  private[v2] def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.collect(Collectors.toList[Path]).asScala.toSeq finally s.close()
+  }
+
   private[v2] def listFiles(path: String): Seq[Path] = {
     val p = Paths.get(path)
     if (Files.isDirectory(p))
-      Files.list(p).collect(Collectors.toList[Path]).asScala.toSeq
+      listDir(p)
         .filter { f =>
           val n = f.getFileName.toString
           // skip writer metadata (_SUCCESS, .crc, hidden files)
@@ -81,6 +91,17 @@ object StagedFdicSource {
         .sortBy(_.toString)
     else if (Files.exists(p)) Seq(p)
     else Seq.empty
+  }
+
+  /** Delete a staging dir and anything left in it (crashed tasks leave
+    * orphan temp files whose abort() never ran — a plain delete of a
+    * non-empty dir would throw AFTER data was already published). */
+  private[v2] def dropStaging(dir: String): Unit = {
+    val d = Paths.get(dir)
+    if (Files.exists(d)) {
+      listDir(d).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(d)
+    }
   }
 }
 
@@ -95,7 +116,7 @@ private[v2] class StagedFdicTable(schema: StructType, path: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StagedFdicScanBuilder(schema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new StagedFdicWriteBuilder(path, info.schema())
+    new StagedFdicWriteBuilder(path, info.schema(), info.queryId())
 }
 
 private[v2] class StagedFdicScanBuilder(fullSchema: StructType, path: String)
@@ -215,7 +236,8 @@ private[v2] class StagedFdicPartitionReader(file: String,
   * (truncating it first under overwrite mode), and `abort` deletes the temp
   * dir — a failed or speculative task never leaves partial data visible.
   * String columns only (bronze staging is schema-on-read by design). */
-private[v2] class StagedFdicWriteBuilder(path: String, schema: StructType)
+private[v2] class StagedFdicWriteBuilder(path: String, schema: StructType,
+                                         queryId: String)
   extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -223,7 +245,7 @@ private[v2] class StagedFdicWriteBuilder(path: String, schema: StructType)
     override def toBatch: BatchWrite =
       StagedFdicBatchWrite(path, schema.fieldNames, doTruncate)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      StagedFdicStreamingWrite(path, schema.fieldNames)
+      StagedFdicStreamingWrite(path, schema.fieldNames, queryId)
   }
 }
 
@@ -236,10 +258,15 @@ private[v2] case class StagedFdicBatchWrite(path: String,
   extends BatchWrite {
 
   private val stagingDir = s"$path/.staging-${java.util.UUID.randomUUID()}"
+  // per-JOB tag in the data-file names: task ids restart at 0 in every
+  // application, so bare part-<pid>-<tid>.json names from a later append
+  // run would ATOMIC_MOVE-replace (rename(2) semantics) an earlier run's
+  // files — silent data loss across runs
+  private val jobTag = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(stagingDir))
-    StagedFdicWriterFactory(stagingDir, fields)
+    StagedFdicWriterFactory(stagingDir, fields, jobTag)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -252,25 +279,23 @@ private[v2] case class StagedFdicBatchWrite(path: String,
       Files.move(f, target.resolve(f.getFileName),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
-    Files.deleteIfExists(Paths.get(stagingDir))
+    // crashed tasks can leave orphans whose abort() never ran — the
+    // staging teardown must tolerate them (deleteIfExists on a non-empty
+    // dir would fail the job AFTER its data became visible)
+    StagedFdicSource.dropStaging(stagingDir)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val d = Paths.get(stagingDir)
-    if (Files.exists(d)) {
-      Files.list(d).collect(Collectors.toList[Path]).asScala
-        .foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(d)
-    }
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    StagedFdicSource.dropStaging(stagingDir)
 }
 
 private[v2] case class StagedFdicWriterFactory(stagingDir: String,
-                                               fields: Array[String])
+                                               fields: Array[String],
+                                               jobTag: String)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new StagedFdicDataWriter(
-      s"$stagingDir/part-$partitionId-$taskId.json", fields)
+      s"$stagingDir/part-$partitionId-$taskId-$jobTag.json", fields)
 }
 
 /** Streaming write: the same two-phase commit, per EPOCH. Task files are
@@ -285,24 +310,36 @@ private[v2] case class StagedFdicWriterFactory(stagingDir: String,
   * machine-hours. Appends across epochs accumulate (the K1 quarterly-load
   * shape); the V2 reader lists epoch files like any other staged file. */
 private[v2] case class StagedFdicStreamingWrite(path: String,
-                                                fields: Array[String])
+                                                fields: Array[String],
+                                                queryId: String)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingDir = s"$path/.staging-stream-${java.util.UUID.randomUUID()}"
+  // per-QUERY tag (Spark's streaming queryId — stable across RESTARTS of
+  // the same checkpoint, distinct for a new query): epoch ids restart at 0
+  // for a fresh checkpoint, so a bare epoch-<id>- replace key would make a
+  // later query's epoch-0 commit delete an EARLIER query's accumulated
+  // epoch-0 files as presumed redelivery. A random per-instance tag would
+  // fail the OTHER direction — a restarted query builds a new
+  // StreamingWrite, and its redelivered epoch must still replace the
+  // pre-crash attempt's files. The queryId is exactly the key with both
+  // properties; cross-query appends accumulate (the K1 quarterly-load
+  // shape).
+  private val runTag = queryId.take(8)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(stagingDir))
-    StagedFdicStreamingWriterFactory(stagingDir, fields)
+    StagedFdicStreamingWriterFactory(stagingDir, fields, runTag)
   }
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val target = Paths.get(path)
     Files.createDirectories(target)
-    // idempotence: a re-committed epoch replaces its prior output
+    // idempotence: a re-committed epoch replaces ITS OWN prior output
     StagedFdicSource.listFiles(path)
-      .filter(_.getFileName.toString.startsWith(s"epoch-$epochId-"))
+      .filter(_.getFileName.toString.startsWith(s"epoch-$epochId-$runTag-"))
       .foreach(Files.delete)
     messages.foreach { case StagedTaskCommit(tmp) =>
       val f = Paths.get(tmp)
@@ -312,23 +349,19 @@ private[v2] case class StagedFdicStreamingWrite(path: String,
   }
 
   override def abort(epochId: Long,
-                     messages: Array[WriterCommitMessage]): Unit = {
-    val d = Paths.get(stagingDir)
-    if (Files.exists(d)) {
-      Files.list(d).collect(Collectors.toList[Path]).asScala
-        .foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(d)
-    }
-  }
+                     messages: Array[WriterCommitMessage]): Unit =
+    StagedFdicSource.dropStaging(stagingDir)
 }
 
 private[v2] case class StagedFdicStreamingWriterFactory(stagingDir: String,
-                                                        fields: Array[String])
+                                                        fields: Array[String],
+                                                        runTag: String)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new StagedFdicDataWriter(
-      s"$stagingDir/epoch-$epochId-part-$partitionId-$taskId.json", fields)
+      s"$stagingDir/epoch-$epochId-$runTag-part-$partitionId-$taskId.json",
+      fields)
 }
 
 private[v2] class StagedFdicDataWriter(file: String, fields: Array[String])
@@ -357,13 +390,20 @@ private[v2] class StagedFdicDataWriter(file: String, fields: Array[String])
   * only — the staging writer never nests (Ingest.stageFdicResponse). */
 private[v2] object StagedJsonLine {
 
-  /** JSON string escape for the write side (inverse of [[readString]]). */
+  /** JSON string escape for the write side (inverse of [[readString]]).
+    * ALL control chars must escape (RFC 8259): a raw backspace or NUL in the
+    * line is invalid JSON that the V1 spark.read.json path turns into a
+    * _corrupt_record, breaking the V1/V2 equivalence the connector is
+    * specified against. */
   def escape(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
     case '\t' => "\\t"
     case '\r' => "\\r"
+    case '\b' => "\\b"
+    case '\f' => "\\f"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c    => c.toString
   }
 
@@ -434,17 +474,25 @@ private[v2] object StagedJsonLine {
     i
   }
 
-  /** Returns (unescaped content, index after closing quote). */
+  /** Returns (unescaped content, index after closing quote). Decodes the
+    * full RFC 8259 escape set — \uXXXX in particular, which ASCII-safe
+    * JSON writers (Jackson with escapeNonAscii, many producers) emit for
+    * any non-ASCII character: dropping the backslash would silently
+    * corrupt the value and diverge from the V1 json_tuple path. */
   private def readString(s: String, from: Int): (String, Int) = {
     val sb = new StringBuilder
     var i = from + 1; var esc = false
     while (i < s.length) {
       val c = s(i)
       if (esc) {
-        sb += (c match {
-          case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-          case other => other
-        })
+        c match {
+          case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+          case 'b' => sb += '\b'; case 'f' => sb += '\f'
+          case 'u' if i + 4 < s.length =>
+            sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
+            i += 4
+          case other => sb += other
+        }
         esc = false
       } else if (c == '\\') esc = true
       else if (c == '"') return (sb.toString, i + 1)

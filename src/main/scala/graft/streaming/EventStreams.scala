@@ -67,7 +67,12 @@ object EventStreams {
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("event_id")
+      // the EVENT-TIME column must be part of the dedup subset: Spark only
+      // watermark-evicts dropDuplicates state when it is, so keying on
+      // event_id alone would grow state forever and the bounded-memory
+      // claim above would be false (dropDuplicatesWithinWatermark below is
+      // the subset-free alternative)
+      .dropDuplicates("event_id", "ts")
 
   /** Stream-stream interval join: view→click attribution. Each click joins
     * the views of the same user in the preceding hour. Both sides carry
@@ -384,10 +389,20 @@ object EventStreams {
       initSessions()
 
     override def handleInitialState(userId: Long, init: BootstrapSession,
-        timers: TimerValues): Unit =
-      // merging with load() (not overwriting) keeps the seed idempotent if
-      // a key is ever delivered both a bootstrap row and early input rows
-      store(SessionState(init.start, init.lastTs, init.n, init.sum) :: load())
+        timers: TimerValues): Unit = {
+      // the seed INTERVAL merges through the same union absorb() applies
+      // to events — a plain cons would stack overlapping intervals (each
+      // emitted separately at expiry, double-counting the span) if a key
+      // ever received a duplicate seed or an early overlapping session
+      val seed = SessionState(init.start, init.lastTs, init.n, init.sum)
+      val (touched, rest) = load().partition(s =>
+        seed.lastTs + gapMs >= s.start && seed.start - gapMs <= s.lastTs)
+      val merged = touched.foldLeft(seed) { (a, s) =>
+        SessionState(math.min(a.start, s.start), math.max(a.lastTs, s.lastTs),
+          a.n + s.n, a.sum + s.sum)
+      }
+      store(merged :: rest)
+    }
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[SessionOut] = {
@@ -550,11 +565,16 @@ object EventStreams {
   /** Run a transform as a real stream from a folder of parquet (file
     * source) into an in-memory sink — the readStream→writeStream edge. */
   def runFileStream(spark: SparkSession, srcDir: String, schema: String,
-                    transform: DataFrame => DataFrame, queryName: String): Unit = {
+                    transform: DataFrame => DataFrame, queryName: String,
+                    outputMode: String = "complete"): Unit = {
+    // "complete" suits the aggregating transforms this helper was built
+    // for; non-aggregating transforms (dedup, joins, sessionizers) must
+    // pass "append" — complete mode rejects them AND disables the
+    // watermark state-trimming they rely on
     val q = transform(
       spark.readStream.schema(schema).parquet(srcDir))
       .writeStream.format("memory").queryName(queryName)
-      .outputMode("complete").start()
+      .outputMode(outputMode).start()
     q.processAllAvailable()
     q.stop()
   }

@@ -103,15 +103,25 @@ class StagedFdicSourceSpec extends SparkSpec {
     val files = StagedFdicSource.listFiles(dir).map(_.getFileName.toString)
     assert(files.nonEmpty && files.forall(_.startsWith("epoch-")), files)
     assert(files.map(_.split("-")(1)).distinct.size == 2) // two epochs
-    // idempotence: manually re-commit epoch 0's worth of data — the write
-    // replaces that epoch's files instead of appending duplicates
-    val w = StagedFdicStreamingWrite(dir, Array("CERT", "NAME"))
+    // idempotence: re-commit epoch 0 as the SAME QUERY would after a
+    // restart (a fresh StreamingWrite instance, same queryId — recovered
+    // from the file tag here) — the write replaces that epoch's files
+    // instead of appending duplicates
+    val tag = files.head.split("-")(2) // epoch-<id>-<queryTag>-part-...
+    val w = StagedFdicStreamingWrite(dir, Array("CERT", "NAME"), tag)
     val before = spark.read.format(fmt).option("fields", "CERT").load(dir).count()
     w.commit(0L, Array.empty) // epoch 0 redelivered with no rows
     val after = spark.read.format(fmt).option("fields", "CERT").load(dir).count()
     val epoch0Gone = StagedFdicSource.listFiles(dir)
-      .forall(!_.getFileName.toString.startsWith("epoch-0-"))
+      .forall(!_.getFileName.toString.startsWith(s"epoch-0-$tag-"))
     assert(epoch0Gone && after < before)
+    // the OTHER direction: a DIFFERENT query's epoch-0 commit must NOT
+    // touch this query's surviving files (cross-query appends accumulate)
+    val other = StagedFdicStreamingWrite(dir, Array("CERT", "NAME"),
+      "deadbeef-0000")
+    other.commit(0L, Array.empty)
+    assert(spark.read.format(fmt).option("fields", "CERT").load(dir).count()
+      == after, "a foreign query's epoch replace must not delete our files")
   }
 
   test("V2 write output is byte-compatible with Ingest.stageFdicResponse lines") {
