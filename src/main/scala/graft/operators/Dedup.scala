@@ -193,11 +193,7 @@ object Dedup {
     // 16 permutation-min hashes via the native codegen'd MinHash16 — one
     // pass over the hash list instead of 16 interpreted transform() lambdas
     val cand = sigs.selectExpr("doc_id", "minhash16(hs) AS mh")
-      .selectExpr("doc_id",
-        """explode(transform(sequence(0, 3), b -> concat(
-          |  CAST(b AS STRING), ':',
-          |  concat_ws('-', transform(slice(mh, b*4 + 1, 4),
-          |    x -> CAST(x AS STRING)))))) AS band_key""".stripMargin)
+      .selectExpr("doc_id", bandKeyExpr) // the ONE band layout (see bandKeyExpr)
       .groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .selectExpr(s"$pairExplodeExpr AS p")
@@ -228,11 +224,20 @@ object Dedup {
     * → band keys → candidate pairs → shared-shingle counts), factored out so
     * downstream oracle SQL can compose it (d144 chains connected components
     * and canonical selection onto the same pair pipeline). */
-  private[operators] val minhashPairCtes: String = {
-    val polyDuck =
-      """list_reduce(list_prepend(CAST(7 AS BIGINT),
-        |  list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
-        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+  /** The DuckDB polyHash fold over a string column — ONE definition for
+    * every oracle that mirrors [[graft.catalyst.PolyHash]] (the d30SqlAt
+    * comment's drift warning applies: a stale copy would check stale
+    * arithmetic and report a phantom Spark bug). */
+  private[operators] def polyDuckOf(v: String): String =
+    s"""list_reduce(list_prepend(CAST(7 AS BIGINT),
+       |  list_transform(string_split($v,''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+
+  /** The shingle→16-hash-signature→band-key oracle CTE chain (`s`, `d`,
+    * `sig`, `bands`) — the SQL mirror of [[shingleIndex]] + [[bandsOf]],
+    * factored once so d31/d142/d185/d189/d218 compose query-specific
+    * cand/n/common CTEs on top of identical minhash arithmetic. */
+  private[operators] val bandCtes: String =
     s"""$shingleIndexSql,
        |d AS (
        |  SELECT doc_id, list_distinct(list_transform(
@@ -242,12 +247,15 @@ object Dedup {
        |sig AS (
        |  SELECT doc_id, list_transform(range(0, 16), i ->
        |    list_min(list_transform(shingles, sh ->
-       |      ((2*i + 1) * ($polyDuck) + i*12345 + 678) % 1000000007))) AS mh
+       |      ((2*i + 1) * (${polyDuckOf("sh")}) + i*12345 + 678) % 1000000007))) AS mh
        |  FROM d),
        |bands AS (
        |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
        |    CAST(b AS VARCHAR) || ':' || array_to_string(mh[b*4+1:b*4+4], '-'))) AS band_key
-       |  FROM sig),
+       |  FROM sig)""".stripMargin
+
+  private[operators] val minhashPairCtes: String = {
+    s"""$bandCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -300,10 +308,7 @@ object Dedup {
   }
 
   val d32Sql: String = {
-    val polyDuck =
-      """list_reduce(list_prepend(CAST(7 AS BIGINT),
-        |  list_transform(string_split(t,''), c -> CAST(ascii(c) AS BIGINT))),
-        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+    val polyDuck = polyDuckOf("t")
     s"""WITH d AS (
        |  SELECT doc_id, list_distinct(string_split(lower(text),' ')) AS toks
        |  FROM documents),
@@ -341,10 +346,10 @@ object Dedup {
         .selectExpr("vec_id + 1000000 AS vec_id",
           "transform(v, (x, i) -> x + 0.001D * CAST(i % 3 AS DOUBLE)) AS v"))
     graft.catalyst.GraftFunctions.ensureRegistered(s)
+    // the canonical sign-cell quantizer — shared with the IVF family
+    // (s39/s193/s206) so d33 blocks on the same cells the posting layout uses
     val cells = corpus.selectExpr("vec_id", "v",
-      """concat(CAST(CAST(v[0] >= 0 AS INT) AS STRING),
-        |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
-        |       CAST(CAST(v[2] >= 0 AS INT) AS STRING)) AS cell""".stripMargin)
+      s"${Similarity.signCellExpr} AS cell")
       // both sides of the cell self-join — persist to scan embeddings once
       .persist(StorageLevel.MEMORY_AND_DISK)
     cells.as("a").join(cells.as("b"),
@@ -536,25 +541,7 @@ object Dedup {
   }
 
   val d142Sql: String = {
-    val polyDuck =
-      """list_reduce(list_prepend(CAST(7 AS BIGINT),
-        |  list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
-        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
-    s"""WITH $shingleIndexSql,
-       |d AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    range(1, len(string_split(lower(text),' ')) - 1),
-       |    i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS shingles
-       |  FROM documents),
-       |sig AS (
-       |  SELECT doc_id, list_transform(range(0, 16), i ->
-       |    list_min(list_transform(shingles, sh ->
-       |      ((2*i + 1) * ($polyDuck) + i*12345 + 678) % 1000000007))) AS mh
-       |  FROM d),
-       |bands AS (
-       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-       |    CAST(b AS VARCHAR) || ':' || array_to_string(mh[b*4+1:b*4+4], '-'))) AS band_key
-       |  FROM sig),
+    s"""WITH $bandCtes,
        |cand AS (
        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
        |    greatest(a.doc_id, b.doc_id) AS id2
@@ -679,25 +666,7 @@ object Dedup {
   }
 
   val d185Sql: String = {
-    val polyDuck =
-      """list_reduce(list_prepend(CAST(7 AS BIGINT),
-        |  list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
-        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
-    s"""WITH $shingleIndexSql,
-       |d AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    range(1, len(string_split(lower(text),' ')) - 1),
-       |    i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS shingles
-       |  FROM documents),
-       |sig AS (
-       |  SELECT doc_id, list_transform(range(0, 16), i ->
-       |    list_min(list_transform(shingles, sh ->
-       |      ((2*i + 1) * ($polyDuck) + i*12345 + 678) % 1000000007))) AS mh
-       |  FROM d),
-       |bands AS (
-       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-       |    CAST(b AS VARCHAR) || ':' || array_to_string(mh[b*4+1:b*4+4], '-'))) AS band_key
-       |  FROM sig),
+    s"""WITH $bandCtes,
        |dbands AS (
        |  SELECT doc_id + 10000000 AS doc_id, band_key
        |  FROM bands WHERE doc_id % 3 = 0),
@@ -838,25 +807,7 @@ object Dedup {
   }
 
   val d189Sql: String = {
-    val polyDuck =
-      """list_reduce(list_prepend(CAST(7 AS BIGINT),
-        |  list_transform(string_split(sh,''), c -> CAST(ascii(c) AS BIGINT))),
-        |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
-    s"""WITH $shingleIndexSql,
-       |d AS (
-       |  SELECT doc_id, list_distinct(list_transform(
-       |    range(1, len(string_split(lower(text),' ')) - 1),
-       |    i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS shingles
-       |  FROM documents),
-       |sig AS (
-       |  SELECT doc_id, list_transform(range(0, 16), i ->
-       |    list_min(list_transform(shingles, sh ->
-       |      ((2*i + 1) * ($polyDuck) + i*12345 + 678) % 1000000007))) AS mh
-       |  FROM d),
-       |bands AS (
-       |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-       |    CAST(b AS VARCHAR) || ':' || array_to_string(mh[b*4+1:b*4+4], '-'))) AS band_key
-       |  FROM sig),
+    s"""WITH $bandCtes,
        |idx AS (
        |  SELECT doc_id, band_key FROM bands
        |  UNION ALL

@@ -30,12 +30,24 @@ object DupClusters {
     * diameter 1-2). For pathological chain-shaped graphs use
     * [[connectedComponentsStar]] (O(log n) rounds). */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxRounds: Int = 20): DataFrame =
-    minLabelCC(nodes, edges, maxRounds)._1
+                          maxRounds: Int = 20): DataFrame = {
+    val (labels, _, converged) = minLabelCC(nodes, edges, maxRounds)
+    // The round cap is a guard, not an answer: labels at the cap are WRONG
+    // (the global minimum hasn't reached the far end of a > maxRounds
+    // diameter), and returning them silently is how an incremental-repair
+    // batch that chains many standing components would corrupt the
+    // labeling. Fall back to star contraction, whose O(log n) rounds
+    // converge on any shape the propagation cap can't.
+    if (converged) labels
+    else connectedComponentsStar(nodes, edges)._1
+  }
 
+  /** Returns (labels, rounds, converged). `converged = false` means the
+    * round cap was hit while labels were still changing — the labels are
+    * NOT a valid componentization and the caller must not use them. */
   private[operators] def minLabelCC(
       nodes: DataFrame, edges: DataFrame, maxRounds: Int,
-      checkpointEvery: Int = 5): (DataFrame, Int) = {
+      checkpointEvery: Int = 5): (DataFrame, Int, Boolean) = {
     // symmetrize once; edges both ways so one join propagates both directions
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -74,7 +86,9 @@ object DupClusters {
       round += 1
     }
     sym.unpersist()
-    (labels.withColumnRenamed("lbl", "component"), round)
+    val converged = changed == 0
+    if (!converged) labels.unpersist() // caller discards unconverged labels
+    (labels.withColumnRenamed("lbl", "component"), round, converged)
   }
 
   /** Connected components via alternating large-star/small-star contraction
@@ -139,6 +153,12 @@ object DupClusters {
       prev = cur
       round += 1
     }
+    // O(log n) rounds cover any graph that fits in memory many times over
+    // (30 rounds ≳ 2^30 nodes), so hitting the cap means a bug, not a big
+    // graph — fail loud rather than return a non-fixed-point forest.
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: no fixed point after $maxRounds rounds")
     // fixed point is a forest of stars: every non-root points at its
     // component minimum; roots (and isolated nodes) label themselves
     val lbl = e.select(greatest(col("u"), col("v")).as("id"),
@@ -156,11 +176,9 @@ object DupClusters {
     * come from the same content-hash grouping d29 uses; the component of a
     * doc with no duplicates is itself. */
   def d57DupComponents(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val corpus = d.select(col("doc_id"), col("text"))
-      .unionByName(
-        d.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    // the SAME planted corpus d29 dedups (one definition — a drifted copy
+    // would silently cluster a different corpus than detection scans)
+    val corpus = Dedup.corpusWithCopies(s, dir).select("doc_id", "text")
     // pair each doc with the minimum doc_id sharing its content hash —
     // a star edge list (no C(n,2) explosion even for giant clusters)
     val hashed = corpus.select(col("doc_id"), md5(col("text")).as("h"))
@@ -170,19 +188,19 @@ object DupClusters {
       .filter(col("doc_id") =!= col("rep"))
       .select(col("rep").as("src"), col("doc_id").as("dst"))
     val nodes = hashed.select(col("doc_id").as("id"))
-    connectedComponents(nodes, edges)
-      .groupBy("component").agg(count(lit(1)).as("cluster_size"),
-        sort_array(collect_list(col("id"))).as("members"))
-      .selectExpr("component", "cluster_size", "explode(members) AS doc_id")
-      .select("doc_id", "component", "cluster_size")
+    val labels = connectedComponents(nodes, edges)
+    // cluster_size via a count join: a giant duplicate cluster stays
+    // row-shaped end to end (a collect_list of members would hold the
+    // whole cluster in one aggregation row before re-exploding it)
+    labels.join(
+        labels.groupBy("component").agg(count(lit(1)).as("cluster_size")),
+        "component")
+      .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
       .orderBy("doc_id")
   }
 
   val d57Sql: String =
-    """WITH corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    s"""WITH ${Dedup.corpusSql},
       |hashed AS (SELECT doc_id, md5(text) AS h FROM corpus),
       |comp AS (
       |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS component

@@ -182,12 +182,12 @@ object TxLog {
           attempts += 1
           val vs = versions(table)
           vs.filter(_ > checked).find(hasBatchId(table, _, batchId)) match {
-            case Some(v) => return v // a racing worker landed it first
+            case Some(v) => return recordBatch(table, batchId, v) // racer won
             case None =>
               checked = vs.lastOption.getOrElse(0)
               if (tryCommitAt(table, checked + 1, staged, Seq.empty,
                   Some(batchId)))
-                return checked + 1
+                return recordBatch(table, batchId, checked + 1)
           }
         }
         throw new IllegalStateException(s"appendBatch $table: too many conflicts")
@@ -198,9 +198,39 @@ object TxLog {
     s""""batchId":$batchId[,}]""".r
       .findFirstIn(Files.readString(versionFile(table, v))).isDefined
 
-  /** The version that committed `batchId`, if any. */
-  def committedBatch(table: String, batchId: Long): Option[Int] =
-    versions(table).find(hasBatchId(table, _, batchId))
+  private def batchIndexFile(table: String, batchId: Long): Path =
+    logPath(table).resolve("_batch_index").resolve(s"b$batchId")
+
+  /** Cache batchId → version in the side index (a batch id maps to exactly
+    * one version — the claim loop guarantees it — so concurrent writers
+    * racing this record all write the same value and first-link-wins is
+    * fine). Best-effort: a crash before the write just means the next
+    * probe pays one log scan and backfills. */
+  private def recordBatch(table: String, batchId: Long, v: Int): Int = {
+    val f = batchIndexFile(table, batchId)
+    if (!Files.exists(f)) {
+      Files.createDirectories(f.getParent)
+      val tmp = Files.createTempFile(f.getParent, ".tmp-", "")
+      Files.writeString(tmp, v.toString)
+      try Files.createLink(f, tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
+    }
+    v
+  }
+
+  /** The version that committed `batchId`, if any — O(1) via the side
+    * batch index, falling back to the O(versions) log scan (and
+    * backfilling the index) for commits that predate the index or crashed
+    * before recording it. The index is authoritative-if-present: entries
+    * are written only after the commit record is durable, and commit
+    * records are never rewritten. */
+  def committedBatch(table: String, batchId: Long): Option[Int] = {
+    val f = batchIndexFile(table, batchId)
+    if (Files.exists(f)) Some(Files.readString(f).trim.toInt)
+    else versions(table).find(hasBatchId(table, _, batchId))
+      .map(recordBatch(table, batchId, _))
+  }
 
   /** Replace the table contents atomically; returns the version. */
   def overwrite(spark: SparkSession, df: DataFrame, table: String,

@@ -61,8 +61,9 @@ class DupClustersSpec extends SparkSpec {
     import spark.implicits._
     val nodes = (0L until 25L).toDF("id")
     val edges = (0L until 24L).map(i => (i, i + 1)).toDF("src", "dst")
-    val (out, rounds) = DupClusters.minLabelCC(nodes, edges, maxRounds = 30,
-      checkpointEvery = 5)
+    val (out, rounds, converged) = DupClusters.minLabelCC(nodes, edges,
+      maxRounds = 30, checkpointEvery = 5)
+    assert(converged, "30 rounds must converge a 24-diameter chain")
     assert(out.collect().map(_.getLong(1)).toSet == Set(0L))
     assert(rounds >= 24, "a 24-diameter chain needs >= diameter rounds")
     // the checkpoint every 5 rounds truncates lineage: the final plan must
@@ -71,6 +72,21 @@ class DupClustersSpec extends SparkSpec {
       .linesIterator.size
     assert(planLines < 400,
       s"lineage not truncated: optimized plan has $planLines nodes")
+  }
+
+  test("round-capped min-label falls back to star contraction, not wrong labels") {
+    import spark.implicits._
+    // a 31-diameter chain cannot converge in 5 min-label rounds; the
+    // public API must still return the CORRECT labeling (via the star
+    // fallback), never the partially-propagated one
+    val nodes = (0L until 32L).toDF("id")
+    val edges = (0L until 31L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (_, _, converged) = DupClusters.minLabelCC(nodes, edges, maxRounds = 5)
+    assert(!converged, "5 rounds must report non-convergence on diameter 31")
+    val out = DupClusters.connectedComponents(nodes, edges, maxRounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.values.toSet == Set(0L),
+      s"fallback must produce the converged labeling, got $out")
   }
 
   test("d57 components agree with per-hash min on the planted corpus") {

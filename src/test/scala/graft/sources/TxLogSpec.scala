@@ -188,4 +188,22 @@ class TxLogSpec extends SparkSpec {
       TxLog.read(spark, t, Some(1)).collect()
     }
   }
+
+  test("batch index: committedBatch resolves via the O(1) side index, " +
+    "backfills scan hits, and survives a missing entry") {
+    val t = freshTable()
+    val v = TxLog.appendBatch(spark, df(1L -> "a"), t, batchId = 7L)
+    val idx = Paths.get(t, "_graft_log", "_batch_index", "b7")
+    assert(Files.exists(idx), "appendBatch must record the batch index entry")
+    assert(TxLog.committedBatch(t, 7L).contains(v))
+    assert(TxLog.committedBatch(t, 8L).isEmpty)
+    // a redelivered batch resolves through the index, stages nothing new
+    assert(TxLog.appendBatch(spark, df(9L -> "z"), t, batchId = 7L) == v)
+    assert(TxLog.read(spark, t).count() == 1)
+    // crash-before-record: delete the entry — the log scan still finds the
+    // commit and backfills the index
+    Files.delete(idx)
+    assert(TxLog.committedBatch(t, 7L).contains(v))
+    assert(Files.exists(idx), "a scan hit must backfill the index entry")
+  }
 }
