@@ -48,6 +48,11 @@ object Curation {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
     val gramPath = graft.SparkSupport.layoutArtifact("gram_idx", dir) { p =>
       Tables.documents(s, dir)
+        // same guard as t219's window stage: a sub-5-token doc has no
+        // 5-gram, but Spark's sequence(1, size-4) DESCENDS for size < 5
+        // (throws on the bogus slice start) where DuckDB's range() is
+        // simply empty — filter first so both engines agree on short docs
+        .filter(expr(s"size(${graft.functions.PortableHash.tokens}) >= 5"))
         .selectExpr("doc_id", s"explode(${shingles(5)}) AS g")
         .selectExpr("doc_id", "poly_hash(g) AS h")
         .write.mode("overwrite").parquet(p)
@@ -260,6 +265,10 @@ object Curation {
   def t99VocabEncode(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .selectExpr("doc_id", "posexplode(split(lower(text), ' ')) AS (pos, tok)")
+      // feeds BOTH the vocab count and the encode join — without the
+      // persist Spark re-runs the scan+split+explode (the widest
+      // intermediate here) once per consumer
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(100)
       .withColumn("vid",
@@ -308,9 +317,13 @@ object Curation {
       .selectExpr("o_orderstatus", "o_orderkey",
         // Rank by the QUANTIZED key: a last-ulp ln() divergence between the
         // JVM and DuckDB libm near the k-th boundary must not flip the
-        // selected set, so both engines sort the same 6-decimal fixture.
-        s"round(-ln((CAST(h AS DOUBLE) + 1.0D) / ${P + 1}.0D) / o_totalprice" +
-          " * 1e6, 6) AS rank_key")
+        // selected set, so both engines sort the same SCALED-LONG fixture
+        // (floor(x·1e6 + 0.5) cast to BIGINT — the repo-wide quantization
+        // discipline; round() would keep 1e-12 granularity AND diverge at
+        // decimal midpoints, as a top-k SELECTION key, not just a display
+        // wobble).
+        s"CAST(floor(-ln((CAST(h AS DOUBLE) + 1.0D) / ${P + 1}.0D)" +
+          " / o_totalprice * 1e6D + 0.5D) AS BIGINT) AS rank_key")
     TopKPerKey(o, Seq("o_orderstatus"),
         Seq("rank_key" -> true, "o_orderkey" -> true), 10)
       .select("o_orderstatus", "o_orderkey", "rank_key")
@@ -320,8 +333,8 @@ object Curation {
   val q118Sql: String =
     s"""WITH w AS (
        |  SELECT o_orderstatus, o_orderkey,
-       |    round(-ln((${polyDuck("CAST(o_orderkey AS VARCHAR)")} + 1.0) / ${P + 1}.0)
-       |      / o_totalprice * 1e6, 6) AS rank_key
+       |    CAST(floor(-ln((${polyDuck("CAST(o_orderkey AS VARCHAR)")} + 1.0) / ${P + 1}.0)
+       |      / o_totalprice * 1e6 + 0.5e0) AS BIGINT) AS rank_key
        |  FROM orders),
        |k AS (
        |  SELECT o_orderstatus, o_orderkey, rank_key,
@@ -548,14 +561,24 @@ object Curation {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
         sum(col("n_chars") * col("n_chars")).as("sxx"))
       .selectExpr("source", "n",
-        """sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-          |  / n) / (n - 1)) AS sd""".stripMargin)
+        // degenerate-stratum guard: n = 1 makes the sample variance 0/0 =
+        // NaN (and floor(NaN)→BIGINT throws under ANSI); a single-doc
+        // stratum has no measurable spread, so its Neyman weight is 0
+        """CASE WHEN n < 2 THEN 0e0 ELSE
+          |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+          |    / n) / (n - 1)) END AS sd""".stripMargin)
       .selectExpr("source", "n", "sd",
         "CAST(floor(n * sd * 1e6D + 0.5D) AS BIGINT) AS w6")
-    val a = m.crossJoin(broadcast(m.agg(sum(col("w6")).as("W"))))
+    // all-uniform corpus guard: every sd = 0 makes W = 0 (division by
+    // zero); fall back to equal weights, i.e. uniform allocation
+    val a = m.crossJoin(broadcast(
+        m.agg(sum(col("w6")).as("W0"), count(lit(1)).as("nst"))))
       .selectExpr("source", "n", "sd",
-        s"CAST($budget AS BIGINT) * w6 DIV W AS base",
-        s"CAST($budget AS BIGINT) * w6 % W AS rem")
+        "CASE WHEN W0 = 0 THEN CAST(1 AS BIGINT) ELSE w6 END AS we",
+        "CASE WHEN W0 = 0 THEN nst ELSE W0 END AS W")
+      .selectExpr("source", "n", "sd",
+        s"CAST($budget AS BIGINT) * we DIV W AS base",
+        s"CAST($budget AS BIGINT) * we % W AS rem")
     a.crossJoin(broadcast(
         a.agg((lit(budget) - sum(col("base"))).as("L"))))
       .withColumn("rk",
@@ -572,15 +595,18 @@ object Curation {
       |  FROM documents GROUP BY source),
       |w AS (
       |  SELECT source, n,
-      |    sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-      |      / n) / (n - 1)) AS sd
+      |    CASE WHEN n < 2 THEN 0e0 ELSE
+      |      sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+      |        / n) / (n - 1)) END AS sd
       |  FROM m),
       |w6 AS (SELECT source, n, sd,
       |         CAST(floor(n * sd * 1e6 + 0.5e0) AS BIGINT) AS w6 FROM w),
-      |tw AS (SELECT CAST(sum(w6) AS BIGINT) AS W FROM w6),
+      |tw AS (SELECT CAST(sum(w6) AS BIGINT) AS W0, count(*) AS nst FROM w6),
       |a AS (SELECT source, n, sd,
-      |        CAST(100 AS BIGINT) * w6 // W AS base,
-      |        CAST(100 AS BIGINT) * w6 % W AS rem
+      |        CAST(100 AS BIGINT) * (CASE WHEN W0 = 0 THEN 1 ELSE w6 END)
+      |          // (CASE WHEN W0 = 0 THEN nst ELSE W0 END) AS base,
+      |        CAST(100 AS BIGINT) * (CASE WHEN W0 = 0 THEN 1 ELSE w6 END)
+      |          % (CASE WHEN W0 = 0 THEN nst ELSE W0 END) AS rem
       |      FROM w6, tw),
       |lv AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS L FROM a)
       |SELECT source, n AS n_docs, round(sd, 6) AS sd,

@@ -83,6 +83,11 @@ object Dedup {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
     val path = graft.SparkSupport.layoutArtifact("shingle_idx", dir) { p =>
       Tables.documents(s, dir)
+        // a sub-3-token doc has no 3-gram; Spark's sequence(1, size-2)
+        // DESCENDS for size < 3 (throws on the bogus slice start) where
+        // DuckDB's range() is simply empty — guard so short docs emit no
+        // rows on both engines instead of crashing the build
+        .filter(expr(s"size(${graft.functions.PortableHash.tokens}) >= 3"))
         .selectExpr("doc_id", s"explode(${shingles(3)}) AS sh")
         .selectExpr("doc_id", "poly_hash(sh) AS h")
         .write.mode("overwrite").parquet(p)

@@ -32,36 +32,30 @@ object GraphOps {
   /** Degree-ordered triangle count over a canonical (u < v) undirected edge
     * list. Exposed for property tests (K4 → 4, paths → 0, …). */
   def triangleCount(e: DataFrame): Long = {
-    val deg = degrees(e)
     // orient from (deg, id)-smaller endpoint to larger; PERSIST — the plan
     // below references `oriented` three times (both wedge legs + the closing
     // join), and Spark re-executes unshared subplans (the round-1 lesson
     // from the dedup suite: 2-3× on exactly this shape)
-    val oriented = e
-      .join(deg.withColumnRenamed("x", "u").withColumnRenamed("d", "du"), "u")
-      .join(deg.withColumnRenamed("x", "v").withColumnRenamed("d", "dv"), "v")
-      .select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("s"), col("v").as("t"),
-            col("du").as("ds"), col("dv").as("dt")))
-          .otherwise(
-            struct(col("v").as("s"), col("u").as("t"),
-              col("dv").as("ds"), col("du").as("dt"))).as("o"))
-      .select(col("o.s").as("s"), col("o.t").as("t"),
-        col("o.ds").as("ds"), col("o.dt").as("dt"))
-      .persist()
-    // wedges from each source; canonicalize the (t1, t2) pair by the same
-    // (degree, id) order so the closing edge is a single equi-join
+    val oriented =
+      orientedEdges(e, degrees(e), hintBroadcast = false).persist()
+    val n = closedTriangles(oriented).count()
+    oriented.unpersist()
+    n
+  }
+
+  /** Wedges from each oriented source, the (t1, t2) pair canonicalized by
+    * the same (degree, id) order so the closing edge is a single equi-join
+    * — each triangle emitted exactly once. ONE definition for the
+    * property-tested path ([[triangleCount]]) and the benchmarked gate
+    * ([[q117TriangleCount]]); a drifted copy would let the two silently
+    * count different things. */
+  private def closedTriangles(oriented: DataFrame): DataFrame = {
     val wedges = oriented.as("e1").join(oriented.as("e2"),
         col("e1.s") === col("e2.s") && (col("e1.dt") < col("e2.dt") ||
           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
       .select(col("e1.t").as("w1"), col("e2.t").as("w2"))
-    val tri = wedges.join(oriented.select(col("s").as("w1"), col("t").as("w2")),
+    wedges.join(oriented.select(col("s").as("w1"), col("t").as("w2")),
       Seq("w1", "w2"))
-    val n = tri.count()
-    oriented.unpersist()
-    n
   }
 
   /** Per-node degree over a canonical undirected edge list. */
@@ -102,16 +96,10 @@ object GraphOps {
   }
 
   def q117TriangleCount(s: SparkSession, dir: String): DataFrame = {
-    val hi = Tables.lineitem(s, dir)
-      .filter(col("l_quantity") >= 40)
-      .select("l_orderkey", "l_partkey").distinct()
-    // undirected edge list, canonical u < v; pair explosion bounded by
-    // C(13, 2) per order
-    val e = hi.as("a").join(hi.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
+    // the shared co-occurrence graph (GraphOps2.coEdges — one definition
+    // with q148/q163/q242, so "same edges as pagerank/k-core/adamic-adar"
+    // is structural, not a comment)
+    val e = GraphOps2.coEdges(s, dir)
       .persist() // feeds degrees, orientation, and the closing join
     val deg = degrees(e).persist() // feeds stats + both orientation joins
     // graph-shape stats (nodes, max degree, edge count via the handshake
@@ -127,13 +115,7 @@ object GraphOps {
     val oriented =
       orientedEdges(e, deg, hintBroadcast = nodes <= DegreeBroadcastMaxNodes)
         .persist()
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.s") === col("e2.s") && (col("e1.dt") < col("e2.dt") ||
-          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
-      .select(col("e1.t").as("w1"), col("e2.t").as("w2"))
-    val triangles = wedges
-      .join(oriented.select(col("s").as("w1"), col("t").as("w2")), Seq("w1", "w2"))
-      .count()
+    val triangles = closedTriangles(oriented).count()
     oriented.unpersist()
     deg.unpersist()
     e.unpersist()
@@ -208,7 +190,7 @@ object GraphOps {
         s"CAST(floor(1e6D / ln(a.d) + 0.5D) AS BIGINT) AS c6")
     val scored = wedges.groupBy("u", "w")
       .agg(sum(col("c6")).as("score6"), count(lit(1)).as("n_common"))
-      .join(e.select(col("u"), col("v").as("w")).withColumn("ex", lit(1)),
+      .join(e.select(col("u"), col("v").as("w")),
         Seq("u", "w"), "left_anti") // drop already-connected pairs
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score6").desc, col("u"), col("w"))))

@@ -122,7 +122,11 @@ object Sketches {
     val est = (0 until depth).map { i =>
       (0 until width).map(j => sa(i * width + j) * sb(i * width + j)).sum
     }.min
-    val na = a.count(); val nb = b.count()
+    // input counts come from the sketches themselves (every row of a CMS
+    // sums to exactly N — one increment per input per depth), so no extra
+    // count() scans over the inputs
+    val na = (0 until width).map(j => sa(j)).sum
+    val nb = (0 until width).map(j => sb(j)).sum
     // The CM inner-product bound e/w·|A|·|B| holds only in expectation
     // (P[overshoot > bound] ≈ e^-depth ≈ 2% with depth 4 — a pinned TRUE
     // would be a coin-flip gate on a fresh SF). Gate at an 8× slack

@@ -338,8 +338,9 @@ object TimeSeries {
         // x6² entirely in decimal: casting AFTER a Long multiply would
         // wrap first (x6 > 3e9 ⇒ x6² > 2^63) and then sum the wrapped
         // value exactly — the cast must precede the product. decimal(19,0)
-        // operands keep the (38,0) product exact; DuckDB's hugeint
-        // arithmetic can't wrap on its side
+        // operands keep the (38,0) product exact; the oracle widens the
+        // SAME way (CAST(x6 AS HUGEINT) * x6 — DuckDB only promotes at
+        // sum(), a bare BIGINT product aborts on overflow)
         sum(col("x6").cast("decimal(19,0)") * col("x6").cast("decimal(19,0)"))
           .as("sxx"))
       .selectExpr("event_type", "n",
@@ -374,7 +375,7 @@ object TimeSeries {
       |stats AS (
       |  SELECT event_type, count(*) AS n,
       |    CAST(sum(x6) AS BIGINT) // count(*) AS mu6,
-      |    CAST(floor(sqrt((CAST(sum(x6 * x6) AS DOUBLE)
+      |    CAST(floor(sqrt((CAST(sum(CAST(x6 AS HUGEINT) * x6) AS DOUBLE)
       |      - CAST(sum(x6) AS DOUBLE) * CAST(sum(x6) AS DOUBLE) / count(*))
       |      / count(*)) + 0.5e0) AS BIGINT) AS sigma6
       |  FROM hourly GROUP BY 1),
