@@ -258,12 +258,18 @@ object Analytics2 {
         """CAST((aggregate(zip_with(f, wa2, (x, w) -> x * w), 0D,
           |  (a, x) -> a + x) >= 0D) = (y = 1) AS INT) AS ok""".stripMargin)
       .agg(sum(col("ok")).as("n_ok"), count(lit(1)).as("nn"))
-      .selectExpr("round(n_ok / CAST(nn AS DOUBLE), 6) AS train_acc")
+      // floor-scale, not round(): the weights and accuracy are quotients of
+      // exact integers and CAN land on representable 6th-decimal midpoints,
+      // where round()'s tie-handling diverges cross-engine (the OracleSafe
+      // lesson — s122/s132/s137 were migrated off round() for this).
+      .selectExpr(
+        "floor(n_ok / CAST(nn AS DOUBLE) * 1e6D + 0.5D) / 1e6D AS train_acc")
     w2.crossJoin(broadcast(acc))
       .selectExpr("j",
         """element_at(array('bias', 'len_c', 'stop_c', 'alpha_c',
           |  'mean_len_c'), j + 1) AS feature""".stripMargin,
-        "round(w, 6) AS w_step1", "round(w2, 6) AS w_step2", "train_acc")
+        "floor(w * 1e6D + 0.5D) / 1e6D AS w_step1",
+        "floor(w2 * 1e6D + 0.5D) / 1e6D AS w_step2", "train_acc")
       .orderBy("j")
   }
 
@@ -327,12 +333,14 @@ object Analytics2 {
        |      j -> f[j] * wa2[j])), (a, x) -> a + x) >= 0e0) = (y = 1) AS INT)
        |    AS ok
        |  FROM feats, w2a),
-       |acc AS (SELECT round(sum(ok) / CAST(count(*) AS DOUBLE), 6) AS train_acc
+       |acc AS (SELECT floor(sum(ok) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5e0)
+       |          / 1e6 AS train_acc
        |        FROM accd)
        |SELECT CAST(w2.j - 1 AS INTEGER) AS j,
        |  (['bias', 'len_c', 'stop_c', 'alpha_c', 'mean_len_c'])[w2.j]
        |    AS feature,
-       |  round(w, 6) AS w_step1, round(w2, 6) AS w_step2, train_acc
+       |  floor(w * 1e6 + 0.5e0) / 1e6 AS w_step1,
+       |  floor(w2 * 1e6 + 0.5e0) / 1e6 AS w_step2, train_acc
        |FROM w2, acc ORDER BY j""".stripMargin
   }
 

@@ -267,7 +267,11 @@ object Curation {
       .selectExpr("doc_id", "posexplode(split(lower(text), ' ')) AS (pos, tok)")
       // feeds BOTH the vocab count and the encode join — without the
       // persist Spark re-runs the scan+split+explode (the widest
-      // intermediate here) once per consumer
+      // intermediate here) once per consumer; released by the runner's
+      // clearCache() after the query's action (the repo-wide per-query
+      // persist convention — see s132KmeansStep's lifetime note), NOT
+      // unpersisted here: the result is lazy, and dropping the cache
+      // before the caller materializes would force a full recompute
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(100)
@@ -318,12 +322,14 @@ object Curation {
         // Rank by the QUANTIZED key: a last-ulp ln() divergence between the
         // JVM and DuckDB libm near the k-th boundary must not flip the
         // selected set, so both engines sort the same SCALED-LONG fixture
-        // (floor(x·1e6 + 0.5) cast to BIGINT — the repo-wide quantization
-        // discipline; round() would keep 1e-12 granularity AND diverge at
-        // decimal midpoints, as a top-k SELECTION key, not just a display
-        // wobble).
+        // (floor(x·1e12 + 0.5) cast to BIGINT — the repo-wide quantization
+        // discipline at a scale that PRESERVES the race ordering: race
+        // values here are −ln(u)/w ≤ ln(P+1)/min(w) ≈ 21/900 ≈ 0.023, so
+        // 1e12 scaling keeps 1e-12 granularity (max |key| ≈ 2.3e10, far
+        // inside BIGINT) while a 1e6 scale would collapse the key to a few
+        // integer values and select a DIFFERENT set than the A-ES race.
         s"CAST(floor(-ln((CAST(h AS DOUBLE) + 1.0D) / ${P + 1}.0D)" +
-          " / o_totalprice * 1e6D + 0.5D) AS BIGINT) AS rank_key")
+          " / o_totalprice * 1e12D + 0.5D) AS BIGINT) AS rank_key")
     TopKPerKey(o, Seq("o_orderstatus"),
         Seq("rank_key" -> true, "o_orderkey" -> true), 10)
       .select("o_orderstatus", "o_orderkey", "rank_key")
@@ -334,7 +340,7 @@ object Curation {
     s"""WITH w AS (
        |  SELECT o_orderstatus, o_orderkey,
        |    CAST(floor(-ln((${polyDuck("CAST(o_orderkey AS VARCHAR)")} + 1.0) / ${P + 1}.0)
-       |      / o_totalprice * 1e6 + 0.5e0) AS BIGINT) AS rank_key
+       |      / o_totalprice * 1e12 + 0.5e0) AS BIGINT) AS rank_key
        |  FROM orders),
        |k AS (
        |  SELECT o_orderstatus, o_orderkey, rank_key,

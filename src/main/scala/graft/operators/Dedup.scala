@@ -248,7 +248,12 @@ object Dedup {
        |  SELECT doc_id, list_distinct(list_transform(
        |    range(1, len(string_split(lower(text),' ')) - 1),
        |    i -> array_to_string((string_split(lower(text),' '))[i:i+2], ' '))) AS shingles
-       |  FROM documents),
+       |  -- mirror shingleIndex's sub-3-token exclusion: a shorter doc has
+       |  -- no 3-shingle, and without this WHERE its empty list would fold
+       |  -- to NULL minhashes and a shared degenerate band_key, creating
+       |  -- oracle-only candidate pairs the Spark side never generates
+       |  FROM documents
+       |  WHERE len(string_split(lower(text),' ')) >= 3),
        |sig AS (
        |  SELECT doc_id, list_transform(range(0, 16), i ->
        |    list_min(list_transform(shingles, sh ->

@@ -36,15 +36,43 @@ object DupClusters {
     // (the global minimum hasn't reached the far end of a > maxRounds
     // diameter), and returning them silently is how an incremental-repair
     // batch that chains many standing components would corrupt the
-    // labeling. Fall back to star contraction, whose O(log n) rounds
-    // converge on any shape the propagation cap can't.
+    // labeling. Fall back to star contraction — but SEEDED: the capped
+    // labels are a sound refinement (every node's label is a node of its
+    // own component, and each component's min node keeps its own label —
+    // propagation only ever adopts SMALLER labels), so contracting each
+    // edge (u,v) → (lbl(u), lbl(v)) preserves component structure exactly
+    // while shrinking the graph by everything the paid rounds already
+    // merged. Star contraction runs on the contracted graph (O(log n)
+    // rounds on any shape), and the final label composes back through the
+    // partial labels; min-over-component survives contraction because the
+    // true min node is always its own contracted vertex.
     if (converged) labels
-    else connectedComponentsStar(nodes, edges)._1
+    else {
+      val part = labels.withColumnRenamed("component", "plbl")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cNodes = part.select(col("plbl").as("id")).distinct()
+      val cEdges = edges
+        .join(part.select(col("id").as("src"), col("plbl").as("csrc")), "src")
+        .join(part.select(col("id").as("dst"), col("plbl").as("cdst")), "dst")
+        .select(col("csrc").as("src"), col("cdst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val star = connectedComponentsStar(cNodes, cEdges)._1
+      // part stays persisted until the caller materializes the composed
+      // result (released by the runner's clearCache, the repo-wide
+      // per-query persist convention)
+      part.join(star.withColumnRenamed("id", "plbl"), "plbl")
+        .select(col("id"), col("component"))
+    }
   }
 
   /** Returns (labels, rounds, converged). `converged = false` means the
     * round cap was hit while labels were still changing — the labels are
-    * NOT a valid componentization and the caller must not use them. */
+    * NOT a valid componentization, but they ARE a valid refinement (each
+    * label is a member of its node's component; each component's min node
+    * labels itself), so [[connectedComponents]] uses them to contract the
+    * graph before its star-contraction fallback. They stay persisted in
+    * both outcomes; the runner's clearCache releases them. */
   private[operators] def minLabelCC(
       nodes: DataFrame, edges: DataFrame, maxRounds: Int,
       checkpointEvery: Int = 5): (DataFrame, Int, Boolean) = {
@@ -87,7 +115,10 @@ object DupClusters {
     }
     sym.unpersist()
     val converged = changed == 0
-    if (!converged) labels.unpersist() // caller discards unconverged labels
+    // unconverged labels stay persisted too: the fallback contracts the
+    // graph through them, and the final round may be localCheckpoint-backed
+    // (unpersist would drop the only copy — truncated lineage can't
+    // recompute)
     (labels.withColumnRenamed("lbl", "component"), round, converged)
   }
 

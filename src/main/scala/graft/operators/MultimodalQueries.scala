@@ -161,7 +161,15 @@ object MultimodalQueries {
     * Scale shape: signature is one map-side projection; candidate
     * generation is a bucketed equi-join on (chunk index, chunk value) —
     * Σ bucket² work, never corpus²; verification is per-candidate-pair
-    * O(64). */
+    * O(64). Hot buckets are df-capped at 64 docs (the d141 stop-shingle
+    * ceiling applied to chunk values): a degenerate corpus where one chunk
+    * value is shared by millions of images (solid-color frames, constant
+    * letterboxing bands) would otherwise explode C(bucket, 2); the cap
+    * bounds every bucket at C(64, 2) and drops exactly the chunk values
+    * with no discriminative power. A pair only needs ONE of its 4 chunks
+    * to agree in an uncapped bucket, so recall barely moves (sf0.1: 886
+    * of 887 pairs survive, all 486 planted twins among them; sf0.01: the
+    * cap never bites — max bucket 14). */
   def m194AhashNeardup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val corpus = docs.select(col("doc_id").as("media_id"), col("text").as("t"))
@@ -187,6 +195,7 @@ object MultimodalQueries {
       .select(col("media_id").as("doc_id"), col("ch.c").as("c"), col("ch.ck").as("ck"))
     val cand = chunks.groupBy("c", "ck")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= 64)
       .selectExpr(s"${Dedup.pairExplodeExpr} AS p")
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
@@ -228,9 +237,13 @@ object MultimodalQueries {
       |          * CAST(power(2, j) AS BIGINT))),
       |      (a, x) -> a + x) AS ck
       |  FROM sig, (SELECT unnest(range(0, 4)) AS c)),
+      |keep AS (
+      |  SELECT c, ck FROM chunks GROUP BY c, ck HAVING count(*) <= 64),
+      |ck2 AS (
+      |  SELECT chunks.* FROM chunks JOIN keep USING (c, ck)),
       |cand AS (
       |  SELECT DISTINCT a.media_id AS id1, b.media_id AS id2
-      |  FROM chunks a JOIN chunks b
+      |  FROM ck2 a JOIN ck2 b
       |    ON a.c = b.c AND a.ck = b.ck AND a.media_id < b.media_id),
       |scored AS (
       |  SELECT id1, id2,

@@ -204,18 +204,24 @@ object TxLog {
   /** Cache batchId → version in the side index (a batch id maps to exactly
     * one version — the claim loop guarantees it — so concurrent writers
     * racing this record all write the same value and first-link-wins is
-    * fine). Best-effort: a crash before the write just means the next
-    * probe pays one log scan and backfills. */
+    * fine). Best-effort in FULL: any IOException (read-only mount, a
+    * filesystem without hardlink support) is swallowed and v returned —
+    * the index is a cache, and a failed write must never turn a pure read
+    * (committedBatch backfill) or an already-durable commit (appendBatch
+    * return path) into a failure. The cost is one log scan on the next
+    * probe. */
   private def recordBatch(table: String, batchId: Long, v: Int): Int = {
     val f = batchIndexFile(table, batchId)
-    if (!Files.exists(f)) {
-      Files.createDirectories(f.getParent)
-      val tmp = Files.createTempFile(f.getParent, ".tmp-", "")
-      Files.writeString(tmp, v.toString)
-      try Files.createLink(f, tmp)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      finally Files.deleteIfExists(tmp)
-    }
+    try {
+      if (!Files.exists(f)) {
+        Files.createDirectories(f.getParent)
+        val tmp = Files.createTempFile(f.getParent, ".tmp-", "")
+        Files.writeString(tmp, v.toString)
+        try Files.createLink(f, tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        finally Files.deleteIfExists(tmp)
+      }
+    } catch { case _: java.io.IOException => () }
     v
   }
 

@@ -79,4 +79,36 @@ class MediaSpec extends SparkSpec {
     val parts = Media.balanced(Media.mediaTable(docs), 2).rdd.getNumPartitions
     assert(parts == 2)
   }
+
+  test("m194 df-cap neuters a constant-chunk hot bucket but keeps " +
+    "discriminative pairs") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val d = tmpDir("m194cap")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // 150 docs of one constant payload: every sampled pixel equal → bits
+    // all 0 → every (c, ck=0) bucket holds all 150 — the degenerate
+    // solid-color-frame corpus. Without the cap this alone is
+    // C(150,2)·4 = 44 700 bucket pair slots; with the 64-doc ceiling the
+    // bucket is dropped entirely. ids ≡ 1 (mod 10) so m194 plants no
+    // flipped twins (those would form their own identical-signature group).
+    val constant = (0 until 150).map(k =>
+      R(10L * k + 1L, "a" * 500, "en", "flat", 500L))
+    // one genuine near-dup pair: identical alternating-byte payload whose
+    // chunk values are nonzero in every position → private 2-doc buckets
+    val varied = "Az" * 250
+    val pairDocs = Seq(R(10001L, varied, "en", "real", 500L),
+      R(10011L, varied, "en", "real", 500L))
+    spark.createDataFrame(
+        new java.util.ArrayList[R](scala.jdk.CollectionConverters
+          .SeqHasAsJava(constant ++ pairDocs).asJava), schema)
+      .repartition(1).write.parquet(s"$d/documents.parquet")
+    val out = graft.operators.MultimodalQueries
+      .m194AhashNeardup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((10001L, 10011L, 0)))
+  }
 }
