@@ -88,15 +88,130 @@ object TxLog {
   /** The data-file path of an add/live entry (strips the stats suffix). */
   def entryPath(entry: String): String = entry.takeWhile(_ != '#')
 
-  /** Live (path, Option(min, max)) pairs — the per-file statistics an
-    * [[appendWithStats]] writer recorded in its commit. */
-  def liveFilesWithStats(table: String, asOf: Option[Int] = None)
-      : Seq[(String, Option[(Long, Long)])] =
+  /** A TYPED per-file min/max statistic — the Iceberg-manifest value
+    * shape, self-describing in the entry suffix so a reader prunes
+    * without consulting the data schema. Wire form `<tag>:<enc>`:
+    * `l:` 64-bit integer (also covers int/short/byte), `d:` double
+    * (`java.lang.Double.toString`, exact round-trip), `s:` string
+    * (percent-encoded — '#', ':', quotes and non-ASCII can't corrupt
+    * the entry or the commit JSON), `a:` date as epoch days, `t:`
+    * timestamp as epoch micros. A bare untagged number (the original
+    * long-only format) still parses as `l` — old logs stay readable.
+    *
+    * Comparability is WITHIN a tag only: a bound of one type never
+    * prunes a file whose stats carry another (the reader keeps the file
+    * conservatively — pruning is an optimization, never a filter).
+    * String order is UTF-8 byte order (what parquet/Spark min/max use),
+    * NOT UTF-16 `compareTo` — they disagree above the BMP, and pruning
+    * must rank bounds exactly like the writer ranked rows. */
+  sealed trait StatValue {
+    def tag: Char
+    private[TxLog] def encBody: String
+    final def enc: String = s"$tag:$encBody"
+  }
+  object StatValue {
+    import java.nio.charset.StandardCharsets.UTF_8
+    final case class L(v: Long) extends StatValue {
+      val tag = 'l'; def encBody = v.toString
+    }
+    final case class D(v: Double) extends StatValue {
+      val tag = 'd'; def encBody = v.toString
+    }
+    final case class S(v: String) extends StatValue {
+      val tag = 's'
+      def encBody = java.net.URLEncoder.encode(v, UTF_8)
+    }
+    final case class Dt(epochDay: Long) extends StatValue {
+      val tag = 'a'; def encBody = epochDay.toString
+    }
+    final case class Ts(micros: Long) extends StatValue {
+      val tag = 't'; def encBody = micros.toString
+    }
+
+    /** A collected Spark value as a StatValue; None = type unsupported
+      * (decimal, binary, nested) → the file commits without stats and
+      * every read keeps it. Float widens to double exactly (binary32 ⊂
+      * binary64). */
+    def of(x: Any): Option[StatValue] = x match {
+      case null                     => None
+      case v: Long                  => Some(L(v))
+      case v: Int                   => Some(L(v.toLong))
+      case v: Short                 => Some(L(v.toLong))
+      case v: Byte                  => Some(L(v.toLong))
+      case v: Double                => Some(D(v))
+      case v: Float                 => Some(D(v.toDouble))
+      case v: String                => Some(S(v))
+      case v: java.sql.Date         => Some(Dt(v.toLocalDate.toEpochDay))
+      case v: java.time.LocalDate   => Some(Dt(v.toEpochDay))
+      case v: java.sql.Timestamp =>
+        val i = v.toInstant
+        Some(Ts(i.getEpochSecond * 1000000L + i.getNano / 1000L))
+      case v: java.time.Instant =>
+        Some(Ts(v.getEpochSecond * 1000000L + v.getNano / 1000L))
+      case _                        => None
+    }
+
+    /** Parse one entry field; bare numbers are legacy long stats. */
+    def decode(field: String): Option[StatValue] = {
+      def num(s: String): Option[Long] =
+        try Some(s.toLong) catch { case _: NumberFormatException => None }
+      if (field.length >= 2 && field(1) == ':') {
+        val body = field.substring(2)
+        field(0) match {
+          case 'l' => num(body).map(L(_))
+          case 'a' => num(body).map(Dt(_))
+          case 't' => num(body).map(Ts(_))
+          case 'd' =>
+            try Some(D(body.toDouble))
+            catch { case _: NumberFormatException => None }
+          case 's' =>
+            Some(S(java.net.URLDecoder.decode(body, UTF_8)))
+          case _ => None
+        }
+      } else num(field).map(L(_))
+    }
+
+    /** a <= b within a tag; None when incomparable (different tags, or a
+      * NaN bound/stat — the caller keeps the file in both cases). */
+    def lteq(a: StatValue, b: StatValue): Option[Boolean] = (a, b) match {
+      case (L(x), L(y))   => Some(x <= y)
+      case (Dt(x), Dt(y)) => Some(x <= y)
+      case (Ts(x), Ts(y)) => Some(x <= y)
+      case (D(x), D(y)) =>
+        if (x.isNaN || y.isNaN) None else Some(x <= y)
+      case (S(x), S(y)) =>
+        val (bx, by) = (x.getBytes(UTF_8), y.getBytes(UTF_8))
+        Some(java.util.Arrays.compareUnsigned(bx, by) <= 0)
+      case _ => None
+    }
+  }
+
+  /** Live (path, Option(min, max)) pairs with TYPED statistics — what an
+    * [[appendWithStats]] writer recorded in its commit, any supported
+    * column type. Malformed or legacy-unparseable suffixes degrade to
+    * None (file kept on every read), never to an error. */
+  def liveFilesWithTypedStats(table: String, asOf: Option[Int] = None)
+      : Seq[(String, Option[(StatValue, StatValue)])] =
     liveFiles(table, asOf).map { e =>
       e.split('#') match {
-        case Array(p, lo, hi) => (p, Some((lo.toLong, hi.toLong)))
-        case _                => (entryPath(e), None)
+        case Array(p, lo, hi) =>
+          (StatValue.decode(lo), StatValue.decode(hi)) match {
+            case (Some(a), Some(b)) => (p, Some((a, b)))
+            case _                  => (p, None)
+          }
+        case _ => (entryPath(e), None)
       }
+    }
+
+  /** Live (path, Option(min, max)) pairs of LONG statistics — the original
+    * stats API, kept for integer-keyed tables. Non-long typed stats parse
+    * to None here (the caller keeps those files conservatively). */
+  def liveFilesWithStats(table: String, asOf: Option[Int] = None)
+      : Seq[(String, Option[(Long, Long)])] =
+    liveFilesWithTypedStats(table, asOf).map {
+      case (p, Some((StatValue.L(lo), StatValue.L(hi)))) =>
+        (p, Some((lo, hi)))
+      case (p, _) => (p, None)
     }
 
   /** Snapshot read; empty-schema-safe only when the table has data. */
@@ -113,9 +228,23 @@ object TxLog {
     * conservatively kept. */
   def pruneFiles(table: String, lo: Long, hi: Long,
                  asOf: Option[Int] = None): Seq[String] =
-    liveFilesWithStats(table, asOf).collect {
-      case (p, Some((mn, mx))) if mx >= lo && mn < hi => p
-      case (p, None)                                  => p
+    pruneFilesTyped(table, StatValue.L(lo), StatValue.L(hi), asOf)
+
+  /** Typed-bound pruning: keep a file unless its stats PROVE
+    * max < lo ∨ min >= hi (the [lo, hi) half-open complement). Proof
+    * requires same-tag comparability — stats of another type, absent
+    * stats, or NaN anywhere keep the file. Sound by construction: every
+    * drop is backed by a definite comparison. */
+  def pruneFilesTyped(table: String, lo: StatValue, hi: StatValue,
+                      asOf: Option[Int] = None): Seq[String] =
+    liveFilesWithTypedStats(table, asOf).collect {
+      case (p, Some((mn, mx)))
+          if StatValue.lteq(lo, mx).contains(true) &&
+             StatValue.lteq(hi, mn).contains(false) => p
+      case (p, None) => p
+      case (p, Some((mn, mx)))
+          if StatValue.lteq(lo, mx).isEmpty ||
+             StatValue.lteq(hi, mn).isEmpty => p
     }
 
   /** Stats-pruned snapshot read over [lo, hi) of the stats column. The
@@ -133,13 +262,17 @@ object TxLog {
              partFiles: Int = 2): Int =
     commit(table, add = stage(df, table, partFiles), remove = Seq.empty)
 
-  /** Append with per-file (min, max) statistics of a LONG column recorded
-    * in the commit — the Iceberg-manifest shape: stats are collected in
-    * ONE distributed pass over the just-staged files (group by
-    * input_file_name) at WRITE time, so every later [[readPruned]] prunes
-    * from metadata alone. Range-partition `df` by the stats column first
-    * and the per-file ranges come out tight (disjoint), which is what
-    * makes the pruning selective. */
+  /** Append with per-file (min, max) statistics of `statsCol` recorded in
+    * the commit — the Iceberg-manifest shape: stats are collected in ONE
+    * distributed pass over the just-staged files (group by
+    * input_file_name) at WRITE time, so every later [[readPruned]] /
+    * [[pruneFilesTyped]] prunes from metadata alone. Any [[StatValue]]-
+    * supported column type (integer, double, string, date, timestamp)
+    * records typed stats; unsupported types (decimal, binary, nested)
+    * commit without stats and stay un-prunable — never an error.
+    * Range-partition `df` by the stats column first and the per-file
+    * ranges come out tight (disjoint), which is what makes the pruning
+    * selective. */
   def appendWithStats(spark: SparkSession, df: DataFrame, table: String,
                       statsCol: String, partFiles: Int = 8): Int = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
@@ -148,10 +281,15 @@ object TxLog {
       .groupBy(input_file_name().as("f"))
       .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .flatMap { r =>
+        (StatValue.of(r.get(1)), StatValue.of(r.get(2))) match {
+          case (Some(lo), Some(hi)) => Some((r.getString(0), lo, hi))
+          case _                    => None // all-null or unsupported type
+        }
+      }
     val entries = rels.map { rel =>
       stats.find(_._1.endsWith(rel)) match {
-        case Some((_, lo, hi)) => s"$rel#$lo#$hi"
+        case Some((_, lo, hi)) => s"$rel#${lo.enc}#${hi.enc}"
         case None              => rel // zero-row file: no stats, kept conservatively
       }
     }

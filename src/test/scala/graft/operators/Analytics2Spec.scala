@@ -65,6 +65,61 @@ class Analytics2Spec extends SparkSpec {
       "class balancing must keep the bias near zero")
   }
 
+  test("t199 weights and accuracy bit-match an independent Scala " +
+    "replication of the two GD steps") {
+    // third implementation: plain Scala over collected rows, sharing NO
+    // code with the gate's Spark expressions or its oracle SQL — the
+    // co-modification-proof ground truth (the q118 lesson: a bug edited
+    // into both gate sides stays green; a driver replication catches it)
+    val sf = "/root/testdata/sf0.001"
+    val stop = TextAnalysis.stopEn.toSet
+    val docs = graft.Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0))
+    val feats0 = docs.map { text =>
+      val toks = text.toLowerCase.split(" ", -1)
+      val nChars = text.length
+      val f1 = math.min(nChars / 500.0, 1.0)
+      val f2 = math.min(toks.count(stop) / toks.length.toDouble * 5.0, 1.0)
+      val f3 = text.toLowerCase.count(c => c >= 'a' && c <= 'z') / nChars.toDouble
+      val f4 = math.min(toks.map(_.length).sum / toks.length.toDouble / 10.0, 1.0)
+      val y = if (0.3 * f1 + 0.4 * f2 + 0.3 * f3 >= 0.55) 1 else 0
+      (y, Array(f1, f2, f3, f4))
+    }
+    val n = feats0.length
+    def mean12(xs: Array[Double]): Double =
+      (xs.map(BigDecimal(_).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+        .toDouble / n)
+    val mu = (0 until 4).map(j => mean12(feats0.map(_._2(j)))).toArray
+    val feats = feats0.map { case (y, f) =>
+      (y, Array(1.0, f(0) - mu(0), f(1) - mu(1), f(2) - mu(2), f(3) - mu(3)))
+    }
+    val nPos = feats.count(_._1 == 1).toLong
+    val nNeg = n - nPos
+    def cw(y: Int): Double =
+      if (y == 1) n / (2.0 * nPos) else n / (2.0 * nNeg)
+    def gradStep(p: ((Int, Array[Double])) => Double): Array[Double] =
+      (0 until 5).map { j =>
+        val sg6 = feats.map { case r @ (y, f) =>
+          math.floor(cw(y) * (y - p(r)) * f(j) * 1e6 + 0.5).toLong
+        }.map(BigDecimal(_)).sum
+        sg6.toDouble / n / 1e6
+      }.toArray
+    val w1 = gradStep(_ => 0.5)
+    def dot(f: Array[Double], w: Array[Double]): Double =
+      f.lazyZip(w).map(_ * _).foldLeft(0.0)(_ + _)
+    val w2 = w1.lazyZip(gradStep { case (_, f) =>
+      val z = dot(f, w1)
+      0.5 + z / (2.0 * (1.0 + math.abs(z)))
+    }).map(_ + _)
+    val nOk = feats.count { case (y, f) => (dot(f, w2) >= 0.0) == (y == 1) }
+    def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expAcc = q6(nOk / n.toDouble)
+    val got = Analytics2.t199QualityClassifier(spark, sf).collect()
+    assert(got.map(_.getDouble(2)).toSeq == w1.map(q6).toSeq, "w_step1")
+    assert(got.map(_.getDouble(3)).toSeq == w2.map(q6).toSeq, "w_step2")
+    assert(got.map(_.getDouble(4)).distinct.toSeq == Seq(expAcc), "train_acc")
+  }
+
   test("cuped: arms share one pooled theta, users partition, and the " +
     "adjustment never meaningfully hurts (safety property)") {
     val out = Analytics.q276CupedAdjust(spark, "/root/testdata/sf0.001")

@@ -189,6 +189,61 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("typed stats: string and date columns prune, doubles round-trip, " +
+    "legacy untagged entries still parse, cross-type bounds keep") {
+    import spark.implicits._
+    import TxLog.StatValue
+    val t = freshTable()
+    // string-keyed table: two files with disjoint lexical ranges
+    TxLog.appendWithStats(spark,
+      Seq("apple", "banana", "cherry").map(s => (s, 1L)).toDF("name", "x"),
+      t, "name", partFiles = 1)
+    TxLog.appendWithStats(spark,
+      Seq("melon", "peach", "zz#q:u\"ote").map(s => (s, 2L)).toDF("name", "x"),
+      t, "name", partFiles = 1)
+    val typed = TxLog.liveFilesWithTypedStats(t).flatMap(_._2)
+    assert(typed == Seq(
+      (StatValue.S("apple"), StatValue.S("cherry")),
+      (StatValue.S("melon"), StatValue.S("zz#q:u\"ote"))),
+      s"string stats must round-trip exactly (incl. '#', ':' and quotes): $typed")
+    // ["a", "d") proves the second file can't match
+    val kept = TxLog.pruneFilesTyped(t, StatValue.S("a"), StatValue.S("d"))
+    assert(kept.size == 1)
+    // a LONG bound over string stats is incomparable → keep everything
+    assert(TxLog.pruneFilesTyped(t, StatValue.L(0), StatValue.L(9)).size == 2)
+    // and the legacy long API sees no long stats → keeps everything
+    assert(TxLog.pruneFiles(t, 0L, 9L).size == 2)
+
+    // double stats round-trip exactly (Double.toString is injective)
+    val td = freshTable()
+    TxLog.appendWithStats(spark,
+      Seq(0.1, 2.5000000001, -3.75).map(d => (d, 1L)).toDF("v", "x"),
+      td, "v", partFiles = 1)
+    assert(TxLog.liveFilesWithTypedStats(td).flatMap(_._2) ==
+      Seq((StatValue.D(-3.75), StatValue.D(2.5000000001))))
+    assert(TxLog.pruneFilesTyped(td, StatValue.D(3.0), StatValue.D(9.0)).isEmpty)
+    assert(TxLog.pruneFilesTyped(td, StatValue.D(0.0), StatValue.D(1.0)).size == 1)
+
+    // date stats land as epoch-day 'a' tags and prune half-open
+    val ta = freshTable()
+    TxLog.appendWithStats(spark,
+      Seq("2024-01-01", "2024-06-30").map(s => (java.sql.Date.valueOf(s), 1L))
+        .toDF("d", "x"), ta, "d", partFiles = 1)
+    val day = (s: String) =>
+      StatValue.Dt(java.time.LocalDate.parse(s).toEpochDay)
+    assert(TxLog.pruneFilesTyped(ta, day("2024-07-01"), day("2025-01-01")).isEmpty)
+    assert(TxLog.pruneFilesTyped(ta, day("2024-06-30"), day("2025-01-01")).size == 1)
+
+    // legacy untagged entry written by an old log parses as long stats
+    val tl = freshTable()
+    TxLog.append(spark, df(3L -> "a"), tl, partFiles = 1)
+    val legacy = TxLog.liveFiles(tl).head
+    TxLog.commit(tl, add = Seq(s"$legacy#3#9"), remove = Seq(legacy))
+    assert(TxLog.liveFilesWithStats(tl).flatMap(_._2) == Seq((3L, 9L)))
+    assert(TxLog.pruneFiles(tl, 10L, 20L).isEmpty)
+    assert(TxLog.pruneFiles(tl, 9L, 20L).size == 1)
+  }
+
   test("batch index: committedBatch resolves via the O(1) side index, " +
     "backfills scan hits, and survives a missing entry") {
     val t = freshTable()
