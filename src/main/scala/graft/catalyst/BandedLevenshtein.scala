@@ -59,8 +59,69 @@ case class BandedLevenshtein(left: Expression, right: Expression, k: Int)
 
 object BandedLevenshtein {
 
-  /** Banded edit-distance kernel: exact distance if ≤ k, else k+1. */
+  /** Banded edit-distance kernel: exact distance if ≤ k, else k+1.
+    *
+    * Operates on CODE POINTS, not UTF-16 chars: the built-in `levenshtein`
+    * this kernel must agree with counts a surrogate pair (emoji, CJK
+    * extensions, mathematical alphanumerics) as ONE symbol, so a char-unit
+    * kernel would see it as two and report a larger distance — an entity-
+    * resolution match present in the unoptimized query would vanish when
+    * the banded kernel is swapped in. The BMP fast path (no surrogates —
+    * virtually all real identifier data) skips the decode allocation and
+    * compares chars directly, which is code-point-identical there. */
   def compute(s: String, t: String, k: Int): Int = {
+    def hasSurrogate(x: String): Boolean = {
+      var i = 0
+      while (i < x.length) {
+        if (Character.isHighSurrogate(x.charAt(i))) return true
+        i += 1
+      }
+      false
+    }
+    if (hasSurrogate(s) || hasSurrogate(t))
+      computeCp(s.codePoints().toArray, t.codePoints().toArray, k)
+    else computeBmp(s, t, k)
+  }
+
+  private def computeCp(s: Array[Int], t: Array[Int], k: Int): Int = {
+    val n = s.length; val m = t.length
+    if (math.abs(n - m) > k) return k + 1
+    if (n == 0) return math.min(m, k + 1)
+    if (m == 0) return math.min(n, k + 1)
+    val inf = k + 1
+    val prev = new Array[Int](m + 1)
+    val cur = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      cur(lo - 1) = if (lo - 1 == 0 && i <= k) i else inf
+      var rowMin = cur(lo - 1)
+      j = lo
+      while (j <= hi) {
+        val cost = if (s(i - 1) == t(j - 1)) 0 else 1
+        val del = if (j <= i + k - 1) prev(j) + 1 else inf
+        val ins = cur(j - 1) + 1
+        val sub = prev(j - 1) + cost
+        var v = if (del < ins) del else ins
+        if (sub < v) v = sub
+        if (v > inf) v = inf
+        cur(j) = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (hi < m) cur(hi + 1) = inf
+      if (rowMin > k) return inf
+      j = lo - 1
+      while (j <= math.min(m, hi + 1)) { prev(j) = cur(j); j += 1 }
+      i += 1
+    }
+    math.min(prev(m), inf)
+  }
+
+  private def computeBmp(s: String, t: String, k: Int): Int = {
     val n = s.length; val m = t.length
     if (math.abs(n - m) > k) return k + 1
     if (n == 0) return math.min(m, k + 1)

@@ -89,14 +89,23 @@ case class SimHash30(child: Expression) extends UnaryExpression {
       s"simhash30 expects array<bigint>, got ${other.simpleString}")
   }
 
+  // NULL elements → NULL result in BOTH eval paths. Without the explicit
+  // check the interpreted path NPEs on GenericArrayData while codegen over
+  // UnsafeArrayData silently reads the null slot as 0 — the two paths this
+  // design promises are bit-identical would diverge. Null propagation also
+  // matches the HOF fold these kernels replace (null poisons aggregate()).
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
+    var k = 0
+    while (k < n) { if (hs.isNullAt(k)) return null; k += 1 }
     var sig = 0L
     var j = 0
     while (j < 30) {
       var s = 0
-      var k = 0
+      k = 0
       while (k < n) {
         s += (if (((hs.getLong(k) >> j) & 1L) == 1L) 1 else -1)
         k += 1
@@ -114,17 +123,26 @@ case class SimHash30(child: Expression) extends UnaryExpression {
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
       val k = ctx.freshName("k")
+      val bad = ctx.freshName("bad")
       s"""
          |int $n = $a.numElements();
-         |long $sig = 0L;
-         |for (int $j = 0; $j < 30; $j++) {
-         |  int $s = 0;
-         |  for (int $k = 0; $k < $n; $k++) {
-         |    $s += ((($a.getLong($k) >> $j) & 1L) == 1L) ? 1 : -1;
-         |  }
-         |  if ($s > 0) $sig |= (1L << $j);
+         |boolean $bad = false;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  if ($a.isNullAt($k)) { $bad = true; break; }
          |}
-         |${ev.value} = $sig;
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $sig = 0L;
+         |  for (int $j = 0; $j < 30; $j++) {
+         |    int $s = 0;
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      $s += ((($a.getLong($k) >> $j) & 1L) == 1L) ? 1 : -1;
+         |    }
+         |    if ($s > 0) $sig |= (1L << $j);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
        """.stripMargin
     })
 
@@ -144,11 +162,16 @@ case class MinHash16(child: Expression) extends UnaryExpression {
       s"minhash16 expects array<bigint>, got ${other.simpleString}")
   }
 
+  // see SimHash30's null-element note — same contract
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
-    val mins = Array.fill(16)(Long.MaxValue)
     var k = 0
+    while (k < n) { if (hs.isNullAt(k)) return null; k += 1 }
+    val mins = Array.fill(16)(Long.MaxValue)
+    k = 0
     while (k < n) {
       val h = hs.getLong(k)
       var i = 0
@@ -170,19 +193,28 @@ case class MinHash16(child: Expression) extends UnaryExpression {
       val h = ctx.freshName("h")
       val i = ctx.freshName("i")
       val v = ctx.freshName("v")
+      val bad = ctx.freshName("bad")
       s"""
          |int $n = $a.numElements();
-         |long[] $mins = new long[16];
-         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $bad = false;
          |for (int $k = 0; $k < $n; $k++) {
-         |  long $h = $a.getLong($k);
-         |  for (int $i = 0; $i < 16; $i++) {
-         |    long $v = ((2L * $i + 1L) * $h + $i * 12345L + 678L) % 1000000007L;
-         |    if ($v < $mins[$i]) $mins[$i] = $v;
-         |  }
+         |  if ($a.isNullAt($k)) { $bad = true; break; }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($mins);
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[16];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    long $h = $a.getLong($k);
+         |    for (int $i = 0; $i < 16; $i++) {
+         |      long $v = ((2L * $i + 1L) * $h + $i * 12345L + 678L) % 1000000007L;
+         |      if ($v < $mins[$i]) $mins[$i] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($mins);
+         |}
        """.stripMargin
     })
 
@@ -204,14 +236,19 @@ case class LshBucket8(child: Expression) extends UnaryExpression {
       s"lsh_bucket8 expects array<double>, got ${other.simpleString}")
   }
 
+  // see SimHash30's null-element note — same contract
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = math.min(v.numElements(), 64)
+    var k = 0
+    while (k < n) { if (v.isNullAt(k)) return null; k += 1 }
     var bucket = 0
     var p = 0
     while (p < 8) {
       var acc = 0.0
-      var k = 0
+      k = 0
       while (k < n) {
         val w = ((1103515245L * (p * 64 + k) + 12345L) % 2147483648L % 2001L - 1000L).toDouble
         acc += v.getDouble(k) * w
@@ -231,19 +268,28 @@ case class LshBucket8(child: Expression) extends UnaryExpression {
       val acc = ctx.freshName("acc")
       val k = ctx.freshName("k")
       val w = ctx.freshName("w")
+      val bad = ctx.freshName("bad")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), 64);
-         |int $bucket = 0;
-         |for (int $p = 0; $p < 8; $p++) {
-         |  double $acc = 0.0;
-         |  for (int $k = 0; $k < $n; $k++) {
-         |    double $w = (double)((1103515245L * ($p * 64 + $k) + 12345L)
-         |      % 2147483648L % 2001L - 1000L);
-         |    $acc += $a.getDouble($k) * $w;
-         |  }
-         |  if ($acc >= 0) $bucket |= (1 << $p);
+         |boolean $bad = false;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  if ($a.isNullAt($k)) { $bad = true; break; }
          |}
-         |${ev.value} = $bucket;
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $bucket = 0;
+         |  for (int $p = 0; $p < 8; $p++) {
+         |    double $acc = 0.0;
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      double $w = (double)((1103515245L * ($p * 64 + $k) + 12345L)
+         |        % 2147483648L % 2001L - 1000L);
+         |      $acc += $a.getDouble($k) * $w;
+         |    }
+         |    if ($acc >= 0) $bucket |= (1 << $p);
+         |  }
+         |  ${ev.value} = $bucket;
+         |}
        """.stripMargin
     })
 

@@ -26,12 +26,17 @@ class CmsSketch(depth: Int, width: Int)
   extends Aggregator[Long, Array[Long], Array[Long]] {
 
   private val P = 2305843009213693951L // 2^61 - 1 (Mersenne)
-  // fixed odd multipliers / offsets per row (splitmix64 of the row index)
-  private def a(i: Int): Long = CmsSketch.mix(0x9E3779B97F4A7C15L * (i + 1)) | 1L
-  private def b(i: Int): Long = CmsSketch.mix(0xBF58476D1CE4E5B9L * (i + 1))
+  // fixed odd multipliers / offsets per row (splitmix64 of the row index),
+  // precomputed ONCE at construction: cell() runs depth times per input
+  // row in the hot aggregation loop, and recomputing the three-stage mix
+  // there would redo 2·depth hash finalizations per row for constants
+  private val as: Array[Long] =
+    Array.tabulate(depth)(i => CmsSketch.mix(0x9E3779B97F4A7C15L * (i + 1)) | 1L)
+  private val bs: Array[Long] =
+    Array.tabulate(depth)(i => CmsSketch.mix(0xBF58476D1CE4E5B9L * (i + 1)))
 
   def cell(i: Int, h: Long): Int = {
-    val m = (a(i) * (h & 0x7FFFFFFFFFFFFFFFL) + b(i)) % P
+    val m = (as(i) * (h & 0x7FFFFFFFFFFFFFFFL) + bs(i)) % P
     (((m % width) + width) % width).toInt
   }
 
@@ -51,10 +56,15 @@ class CmsSketch(depth: Int, width: Int)
 
   def finish(buf: Array[Long]): Array[Long] = buf
 
+  // flat primitive-array encoding (UnsafeArrayData), not javaSerialization:
+  // the buffer crosses the partial→final exchange once per partition and
+  // ObjectOutputStream framing is both larger and slower than the unsafe
+  // form; the output additionally becomes a real array<bigint> column
+  // instead of opaque binary
   def bufferEncoder: Encoder[Array[Long]] =
-    Encoders.javaSerialization(classOf[Array[Long]])
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   def outputEncoder: Encoder[Array[Long]] =
-    Encoders.javaSerialization(classOf[Array[Long]])
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 
   /** Point estimate from a finished sketch. */
   def estimate(sketch: Array[Long], h: Long): Long = {

@@ -73,8 +73,9 @@ object KmvSketch {
       if (buf.length < k) Result(if (buf.isEmpty) -1L else buf.last, buf.length, buf.length)
       else Result(buf(k - 1), k, (k - 1).toLong * P / buf(k - 1))
 
+    // flat primitive-array encoding — see CmsSketch's encoder note
     override def bufferEncoder: Encoder[Array[Long]] =
-      Encoders.javaSerialization(classOf[Array[Long]])
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     override def outputEncoder: Encoder[Result] = Encoders.product[Result]
   }
 

@@ -51,8 +51,12 @@ object OracleSafe {
   /** Midpoint-proof quantized mean — qsum6 / count, all deterministic ops.
     * DuckDB twin appends {{{ / count(*) }}} before the 1e6 division:
     * {{{ CAST(sum(CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-    *       / count(*) / 1e6 }}} */
+    *       / count(*) / 1e6 }}}
+    * The divisor is count(1) — ALL rows — to match that twin exactly:
+    * count(c) would skip NULLs and silently diverge from the oracle the
+    * first time a nullable column reaches this helper (NULL rows already
+    * contribute nothing to the numerator on both engines). */
   def qmean6(c: Column): Column =
     sum(floor(c * lit(1e6) + lit(0.5)).cast("decimal(38,0)")).cast("double") /
-      count(c) / lit(1e6)
+      count(lit(1)) / lit(1e6)
 }

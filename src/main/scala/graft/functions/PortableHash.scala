@@ -27,12 +27,36 @@ object PortableHash {
   /** Whitespace tokens of lowercased text. DuckDB: string_split(lower(text),' '). */
   val tokens: String = "split(lower(text), ' ')"
 
+  /** THE deterministic-split LCG — `(id·1103515245 + 12345) mod m` — one
+    * definition for the q75/q82/t101/d143 family (the same split rule must
+    * hash the same row to the same bucket in every query; a fifth hand
+    * copy drifting by one constant would silently de-correlate the splits
+    * while each query's own oracle, edited in tandem, stayed green).
+    * Id-domain bound: id·1103515245 must not wrap int64 (Spark wraps
+    * silently, DuckDB raises) — ids must stay below 2^63/1103515245 ≈
+    * 8.3e9; dense row-number ids are orders of magnitude under that, and
+    * larger id schemes reduce mod a prime first (q149's form). */
+  def lcgSplit(id: String, m: Long = 100L): String =
+    s"($id * 1103515245L + 12345L) % ${m}L"
+
+  /** DuckDB twin of [[lcgSplit]] for composing oracle SQL. */
+  def lcgSplitDuck(id: String, m: Long = 100L): String =
+    s"($id * 1103515245 + 12345) % $m"
+
   /** Distinct word n-gram shingles (default 3) of `text`.
     * DuckDB twin:
     * {{{ list_distinct(list_transform(range(1, len(toks) - n + 2),
     *       i -> array_to_string(toks[i:i+n-1], ' '))) }}}
-    * Requires size(tokens) >= n (harness documents are all ≥ 20 tokens). */
-  def shingles(n: Int = 3): String =
-    s"array_distinct(transform(sequence(1, size($tokens) - ${n - 1}), " +
+    * A sub-n-token doc yields an EMPTY array on both engines: DuckDB's
+    * range() is naturally empty there, but Spark's sequence(1, size-n+1)
+    * DESCENDS for size < n (default step -1) and the bogus slice start
+    * then throws — so the index list is built ascending with a floor of
+    * one element and sliced down to its true (possibly zero) length.
+    * One short doc must degrade to zero shingles, not crash the job. */
+  def shingles(n: Int = 3): String = {
+    val len = s"size($tokens) - ${n - 1}"
+    s"array_distinct(transform(" +
+      s"slice(sequence(1, greatest($len, 1)), 1, greatest($len, 0)), " +
       s"i -> concat_ws(' ', slice($tokens, i, $n))))"
+  }
 }

@@ -13,14 +13,23 @@ object Probes {
 
   /** Per-column count of NULL-or-empty-string values, one output row per
     * column: (column, n_bad, n_rows). Single job: conditional counts fold
-    * into one aggregate row, then `stack` melts it column-per-row. */
+    * into one aggregate row, then `stack` melts it column-per-row.
+    *
+    * Runs on ARBITRARY frames, so every name the probe feeds back into the
+    * parser is escaped: dots/spaces/hyphens would otherwise resolve as
+    * struct paths or fail to parse, and a quote in a name would corrupt
+    * the stack() string literal. Positional bad_i aliases sidestep the
+    * aliasing restrictions entirely. */
   def nullEmptyCounts(df: DataFrame): DataFrame = {
-    val counts = df.columns.map { c =>
-      sum(when(col(c).isNull || col(c).cast("string") === "", 1L)
-        .otherwise(0L)).as(s"bad_$c")
+    def esc(c: String) = "`" + c.replace("`", "``") + "`"
+    val counts = df.columns.zipWithIndex.map { case (c, i) =>
+      sum(when(col(esc(c)).isNull || col(esc(c)).cast("string") === "", 1L)
+        .otherwise(0L)).as(s"bad_$i")
     }
     val agg = df.agg(count(lit(1)).as("n_rows"), counts.toSeq: _*)
-    val stacked = df.columns.map(c => s"'$c', bad_$c").mkString(", ")
+    val stacked = df.columns.zipWithIndex
+      .map { case (c, i) => s"'${c.replace("\\", "\\\\").replace("'", "\\'")}', bad_$i" }
+      .mkString(", ")
     agg.selectExpr(
       s"stack(${df.columns.length}, $stacked) AS (column, n_bad)", "n_rows")
   }

@@ -48,10 +48,10 @@ object Curation {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
     val gramPath = graft.SparkSupport.layoutArtifact("gram_idx", dir) { p =>
       Tables.documents(s, dir)
-        // same guard as t219's window stage: a sub-5-token doc has no
-        // 5-gram, but Spark's sequence(1, size-4) DESCENDS for size < 5
-        // (throws on the bogus slice start) where DuckDB's range() is
-        // simply empty — filter first so both engines agree on short docs
+        // shingles() already degrades sub-5-token docs to an empty array
+        // (see its scaladoc); this filter is a pure work-skip before the
+        // per-doc transform. t219's RAW sequence(1, size-4) window stage
+        // still genuinely needs its own guard.
         .filter(expr(s"size(${graft.functions.PortableHash.tokens}) >= 5"))
         .selectExpr("doc_id", s"explode(${shingles(5)}) AS g")
         .selectExpr("doc_id", "poly_hash(g) AS h")
@@ -167,8 +167,13 @@ object Curation {
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 13 === 0, col("o_totalprice") * 1.1)
           .otherwise(col("o_totalprice")))
+    // planted "added" rows live in the NEGATED key domain: TPC-H orderkeys
+    // are strictly positive at every SF, so -k can never collide with a
+    // real key — a fixed additive offset (the previous form) collides once
+    // keys pass it (sf >= 2 at +1e7), silently fanning out the full-outer
+    // join while both engines still agree
     val added = v1.filter(col("o_orderkey") % 101 === 0)
-      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderkey", -col("o_orderkey"))
     val v2 = kept.unionByName(added)
     v1.as("a").join(v2.as("b"), col("a.o_orderkey") === col("b.o_orderkey"), "full_outer")
       .withColumn("change_type",
@@ -192,7 +197,7 @@ object Curation {
       |         ELSE o_totalprice END AS o_totalprice
       |  FROM v1 WHERE o_orderkey % 97 <> 0
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      |  SELECT -o_orderkey, o_orderstatus, o_totalprice
       |  FROM v1 WHERE o_orderkey % 101 = 0),
       |d AS (
       |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS k,

@@ -83,10 +83,10 @@ object Dedup {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
     val path = graft.SparkSupport.layoutArtifact("shingle_idx", dir) { p =>
       Tables.documents(s, dir)
-        // a sub-3-token doc has no 3-gram; Spark's sequence(1, size-2)
-        // DESCENDS for size < 3 (throws on the bogus slice start) where
-        // DuckDB's range() is simply empty — guard so short docs emit no
-        // rows on both engines instead of crashing the build
+        // shingles() itself already degrades sub-3-token docs to an empty
+        // array (no crash, no rows — see its scaladoc); this filter is a
+        // pure work-skip: drop short docs before the per-doc transform
+        // rather than building and exploding empty arrays for them
         .filter(expr(s"size(${graft.functions.PortableHash.tokens}) >= 3"))
         .selectExpr("doc_id", s"explode(${shingles(3)}) AS sh")
         .selectExpr("doc_id", "poly_hash(sh) AS h")
@@ -899,15 +899,14 @@ object Dedup {
     // the cross-split predicate is INTEGER bucket arithmetic: each pair row
     // pays two modular CASEs, not two string constructions + a compare;
     // labels render only in the final projection over the surviving rows.
-    // Id-domain bound (shared q75 split convention): id·1103515245 must not
-    // wrap int64 — Spark wraps silently, DuckDB raises — so ids must stay
-    // below 2^63/1103515245 ≈ 8.3e9. doc_ids are dense row numbers, orders
-    // of magnitude under that at any corpus size this library targets; an
-    // id scheme beyond it must reduce ids mod a prime first (q149's form).
-    def bucketOf(c: String): String =
-      s"""CASE WHEN ($c * 1103515245L + 12345L) % 100 < 80 THEN 0
-         |     WHEN ($c * 1103515245L + 12345L) % 100 < 90 THEN 1
+    // split hash: the ONE shared definition (PortableHash.lcgSplit — its
+    // scaladoc carries the id-domain bound)
+    def bucketOf(c: String): String = {
+      val h = graft.functions.PortableHash.lcgSplit(c)
+      s"""CASE WHEN $h < 80 THEN 0
+         |     WHEN $h < 90 THEN 1
          |     ELSE 2 END""".stripMargin
+    }
     dupPairs(s, dir)
       .withColumn("b1", expr(bucketOf("id1")))
       .withColumn("b2", expr(bucketOf("id2")))
@@ -919,10 +918,11 @@ object Dedup {
   }
 
   val d143Sql: String = {
+    val h1 = graft.functions.PortableHash.lcgSplitDuck("id1")
     val sp1 =
-      """CASE WHEN (id1 * 1103515245 + 12345) % 100 < 80 THEN 'train'
-        |     WHEN (id1 * 1103515245 + 12345) % 100 < 90 THEN 'val'
-        |     ELSE 'test' END""".stripMargin
+      s"""CASE WHEN $h1 < 80 THEN 'train'
+         |     WHEN $h1 < 90 THEN 'val'
+         |     ELSE 'test' END""".stripMargin
     val sp2 = sp1.replace("id1", "id2")
     s"""WITH base AS ($d31Sql)
        |SELECT id1, id2, jac, $sp1 AS split1, $sp2 AS split2

@@ -167,13 +167,12 @@ object RelationalExt2 {
     * key (LCG hash mod 100 → 80/10/10), so the split is reproducible across
     * engines, runs, and re-partitioning, needs no stored split column, and
     * assigns rows map-side with no shuffle (the groupBy here only audits
-    * the result). Id-domain bound: doc_id·1103515245 must not wrap int64
-    * (Spark wraps silently, DuckDB raises), so doc_ids must stay below
-    * 2^63/1103515245 ≈ 8.3e9 — dense row-number ids are orders of magnitude
-    * under that; larger id schemes reduce mod a prime first (q149's form). */
+    * the result). The split hash is the ONE shared definition
+    * ([[graft.functions.PortableHash.lcgSplit]], which carries the
+    * id-domain bound). */
   def q75HashSplit(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("h", (col("doc_id") * 1103515245L + 12345L) % 100)
+      .withColumn("h", expr(graft.functions.PortableHash.lcgSplit("doc_id")))
       .withColumn("split",
         when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test"))
       .groupBy(col("split"))
@@ -182,8 +181,8 @@ object RelationalExt2 {
       .orderBy("split")
 
   val q75Sql: String =
-    """SELECT CASE WHEN (doc_id * 1103515245 + 12345) % 100 < 80 THEN 'train'
-      |            WHEN (doc_id * 1103515245 + 12345) % 100 < 90 THEN 'val'
+    s"""SELECT CASE WHEN ${graft.functions.PortableHash.lcgSplitDuck("doc_id")} < 80 THEN 'train'
+      |            WHEN ${graft.functions.PortableHash.lcgSplitDuck("doc_id")} < 90 THEN 'val'
       |            ELSE 'test' END AS split,
       |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

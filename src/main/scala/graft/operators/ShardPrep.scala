@@ -82,7 +82,8 @@ object ShardPrep {
       .select("source", "total_tokens", "thresh")
     t.join(broadcast(rates), Seq("source"))
       .withColumn("keep",
-        (col("doc_id") * 1103515245L + 12345L) % 1048576L < col("thresh"))
+        expr(graft.functions.PortableHash.lcgSplit("doc_id", 1048576L)) <
+          col("thresh"))
       .groupBy("source")
       .agg(min(col("total_tokens")).as("total_tokens"),
         min(col("thresh")).as("thresh"),
@@ -92,7 +93,7 @@ object ShardPrep {
   }
 
   val t101Sql: String =
-    """WITH t AS (
+    s"""WITH t AS (
       |  SELECT source, doc_id,
       |    len(string_split(lower(text),' ')) AS n_tokens FROM documents),
       |totals AS (
@@ -105,7 +106,7 @@ object ShardPrep {
       |  FROM totals),
       |k AS (
       |  SELECT t.source, n_tokens, total_tokens, thresh,
-      |    (doc_id * 1103515245 + 12345) % 1048576 < thresh AS keep
+      |    ${graft.functions.PortableHash.lcgSplitDuck("doc_id", 1048576L)} < thresh AS keep
       |  FROM t JOIN rates ON t.source = rates.source)
       |SELECT source, min(total_tokens) AS total_tokens, min(thresh) AS thresh,
       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

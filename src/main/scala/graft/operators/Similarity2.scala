@@ -26,16 +26,22 @@ object Similarity2 {
     * Scale shape: composes two verified kernels; the eval join and the
     * per-query count run over 16×3 rows — nothing here scales with the
     * corpus. */
-  def s163AnnRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = Similarity.s38AnnBrute(s, dir)
-      .filter(col("rank") <= 3).select("qid", "nid")
-    val got = Similarity.s39AnnIvf(s, dir).select("qid", "nid")
+  /** THE recall@3 kernel, shared by every ANN calibration query (s163
+    * coarse-stage, s256 end-to-end): one definition keeps the numbers
+    * comparable — a tweak to k or the null-hit handling in one copy would
+    * silently make the stage-loss and product-loss metrics incomparable. */
+  private def recallAt3(truth: DataFrame, got: DataFrame): DataFrame =
     truth.join(got.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
       .groupBy("qid")
       .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hit"))
       .selectExpr("qid", "n_hit", "round(n_hit / 3.0D, 6) AS recall_at_3")
       .orderBy("qid")
-  }
+
+  def s163AnnRecall(s: SparkSession, dir: String): DataFrame =
+    recallAt3(
+      Similarity.s38AnnBrute(s, dir).filter(col("rank") <= 3)
+        .select("qid", "nid"),
+      Similarity.s39AnnIvf(s, dir).select("qid", "nid"))
 
   val s163Sql: String =
     s"""WITH truth AS (
@@ -64,13 +70,19 @@ object Similarity2 {
     * broadcasts the 32-codeword table and the corpus never shuffles until
     * the per-vector regroup — the exact IVF-PQ build dataflow. Error sums
     * accumulate as exact scaled longs (order-independent). */
+  /** THE subvector layout — 8 contiguous 8-dim slices — as one definition
+    * for corpus AND query sides: a query split that drifted from the
+    * layout the persisted codebook/postings were built with would produce
+    * a phantom gate mismatch instead of being structurally impossible. */
+  private def pqSubOf(vecs: DataFrame): DataFrame = vecs
+    .selectExpr("vec_id",
+      """explode(transform(sequence(0, 7), m ->
+        |  struct(m AS m, slice(v, m * 8 + 1, 8) AS sv))) AS e""".stripMargin)
+    .selectExpr("vec_id", "e.m AS m", "e.sv AS sv")
+
   /** The corpus split into 8 contiguous 8-dim subvectors (vec_id, m, sv). */
   private def pqSub(s: SparkSession, dir: String): DataFrame =
-    Similarity.vecs(s, dir)
-      .selectExpr("vec_id",
-        """explode(transform(sequence(0, 7), m ->
-          |  struct(m AS m, slice(v, m * 8 + 1, 8) AS sv))) AS e""".stripMargin)
-      .selectExpr("vec_id", "e.m AS m", "e.sv AS sv")
+    pqSubOf(Similarity.vecs(s, dir))
 
   /** Per-subspace 4-codeword codebook: floor-scale quantized per-dim means
     * over the subspace's sign-cell partition (m, code, cw). */
@@ -513,11 +525,8 @@ object Similarity2 {
     val qAll = Similarity.vecs(s, dir).filter(col("vec_id") < 16)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val q = qAll.select(col("vec_id").as("qid"), col("v"))
-    val qsub = qAll
-      .selectExpr("vec_id",
-        """explode(transform(sequence(0, 7), m ->
-          |  struct(m AS m, slice(v, m * 8 + 1, 8) AS sv))) AS e""".stripMargin)
-      .selectExpr("vec_id AS qid", "e.m AS qm", "e.sv AS qsv")
+    val qsub = pqSubOf(qAll)
+      .select(col("vec_id").as("qid"), col("m").as("qm"), col("sv").as("qsv"))
     ivfpqSearch(q, qsub, cent, cb, postings)
   }
 
@@ -577,16 +586,11 @@ object Similarity2 {
     * distances), and this measures their PRODUCT — the only number a
     * deployment actually ships on. Same join-against-truth kernel as
     * s163; the oracle recomputes both pipelines end to end. */
-  def s256IvfpqRecall(s: SparkSession, dir: String): DataFrame = {
-    val truth = Similarity.s38AnnBrute(s, dir)
-      .filter(col("rank") <= 3).select("qid", "nid")
-    val got = s206IvfPqSearch(s, dir).select("qid", "nid")
-    truth.join(got.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
-      .groupBy("qid")
-      .agg(sum(coalesce(col("hit"), lit(0))).cast("int").as("n_hit"))
-      .selectExpr("qid", "n_hit", "round(n_hit / 3.0D, 6) AS recall_at_3")
-      .orderBy("qid")
-  }
+  def s256IvfpqRecall(s: SparkSession, dir: String): DataFrame =
+    recallAt3(
+      Similarity.s38AnnBrute(s, dir).filter(col("rank") <= 3)
+        .select("qid", "nid"),
+      s206IvfPqSearch(s, dir).select("qid", "nid"))
 
   val s256Sql: String =
     s"""WITH truth AS (

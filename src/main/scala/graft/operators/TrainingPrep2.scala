@@ -18,7 +18,7 @@ object TrainingPrep2 {
     * `sample()` (RNG-seeded per partition) cannot give. */
   def q82StratifiedSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("h", (col("doc_id") * 1103515245L + 12345L) % 100)
+      .withColumn("h", expr(graft.functions.PortableHash.lcgSplit("doc_id")))
       .withColumn("rate", when(col("lang") === "en", 50).otherwise(20))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
@@ -27,11 +27,11 @@ object TrainingPrep2 {
       .orderBy("lang")
 
   val q82Sql: String =
-    """SELECT lang, count(*) AS n_total,
-      |  CAST(SUM(CASE WHEN (doc_id * 1103515245 + 12345) % 100 <
-      |    (CASE WHEN lang = 'en' THEN 50 ELSE 20 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-      |  min(CASE WHEN lang = 'en' THEN 50 ELSE 20 END) AS rate_pct
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+    s"""SELECT lang, count(*) AS n_total,
+       |  CAST(SUM(CASE WHEN ${graft.functions.PortableHash.lcgSplitDuck("doc_id")} <
+       |    (CASE WHEN lang = 'en' THEN 50 ELSE 20 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  min(CASE WHEN lang = 'en' THEN 50 ELSE 20 END) AS rate_pct
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** t83: PII redaction — email/phone patterns replaced map-side. The
     * corpus carries no real PII, so deterministic synthetic contact strings

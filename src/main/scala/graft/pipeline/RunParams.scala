@@ -42,8 +42,13 @@ object RunParams {
     Files.writeString(p, params.currentRun.toString + "\n", StandardOpenOption.APPEND)
   }
 
-  /** FDIC cert-range pagination cursor (DataRunParams.py:37,65-71): the API
-    * is paged over CERT ranges of `step` up to `maxCert`. */
+  /** FDIC cert-range pagination cursor (DataRunParams.py:35-36,70-71): the
+    * API is paged over CERT ranges of `step` up to `maxCert`. Ranges are
+    * DISJOINT inclusive bounds — 0..9999, 10000..19999, … exactly like the
+    * reference's certNumStart/certNumStop — because the Elasticsearch
+    * filter they render into (`CERT:[lo TO hi]`) is inclusive on both
+    * ends: overlapping pages would fetch and stage every boundary CERT
+    * twice per run, duplicating those banks in bronze. */
   def certRanges(step: Int = 10000, maxCert: Int = 100000): Seq[(Int, Int)] =
-    (0 until maxCert by step).map(lo => (lo, lo + step))
+    (0 until maxCert by step).map(lo => (lo, lo + step - 1))
 }

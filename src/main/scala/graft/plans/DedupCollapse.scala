@@ -65,9 +65,15 @@ object DedupCollapseRule extends Rule[LogicalPlan] {
     * duplicate-insensitive consumer it therefore reduces to a Project.
     * (The optimizer hands us dedups in this shape: `Deduplicate` is already
     * rewritten, adjacent projections are merged into the aggregate — e.g.
-    * `Aggregate [k,g,v], [g, k, lit AS tag]`.) */
+    * `Aggregate [k,g,v], [g, k, lit AS tag]`.)
+    *
+    * `groupingExpressions` must be NON-empty: a GLOBAL aggregate emits
+    * exactly one row even over empty input, while the Project replacing it
+    * would emit zero — not set-preserving, so removal would be unsound
+    * (max over {()} vs max over {} differ). */
   private def groupingOnly(a: Aggregate): Boolean =
-    aggFns(a).isEmpty &&
+    a.groupingExpressions.nonEmpty &&
+      aggFns(a).isEmpty &&
       a.aggregateExpressions.forall(_.deterministic) &&
       a.groupingExpressions.forall(_.deterministic)
 
@@ -80,7 +86,12 @@ object DedupCollapseRule extends Rule[LogicalPlan] {
       u.withNewChildren(u.children.map(strip))
     case inner: Aggregate if groupingOnly(inner) =>
       Project(inner.aggregateExpressions, strip(inner.child))
-    case d: Deduplicate if AttributeSet(d.keys) == AttributeSet(d.child.output) =>
+    // keys must be non-empty for the same reason groupingOnly requires
+    // grouping columns: a zero-column dedup of a non-empty input collapses
+    // to one (empty) row, which removal would multiply back out
+    case d: Deduplicate
+        if d.keys.nonEmpty &&
+          AttributeSet(d.keys) == AttributeSet(d.child.output) =>
       strip(d.child)
     case other => other
   }

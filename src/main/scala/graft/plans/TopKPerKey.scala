@@ -72,6 +72,15 @@ case class TopKPerKeyExec(
   override def requiredChildDistribution: Seq[Distribution] =
     if (isFinal) ClusteredDistribution(keys) :: Nil else UnspecifiedDistribution :: Nil
 
+  /** Row-pruning only — partitioning passes through untouched. Without
+    * this override the exec reports UnknownPartitioning, and a consumer
+    * that also clusters by the keys (a downstream groupBy, or the
+    * row_number Window the rewrite rule replaces this with) pays a second,
+    * redundant exchange of the already-clustered k-per-key results. */
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys

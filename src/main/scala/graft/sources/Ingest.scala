@@ -25,9 +25,14 @@ object Ingest {
     * a 404 to end-of-data (the NCUA quarter loop's stop condition). */
   type Http = String => Option[String]
 
-  /** Real transport over java.net.http. */
-  def httpTransport: Http = { url =>
+  /** Real transport over java.net.http. ONE client per transport, hoisted
+    * out of the request lambda: each HttpClient owns selector threads and
+    * a connection pool, so a per-request client would re-handshake TLS on
+    * every one of the ~20 GETs per ingestion run and leak its threads
+    * until GC. */
+  def httpTransport: Http = {
     val client = HttpClient.newHttpClient()
+    url =>
     val resp = client.send(
       HttpRequest.newBuilder(URI.create(url)).GET().build(),
       HttpResponse.BodyHandlers.ofString())

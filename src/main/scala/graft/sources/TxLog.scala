@@ -46,8 +46,9 @@ object TxLog {
 
   /** List a directory with the stream CLOSED (Files.list leaks a directory
     * fd until GC otherwise — and versions() runs on every commit attempt
-    * and every replay). */
-  private def listDir(p: Path): Seq[Path] = {
+    * and every replay). Shared with the DSv2 connector (one definition of
+    * the leak-proof listing, not two drifting copies). */
+  private[sources] def listDir(p: Path): Seq[Path] = {
     val s = Files.list(p)
     try s.iterator().asScala.toSeq finally s.close()
   }
@@ -380,10 +381,15 @@ object TxLog {
   def overwrite(spark: SparkSession, df: DataFrame, table: String,
                 partFiles: Int = 2): Int = {
     val staged = stage(df, table, partFiles)
-    // remove is computed INSIDE the commit loop: on a retry the live set
-    // may have grown, and an overwrite must replace whatever is live at
-    // ITS version, not at the version it first observed
-    commitWith(table) { () => (staged, liveFiles(table)) }
+    // remove is computed INSIDE the commit loop FROM THE SAME log read
+    // that picks the version: commitWith replays liveFiles pinned to the
+    // head it observed (asOf), so the remove list and the claimed version
+    // describe one snapshot. Re-reading the log separately here would
+    // race: an append landing between the two reads would survive the
+    // "replace everything" commit (its files missing from remove) — the
+    // lost-update the OCC protocol exists to prevent. On a lost race the
+    // loop recomputes both from the new head.
+    commitWith(table) { head => (staged, liveFiles(table, asOf = Some(head))) }
   }
 
   /** Write df's part-files into a fresh immutable stage dir; returns their
@@ -419,7 +425,7 @@ object TxLog {
   /** Optimistic-concurrency commit: claim the next version by atomic
     * rename; on a collision re-read and retry. */
   def commit(table: String, add: Seq[String], remove: Seq[String]): Int =
-    commitWith(table)(() => (add, remove))
+    commitWith(table)(_ => (add, remove))
 
   /** Claim EXACTLY version `v` — returns false if another writer got
     * there first. The primitive snapshot-isolation conflict detection
@@ -538,14 +544,21 @@ object TxLog {
     deleted.toSeq
   }
 
+  /** OCC claim loop. `actions` receives the HEAD version this attempt
+    * observed (0 = empty log) and must derive any state-dependent lists
+    * (overwrite's remove set) pinned to that head via asOf — one log read
+    * per attempt decides both the inputs and the claimed version, so a
+    * commit landing in between forces a retry instead of being silently
+    * overwritten out of the remove list. */
   private def commitWith(table: String)
-                        (actions: () => (Seq[String], Seq[String])): Int = {
+                        (actions: Int => (Seq[String], Seq[String])): Int = {
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
-      val (add, remove) = actions()
-      val v = versions(table).lastOption.getOrElse(0) + 1
-      if (publish(table, v, commitJson(v, add, remove))) return v
+      val head = versions(table).lastOption.getOrElse(0)
+      val (add, remove) = actions(head)
+      if (publish(table, head + 1, commitJson(head + 1, add, remove)))
+        return head + 1
       // lost the race — re-read the log, recompute actions, retry
     }
     throw new IllegalStateException(s"commit to $table: too many conflicts")

@@ -52,13 +52,19 @@ class StagedFdicSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val fields = Option(options.get("fields")) match {
       case Some(fs) => fs.split(",").map(_.trim).toSeq
-      case None => // peek at the first line of the first staged file
-        StagedFdicSource.listFiles(options.get("path")).headOption
+      case None =>
+        // peek at the first line of the first NON-EMPTY staged file: the
+        // V2 writer commits zero-row part files (an empty input partition
+        // still opens its file), and they sort arbitrarily among the data
+        // files — stopping at the first file would silently infer a
+        // zero-column schema for a table that has data
+        StagedFdicSource.listFiles(options.get("path")).iterator
           .flatMap { f =>
             val s = Files.lines(f) // close the stream — driver-side leak
             try s.findFirst().map[Option[String]](Some(_)).orElse(None)
             finally s.close()
           }
+          .nextOption()
           .map(line => StagedJsonLine.keys(line))
           .getOrElse(Seq.empty)
     }
@@ -71,12 +77,11 @@ class StagedFdicSource extends TableProvider {
 }
 
 object StagedFdicSource {
-  /** Directory listing with the stream CLOSED (Files.list leaks a
-    * directory fd until GC otherwise; this runs on every plan/commit). */
-  private[v2] def listDir(p: Path): Seq[Path] = {
-    val s = Files.list(p)
-    try s.collect(Collectors.toList[Path]).asScala.toSeq finally s.close()
-  }
+  /** Directory listing with the stream CLOSED — one shared definition
+    * (graft.sources.TxLog.listDir); a second copy here had already begun
+    * to drift in its iterator conversion. */
+  private[v2] def listDir(p: Path): Seq[Path] =
+    graft.sources.TxLog.listDir(p)
 
   private[v2] def listFiles(path: String): Seq[Path] = {
     val p = Paths.get(path)
@@ -272,13 +277,21 @@ private[v2] case class StagedFdicBatchWrite(path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val target = Paths.get(path)
     Files.createDirectories(target)
-    if (truncate)
-      StagedFdicSource.listFiles(path).foreach(Files.delete)
+    // truncate ordering: snapshot the OLD file list, move the NEW files in
+    // (the job tag guarantees their names can't collide with old files),
+    // and delete the old set LAST. Deleting first would make a mid-commit
+    // IOException destructive — the k-th move failing triggers abort(),
+    // which drops the unmoved staged files, leaving neither old nor new
+    // data. With this ordering the worst mid-commit outcome is old+partial-
+    // new visible together (recoverable duplicates), never data loss.
+    val old =
+      if (truncate) StagedFdicSource.listFiles(path) else Seq.empty[Path]
     messages.foreach { case StagedTaskCommit(tmp) =>
       val f = Paths.get(tmp)
       Files.move(f, target.resolve(f.getFileName),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
+    old.foreach(Files.deleteIfExists)
     // crashed tasks can leave orphans whose abort() never ran — the
     // staging teardown must tolerate them (deleteIfExists on a non-empty
     // dir would fail the job AFTER its data became visible)
@@ -488,9 +501,15 @@ private[v2] object StagedJsonLine {
         c match {
           case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
           case 'b' => sb += '\b'; case 'f' => sb += '\f'
-          case 'u' if i + 4 < s.length =>
+          case 'u' if i + 4 < s.length &&
+              s.substring(i + 1, i + 5).forall(ch =>
+                Character.digit(ch, 16) >= 0) =>
             sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar
             i += 4
+          // malformed escape (non-hex digits, or truncated so the closing
+          // quote falls inside the 4-char window): keep the characters
+          // literally instead of throwing — one corrupt staged line must
+          // degrade like the V1 json reader does, not fail the whole scan
           case other => sb += other
         }
         esc = false

@@ -337,9 +337,17 @@ object EventStreams {
       ss
     }
 
-    /** Close exactly the intervals the watermark has passed; keep the rest. */
+    /** Close exactly the intervals the watermark has passed; keep the rest.
+      *
+      * STRICTLY passed: an event with ts == wm is still admissible (the
+      * late filter drops only ts < wm) and absorb's touch range is
+      * inclusive (t <= lastTs + gap), so an interval with
+      * lastTs + gap == wm can still legally grow. Closing at equality
+      * would emit it and then re-open a second session for the same
+      * logical one — breaking the emission-is-final invariant exactly at
+      * the boundary instant. */
     protected def expire(userId: Long, wm: Long): Iterator[SessionOut] = {
-      val (closed, open) = load().partition(s => s.lastTs + gapMs <= wm)
+      val (closed, open) = load().partition(s => s.lastTs + gapMs < wm)
       store(open)
       closed.sortBy(_.start).map(s =>
         SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.sum)).iterator

@@ -55,6 +55,29 @@ class BandedLevenshteinSpec extends SparkSpec {
     assert(mismatches === 0L)
   }
 
+  test("supplementary characters count as one symbol, matching built-in " +
+    "levenshtein") {
+    // U+1D49C (𝒜) is a surrogate PAIR in UTF-16: a char-unit kernel sees 2
+    // symbols where the built-in (code-point) levenshtein sees 1, and an
+    // entity-resolution match at k=1 silently disappears
+    val script = "𝒜" // 𝒜
+    assert(BandedLevenshtein.compute(script, "A", 1) == 1)
+    assert(BandedLevenshtein.compute(script + "BC", "ABC", 1) == 1)
+    assert(BandedLevenshtein.compute(script, script, 0) == 0)
+    // emoji swap: one substitution, not two
+    assert(BandedLevenshtein.compute("a😀b", "a😁b", 1) == 1)
+    // cross-check the in-plan expression against the built-in on the same
+    // strings (built-in operates on code points)
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val rows = Seq((script, "A"), (script + "BC", "ABC"),
+        ("a😀b", "a😁b"))
+      .toDF("s", "t")
+      .selectExpr("lev_within(s, t, 3) AS banded", "levenshtein(s, t) AS ref")
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("q133 native fuzzy match equals q60's built-in result") {
     val sf = "/root/testdata/sf0.01" // sf0.001 has no near-dup supplier pairs
     val native = graft.operators.TextRanking.q133FuzzyNative(spark, sf)

@@ -58,13 +58,31 @@ class CosineSimilaritySpec extends SparkSpec {
   test("null and length-mismatch semantics") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
+    // degenerate inputs all yield NULL, never a truncated/NaN similarity:
+    // a silently-truncated mismatch ranked plausible-but-wrong results, and
+    // a zero-norm NaN poisons every downstream comparison
     val rows = Seq(
-      (1L, Some(Array(1.0, 0.0)), Some(Array(1.0, 0.0, 9.9))), // extra dim ignored
-      (2L, None: Option[Array[Double]], Some(Array(1.0))))
+      (1L, Some(Array(1.0, 0.0)), Some(Array(1.0, 0.0))),      // well-formed
+      (2L, None: Option[Array[Double]], Some(Array(1.0))),     // null input
+      (3L, Some(Array(1.0, 0.0)), Some(Array(1.0, 0.0, 9.9))), // length mismatch
+      (4L, Some(Array(0.0, 0.0)), Some(Array(1.0, 0.0))))      // zero norm
       .toDF("id", "a", "b")
       .selectExpr("id", "cosine_sim(a, b) AS c").collect()
-    assert(rows.find(_.getLong(0) == 1L).get.getDouble(1) == 1.0)
-    assert(rows.find(_.getLong(0) == 2L).get.isNullAt(1))
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getDouble(1) == 1.0)
+    for (id <- Seq(2L, 3L, 4L)) assert(rows(id).isNullAt(1), s"id $id")
+    // a null ELEMENT also nulls the result — identically in codegen and
+    // interpreted eval (the unsafe path would otherwise read the slot as 0
+    // while the generic path NPEs)
+    val withNullElem = spark.sql(
+      "SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c")
+    assert(withNullElem.head().isNullAt(0))
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      assert(spark.sql(
+        "SELECT cosine_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS c")
+        .head().isNullAt(0))
+    }
   }
 
   test("registration is per-session and idempotent") {

@@ -139,6 +139,10 @@ class MedallionSpec extends SparkSpec {
     assert(RunParams(Some(java.time.LocalDate.parse("2020-12-31")), today)
       .previousQuarter.contains(4))
     val ranges = RunParams.certRanges()
-    assert(ranges.head == (0, 10000) && ranges.size == 10)
+    // disjoint inclusive pages, reference-exact (certNumStop = 9999): the
+    // rendered CERT:[lo TO hi] filter is inclusive, so page boundaries
+    // must not repeat
+    assert(ranges.head == (0, 9999) && ranges.size == 10)
+    assert(ranges.sliding(2).forall { case Seq(a, b) => a._2 + 1 == b._1 })
   }
 }
