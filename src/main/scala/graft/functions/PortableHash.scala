@@ -43,6 +43,19 @@ object PortableHash {
   def lcgSplitDuck(id: String, m: Long = 100L): String =
     s"($id * 1103515245 + 12345) % $m"
 
+  /** THE experiment arm-split hash — `((id mod 1000003)·2654435761) mod
+    * 100 < 50` (prime pre-reduction then Knuth's multiplicative constant)
+    * — one definition for the q149/q276 family: CUPED's variance
+    * adjustment is only valid if its arms are EXACTLY the t-test's, so
+    * the expression must be structurally shared, not hand-copied.
+    * 1000003·2654435761 ≈ 2.7e15 stays well inside int64 for any id. */
+  def knuthArm(id: String): String =
+    s"CAST((($id % 1000003L) * 2654435761L) % 100 < 50 AS INT)"
+
+  /** DuckDB twin of [[knuthArm]]. */
+  def knuthArmDuck(id: String): String =
+    s"CAST((($id % 1000003) * 2654435761) % 100 < 50 AS INTEGER)"
+
   /** Distinct word n-gram shingles (default 3) of `text`.
     * DuckDB twin:
     * {{{ list_distinct(list_transform(range(1, len(toks) - n + 2),

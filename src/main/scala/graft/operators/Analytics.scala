@@ -26,14 +26,11 @@ object Analytics {
     * fixed chain of IEEE double ops (sub/mul/div/sqrt are all exact-rounded
     * on identical bits), so both engines compute identical doubles. */
   def q149AbTtest(s: SparkSession, dir: String): DataFrame = {
-    // the id is reduced mod a prime BEFORE the Knuth multiply: Spark wraps
-    // int64 overflow silently while DuckDB raises on BIGINT overflow, so at
-    // large id domains the unreduced form diverges (error vs wrapped
-    // bucket) — 1000003 · 2654435761 ≈ 2.7e15 stays well inside int64 for
-    // ANY user_id
+    // arm split: the ONE shared definition (PortableHash.knuthArm — its
+    // scaladoc carries the overflow rationale for the prime pre-reduction)
     val armed = Tables.events(s, dir).selectExpr(
       "event_type",
-      "CAST(((user_id % 1000003L) * 2654435761L) % 100 < 50 AS INT) AS a",
+      s"${graft.functions.PortableHash.knuthArm("user_id")} AS a",
       "CAST(round(value, 6) AS DECIMAL(38,6)) AS x",
       "CAST(round(value * value, 6) AS DECIMAL(38,6)) AS xx")
     armed.groupBy("event_type")
@@ -61,9 +58,9 @@ object Analytics {
   }
 
   val q149Sql: String =
-    """WITH armed AS (
+    s"""WITH armed AS (
       |  SELECT event_type,
-      |    CAST(((user_id % 1000003) * 2654435761) % 100 < 50 AS INTEGER) AS a,
+      |    ${graft.functions.PortableHash.knuthArmDuck("user_id")} AS a,
       |    CAST(round(value, 6) AS DECIMAL(38,6)) AS x,
       |    CAST(round(value * value, 6) AS DECIMAL(38,6)) AS xx
       |  FROM events),
@@ -124,7 +121,7 @@ object Analytics {
     import graft.functions.OracleSafe.qsum6
     val users = Tables.events(s, dir).selectExpr(
         "user_id",
-        "CAST(((user_id % 1000003L) * 2654435761L) % 100 < 50 AS INT) AS arm",
+        s"${graft.functions.PortableHash.knuthArm("user_id")} AS arm",
         "CAST(ts AS DATE) >= DATE'2024-01-15' AS post",
         "CAST(round(value, 6) AS DECIMAL(38,6)) AS v")
       .groupBy("user_id", "arm")
@@ -160,9 +157,9 @@ object Analytics {
   }
 
   val q276Sql: String =
-    """WITH u AS (
+    s"""WITH u AS (
       |  SELECT user_id,
-      |    CAST(((user_id % 1000003) * 2654435761) % 100 < 50 AS INTEGER) AS arm,
+      |    ${graft.functions.PortableHash.knuthArmDuck("user_id")} AS arm,
       |    CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
       |      THEN CAST(round(value, 6) AS DECIMAL(38,6)) END), 0) AS DOUBLE) AS y,
       |    CAST(coalesce(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'

@@ -37,17 +37,27 @@ object Analytics2 {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y")).as("sy"), sum(col("xy")).as("sxy"),
         sum(col("yy")).as("syy"))
-      .selectExpr("event_type", "n", "sx", "sxx",
+      // the fit runs on DOUBLE copies of every moment: n·sxx and sx² in
+      // raw int64 wrap silently in Spark (and abort in DuckDB) once a
+      // group passes ~4.2e8 rows — with x = hour ≤ 23, sxx ≤ 529n and
+      // sx ≤ 23n put the products past 2^63 exactly in the at-scale
+      // regime this operator targets (the q149/q232 pre-cast lesson).
+      // At gate scale the integer moments are far below 2^53, so the
+      // double products are bit-identical to the old integer path.
+      .selectExpr("event_type", "n",
+        "CAST(n AS DOUBLE) AS dn", "CAST(sx AS DOUBLE) AS dsx",
+        "CAST(sxx AS DOUBLE) AS dsxx",
         "CAST(sy AS DOUBLE) AS dsy", "CAST(sxy AS DOUBLE) AS dsxy",
         "CAST(syy AS DOUBLE) AS dsyy")
       .selectExpr("event_type", "n",
-        "(n * dsxy - sx * dsy) / (n * sxx - sx * sx) AS slope",
-        "dsy AS dsy2", "dsxy AS dsxy2", "dsyy AS dsyy2", "sx", "sxx")
+        "(dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) AS slope",
+        "dsy AS dsy2", "dsxy AS dsxy2", "dsyy AS dsyy2",
+        "dn", "dsx", "dsxx")
       .selectExpr("event_type", "n",
         "round(slope, 6) AS slope",
-        "round((dsy2 - slope * sx) / n, 6) AS intercept",
-        """round((n * dsxy2 - sx * dsy2) * (n * dsxy2 - sx * dsy2)
-          |  / ((n * sxx - sx * sx) * (n * dsyy2 - dsy2 * dsy2)), 6)
+        "round((dsy2 - slope * dsx) / dn, 6) AS intercept",
+        """round((dn * dsxy2 - dsx * dsy2) * (dn * dsxy2 - dsx * dsy2)
+          |  / ((dn * dsxx - dsx * dsx) * (dn * dsyy2 - dsy2 * dsy2)), 6)
           |AS r2""".stripMargin)
       .orderBy("event_type")
   }
@@ -64,19 +74,20 @@ object Analytics2 {
       |  FROM events),
       |g AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(count(*) AS DOUBLE) AS dn,
+      |    CAST(sum(x) AS DOUBLE) AS dsx, CAST(sum(x * x) AS DOUBLE) AS dsxx,
       |    CAST(sum(y) AS DOUBLE) AS dsy, CAST(sum(xy) AS DOUBLE) AS dsxy,
       |    CAST(sum(yy) AS DOUBLE) AS dsyy
       |  FROM m GROUP BY event_type),
       |f AS (
-      |  SELECT event_type, n, sx, sxx, dsy, dsxy, dsyy,
-      |    (n * dsxy - sx * dsy) / (n * sxx - sx * sx) AS slope
+      |  SELECT event_type, n, dn, dsx, dsxx, dsy, dsxy, dsyy,
+      |    (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) AS slope
       |  FROM g)
       |SELECT event_type, n,
       |  round(slope, 6) AS slope,
-      |  round((dsy - slope * sx) / n, 6) AS intercept,
-      |  round((n * dsxy - sx * dsy) * (n * dsxy - sx * dsy)
-      |    / ((n * sxx - sx * sx) * (n * dsyy - dsy * dsy)), 6) AS r2
+      |  round((dsy - slope * dsx) / dn, 6) AS intercept,
+      |  round((dn * dsxy - dsx * dsy) * (dn * dsxy - dsx * dsy)
+      |    / ((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)), 6) AS r2
       |FROM f ORDER BY event_type""".stripMargin
 
   private val bmTerms = Seq("data", "spark", "join")

@@ -119,15 +119,24 @@ object GraphOps {
     oriented.unpersist()
     deg.unpersist()
     e.unpersist()
-    val maxd = row.getLong(1)
-    val dsum = row.getLong(2)
-    s.range(1).select(
-      lit(nodes).as("n_nodes"), lit(dsum / 2).as("n_edges"),
-      lit(triangles).as("triangles"), lit(maxd).as("max_degree"),
+    // zero-graph guard: with no qualifying edges max(d)/sum(d) aggregate
+    // to NULL and a blind getLong would NPE the Spark side while the
+    // oracle still returns its row — degrade to (0, 0, 0, NULL, NULL)
+    // like the SQL's scalar subqueries do
+    val maxdCol =
+      if (row.isNullAt(1)) lit(null).cast("long")
+      else lit(row.getLong(1))
+    val dsum = if (row.isNullAt(2)) 0L else row.getLong(2)
+    val avgCol =
+      if (nodes == 0) lit(null).cast("double")
       // same HALF_UP semantics as the SQL round() the in-plan form used —
       // matches the oracle's round(2.0·|E|/|V|, 6) bit-for-bit
-      lit(BigDecimal(dsum.toDouble / nodes)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).as("avg_degree"))
+      else lit(BigDecimal(dsum.toDouble / nodes)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    s.range(1).select(
+      lit(nodes).as("n_nodes"), lit(dsum / 2).as("n_edges"),
+      lit(triangles).as("triangles"), maxdCol.as("max_degree"),
+      avgCol.as("avg_degree"))
   }
 
   val q117Sql: String =
@@ -188,13 +197,20 @@ object GraphOps {
         col("a.c") === col("b.c") && col("a.n") < col("b.n"))
       .selectExpr("a.n AS u", "b.n AS w",
         s"CAST(floor(1e6D / ln(a.d) + 0.5D) AS BIGINT) AS c6")
+    // top-k FIRST via orderBy().limit() — TakeOrderedAndProject keeps a
+    // k-row heap per partition and merges k·parts rows on the driver; an
+    // unpartitioned row_number window here would funnel the full corpus-
+    // scale scored set through ONE task's sort (the q207-documented
+    // scale-killer) before discarding all but 50 rows. The window then
+    // numbers only the 50 survivors — same total order, same output.
     val scored = wedges.groupBy("u", "w")
       .agg(sum(col("c6")).as("score6"), count(lit(1)).as("n_common"))
       .join(e.select(col("u"), col("v").as("w")),
         Seq("u", "w"), "left_anti") // drop already-connected pairs
+      .orderBy(col("score6").desc, col("u"), col("w"))
+      .limit(AaTopK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score6").desc, col("u"), col("w"))))
-      .filter(col("rank") <= AaTopK)
       .selectExpr("rank", "u", "w", "n_common",
         "round(CAST(score6 AS DOUBLE) / 1e6, 6) AS aa_score")
       .orderBy("rank")

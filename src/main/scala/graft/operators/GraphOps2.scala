@@ -54,8 +54,15 @@ object GraphOps2 {
     // node count: the one driver scalar (metadata-sized); every node has
     // degree ≥ 1 by construction, so there are no dangling nodes
     val n = deg.count()
+    // the degree table is |nodes|-sized, not metadata-sized: hint the
+    // broadcast only under GraphOps' documented ceiling (same table, same
+    // graph as q117's orientation joins) — above it an unconditional hint
+    // would blow the 8 GB broadcast limit where a shuffle join just runs,
+    // and n is already in hand to decide
+    val degSide = deg.select(col("x").as("u"), col("d"))
     val adj = sym.join(
-      broadcast(deg.select(col("x").as("u"), col("d"))), "u")
+      if (n <= GraphOps.DegreeBroadcastMaxNodes) broadcast(degSide)
+      else degSide, "u")
     // rank state: picoranks k = floor(r·1e12 + 0.5) as BIGINT
     var r = deg.select(col("x"),
       expr(s"CAST(floor(1.0D / $n * 1e12D + 0.5D) AS BIGINT)").as("k"))

@@ -70,11 +70,14 @@ object ScalePatterns {
     * time, join for free forever after. Bucket counts must match (or
     * divide) across tables; 8 here, sized so each bucket file lands near
     * the parquet sweet spot at the target SF. */
-  // bucketed-layout guard: the corpus dir whose layout currently backs the
-  // graft_*_b tables. A bucketed table IS one-time physical organization —
-  // "pay the shuffle once at write time" — so rebuilding it on every gate
-  // query would charge the amortized cost per query; rewrite only when the
-  // corpus changes (tests at sf0.001 vs the gate at sf0.01 share a JVM).
+  // bucketed-layout guard: the corpus CONTENT (dir + fingerprint) whose
+  // layout currently backs the graft_*_b tables. A bucketed table IS
+  // one-time physical organization — "pay the shuffle once at write time" —
+  // so rebuilding it on every gate query would charge the amortized cost
+  // per query; rewrite only when the corpus changes (tests at sf0.001 vs
+  // the gate at sf0.01 share a JVM). The key folds in corpusFingerprint:
+  // the dir string alone would serve STALE bucketed tables after the
+  // driver regenerates the corpus in place (the layoutArtifact lesson).
   // plain var + synchronized (not an AtomicReference getAndSet): a second
   // concurrent caller must BLOCK until the first finishes writing the
   // bucketed tables, exactly like the computeIfAbsent caches — a
@@ -83,7 +86,8 @@ object ScalePatterns {
   private var bucketedFor: String = _
 
   def q50BucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    bucketedLock.synchronized { if (bucketedFor != dir) SparkSupport.timedLayoutBuild {
+    val key = s"$dir|${SparkSupport.corpusFingerprint(dir)}"
+    bucketedLock.synchronized { if (bucketedFor != key) SparkSupport.timedLayoutBuild {
       val base = s"${SparkSupport.scratchDir}/bucketed"
       // pre-partition on the bucket key so each task owns exactly one bucket:
       // without this, every input task writes a file per bucket it touches —
@@ -101,7 +105,7 @@ object ScalePatterns {
         .write.mode("overwrite")
         .option("path", s"$base/lineitem_b").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable("graft_lineitem_b")
-      bucketedFor = dir
+      bucketedFor = key
     } }
     bucketedJoinPlan(s)
   }

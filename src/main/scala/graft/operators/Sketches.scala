@@ -244,9 +244,15 @@ object Sketches {
     val tagged = Dedup.shingleIndex(s, dir).join(src, "doc_id")
       .select(col("in_a"), col("h"))
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds both sketches + exact truth
+    // persist the 2-row sketch frame: a and b below are two FILTER branches
+    // of it, and without materialization Spark re-executes the expensive
+    // KMV + countDistinct aggregation once per branch (tagged caches the
+    // scan, but the distinct-aggregation work — the dominant cost here —
+    // would double; the round-1 unshared-subplan lesson)
     val sk = tagged.groupBy("in_a")
       .agg(graft.functions.KmvSketch.kmvArr(col("h"), k).as("arr"),
         countDistinct(col("h")).as("dn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val a = sk.filter(col("in_a"))
       .select(col("arr").as("ka"), col("dn").as("exact_a"))
     val b = sk.filter(!col("in_a"))

@@ -77,18 +77,21 @@ object TableOps {
     * tracks the predicate's selectivity, not the table size. The gate's
     * `files_skipped` column asserts pruning actually happened. */
   // the range-clustered layout is one-time physical organization (like the
-  // silver/bucketed layouts): build it once per corpus; the per-query work
-  // q112 demonstrates is the manifest read + pruned scan, not the layout
-  private val skipIdxFor = new java.util.concurrent.atomic.AtomicReference[String]()
-
+  // silver/bucketed layouts): build it once per corpus via layoutArtifact —
+  // NOT an AtomicReference latch, which (a) latches BEFORE the write, so a
+  // failed build poisons every later call, (b) lets a concurrent caller
+  // plan against a half-written directory, and (c) keys on the dir string,
+  // serving stale files after the driver regenerates the corpus in place.
+  // layoutArtifact folds in the corpus fingerprint, builds into a temp dir
+  // renamed atomically, and distrusts _SUCCESS-less leftovers.
   def q112FileSkipping(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${graft.SparkSupport.scratchDir}/graft_skipidx"
-    if (skipIdxFor.getAndSet(dir) != dir)
+    val tmp = graft.SparkSupport.layoutArtifact("skipidx", dir) { p =>
       Tables.lineitem(s, dir)
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
           "l_shipdate")
         .repartitionByRange(16, col("l_shipdate"))
-        .write.mode("overwrite").parquet(tmp)
+        .write.mode("overwrite").parquet(p)
+    }
     // min/max rendered as sortable strings — collect-side types then don't
     // depend on the parquet timestamp flavor (NTZ vs LTZ)
     val stats = s.read.parquet(tmp)
@@ -137,16 +140,14 @@ object TableOps {
     * re-cluster, that's q91 Z-order's job). On a real lakehouse this runs
     * per-partition-directory, so the unit of work stays bounded. */
   // the FRAGMENTED table is test scaffolding (the mess a streaming sink
-  // leaves behind) — synthesize it once per corpus; the operator under
-  // measurement is the list + size + compaction rewrite, which stays
-  // per-query
-  private val fragFor = new java.util.concurrent.atomic.AtomicReference[String]()
-
+  // leaves behind) — synthesized once per corpus via layoutArtifact (see
+  // q112's guard note); the operator under measurement is the list + size
+  // + compaction rewrite, which stays per-query
   def q113Compaction(s: SparkSession, dir: String): DataFrame = {
-    val frag = s"${graft.SparkSupport.scratchDir}/graft_frag"
     val comp = s"${graft.SparkSupport.scratchDir}/graft_compact"
-    if (fragFor.getAndSet(dir) != dir)
-      Tables.orders(s, dir).repartition(64).write.mode("overwrite").parquet(frag)
+    val frag = graft.SparkSupport.layoutArtifact("frag", dir) { p =>
+      Tables.orders(s, dir).repartition(64).write.mode("overwrite").parquet(p)
+    }
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(frag))

@@ -30,9 +30,15 @@ object TextRanking {
     val toks = docs.selectExpr("doc_id", s"explode($tokens) AS t")
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds tf, df, and N
     val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    // df is VOCABULARY-sized (one row per distinct token — billions on a
+    // large corpus), not metadata-sized: no broadcast hint. tf and df are
+    // both keyed by t, so this plans as an ordinary shuffle join, and AQE
+    // still broadcasts at runtime when the vocabulary turns out small
+    // (t151's df IS hinted — it filters to the 3 query terms first).
+    // Only the 1-row n crosses by broadcast.
     val df = toks.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
     val n = toks.select(countDistinct(col("doc_id")).as("n_docs"))
-    val scored = tf.join(broadcast(df), "t").crossJoin(broadcast(n))
+    val scored = tf.join(df, "t").crossJoin(broadcast(n))
       .select(col("doc_id"), col("t"),
         (col("tf") * (col("n_docs") + 1.0) / (col("df") + 1.0)).as("score"))
     graft.plans.TopKPerKey(scored, Seq("doc_id"),
