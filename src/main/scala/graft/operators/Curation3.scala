@@ -517,10 +517,7 @@ object Curation3 {
       .join(r.withColumnRenamed("doc_id", "id2"), Seq("id2", "h"))
       .groupBy("id1", "id2")
       .agg(count(lit(1)).as("common"))
-      .join(n.select(col("doc_id").as("id1"), col("ns").as("n1")), "id1")
-      .join(n.select(col("doc_id").as("id2"), col("ns").as("n2")), "id2")
-      .withColumn("jac",
-        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .transform(Dedup.jaccardScored(n))
       .filter(col("jac") >= t)
       .select("id1", "id2", "common", "jac")
       .orderBy("id1", "id2")

@@ -95,6 +95,21 @@ object Dedup {
     s.read.parquet(path)
   }
 
+
+  /** Attach both docs' shingle-set sizes and score Jaccard from the
+    * integer common count — THE candidate-verification scorer every
+    * near-dup path shares (d30/d31/d141/d142/d185/d189 here, d181 in
+    * Curation3). One definition: a change to the formula or its rounding
+    * must reach every sibling or none (the pairExplodeExpr rationale).
+    * Expects (id1, id2, common, ...); `n` is (doc_id, ns); adds n1, n2,
+    * jac. Curried for `.transform(jaccardScored(n))` composition. */
+  private[graft] def jaccardScored(n: DataFrame)(pairs: DataFrame): DataFrame =
+    pairs
+      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
+      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
+      .withColumn("jac",
+        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+
   /** C(n,2) ordered-pair explosion over a sorted `ids` array column — THE
     * bucket pair generator every near-dup candidate/verification stage
     * shares (one definition: a slice off-by-one would otherwise need
@@ -139,10 +154,7 @@ object Dedup {
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
     pairs
-      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
-      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
-      .withColumn("jac",
-        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .transform(jaccardScored(n))
       .filter(col("jac") >= 0.2)
       .select("id1", "id2", "common", "jac")
       .orderBy("id1", "id2")
@@ -216,10 +228,7 @@ object Dedup {
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
     cand.join(common, Seq("id1", "id2"), "left").na.fill(0L, Seq("common"))
-      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
-      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
-      .withColumn("jac",
-        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .transform(jaccardScored(n))
       .withColumn("is_dup", (col("jac") >= 0.2).cast("int"))
       .select("id1", "id2", "jac", "is_dup")
       .orderBy("id1", "id2")
@@ -468,10 +477,7 @@ object Dedup {
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("common"))
     pairs
-      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
-      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
-      .withColumn("jac",
-        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .transform(jaccardScored(n))
       .filter(col("jac") >= 0.2)
       .select("id1", "id2", "common", "jac")
       .orderBy("id1", "id2")
@@ -538,10 +544,7 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
     val n = idx.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     cand.join(common, Seq("id1", "id2"), "left").na.fill(0L, Seq("common"))
-      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
-      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
-      .withColumn("jac",
-        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .transform(jaccardScored(n))
       .withColumn("is_dup", (col("jac") >= 0.2).cast("int"))
       .withColumn("src",
         when(col("id1") % 7 === 0 && col("id2") % 7 === 0, "delta_delta")
@@ -664,10 +667,7 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
     val n = r.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     cand.join(common, Seq("id1", "id2"), "left").na.fill(0L, Seq("common"))
-      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
-      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
-      .withColumn("jac",
-        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .transform(jaccardScored(n))
       .withColumn("is_dup", (col("jac") >= 0.2).cast("int"))
       .withColumn("src",
         when(col("id1") >= 10000000L, "delta_delta").otherwise("delta_hist"))
@@ -803,10 +803,7 @@ object Dedup {
       .agg(count(lit(1)).as("common"))
     val n = r.groupBy("doc_id").agg(count(lit(1)).as("ns"))
     cand.join(common, Seq("id1", "id2"), "left").na.fill(0L, Seq("common"))
-      .join(n.withColumnRenamed("doc_id", "id1").withColumnRenamed("ns", "n1"), "id1")
-      .join(n.withColumnRenamed("doc_id", "id2").withColumnRenamed("ns", "n2"), "id2")
-      .withColumn("jac",
-        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
+      .transform(jaccardScored(n))
       .withColumn("is_dup", (col("jac") >= 0.2).cast("int"))
       .withColumn("src",
         when(col("id1") >= 20000000L, "delta_delta")
