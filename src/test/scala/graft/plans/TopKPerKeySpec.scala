@@ -61,6 +61,21 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"no sort expected:\n$plan")
   }
 
+  test("outputPartitioning propagates: a same-key consumer adds no second " +
+    "exchange") {
+    // TopKPerKeyFinal only prunes rows, so its output stays clustered by
+    // the keys its required distribution demanded; without the
+    // outputPartitioning override the exec reported UnknownPartitioning
+    // and a downstream groupBy on the same keys paid a second, redundant
+    // shuffle of the already-clustered k-per-key results
+    val consumed = TopKPerKey(df, Seq("key"),
+        Seq("score" -> false, "id" -> true), 3)
+      .groupBy("key").agg(sum(col("score")).as("s"))
+    val plan = consumed.queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected exactly one hash exchange, got $n:\n$plan")
+  }
+
   test("final output is best-first within each key partition") {
     val rows = TopKPerKey(df, Seq("key"), Seq("score" -> false, "id" -> true), 5)
       .collect()
