@@ -310,12 +310,21 @@ object EventStreams {
     protected def load(): List[SessionState] =
       if (sessions.exists()) sessions.get().toList else Nil
 
-    /** Persist the interval set and re-arm the single earliest close-timer. */
-    protected def store(ss: List[SessionState]): Unit = {
+    /** Persist the interval set and re-arm the single earliest close-timer.
+      *
+      * `notBefore` floors the timer STRICTLY past the current watermark: an
+      * interval kept open at its exact boundary (lastTs + gap == wm — the
+      * strict-close case in [[expire]]) would otherwise re-arm a timer at a
+      * time the watermark has already reached, which never fires again —
+      * the session would leak in state forever unless another event touched
+      * the key. Callers pass wm + 1 from their TimerValues. */
+    protected def store(ss: List[SessionState], notBefore: Long = 0L): Unit = {
       sessions.clear()
       if (ss.nonEmpty) sessions.put(ss.sortBy(_.start).toArray)
       getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
-      if (ss.nonEmpty) getHandle.registerTimer(ss.map(_.lastTs).min + gapMs)
+      if (ss.nonEmpty)
+        getHandle.registerTimer(
+          math.max(ss.map(_.lastTs).min + gapMs, notBefore))
     }
 
     /** Merge every event into the interval(s) it touches (within gap on
@@ -337,18 +346,23 @@ object EventStreams {
       ss
     }
 
-    /** Close exactly the intervals the watermark has passed; keep the rest.
+    /** Close exactly the intervals the watermark has STRICTLY passed; keep
+      * the rest.
       *
-      * STRICTLY passed: an event with ts == wm is still admissible (the
-      * late filter drops only ts < wm) and absorb's touch range is
-      * inclusive (t <= lastTs + gap), so an interval with
-      * lastTs + gap == wm can still legally grow. Closing at equality
-      * would emit it and then re-open a second session for the same
-      * logical one — breaking the emission-is-final invariant exactly at
-      * the boundary instant. */
+      * Strict by defense: absorb's touch range is inclusive
+      * (t <= lastTs + gap), so if an engine ever admitted an event at
+      * ts == wm, an interval with lastTs + gap == wm could still legally
+      * grow, and closing at equality would emit it and then re-open a
+      * second session for the same logical one. Spark's transformWithState
+      * late filter happens to drop rows AT the watermark (verified in
+      * StreamingSpec's boundary test), making equality-close safe there —
+      * but that boundary choice is the engine's, not this operator's
+      * contract, so the close stays strict and store()'s notBefore floor
+      * keeps the boundary-open interval's timer fireable. */
     protected def expire(userId: Long, wm: Long): Iterator[SessionOut] = {
       val (closed, open) = load().partition(s => s.lastTs + gapMs < wm)
-      store(open)
+      store(open, notBefore = wm + 1) // see store(): a boundary-open
+      // interval must not re-arm a timer the watermark already reached
       closed.sortBy(_.start).map(s =>
         SessionOut(userId, new java.sql.Timestamp(s.start), s.n, s.sum)).iterator
     }
@@ -363,7 +377,8 @@ object EventStreams {
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[SessionOut] = {
-      store(absorb(load(), rows))
+      store(absorb(load(), rows),
+        notBefore = timers.getCurrentWatermarkInMs() + 1)
       Iterator.empty // emission is exclusively watermark-driven
     }
 
@@ -409,14 +424,16 @@ object EventStreams {
         SessionState(math.min(a.start, s.start), math.max(a.lastTs, s.lastTs),
           a.n + s.n, a.sum + s.sum)
       }
-      store(merged :: rest)
+      store(merged :: rest,
+        notBefore = timers.getCurrentWatermarkInMs() + 1)
     }
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timers: TimerValues): Iterator[SessionOut] = {
       // absorb() merges post-cutover events into the seeded interval when
       // within gap — continuity across the cutover, not a fresh session
-      store(absorb(load(), rows))
+      store(absorb(load(), rows),
+        notBefore = timers.getCurrentWatermarkInMs() + 1)
       Iterator.empty
     }
 

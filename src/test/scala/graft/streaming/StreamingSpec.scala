@@ -202,6 +202,47 @@ class StreamingSpec extends SparkSpec {
       s"second session must close once the watermark passes; got $outOfOrder")
   }
 
+  test("replay sessionizer: a watermark landing EXACTLY on a close boundary " +
+    "neither leaks the session nor splits it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gap 30 min, watermark delay 2 h. u1's interval ends 10:30, so its
+    // close boundary is 11:00, and u2@13:00 advances the watermark to
+    // EXACTLY 11:00. The strict close condition (lastTs + gap < wm) keeps
+    // the interval open at equality — which is only sound because store()
+    // floors the re-armed timer past the watermark; without that floor the
+    // re-registered 11:00 timer (a time the watermark already reached)
+    // never fires and the session leaks in state forever. The event at
+    // ts == 11:00 probes the other side: Spark's transformWithState late
+    // filter drops rows at the watermark, so nothing at or before the
+    // boundary can re-open the session once it closes — one session out,
+    // exactly once, with exactly the pre-boundary rows.
+    withRocksDBProvider {
+      val mem = MemoryStream[EventStreams.Event]
+      val q = EventStreams.sessionizeReplay(mem.toDS(), gapMs = 30 * 60 * 1000)
+        .writeStream.format("memory").queryName("replay_boundary_t")
+        .outputMode("append").start()
+      try {
+        val e = (u: Long, h: String, v: Double) =>
+          EventStreams.Event(u, ts(s"2024-01-01 $h"), v)
+        Seq(
+          Seq(e(1L, "10:30:00", 1.0)),
+          Seq(e(2L, "13:00:00", 0.25)), // wm -> exactly 11:00:00 (boundary)
+          Seq(e(1L, "11:00:00", 2.0)),  // ts == wm: engine-dropped as late
+          Seq(e(2L, "16:00:00", 0.5)),  // wm -> 14:00 must close u1 + u2@13
+          Seq(e(2L, "19:00:00", 0.5))   // wm -> 17:00 closes u2@16
+        ).foreach { b => mem.addData(b); q.processAllAvailable() }
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val u1 = spark.table("replay_boundary_t").orderBy("start").collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => (r.getTimestamp(1).toString, r.getInt(2), r.getDouble(3)))
+      .toSeq
+    assert(u1 == Seq(("2024-01-01 10:30:00.0", 1, 1.0)),
+      s"boundary session must emit exactly once with pre-boundary rows, got $u1")
+  }
+
   test("bootstrap sessionizer: initial state seeded from a batch snapshot " +
     "yields the sessions a full-history replay yields — extension across " +
     "the cutover, closure of idle seeds, no double-count") {
