@@ -88,7 +88,10 @@ object Bench {
     // Three timed reps (min-of-3): the host's documented multi-10s stalls
     // occasionally survive min-of-2 and show up as phantom per-query
     // regressions (q148/q138 wobble, round 4).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // floor at 1: reps = 0 would run the whole untimed warm-up and then
+    // die on an empty reduce with no JSON line — the silent-bench failure
+    // mode the round-2 hardening exists to prevent
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val warmupSec: Double =
       if (sys.env.contains("SPARK_GRAFT_COLD")) -1.0
       else { val t0 = System.nanoTime(); runAll(); (System.nanoTime() - t0) / 1e9 }

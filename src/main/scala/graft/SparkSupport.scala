@@ -21,6 +21,20 @@ object SparkSupport {
     } else System.getProperty("java.io.tmpdir", "/tmp")
   }
 
+  /** Per-(corpus, JVM) scratch path for write-then-read-back ROUNDTRIP
+    * queries (q21/q22/q63/q64/q107/q113's output side): unlike
+    * [[layoutArtifact]] builds, the WRITE is the operator under test and
+    * re-runs on every call, so these can't be cached — but the path must
+    * still be private to (corpus, JVM): a fixed shared name would let a
+    * concurrent different-SF run's overwrite corrupt this JVM's read-back
+    * mid-query (silently, when the formats match). The corpus key keeps
+    * same-JVM different-SF calls apart; the JVM nonce keeps hosts' JVMs
+    * apart. */
+  private val jvmNonce: String =
+    java.util.UUID.randomUUID().toString.take(8)
+  def roundtripPath(kind: String, dir: String): String =
+    s"$scratchDir/graft_${kind}_${pathKey(dir)}_$jvmNonce"
+
   /** Collision-resistant path key for per-corpus scratch artifacts.
     *
     * Scratch layouts (shingle index, gram index, dup/exact pair lists,
@@ -114,23 +128,39 @@ object SparkSupport {
       if (again != null) return again
       val dest = new java.io.File(s"$scratchDir/graft_${kind}_${pathKey(key)}")
       if (!new java.io.File(dest, "_SUCCESS").isFile) timedLayoutBuild {
+        var complete = false
         if (dest.exists()) {
-          // crashed half-build: evict by ATOMIC rename-to-trash, then delete
-          // the trash — deleting dest in place would race a concurrent JVM
-          // whose completed rename landed between our check and our delete
+          // suspected crashed half-build: evict by ATOMIC rename-to-trash —
+          // deleting dest in place would race a concurrent JVM whose
+          // completed rename landed between our check and our delete. The
+          // trash is INSPECTED before deletion: if it carries _SUCCESS we
+          // just stole an artifact another JVM completed after our check
+          // (that JVM may have already handed its path to a running query),
+          // so the rename is undone and the artifact used as-is instead of
+          // destroying files a live query is reading.
           val trash = new java.io.File(
             dest.getPath + ".trash-" + java.util.UUID.randomUUID().toString.take(8))
-          if (dest.renameTo(trash)) deleteRecursively(trash)
-          else if (dest.exists()) deleteRecursively(dest) // rename refused; fall back
+          if (dest.renameTo(trash)) {
+            if (new java.io.File(trash, "_SUCCESS").isFile) {
+              if (trash.renameTo(dest)) complete = true
+              else throw new IllegalStateException(
+                s"layout artifact $dest: could not restore a completed " +
+                  s"artifact evicted by the half-build check (left at $trash)")
+            } else deleteRecursively(trash)
+          } else if (new java.io.File(dest, "_SUCCESS").isFile) {
+            complete = true // racer completed it; rename refused because busy
+          } else if (dest.exists()) deleteRecursively(dest) // rename refused; fall back
         }
-        val tmp = new java.io.File(
-          dest.getPath + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-        build(tmp.getPath)
-        if (!tmp.renameTo(dest)) {
-          // lost the cross-JVM race: the winner's artifact is in place
-          deleteRecursively(tmp)
-          require(new java.io.File(dest, "_SUCCESS").isFile,
-            s"layout artifact $dest: rename failed and no complete artifact present")
+        if (!complete) {
+          val tmp = new java.io.File(
+            dest.getPath + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+          build(tmp.getPath)
+          if (!tmp.renameTo(dest)) {
+            // lost the cross-JVM race: the winner's artifact is in place
+            deleteRecursively(tmp)
+            require(new java.io.File(dest, "_SUCCESS").isFile,
+              s"layout artifact $dest: rename failed and no complete artifact present")
+          }
         }
       }
       artifactCache.put(key, dest.getPath)

@@ -27,6 +27,17 @@ object PortableHash {
   /** Whitespace tokens of lowercased text. DuckDB: string_split(lower(text),' '). */
   val tokens: String = "split(lower(text), ' ')"
 
+  /** An ASCENDING `sequence(lo, hi)` that is EMPTY when hi < lo — the
+    * DuckDB `range(lo, hi+1)` contract. Spark's sequence() defaults to
+    * step −1 when start > stop, so a window expression like
+    * `sequence(1, size(toks) − 4)` DESCENDS on a short doc and the bogus
+    * slice start then throws at runtime, killing the whole query (the
+    * q136 lesson; see also [[shingles]]). Built as a floor-1 ascending
+    * sequence sliced down to its true (possibly zero) length. */
+  def seqAsc(lo: String, hi: String): String =
+    s"slice(sequence($lo, greatest($hi, $lo)), 1, " +
+      s"greatest(($hi) - ($lo) + 1, 0))"
+
   /** THE deterministic-split LCG — `(id·1103515245 + 12345) mod m` — one
     * definition for the q75/q82/t101/d143 family (the same split rule must
     * hash the same row to the same bucket in every query; a fifth hand

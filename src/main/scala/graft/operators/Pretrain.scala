@@ -174,7 +174,8 @@ object Pretrain {
     val grams = Dedup.corpusWithCopies(s, dir)
       .selectExpr("doc_id", s"$tokens AS toks")
       .selectExpr("doc_id",
-        """posexplode(transform(sequence(1, size(toks) - 4),
+        // seqAsc: empty (not descending+throwing) on sub-5-token docs
+        s"""posexplode(transform(${seqAsc("1", "size(toks) - 4")},
           |  i -> poly_hash(concat_ws(' ', slice(toks, i, 5))))) AS (p, h)""".stripMargin)
       .selectExpr("doc_id", "p + 1 AS pos", "h")
       // feeds the carrier count AND the per-doc flags — one corpus scan

@@ -72,7 +72,9 @@ object Pretrain2 {
     * higher-order filter — no shuffle, no explosion); embarrassingly
     * parallel at any scale. */
   def t158CdcChunks(s: SparkSession, dir: String): DataFrame = {
-    val bnd = s"filter(sequence(4, length(text)), i -> " +
+    // seqAsc: empty (not descending) on sub-4-char texts — a descending
+    // window would re-hash fabricated positions DuckDB's range never emits
+    val bnd = s"filter(${seqAsc("4", "length(text)")}, i -> " +
       s"${polyHash("substring(text, i - 3, 4)")} % 16 = 0)"
     Tables.documents(s, dir)
       .selectExpr("doc_id", "length(text) AS len", s"$bnd AS bnds")
@@ -115,7 +117,7 @@ object Pretrain2 {
   private def chunkRows(df: DataFrame, textExpr: String): DataFrame =
     df.selectExpr("doc_id", s"$textExpr AS t")
       .selectExpr("doc_id", "t", "length(t) AS len",
-        s"filter(sequence(4, length(t)), i -> " +
+        s"filter(${seqAsc("4", "length(t)")}, i -> " +
           s"${polyHash("substring(t, i - 3, 4)")} % 16 = 0) AS bnds")
       .selectExpr("doc_id", "t", "len", "filter(bnds, b -> b < len) AS cb")
       .selectExpr("doc_id",

@@ -309,7 +309,7 @@ object RelationalExt {
     * BuildBronzeLayer.py:100-143): parquet → CSV → read back → aggregate.
     * Spark's CSV double rendering (shortest roundtrip form) is lossless. */
   def q21CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${graft.SparkSupport.scratchDir}/graft_csv_rt"
+    val tmp = graft.SparkSupport.roundtripPath("csv_rt", dir)
     Tables.customer(s, dir)
       .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
       .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -330,7 +330,7 @@ object RelationalExt {
     * JSON, read back with schema inference, flatten via the json_tuple
     * generator, restore types. */
   def q22JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${graft.SparkSupport.scratchDir}/graft_json_rt"
+    val tmp = graft.SparkSupport.roundtripPath("json_rt", dir)
     Tables.nation(s, dir)
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .select(struct(col("n_nationkey"), col("n_name"), col("r_name")).as("data"))

@@ -102,7 +102,7 @@ object RelationalExt3 {
     * equality is asserted in StagedFdicSourceSpec; here the oracle checks
     * values against the original table. */
   def q107Dsv2Roundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${graft.SparkSupport.scratchDir}/graft_staged_rt"
+    val tmp = graft.SparkSupport.roundtripPath("staged_rt", dir)
     Tables.customer(s, dir)
       .select(concat(lit("{\"data\": "),
         to_json(struct(col("c_custkey"), col("c_name"), col("c_mktsegment"))),

@@ -134,7 +134,7 @@ object ScalePatterns {
     * after parquet (native tables) and CSV/JSON (q21/q22). Same
     * pushdown/pruning properties as parquet through the DataSource V1 path. */
   def q63OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${SparkSupport.scratchDir}/graft_orc_rt"
+    val tmp = SparkSupport.roundtripPath("orc_rt", dir)
     Tables.part(s, dir)
       .select("p_partkey", "p_brand", "p_size", "p_retailprice")
       .write.mode("overwrite").orc(tmp)
@@ -158,7 +158,7 @@ object ScalePatterns {
     * 100 TB this is the first and biggest pruning lever: a
     * one-partition query reads one partition's bytes. */
   def q64PartitionPruning(s: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${SparkSupport.scratchDir}/graft_events_parted"
+    val tmp = SparkSupport.roundtripPath("events_parted", dir)
     Tables.events(s, dir)
       .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
     partitionPrunedScan(s, tmp)

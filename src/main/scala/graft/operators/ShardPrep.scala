@@ -133,13 +133,19 @@ object ShardPrep {
     * round-midpoint note). */
   def t102Repetition(s: SparkSession, dir: String): DataFrame = {
     // run-length fold over the SORTED array: `neq` marks run boundaries
+    // greatest(·, 0): an EMPTY array (a 1-token doc has no bigrams) makes
+    // size-1 negative, and slice throws on a negative length
     def neq(arr: String) =
-      s"zip_with(slice($arr, 1, size($arr) - 1), slice($arr, 2, size($arr) - 1), " +
+      s"zip_with(slice($arr, 1, greatest(size($arr) - 1, 0)), " +
+        s"slice($arr, 2, greatest(size($arr) - 1, 0)), " +
         "(a, b) -> IF(a = b, 0, 1))"
     Tables.documents(s, dir)
       .selectExpr("doc_id",
         "array_sort(split(lower(text), ' ')) AS st",
-        """array_sort(transform(sequence(1, size(split(lower(text),' ')) - 1),
+        // seqAsc: a 1-token doc has no bigram — the raw sequence would
+        // descend and the slice start 0 throws (the q136 lesson)
+        s"""array_sort(transform(${graft.functions.PortableHash
+            .seqAsc("1", "size(split(lower(text),' ')) - 1")},
           |  i -> concat_ws(' ', slice(split(lower(text),' '), i, 2)))) AS sg"""
           .stripMargin)
       .selectExpr("doc_id",
@@ -161,8 +167,13 @@ object ShardPrep {
       .selectExpr("doc_id", "n_tokens",
         "round(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS distinct_ratio",
         "round(top_tok_cnt / CAST(n_tokens AS DOUBLE), 6) AS top_token_share",
-        "round(dup_grams / CAST(n_grams AS DOUBLE), 6) AS dup_bigram_frac",
-        "CAST(dup_grams / CAST(n_grams AS DOUBLE) > 0.2 AS INT) AS is_repetitive")
+        // a 1-token doc has no bigrams: its duplication fraction is 0 by
+        // definition (nothing to repeat), not a 0/0 ANSI error and not a
+        // dropped row — quality reports must cover every document
+        "round(IF(n_grams = 0, 0D, dup_grams / CAST(n_grams AS DOUBLE)), 6)" +
+          " AS dup_bigram_frac",
+        "CAST(n_grams > 0 AND dup_grams / CAST(greatest(n_grams, 1) AS DOUBLE)" +
+          " > 0.2 AS INT) AS is_repetitive")
       .orderBy("doc_id")
   }
 
@@ -187,9 +198,13 @@ object ShardPrep {
       |SELECT doc_id, n_tokens,
       |  round(n_distinct / CAST(n_tokens AS DOUBLE), 6) AS distinct_ratio,
       |  round(top_tok_cnt / CAST(n_tokens AS DOUBLE), 6) AS top_token_share,
-      |  round(dup_grams / CAST(n_grams AS DOUBLE), 6) AS dup_bigram_frac,
-      |  CAST(dup_grams / CAST(n_grams AS DOUBLE) > 0.2 AS INTEGER) AS is_repetitive
-      |FROM td JOIN gd USING (doc_id) ORDER BY doc_id""".stripMargin
+      |  round(CASE WHEN coalesce(n_grams, 0) = 0 THEN 0
+      |        ELSE dup_grams / CAST(n_grams AS DOUBLE) END, 6)
+      |    AS dup_bigram_frac,
+      |  CAST(coalesce(n_grams, 0) > 0
+      |       AND dup_grams / CAST(n_grams AS DOUBLE) > 0.2 AS INTEGER)
+      |    AS is_repetitive
+      |FROM td LEFT JOIN gd USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** q104: event funnel — strictly-ordered view → click → purchase
     * conversion with mean stage delays. Each stage is a conditional-min

@@ -144,7 +144,7 @@ object TableOps {
   // q112's guard note); the operator under measurement is the list + size
   // + compaction rewrite, which stays per-query
   def q113Compaction(s: SparkSession, dir: String): DataFrame = {
-    val comp = s"${graft.SparkSupport.scratchDir}/graft_compact"
+    val comp = graft.SparkSupport.roundtripPath("compact", dir)
     val frag = graft.SparkSupport.layoutArtifact("frag", dir) { p =>
       Tables.orders(s, dir).repartition(64).write.mode("overwrite").parquet(p)
     }

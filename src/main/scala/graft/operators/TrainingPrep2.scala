@@ -109,6 +109,10 @@ object TrainingPrep2 {
       .selectExpr("explode(split(text, ' ')) AS tok")
       .filter(length(col("tok")) > 0)
       .selectExpr("tok", "poly_hash(tok) AS h")
+      // three consumers (sketch build, nTotal count, exact-count agg) —
+      // persist or the scan+tokenize+hash pipeline runs three times;
+      // released by the runner's clearCache (the per-query convention)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cms = new CmsSketch(4, 1024)
     val sketch = toks.select(col("h")).as[Long](Encoders.scalaLong)
       .select(cms.toColumn).head()

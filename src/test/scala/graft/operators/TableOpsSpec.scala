@@ -68,7 +68,9 @@ class TableOpsSpec extends SparkSpec {
   test("q113 compaction shrinks the file count and preserves content") {
     val out = TableOps.q113Compaction(spark, sf).collect()
     assert(out.forall(_.getAs[Boolean]("compacted")))
-    val comp = s"${graft.SparkSupport.scratchDir}/graft_compact"
+    // the compacted copy lands at the per-(corpus, JVM) roundtrip path —
+    // a fixed shared name would read another SF's stale output
+    val comp = graft.SparkSupport.roundtripPath("compact", sf)
     val n = new java.io.File(comp).listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(n < 64)
