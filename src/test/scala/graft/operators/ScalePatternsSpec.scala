@@ -65,7 +65,7 @@ class ScalePatternsSpec extends SparkSpec {
 
   test("partitioned scan prunes on the partition column") {
     ScalePatterns.q64PartitionPruning(spark, dir).count() // writes the layout
-    val tmp = s"${graft.SparkSupport.scratchDir}/graft_events_parted"
+    val tmp = graft.SparkSupport.roundtripPath("events_parted", dir)
     val plan = ScalePatterns.partitionPrunedScan(spark, tmp)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
@@ -100,7 +100,7 @@ class ScalePatternsSpec extends SparkSpec {
   test("dynamic partition pruning fires from a dim-side filter") {
     import spark.implicits._
     ScalePatterns.q64PartitionPruning(spark, dir).count() // writes the layout
-    val tmp = s"${graft.SparkSupport.scratchDir}/graft_events_parted"
+    val tmp = graft.SparkSupport.roundtripPath("events_parted", dir)
     val fact = spark.read.parquet(tmp)
     // the keep flag is only knowable at runtime — static pruning can't help,
     // DPP must inject a subquery filter on the partition column. The dim
