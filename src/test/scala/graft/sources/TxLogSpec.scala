@@ -189,6 +189,41 @@ class TxLogSpec extends SparkSpec {
     }
   }
 
+  test("overwrite racing concurrent appends always removes exactly the " +
+    "live set at its own claimed version") {
+    // the lost-update hazard: an overwrite that computes its remove list
+    // from a DIFFERENT log read than the one that picks its version lets
+    // an append landing in between survive the "replace". The invariant
+    // that closes it: for the overwrite's commit v, remove == live(v−1) —
+    // checked here against real interleaving (10 appends racing one
+    // overwrite), whatever order the OCC loop resolved them in.
+    val t = freshTable()
+    TxLog.append(spark, df(0L -> "base"), t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val appends = (1 to 10).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = TxLog.append(spark, df(i.toLong -> s"a$i"), t)
+        })
+      }
+      val ow = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = TxLog.overwrite(spark, df(99L -> "ow"), t)
+      })
+      appends.foreach(_.get())
+      val owV = ow.get()
+      // the snapshot AT the overwrite's version contains exactly its rows
+      assert(TxLog.read(spark, t, Some(owV)).collect()
+        .map(_.getLong(0)).toSet == Set(99L),
+        "overwrite must replace everything live at its version")
+      // appends that landed AFTER the overwrite (by version order) are the
+      // only other live data at head
+      val later = (owV + 1 to TxLog.versions(t).max)
+      val head = TxLog.read(spark, t).collect().map(_.getLong(0)).toSet
+      assert(head.contains(99L) && head.size == 1 + later.size,
+        s"head=$head owV=$owV versions=${TxLog.versions(t)}")
+    } finally pool.shutdown()
+  }
+
   test("typed stats: string and date columns prune, doubles round-trip, " +
     "legacy untagged entries still parse, cross-type bounds keep") {
     import spark.implicits._
