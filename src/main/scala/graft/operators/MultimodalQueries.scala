@@ -176,6 +176,11 @@ object MultimodalQueries {
       .unionByName(docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("media_id"),
           concat(lit("X"), expr("substring(text, 2, length(text) - 1)")).as("t")))
+    // the 64 threshold bits PACK into one BIGINT (bit j = pixel j): the
+    // signature state that flows through the bucket shuffle and both
+    // verify joins is 8 bytes, not a 64-int array, and the Hamming verify
+    // collapses to bit_count(xor) — one codegen'd instruction pair per
+    // candidate instead of a 64-element zip_with fold
     val sig = corpus
       .selectExpr("media_id", "length(t) AS len",
         "greatest(CAST(1 AS BIGINT), CAST(floor(length(t) / 64) AS BIGINT)) AS stride", "t")
@@ -185,13 +190,14 @@ object MultimodalQueries {
       .selectExpr("media_id", "px",
         "aggregate(px, CAST(0 AS BIGINT), (a, x) -> a + x) AS tot")
       .selectExpr("media_id",
-        "transform(px, x -> CAST(x * 64 > tot AS INT)) AS bits")
+        """aggregate(sequence(0, 63), CAST(0 AS BIGINT), (a, j) ->
+          |  a + IF(element_at(px, j + 1) * 64 > tot,
+          |         shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))
+          |AS packed""".stripMargin)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = sig.selectExpr("media_id",
       """explode(transform(sequence(0, 3), c -> struct(c AS c,
-        |  aggregate(sequence(0, 15), CAST(0 AS BIGINT), (a, j) ->
-        |    a + CAST(element_at(bits, c * 16 + j + 1) AS BIGINT)
-        |      * CAST(pow(2, j) AS BIGINT)) AS ck))) AS ch""".stripMargin)
+        |  (shiftright(packed, c * 16) & 65535) AS ck))) AS ch""".stripMargin)
       .select(col("media_id").as("doc_id"), col("ch.c").as("c"), col("ch.ck").as("ck"))
     val cand = chunks.groupBy("c", "ck")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -200,10 +206,9 @@ object MultimodalQueries {
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
     cand
-      .join(sig.select(col("media_id").as("id1"), col("bits").as("b1")), "id1")
-      .join(sig.select(col("media_id").as("id2"), col("bits").as("b2")), "id2")
-      .selectExpr("id1", "id2",
-        "size(filter(zip_with(b1, b2, (x, y) -> x != y), v -> v)) AS hamming")
+      .join(sig.select(col("media_id").as("id1"), col("packed").as("b1")), "id1")
+      .join(sig.select(col("media_id").as("id2"), col("packed").as("b2")), "id2")
+      .selectExpr("id1", "id2", "CAST(bit_count(b1 ^ b2) AS INT) AS hamming")
       .filter(col("hamming") <= 6)
       .selectExpr("id1", "id2", "hamming",
         "CAST(id2 = id1 + 1000000 AND id1 % 10 = 0 AS INT) AS is_planted")
