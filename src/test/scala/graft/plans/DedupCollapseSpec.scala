@@ -76,6 +76,24 @@ class DedupCollapseSpec extends SparkSpec {
     }
   }
 
+  test("a GLOBAL (empty-grouping) aggregate below a distinct-like consumer " +
+    "is never rewritten to a Project — one row on empty input must survive") {
+    withRule {
+      import spark.implicits._
+      // inner global aggregate over an EMPTY frame emits ONE row; if the
+      // rule unsoundly replaced it with Project(lit-like exprs), the empty
+      // child would propagate zero rows and max would come back NULL/empty
+      val empty = Seq.empty[(Int, String, Int)].toDF("k", "g", "v")
+      val inner = empty.groupBy().agg(lit(1).as("x"))
+      val out = inner.agg(max(col("x"))).collect()
+      assert(out.length == 1 && out.head.getInt(0) == 1,
+        s"global aggregate must emit its one row: ${out.toSeq}")
+      // same shape over non-empty input stays correct too
+      val inner2 = base.groupBy().agg(countDistinct(col("g")).as("x"))
+      assert(inner2.agg(max(col("x"))).head().getLong(0) == 2L)
+    }
+  }
+
   test("p26 gold directory plan carries exactly one dedup aggregate with the rule") {
     withRule {
       // the IN-PLAN derivation (p26's gate entry reads materialized silver,
