@@ -101,6 +101,38 @@ class PortableHashExprsSpec extends SparkSpec {
     }
   }
 
+  test("null array elements null the result identically in codegen and " +
+    "interpreted eval") {
+    // without the explicit element checks the interpreted path NPEs on
+    // GenericArrayData while codegen over UnsafeArrayData silently reads
+    // the null slot as 0 — the two paths the design promises are
+    // bit-identical would diverge
+    GraftFunctions.ensureRegistered(spark)
+    val exprs = Seq(
+      "simhash30(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT)))",
+      "minhash16(array(CAST(7 AS BIGINT), CAST(NULL AS BIGINT)))",
+      "lsh_bucket8(array(1.0D, CAST(NULL AS DOUBLE)))")
+    def nulls(sql: String): Boolean = spark.sql(sql).head().isNullAt(0)
+    for (e <- exprs) {
+      assert(nulls(s"SELECT $e"), s"codegen path: $e")
+    }
+    val old = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try for (e <- exprs) assert(nulls(s"SELECT $e"), s"interpreted path: $e")
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      old match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    // null-free inputs still compute (regression against over-nulling)
+    assert(!spark.sql(
+      "SELECT simhash30(array(CAST(7 AS BIGINT), CAST(9 AS BIGINT)))")
+      .head().isNullAt(0))
+  }
+
   test("native kernels stay inside whole-stage codegen") {
     // non-foldable input (range), else constant folding collapses the plan
     val plan = spark.range(4)
