@@ -260,15 +260,150 @@ object ShardPrep {
       |    / (SELECT count(*) FROM p) / 3600000000.0, 4) AS click_to_purchase_h"""
       .stripMargin
 
+  // ---------------------------------------------------------------- t291
+
+  /** t291: domain REWEIGHTING — the DoReMi shape (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): start from the baseline token-share mixture, measure
+    * each domain's EXCESS loss over the corpus mean, and run clipped
+    * multiplicative-weights rounds that shift budget toward
+    * high-excess-loss domains (the domains a proxy model finds hardest are
+    * the ones worth upsampling). Where t101 DRAWS a mixture and t156
+    * importance-weights documents, this computes the per-DOMAIN budget the
+    * other two consume.
+    *
+    * Determinism (the whole algorithm is exact integer arithmetic — no
+    * libm, no accumulation-order dependence):
+    *  - the loss proxy is each doc's repetition fraction
+    *    1 − |distinct tokens|/|tokens| (t102's top-line signal — exact
+    *    small-integer ratios), floor-scale quantized per doc and summed as
+    *    longs; per-domain and corpus means use integer DIV;
+    *  - the multiplicative update is RATIONAL: w ← w·(1 + η·excess) with
+    *    η = 4, not w·exp(η·excess) — same monotone direction, zero libm
+    *    (the t151/t199 discipline); weights live at 1e6 fixed point, every
+    *    product bounded under 2^63;
+    *  - each round renormalizes by integer DIV, caps any domain at 25%
+    *    (one-shot cap + renormalize — the projection that stops a single
+    *    pathological domain from absorbing the whole budget), 3 rounds.
+    *
+    * Scale shape: one map-side per-doc projection + one per-source
+    * aggregate; everything after is |domains|-row arithmetic (broadcast
+    * scalar attaches). At 100 TB the corpus is read once. */
+  def t291DomainReweight(s: SparkSession, dir: String): DataFrame = {
+    val eta = 4L
+    val cap6 = 250000L // 0.25 at 1e6 fixed point
+    val perSrc = Tables.documents(s, dir)
+      .selectExpr("source",
+        "size(split(lower(text), ' ')) AS n_tokens",
+        """CAST(floor((1.0D - size(array_distinct(split(lower(text), ' ')))
+          |  / CAST(size(split(lower(text), ' ')) AS DOUBLE)) * 1e6D + 0.5D)
+          |AS BIGINT) AS rep6""".stripMargin)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("tokens"),
+        sum(col("rep6")).as("srep6"))
+    val tot = perSrc.agg(sum(col("n_docs")).as("nd"),
+      sum(col("tokens")).as("tt"), sum(col("srep6")).as("sr"))
+    val base = perSrc.crossJoin(broadcast(tot))
+      .selectExpr("source", "n_docs", "tokens",
+        "srep6 DIV n_docs AS loss6",
+        "sr DIV nd AS lbar6",
+        // token share at 1e6 through DECIMAL: tokens·1e6 in raw int64
+        // would wrap past ~9.2e12 tokens — inside the target scale
+        "CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000 DIV tt AS BIGINT) AS w6")
+      .selectExpr("source", "n_docs", "tokens", "loss6",
+        "greatest(loss6 - lbar6, 0L) AS e6", "w6", "w6 AS w0_6")
+    // three clipped multiplicative rounds over the |domains|-row frame:
+    // multiply → normalize → cap → renormalize, all integer arithmetic
+    // (w6 ≤ 1e6, multiplier ≤ 5e6 ⇒ raw ≤ 5e12, raw·1e6 ≤ 5e18 < 2^63)
+    val after = (1 to 3).foldLeft(base) { (w, _) =>
+      val raw = w.selectExpr("*",
+        s"w6 * (1000000L + ${eta}L * e6) AS raw")
+      val norm = raw
+        .crossJoin(broadcast(raw.agg(sum(col("raw")).as("sraw"))))
+        .selectExpr("*", "raw * 1000000L DIV sraw AS wn")
+        .selectExpr("*", s"least(wn, ${cap6}L) AS wc")
+      norm
+        .crossJoin(broadcast(norm.agg(sum(col("wc")).as("swc"))))
+        .selectExpr("source", "n_docs", "tokens", "loss6", "e6",
+          "wc * 1000000L DIV swc AS w6", "w0_6")
+    }
+    after.selectExpr("source", "n_docs", "tokens",
+      "CAST(loss6 AS DOUBLE) / 1e6D AS loss",
+      "CAST(e6 AS DOUBLE) / 1e6D AS excess",
+      "CAST(w0_6 AS DOUBLE) / 1e6D AS w_base",
+      "CAST(w6 AS DOUBLE) / 1e6D AS w_final")
+      .orderBy("source")
+  }
+
+  val t291Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    len(string_split(lower(text), ' ')) AS n_tokens,
+      |    CAST(floor((1.0 - len(list_distinct(string_split(lower(text), ' ')))
+      |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 1e6
+      |      + 0.5e0) AS BIGINT) AS rep6
+      |  FROM documents),
+      |ps AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |    CAST(sum(rep6) AS BIGINT) AS srep6
+      |  FROM d GROUP BY source),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd,
+      |        CAST(sum(tokens) AS BIGINT) AS tt,
+      |        CAST(sum(srep6) AS BIGINT) AS sr FROM ps),
+      |b AS (
+      |  SELECT source, n_docs, tokens,
+      |    srep6 // n_docs AS loss6,
+      |    greatest(srep6 // n_docs - sr // nd, 0) AS e6,
+      |    CAST(CAST(tokens AS HUGEINT) * 1000000 // tt AS BIGINT) AS w6,
+      |    CAST(CAST(tokens AS HUGEINT) * 1000000 // tt AS BIGINT) AS w0_6
+      |  FROM ps, t),
+      |r1 AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
+      |         w6 * (1000000 + 4 * e6) AS raw FROM b),
+      |r1n AS (SELECT *, CAST(raw * 1000000 // (SELECT sum(raw) FROM r1)
+      |          AS BIGINT) AS wn FROM r1),
+      |r1c AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
+      |          least(wn, 250000) AS wc FROM r1n),
+      |r1f AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
+      |          CAST(wc * 1000000 // (SELECT sum(wc) FROM r1c) AS BIGINT)
+      |            AS w6 FROM r1c),
+      |r2 AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
+      |         w6 * (1000000 + 4 * e6) AS raw FROM r1f),
+      |r2n AS (SELECT *, CAST(raw * 1000000 // (SELECT sum(raw) FROM r2)
+      |          AS BIGINT) AS wn FROM r2),
+      |r2c AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
+      |          least(wn, 250000) AS wc FROM r2n),
+      |r2f AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
+      |          CAST(wc * 1000000 // (SELECT sum(wc) FROM r2c) AS BIGINT)
+      |            AS w6 FROM r2c),
+      |r3 AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
+      |         w6 * (1000000 + 4 * e6) AS raw FROM r2f),
+      |r3n AS (SELECT *, CAST(raw * 1000000 // (SELECT sum(raw) FROM r3)
+      |          AS BIGINT) AS wn FROM r3),
+      |r3c AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
+      |          least(wn, 250000) AS wc FROM r3n),
+      |r3f AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
+      |          CAST(wc * 1000000 // (SELECT sum(wc) FROM r3c) AS BIGINT)
+      |            AS w6 FROM r3c)
+      |SELECT source, n_docs, tokens,
+      |  CAST(loss6 AS DOUBLE) / 1e6 AS loss,
+      |  CAST(e6 AS DOUBLE) / 1e6 AS excess,
+      |  CAST(w0_6 AS DOUBLE) / 1e6 AS w_base,
+      |  CAST(w6 AS DOUBLE) / 1e6 AS w_final
+      |FROM r3f ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t100_sequence_pack" -> t100SequencePack,
     "t101_mix_sample"    -> t101MixSample,
     "t102_repetition"    -> t102Repetition,
-    "q104_event_funnel"  -> q104EventFunnel)
+    "q104_event_funnel"  -> q104EventFunnel,
+    "t291_domain_reweight" -> t291DomainReweight)
 
   val oracle: Map[String, String] = Map(
     "t100_sequence_pack" -> t100Sql,
     "t101_mix_sample"    -> t101Sql,
     "t102_repetition"    -> t102Sql,
-    "q104_event_funnel"  -> q104Sql)
+    "q104_event_funnel"  -> q104Sql,
+    "t291_domain_reweight" -> t291Sql)
 }

@@ -58,6 +58,56 @@ class ShardPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+
+  test("domain reweight: a full Scala replication of the fixed-point " +
+    "multiplicative rounds bit-matches, budget stays normalized, cap holds") {
+    // oracle-independent third implementation (the SamplingParitySpec
+    // program): per-doc repetition quantization, integer-DIV means,
+    // 3 multiply/normalize/cap/renormalize rounds in plain Scala longs
+    val docs = graft.Tables.documents(spark, dir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    case class S(nDocs: Long, tokens: Long, srep6: Long)
+    val per = docs.groupBy(_._1).view.mapValues { rows =>
+      val stats = rows.map { case (_, text) =>
+        val toks = text.toLowerCase.split(" ", -1)
+        val rep = 1.0 - toks.distinct.length / toks.length.toDouble
+        (toks.length.toLong, math.floor(rep * 1e6 + 0.5).toLong)
+      }
+      S(stats.length.toLong, stats.map(_._1).sum, stats.map(_._2).sum)
+    }.toMap
+    val nd = per.values.map(_.nDocs).sum
+    val tt = per.values.map(_.tokens).sum
+    val sr = per.values.map(_.srep6).sum
+    val lbar6 = sr / nd
+    var w = per.view.mapValues(s =>
+      (BigInt(s.tokens) * 1000000 / tt).toLong).toMap
+    val e6 = per.view.mapValues(s =>
+      math.max(s.srep6 / s.nDocs - lbar6, 0L)).toMap
+    for (_ <- 1 to 3) {
+      val raw = w.map { case (k, v) => k -> v * (1000000L + 4L * e6(k)) }
+      val sraw = raw.values.sum
+      val wc = raw.view.mapValues(r =>
+        math.min(r * 1000000L / sraw, 250000L)).toMap
+      val swc = wc.values.sum
+      w = wc.view.mapValues(_ * 1000000L / swc).toMap
+    }
+    val got = ShardPrep.t291DomainReweight(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(5), r.getDouble(6))).toMap
+    for ((src, s) <- per) {
+      val (gn, gt, gw0, gwf) = got(src)
+      assert((gn, gt) == ((s.nDocs, s.tokens)), src)
+      assert(gw0 == (BigInt(s.tokens) * 1000000 / tt).toLong / 1e6, src)
+      assert(gwf == w(src) / 1e6, s"$src: got $gwf expected ${w(src) / 1e6}")
+    }
+    // budget: integer-DIV truncation loses < |domains| millionths
+    val total = got.values.map(_._4).sum
+    assert(total <= 1.0 + 1e-9 && total > 1.0 - got.size * 1e-6,
+      s"weights must stay normalized, got $total")
+    assert(got.values.forall(_._4 <= 0.25 + 1e-9), "cap must hold")
+  }
+
   test("event funnel: stage counts are monotone and delays are positive") {
     val r = ShardPrep.q104EventFunnel(spark, dir).head()
     val (nUsers, nView, nClick, nPurchase) = (r.getAs[Long]("n_users"),
