@@ -114,11 +114,89 @@ object Drift {
       |      FROM orders)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- s292
+
+  /** s292: EMBEDDING drift monitor — q120's PSI lifted from a scalar
+    * column to vector space: embeddings bucket through the
+    * random-hyperplane signature ([[graft.catalyst.LshBucket8]], the same
+    * kernel the ANN index uses, folded to 16 cells), and the PSI between
+    * the two populations' cell distributions measures whether "new"
+    * vectors still occupy the same directions as the standing corpus —
+    * the production check that an embedding-model upgrade or a domain
+    * shift hasn't silently invalidated a deployed ANN index (the s193
+    * admit path flags per-VECTOR cell disagreement; this is the
+    * population-level complement). Populations here: label < 5 vs
+    * label >= 5 — genuinely different planted clusters, so the drift
+    * signal is real, not synthetic noise.
+    *
+    * Scale shape: the signature is one map-side projection (codegen'd
+    * kernel), the cell histogram is a 16×2 aggregate, and the PSI math
+    * runs on the 16-row grid — the corpus is read once, nothing else
+    * scales with it. Laplace-smoothed terms and the decimal-summed total
+    * follow q120 exactly. */
+  def s292EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val binned = Similarity.vecs(s, dir)
+      .selectExpr("pmod(lsh_bucket8(v), 16) AS cell",
+        "CASE WHEN label < 5 THEN 1 ELSE 0 END AS base")
+      .groupBy("cell")
+      .agg(sum(col("base")).as("n_base"),
+        sum(lit(1) - col("base")).as("n_cur"))
+    val grid = s.range(16).select(col("id").cast("int").as("cell"))
+      .join(binned, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = grid.agg(sum("n_base").as("tb"), sum("n_cur").as("tc"))
+    val terms = grid.crossJoin(broadcast(tot))
+      .selectExpr("cell", "n_base", "n_cur",
+        "(CAST(n_base + 1 AS DOUBLE) / (tb + 16)) AS p",
+        "(CAST(n_cur + 1 AS DOUBLE) / (tc + 16)) AS q")
+      .selectExpr("cell", "n_base", "n_cur",
+        "round((p - q) * ln(p / q), 6) AS psi_term")
+    val total = terms
+      .agg(expr("CAST(sum(CAST(psi_term AS DECIMAL(38,6))) AS DOUBLE) AS psi_total"))
+    terms.crossJoin(broadcast(total))
+      .select(col("cell"), col("n_base"), col("n_cur"), col("psi_term"),
+        col("psi_total"), (col("psi_total") < 0.1).as("stable"))
+      .orderBy("cell")
+  }
+
+  val s292Sql: String =
+    s"""WITH e AS (${Similarity.vecsDuck}),
+       |sig AS (
+       |  SELECT ((${Similarity.lshBucketDuck}) % 16 + 16) % 16 AS cell,
+       |    CASE WHEN label < 5 THEN 1 ELSE 0 END AS base
+       |  FROM e),
+       |binned AS (
+       |  SELECT cell, sum(base) AS n_base, sum(1 - base) AS n_cur
+       |  FROM sig GROUP BY 1),
+       |grid AS (
+       |  SELECT CAST(g.range AS INT) AS cell,
+       |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+       |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+       |  FROM range(16) g LEFT JOIN binned ON binned.cell = g.range),
+       |tot AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM grid),
+       |terms AS (
+       |  SELECT cell, n_base, n_cur,
+       |    round(((n_base + 1.0) / (tb + 16) - (n_cur + 1.0) / (tc + 16)) *
+       |          ln(((n_base + 1.0) / (tb + 16)) / ((n_cur + 1.0) / (tc + 16))), 6)
+       |      AS psi_term
+       |  FROM grid, tot),
+       |total AS (
+       |  SELECT CAST(sum(CAST(psi_term AS DECIMAL(38,6))) AS DOUBLE)
+       |    AS psi_total FROM terms)
+       |SELECT cell, n_base, n_cur, psi_term, psi_total,
+       |  psi_total < 0.1 AS stable
+       |FROM terms, total ORDER BY cell""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_psi_drift"      -> q120PsiDrift,
-    "q121_equidepth_hist" -> q121EquiDepthHist)
+    "q121_equidepth_hist" -> q121EquiDepthHist,
+    "s292_embedding_drift" -> s292EmbeddingDrift)
 
   val oracle: Map[String, String] = Map(
     "q120_psi_drift"      -> q120Sql,
-    "q121_equidepth_hist" -> q121Sql)
+    "q121_equidepth_hist" -> q121Sql,
+    "s292_embedding_drift" -> s292Sql)
 }

@@ -264,9 +264,20 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** The DuckDB twin of lsh_bucket8's plane weight — ONE definition
+    * (s40's oracle and s292's drift monitor must hash to the SAME
+    * buckets; see the lcgSplit one-definition rationale). */
+  private[operators] val planeDuck =
+    "CAST((CAST(1103515245 AS BIGINT) * (p * 64 + (k - 1)) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)"
+
+  /** The lsh_bucket8 signature as a DuckDB expression over `v`. */
+  private[operators] val lshBucketDuck =
+    s"""CAST(list_reduce(list_prepend(0, list_transform(range(0, 8), p ->
+       |      CASE WHEN list_reduce(list_transform(range(1, 65), k ->
+       |          v[k] * $planeDuck), (x, y) -> x + y) >= 0
+       |      THEN (1 << p) ELSE 0 END)), (a, b) -> a + b) AS INTEGER)""".stripMargin
+
   val s40Sql: String = {
-    val planeDuck =
-      "CAST((CAST(1103515245 AS BIGINT) * (p * 64 + (k - 1)) + 12345) % 2147483648 % 2001 - 1000 AS DOUBLE)"
     s"""WITH e AS ($vecsDuck),
        |sigs AS (
        |  SELECT vec_id, v,

@@ -27,6 +27,19 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("s292 cells partition the embeddings, PSI terms are non-negative, " +
+    "and the total is their sum") {
+    val rows = Drift.s292EmbeddingDrift(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq === (0 until 16))
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === n)
+    // (p − q)·ln(p/q) ≥ 0 always — a negative term means broken math
+    assert(rows.forall(_.getDouble(3) >= 0.0))
+    val sum = rows.map(r => BigDecimal(r.getDouble(3))).sum.toDouble
+    assert(math.abs(rows.head.getDouble(4) - sum) < 1e-9)
+    assert(rows.map(_.getDouble(4)).distinct.length === 1)
+  }
+
   test("q118 selects exactly the k smallest race keys per group") {
     // driver-side replication of the A-ES race: portable hash -> u -> r
     def poly(s: String): Long =
