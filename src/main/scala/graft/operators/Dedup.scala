@@ -928,7 +928,72 @@ object Dedup {
        |ORDER BY id1, id2""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d293
+
+  /** d293: TEMPLATE-SKELETON dedup — the cheap map-side catch for
+    * TEMPLATED near-duplicates: the same boilerplate re-instantiated with
+    * different serial numbers, ticket ids, timestamps (autogenerated
+    * pages, form letters, log-derived text). Exact dedup (d29) is blind
+    * to them (raw bytes differ); shingle Jaccard (d30) catches them but
+    * pays the inverted-index shuffle. The skeleton — lowercase, digits
+    * masked to '#', whitespace collapsed — is a pure per-row projection,
+    * so templated families collapse under a hash-groupBy at exact-dedup
+    * cost: one shuffle keyed by the 16-byte skeleton hash. The planted
+    * families here differ ONLY in digits (two serials per seed doc), the
+    * exact shape the operator exists for; `n_raw` > 1 distinguishes a
+    * true template family from byte-identical copies.
+    *
+    * Scale: the real pipeline ordering is skeleton dedup FIRST (removes
+    * the templated mass at map cost), then MinHash over the survivors —
+    * the funnel shape q138/d171 compose. */
+  def d293SkeletonDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    def variant(offset: Long, serialShift: Int) =
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + offset).as("doc_id"),
+          concat(col("text"), lit(" ticket "),
+            lpad(((col("doc_id") + serialShift) % 1000000).cast("string"),
+              6, "0")).as("text"))
+    val corpus = d.select("doc_id", "text")
+      .unionByName(variant(1000000L, 0))
+      .unionByName(variant(2000000L, 13))
+    corpus
+      .withColumn("skeleton",
+        regexp_replace(regexp_replace(lower(col("text")), "[0-9]", "#"),
+          " +", " "))
+      .groupBy(md5(col("skeleton")).as("skeleton_md5"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        countDistinct(md5(col("text"))).as("n_raw"))
+      .filter(col("n_members") >= 2)
+      .select("keep_id", "n_members", "n_raw", "skeleton_md5")
+      .orderBy("keep_id")
+  }
+
+  val d293Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    text || ' ticket ' || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    text || ' ticket ' ||
+      |      lpad(CAST((doc_id + 13) % 1000000 AS VARCHAR), 6, '0')
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |sk AS (
+      |  SELECT doc_id, md5(text) AS raw_md5,
+      |    md5(regexp_replace(regexp_replace(lower(text), '[0-9]', '#', 'g'),
+      |      ' +', ' ', 'g')) AS skeleton_md5
+      |  FROM corpus)
+      |SELECT min(doc_id) AS keep_id, count(*) AS n_members,
+      |  count(DISTINCT raw_md5) AS n_raw, skeleton_md5
+      |FROM sk GROUP BY skeleton_md5 HAVING count(*) >= 2
+      |ORDER BY keep_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d293_skeleton_dedup"      -> d293SkeletonDedup,
     "d143_split_leakage"       -> d143SplitLeakage,
     "d142_incremental_minhash" -> d142IncrementalMinhash,
     "d185_snapshot_incremental" -> d185SnapshotIncremental,
@@ -942,6 +1007,7 @@ object Dedup {
     "d33_dedup_embedding"     -> d33Embedding)
 
   val oracle: Map[String, String] = Map(
+    "d293_skeleton_dedup"      -> d293Sql,
     "d143_split_leakage"       -> d143Sql,
     "d142_incremental_minhash" -> d142Sql,
     "d185_snapshot_incremental" -> d185Sql,

@@ -64,6 +64,21 @@ class NorthStarSpec extends SparkSpec {
 
   private def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
 
+  test("d293 skeleton dedup catches the digit-varying template family " +
+    "that exact dedup is blind to") {
+    val out = rows(Dedup.d293SkeletonDedup(spark, dir))
+    // doc 10's two ticket variants (ids 1000010 / 2000010) differ only in
+    // the 6-digit serial: one skeleton family, two distinct raw texts
+    val fam = out.find(_.getLong(0) == 1000010L)
+    assert(fam.isDefined, s"template family missing: $out")
+    assert(fam.get.getLong(1) == 2 && fam.get.getLong(2) == 2,
+      s"family must have 2 members with 2 distinct raws: ${fam.get}")
+    // exact dedup on the same corpus CANNOT collapse them (raw bytes
+    // differ) — the contrast that motivates the skeleton pass
+    assert(fam.get.getLong(2) > 1,
+      "n_raw > 1 is exactly what md5-exact grouping cannot merge")
+  }
+
   test("d29 exact dedup collapses identical texts and planted copies") {
     val out = rows(Dedup.d29Exact(spark, dir))
     // doc 1 and 2 share content → one group, keep_id = 1, n_copies = 2
