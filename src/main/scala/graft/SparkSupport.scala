@@ -143,7 +143,13 @@ object SparkSupport {
           if (dest.renameTo(trash)) {
             if (new java.io.File(trash, "_SUCCESS").isFile) {
               if (trash.renameTo(dest)) complete = true
-              else throw new IllegalStateException(
+              else if (new java.io.File(dest, "_SUCCESS").isFile) {
+                // restore refused because ANOTHER racer re-created a
+                // complete dest in the window — use it; the stolen copy in
+                // trash is a redundant duplicate, not the only artifact
+                complete = true
+                deleteRecursively(trash)
+              } else throw new IllegalStateException(
                 s"layout artifact $dest: could not restore a completed " +
                   s"artifact evicted by the half-build check (left at $trash)")
             } else deleteRecursively(trash)

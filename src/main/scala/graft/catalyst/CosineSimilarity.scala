@@ -44,14 +44,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
-  // Result is NULL for degenerate inputs even when both arrays are
-  // non-null: mismatched lengths (truncating to the shorter side would
-  // return a plausible-but-wrong similarity — a 384-dim query against a
-  // mis-written 768-dim row must surface, not silently rank), a null
-  // element (skipping or zeroing it would differ from the HOF
-  // aggregate(zip_with(...)) formulation this expression must be
-  // interchangeable with), and a zero-norm side (0/0 would yield NaN,
-  // which poisons every comparison downstream).
+  // Result is NULL for mismatched lengths (truncating to the shorter side
+  // would return a plausible-but-wrong similarity — a 384-dim query
+  // against a mis-written 768-dim row must surface, not silently rank)
+  // and for a null element (the HOF aggregate(zip_with(...)) formulation
+  // this expression must be interchangeable with propagates null the same
+  // way). A ZERO-NORM side yields NaN, NOT null: the HOF twin and the
+  // DuckDB oracles both compute dot/(sqrt(0)·sqrt(ny)) = NaN, and both
+  // engines rank NaN as the largest double — swapping in null here would
+  // silently flip top-k membership against the gate the first time a zero
+  // vector enters a corpus.
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
@@ -67,8 +69,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
-    if (nx == 0.0 || ny == 0.0) null
-    else dot / (math.sqrt(nx) * math.sqrt(ny))
+    dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -89,7 +90,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double yi = $b.getDouble($i);
          |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
          |}
-         |if ($bad || $nx == 0.0 || $ny == 0.0) {
+         |if ($bad) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

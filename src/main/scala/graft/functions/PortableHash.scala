@@ -71,16 +71,13 @@ object PortableHash {
     * DuckDB twin:
     * {{{ list_distinct(list_transform(range(1, len(toks) - n + 2),
     *       i -> array_to_string(toks[i:i+n-1], ' '))) }}}
-    * A sub-n-token doc yields an EMPTY array on both engines: DuckDB's
-    * range() is naturally empty there, but Spark's sequence(1, size-n+1)
-    * DESCENDS for size < n (default step -1) and the bogus slice start
-    * then throws — so the index list is built ascending with a floor of
-    * one element and sliced down to its true (possibly zero) length.
-    * One short doc must degrade to zero shingles, not crash the job. */
+    * A sub-n-token doc yields an EMPTY array on both engines — the window
+    * indexes come from [[seqAsc]] (empty when the doc is short, exactly
+    * like DuckDB's range()), so one short doc degrades to zero shingles
+    * instead of crashing the job. */
   def shingles(n: Int = 3): String = {
     val len = s"size($tokens) - ${n - 1}"
-    s"array_distinct(transform(" +
-      s"slice(sequence(1, greatest($len, 1)), 1, greatest($len, 0)), " +
+    s"array_distinct(transform(${seqAsc("1", len)}, " +
       s"i -> concat_ws(' ', slice($tokens, i, $n))))"
   }
 }

@@ -48,8 +48,11 @@ object DupClusters {
     // true min node is always its own contracted vertex.
     if (converged) labels
     else {
+      // no second persist: `labels` is ALREADY persisted (minLabelCC keeps
+      // it so — often localCheckpoint-backed), and the rename is a pure
+      // projection over it; caching the projection too would hold two full
+      // copies of the |V|-row label frame until the runner's clearCache
       val part = labels.withColumnRenamed("component", "plbl")
-        .persist(StorageLevel.MEMORY_AND_DISK)
       val cNodes = part.select(col("plbl").as("id")).distinct()
       val cEdges = edges
         .join(part.select(col("id").as("src"), col("plbl").as("csrc")), "src")

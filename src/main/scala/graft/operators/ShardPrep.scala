@@ -282,13 +282,23 @@ object ShardPrep {
     *    η = 4, not w·exp(η·excess) — same monotone direction, zero libm
     *    (the t151/t199 discipline); weights live at 1e6 fixed point, every
     *    product bounded under 2^63;
-    *  - each round renormalizes by integer DIV, caps any domain at 25%
-    *    (one-shot cap + renormalize — the projection that stops a single
-    *    pathological domain from absorbing the whole budget), 3 rounds.
+    *  - each round renormalizes by integer DIV, then projects onto the
+    *    25%-capped simplex by FIXPOINT redistribution: capped domains pin
+    *    to the cap and their surplus redistributes proportionally over
+    *    the uncapped ones, repeated 4 times — once a domain caps it stays
+    *    capped (redistribution only grows uncapped weights), and at most
+    *    4 domains can be capped at cap = 1/4, so 4 monotone passes REACH
+    *    the fixpoint for any input. (A single cap-then-renormalize would
+    *    scale capped domains straight back above the cap whenever the cap
+    *    binds — the projection failing exactly in the pathological-domain
+    *    regime it exists for.) 3 outer rounds.
     *
     * Scale shape: one map-side per-doc projection + one per-source
-    * aggregate; everything after is |domains|-row arithmetic (broadcast
-    * scalar attaches). At 100 TB the corpus is read once. */
+    * aggregate; the iteration itself runs driver-side on the collected
+    * |domains|-row state — the s140 split (the cluster folds the corpus,
+    * the driver solves the simplex-sized problem; a metadata-sized
+    * collect, the lakehouse-manifest pattern). At 100 TB the corpus is
+    * read once. */
   def t291DomainReweight(s: SparkSession, dir: String): DataFrame = {
     val eta = 4L
     val cap6 = 250000L // 0.25 at 1e6 fixed point
@@ -313,85 +323,97 @@ object ShardPrep {
         "CAST(CAST(tokens AS DECIMAL(38,0)) * 1000000 DIV tt AS BIGINT) AS w6")
       .selectExpr("source", "n_docs", "tokens", "loss6",
         "greatest(loss6 - lbar6, 0L) AS e6", "w6", "w6 AS w0_6")
-    // three clipped multiplicative rounds over the |domains|-row frame:
-    // multiply → normalize → cap → renormalize, all integer arithmetic
-    // (w6 ≤ 1e6, multiplier ≤ 5e6 ⇒ raw ≤ 5e12, raw·1e6 ≤ 5e18 < 2^63)
-    val after = (1 to 3).foldLeft(base) { (w, _) =>
-      val raw = w.selectExpr("*",
-        s"w6 * (1000000L + ${eta}L * e6) AS raw")
-      val norm = raw
-        .crossJoin(broadcast(raw.agg(sum(col("raw")).as("sraw"))))
-        .selectExpr("*", "raw * 1000000L DIV sraw AS wn")
-        .selectExpr("*", s"least(wn, ${cap6}L) AS wc")
-      norm
-        .crossJoin(broadcast(norm.agg(sum(col("wc")).as("swc"))))
-        .selectExpr("source", "n_docs", "tokens", "loss6", "e6",
-          "wc * 1000000L DIV swc AS w6", "w0_6")
+    // the iteration runs on the DRIVER over the collected |domains|-row
+    // state — the s140 split (cluster folds the corpus, driver solves the
+    // matrix/simplex-sized problem): 15 dependent normalize/project steps
+    // as chained crossJoin-on-aggregate plans double the LOGICAL tree per
+    // step (each step references its input twice) and blow up the
+    // optimizer, while the same integer arithmetic on 20 collected rows
+    // is exact, trivially deterministic, and free. w6 ≤ 1e6, multiplier
+    // ≤ 5e6 ⇒ every product stays under 2^63.
+    val doms = base.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    var w = doms.map(d => d._1 -> d._7).toMap
+    val e6 = doms.map(d => d._1 -> d._5).toMap
+    for (_ <- 1 to 3) {
+      val raw = w.map { case (k, v) => k -> v * (1000000L + eta * e6(k)) }
+      val sraw = raw.values.sum
+      w = raw.view.mapValues(r => r * 1000000L / sraw).toMap
+      for (_ <- 1 to 4) {
+        val over = w.values.map(v => math.max(v - cap6, 0L)).sum
+        val uncap = w.values.filter(_ < cap6).sum
+        w = w.view.mapValues { v =>
+          if (v >= cap6) cap6
+          else if (uncap == 0L) v
+          else v + over * v / uncap
+        }.toMap
+      }
     }
-    after.selectExpr("source", "n_docs", "tokens",
-      "CAST(loss6 AS DOUBLE) / 1e6D AS loss",
-      "CAST(e6 AS DOUBLE) / 1e6D AS excess",
-      "CAST(w0_6 AS DOUBLE) / 1e6D AS w_base",
-      "CAST(w6 AS DOUBLE) / 1e6D AS w_final")
+    import s.implicits._
+    doms.toSeq.map { case (src, nDocs, tokens, loss6, ee6, w06, _) =>
+      (src, nDocs, tokens, loss6 / 1e6, ee6 / 1e6, w06 / 1e6, w(src) / 1e6)
+    }.toDF("source", "n_docs", "tokens", "loss", "excess", "w_base", "w_final")
       .orderBy("source")
   }
 
-  val t291Sql: String =
-    """WITH d AS (
-      |  SELECT source,
-      |    len(string_split(lower(text), ' ')) AS n_tokens,
-      |    CAST(floor((1.0 - len(list_distinct(string_split(lower(text), ' ')))
-      |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 1e6
-      |      + 0.5e0) AS BIGINT) AS rep6
-      |  FROM documents),
-      |ps AS (
-      |  SELECT source, count(*) AS n_docs,
-      |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
-      |    CAST(sum(rep6) AS BIGINT) AS srep6
-      |  FROM d GROUP BY source),
-      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd,
-      |        CAST(sum(tokens) AS BIGINT) AS tt,
-      |        CAST(sum(srep6) AS BIGINT) AS sr FROM ps),
-      |b AS (
-      |  SELECT source, n_docs, tokens,
-      |    srep6 // n_docs AS loss6,
-      |    greatest(srep6 // n_docs - sr // nd, 0) AS e6,
-      |    CAST(CAST(tokens AS HUGEINT) * 1000000 // tt AS BIGINT) AS w6,
-      |    CAST(CAST(tokens AS HUGEINT) * 1000000 // tt AS BIGINT) AS w0_6
-      |  FROM ps, t),
-      |r1 AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
-      |         w6 * (1000000 + 4 * e6) AS raw FROM b),
-      |r1n AS (SELECT *, CAST(raw * 1000000 // (SELECT sum(raw) FROM r1)
-      |          AS BIGINT) AS wn FROM r1),
-      |r1c AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
-      |          least(wn, 250000) AS wc FROM r1n),
-      |r1f AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
-      |          CAST(wc * 1000000 // (SELECT sum(wc) FROM r1c) AS BIGINT)
-      |            AS w6 FROM r1c),
-      |r2 AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
-      |         w6 * (1000000 + 4 * e6) AS raw FROM r1f),
-      |r2n AS (SELECT *, CAST(raw * 1000000 // (SELECT sum(raw) FROM r2)
-      |          AS BIGINT) AS wn FROM r2),
-      |r2c AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
-      |          least(wn, 250000) AS wc FROM r2n),
-      |r2f AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
-      |          CAST(wc * 1000000 // (SELECT sum(wc) FROM r2c) AS BIGINT)
-      |            AS w6 FROM r2c),
-      |r3 AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
-      |         w6 * (1000000 + 4 * e6) AS raw FROM r2f),
-      |r3n AS (SELECT *, CAST(raw * 1000000 // (SELECT sum(raw) FROM r3)
-      |          AS BIGINT) AS wn FROM r3),
-      |r3c AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
-      |          least(wn, 250000) AS wc FROM r3n),
-      |r3f AS (SELECT source, n_docs, tokens, loss6, e6, w0_6,
-      |          CAST(wc * 1000000 // (SELECT sum(wc) FROM r3c) AS BIGINT)
-      |            AS w6 FROM r3c)
-      |SELECT source, n_docs, tokens,
-      |  CAST(loss6 AS DOUBLE) / 1e6 AS loss,
-      |  CAST(e6 AS DOUBLE) / 1e6 AS excess,
-      |  CAST(w0_6 AS DOUBLE) / 1e6 AS w_base,
-      |  CAST(w6 AS DOUBLE) / 1e6 AS w_final
-      |FROM r3f ORDER BY source""".stripMargin
+  /** t291's oracle, with the round/projection CTE chain GENERATED from
+    * the same round and pass counts the Spark side uses — the unrolled
+    * structure cannot drift from the algorithm's shape. */
+  val t291Sql: String = {
+    val cols = "source, n_docs, tokens, loss6, e6, w0_6"
+    def mulNorm(r: Int, prev: String): String =
+      s"""r${r}m AS MATERIALIZED (SELECT $cols,
+         |  w6 * (1000000 + 4 * e6) AS raw FROM $prev),
+         |r${r}n AS MATERIALIZED (SELECT $cols,
+         |  CAST(raw * 1000000 // (SELECT sum(raw) FROM r${r}m) AS BIGINT)
+         |    AS w6 FROM r${r}m)""".stripMargin
+    def capPass(r: Int, pass: Int, prev: String): String =
+      s"""r${r}p$pass AS MATERIALIZED (SELECT $cols,
+         |  CASE WHEN w6 >= 250000 THEN 250000
+         |       WHEN (SELECT sum(CASE WHEN w6 < 250000 THEN w6 ELSE 0 END)
+         |             FROM $prev) = 0 THEN w6
+         |       ELSE CAST(w6 +
+         |         (SELECT sum(greatest(w6 - 250000, 0)) FROM $prev) * w6 //
+         |         (SELECT sum(CASE WHEN w6 < 250000 THEN w6 ELSE 0 END)
+         |          FROM $prev) AS BIGINT) END AS w6
+         |  FROM $prev)""".stripMargin
+    val rounds = (1 to 3).map { r =>
+      val in = if (r == 1) "b" else s"r${r - 1}p4"
+      (Seq(mulNorm(r, in)) ++
+        (1 to 4).map(p => capPass(r, p, if (p == 1) s"r${r}n" else s"r${r}p${p - 1}")))
+        .mkString(",\n")
+    }.mkString(",\n")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT source,
+       |    len(string_split(lower(text), ' ')) AS n_tokens,
+       |    CAST(floor((1.0 - len(list_distinct(string_split(lower(text), ' ')))
+       |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 1e6
+       |      + 0.5e0) AS BIGINT) AS rep6
+       |  FROM documents),
+       |ps AS MATERIALIZED (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+       |    CAST(sum(rep6) AS BIGINT) AS srep6
+       |  FROM d GROUP BY source),
+       |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nd,
+       |        CAST(sum(tokens) AS BIGINT) AS tt,
+       |        CAST(sum(srep6) AS BIGINT) AS sr FROM ps),
+       |b AS MATERIALIZED (
+       |  SELECT source, n_docs, tokens,
+       |    srep6 // n_docs AS loss6,
+       |    greatest(srep6 // n_docs - sr // nd, 0) AS e6,
+       |    CAST(CAST(tokens AS HUGEINT) * 1000000 // tt AS BIGINT) AS w0_6,
+       |    CAST(CAST(tokens AS HUGEINT) * 1000000 // tt AS BIGINT) AS w6
+       |  FROM ps, t),
+       |$rounds
+       |SELECT source, n_docs, tokens,
+       |  CAST(loss6 AS DOUBLE) / 1e6 AS loss,
+       |  CAST(e6 AS DOUBLE) / 1e6 AS excess,
+       |  CAST(w0_6 AS DOUBLE) / 1e6 AS w_base,
+       |  CAST(w6 AS DOUBLE) / 1e6 AS w_final
+       |FROM r3p4 ORDER BY source""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t100_sequence_pack" -> t100SequencePack,

@@ -58,9 +58,10 @@ class CosineSimilaritySpec extends SparkSpec {
   test("null and length-mismatch semantics") {
     GraftFunctions.ensureRegistered(spark)
     import spark.implicits._
-    // degenerate inputs all yield NULL, never a truncated/NaN similarity:
-    // a silently-truncated mismatch ranked plausible-but-wrong results, and
-    // a zero-norm NaN poisons every downstream comparison
+    // mismatch/null inputs yield NULL (no silent truncation); a zero norm
+    // yields NaN exactly like the HOF twin and the DuckDB oracle — both
+    // engines rank NaN as the largest double, so null here would flip
+    // top-k membership against the gate
     val rows = Seq(
       (1L, Some(Array(1.0, 0.0)), Some(Array(1.0, 0.0))),      // well-formed
       (2L, None: Option[Array[Double]], Some(Array(1.0))),     // null input
@@ -70,7 +71,8 @@ class CosineSimilaritySpec extends SparkSpec {
       .selectExpr("id", "cosine_sim(a, b) AS c").collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(rows(1L).getDouble(1) == 1.0)
-    for (id <- Seq(2L, 3L, 4L)) assert(rows(id).isNullAt(1), s"id $id")
+    for (id <- Seq(2L, 3L)) assert(rows(id).isNullAt(1), s"id $id")
+    assert(rows(4L).getDouble(1).isNaN, "zero norm must be NaN, as the HOF is")
     // a null ELEMENT also nulls the result — identically in codegen and
     // interpreted eval (the unsafe path would otherwise read the slot as 0
     // while the generic path NPEs)

@@ -87,10 +87,17 @@ class ShardPrepSpec extends SparkSpec {
     for (_ <- 1 to 3) {
       val raw = w.map { case (k, v) => k -> v * (1000000L + 4L * e6(k)) }
       val sraw = raw.values.sum
-      val wc = raw.view.mapValues(r =>
-        math.min(r * 1000000L / sraw, 250000L)).toMap
-      val swc = wc.values.sum
-      w = wc.view.mapValues(_ * 1000000L / swc).toMap
+      w = raw.view.mapValues(r => r * 1000000L / sraw).toMap
+      // capped-simplex fixpoint: 4 monotone redistribute passes
+      for (_ <- 1 to 4) {
+        val over = w.values.map(v => math.max(v - 250000L, 0L)).sum
+        val uncap = w.values.filter(_ < 250000L).sum
+        w = w.view.mapValues { v =>
+          if (v >= 250000L) 250000L
+          else if (uncap == 0L) v
+          else v + over * v / uncap
+        }.toMap
+      }
     }
     val got = ShardPrep.t291DomainReweight(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
@@ -106,6 +113,46 @@ class ShardPrepSpec extends SparkSpec {
     assert(total <= 1.0 + 1e-9 && total > 1.0 - got.size * 1e-6,
       s"weights must stay normalized, got $total")
     assert(got.values.forall(_._4 <= 0.25 + 1e-9), "cap must hold")
+  }
+
+
+  test("domain reweight: the 25% cap HOLDS when it binds, and the surplus " +
+    "redistributes to the uncapped domains") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    // one dominant source with 60% of the tokens: a single-shot
+    // cap-then-renormalize would scale it straight back above the cap
+    val d = tmpDir("doremi_cap")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def doc(id: Long, src: String, words: Int, rep: Boolean) = {
+      val txt =
+        if (rep) Seq.fill(words)("loop").mkString(" ")
+        else (0 until words).map(i => s"w${id}x$i").mkString(" ")
+      R(id, txt, "en", src, txt.length.toLong)
+    }
+    // 6 sources so the capped simplex is FEASIBLE (n·cap = 1.5 ≥ 1); with
+    // 3 sources the maximum achievable sum is 0.75 and every domain pins
+    // to the cap — the documented degenerate case, not a projection test
+    val rows =
+      (0 until 60).map(i => doc(i, "big", 200, rep = i % 2 == 0)) ++
+        (0 until 5).flatMap(srcI =>
+          (0 until 16).map(i =>
+            doc(1000L + srcI * 100 + i, s"small$srcI", 100, rep = false)))
+    spark.createDataFrame(
+        new java.util.ArrayList[R](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+      .repartition(1).write.parquet(s"$d/documents.parquet")
+    val out = ShardPrep.t291DomainReweight(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(5), r.getDouble(6))).toMap
+    assert(out("big")._1 > 0.25, "the dominant source must START above cap")
+    for ((src, (_, wf)) <- out)
+      assert(wf <= 0.25 + 1e-9, s"$src w_final=$wf violates the cap")
+    val total = out.values.map(_._2).sum
+    assert(total > 1.0 - out.size * 1e-5 && total <= 1.0 + 1e-9,
+      s"projected budget must stay ~normalized, got $total")
   }
 
   test("event funnel: stage counts are monotone and delays are positive") {
