@@ -314,7 +314,58 @@ object RelationalExt2 {
       |        FROM embeddings))
       |WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- q295
+
+  /** q295: GROUP-level train/val/test split — the leakage-PROOF splitting
+    * d143 audits for: q75 assigns individual documents, so near-duplicates
+    * inside one source routinely straddle train/test (d143 measures
+    * exactly that contamination); assigning whole GROUPS (here: sources —
+    * in production, domains, crawl hosts, or dup-cluster canonical ids)
+    * makes intra-group leakage structurally impossible. The split hashes
+    * the group KEY (poly_hash — the id-less string-keyed analogue of
+    * q75's LCG), so it is a pure function of the data: reproducible
+    * across engines, runs, partitionings, and corpus growth (a source's
+    * split never changes as its documents accumulate).
+    *
+    * Output is the audit aggregate: per split, group and document counts
+    * plus token mass — the numbers a practitioner checks before accepting
+    * the split (group-level assignment trades exact 80/10/10 document
+    * ratios for the leakage guarantee; the audit shows the realized
+    * ratios). The invariant "every group lands in exactly one split" is
+    * structural (the split is a function of the group key alone).
+    *
+    * Scale shape: one map-side projection (hash + split label), one
+    * aggregate keyed by (split, source) then by split — nothing beyond
+    * the corpus scan. */
+  def q295GroupSplit(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    Tables.documents(s, dir)
+      .selectExpr("source", "size(split(lower(text), ' ')) AS n_tokens",
+        """CASE WHEN poly_hash(source) % 100 < 80 THEN 'train'
+          |     WHEN poly_hash(source) % 100 < 90 THEN 'val'
+          |     ELSE 'test' END AS split""".stripMargin)
+      .groupBy("split")
+      .agg(countDistinct(col("source")).as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"))
+      .orderBy("split")
+  }
+
+  val q295Sql: String = {
+    val h = graft.operators.Dedup.polyDuckOf("source")
+    s"""WITH d AS (
+       |  SELECT source, len(string_split(lower(text), ' ')) AS n_tokens,
+       |    CASE WHEN ($h) % 100 < 80 THEN 'train'
+       |         WHEN ($h) % 100 < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, count(DISTINCT source) AS n_groups,
+       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM d GROUP BY split ORDER BY split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q295_group_split"    -> q295GroupSplit,
     "q89_null_safe_join"  -> q89NullSafeJoin,
     "q90_posexplode_argmax" -> q90PosexplodeArgmax,
     "q70_cube"          -> q70Cube,
@@ -327,6 +378,7 @@ object RelationalExt2 {
     "q78_datetime"      -> q78Datetime)
 
   val oracle: Map[String, String] = Map(
+    "q295_group_split"    -> q295Sql,
     "q89_null_safe_join"  -> q89Sql,
     "q90_posexplode_argmax" -> q90Sql,
     "q70_cube"          -> q70Sql,

@@ -91,6 +91,29 @@ class SamplingParitySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q295 group split assigns every source to exactly one split and " +
+    "matches the poly-hash rule") {
+    val docs = graft.Tables.documents(spark, sf)
+      .selectExpr("source", "size(split(lower(text), ' ')) AS nt")
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+    def splitOf(src: String): String = {
+      val h = poly(src) % 100
+      if (h < 80) "train" else if (h < 90) "val" else "test"
+    }
+    val expected = docs.groupBy(d => splitOf(d._1)).view.map { case (sp, rows) =>
+      sp -> (rows.map(_._1).distinct.length.toLong, rows.length.toLong,
+        rows.map(_._2).sum)
+    }.toMap
+    val got = RelationalExt2.q295GroupSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+    // structural leakage-proofness: a source's split is a pure function of
+    // its name, so no source can appear under two splits
+    val perSrc = docs.map(_._1).distinct.map(splitOf)
+    assert(perSrc.toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("q220 Hamilton apportionment sums to the budget and matches the " +
     "integer quota arithmetic") {
     val docs = graft.Tables.documents(spark, sf)
