@@ -337,19 +337,31 @@ object RelationalExt2 {
     * Scale shape: one map-side projection (hash + split label), one
     * aggregate keyed by (split, source) then by split — nothing beyond
     * the corpus scan. */
-  def q295GroupSplit(s: SparkSession, dir: String): DataFrame = {
+  /** The per-document (source, n_tokens, split) assignment — exposed so
+    * the parity spec can assert the leakage invariant (one split per
+    * source) on the SYSTEM's projection, not on a test-local replica.
+    * The hash is computed once into a column (the q75 pattern — Spark's
+    * subexpression elimination does not reliably dedupe a hash repeated
+    * across CASE branches). */
+  private[operators] def groupSplitAssign(s: SparkSession,
+                                          dir: String): DataFrame = {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
     Tables.documents(s, dir)
       .selectExpr("source", "size(split(lower(text), ' ')) AS n_tokens",
-        """CASE WHEN poly_hash(source) % 100 < 80 THEN 'train'
-          |     WHEN poly_hash(source) % 100 < 90 THEN 'val'
-          |     ELSE 'test' END AS split""".stripMargin)
+        "poly_hash(source) % 100 AS h")
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val")
+          .otherwise("test"))
+      .select("source", "n_tokens", "split")
+  }
+
+  def q295GroupSplit(s: SparkSession, dir: String): DataFrame =
+    groupSplitAssign(s, dir)
       .groupBy("split")
       .agg(countDistinct(col("source")).as("n_groups"),
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("sum_tokens"))
       .orderBy("split")
-  }
 
   val q295Sql: String = {
     val h = graft.operators.Dedup.polyDuckOf("source")

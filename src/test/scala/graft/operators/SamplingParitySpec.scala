@@ -108,10 +108,13 @@ class SamplingParitySpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     assert(got === expected)
-    // structural leakage-proofness: a source's split is a pure function of
-    // its name, so no source can appear under two splits
-    val perSrc = docs.map(_._1).distinct.map(splitOf)
-    assert(perSrc.toSet.subsetOf(Set("train", "val", "test")))
+    // leakage-proofness checked on the SYSTEM's projection (not a
+    // test-local replica of the rule): no source appears under two splits
+    val leaky = RelationalExt2.groupSplitAssign(spark, sf)
+      .select("source", "split").distinct()
+      .groupBy("source").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(leaky == 0, s"$leaky sources landed in more than one split")
   }
 
   test("q220 Hamilton apportionment sums to the budget and matches the " +
