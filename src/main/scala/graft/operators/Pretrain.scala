@@ -343,9 +343,14 @@ object Pretrain {
     *
     * Scale shape: both frequency tables are vocabulary-sized broadcasts;
     * the corpus token stream is scanned once (persisted across the
-    * frequency build and the scoring join). The global top-100 rank runs
-    * over PER-DOC aggregate rows — for corpus-scale doc counts the same
-    * selection runs through the TopKPerKey physical operator (s48). */
+    * frequency build and the scoring join). The top-100 selection is a
+    * `orderBy().limit(100)` — TakeOrderedAndProject keeps a 100-row heap
+    * per partition and merges 100·parts rows on the driver — followed by
+    * a broadcast flag join back onto the per-doc aggregates; an
+    * unpartitioned row_number window here would funnel EVERY per-doc
+    * score row through one task's sort (the q207-documented scale-killer)
+    * just to test rank <= 100. The limit orders by the exact DECIMAL sum
+    * with the same doc_id tie-break, so the flag is identical. */
   def t156DsirWeights(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .selectExpr("doc_id", "source", "explode(split(lower(text), ' ')) AS tok")
@@ -355,7 +360,7 @@ object Pretrain {
       .groupBy("tok").agg(count(lit(1)).as("tc"))
     val stats = cc.agg(sum(col("cc")).as("ct"), count(lit(1)).as("vocab"))
       .crossJoin(tc.agg(sum(col("tc")).as("tt")))
-    toks.join(broadcast(cc), "tok")
+    val agg = toks.join(broadcast(cc), "tok")
       .join(broadcast(tc), Seq("tok"), "left")
       .crossJoin(broadcast(stats))
       .selectExpr("doc_id",
@@ -364,11 +369,16 @@ object Pretrain {
           |  ((tt + vocab) * (cc + 1.0D))), 6) AS DECIMAL(38,6)) AS lr""".stripMargin)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("slr"))
-      .withColumn("sel_rank",
-        row_number().over(Window.orderBy(col("slr").desc, col("doc_id"))))
+      // feeds both the top-100 heap and the flag join — without the persist
+      // the whole score-and-aggregate pipeline runs twice (released by the
+      // runner's clearCache, the repo-wide per-query persist convention)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val top = agg.orderBy(col("slr").desc, col("doc_id")).limit(100)
+      .select(col("doc_id").as("sel_id"))
+    agg.join(broadcast(top), col("doc_id") === col("sel_id"), "left")
       .selectExpr("doc_id", "n_tokens",
         "CAST(slr AS DOUBLE) AS log_weight",
-        "CAST(sel_rank <= 100 AS INT) AS selected")
+        "CAST(sel_id IS NOT NULL AS INT) AS selected")
       .orderBy("doc_id")
   }
 

@@ -241,20 +241,49 @@ object RelationalExt4 {
     * formula runs over decimal-exact moments cast once to double —
     * deterministic to the last bit, no engine-private covariance kernel.
     *
-    * Scale shape: two rank windows (global sorts — the honest cost of exact
-    * ranks; at 100 TB sample or bucket first), then ONE moment aggregate of
-    * 6 decimal sums — fixed-size state, partial-aggregated. */
+    * Scale shape: exact average ranks WITHOUT a global window. Per value
+    * column: fold rows to (value, count) — the compressed value domain —
+    * range-partition the counts by value, collect the |partitions|-row
+    * per-partition totals (metadata-sized, the lakehouse-manifest
+    * pattern), and give every value
+    * rank = prefix-offset(partition) + within-partition cumsum, where the
+    * cumsum is a KEYED window over one range split. No task ever sorts
+    * more than one range split; the old formulation funneled every row
+    * through ONE task's sort twice (the q207-documented scale-killer).
+    * Average rank = min-rank + (ties−1)/2 exactly as before — the values
+    * are bit-identical, so the oracle is unchanged. The closing Pearson
+    * is ONE moment aggregate of 6 decimal sums — fixed-size state. */
   def q128Spearman(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val joined = Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir)),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_totalprice").as("x"), col("c_acctbal").as("y"))
+      // feeds both rank builds and the row-level moment pass (released by
+      // the runner's clearCache, the repo-wide per-query convention)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (value → exact average rank) over a single column, distributed:
+    // range-partitioned value counts + driver prefix offsets + keyed cumsum
+    def avgRanks(c: String, out: String): DataFrame = {
+      val vc = joined.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .repartitionByRange(RankRangeSplits, col(c))
+        .withColumn("pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val tots = vc.groupBy("pid").agg(sum(col("cnt")).as("tot"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = tots.map(_._1)
+        .zip(tots.map(_._2).scanLeft(0L)(_ + _)).toMap
+      val w = Window.partitionBy("pid").orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vc.withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn(out,
+          element_at(typedLit(offsets), col("pid")) +
+            (col("cum") - col("cnt") + 1) + (col("cnt") - 1) / 2.0)
+        .select(col(c), col(out))
+    }
     val ranked = joined
-      .withColumn("rx", rank().over(Window.orderBy("x")) +
-        (count(lit(1)).over(Window.partitionBy("x")) - 1) / 2.0)
-      .withColumn("ry", rank().over(Window.orderBy("y")) +
-        (count(lit(1)).over(Window.partitionBy("y")) - 1) / 2.0)
+      .join(avgRanks("x", "rx"), "x")
+      .join(avgRanks("y", "ry"), "y")
     val D = "DECIMAL(38,6)"
     ranked.agg(
       count(lit(1)).as("n"),
@@ -268,6 +297,11 @@ object RelationalExt4 {
           |  (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
           |  AS spearman_rho""".stripMargin)
   }
+
+  /** Range splits for q128's distributed exact ranking — one task sorts at
+    * most one split of the compressed value domain; scale with the
+    * cluster, not the corpus. */
+  private[operators] val RankRangeSplits = 32
 
   val q128Sql: String =
     """WITH j AS (

@@ -291,7 +291,10 @@ object ShardPrep {
     *    the fixpoint for any input. (A single cap-then-renormalize would
     *    scale capped domains straight back above the cap whenever the cap
     *    binds — the projection failing exactly in the pathological-domain
-    *    regime it exists for.) 3 outer rounds.
+    *    regime it exists for.) 3 outer rounds. When |domains|·cap < 1 the
+    *    capped simplex is INFEASIBLE (under 4 domains at cap = 1/4) — the
+    *    projection is skipped and the normalized weights stand, so the
+    *    emitted budget always sums to ~1.
     *
     * Scale shape: one map-side per-doc projection + one per-source
     * aggregate; the iteration itself runs driver-side on the collected
@@ -340,18 +343,29 @@ object ShardPrep {
       val raw = w.map { case (k, v) => k -> v * (1000000L + eta * e6(k)) }
       val sraw = raw.values.sum
       w = raw.view.mapValues(r => r * 1000000L / sraw).toMap
-      for (_ <- 1 to 4) {
-        val over = w.values.map(v => math.max(v - cap6, 0L)).sum
-        val uncap = w.values.filter(_ < cap6).sum
-        w = w.view.mapValues { v =>
-          if (v >= cap6) cap6
-          else if (uncap == 0L) v
-          else v + over * v / uncap
-        }.toMap
+      // the capped simplex is FEASIBLE only when |domains|·cap ≥ 1
+      // (fewer than 4 domains at cap = 1/4 cannot sum to 1 once capped);
+      // in the infeasible regime the projection is skipped and the
+      // normalized weights stand — w_final always sums to ~1 instead of
+      // silently pinning every domain to 0.25 with a |domains|·0.25 < 1
+      // total (mirrored in the oracle's capPass guard and ShardPrepSpec)
+      if (w.size * cap6 >= 1000000L) {
+        for (_ <- 1 to 4) {
+          val over = w.values.map(v => math.max(v - cap6, 0L)).sum
+          val uncap = w.values.filter(_ < cap6).sum
+          w = w.view.mapValues { v =>
+            if (v >= cap6) cap6
+            else if (uncap == 0L) v
+            else v + over * v / uncap
+          }.toMap
+        }
       }
     }
     import s.implicits._
-    doms.toSeq.map { case (src, nDocs, tokens, loss6, ee6, w06, _) =>
+    // position 7 IS w0_6 (base aliases w6 to both; binding the working
+    // copy instead would silently report the wrong base weight if a
+    // future edit ever mutated w6 in the frame)
+    doms.toSeq.map { case (src, nDocs, tokens, loss6, ee6, _, w06) =>
       (src, nDocs, tokens, loss6 / 1e6, ee6 / 1e6, w06 / 1e6, w(src) / 1e6)
     }.toDF("source", "n_docs", "tokens", "loss", "excess", "w_base", "w_final")
       .orderBy("source")
@@ -370,7 +384,8 @@ object ShardPrep {
          |    AS w6 FROM r${r}m)""".stripMargin
     def capPass(r: Int, pass: Int, prev: String): String =
       s"""r${r}p$pass AS MATERIALIZED (SELECT $cols,
-         |  CASE WHEN w6 >= 250000 THEN 250000
+         |  CASE WHEN (SELECT count(*) FROM $prev) * 250000 < 1000000 THEN w6
+         |       WHEN w6 >= 250000 THEN 250000
          |       WHEN (SELECT sum(CASE WHEN w6 < 250000 THEN w6 ELSE 0 END)
          |             FROM $prev) = 0 THEN w6
          |       ELSE CAST(w6 +

@@ -224,16 +224,29 @@ object Similarity2 {
     * terms of the query doc — lowest document frequency, the
     * keyword-extraction step of a real hybrid searcher) with a SEMANTIC leg
     * (cosine against the query doc's embedding; vec_id is doc-aligned in
-    * this corpus). Fusion is standard RRF (Cormack et al.):
-    * Σ 1/(60 + rank_leg), a missing leg contributing 0 — the score-free
+    * this corpus). Fusion is standard RRF over the two RANKED LISTS
+    * (Cormack et al. fuse retrieved lists, not corpus-wide scores): each
+    * leg retrieves its top-101, a doc contributes 1/(60 + rank_leg) from
+    * each list it appears in and 0 from a list it misses — the score-free
     * combiner RAG stacks use because BM25 and cosine scales don't mix.
     *
-    * Scale shape: the lexical leg touches only the 8 query-term posting
-    * lists (inverted-index access, never the corpus vocabulary); the
-    * semantic leg is one broadcast-query corpus scan. Both legs here rank
-    * their FULL candidate sets so the oracle is exact; at 100 TB each leg
-    * is already a top-k operator (s48's TopKPerKey plan / posting-list
-    * top-k) and the fusion join runs on two k-sized lists.
+    * Scale shape: each leg is a `orderBy().limit(101)` —
+    * TakeOrderedAndProject keeps a 101-row heap per partition and merges
+    * 101·parts rows on the driver — and every Window in the plan runs
+    * over a ≤101-row shortlist or the ≤202-row fused union, never the
+    * corpus (the q242 discipline; an unpartitioned corpus-scale
+    * row_number here was the repo's last ranking scale-killer —
+    * plan-asserted in Similarity2Spec). The lexical leg touches only the
+    * 8 query-term posting lists (inverted-index access, never the corpus
+    * vocabulary); the semantic leg is one broadcast-query corpus scan.
+    *
+    * The 101-deep shortlists are LOSSLESS for the top-20 even under
+    * full-corpus RRF: a doc outside BOTH top-101s would score
+    * < 2/(60+101) = 2/161 < 1/80, while the sem-top-20 docs alone
+    * already score ≥ 1/(60+20) = 1/80 — so at least 20 candidates beat
+    * anything the shortlists could have missed. Rank-within-shortlist
+    * equals global leg rank (the limit preserves the leg's exact
+    * ordering), so every emitted rank ≤ 101 is the true leg rank.
     *
     * Determinism: BM25 contributions quantize to DECIMAL(38,6) before the
     * per-doc sum (t151's rational-idf kernel verbatim); ranks are integers
@@ -269,23 +282,36 @@ object Similarity2 {
       .groupBy("doc_id")
       .agg(sum(col("c")).as("sc"))
       .selectExpr("doc_id", "CAST(round(CAST(sc AS DOUBLE), 6) AS DOUBLE) AS bm25")
+      // top-101 FIRST (TakeOrderedAndProject), window over the survivors:
+      // rank-within-shortlist == global leg rank (same ordering)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(RrfLegK)
       .withColumn("lex_rank",
         row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select("doc_id", "lex_rank")
     val all = Similarity.vecs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val sem = broadcast(all.filter(col("vec_id") === 0).select(col("v"))).as("q")
       .crossJoin(all.filter(col("vec_id") =!= 0).as("c"))
       .selectExpr("c.vec_id AS doc_id", s"${Similarity.cosExpr} AS cos")
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfLegK)
       .withColumn("sem_rank",
         row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
-    sem.join(lex.select("doc_id", "lex_rank"), Seq("doc_id"), "left")
+      .select("doc_id", "sem_rank")
+    // fuse on the shortlist UNION (≤ 2·101 rows): full outer, a missing
+    // leg contributes 0
+    sem.join(lex, Seq("doc_id"), "full_outer")
       .selectExpr("doc_id", "lex_rank", "sem_rank",
-        "round(coalesce(1.0D / (60 + lex_rank), 0D) + 1.0D / (60 + sem_rank), 6) AS rrf")
+        """round(coalesce(1.0D / (60 + lex_rank), 0D)
+          |  + coalesce(1.0D / (60 + sem_rank), 0D), 6) AS rrf""".stripMargin)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
       .filter(col("rank") <= 20)
       .select("rank", "doc_id", "lex_rank", "sem_rank", "rrf")
       .orderBy("rank")
   }
+
+  /** RRF retrieval depth per leg: 101 makes the fused top-20 provably
+    * equal to full-corpus RRF's (see [[s196HybridRrf]]'s bound). */
+  private[operators] val RrfLegK = 101
 
   val s196Sql: String =
     s"""WITH toks AS MATERIALIZED (
@@ -313,20 +339,24 @@ object Similarity2 {
        |  FROM tf JOIN qt USING (t) JOIN lens USING (doc_id) CROSS JOIN stats),
        |lex AS (SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS bm25
        |        FROM c GROUP BY doc_id),
-       |lexr AS (SELECT doc_id, CAST(row_number() OVER
-       |           (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rank
-       |         FROM lex),
+       |lexr AS (SELECT doc_id, lex_rank FROM (
+       |           SELECT doc_id, CAST(row_number() OVER
+       |             (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rank
+       |           FROM lex)
+       |         WHERE lex_rank <= 101),
        |e AS (${Similarity.vecsDuck}),
        |q AS (SELECT v FROM e WHERE vec_id = 0),
        |sem AS (SELECT c.vec_id AS doc_id, ${Similarity.cosDuck} AS cos
        |        FROM q, e c WHERE c.vec_id <> 0),
-       |semr AS (SELECT doc_id, CAST(row_number() OVER
-       |           (ORDER BY cos DESC, doc_id) AS INTEGER) AS sem_rank
-       |         FROM sem),
-       |f AS (SELECT s.doc_id, lex_rank, sem_rank,
+       |semr AS (SELECT doc_id, sem_rank FROM (
+       |           SELECT doc_id, CAST(row_number() OVER
+       |             (ORDER BY cos DESC, doc_id) AS INTEGER) AS sem_rank
+       |           FROM sem)
+       |         WHERE sem_rank <= 101),
+       |f AS (SELECT coalesce(s.doc_id, l.doc_id) AS doc_id, lex_rank, sem_rank,
        |        round(coalesce(1e0 / (60 + lex_rank), 0e0)
-       |          + 1e0 / (60 + sem_rank), 6) AS rrf
-       |      FROM semr s LEFT JOIN lexr l ON s.doc_id = l.doc_id),
+       |          + coalesce(1e0 / (60 + sem_rank), 0e0), 6) AS rrf
+       |      FROM semr s FULL JOIN lexr l ON s.doc_id = l.doc_id),
        |r AS (SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
        |        AS INTEGER) AS rank, doc_id, lex_rank, sem_rank, rrf
        |      FROM f)

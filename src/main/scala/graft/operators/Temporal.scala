@@ -218,21 +218,35 @@ object Temporal {
     *
     * Determinism: ends sort before starts at the same instant (half-open
     * intervals), and permuting identical (t, delta) rows permutes identical
-    * prefix-sum values, so max-per-day is well-defined. The gate evaluates
-    * the curve at in-day delta points only (the oracle mirrors the same
-    * definition). This formulation uses one global window (fine at gate
-    * scale); the 100 TB shape splits intervals at day boundaries and
-    * partitions the sweep by day — same math, bounded partitions. */
+    * prefix-sum values, so max-per-day is well-defined.
+    *
+    * Scale shape: intervals are SPLIT at day boundaries (a 1-hour session
+    * crosses at most one midnight) and each sub-interval's deltas carry
+    * its OWN day — the sweep is then a day-KEYED window, one bounded
+    * partition per day, never a global sort of the full delta stream
+    * through one task. A midnight-crossing interval's carry-over enters
+    * the next day as a +1 at 00:00, so each day's curve starts at zero
+    * and still evaluates the true open-interval count at every in-day
+    * boundary (including 00:00 itself — the carry-over instant the
+    * unsplit global sweep never evaluated). */
   def q88SweepConcurrency(s: SparkSession, dir: String): DataFrame = {
     val v = Tables.events(s, dir).filter(col("event_type") === "view")
       .select(col("ts"), (col("ts") + expr("INTERVAL 1 HOUR")).as("te"))
-    val deltas = v.select(col("ts").as("t"), lit(1).as("delta"))
-      .unionByName(v.select(col("te").as("t"), lit(-1).as("delta")))
-    val w = Window.orderBy(col("t"), col("delta"))
+      .withColumn("mid", date_add(to_date(col("ts")), 1).cast("timestamp"))
+    // half-open [t0, t1) sub-intervals, each inside one calendar day
+    val parts = v
+      .select(col("ts").as("t0"), least(col("te"), col("mid")).as("t1"))
+      .unionByName(v.filter(col("te") > col("mid"))
+        .select(col("mid").as("t0"), col("te").as("t1")))
+    val deltas = parts
+      .select(to_date(col("t0")).as("day"), col("t0").as("t"), lit(1).as("delta"))
+      .unionByName(parts
+        .select(to_date(col("t0")).as("day"), col("t1").as("t"), lit(-1).as("delta")))
+    val w = Window.partitionBy("day").orderBy(col("t"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     deltas
       .withColumn("running", sum(col("delta")).over(w))
-      .groupBy(to_date(col("t")).as("day"))
+      .groupBy("day")
       .agg(max(col("running")).as("peak_concurrency"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("peak_concurrency"))
       .orderBy("day")
@@ -240,16 +254,22 @@ object Temporal {
 
   val q88Sql: String =
     """WITH v AS (
-      |  SELECT ts, ts + INTERVAL 1 HOUR AS te FROM events WHERE event_type = 'view'),
-      |deltas AS (
-      |  SELECT ts AS t, 1 AS delta FROM v
+      |  SELECT ts, ts + INTERVAL 1 HOUR AS te,
+      |    CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP) AS mid
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT ts AS t0, least(te, mid) AS t1 FROM v
       |  UNION ALL
-      |  SELECT te AS t, -1 AS delta FROM v),
+      |  SELECT mid AS t0, te AS t1 FROM v WHERE te > mid),
+      |deltas AS (
+      |  SELECT CAST(t0 AS DATE) AS day, t0 AS t, 1 AS delta FROM p
+      |  UNION ALL
+      |  SELECT CAST(t0 AS DATE) AS day, t1 AS t, -1 AS delta FROM p),
       |curve AS (
-      |  SELECT t, SUM(delta) OVER (ORDER BY t, delta
+      |  SELECT day, SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
       |  FROM deltas)
-      |SELECT strftime(CAST(t AS DATE), '%Y-%m-%d') AS day,
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
       |  CAST(max(running) AS BIGINT) AS peak_concurrency
       |FROM curve GROUP BY 1 ORDER BY day""".stripMargin
 

@@ -166,7 +166,11 @@ object TxLog {
             try Some(D(body.toDouble))
             catch { case _: NumberFormatException => None }
           case 's' =>
-            Some(S(java.net.URLDecoder.decode(body, UTF_8)))
+            // a corrupt percent sequence ('%', '%zz') must degrade to None
+            // like every other malformed suffix — one bad log entry must
+            // never fail a whole liveFilesWithTypedStats/read
+            try Some(S(java.net.URLDecoder.decode(body, UTF_8)))
+            catch { case _: IllegalArgumentException => None }
           case _ => None
         }
       } else num(field).map(L(_))

@@ -28,4 +28,27 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Asserts every Window in `df`'s optimized plan either partitions by a
+    * key or runs over a limit-bounded subtree — the structural form of
+    * "no unpartitioned corpus-scale row_number" (the q242 discipline).
+    * A subtree is bounded iff every leaf path passes through a Limit:
+    * joins/aggregates/projections of bounded inputs stay bounded. Checked
+    * on the optimized LOGICAL plan (AQE-stable; TakeOrderedAndProject is
+    * GlobalLimit∘Sort here). Returns the window count so callers can
+    * assert the plan actually HAS the windows they expect. */
+  def assertWindowsKeyedOrBounded(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit | _: LocalLimit => true
+      case _ if p.children.isEmpty => false
+      case _ => p.children.forall(bounded)
+    }
+    val wins = df.queryExecution.optimizedPlan.collect { case w: Window => w }
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty || bounded(w.child),
+        s"unpartitioned window over an unbounded (corpus-scale) input:\n$w")
+    }
+    wins.size
+  }
 }

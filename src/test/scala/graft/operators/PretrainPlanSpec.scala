@@ -37,9 +37,20 @@ class PretrainPlanSpec extends SparkSpec {
     val dsir = physical(Pretrain.t156DsirWeights(spark, sf))
     assert("BroadcastHashJoin".r.findAllIn(dsir).size >= 2, dsir)
     // two scalar cross joins: stats = (ct, vocab) × (tt), and stats onto
-    // the token stream — both 1-row build sides, never corpus × corpus
-    assert("BroadcastNestedLoopJoin".r.findAllIn(dsir).size <= 2, dsir)
+    // the token stream — both 1-row build sides, never corpus × corpus.
+    // The rendered string repeats them inside the persisted per-doc
+    // aggregate's InMemoryRelation tree, hence ≤ 2 DISTINCT ≤ 4 rendered.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(dsir).size <= 4, dsir)
     assert(!dsir.toLowerCase.contains("cartesianproduct"), dsir)
+  }
+
+  test("dsir selection is a limit-bounded top-100, not an unpartitioned " +
+    "corpus-scale row_number") {
+    val df = Pretrain.t156DsirWeights(spark, sf)
+    // no unkeyed/unbounded windows anywhere in the plan (there should be
+    // NO window at all post-fix — the selection is limit + flag join)
+    assert(assertWindowsKeyedOrBounded(df) == 0)
+    assert(physical(df).contains("TakeOrderedAndProject"), physical(df))
   }
 
   test("map-only operators stay map-only: one exchange at most (the " +

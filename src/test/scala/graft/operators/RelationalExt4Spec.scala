@@ -89,6 +89,12 @@ class RelationalExt4Spec extends SparkSpec {
     assert(math.abs(rho - brute) < 1e-6)
   }
 
+  test("q128 plan: the exact ranks come from keyed range-split cumsums — " +
+    "no unpartitioned window anywhere") {
+    assert(assertWindowsKeyedOrBounded(
+      RelationalExt4.q128Spearman(spark, sf)) >= 1)
+  }
+
   test("q131 set-op outputs are consistent: disjointness and containment") {
     val rows = RelationalExt4.q131ArraySetOps(spark, sf).collect()
     rows.foreach { r =>

@@ -88,15 +88,18 @@ class ShardPrepSpec extends SparkSpec {
       val raw = w.map { case (k, v) => k -> v * (1000000L + 4L * e6(k)) }
       val sraw = raw.values.sum
       w = raw.view.mapValues(r => r * 1000000L / sraw).toMap
-      // capped-simplex fixpoint: 4 monotone redistribute passes
-      for (_ <- 1 to 4) {
-        val over = w.values.map(v => math.max(v - 250000L, 0L)).sum
-        val uncap = w.values.filter(_ < 250000L).sum
-        w = w.view.mapValues { v =>
-          if (v >= 250000L) 250000L
-          else if (uncap == 0L) v
-          else v + over * v / uncap
-        }.toMap
+      // capped-simplex fixpoint: 4 monotone redistribute passes (skipped
+      // in the infeasible |domains|·cap < 1 regime, like the operator)
+      if (w.size * 250000L >= 1000000L) {
+        for (_ <- 1 to 4) {
+          val over = w.values.map(v => math.max(v - 250000L, 0L)).sum
+          val uncap = w.values.filter(_ < 250000L).sum
+          w = w.view.mapValues { v =>
+            if (v >= 250000L) 250000L
+            else if (uncap == 0L) v
+            else v + over * v / uncap
+          }.toMap
+        }
       }
     }
     val got = ShardPrep.t291DomainReweight(spark, dir).collect()
@@ -153,6 +156,41 @@ class ShardPrepSpec extends SparkSpec {
     val total = out.values.map(_._2).sum
     assert(total > 1.0 - out.size * 1e-5 && total <= 1.0 + 1e-9,
       s"projected budget must stay ~normalized, got $total")
+  }
+
+  test("domain reweight: under 4 domains the capped simplex is infeasible, " +
+    "the projection is skipped, and the budget STILL sums to ~1") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val d = tmpDir("doremi_infeasible")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def doc(id: Long, src: String, words: Int, rep: Boolean) = {
+      val txt =
+        if (rep) Seq.fill(words)("loop").mkString(" ")
+        else (0 until words).map(i => s"w${id}x$i").mkString(" ")
+      R(id, txt, "en", src, txt.length.toLong)
+    }
+    // 3 sources: 3·0.25 = 0.75 < 1 — pre-fix every domain pinned to the
+    // cap and the emitted budget silently summed to 0.75
+    val rows =
+      (0 until 30).map(i => doc(i, "a", 150, rep = i % 2 == 0)) ++
+        (0 until 16).map(i => doc(100L + i, "b", 100, rep = false)) ++
+        (0 until 16).map(i => doc(200L + i, "c", 100, rep = false))
+    spark.createDataFrame(
+        new java.util.ArrayList[R](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+      .repartition(1).write.parquet(s"$d/documents.parquet")
+    val out = ShardPrep.t291DomainReweight(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(6)).toMap
+    assert(out.size == 3)
+    val total = out.values.sum
+    assert(total > 1.0 - out.size * 1e-5 && total <= 1.0 + 1e-9,
+      s"infeasible regime must fall back to plain normalize, got $total")
+    // weights may exceed the (unachievable) cap here — that is the point
+    assert(out.values.max > 0.25, "fallback must NOT pin to the cap")
   }
 
   test("event funnel: stage counts are monotone and delays are positive") {

@@ -93,14 +93,98 @@ class Similarity2Spec extends SparkSpec {
     var prev = Double.MaxValue
     out.foreach { r =>
       val lex = if (r.isNullAt(2)) 0.0 else 1.0 / (60 + r.getInt(2))
+      val sem = if (r.isNullAt(3)) 0.0 else 1.0 / (60 + r.getInt(3))
       val rrf = r.getDouble(4)
-      assert(math.abs(rrf - (lex + 1.0 / (60 + r.getInt(3)))) < 2e-6,
+      assert(math.abs(rrf - (lex + sem)) < 2e-6,
         s"fusion arithmetic off for $r")
+      // an emitted leg rank is a SHORTLIST rank — never past the depth
+      if (!r.isNullAt(2)) assert(r.getInt(2) <= 101)
+      if (!r.isNullAt(3)) assert(r.getInt(3) <= 101)
       assert(rrf <= prev + 1e-12, "rrf must be non-increasing in rank")
       prev = rrf
     }
     // the query doc itself must never be retrieved
     assert(out.forall(_.getLong(1) != 0L))
+  }
+
+  test("s196 plan: every window is keyed or limit-bounded — the per-leg " +
+    "rank and the fused rank never sort the corpus through one task") {
+    val df = Similarity2.s196HybridRrf(spark, dir)
+    // ≥3 windows expected: lex/sem shortlist ranks + the fused rank (the
+    // rarest-8 term window also appears — twice, the shared qt subtree is
+    // duplicated in the logical tree — and LimitPushDownThroughWindow
+    // bounds it at 8); what matters is that EVERY one passed the check
+    assert(assertWindowsKeyedOrBounded(df) >= 3)
+    // and the per-leg top-101 plans as a real top-k physical operator
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("s196 brute-force replica: a plain-Scala BM25 + cosine + top-101 " +
+    "RRF ground truth reproduces the whole fused top-20") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq)
+      .sortBy(_._1)
+    // --- lexical leg: Okapi BM25 over the 8 rarest query-doc terms
+    val q0 = docs.find(_._1 == 0L).get._2.distinct.toSet
+    val dfc = docs.flatMap { case (_, ts) => ts.distinct.filter(q0) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val qt = dfc.toSeq.sortBy { case (t, df) => (df, t) }.take(8).toMap
+    val lens = docs.map { case (id, ts) => id -> ts.length.toLong }.toMap
+    val nDocs = docs.length.toLong
+    val tot = lens.values.sum
+    val lexScores = docs.filter(_._1 != 0L).flatMap { case (id, ts) =>
+      val contribs = ts.filter(qt.contains).groupBy(identity).map {
+        case (t, occ) =>
+          val tf = occ.size.toDouble
+          val df = qt(t).toDouble
+          val raw = (nDocs - df + 0.5) / (df + 0.5) *
+            tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * lens(id) / (tot.toDouble / nDocs)))
+          BigDecimal(r6(raw)).setScale(6)
+      }
+      if (contribs.isEmpty) None
+      else Some(id -> r6(contribs.sum.toDouble))
+    }
+    val lexRank = lexScores.sortBy { case (id, s) => (-s, id) }.take(101)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // --- semantic leg: strict-left-fold cosine vs vector 0
+    val vs = graft.Tables.embeddings(spark, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val v0 = vs(0L)
+    val semRank = vs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v0, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(101)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    // --- fuse the two shortlists
+    val expected = (lexRank.keySet ++ semRank.keySet).toSeq.map { id =>
+      val rrf = r6(lexRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        semRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      (id, lexRank.get(id), semRank.get(id), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(20)
+      .zipWithIndex
+      .map { case ((id, lr, sr, rrf), i) => (i + 1, id, lr, sr, rrf) }
+    val got = Similarity2.s196HybridRrf(spark, dir).collect().map { r =>
+      (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getDouble(4))
+    }
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4) == ((e._1, e._2, e._3, e._4)),
+        s"ids/ranks differ: got $g expected $e")
+      assert(math.abs(g._5 - e._5) < 2e-6, s"rrf differs: got $g expected $e")
+    }
   }
 
   test("s197 hard negatives: labels are disjoint from the anchor's, the " +

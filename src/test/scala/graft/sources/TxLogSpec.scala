@@ -277,6 +277,20 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.liveFilesWithStats(tl).flatMap(_._2) == Seq((3L, 9L)))
     assert(TxLog.pruneFiles(tl, 10L, 20L).isEmpty)
     assert(TxLog.pruneFiles(tl, 9L, 20L).size == 1)
+
+    // a CORRUPT percent sequence in a string stat degrades to None (file
+    // kept, no error) — one bad log entry must never fail the whole read
+    for (bad <- Seq("s:%", "s:%zz", "s:abc%f")) {
+      assert(StatValue.decode(bad).isEmpty, s"'$bad' must decode to None")
+    }
+    val tc = freshTable()
+    TxLog.append(spark, df(5L -> "a"), tc, partFiles = 1)
+    val entry = TxLog.liveFiles(tc).head
+    TxLog.commit(tc, add = Seq(s"$entry#s:%#s:%zz"), remove = Seq(entry))
+    assert(TxLog.liveFilesWithTypedStats(tc) ==
+      Seq((entry, None)), "corrupt stats must keep the file, statless")
+    assert(TxLog.pruneFilesTyped(tc,
+      StatValue.S("x"), StatValue.S("y")).size == 1)
   }
 
   test("batch index: committedBatch resolves via the O(1) side index, " +
