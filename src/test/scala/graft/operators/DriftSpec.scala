@@ -27,6 +27,21 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("q121 is the repo's ONE documented unpartitioned-window exception: " +
+    "exactly one global ntile, nothing else unkeyed") {
+    // q121 is the exact reference implementation equi-depth deciles are
+    // validated against (q52's KLL sketch is the 100 TB path) — its global
+    // total-order ntile is the documented honest cost, not an oversight.
+    // This assert pins the exception to exactly that ONE window so any
+    // future unkeyed window added to the plan fails loudly.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = Drift.q121EquiDepthHist(spark, sf)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.size == 1)
+    assert(wins.head.partitionSpec.isEmpty)
+    assert(wins.head.windowExpressions.map(_.name) == Seq("decile"))
+  }
+
   test("s292 cells partition the embeddings, PSI terms are non-negative, " +
     "and the total is their sum") {
     val rows = Drift.s292EmbeddingDrift(spark, sf).collect()

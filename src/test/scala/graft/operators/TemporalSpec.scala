@@ -127,6 +127,39 @@ class TemporalSpec extends SparkSpec {
     assert(peak == 3, "10:40 sits inside both earlier 1h windows")
   }
 
+  test("q88 sweep: a plain-Scala day-split replica reproduces every " +
+    "per-day peak, and the sweep window is day-keyed (no global sort)") {
+    val utc = java.time.ZoneOffset.UTC
+    val starts = graft.Tables.events(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "view")
+      .select("ts").collect().map(_.getTimestamp(0).toInstant)
+    // split each [t, t+1h) at midnight; deltas carry the sub-interval's day
+    val deltas = starts.flatMap { t0 =>
+      val t1 = t0.plusSeconds(3600)
+      val mid = t0.atZone(utc).toLocalDate.plusDays(1).atStartOfDay(utc).toInstant
+      val subs =
+        if (t1.isAfter(mid)) Seq((t0, mid), (mid, t1)) else Seq((t0, t1))
+      subs.flatMap { case (a, b) =>
+        val day = a.atZone(utc).toLocalDate
+        Seq((day, a, 1), (day, b, -1))
+      }
+    }
+    val expected = deltas.groupBy(_._1).view.mapValues { ds =>
+      var run = 0L; var peak = Long.MinValue
+      ds.sortBy { case (_, t, d) => (t.getEpochSecond, t.getNano, d) }
+        .foreach { case (_, _, d) =>
+        run += d; peak = math.max(peak, run)
+      }
+      peak
+    }.toMap.map { case (d, p) => d.toString -> p }
+    val got = Temporal.q88SweepConcurrency(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got.values.max >= 2, "the corpus must actually overlap somewhere")
+    assert(assertWindowsKeyedOrBounded(
+      Temporal.q88SweepConcurrency(spark, dir)) == 1)
+  }
+
   test("CDC apply: highest-seq op wins and deletes remove the key") {
     import spark.implicits._
     val log = Seq(
