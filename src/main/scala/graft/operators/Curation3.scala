@@ -468,19 +468,14 @@ object Curation3 {
     * shingles, so the rounded gate and the exact prefix guarantee agree
     * with astronomical margin. */
   def d181PrefixFilterJoin(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = 0.8 // = 4/5; the minimum-overlap bound uses the exact 4/9 form
     val idx = Dedup.shingleIndex(s, dir)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dfreq = idx.groupBy("h").agg(count(lit(1)).as("df"))
-    // ns rides the SAME doc_id window partitioning as the rank — one
-    // exchange serves both, where a separate groupBy(doc_id) size table
-    // would re-shuffle and re-join the full index (measured ~0.4 s of the
-    // round-4 form's cost at sf0.1)
-    val byDoc = Window.partitionBy("doc_id")
-    val prefix = idx.join(dfreq, "h")
-      .withColumn("ns", count(lit(1)).over(byDoc))
-      .withColumn("pos", row_number().over(byDoc.orderBy("df", "h")))
+    // the prefix is a pure column filter on the df-annotated layout — the
+    // dfreq join and the two per-doc windows this used to re-run per
+    // query are paid once in the shared shingle_idx_df build (d225 and
+    // the plain-index consumers read the same artifact)
+    val prefix = Dedup.shingleIndexAnnotated(s, dir)
       .filter(col("pos") <=
         col("ns") - ceil(col("ns") * lit(t)).cast("long") + 1)
       .select("doc_id", "h", "pos", "ns")
@@ -548,16 +543,12 @@ object Curation3 {
     * conventions), and the threshold compare is EXACT INTEGER
     * (common·10 ≥ |A|·9) — no float boundary anywhere. */
   def d225ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val idx = Dedup.shingleIndex(s, dir)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dfreq = idx.groupBy("h").agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy("doc_id")
-    val prefix = idx.join(dfreq, "h")
-      .withColumn("na", count(lit(1)).over(byDoc))
-      .withColumn("pos", row_number().over(byDoc.orderBy("df", "h")))
+    // prefix = column filter on the shared df-annotated layout (see d181)
+    val prefix = Dedup.shingleIndexAnnotated(s, dir)
       .filter(col("pos") <=
-        col("na") - ceil(col("na") * lit(0.9)).cast("long") + 1)
+        col("ns") - ceil(col("ns") * lit(0.9)).cast("long") + 1)
       .select(col("doc_id").as("ida"), col("h"))
     val cand = prefix
       .join(idx.select(col("doc_id").as("idb"), col("h")), "h")
@@ -608,26 +599,25 @@ object Curation3 {
     * prove nothing, which is the same insight d181's prefix filter
     * exploits for candidate generation, reused here for justification.
     *
-    * Scale shape: consumes the PERSISTED pair and shingle layouts (no
-    * pair generation re-runs); the shingle rows semi-join-reduce to pair
-    * docs before the per-pair intersection (d181's candidate-bounded
-    * verification shape); the df table is vocabulary-sized. Per-pair
-    * output is capped at 3 rows by the window. */
+    * Scale shape: consumes the PERSISTED pair and df-annotated shingle
+    * layouts (no pair generation re-runs, no df rebuild — df rides on
+    * every index row); the shingle rows semi-join-reduce to pair docs
+    * before the per-pair intersection (d181's candidate-bounded
+    * verification shape). Per-pair output is capped at 3 rows by the
+    * window. */
   def d268MatchEvidence(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val idx = Dedup.shingleIndex(s, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.dupPairs(s, dir).select("id1", "id2")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val docs = pairs
       .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
-    val r = idx.join(docs, Seq("doc_id"), "left_semi")
+    // df rides on every annotated-index row — no per-query dfreq rebuild
+    val r = Dedup.shingleIndexAnnotated(s, dir).select("doc_id", "h", "df")
+      .join(docs, Seq("doc_id"), "left_semi")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dfreq = idx.groupBy("h").agg(count(lit(1)).as("df"))
     pairs
       .join(r.withColumnRenamed("doc_id", "id1"), "id1")
-      .join(r.withColumnRenamed("doc_id", "id2"), Seq("id2", "h"))
-      .join(dfreq, "h")
+      .join(r.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("id1", "id2").orderBy(col("df"), col("h"))))
       .filter(col("rank") <= 3)

@@ -262,28 +262,36 @@ object RelationalExt4 {
       // feeds both rank builds and the row-level moment pass (released by
       // the runner's clearCache, the repo-wide per-query convention)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // (value → exact average rank) over a single column, distributed:
-    // range-partitioned value counts + driver prefix offsets + keyed cumsum
-    def avgRanks(c: String, out: String): DataFrame = {
-      val vc = joined.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-        .repartitionByRange(RankRangeSplits, col(c))
-        .withColumn("pid", spark_partition_id())
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tots = vc.groupBy("pid").agg(sum(col("cnt")).as("tot"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val offsets = tots.map(_._1)
-        .zip(tots.map(_._2).scanLeft(0L)(_ + _)).toMap
-      val w = Window.partitionBy("pid").orderBy(col(c))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      vc.withColumn("cum", sum(col("cnt")).over(w))
-        .withColumn(out,
-          element_at(typedLit(offsets), col("pid")) +
-            (col("cum") - col("cnt") + 1) + (col("cnt") - 1) / 2.0)
-        .select(col(c), col(out))
-    }
+    // (value → exact average rank) for BOTH columns in one fused build:
+    // tag-unioned value counts, ONE range partitioning (the sampling job
+    // and the per-split-totals collect are paid once, not per column),
+    // driver prefix offsets per (split, column), keyed cumsum. The range
+    // sort key leads with the tag, so each column's values stay ordered
+    // and a split straddling the tag boundary is handled by the
+    // per-(split, tag) offsets.
+    val vc = joined.select(col("x").as("v"), lit(0).as("wh"))
+      .unionByName(joined.select(col("y").as("v"), lit(1).as("wh")))
+      .groupBy("wh", "v").agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(RankRangeSplits, col("wh"), col("v"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tots = vc.groupBy("pid", "wh").agg(sum(col("cnt")).as("tot"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+    val offsets = tots.map { case ((p, wh), _) =>
+      (p * 2 + wh) -> tots.collect {
+        case ((p2, w2), t) if w2 == wh && p2 < p => t }.sum
+    }.toMap
+    val w = Window.partitionBy("pid", "wh").orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = vc.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("r",
+        element_at(typedLit(offsets), col("pid") * 2 + col("wh")) +
+          (col("cum") - col("cnt") + 1) + (col("cnt") - 1) / 2.0)
     val ranked = joined
-      .join(avgRanks("x", "rx"), "x")
-      .join(avgRanks("y", "ry"), "y")
+      .join(ranks.filter(col("wh") === 0)
+        .select(col("v").as("x"), col("r").as("rx")), "x")
+      .join(ranks.filter(col("wh") === 1)
+        .select(col("v").as("y"), col("r").as("ry")), "y")
     val D = "DECIMAL(38,6)"
     ranked.agg(
       count(lit(1)).as("n"),

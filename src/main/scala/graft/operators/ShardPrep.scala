@@ -430,17 +430,96 @@ object ShardPrep {
        |FROM r3p4 ORDER BY source""".stripMargin
   }
 
+  /** t296: UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining") — given a token budget (half the corpus)
+    * and an epoch cap (4), allocate per-LANGUAGE budgets by ascending-
+    * capacity waterfill: smallest-capacity language first, each takes
+    * min(epoch_cap·its_tokens, fair share of what remains). Low-resource
+    * languages get their full capped allocation; the surplus flows to
+    * high-resource ones — the fairness property proportional sampling
+    * lacks and temperature sampling only approximates. Completes the
+    * mixture quartet: t101 draws a mixture, t291 reweights by loss,
+    * t156 weights documents, t296 budgets LANGUAGES.
+    *
+    * Determinism: the fold is exact long sums; the waterfill is integer
+    * DIV arithmetic over the (capacity, lang)-sorted language list, so
+    * the oracle's unrolled 8-step chain reproduces it bit-for-bit (at
+    * most 8 languages — guarded; the testdata corpus has 5). epochs and
+    * share quantize at 1e6 fixed point.
+    *
+    * Scale shape: the corpus folds to |languages| rows in one map-side
+    * aggregate; the waterfill runs driver-side on the collected handful
+    * of rows (the s140/t291 split — cluster folds the corpus, driver
+    * solves the simplex-sized problem). */
+  def t296UnimaxBudget(s: SparkSession, dir: String): DataFrame = {
+    val epochCap = 4L
+    val rows = Tables.documents(s, dir)
+      .selectExpr("lang", "size(split(lower(text), ' ')) AS n")
+      .groupBy("lang").agg(sum(col("n").cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(rows.length <= 8, s"oracle chain unrolls 8 steps, got ${rows.length} languages")
+    val budget = rows.map(_._2).sum / 2
+    val ordered = rows.map { case (l, c) => (l, c, epochCap * c) }
+      .sortBy { case (l, _, cap) => (cap, l) }
+    var rem = budget
+    val alloc = ordered.zipWithIndex.map { case ((l, c, cap), i) =>
+      val share = rem / (ordered.length - i)
+      val a = math.min(cap, share)
+      rem -= a
+      (l, c, cap, a)
+    }
+    import s.implicits._
+    alloc.toSeq.map { case (l, c, cap, a) =>
+      (l, c, cap, a, (a * 1000000L / c) / 1e6, (a * 1000000L / budget) / 1e6)
+    }.toDF("lang", "n_tokens", "cap", "alloc", "epochs", "share")
+      .orderBy("lang")
+  }
+
+  /** t296's oracle: the waterfill unrolled to 8 steps, each a scalar
+    * least(capacity, remaining // langs-left) with missing-step guards —
+    * generated from the same step count the Spark side requires. */
+  val t296Sql: String = {
+    val steps = (1 to 8).map { i =>
+      s"""a$i AS (SELECT least(coalesce((SELECT cap FROM o WHERE rn = $i), 0),
+         |  (SELECT rem FROM r${i - 1}) // greatest((SELECT k FROM b) - ${i - 1}, 1)) AS a),
+         |r$i AS (SELECT (SELECT rem FROM r${i - 1}) - (SELECT a FROM a$i) AS rem)""".stripMargin
+    }.mkString(",\n")
+    val cases = (1 to 8).map(i => s"WHEN $i THEN (SELECT a FROM a$i)")
+      .mkString(" ")
+    s"""WITH lc AS MATERIALIZED (
+       |  SELECT lang,
+       |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS c
+       |  FROM documents GROUP BY lang),
+       |b AS (SELECT CAST(sum(c) // 2 AS BIGINT) AS budget,
+       |        count(*) AS k FROM lc),
+       |o AS MATERIALIZED (
+       |  SELECT lang, c, 4 * c AS cap,
+       |    CAST(row_number() OVER (ORDER BY 4 * c, lang) AS BIGINT) AS rn
+       |  FROM lc),
+       |r0 AS (SELECT budget AS rem FROM b),
+       |$steps
+       |SELECT lang, c AS n_tokens, cap,
+       |  CASE rn $cases END AS alloc,
+       |  CAST((CASE rn $cases END) * 1000000 // c AS DOUBLE) / 1e6 AS epochs,
+       |  CAST((CASE rn $cases END) * 1000000 // (SELECT budget FROM b)
+       |    AS DOUBLE) / 1e6 AS share
+       |FROM o ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t100_sequence_pack" -> t100SequencePack,
     "t101_mix_sample"    -> t101MixSample,
     "t102_repetition"    -> t102Repetition,
     "q104_event_funnel"  -> q104EventFunnel,
-    "t291_domain_reweight" -> t291DomainReweight)
+    "t291_domain_reweight" -> t291DomainReweight,
+    "t296_unimax_budget" -> t296UnimaxBudget)
 
   val oracle: Map[String, String] = Map(
     "t100_sequence_pack" -> t100Sql,
     "t101_mix_sample"    -> t101Sql,
     "t102_repetition"    -> t102Sql,
     "q104_event_funnel"  -> q104Sql,
-    "t291_domain_reweight" -> t291Sql)
+    "t291_domain_reweight" -> t291Sql,
+    "t296_unimax_budget" -> t296Sql)
 }

@@ -538,7 +538,11 @@ object Similarity2 {
     * commits land them as posting appends, TxLog versions/compacts/prunes
     * the index tables, and the searcher is a pure reader of a snapshot —
     * index rebuilds become overwrite commits, rollback is time travel. */
-  def s275IvfpqFromTable(s: SparkSession, dir: String): DataFrame = {
+  /** The persisted IVF-PQ index tables (centroids, codebook, postings) —
+    * built once per corpus into TxLog tables; s275 and s299 read the SAME
+    * artifact (one build definition, shared with s206's in-memory path). */
+  private def persistedIvfpqIndex(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import graft.sources.TxLog
     val root = graft.SparkSupport.layoutArtifact("ivfpq_index", dir) { p =>
       val ix = ivfpqBuild(s, dir) // the ONE build definition s206 also runs
@@ -548,19 +552,77 @@ object Similarity2 {
       ix.all.unpersist(); ix.sub.unpersist()
       java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
     }
-    val cent = TxLog.read(s, s"$root/centroids")
-    val cb = TxLog.read(s, s"$root/codebook")
-    val postings = TxLog.read(s, s"$root/postings")
-    // only the QUERY vectors touch the corpus
+    (TxLog.read(s, s"$root/centroids"), TxLog.read(s, s"$root/codebook"),
+      TxLog.read(s, s"$root/postings"))
+  }
+
+  /** The 16 probe vectors + their PQ subvectors — the query-side inputs
+    * every persisted-index searcher shares. */
+  private def probeInputs(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val qAll = Similarity.vecs(s, dir).filter(col("vec_id") < 16)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val q = qAll.select(col("vec_id").as("qid"), col("v"))
-    val qsub = pqSubOf(qAll)
-      .select(col("vec_id").as("qid"), col("m").as("qm"), col("sv").as("qsv"))
+    (qAll.select(col("vec_id").as("qid"), col("v")),
+      pqSubOf(qAll)
+        .select(col("vec_id").as("qid"), col("m").as("qm"), col("sv").as("qsv")))
+  }
+
+  def s275IvfpqFromTable(s: SparkSession, dir: String): DataFrame = {
+    val (cent, cb, postings) = persistedIvfpqIndex(s, dir)
+    // only the QUERY vectors touch the corpus
+    val (q, qsub) = probeInputs(s, dir)
     ivfpqSearch(q, qsub, cent, cb, postings)
   }
 
-  val s206Sql: String =
+  // ---------------------------------------------------------------- s299
+
+  /** s299: ANN search under LOGICAL DELETES — the index-maintenance
+    * operation a production vector store cannot avoid: documents get
+    * taken down (DMCA, PII, opt-out) faster than a billion-vector index
+    * can be rebuilt, so deletes land as a TOMBSTONE table and every
+    * search masks the postings with an anti-join before ranking. The
+    * tombstone set here is vec_id ≥ 16 ∧ vec_id % 7 = 3 (~14% of the
+    * corpus, probe vectors never deleted), committed as its own TxLog
+    * table beside the index — versioned data like the index itself, so
+    * a delete is an O(|tombstones|) append, not an index rebuild.
+    *
+    * Exactness: ADC scores are per-candidate independent, so masking
+    * candidates after cell probing is IDENTICAL to searching an index
+    * built without the deleted vectors (cells and codebook are corpus
+    * statistics, unchanged by the logical delete — the standard
+    * tombstone-compaction tradeoff until a rebuild re-trains them).
+    *
+    * Scale shape: the tombstone table broadcast-anti-joins the probed
+    * postings (tombstones ≪ corpus; at larger delete fractions the
+    * anti-join shuffles on vec_id and compaction rewrites the postings —
+    * TxLog.overwrite, the d189 admit-compact lifecycle). */
+  def s299AnnWithDeletes(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val (cent, cb, postings) = persistedIvfpqIndex(s, dir)
+    val troot = graft.SparkSupport.layoutArtifact("ann_tombstones", dir) { p =>
+      TxLog.append(s,
+        Similarity.vecs(s, dir)
+          .filter(col("vec_id") >= 16 && col("vec_id") % 7 === 3)
+          .select("vec_id"),
+        s"$p/tombstones", partFiles = 1)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    val tomb = TxLog.read(s, s"$troot/tombstones")
+    val (q, qsub) = probeInputs(s, dir)
+    ivfpqSearch(q, qsub, cent, cb,
+      postings.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+  }
+
+  /** s299's oracle: the s206 chain with the tombstone predicate excluded
+    * at the posting scan — the same one-chain/no-drift convention s275
+    * uses. */
+  val s299Sql: String =
+    s206SqlExcluding("po.vec_id >= 16 AND po.vec_id % 7 = 3")
+
+  /** The s206 oracle parameterized by a posting-exclusion predicate (a
+    * string template, the d30SqlAt convention): s206/s275 exclude nothing
+    * (`FALSE`), s299 excludes its tombstoned ids — one chain, no drift. */
+  def s206SqlExcluding(pred: String): String =
     s"""WITH $pqCtes,
        |cells AS (
        |  SELECT vec_id, v,
@@ -597,7 +659,7 @@ object Similarity2 {
        |  SELECT p.qid, po.vec_id, CAST(sum(dt.q6) AS BIGINT) AS s6
        |  FROM probes p JOIN postings po ON po.cell = p.cell
        |  JOIN dt ON dt.qid = p.qid AND dt.m = po.m AND dt.code = po.code
-       |  WHERE po.vec_id <> p.qid
+       |  WHERE po.vec_id <> p.qid AND NOT ($pred)
        |  GROUP BY 1, 2),
        |ranked AS (
        |  SELECT qid, vec_id, s6, CAST(row_number() OVER (
@@ -606,6 +668,8 @@ object Similarity2 {
        |SELECT qid, rank, vec_id AS nid,
        |  round(CAST(s6 AS DOUBLE) / 1e6, 6) AS adc
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
+  val s206Sql: String = s206SqlExcluding("FALSE")
 
   // ---------------------------------------------------------------- s256
 
@@ -643,7 +707,8 @@ object Similarity2 {
     "s197_hard_negatives" -> s197HardNegatives,
     "s206_ivfpq_search" -> s206IvfPqSearch,
     "s256_ivfpq_recall" -> s256IvfpqRecall,
-    "s275_ivfpq_from_table" -> s275IvfpqFromTable)
+    "s275_ivfpq_from_table" -> s275IvfpqFromTable,
+    "s299_ann_with_deletes" -> s299AnnWithDeletes)
 
   val oracle: Map[String, String] = Map(
     "s163_ann_recall"   -> s163Sql,
@@ -655,5 +720,6 @@ object Similarity2 {
     "s256_ivfpq_recall" -> s256Sql,
     // the persisted-index searcher must reproduce the in-memory build
     // bit-for-bit — same oracle as s206
-    "s275_ivfpq_from_table" -> s206Sql)
+    "s275_ivfpq_from_table" -> s206Sql,
+    "s299_ann_with_deletes" -> s299Sql)
 }

@@ -117,6 +117,27 @@ class Curation3Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("df-annotated shingle layout: df counts documents per hash, ns is " +
+    "the doc's row count, pos is the rarest-first permutation 1..ns") {
+    val rows = Dedup.shingleIndexAnnotated(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    val byHash = rows.groupBy(_._2)
+    byHash.foreach { case (h, rs) =>
+      assert(rs.forall(_._3 == rs.length.toLong), s"df wrong for h=$h")
+    }
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      assert(rs.forall(_._4 == rs.length.toLong), s"ns wrong for doc=$doc")
+      // pos is exactly the (df, h) sort order, 1-based, no gaps
+      val expect = rs.sortBy(r => (r._3, r._2)).map(_._2)
+      val got = rs.sortBy(_._5)
+      assert(got.map(_._5).toSeq == (1 to rs.length), s"pos gaps in doc=$doc")
+      assert(got.map(_._2).toSeq == expect.toSeq, s"pos order wrong in doc=$doc")
+    }
+    // and the plain index is exactly its 2-column projection
+    assert(Dedup.shingleIndex(spark, dir).columns.toSeq == Seq("doc_id", "h"))
+  }
+
   test("dedup funnel: four monotone stages starting at the full corpus") {
     val out = Curation3.d171DedupFunnel(spark, dir).cache()
     val rows = out.orderBy("stage").collect()

@@ -193,6 +193,57 @@ class ShardPrepSpec extends SparkSpec {
     assert(out.values.max > 0.25, "fallback must NOT pin to the cap")
   }
 
+  test("unimax budget: low-resource languages cap at 4 epochs, surplus " +
+    "flows to high-resource ones, the budget is exactly exhausted") {
+    val out = ShardPrep.t296UnimaxBudget(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    val total = out.values.map(_._1).sum
+    val budget = total / 2
+    out.foreach { case (l, (c, cap, alloc, epochs, share)) =>
+      assert(cap == 4 * c, l)
+      assert(alloc >= 0 && alloc <= cap, s"$l alloc out of [0, cap]")
+      assert(math.abs(epochs - (alloc * 1000000L / c) / 1e6) < 1e-9, l)
+      assert(share >= 0.0 && share <= 1.0, l)
+    }
+    // sum(cap) = 4·total >= budget and the largest capacity alone covers
+    // the remainder, so the waterfill must exhaust the budget exactly
+    assert(out.values.map(_._3).sum == budget,
+      s"budget $budget vs allocated ${out.values.map(_._3).sum}")
+    // fairness: a language at the cap never has MORE allocation than an
+    // uncapped one's share... and epochs never exceed the cap
+    assert(out.values.forall(_._4 <= 4.0 + 1e-9))
+  }
+
+  test("unimax budget: a constructed skewed corpus caps the tiny language " +
+    "and hands its surplus to the dominant one") {
+    import org.apache.spark.sql.{Row => R}
+    import org.apache.spark.sql.types._
+    val d = tmpDir("unimax_skew")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def doc(id: Long, lang: String, words: Int) = {
+      val txt = (0 until words).map(i => s"w$i").mkString(" ")
+      R(id, txt, lang, "src0", txt.length.toLong)
+    }
+    // tiny: 40 tokens (cap 160); big: 960 tokens; budget = 500
+    val rows = Seq(doc(0, "tiny", 40)) ++
+      (0 until 12).map(i => doc(10L + i, "big", 80))
+    spark.createDataFrame(
+        new java.util.ArrayList[R](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema)
+      .repartition(1).write.parquet(s"$d/documents.parquet")
+    val out = ShardPrep.t296UnimaxBudget(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    // tiny processes first (smaller capacity): share = 500 // 2 = 250,
+    // capped at 160 → 4.0 epochs exactly; big takes the rest: 340
+    assert(out("tiny") == ((160L, 4.0)))
+    assert(out("big")._1 == 340L)
+    assert(out("big")._2 < 1.0, "big language stays under one epoch")
+  }
+
   test("event funnel: stage counts are monotone and delays are positive") {
     val r = ShardPrep.q104EventFunnel(spark, dir).head()
     val (nUsers, nView, nClick, nPurchase) = (r.getAs[Long]("n_users"),

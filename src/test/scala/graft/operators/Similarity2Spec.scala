@@ -255,6 +255,30 @@ class Similarity2Spec extends SparkSpec {
     out.unpersist()
   }
 
+  test("s299 tombstoned search never returns a deleted id, keeps ADC " +
+    "values identical on shared pairs, and the mask visibly bites") {
+    val out = Similarity2.s299AnnWithDeletes(spark, dir).cache()
+    // no deleted id anywhere in the results
+    assert(out.filter(col("nid") >= 16 && col("nid") % 7 === 3).count() == 0)
+    // per probe: exactly 3 contiguous ranks (corpus is large enough that
+    // masking ~14% never empties a probed cell at this SF)
+    assert(out.count() == 16 * 3)
+    out.groupBy("qid").agg(collect_list(col("rank")).as("rs")).collect()
+      .foreach(r => assert(r.getSeq[Int](1).sorted == Seq(1, 2, 3)))
+    // shared (qid, nid) pairs carry the SAME quantized distance — the
+    // mask filters candidates, it must not perturb scoring
+    val base = Similarity2.s206IvfPqSearch(spark, dir).cache()
+    assert(out.as("a").join(base.as("b"), Seq("qid", "nid"))
+      .filter(col("a.adc") =!= col("b.adc")).count() == 0)
+    // the mask BITES: the baseline top-3 contains at least one tombstoned
+    // id somewhere (else this operator demonstrates nothing at this SF)
+    assert(base.filter(col("nid") >= 16 && col("nid") % 7 === 3).count() > 0)
+    // and the tombstone table is a real committed TxLog table
+    val troot = graft.SparkSupport.layoutArtifact("ann_tombstones", dir)(_ => ())
+    assert(graft.sources.TxLog.versions(s"$troot/tombstones") == Seq(1))
+    out.unpersist(); base.unpersist()
+  }
+
   test("s275 persisted-index search is row-identical to the in-memory " +
     "build, and the index tables are real versioned logs") {
     val fromTable = Similarity2.s275IvfpqFromTable(spark, dir)
