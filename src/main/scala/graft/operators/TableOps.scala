@@ -402,6 +402,141 @@ object TableOps {
       |FROM orders
       |WHERE o_orderkey < (SELECT max(o_orderkey) // 4 FROM orders)""".stripMargin
 
+  // ---------------------------------------------------------------- q300
+
+  /** q300: incremental view maintenance on the log — a standing
+    * aggregate view is MAINTAINED by merging a delta batch's partial
+    * aggregate into the materialized state, never re-aggregating the
+    * base: the nightly-ETL shape where yesterday's 100 TB stays folded
+    * and only today's slice is scanned. The view is (priority → count,
+    * decimal sum) — both self-mergeable aggregates (count adds, decimal
+    * sums add exactly in any order), which is precisely the class IVM
+    * handles without auxiliary state. Lifecycle lives in the versioned
+    * table: v1 = the base fold (90% of orders), v2 = v1 ⊎ delta partial
+    * (the other 10%), committed atomically by TxLog.overwrite; the gate
+    * compares v2 against the oracle's one-shot full aggregate — the
+    * incremental path must land bit-identical totals.
+    *
+    * Scale shape: the merge reads |groups| materialized rows + the delta
+    * slice only; TableOpsSpec pins the version history and that v1 time
+    * travel still shows the pre-merge state. */
+  def q300IvmAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val root = graft.SparkSupport.layoutArtifact("ivm_agg", dir) { p =>
+      val t = s"$p/agg"
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(38,6)")).as("total6"))
+      val orders = Tables.orders(s, dir)
+      TxLog.append(s,
+        aggOf(orders.filter(col("o_orderkey") % 10 =!= 7)), t, partFiles = 1)
+      // the incremental step: standing view ⊎ delta partial aggregate —
+      // the base slice is never re-aggregated
+      val merged = TxLog.read(s, t)
+        .unionByName(aggOf(orders.filter(col("o_orderkey") % 10 === 7)))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("n")).as("n"), sum(col("total6")).as("total6"))
+      TxLog.overwrite(s, merged, t, partFiles = 1)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    graft.sources.TxLog.read(s, s"$root/agg")
+      .selectExpr("o_orderpriority", "n", "CAST(total6 AS DOUBLE) AS total")
+      .orderBy("o_orderpriority")
+  }
+
+  /** q300's oracle: the one-shot full aggregate the incremental path must
+    * reproduce exactly. */
+  val q300Sql: String =
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q301
+
+  /** Morton (Z-order) interleave of two 16-bit normalized coordinates —
+    * componentwise MONOTONE (x1 ≤ x2 ∧ y1 ≤ y2 ⟹ z(x1,y1) ≤ z(x2,y2),
+    * each output bit is one input bit), which is the property that makes
+    * the corner-to-corner z-range of a query box a SOUND file-prune
+    * interval. Emitted as a generated 32-term shift/mask expression —
+    * codegen'd integer ops, no UDF. */
+  private def mortonExpr(xn: String, yn: String): String =
+    (0 until 16).map(i =>
+      s"shiftleft(CAST(shiftright($xn, $i) & 1 AS BIGINT), ${2 * i}) + " +
+        s"shiftleft(CAST(shiftright($yn, $i) & 1 AS BIGINT), ${2 * i + 1})")
+      .mkString("(", " + ", ")")
+
+  private def mortonOf(x: Long, y: Long): Long =
+    (0 until 16).map(i =>
+      (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))).sum
+
+  /** q301: Z-ORDER clustering for multi-dimensional data skipping — the
+    * Delta/Iceberg OPTIMIZE ZORDER capability on the log: orders are
+    * rewritten in Morton order of (custkey, order-day), each file's
+    * commit records its z-range ([[graft.sources.TxLog.appendWithStats]]),
+    * and a 2-D box query prunes files from METADATA via the box corners'
+    * z-interval (sound by Morton monotonicity — the Scaladoc on
+    * [[mortonExpr]]) before a residual in-box filter. A 1-D sort layout
+    * can only skip along its own dimension; Z-order skips along BOTH —
+    * TableOpsSpec measures exactly that contrast. The gate compares the
+    * box aggregate against the oracle's full-scan recomputation.
+    *
+    * Scale shape: normalization bounds are 4 driver scalars (metadata);
+    * the rewrite is one range-partitioned write; the read opens only
+    * z-intersecting files. */
+  def q301ZorderBox(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val day = "datediff(o_orderdate, DATE '1970-01-01')"
+    val b = Tables.orders(s, dir)
+      .selectExpr("min(o_custkey) AS klo", "max(o_custkey) AS khi",
+        s"min($day) AS dlo", s"max($day) AS dhi").head()
+    val (klo, khi, dlo, dhi) =
+      (b.getLong(0), b.getLong(1), b.getInt(2).toLong, b.getInt(3).toLong)
+    def norm(v: String, lo: Long, hi: Long): String =
+      s"CAST(($v - $lo) * 65535L DIV ${math.max(hi - lo, 1L)}L AS INT)"
+    val table = graft.SparkSupport.layoutArtifact("zorder_tbl", dir) { p =>
+      val z = Tables.orders(s, dir)
+        .selectExpr("o_custkey", s"$day AS oday", "o_totalprice",
+          s"${mortonExpr(norm("o_custkey", klo, khi),
+            norm(s"($day)", dlo, dhi))} AS z")
+        .repartitionByRange(16, col("z"))
+      TxLog.appendWithStats(s, z, p, "z", partFiles = 8)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    // the 2-D box: middle quartile of custkey × middle third of days
+    val (k1, k2) = (klo + (khi - klo) / 4, klo + (khi - klo) / 2)
+    val (d1, d2) = (dlo + (dhi - dlo) / 3, dlo + 2 * (dhi - dlo) / 3)
+    def nrm(v: Long, lo: Long, hi: Long): Long =
+      (v - lo) * 65535 / math.max(hi - lo, 1L)
+    val zLo = mortonOf(nrm(k1, klo, khi), nrm(d1, dlo, dhi))
+    val zHi = mortonOf(nrm(k2, klo, khi), nrm(d2, dlo, dhi))
+    val total = TxLog.liveFiles(table).size
+    val kept = TxLog.pruneFiles(table, zLo, zHi + 1)
+    require(kept.nonEmpty && kept.size < total,
+      s"z-range pruning kept ${kept.size}/$total files — nothing skipped")
+    TxLog.readPruned(s, table, zLo, zHi + 1)
+      .filter(col("o_custkey").between(k1, k2) && col("oday").between(d1, d2))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_custkey")).as("sum_cust"),
+        OracleSafe.dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("files_skipped", lit(kept.size < total))
+  }
+
+  val q301Sql: String =
+    """WITH b AS (
+      |  SELECT min(o_custkey) AS klo, max(o_custkey) AS khi,
+      |    min(date_diff('day', DATE '1970-01-01', o_orderdate)) AS dlo,
+      |    max(date_diff('day', DATE '1970-01-01', o_orderdate)) AS dhi
+      |  FROM orders)
+      |SELECT count(*) AS n_rows,
+      |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+      |  TRUE AS files_skipped
+      |FROM orders, b
+      |WHERE o_custkey BETWEEN klo + (khi - klo) // 4 AND klo + (khi - klo) // 2
+      |  AND date_diff('day', DATE '1970-01-01', o_orderdate)
+      |    BETWEEN dlo + (dhi - dlo) // 3 AND dlo + 2 * (dhi - dlo) // 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q111_table_checksum" -> q111TableChecksum,
     "q112_file_skipping"  -> q112FileSkipping,
@@ -410,7 +545,9 @@ object TableOps {
     "q251_txlog_time_travel" -> q251TxlogTimeTravel,
     "q252_txlog_cdc"      -> q252TxlogCdc,
     "q253_txlog_merge"    -> q253TxlogMerge,
-    "q254_txlog_skipping" -> q254TxlogSkipping)
+    "q254_txlog_skipping" -> q254TxlogSkipping,
+    "q300_ivm_agg"        -> q300IvmAgg,
+    "q301_zorder_box"     -> q301ZorderBox)
 
   val oracle: Map[String, String] = Map(
     "q111_table_checksum" -> q111Sql,
@@ -420,5 +557,7 @@ object TableOps {
     "q251_txlog_time_travel" -> q251Sql,
     "q252_txlog_cdc"      -> q252Sql,
     "q253_txlog_merge"    -> q253Sql,
-    "q254_txlog_skipping" -> q254Sql)
+    "q254_txlog_skipping" -> q254Sql,
+    "q300_ivm_agg"        -> q300Sql,
+    "q301_zorder_box"     -> q301Sql)
 }

@@ -117,16 +117,20 @@ object TrainingPrep2 {
     val sketch = toks.select(col("h")).as[Long](Encoders.scalaLong)
       .select(cms.toColumn).head()
     val nTotal = toks.count()
-    val est = udf((h: Long) => cms.estimate(sketch, h))
     val bound = math.ceil(nTotal * math.E / 1024.0).toLong
-    toks.groupBy(col("tok"), col("h"))
+    // the sketch is DRIVER-held state and the top-20 is metadata-sized, so
+    // the point estimates probe it driver-side over the collected rows —
+    // no UDF in the plan (q81 stays the repo's one deliberate UDF tier)
+    val top = toks.groupBy(col("tok"), col("h"))
       .agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("tok"))
       .limit(20)
-      .withColumn("e", est(col("h")))
-      .select(col("tok"), col("exact_n"),
-        (col("e") >= col("exact_n")).as("never_undercounts"),
-        (col("e") - col("exact_n") <= bound).as("within_eps"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    import s.implicits._
+    top.toSeq.map { case (tok, h, n) =>
+      val e = cms.estimate(sketch, h)
+      (tok, n, e >= n, e - n <= bound)
+    }.toDF("tok", "exact_n", "never_undercounts", "within_eps")
       .orderBy(col("exact_n").desc, col("tok"))
   }
 

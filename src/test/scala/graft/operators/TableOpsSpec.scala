@@ -65,6 +65,86 @@ class TableOpsSpec extends SparkSpec {
     assert(v1View.count() == merged.count())
   }
 
+  test("q300 ivm: v2 equals the full recompute, v1 time-travels to the " +
+    "pre-merge state, and re-running adds no versions") {
+    import org.apache.spark.sql.functions._
+    val out = TableOps.q300IvmAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // full recompute ground truth
+    val full = graft.Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(38,6)")).cast("double").as("t"))
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == full.toSeq)
+    val t = graft.SparkSupport.layoutArtifact("ivm_agg", sf)(_ => ()) + "/agg"
+    assert(graft.sources.TxLog.versions(t) == Seq(1, 2),
+      "lifecycle must be exactly base-append then merged-overwrite")
+    // v1 = base fold only (the 90% slice)
+    val v1 = graft.sources.TxLog.read(spark, t, Some(1))
+      .agg(sum(col("n"))).head().getLong(0)
+    val base = graft.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 10 =!= 7).count()
+    assert(v1 == base)
+    // idempotence: the artifact caches — a second call adds no version
+    TableOps.q300IvmAgg(spark, sf).count()
+    assert(graft.sources.TxLog.versions(t) == Seq(1, 2))
+  }
+
+  test("q301 zorder: the box result equals a full-scan filter, files are " +
+    "skipped, and z-clustering out-prunes a 1-D custkey sort layout") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.TxLog
+    val out = TableOps.q301ZorderBox(spark, sf).head()
+    assert(out.getAs[Boolean]("files_skipped"))
+    // ground truth: full-scan box filter
+    val day = "datediff(o_orderdate, DATE '1970-01-01')"
+    val b = graft.Tables.orders(spark, sf)
+      .selectExpr("min(o_custkey) AS klo", "max(o_custkey) AS khi",
+        s"min($day) AS dlo", s"max($day) AS dhi").head()
+    val (klo, khi, dlo, dhi) =
+      (b.getLong(0), b.getLong(1), b.getInt(2).toLong, b.getInt(3).toLong)
+    val (k1, k2) = (klo + (khi - klo) / 4, klo + (khi - klo) / 2)
+    val (d1, d2) = (dlo + (dhi - dlo) / 3, dlo + 2 * (dhi - dlo) / 3)
+    val full = graft.Tables.orders(spark, sf)
+      .selectExpr("o_custkey", s"$day AS oday")
+      .filter(col("o_custkey").between(k1, k2) && col("oday").between(d1, d2))
+    assert(out.getAs[Long]("n_rows") == full.count())
+    assert(out.getAs[Long]("sum_cust") ==
+      full.agg(sum("o_custkey")).head().getLong(0))
+    // the box's z-prune interval, from the normalized corners
+    def nrm(v: Long, lo: Long, hi: Long) =
+      (v - lo) * 65535 / math.max(hi - lo, 1L)
+    def morton(x: Long, y: Long) = (0 until 16).map(i =>
+      (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))).sum
+    val zLo = morton(nrm(k1, klo, khi), nrm(d1, dlo, dhi))
+    val zHi = morton(nrm(k2, klo, khi), nrm(d2, dlo, dhi)) + 1
+    val ztab = graft.SparkSupport.layoutArtifact("zorder_tbl", sf)(_ => ())
+    val zKept = TxLog.pruneFiles(ztab, zLo, zHi).size
+    assert(zKept < TxLog.liveFiles(ztab).size,
+      "z-layout must skip files for the 2-D box")
+    // contrast: the SAME z column + stats over a custkey-SORTED layout —
+    // 1-D clustering leaves every file's z-range wide open on the date
+    // dimension, so the corner z-interval prunes (almost) nothing
+    val linT = s"${tmpDir("zorder_linear")}/t"
+    val zn = (0 until 16).map(i =>
+      s"shiftleft(CAST(shiftright(xn, $i) & 1 AS BIGINT), ${2 * i}) + " +
+        s"shiftleft(CAST(shiftright(yn, $i) & 1 AS BIGINT), ${2 * i + 1})")
+      .mkString("(", " + ", ") AS z")
+    val linear = graft.Tables.orders(spark, sf)
+      .selectExpr("o_custkey", s"$day AS oday")
+      .selectExpr("o_custkey", "oday",
+        s"CAST((o_custkey - $klo) * 65535L DIV ${math.max(khi - klo, 1L)}L AS INT) AS xn",
+        s"CAST((oday - $dlo) * 65535L DIV ${math.max(dhi - dlo, 1L)}L AS INT) AS yn")
+      .selectExpr("o_custkey", "oday", zn)
+      .repartitionByRange(16, col("o_custkey")) // 1-D layout
+    TxLog.appendWithStats(spark, linear, linT, "z", partFiles = 8)
+    val linKept = TxLog.pruneFiles(linT, zLo, zHi).size
+    assert(zKept < linKept,
+      s"z-layout ($zKept files) must out-prune the 1-D sort ($linKept)")
+  }
+
   test("q113 compaction shrinks the file count and preserves content") {
     val out = TableOps.q113Compaction(spark, sf).collect()
     assert(out.forall(_.getAs[Boolean]("compacted")))
