@@ -1013,7 +1013,86 @@ object Dedup {
       |FROM sk GROUP BY skeleton_md5 HAVING count(*) >= 2
       |ORDER BY keep_id""".stripMargin
 
+  /** d302: EXACT-SUBSTRING span dedup — the repeated-passage surface of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), whose suffix-array formulation doesn't distribute; the
+    * scalable equivalent anchors on fixed-K token windows: every K=8-token
+    * window is poly-hashed with its position, windows whose hash occurs in
+    * ≥2 distinct docs are flagged, and each doc's flagged positions merge
+    * into maximal spans (two flags ≤K apart are one repeated passage,
+    * since their windows overlap or abut). Per doc: flagged window count,
+    * maximal-span count, and the union token coverage — the numbers a
+    * span-trimming pass (splice the spans out, keep the prose between)
+    * would act on, the same copy-on-write splice t219 applies to
+    * contamination spans.
+    *
+    * Scale: one shuffle keyed by window hash for the document-frequency
+    * cut, one hash-keyed join back, one doc-keyed fold — work scales with
+    * corpus token count, never corpus². Grams shared by >64 docs are
+    * DROPPED (both engines): boilerplate phrases would otherwise fan the
+    * join out by df per position (the d141 stop-shingle cap, applied to
+    * windows); a production trimmer treats those as template mass for
+    * [[d293SkeletonDedup]] instead. The span merge is a per-doc
+    * higher-order fold over the sorted position array — no window
+    * function, nothing corpus-scale in one task (q207 stance). */
+  def d302SubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val K = 8
+    val toks = graft.functions.PortableHash.tokens
+    val grams = Tables.documents(s, dir)
+      .filter(expr(s"size($toks) >= $K"))
+      .selectExpr("doc_id",
+        s"""explode(transform(${seqAsc("1", s"size($toks) - ${K - 1}")},
+           |  i -> struct(i AS pos,
+           |    poly_hash(concat_ws(' ', slice($toks, i, $K))) AS h)))
+           |  AS g""".stripMargin)
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+    val shared = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd").between(2, 64))
+      .select("h")
+    grams.join(shared, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+      .selectExpr("doc_id", "CAST(size(ps) AS BIGINT) AS n_flagged",
+        s"""CAST(size(filter(${seqAsc("1", "size(ps)")},
+           |  i -> i = 1 OR element_at(ps, i) > element_at(ps, i - 1) + $K))
+           |  AS BIGINT) AS n_spans""".stripMargin,
+        s"""aggregate(${seqAsc("1", "size(ps)")}, CAST(0 AS BIGINT),
+           |  (acc, i) -> acc + least(CAST($K AS BIGINT),
+           |    CAST(IF(i < size(ps), element_at(ps, i + 1) - element_at(ps, i),
+           |      $K) AS BIGINT))) AS dup_tokens""".stripMargin)
+      .orderBy("doc_id")
+  }
+
+  val d302Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 8),
+      |g AS (
+      |  SELECT doc_id, i AS pos,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(array_to_string(toks[i:i+7], ' '), ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)),
+      |d AS (
+      |  SELECT h FROM g GROUP BY h
+      |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64),
+      |f AS (
+      |  SELECT doc_id, list_sort(list(pos)) AS ps
+      |  FROM g JOIN d USING (h) GROUP BY doc_id)
+      |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_flagged,
+      |  CAST(len(list_filter(range(1, len(ps) + 1),
+      |    i -> i = 1 OR ps[i] > ps[i - 1] + 8)) AS BIGINT) AS n_spans,
+      |  list_reduce(list_transform(range(1, len(ps) + 1),
+      |    i -> least(CAST(8 AS BIGINT),
+      |      CAST(CASE WHEN i < len(ps) THEN ps[i + 1] - ps[i] ELSE 8 END
+      |        AS BIGINT))), (a, b) -> a + b) AS dup_tokens
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d302_substring_spans"     -> d302SubstringSpans,
     "d293_skeleton_dedup"      -> d293SkeletonDedup,
     "d143_split_leakage"       -> d143SplitLeakage,
     "d142_incremental_minhash" -> d142IncrementalMinhash,
@@ -1028,6 +1107,7 @@ object Dedup {
     "d33_dedup_embedding"     -> d33Embedding)
 
   val oracle: Map[String, String] = Map(
+    "d302_substring_spans"     -> d302Sql,
     "d293_skeleton_dedup"      -> d293Sql,
     "d143_split_leakage"       -> d143Sql,
     "d142_incremental_minhash" -> d142Sql,

@@ -180,13 +180,128 @@ object TextAnalysis {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** t303: PII REDACTION — the scrub pass every pretraining pipeline runs
+    * before tokenization: emails, NANP phone numbers, and SSN-shaped ids
+    * are replaced with typed placeholder tokens, and the report is
+    * per-source audit numbers (docs touched, hits by category) plus a
+    * poly-hash checksum of the SCRUBBED text — the checksum makes the
+    * gate verify the actual replacement output byte-for-byte, not just
+    * the counts. The corpus plants deterministic PII (emails on doc_id
+    * ≡0 mod 7, phones on ≡0 mod 11, SSNs on ≡0 mod 13 — the d293
+    * planted-family pattern) because the synthetic corpus has none.
+    *
+    * Order matters and is fixed: SSN (3-2-4) before phone (3-3-4) — the
+    * patterns are disjoint by digit grouping, but scrubbing most-specific
+    * first is the convention a real scrubber follows so a longer id is
+    * never half-eaten by a shorter pattern. All three regexes are in the
+    * RE2 ∩ java.util.regex common dialect (character classes, bounded
+    * repetition, \b) so Spark and DuckDB execute the IDENTICAL pattern.
+    *
+    * Scale: pure per-row projection — map-only, no shuffle except the
+    * |sources|-row final rollup; at 100 TB this is the cheapest pass in
+    * the funnel and runs fused into the first read. */
+  private[operators] val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val piiSsn   = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  private[operators] val piiPhone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** The t303 scrub kernel: most-specific-first replacement chain over a
+    * text column (email → SSN → phone). Shared with the spec so ordering
+    * assertions test THE production chain, not a copy. */
+  private[operators] def piiScrubbed(text: org.apache.spark.sql.Column) =
+    regexp_replace(
+      regexp_replace(regexp_replace(text, piiEmail, "<EMAIL>"),
+        piiSsn, "<SSN>"),
+      piiPhone, "<PHONE>")
+
+  def t303PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val email = piiEmail
+    val ssn   = piiSsn
+    Tables.documents(s, dir)
+      .withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" call 555-01"), lpad((col("doc_id") % 10)
+              .cast("string"), 1, "0"), lit("-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" id 078-05-"), lpad((col("doc_id") % 10000)
+              .cast("string"), 4, "0"))).otherwise(lit(""))))
+      // patterns go through the COLUMN API, never expr(): a SQL string
+      // literal would escape-process the pattern ('\b' → backspace)
+      .withColumn("n_email",
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long"))
+      .withColumn("n_ssn",
+        size(regexp_extract_all(col("text"), lit(ssn), lit(0))).cast("long"))
+      .withColumn("scrubbed", piiScrubbed(col("text")))
+      .withColumn("n_phone",
+        size(regexp_extract_all(col("scrubbed"), lit("<PHONE>"), lit(0)))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_email") + col("n_ssn") + col("n_phone") > 0)
+          .cast("long")).as("docs_touched"),
+        sum(col("n_email")).as("emails"),
+        sum(col("n_ssn")).as("ssns"),
+        sum(col("n_phone")).as("phones"),
+        sum(expr(polyHash("scrubbed"))).as("scrub_checksum"))
+      .orderBy("source")
+  }
+
+  val t303Sql: String =
+    """WITH planted AS (
+      |  SELECT source,
+      |    text ||
+      |    CASE WHEN doc_id % 7 = 0
+      |      THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN ' call 555-01' || CAST(doc_id % 10 AS VARCHAR) || '-' ||
+      |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0
+      |      THEN ' id 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |      ELSE '' END AS text
+      |  FROM documents),
+      |scrub AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |    len(regexp_extract_all(text,
+      |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+      |    regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+      |      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS scrubbed
+      |  FROM planted),
+      |cnt AS (
+      |  SELECT source, n_email, n_ssn,
+      |    len(regexp_extract_all(scrubbed, '<PHONE>')) AS n_phone,
+      |    list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(string_split(scrubbed, ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM scrub)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_email + n_ssn + n_phone > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS docs_touched,
+      |  CAST(sum(n_email) AS BIGINT) AS emails,
+      |  CAST(sum(n_ssn) AS BIGINT) AS ssns,
+      |  CAST(sum(n_phone) AS BIGINT) AS phones,
+      |  CAST(sum(h) AS BIGINT) AS scrub_checksum
+      |FROM cnt GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t303_pii_scrub"       -> t303PiiScrub,
     "t34_text_tokens"      -> t34Tokens,
     "t35_text_quality"     -> t35Quality,
     "t36_text_langid"      -> t36LangId,
     "t37_text_fingerprint" -> t37Fingerprint)
 
   val oracle: Map[String, String] = Map(
+    "t303_pii_scrub"       -> t303Sql,
     "t34_text_tokens"      -> t34Sql,
     "t35_text_quality"     -> t35Sql,
     "t36_text_langid"      -> t36Sql,

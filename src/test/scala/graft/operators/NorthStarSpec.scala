@@ -215,4 +215,46 @@ class NorthStarSpec extends SparkSpec {
     assert(f1.getString(1) == f2.getString(1) && f1.getLong(2) == f2.getLong(2))
     assert(out.map(_.getString(1)).distinct.size == out.size - 1) // only 1&2 collide
   }
+
+  test("d302 substring spans: hand-derivable flags, spans, and coverage " +
+    "on the planted shared-passage structure") {
+    // Docs 1,2 are byte-identical 15-token texts: every 8-token window
+    // (starts 1..8) is shared → 8 flags, ONE merged span covering all
+    // 15 tokens. Doc 3 edits token 9 ('dog'→'cat'): windows 2..8 all
+    // include position 9 and differ, so ONLY window 1 is shared with
+    // docs 1/2 → 1 flag, 1 span, 8 tokens covered. Docs 10/21/22/23 are
+    // unique → absent entirely.
+    val out = rows(Dedup.d302SubstringSpans(spark, dir))
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"unexpected doc set: $out")
+    assert(out(1L) == ((8L, 1L, 15L)) && out(2L) == ((8L, 1L, 15L)),
+      s"exact-copy pair must flag all windows as one full-coverage span: $out")
+    assert(out(3L) == ((1L, 1L, 8L)),
+      s"one-token edit must share exactly the prefix window: $out")
+  }
+
+  test("t303 pii scrub: planted email/phone counted per source and the " +
+    "scrub chain is idempotent and ordered most-specific-first") {
+    import org.apache.spark.sql.functions._
+    // fixture ids: 21 ≡ 0 (mod 7) gets an email, 22 ≡ 0 (mod 11) a
+    // phone; nothing ≡ 0 (mod 13) → no SSNs
+    val r = rows(TextAnalysis.t303PiiScrub(spark, dir))
+    assert(r.size == 1 && r.head.getAs[String]("source") == "synthetic")
+    assert(r.head.getAs[Long]("n_docs") == 7)
+    assert(r.head.getAs[Long]("emails") == 1)
+    assert(r.head.getAs[Long]("phones") == 1)
+    assert(r.head.getAs[Long]("ssns") == 0)
+    assert(r.head.getAs[Long]("docs_touched") == 2)
+
+    // the kernel itself: SSN (3-2-4) is eaten before phone (3-3-4) can
+    // half-match it, and placeholders are fixpoints (re-scrub is identity)
+    import spark.implicits._
+    val once = Seq("mail a.b@x.org then 123-45-6789 or 555-123-4567 end")
+      .toDF("t").select(TextAnalysis.piiScrubbed(col("t")).as("s"))
+    assert(once.head().getString(0) ==
+      "mail <EMAIL> then <SSN> or <PHONE> end")
+    val twice = once.select(TextAnalysis.piiScrubbed(col("s")))
+    assert(twice.head().getString(0) == once.head().getString(0))
+  }
 }
