@@ -697,9 +697,116 @@ object Similarity2 {
        |  round(CAST(sum(hit) AS INTEGER) / 3.0, 6) AS recall_at_3
        |FROM j GROUP BY qid ORDER BY qid""".stripMargin
 
+  // ---------------------------------------------------------------- s309
+
+  /** s309: MMR (Maximal Marginal Relevance, Carbonell & Goldstein 1998)
+    * diverse re-ranking — the retrieval stage after ANN: from the
+    * query's top-24 cosine shortlist, greedily select k=10 results
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) with λ=0.7, so the
+    * final list trades raw relevance for coverage (near-duplicate hits
+    * are pushed out by their similarity to already-selected results).
+    *
+    * Determinism discipline: relevance and pairwise similarities are
+    * floor-scaled to integer micro-units IN-ENGINE (cosines are strict
+    * folds / the native kernel — bit-identical cross-engine, so floor
+    * lands identically), and the greedy runs in exact integer arithmetic
+    * (score6 = 7·rel6 − 3·maxsim6, ties by vec_id) — the oracle unrolls
+    * the same 10 steps as a MATERIALIZED CTE chain (the t296 pattern)
+    * and must match bit-for-bit.
+    *
+    * Scale shape: the corpus-scale work is ONE shortlist pass
+    * (`orderBy().limit(24)` → TakeOrderedAndProject; at production scale
+    * the shortlist comes from the IVF-PQ searcher s206 instead of brute
+    * force). The greedy is driver-side over the collected 24-row
+    * shortlist and its 24×23 sim matrix — metadata-sized state, the
+    * t291/t296 driver-solve split; nothing iterative touches the
+    * corpus. */
+  def s309MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val all = Similarity.vecs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val qid = all.agg(min("vec_id")).head().getLong(0)
+    val q = all.filter(col("vec_id") === qid).select(col("v"))
+    val short = broadcast(q).as("q")
+      .crossJoin(all.filter(col("vec_id") =!= qid).as("c"))
+      .selectExpr("c.vec_id AS nid", "c.v AS v",
+        "cosine_sim(q.v, c.v) AS cos")
+      .orderBy(col("cos").desc, col("nid")).limit(24)
+      .selectExpr("nid", "v",
+        "CAST(floor(cos * 1000000.0D) AS BIGINT) AS rel6")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rel = short.select("nid", "rel6").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val sim = short.selectExpr("nid AS anid", "v").as("q")
+      .join(short.selectExpr("nid AS bnid", "v").as("c"),
+        col("anid") =!= col("bnid"))
+      .selectExpr("anid", "bnid",
+        "CAST(floor(cosine_sim(q.v, c.v) * 1000000.0D) AS BIGINT) AS sim6")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long, Long)]
+    for (k <- 1 to 10) {
+      val chosen = picked.map(_._2).toSet
+      val best = rel.iterator.filterNot(c => chosen(c._1))
+        .map { case (nid, rel6) =>
+          val mx = if (chosen.isEmpty) 0L
+            else chosen.iterator.map(sel => sim((nid, sel))).max
+          (nid, rel6, mx, 7L * rel6 - 3L * mx)
+        }
+        .reduceLeft { (a, b) =>
+          if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a
+        }
+      picked += ((k, best._1, best._2, best._3, best._4))
+    }
+    import s.implicits._
+    picked.toSeq
+      .toDF("rank", "vec_id", "rel6", "max_sim6", "score6")
+      .orderBy("rank")
+  }
+
+  val s309Sql: String = {
+    val steps = (1 to 10).map { k =>
+      s"""sel$k AS MATERIALIZED (
+         |  SELECT * FROM sel${k - 1}
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT nid, rel6, mx AS max_sim6, 7 * rel6 - 3 * mx AS score6,
+         |      $k AS rank
+         |    FROM (
+         |      SELECT c.nid, c.rel6,
+         |        coalesce((SELECT max(p.sim6) FROM pairs p
+         |                  WHERE p.anid = c.nid
+         |                    AND p.bnid IN (SELECT nid FROM sel${k - 1})),
+         |          0) AS mx
+         |      FROM short c
+         |      WHERE c.nid NOT IN (SELECT nid FROM sel${k - 1}))
+         |    ORDER BY score6 DESC, nid LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (${Similarity.vecsDuck}),
+       |qv AS (SELECT v FROM e WHERE vec_id = (SELECT min(vec_id) FROM e)),
+       |short AS MATERIALIZED (
+       |  SELECT c.vec_id AS nid, c.v,
+       |    CAST(floor((${Similarity.cosDuck}) * 1000000) AS BIGINT) AS rel6
+       |  FROM qv q CROSS JOIN e c
+       |  WHERE c.vec_id <> (SELECT min(vec_id) FROM e)
+       |  ORDER BY ${Similarity.cosDuck} DESC, c.vec_id LIMIT 24),
+       |pairs AS MATERIALIZED (
+       |  SELECT q.nid AS anid, c.nid AS bnid,
+       |    CAST(floor((${Similarity.cosDuck}) * 1000000) AS BIGINT) AS sim6
+       |  FROM short q JOIN short c ON q.nid <> c.nid),
+       |sel0 AS (SELECT CAST(NULL AS BIGINT) AS nid,
+       |  CAST(NULL AS BIGINT) AS rel6, CAST(NULL AS BIGINT) AS max_sim6,
+       |  CAST(NULL AS BIGINT) AS score6, 0 AS rank WHERE 1 = 0),
+       |$steps
+       |SELECT CAST(rank AS INTEGER) AS rank, nid AS vec_id, rel6,
+       |  max_sim6, score6
+       |FROM sel10 ORDER BY rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s309_mmr_rerank"   -> s309MmrRerank,
     "s163_ann_recall"   -> s163AnnRecall,
     "s166_pq_codes"     -> s166PqCodes,
     "s173_pq_adc_search" -> s173PqAdcSearch,
@@ -711,6 +818,7 @@ object Similarity2 {
     "s299_ann_with_deletes" -> s299AnnWithDeletes)
 
   val oracle: Map[String, String] = Map(
+    "s309_mmr_rerank"   -> s309Sql,
     "s163_ann_recall"   -> s163Sql,
     "s166_pq_codes"     -> s166Sql,
     "s173_pq_adc_search" -> s173Sql,

@@ -537,7 +537,89 @@ object TableOps {
       |  AND date_diff('day', DATE '1970-01-01', o_orderdate)
       |    BETWEEN dlo + (dhi - dlo) // 3 AND dlo + 2 * (dhi - dlo) // 3""".stripMargin
 
+  // ---------------------------------------------------------------- q307
+
+  /** q307: per-file BLOOM-FILTER skipping index — the point-lookup
+    * complement to min/max skipping (q112) and z-range pruning (q301).
+    * The layout is range-clustered by ship date, so a point lookup on
+    * l_orderkey gets NO help from min/max stats (every file's orderkey
+    * range is wide open); a per-file Bloom filter answers "might this
+    * file contain key k" from METADATA instead. The index is
+    * |files| × ~50 KB — collected driver-side like a lakehouse manifest
+    * (the q112 stats-collect pattern) — and the planner opens only files
+    * whose bloom admits ≥1 probe key. False positives cost an extra file
+    * read, never correctness: the residual equi-filter runs on the
+    * survivors, and the gate compares against the oracle's full scan.
+    *
+    * Probe keys are deterministic data-derived scalars (min, max, and
+    * the largest key ≤ midpoint — all guaranteed present at every SF).
+    * An order's lineitems ship within ~4 months, so each probe key lives
+    * in 1-2 of the 16 date-ranged files and the guard asserts real
+    * skipping happened.
+    *
+    * Scale shape: the bloom build is one agg over the layout (each
+    * executor ORs its partial bit arrays — order-independent); the index
+    * rows are manifest metadata; the probe-side work is |files| × |keys|
+    * driver bit-tests. At 100 TB this is the file-skipping index a
+    * lakehouse stores next to its min/max stats for exactly the
+    * high-cardinality point-lookup columns clustering can't serve. */
+  def q307BloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val tmp = graft.SparkSupport.layoutArtifact("bloomidx", dir) { p =>
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+        .repartitionByRange(16, col("l_shipdate"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val b = Tables.lineitem(s, dir)
+      .agg(min("l_orderkey").as("klo"), max("l_orderkey").as("khi")).head()
+    val (klo, khi) = (b.getLong(0), b.getLong(1))
+    val kmid = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= (klo + khi) / 2)
+      .agg(max("l_orderkey")).head().getLong(0)
+    val probes = Seq(klo, kmid, khi).distinct
+    val index = s.read.parquet(tmp)
+      .groupBy(input_file_name().as("f"))
+      .agg(expr("bloom_filter_agg(l_orderkey, CAST(50000 AS BIGINT), " +
+        "CAST(400000 AS BIGINT))").as("bf"))
+      .collect() // |files| rows of manifest metadata, like q112's stats
+    val keep = index.filter { r =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bf")))
+      probes.exists(bf.mightContainLong)
+    }.map(_.getString(0))
+    require(keep.nonEmpty && keep.length < index.length,
+      s"bloom index kept ${keep.length}/${index.length} files — no skipping")
+    s.read.parquet(keep.toIndexedSeq: _*)
+      .filter(col("l_orderkey").isInCollection(probes))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        OracleSafe.dsum(col("l_quantity")).as("sum_qty"),
+        OracleSafe.dsum(col("l_extendedprice")).as("sum_price"))
+      .withColumn("files_skipped", lit(keep.length < index.length))
+      .orderBy("l_orderkey")
+  }
+
+  val q307Sql: String =
+    """WITH b AS (
+      |  SELECT min(l_orderkey) AS klo, max(l_orderkey) AS khi FROM lineitem),
+      |p AS (
+      |  SELECT DISTINCT k FROM (
+      |    SELECT klo AS k FROM b
+      |    UNION ALL SELECT khi FROM b
+      |    UNION ALL
+      |    SELECT max(l_orderkey) FROM lineitem, b
+      |    WHERE l_orderkey <= (klo + khi) // 2))
+      |SELECT l_orderkey, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+      |    AS sum_price,
+      |  TRUE AS files_skipped
+      |FROM lineitem JOIN p ON l_orderkey = k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_bloom_skipping" -> q307BloomSkipping,
     "q111_table_checksum" -> q111TableChecksum,
     "q112_file_skipping"  -> q112FileSkipping,
     "q113_compaction"     -> q113Compaction,
@@ -550,6 +632,7 @@ object TableOps {
     "q301_zorder_box"     -> q301ZorderBox)
 
   val oracle: Map[String, String] = Map(
+    "q307_bloom_skipping" -> q307Sql,
     "q111_table_checksum" -> q111Sql,
     "q112_file_skipping"  -> q112Sql,
     "q113_compaction"     -> q113Sql,

@@ -292,4 +292,54 @@ class Similarity2Spec extends SparkSpec {
       assert(graft.sources.TxLog.versions(s"$root/$t") == Seq(1),
         s"$t must be one committed version")
   }
+
+  test("s309 mmr: rank 1 is the relevance argmax, selected scores are " +
+    "non-increasing, and a near-duplicate of a selected result is " +
+    "demoted below a diverse lower-relevance candidate") {
+    import org.apache.spark.sql.{Row}
+    import org.apache.spark.sql.types._
+    // Planted geometry (dims: q-direction e0, then distinct axes):
+    //   q  = e0                      (vec 0, the min-id query)
+    //   A  = .95 e0 + .31 e3         rel ≈ .95 — picked first
+    //   D1 = .90 e0 + .43 e4         rel ≈ .90
+    //   D2 = D1 + .01 e5            rel ≈ .90, cos(D1,D2) ≈ .9997
+    //   E  = .85 e0 + .52 e5         rel ≈ .85
+    // Pure relevance ranks D2 above E; MMR (λ=.7) does not: after D1 is
+    // selected, D2's max-sim penalty (≈ .9997) crushes its score while
+    // E's stays ≈ its A/D similarity (≈ .8) — diversity wins.
+    val d = tmpDir("mmr_fixture")
+    def v(parts: (Int, Double)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a.toSeq
+    }
+    val rows = Seq(
+      Row(0L, v(0 -> 1.0), 0),
+      Row(1L, v(0 -> 0.95, 3 -> 0.31), 1),
+      Row(30L, v(0 -> 0.90, 4 -> 0.43), 2),
+      Row(31L, v(0 -> 0.90, 4 -> 0.43, 5 -> 0.01), 2),
+      Row(40L, v(0 -> 0.85, 5 -> 0.52), 3)) ++
+      (0 until 8).map(i =>
+        Row(50L + i, v(0 -> 0.3, (6 + i) -> 0.95), 4))
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .repartition(1).write.parquet(s"$d/embeddings.parquet")
+    val out = Similarity2.s309MmrRerank(spark, d).collect()
+    assert(out.length == 10)
+    val ranks = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("rank")).toMap
+    val rel = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("rel6")).toMap
+    assert(ranks(1L) == 1, s"step 1 must take the relevance argmax: $ranks")
+    assert(ranks(30L) == 2, s"D1 is the step-2 argmax: $ranks")
+    // the diversity assertion: relevance says D2 > E, MMR says E > D2
+    assert(rel(31L) > rel(40L))
+    assert(ranks(40L) < ranks(31L),
+      s"MMR must demote the near-duplicate D2 below diverse E: $ranks")
+    // selected objective values never increase (penalty sets only grow)
+    val scores = out.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score6"))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)), scores.toSeq)
+  }
 }

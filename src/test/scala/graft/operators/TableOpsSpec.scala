@@ -145,6 +145,38 @@ class TableOpsSpec extends SparkSpec {
       s"z-layout ($zKept files) must out-prune the 1-D sort ($linKept)")
   }
 
+  test("q307 bloom skipping: probe aggregates equal a full-scan filter, " +
+    "files are skipped, and an absent key is rejected by the index") {
+    import org.apache.spark.sql.functions._
+    val out = TableOps.q307BloomSkipping(spark, sf).collect()
+    assert(out.forall(_.getAs[Boolean]("files_skipped")))
+    val li = graft.Tables.lineitem(spark, sf)
+    val b = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+    val (klo, khi) = (b.getLong(0), b.getLong(1))
+    val kmid = li.filter(col("l_orderkey") <= (klo + khi) / 2)
+      .agg(max("l_orderkey")).head().getLong(0)
+    val probes = Seq(klo, kmid, khi).distinct
+    val truth = li.filter(col("l_orderkey").isInCollection(probes))
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getLong(0)).toSet == probes.toSet)
+    out.foreach(r => assert(r.getAs[Long]("n") == truth(r.getLong(0))))
+    // the index must reject a key that is in no file (false positives are
+    // allowed per-file at ~1%, but an absent key cannot be admitted by
+    // EVERY file — that would mean the index skips nothing for misses)
+    val layout = graft.SparkSupport.layoutArtifact("bloomidx", sf)(_ => ())
+    val blooms = spark.read.parquet(layout)
+      .groupBy(input_file_name().as("f"))
+      .agg(expr("bloom_filter_agg(l_orderkey, CAST(50000 AS BIGINT), " +
+        "CAST(400000 AS BIGINT))").as("bf"))
+      .collect()
+      .map(r => org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bf"))))
+    val absent = khi + 987654321L
+    assert(blooms.count(_.mightContainLong(absent)) < blooms.length,
+      "an absent key must be rejected by at least one file's bloom")
+  }
+
   test("q113 compaction shrinks the file count and preserves content") {
     val out = TableOps.q113Compaction(spark, sf).collect()
     assert(out.forall(_.getAs[Boolean]("compacted")))
