@@ -92,11 +92,94 @@ object Quality {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** q312: declarative data-quality CONSTRAINT SUITE — the Deequ-style
+    * verification run a production pipeline gates a table on before
+    * publishing: each constraint evaluates to a micro-unit metric
+    * (satisfied fraction × 10⁶, exact integer DIV — no float thresholds)
+    * and a pass verdict. All table-local constraints (completeness,
+    * uniqueness, non-negativity, set membership) compute in ONE aggregate
+    * pass over orders and melt to long form (the q110 single-pass
+    * discipline — Deequ's own design point); referential integrity is
+    * its own anti-join job because it genuinely needs the second table
+    * (at 100 TB the probe side would go through a q76-style runtime
+    * bloom filter first). `uniqueness(o_custkey)` is the deliberately
+    * failing expectation — customers repeat across orders — so the suite
+    * demonstrably reports both verdicts, not a vacuous all-green. */
+  def q312ConstraintSuite(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    val inSet = prios.map(p => s"'$p'").mkString(", ")
+    val local = o.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("o_orderstatus").isNotNull, 1L).otherwise(0L))
+          .as("c_complete"),
+        count_distinct(col("o_orderkey")).as("c_unique_ok"),
+        count_distinct(col("o_custkey")).as("c_unique_cust"),
+        sum(when(col("o_totalprice") >= 0, 1L).otherwise(0L)).as("c_nonneg"),
+        sum(when(col("o_orderpriority").isin(prios: _*), 1L).otherwise(0L))
+          .as("c_inset"))
+      .selectExpr(
+        """stack(5,
+          |  'completeness(o_orderstatus)',  c_complete    * 1000000L DIV n,
+          |  'uniqueness(o_orderkey)',       c_unique_ok   * 1000000L DIV n,
+          |  'uniqueness(o_custkey)',        c_unique_cust * 1000000L DIV n,
+          |  'non_negative(o_totalprice)',   c_nonneg      * 1000000L DIV n,
+          |  'in_set(o_orderpriority)',      c_inset       * 1000000L DIV n)
+          |AS (check_name, metric6)""".stripMargin)
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+    val matched = li
+      .join(o.select(col("o_orderkey").as("l_orderkey")).distinct(),
+        Seq("l_orderkey"), "left_semi")
+    val ri = li.agg(count(lit(1)).as("n"))
+      .crossJoin(matched.agg(count(lit(1)).as("m")))
+      .selectExpr(
+        "'referential(l_orderkey -> o_orderkey)' AS check_name",
+        "m * 1000000L DIV n AS metric6")
+    local.unionByName(ri)
+      .withColumn("passed", col("metric6") === 1000000L)
+      .orderBy("check_name")
+  }
+
+  val q312Sql: String =
+    """WITH loc AS (
+      |  SELECT count(*) AS n,
+      |    sum(CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS c_complete,
+      |    count(DISTINCT o_orderkey) AS c_unique_ok,
+      |    count(DISTINCT o_custkey) AS c_unique_cust,
+      |    sum(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS c_nonneg,
+      |    sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH',
+      |      '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 1 ELSE 0 END)
+      |      AS c_inset
+      |  FROM orders),
+      |ri AS (
+      |  SELECT (SELECT count(*) FROM lineitem) AS n,
+      |    (SELECT count(*) FROM lineitem
+      |     WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS m),
+      |long AS (
+      |  SELECT 'completeness(o_orderstatus)' AS check_name,
+      |    CAST(c_complete * 1000000 // n AS BIGINT) AS metric6 FROM loc
+      |  UNION ALL SELECT 'uniqueness(o_orderkey)',
+      |    CAST(c_unique_ok * 1000000 // n AS BIGINT) FROM loc
+      |  UNION ALL SELECT 'uniqueness(o_custkey)',
+      |    CAST(c_unique_cust * 1000000 // n AS BIGINT) FROM loc
+      |  UNION ALL SELECT 'non_negative(o_totalprice)',
+      |    CAST(c_nonneg * 1000000 // n AS BIGINT) FROM loc
+      |  UNION ALL SELECT 'in_set(o_orderpriority)',
+      |    CAST(c_inset * 1000000 // n AS BIGINT) FROM loc
+      |  UNION ALL SELECT 'referential(l_orderkey -> o_orderkey)',
+      |    CAST(m * 1000000 // n AS BIGINT) FROM ri)
+      |SELECT check_name, metric6, metric6 = 1000000 AS passed
+      |FROM long ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_parse_quarantine" -> q109ParseQuarantine,
-    "q110_column_profile"   -> q110ColumnProfile)
+    "q110_column_profile"   -> q110ColumnProfile,
+    "q312_constraint_suite" -> q312ConstraintSuite)
 
   val oracle: Map[String, String] = Map(
     "q109_parse_quarantine" -> q109Sql,
-    "q110_column_profile"   -> q110Sql)
+    "q110_column_profile"   -> q110Sql,
+    "q312_constraint_suite" -> q312Sql)
 }

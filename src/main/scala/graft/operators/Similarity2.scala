@@ -736,6 +736,8 @@ object Similarity2 {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val rel = short.select("nid", "rel6").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
+    require(rel.length >= 10,
+      s"MMR needs a shortlist of >= k=10 candidates, got ${rel.length}")
     val sim = short.selectExpr("nid AS anid", "v").as("q")
       .join(short.selectExpr("nid AS bnid", "v").as("c"),
         col("anid") =!= col("bnid"))

@@ -33,4 +33,23 @@ class QualitySpec extends SparkSpec {
     assert(segRow.getAs[Long]("n_distinct") == 5)
     out.unpersist()
   }
+
+  test("constraint suite: six constraints, the planted uniqueness " +
+    "expectation fails with the exact duplicate ratio, the rest pass") {
+    val out = Quality.q312ConstraintSuite(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.size == 6)
+    out.foreach { case (name, (m, _)) =>
+      assert(m >= 0 && m <= 1000000L, s"$name metric out of range: $m") }
+    // pass verdicts: everything green except the deliberately failing
+    // o_custkey uniqueness (customers repeat across orders)
+    val (mCust, pCust) = out("uniqueness(o_custkey)")
+    assert(!pCust && mCust < 1000000L)
+    val o = graft.Tables.orders(spark, dir)
+    val expect = o.select("o_custkey").distinct().count() * 1000000L /
+      o.count()
+    assert(mCust == expect, s"metric must be the exact ratio: $mCust")
+    out.removed("uniqueness(o_custkey)").foreach { case (name, (m, p)) =>
+      assert(p && m == 1000000L, s"$name must pass: $m") }
+  }
 }
