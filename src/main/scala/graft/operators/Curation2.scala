@@ -241,13 +241,87 @@ object Curation2 {
        |  min(avg_nll) AS nll_lo, max(avg_nll) AS nll_hi
        |FROM cut GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** t305: BIGRAM language-model scoring — t146's unigram model upgraded
+    * to first-order Markov: p(w₂|w₁) = (C(w₁w₂)+1)/(C(w₁·)+V) (Laplace
+    * over the corpus's own bigram table — exact integer counts so the
+    * oracle reproduces the model bit-for-bit; production CCNet uses KN
+    * smoothing, whose discounts are the same count-table joins with
+    * different closed-form arithmetic). Per doc: bigram count, summed
+    * log-probability, and average NLL — the fluency score that separates
+    * scrambled-word-salad from prose, which a unigram model (t146)
+    * provably cannot (it is permutation-invariant; Curation2Spec pins
+    * exactly that contrast).
+    *
+    * Determinism: ln() rounded to 6 decimals then DECIMAL-summed (the
+    * t146 recipe). Scale shape: bigram emit is one map-only array
+    * transform (token array hoisted to a column first — the d302 HOF
+    * lesson); the model is two count shuffles; scoring is one join keyed
+    * by bigram plus a |vocab|-row context join and a 1-row V broadcast —
+    * work ∝ corpus token count throughout. */
+  def t305BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PortableHash.{seqAsc, tokens}
+    val t = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"$tokens AS toks")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bg = t.filter(size(col("toks")) >= 2)
+      .selectExpr("doc_id",
+        s"""explode(transform(${seqAsc("2", "size(toks)")},
+           |  i -> struct(element_at(toks, i - 1) AS w1,
+           |              element_at(toks, i) AS w2))) AS b""".stripMargin)
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cu = cb.groupBy("w1").agg(sum(col("cb")).as("ctx"))
+    val v = t.selectExpr("explode(toks) AS tok")
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .selectExpr("doc_id",
+        "CAST(round(ln((cb + 1) / CAST(ctx + v AS DOUBLE)), 6) " +
+          "AS DECIMAL(38,6)) AS lp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      // the average divides in EXACT micro-unit integers (floor DIV) —
+      // round(double/n, 6) sits on midpoint/ulp edges where the engines'
+      // rounding modes can split (the t199 floor-scale discipline)
+      .selectExpr("doc_id", "n_bigrams",
+        "CAST(slp AS DOUBLE) AS sum_lp",
+        "CAST(CAST(-slp * 1000000 AS BIGINT) DIV n_bigrams AS DOUBLE) " +
+          "/ 1e6 AS avg_nll")
+      .orderBy("doc_id")
+  }
+
+  val t305Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, toks[i - 1] AS w1, toks[i] AS w2
+      |  FROM t, unnest(range(2, len(toks) + 1)) AS u(i)),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+      |cu AS (SELECT w1, sum(cb) AS ctx FROM cb GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT tok) AS v
+      |       FROM (SELECT unnest(toks) AS tok FROM t)),
+      |lp AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln((cb + 1) / CAST(ctx + v AS DOUBLE)), 6)
+      |      AS DECIMAL(38,6)) AS lp
+      |  FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN vv)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(lp) AS DOUBLE) AS sum_lp,
+      |  CAST(CAST(-sum(lp) * 1000000 AS BIGINT) // count(*) AS DOUBLE)
+      |    / 1e6 AS avg_nll
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d144_canonical_docs"   -> d144CanonicalDocs,
     "t146_unigram_logprob"  -> t146UnigramLogprob,
-    "q147_nll_buckets"      -> q147NllBuckets)
+    "q147_nll_buckets"      -> q147NllBuckets,
+    "t305_bigram_lm"        -> t305BigramLm)
 
   val oracle: Map[String, String] = Map(
     "d144_canonical_docs"   -> d144Sql,
     "t146_unigram_logprob"  -> t146Sql,
-    "q147_nll_buckets"      -> q147Sql)
+    "q147_nll_buckets"      -> q147Sql,
+    "t305_bigram_lm"        -> t305Sql)
 }

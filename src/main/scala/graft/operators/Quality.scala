@@ -109,7 +109,6 @@ object Quality {
     val o = Tables.orders(s, dir)
     val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
       "5-LOW")
-    val inSet = prios.map(p => s"'$p'").mkString(", ")
     val local = o.agg(
         count(lit(1)).as("n"),
         sum(when(col("o_orderstatus").isNotNull, 1L).otherwise(0L))

@@ -466,7 +466,7 @@ object TableOps {
         s"shiftleft(CAST(shiftright($yn, $i) & 1 AS BIGINT), ${2 * i + 1})")
       .mkString("(", " + ", ")")
 
-  private def mortonOf(x: Long, y: Long): Long =
+  private[operators] def mortonOf(x: Long, y: Long): Long =
     (0 until 16).map(i =>
       (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))).sum
 

@@ -180,15 +180,21 @@ object TextAnalysis {
       |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
       |FROM n ORDER BY doc_id""".stripMargin
 
-  /** t303: PII REDACTION — the scrub pass every pretraining pipeline runs
-    * before tokenization: emails, NANP phone numbers, and SSN-shaped ids
-    * are replaced with typed placeholder tokens, and the report is
-    * per-source audit numbers (docs touched, hits by category) plus a
-    * poly-hash checksum of the SCRUBBED text — the checksum makes the
-    * gate verify the actual replacement output byte-for-byte, not just
-    * the counts. The corpus plants deterministic PII (emails on doc_id
-    * ≡0 mod 7, phones on ≡0 mod 11, SSNs on ≡0 mod 13 — the d293
-    * planted-family pattern) because the synthetic corpus has none.
+  /** t303: PII REDACTION, audit-report form — the scrub pass every
+    * pretraining pipeline runs before tokenization: emails, NANP phone
+    * numbers, and SSN-shaped ids are replaced with typed placeholder
+    * tokens, and the report is per-source audit numbers (docs touched,
+    * hits by category) plus a poly-hash checksum of the SCRUBBED text —
+    * the checksum makes the gate verify the actual replacement output
+    * byte-for-byte, not just the counts. Extends
+    * [[TrainingPrep2.t83PiiRedact]] (the per-doc md5-roundtrip kernel
+    * demo with two flat patterns) with the production concerns: a third
+    * category whose shape COLLIDES with another (SSN 3-2-4 vs phone
+    * 3-3-4, forcing the ordering discipline below), word-boundary
+    * anchoring, and the per-source rollup a release audit reads. The
+    * corpus plants deterministic PII (emails on doc_id ≡0 mod 7, phones
+    * on ≡0 mod 11, SSNs on ≡0 mod 13 — the d293 planted-family pattern)
+    * because the synthetic corpus has none.
     *
     * Order matters and is fixed: SSN (3-2-4) before phone (3-3-4) — the
     * patterns are disjoint by digit grouping, but scrubbing most-specific

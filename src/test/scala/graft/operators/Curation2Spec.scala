@@ -97,4 +97,42 @@ class Curation2Spec extends SparkSpec {
     assert(topDeg >= decile)
     out.unpersist()
   }
+
+  test("bigram lm: scrambling word order leaves the unigram score fixed " +
+    "but strictly worsens the bigram NLL — the Markov upgrade t305 buys") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val d = tmpDir("bigram_fix")
+    // docs 2-6 establish the corpus phrase statistics; doc 0 is intact
+    // prose over those phrases, doc 1 is the SAME MULTISET of tokens
+    // scrambled (a permutation, so every unigram count matches doc 0's)
+    val intact = "the cat sat on the mat and the dog sat on the rug"
+    val salad  = "mat the rug sat the on cat dog the and on sat the"
+    val texts = Seq(
+      0L -> intact, 1L -> salad,
+      2L -> "the cat sat on the mat again and again",
+      3L -> "the dog sat on the rug all day long",
+      4L -> "a cat and a dog sat on the mat together",
+      5L -> "the mat and the rug lay on the floor",
+      6L -> "one cat sat on one rug near the mat")
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    val rows = texts.map { case (id, t) =>
+      Row(id, t, "en", "synthetic", t.length.toLong) }
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .repartition(1).write.parquet(s"$d/documents.parquet")
+    val uni = Curation2.t146UnigramLogprob(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_nll")).toMap
+    val bi = Curation2.t305BigramLm(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_nll")).toMap
+    // permutation invariance of the unigram model
+    assert(math.abs(uni(0L) - uni(1L)) < 1e-9,
+      s"unigram must not distinguish a permutation: ${uni(0L)} vs ${uni(1L)}")
+    // the bigram model must: intact prose scores strictly more fluent
+    assert(bi(0L) < bi(1L),
+      s"bigram NLL must rank prose over salad: ${bi(0L)} vs ${bi(1L)}")
+  }
 }

@@ -171,4 +171,27 @@ class OperatorPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("morton interleave is componentwise monotone and bijective on " +
+    "16-bit inputs — the soundness lemma for q301's z-range file pruning") {
+    val coord = Gen.choose(0L, 65535L)
+    val quad = for {
+      x1 <- coord; y1 <- coord; x2 <- coord; y2 <- coord
+    } yield (x1, y1, x2, y2)
+    forAll(quad, minSuccessful = 200) { case (x1, y1, x2, y2) =>
+      // monotone: dominance in both coordinates implies z-order
+      val (xl, xh) = (math.min(x1, x2), math.max(x1, x2))
+      val (yl, yh) = (math.min(y1, y2), math.max(y1, y2))
+      assert(TableOps.mortonOf(xl, yl) <= TableOps.mortonOf(xh, yh))
+      // any in-box point's z lies within the corner z-interval — the
+      // exact property pruneFiles relies on
+      val (px, py) = ((xl + xh) / 2, (yl + yh) / 2)
+      val z = TableOps.mortonOf(px, py)
+      assert(TableOps.mortonOf(xl, yl) <= z && z <= TableOps.mortonOf(xh, yh))
+      // injective: distinct coordinates give distinct codes (bit
+      // interleaving is a bijection onto 32-bit codes)
+      if ((x1, y1) != (x2, y2))
+        assert(TableOps.mortonOf(x1, y1) != TableOps.mortonOf(x2, y2))
+    }
+  }
 }
