@@ -240,13 +240,21 @@ object Similarity2 {
     * 8 query-term posting lists (inverted-index access, never the corpus
     * vocabulary); the semantic leg is one broadcast-query corpus scan.
     *
-    * The 101-deep shortlists are LOSSLESS for the top-20 even under
-    * full-corpus RRF: a doc outside BOTH top-101s would score
-    * < 2/(60+101) = 2/161 < 1/80, while the sem-top-20 docs alone
-    * already score ≥ 1/(60+20) = 1/80 — so at least 20 candidates beat
-    * anything the shortlists could have missed. Rank-within-shortlist
-    * equals global leg rank (the limit preserves the leg's exact
-    * ordering), so every emitted rank ≤ 101 is the true leg rank.
+    * Semantics (intentional, since round 7): standard RRF over the two
+    * per-leg top-[[RrfLegK]] retrieved LISTS — a doc contributes 1/(60+r)
+    * only for legs whose shortlist it made; a doc in exactly one leg's
+    * top-101 forfeits its (≥102-deep) rank contribution from the other
+    * leg, which full-corpus RRF would have counted. This is the
+    * list-fusion definition production retrievers use (fusion sees only
+    * what each retriever returned) and the oracle implements the same
+    * definition. One bound does carry over from full-corpus RRF: a doc
+    * outside BOTH top-101s would score < 2/(60+101) = 2/161 < 1/80
+    * there, while the sem-top-20 alone score ≥ 1/(60+20) = 1/80 under
+    * either definition — so such a doc can never reach the top-20 and
+    * the shortlists lose no top-20 CANDIDATE, only cross-leg score mass
+    * for single-leg docs. Rank-within-shortlist equals global leg rank
+    * (the limit preserves the leg's exact ordering), so every emitted
+    * rank ≤ 101 is the true leg rank.
     *
     * Determinism: BM25 contributions quantize to DECIMAL(38,6) before the
     * per-doc sum (t151's rational-idf kernel verbatim); ranks are integers
@@ -309,8 +317,12 @@ object Similarity2 {
       .orderBy("rank")
   }
 
-  /** RRF retrieval depth per leg: 101 makes the fused top-20 provably
-    * equal to full-corpus RRF's (see [[s196HybridRrf]]'s bound). */
+  /** RRF retrieval depth per leg. Fusion is standard list-RRF over the
+    * two top-[[RrfLegK]] lists (NOT full-corpus RRF — see
+    * [[s196HybridRrf]]'s semantics note); 101 guarantees no top-20
+    * candidate is missing from the union, though single-leg docs score
+    * by the lists they made. Interpolated into [[s196Sql]] so the
+    * oracle can never desynchronize from the Spark path. */
   private[operators] val RrfLegK = 101
 
   val s196Sql: String =
@@ -343,7 +355,7 @@ object Similarity2 {
        |           SELECT doc_id, CAST(row_number() OVER
        |             (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS lex_rank
        |           FROM lex)
-       |         WHERE lex_rank <= 101),
+       |         WHERE lex_rank <= $RrfLegK),
        |e AS (${Similarity.vecsDuck}),
        |q AS (SELECT v FROM e WHERE vec_id = 0),
        |sem AS (SELECT c.vec_id AS doc_id, ${Similarity.cosDuck} AS cos
@@ -352,7 +364,7 @@ object Similarity2 {
        |           SELECT doc_id, CAST(row_number() OVER
        |             (ORDER BY cos DESC, doc_id) AS INTEGER) AS sem_rank
        |           FROM sem)
-       |         WHERE sem_rank <= 101),
+       |         WHERE sem_rank <= $RrfLegK),
        |f AS (SELECT coalesce(s.doc_id, l.doc_id) AS doc_id, lex_rank, sem_rank,
        |        round(coalesce(1e0 / (60 + lex_rank), 0e0)
        |          + coalesce(1e0 / (60 + sem_rank), 0e0), 6) AS rrf

@@ -460,7 +460,7 @@ object TableOps {
     * the corner-to-corner z-range of a query box a SOUND file-prune
     * interval. Emitted as a generated 32-term shift/mask expression —
     * codegen'd integer ops, no UDF. */
-  private def mortonExpr(xn: String, yn: String): String =
+  private[operators] def mortonExpr(xn: String, yn: String): String =
     (0 until 16).map(i =>
       s"shiftleft(CAST(shiftright($xn, $i) & 1 AS BIGINT), ${2 * i}) + " +
         s"shiftleft(CAST(shiftright($yn, $i) & 1 AS BIGINT), ${2 * i + 1})")
@@ -469,6 +469,20 @@ object TableOps {
   private[operators] def mortonOf(x: Long, y: Long): Long =
     (0 until 16).map(i =>
       (((x >> i) & 1L) << (2 * i)) + (((y >> i) & 1L) << (2 * i + 1))).sum
+
+  /** The SQL normalization used to LAY OUT the z-ordered table. Must stay
+    * bit-identical to [[nrm]] (the Scala twin used to compute the query
+    * box's corner z-values): any divergence makes z-range pruning silently
+    * UNSOUND — a missed in-box file cannot be recovered by the residual
+    * filter. MortonParitySpec asserts the pair (and
+    * [[mortonExpr]]/[[mortonOf]]) agree over a sampled domain. */
+  private[operators] def normExpr(v: String, lo: Long, hi: Long): String =
+    s"CAST(($v - $lo) * 65535L DIV ${math.max(hi - lo, 1L)}L AS INT)"
+
+  /** Scala twin of [[normExpr]] — see its soundness note. Both sides are
+    * long floor division on non-negative operands, so `DIV` and `/` agree. */
+  private[operators] def nrm(v: Long, lo: Long, hi: Long): Long =
+    (v - lo) * 65535 / math.max(hi - lo, 1L)
 
   /** q301: Z-ORDER clustering for multi-dimensional data skipping — the
     * Delta/Iceberg OPTIMIZE ZORDER capability on the log: orders are
@@ -492,13 +506,11 @@ object TableOps {
         s"min($day) AS dlo", s"max($day) AS dhi").head()
     val (klo, khi, dlo, dhi) =
       (b.getLong(0), b.getLong(1), b.getInt(2).toLong, b.getInt(3).toLong)
-    def norm(v: String, lo: Long, hi: Long): String =
-      s"CAST(($v - $lo) * 65535L DIV ${math.max(hi - lo, 1L)}L AS INT)"
     val table = graft.SparkSupport.layoutArtifact("zorder_tbl", dir) { p =>
       val z = Tables.orders(s, dir)
         .selectExpr("o_custkey", s"$day AS oday", "o_totalprice",
-          s"${mortonExpr(norm("o_custkey", klo, khi),
-            norm(s"($day)", dlo, dhi))} AS z")
+          s"${mortonExpr(normExpr("o_custkey", klo, khi),
+            normExpr(s"($day)", dlo, dhi))} AS z")
         .repartitionByRange(16, col("z"))
       TxLog.appendWithStats(s, z, p, "z", partFiles = 8)
       java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
@@ -506,8 +518,6 @@ object TableOps {
     // the 2-D box: middle quartile of custkey × middle third of days
     val (k1, k2) = (klo + (khi - klo) / 4, klo + (khi - klo) / 2)
     val (d1, d2) = (dlo + (dhi - dlo) / 3, dlo + 2 * (dhi - dlo) / 3)
-    def nrm(v: Long, lo: Long, hi: Long): Long =
-      (v - lo) * 65535 / math.max(hi - lo, 1L)
     val zLo = mortonOf(nrm(k1, klo, khi), nrm(d1, dlo, dhi))
     val zHi = mortonOf(nrm(k2, klo, khi), nrm(d2, dlo, dhi))
     val total = TxLog.liveFiles(table).size
@@ -545,7 +555,8 @@ object TableOps {
     * l_orderkey gets NO help from min/max stats (every file's orderkey
     * range is wide open); a per-file Bloom filter answers "might this
     * file contain key k" from METADATA instead. The index is
-    * |files| × ~50 KB — collected driver-side like a lakehouse manifest
+    * |files| blooms sized from the largest per-file row count (8 bits/item
+    * ≈ 2% FPP, never saturating as SF grows) — collected driver-side like a lakehouse manifest
     * (the q112 stats-collect pattern) — and the planner opens only files
     * whose bloom admits ≥1 probe key. False positives cost an extra file
     * read, never correctness: the residual equi-filter runs on the
@@ -578,10 +589,22 @@ object TableOps {
       .filter(col("l_orderkey") <= (klo + khi) / 2)
       .agg(max("l_orderkey")).head().getLong(0)
     val probes = Seq(klo, kmid, khi).distinct
+    // Size each file's bloom from the LARGEST per-file row count (distinct
+    // keys per file ≤ rows per file), at 8 bits/item ≈ 2% FPP. A fixed
+    // 50k-item sizing saturates once per-file cardinality outgrows it
+    // (FPP→1 admits every file and the skipping guard aborts); this scales
+    // with the data at every SF. The sizing pass prunes to zero columns
+    // (row positions only); floors keep small-SF behavior identical to the
+    // previous fixed 50000/400000 sizing.
+    val maxFileRows = s.read.parquet(tmp)
+      .groupBy(input_file_name()).count()
+      .agg(max("count")).head().getLong(0)
+    val expectedItems = math.max(50000L, maxFileRows)
+    val numBits = 8L * expectedItems
     val index = s.read.parquet(tmp)
       .groupBy(input_file_name().as("f"))
-      .agg(expr("bloom_filter_agg(l_orderkey, CAST(50000 AS BIGINT), " +
-        "CAST(400000 AS BIGINT))").as("bf"))
+      .agg(expr(s"bloom_filter_agg(l_orderkey, CAST($expectedItems AS " +
+        s"BIGINT), CAST($numBits AS BIGINT))").as("bf"))
       .collect() // |files| rows of manifest metadata, like q112's stats
     val keep = index.filter { r =>
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(

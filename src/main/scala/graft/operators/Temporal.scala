@@ -228,7 +228,16 @@ object Temporal {
     * the next day as a +1 at 00:00, so each day's curve starts at zero
     * and still evaluates the true open-interval count at every in-day
     * boundary (including 00:00 itself — the carry-over instant the
-    * unsplit global sweep never evaluated). */
+    * unsplit global sweep never evaluated).
+    *
+    * OUTPUT-VISIBLE definition change (round 7, intentional): the 00:00
+    * carry-over evaluation point means a day whose true concurrency
+    * maximum occurs exactly at midnight (carried count exceeding every
+    * in-day evaluation) reports that higher — truer — peak, which the
+    * pre-round-7 global sweep missed. The oracle implements the same
+    * day-split definition, so the gate is apples-to-apples, but q88
+    * outputs (and recorded bench rows) from rounds ≤6 used the old
+    * definition and can differ. */
   def q88SweepConcurrency(s: SparkSession, dir: String): DataFrame = {
     val v = Tables.events(s, dir).filter(col("event_type") === "view")
       .select(col("ts"), (col("ts") + expr("INTERVAL 1 HOUR")).as("te"))
