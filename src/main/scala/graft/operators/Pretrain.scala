@@ -345,12 +345,19 @@ object Pretrain {
     * the corpus token stream is scanned once (persisted across the
     * frequency build and the scoring join). The top-100 selection is a
     * `orderBy().limit(100)` — TakeOrderedAndProject keeps a 100-row heap
-    * per partition and merges 100·parts rows on the driver — followed by
-    * a broadcast flag join back onto the per-doc aggregates; an
-    * unpartitioned row_number window here would funnel EVERY per-doc
-    * score row through one task's sort (the q207-documented scale-killer)
-    * just to test rank <= 100. The limit orders by the exact DECIMAL sum
-    * with the same doc_id tie-break, so the flag is identical. */
+    * per partition and merges 100·parts rows on the driver — whose LAST
+    * row (the 100th-ranked (slr, doc_id) pair, a 1-row driver scalar like
+    * q112's manifest stats) becomes a selection CUTOFF: selected ⇔
+    * (slr, doc_id) orders at-or-above it under the exact (slr DESC,
+    * doc_id ASC) total order. That flags every row with a codegen'd
+    * comparison in the same pass that emits the output — no broadcast
+    * exchange, no join stage (the round-7 flag-join form cost ~3 extra
+    * stage floors at sf0.1: 1.50 s vs 0.53 s for the round-6 global
+    * window; this form keeps the window's one-job shape WITHOUT its
+    * single-task corpus sort, the q207-documented scale-killer). The
+    * cutoff comparison is on the exact DECIMAL sum with the same doc_id
+    * tie-break, so the flag is identical to rank <= 100; with ≤ 100 docs
+    * total there is no cutoff and every row is selected. */
   def t156DsirWeights(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .selectExpr("doc_id", "source", "explode(split(lower(text), ' ')) AS tok")
@@ -373,12 +380,21 @@ object Pretrain {
       // the whole score-and-aggregate pipeline runs twice (released by the
       // runner's clearCache, the repo-wide per-query persist convention)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // 100-row TakeOrderedAndProject merge → 1-row cutoff scalar (driver
+    // metadata, the q112/q128 collect convention); empty when ≤100 docs
     val top = agg.orderBy(col("slr").desc, col("doc_id")).limit(100)
-      .select(col("doc_id").as("sel_id"))
-    agg.join(broadcast(top), col("doc_id") === col("sel_id"), "left")
-      .selectExpr("doc_id", "n_tokens",
-        "CAST(slr AS DOUBLE) AS log_weight",
-        "CAST(sel_id IS NOT NULL AS INT) AS selected")
+      .select("slr", "doc_id").collect()
+    val selected =
+      if (top.length < 100) lit(true)
+      else {
+        val cut = top.last
+        val (cSlr, cId) = (cut.getDecimal(0), cut.getLong(1))
+        col("slr") > lit(cSlr) ||
+          (col("slr") === lit(cSlr) && col("doc_id") <= lit(cId))
+      }
+    agg.select(col("doc_id"), col("n_tokens"),
+        col("slr").cast("double").as("log_weight"),
+        selected.cast("int").as("selected"))
       .orderBy("doc_id")
   }
 

@@ -44,13 +44,20 @@ class PretrainPlanSpec extends SparkSpec {
     assert(!dsir.toLowerCase.contains("cartesianproduct"), dsir)
   }
 
-  test("dsir selection is a limit-bounded top-100, not an unpartitioned " +
-    "corpus-scale row_number") {
+  test("dsir selection is a limit-bounded top-100 cutoff, not an " +
+    "unpartitioned corpus-scale row_number") {
     val df = Pretrain.t156DsirWeights(spark, sf)
-    // no unkeyed/unbounded windows anywhere in the plan (there should be
-    // NO window at all post-fix — the selection is limit + flag join)
+    // no unkeyed/unbounded windows anywhere in the plan (there is NO
+    // window at all post-fix — the top-100 runs as an eager
+    // TakeOrderedAndProject whose 100th row becomes a scalar cutoff)
     assert(assertWindowsKeyedOrBounded(df) == 0)
-    assert(physical(df).contains("TakeOrderedAndProject"), physical(df))
+    val plan = physical(df)
+    // the output pass flags by codegen'd comparison: no join stage and
+    // no sort other than the doc_id presentation sort
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
+    // it reuses the persisted per-doc aggregate rather than recomputing
+    // the token-scan pipeline
+    assert(plan.contains("InMemoryTableScan"), plan)
   }
 
   test("map-only operators stay map-only: one exchange at most (the " +
