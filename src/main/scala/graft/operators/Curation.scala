@@ -563,7 +563,12 @@ object Curation {
     * cross-stratum total (order-independent — a double Σw_h would depend
     * on accumulation order), and apportionment (floor quotas + remainder
     * ranking) is pure integer arithmetic with a stratum-name tie-break.
-    * One aggregation over the corpus + window math on |strata| rows. */
+    * One aggregation over the corpus (persisted — the |strata|-row moment
+    * table feeds every downstream pass); at most `budget` strata can win
+    * a remainder seat (L = budget − Σ⌊quota⌋ ≤ budget), so the remainder
+    * rank runs over an `orderBy().limit(budget)` shortlist — a bounded
+    * window at ANY strata count, never a full-strata-table sort
+    * (round-8 registry-sweep hardening). */
   def q220NeymanAlloc(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val budget = 100
@@ -580,6 +585,7 @@ object Curation {
           |    / n) / (n - 1)) END AS sd""".stripMargin)
       .selectExpr("source", "n", "sd",
         "CAST(floor(n * sd * 1e6D + 0.5D) AS BIGINT) AS w6")
+      .persist(StorageLevel.MEMORY_AND_DISK) // |strata| rows, one corpus scan
     // all-uniform corpus guard: every sd = 0 makes W = 0 (division by
     // zero); fall back to equal weights, i.e. uniform allocation
     val a = m.crossJoin(broadcast(
@@ -590,12 +596,20 @@ object Curation {
       .selectExpr("source", "n", "sd",
         s"CAST($budget AS BIGINT) * we DIV W AS base",
         s"CAST($budget AS BIGINT) * we % W AS rem")
-    a.crossJoin(broadcast(
-        a.agg((lit(budget) - sum(col("base"))).as("L"))))
+    val withL = a.crossJoin(broadcast(
+      a.agg((lit(budget) - sum(col("base"))).as("L"))))
+    // ≤ budget remainder seats exist, so the rank only ever matters on the
+    // top-`budget` shortlist (TakeOrderedAndProject); the window runs over
+    // that bounded slice and the winners broadcast-flag back
+    val winners = withL
+      .orderBy(col("rem").desc, col("source")).limit(budget)
       .withColumn("rk",
         row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .filter(col("rk") <= col("L"))
+      .select(col("source").as("win_src"))
+    withL.join(broadcast(winners), col("source") === col("win_src"), "left")
       .selectExpr("source", "n AS n_docs", "round(sd, 6) AS sd",
-        "base + CAST(rk <= L AS BIGINT) AS alloc")
+        "base + CAST(win_src IS NOT NULL AS BIGINT) AS alloc")
       .orderBy("source")
   }
 

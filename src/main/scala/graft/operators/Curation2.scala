@@ -187,29 +187,45 @@ object Curation2 {
     *
     * Scale shape: bucketing happens on the VALUE DOMAIN, not the documents —
     * avg_nll is 6-decimal-quantized, so distinct scores ≪ documents; the
-    * per-value (count, token-sum) table aggregates distributed, and only
-    * that compressed table passes through the cumulative window (the same
-    * domain-compression move as q121's equi-depth histogram). A cumulative
-    * cut 3·cum/N per VALUE keeps all equal-scored docs in one bucket —
-    * deterministic without a doc-level global sort, which is exactly what
-    * ntile-over-documents would have forced onto a single partition. */
+    * per-value (count, token-sum) table aggregates distributed, and its
+    * cumulative sum runs DISTRIBUTED too (the q207/q128 ordinal pattern):
+    * range-repartition by value, cumsum WITHIN each partition (parallel
+    * keyed windows), prefix-sum the |partitions|-row per-split totals
+    * (limit-bounded — pid < `parts` by construction), broadcast the
+    * offsets back. Global cum = offset + local cum under ANY disjoint
+    * ordered partitioning, so the sampled range boundaries don't affect
+    * the output. A cumulative cut 3·cum/N per VALUE keeps all
+    * equal-scored docs in one bucket — deterministic without a doc-level
+    * OR value-level global sort (round-8 registry-sweep hardening; the
+    * value-domain window previously ran single-partition). */
   def q147NllBuckets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val perDoc = t146UnigramLogprob(s, dir)
     val vals = perDoc.groupBy("avg_nll")
       .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("tk"))
-    // the window runs over the compressed value table only (small by
-    // construction); docs never globally sort
-    val w = Window.orderBy("avg_nll")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .repartitionByRange(parts, col("avg_nll"))
+      .withColumn("pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds offsets + the cut pass
+    // |partitions| rows of metadata; limit(parts) is identity (pid ∈
+    // [0, parts)) and marks the prefix-sum window limit-bounded
+    val offsets = vals.groupBy("pid").agg(sum(col("c")).as("pc"))
+      .limit(parts)
+      .withColumn("off", coalesce(sum(col("pc")).over(
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    val total = vals.agg(sum(col("c")).as("n"))
     val cut = vals
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("n", sum(col("c")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("lcum", sum(col("c")).over(
+        Window.partitionBy("pid").orderBy("avg_nll")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(total))
       .selectExpr("avg_nll", "c", "tk",
-        // bucket by the cumulative count BEFORE this value: ties share one
-        // bucket, cuts land at N/3 boundaries
-        "1 + CAST(floor(3.0D * (cum - c) / n) AS INT) AS bucket")
+        // bucket by the global cumulative count BEFORE this value: ties
+        // share one bucket, cuts land at N/3 boundaries
+        "1 + CAST(floor(3.0D * (off + lcum - c) / n) AS INT) AS bucket")
     cut.groupBy("bucket")
       .agg(sum(col("c")).as("n_docs"), sum(col("tk")).as("n_tokens"),
         min(col("avg_nll")).as("nll_lo"), max(col("avg_nll")).as("nll_hi"),

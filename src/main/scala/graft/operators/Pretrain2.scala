@@ -6,6 +6,7 @@ import graft.multimodal.Media
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Pretraining-corpus curation, fifth batch: tokenizer-training support
   * (the BPE merge-pair count, Sennrich et al. 2016), content-defined
@@ -26,19 +27,27 @@ object Pretrain2 {
     *
     * Scale shape: the corpus collapses to the VOCABULARY first (word →
     * count, one shuffle with map-side combine); pair explosion runs over
-    * distinct words only — corpus size never reaches the pair stage. That
-    * is exactly how production BPE trainers stay tractable on TB corpora.
-    * The argmax is a rank over the pair table (alphabet²-sized). */
+    * distinct words only — corpus size never reaches the pair stage. The
+    * argmax flag is a one-pass `min(struct(-n, pair))` aggregate (largest
+    * count, smallest pair on ties) broadcast back onto the persisted pair
+    * table — no rank window at all, so the pair table may grow to any
+    * size (multi-byte alphabets) without an unpartitioned sort
+    * (round-8 registry-sweep hardening; was a global row_number). */
   def t157BpePairs(s: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(s, dir)
       .selectExpr(s"explode($tokens) AS w")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    words.filter(length(col("w")) >= 2)
+    val pairs = words.filter(length(col("w")) >= 2)
       .selectExpr("cnt",
         "explode(transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))) AS pair")
       .groupBy("pair").agg(sum(col("cnt")).as("n"))
-      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("pair"))))
-      .selectExpr("pair", "n", "CAST(rk = 1 AS INT) AS is_merge")
+      // feeds the argmax aggregate and the flagged output — one corpus
+      // scan (released by the runner's clearCache convention)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val top = pairs.agg(min(struct((-col("n")).as("nn"),
+      col("pair").as("p"))).as("t")).select(col("t.p").as("top_pair"))
+    pairs.crossJoin(broadcast(top))
+      .selectExpr("pair", "n", "CAST(pair = top_pair AS INT) AS is_merge")
       .orderBy("pair")
   }
 

@@ -87,7 +87,14 @@ object ScalePatterns {
 
   def q50BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val key = s"$dir|${SparkSupport.corpusFingerprint(dir)}"
-    bucketedLock.synchronized { if (bucketedFor != key) SparkSupport.timedLayoutBuild {
+    // the JVM-static key alone is NOT enough: a test suite may stop the
+    // SparkContext (GraftExtensionsSpec needs its own extensions session),
+    // and the replacement session's in-memory catalog loses the table
+    // registrations while bucketedFor still claims them — so re-check the
+    // CATALOG too and rebuild into the fresh session when it was reset
+    bucketedLock.synchronized { if (bucketedFor != key ||
+        !s.catalog.tableExists("graft_lineitem_b") ||
+        !s.catalog.tableExists("graft_orders_b")) SparkSupport.timedLayoutBuild {
       val base = s"${SparkSupport.scratchDir}/bucketed"
       // pre-partition on the bucket key so each task owns exactly one bucket:
       // without this, every input task writes a file per bucket it touches —
@@ -360,8 +367,11 @@ object ScalePatterns {
       .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // |partitions| rows: counts → exclusive prefix sums (this window's
-    // SinglePartition is over 32 rows of metadata, not the table)
+    // SinglePartition is over 32 rows of metadata, not the table);
+    // limit(parts) is identity — pid ∈ [0, parts) caps the group count —
+    // and marks the window limit-bounded for the registry-wide plan sweep
     val offsets = ranged.groupBy("pid").agg(count(lit(1)).as("c"))
+      .limit(parts)
       .withColumn("off",
         coalesce(sum(col("c")).over(
           Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
