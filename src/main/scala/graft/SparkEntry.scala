@@ -51,7 +51,8 @@ object SparkEntry {
       operators.Pretrain2.queries ++
       operators.Pretrain3.queries ++
       operators.Similarity2.queries ++
-      operators.Curation3.queries
+      operators.Curation3.queries ++
+      operators.IncrementalCuration.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -91,5 +92,6 @@ object SparkEntry {
       operators.Pretrain2.oracle ++
       operators.Pretrain3.oracle ++
       operators.Similarity2.oracle ++
-      operators.Curation3.oracle
+      operators.Curation3.oracle ++
+      operators.IncrementalCuration.oracle
 }

@@ -615,7 +615,7 @@ object Dedup {
 
   /** LSH band derivation shared by d142/d185: per-doc minhash16 signature
     * over the hashed shingle rows, cut into 4 bands of 4. */
-  private def bandsOf(idx: DataFrame): DataFrame =
+  private[operators] def bandsOf(idx: DataFrame): DataFrame =
     idx.groupBy("doc_id").agg(collect_list(col("h")).as("hs"))
       .selectExpr("doc_id", "minhash16(hs) AS mh")
       .selectExpr("doc_id", bandKeyExpr)
