@@ -261,7 +261,16 @@ object Similarity2 {
     * with doc_id tie-breaks; the RRF sum is two IEEE divisions + one add
     * on identical bits. RRF ties (a lex/sem rank swap yields the exact
     * same double) break by doc_id in both engines. */
-  def s196HybridRrf(s: SparkSession, dir: String): DataFrame = {
+  def s196HybridRrf(s: SparkSession, dir: String): DataFrame =
+    hybridRetrieval(s, dir)._3
+
+  /** The shared hybrid-retrieval front-end: (persisted token explode,
+    * 8-rarest-query-term table, fused RRF top-20). s196 emits the fused
+    * list; s314's cross-encoder-style tier reranks it — one pipeline,
+    * two gates, so the retrieve→fuse and rerank stages can never drift
+    * onto different shortlist definitions. */
+  private def hybridRetrieval(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val toks = graft.Tables.documents(s, dir)
       .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS t")
@@ -306,7 +315,7 @@ object Similarity2 {
       .select("doc_id", "sem_rank")
     // fuse on the shortlist UNION (≤ 2·101 rows): full outer, a missing
     // leg contributes 0
-    sem.join(lex, Seq("doc_id"), "full_outer")
+    val fused = sem.join(lex, Seq("doc_id"), "full_outer")
       .selectExpr("doc_id", "lex_rank", "sem_rank",
         """round(coalesce(1.0D / (60 + lex_rank), 0D)
           |  + coalesce(1.0D / (60 + sem_rank), 0D), 6) AS rrf""".stripMargin)
@@ -315,6 +324,7 @@ object Similarity2 {
       .filter(col("rank") <= 20)
       .select("rank", "doc_id", "lex_rank", "sem_rank", "rrf")
       .orderBy("rank")
+    (toks, qt, fused)
   }
 
   /** RRF retrieval depth per leg. Fusion is standard list-RRF over the
@@ -817,9 +827,113 @@ object Similarity2 {
        |FROM sel10 ORDER BY rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s314
+
+  /** s314: cross-encoder-style RERANK over the fused retrieval shortlist
+    * — the third tier of the production retrieval chain (s196 retrieves
+    * and fuses, THIS reranks, s309 diversifies). A bi-encoder scores
+    * query and doc independently (one cosine); a cross-encoder sees the
+    * PAIR jointly — here three interaction features per (query, doc):
+    * query-term coverage (how many of the 8 query terms the doc
+    * contains), query-term density (their total occurrences per doc
+    * token), and the exact embedding cosine — combined by a BROADCAST
+    * linear model (fixed distilled weights 0.45/0.25/0.30, the t199
+    * distillation shape: at production the weights come from regressing
+    * a heavy teacher's scores; the serving-side plumbing — pair features
+    * over a bounded shortlist, linear scorer, re-sort — is what this
+    * operator exercises).
+    *
+    * Determinism: every feature lands in integer micro-units before the
+    * combine — coverage as n_cover·125000 (exact: 10⁶/8), density as
+    * (10⁶·tf) DIV len (integer division), cosine floor-scaled 10⁶ (the
+    * s309 pattern over the bit-identical strict-fold kernel) — and
+    * score6 = 45·cover6 + 25·dens6 + 30·cos6 is pure BIGINT arithmetic
+    * with doc_id tie-breaks.
+    *
+    * Scale shape: the shortlist doc ids are a ≤20-row driver collect
+    * (metadata-sized, the t156 cutoff convention); feature extraction is
+    * isInCollection-filtered scans (at 100 TB: index point-lookups) and
+    * the re-sort is an `orderBy().limit(10)` over 20 rows with the rank
+    * window over the limit-bounded result. The corpus-scale work remains
+    * exactly s196's two shortlist legs — the rerank adds no unbounded
+    * stage. */
+  def s314CrossencoderRerank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val (toks, qt, fused) = hybridRetrieval(s, dir)
+    val ids = fused.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val short = toks.filter(col("doc_id").isInCollection(ids))
+    val tfa = short.join(broadcast(qt.select("t")), "t")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("sumtf"), countDistinct(col("t")).as("n_cover"))
+    val lens = short.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val all = Similarity.vecs(s, dir)
+    val cosf = broadcast(all.filter(col("vec_id") === 0).select(col("v"))).as("q")
+      .crossJoin(all.filter(col("vec_id").isInCollection(ids)).as("c"))
+      .selectExpr("c.vec_id AS doc_id",
+        s"CAST(floor((${Similarity.cosExpr}) * 1000000.0D) AS BIGINT) AS cos6")
+    import s.implicits._
+    val feat = ids.toDF("doc_id")
+      .join(tfa, Seq("doc_id"), "left")
+      .join(lens, Seq("doc_id"), "left")
+      .join(cosf, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "CAST(coalesce(n_cover, 0) AS BIGINT) AS n_cover",
+        """CASE WHEN coalesce(sumtf, 0) = 0 THEN CAST(0 AS BIGINT)
+          |     ELSE (1000000L * sumtf) DIV len END AS dens6""".stripMargin,
+        "coalesce(cos6, CAST(0 AS BIGINT)) AS cos6")
+      .withColumn("score6",
+        expr("45L * n_cover * 125000L + 25L * dens6 + 30L * cos6"))
+    feat.orderBy(col("score6").desc, col("doc_id")).limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score6").desc, col("doc_id"))))
+      .select("rank", "doc_id", "n_cover", "dens6", "cos6", "score6")
+      .orderBy("rank")
+  }
+
+  val s314Sql: String =
+    s"""WITH fused AS (SELECT doc_id FROM ($s196Sql)),
+       |tk2 AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |  FROM documents),
+       |dt2 AS (SELECT DISTINCT doc_id, t FROM tk2),
+       |d02 AS (SELECT t FROM dt2 WHERE doc_id = 0),
+       |dfq2 AS (SELECT t, count(*) AS df FROM dt2
+       |         WHERE t IN (SELECT t FROM d02) GROUP BY t),
+       |qt2 AS (SELECT t FROM (
+       |          SELECT t, row_number() OVER (ORDER BY df, t) AS r FROM dfq2)
+       |        WHERE r <= 8),
+       |short AS (SELECT tk2.doc_id, t FROM tk2 JOIN fused USING (doc_id)),
+       |tfa AS (SELECT doc_id, count(*) AS sumtf,
+       |          count(DISTINCT t) AS n_cover
+       |        FROM short WHERE t IN (SELECT t FROM qt2) GROUP BY doc_id),
+       |lens AS (SELECT doc_id, count(*) AS len FROM short GROUP BY doc_id),
+       |e2 AS (${Similarity.vecsDuck}),
+       |q2 AS (SELECT v FROM e2 WHERE vec_id = 0),
+       |cosf AS (SELECT c.vec_id AS doc_id,
+       |    CAST(floor((${Similarity.cosDuck}) * 1000000) AS BIGINT) AS cos6
+       |  FROM q2 q, e2 c WHERE c.vec_id IN (SELECT doc_id FROM fused)),
+       |feat AS (
+       |  SELECT f.doc_id,
+       |    CAST(coalesce(n_cover, 0) AS BIGINT) AS n_cover,
+       |    CASE WHEN coalesce(sumtf, 0) = 0 THEN CAST(0 AS BIGINT)
+       |         ELSE (1000000 * sumtf) // len END AS dens6,
+       |    coalesce(cos6, CAST(0 AS BIGINT)) AS cos6
+       |  FROM fused f LEFT JOIN tfa USING (doc_id)
+       |  LEFT JOIN lens USING (doc_id) LEFT JOIN cosf USING (doc_id)),
+       |scored AS (
+       |  SELECT doc_id, n_cover, dens6, cos6,
+       |    45 * n_cover * 125000 + 25 * dens6 + 30 * cos6 AS score6
+       |  FROM feat)
+       |SELECT CAST(row_number() OVER (ORDER BY score6 DESC, doc_id)
+       |    AS INTEGER) AS rank,
+       |  doc_id, n_cover, dens6, cos6, score6
+       |FROM scored ORDER BY score6 DESC, doc_id LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s314_crossencoder_rerank" -> s314CrossencoderRerank,
     "s309_mmr_rerank"   -> s309MmrRerank,
     "s163_ann_recall"   -> s163AnnRecall,
     "s166_pq_codes"     -> s166PqCodes,
@@ -832,6 +946,7 @@ object Similarity2 {
     "s299_ann_with_deletes" -> s299AnnWithDeletes)
 
   val oracle: Map[String, String] = Map(
+    "s314_crossencoder_rerank" -> s314Sql,
     "s309_mmr_rerank"   -> s309Sql,
     "s163_ann_recall"   -> s163Sql,
     "s166_pq_codes"     -> s166Sql,

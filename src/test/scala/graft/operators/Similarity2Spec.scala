@@ -120,10 +120,22 @@ class Similarity2Spec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
-  test("s196 brute-force replica: a plain-Scala BM25 + cosine + top-101 " +
-    "RRF ground truth reproduces the whole fused top-20") {
-    def r6(x: Double): Double =
-      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def cosScala(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
+      nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Plain-Scala replica of the s196 hybrid front-end. Returns the fused
+    * top-20 (rank, id, lexRank, semRank, rrf), the 8-term query set, the
+    * tokenized docs, and the embedding map — shared by the s196 fusion
+    * ground truth and the s314 rerank ground truth. */
+  private def hybridReplica(): (Seq[(Int, Long, Option[Int], Option[Int], Double)],
+      Set[String], Map[Long, Seq[String]], Map[Long, Array[Double]]) = {
     val docs = graft.Tables.documents(spark, dir)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).toSeq)
@@ -154,25 +166,25 @@ class Similarity2Spec extends SparkSpec {
     val vs = graft.Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i)
-        nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
     val v0 = vs(0L)
     val semRank = vs.toSeq.filter(_._1 != 0L)
-      .map { case (id, v) => (id, cos(v0, v)) }
+      .map { case (id, v) => (id, cosScala(v0, v)) }
       .sortBy { case (id, c) => (-c, id) }.take(101)
       .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
     // --- fuse the two shortlists
-    val expected = (lexRank.keySet ++ semRank.keySet).toSeq.map { id =>
+    val fused = (lexRank.keySet ++ semRank.keySet).toSeq.map { id =>
       val rrf = r6(lexRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
         semRank.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
       (id, lexRank.get(id), semRank.get(id), rrf)
     }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(20)
       .zipWithIndex
       .map { case ((id, lr, sr, rrf), i) => (i + 1, id, lr, sr, rrf) }
+    (fused, qt.keySet, docs.toMap, vs)
+  }
+
+  test("s196 brute-force replica: a plain-Scala BM25 + cosine + top-101 " +
+    "RRF ground truth reproduces the whole fused top-20") {
+    val (expected, _, _, _) = hybridReplica()
     val got = Similarity2.s196HybridRrf(spark, dir).collect().map { r =>
       (r.getInt(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getInt(2)),
@@ -185,6 +197,37 @@ class Similarity2Spec extends SparkSpec {
         s"ids/ranks differ: got $g expected $e")
       assert(math.abs(g._5 - e._5) < 2e-6, s"rrf differs: got $g expected $e")
     }
+  }
+
+  test("s314 brute-force replica: the cross-encoder rerank of the fused " +
+    "top-20 matches a plain-Scala feature-and-score ground truth") {
+    val (fused, qtTerms, docToks, vs) = hybridReplica()
+    val v0 = vs(0L)
+    val expected = fused.map { case (_, id, _, _, _) =>
+      val ts = docToks.getOrElse(id, Seq.empty)
+      val nCover = ts.distinct.count(qtTerms).toLong
+      val sumtf = ts.count(qtTerms).toLong
+      val dens6 = if (sumtf == 0L) 0L else 1000000L * sumtf / ts.length
+      val cos6 = vs.get(id)
+        .map(v => math.floor(cosScala(v0, v) * 1000000.0).toLong)
+        .getOrElse(0L)
+      (id, nCover, dens6, cos6,
+        45L * nCover * 125000L + 25L * dens6 + 30L * cos6)
+    }.sortBy { case (id, _, _, _, s) => (-s, id) }.take(10)
+      .zipWithIndex
+      .map { case ((id, c, d, k, s), i) => (i + 1, id, c, d, k, s) }
+    val got = Similarity2.s314CrossencoderRerank(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expected)
+  }
+
+  test("s314 plan: rank window bounded by the limit(10), rerank re-sort " +
+    "is a top-k physical operator, no corpus-scale stage added") {
+    val df = Similarity2.s314CrossencoderRerank(spark, dir)
+    assertWindowsKeyedOrBounded(df)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("s197 hard negatives: labels are disjoint from the anchor's, the " +
