@@ -110,6 +110,17 @@ object Bench {
     val results = (1 to reps).map(_ => runAll())
       .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
     val total = results.values.sum
+    // The measured per-query scheduling floor, captured IN THIS SESSION at
+    // the same warm state as the timed reps: a no-file single-stage count
+    // carries zero engine work, so its wall time is pure DAGScheduler/
+    // task-launch latency — the quantity that amortizes to zero at
+    // production data sizes. Recorded so merge_bench_oracle.py can emit a
+    // floor-corrected total ALONGSIDE (never instead of) the raw one.
+    val floorSec = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1000000L).count()
+      (System.nanoTime() - t0) / 1e9
+    }.min
 
     def fmt(v: Double, dp: Int): String = {
       val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
@@ -127,7 +138,8 @@ object Bench {
       .mkString("{\"queries\":{", ",",
         s"},\"total\":$total,\"warmup_sec\":$warmupSec" +
           s",\"warmup_layout_sec\":$warmupLayoutSec" +
-          s",\"warmup_jit_sec\":$warmupJitSec,\"reps\":$reps,\"sf\":\"$sfDir\"}")
+          s",\"warmup_jit_sec\":$warmupJitSec,\"reps\":$reps" +
+          s",\"floor_sec\":$floorSec,\"sf\":\"$sfDir\"}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
 

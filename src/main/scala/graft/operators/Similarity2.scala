@@ -930,9 +930,107 @@ object Similarity2 {
        |  doc_id, n_cover, dens6, cos6, score6
        |FROM scored ORDER BY score6 DESC, doc_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- s315
+
+  /** s315: the full RAG retrieval chain as ONE gate — retrieve (s196's
+    * two shortlist legs) → fuse (list-RRF top-20) → rerank (s314's
+    * cross-encoder tier, top-10) → DIVERSIFY (MMR over the reranked
+    * list, k=5). Each tier is individually gated; this composition gate
+    * exists because tier BOUNDARIES are where retrieval stacks drift —
+    * a rescale lost between rerank and diversify, a tie-break flipped
+    * across a collect — and the oracle re-derives all four tiers in one
+    * SQL pass, so any boundary drift breaks the hash.
+    *
+    * MMR here runs on the RERANKED relevance (rel6 = s314 score6 DIV 100
+    * — brings the 10⁸-scale linear score to cosine's 10⁶ micro-unit
+    * scale so the λ = 0.7 trade is meaningful), with pairwise similarity
+    * the floor-scaled exact cosine (docs without embeddings contribute 0
+    * — no diversity penalty, both engines). Greedy: score = 7·rel6 −
+    * 3·max_{s∈S} sim6, ties by doc_id — exact integer arithmetic, the
+    * s309 determinism discipline.
+    *
+    * Scale shape: corpus-scale work is exactly s196's legs; everything
+    * after operates on a ≤20-row shortlist, the greedy on the collected
+    * 10-row list and its 10×9 sim matrix (metadata-sized — the s309/t296
+    * driver-solve split). */
+  def s315RagPipeline(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val reranked = s314CrossencoderRerank(s, dir)
+      .selectExpr("doc_id", "score6 DIV 100L AS rel6").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val ids = reranked.map(_._1).toSeq
+    val sub = Similarity.vecs(s, dir).filter(col("vec_id").isInCollection(ids))
+    val sim = sub.selectExpr("vec_id AS anid", "v").as("q")
+      .join(sub.selectExpr("vec_id AS bnid", "v").as("c"),
+        col("anid") =!= col("bnid"))
+      .selectExpr("anid", "bnid",
+        s"CAST(floor((${Similarity.cosExpr}) * 1000000.0D) AS BIGINT) AS sim6")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k = math.min(5, reranked.length)
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long, Long)]
+    for (step <- 1 to k) {
+      val chosen = picked.map(_._2).toSet
+      val best = reranked.iterator.filterNot(c => chosen(c._1))
+        .map { case (nid, rel6) =>
+          // max over EXISTING pairs only (a doc without an embedding has
+          // no pair rows), empty → 0 — exactly the oracle's
+          // coalesce(max over prs, 0), so negative cosines can't diverge
+          val mx = chosen.iterator
+            .flatMap(sel => sim.get((nid, sel))).maxOption.getOrElse(0L)
+          (nid, rel6, mx, 7L * rel6 - 3L * mx)
+        }
+        .reduceLeft { (a, b) =>
+          if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a
+        }
+      picked += ((step, best._1, best._2, best._3, best._4))
+    }
+    import s.implicits._
+    picked.toSeq
+      .toDF("rank", "doc_id", "rel6", "max_sim6", "mmr6")
+      .orderBy("rank")
+  }
+
+  val s315Sql: String = {
+    val steps = (1 to 5).map { st =>
+      s"""pick$st AS MATERIALIZED (
+         |  SELECT * FROM pick${st - 1}
+         |  UNION ALL
+         |  SELECT * FROM (
+         |    SELECT doc_id, rel6, mx AS max_sim6,
+         |      7 * rel6 - 3 * mx AS mmr6, $st AS rank
+         |    FROM (
+         |      SELECT c.doc_id, c.rel6,
+         |        coalesce((SELECT max(p.sim6) FROM prs p
+         |                  WHERE p.anid = c.doc_id
+         |                    AND p.bnid IN (SELECT doc_id FROM pick${st - 1})),
+         |          0) AS mx
+         |      FROM r10 c
+         |      WHERE c.doc_id NOT IN (SELECT doc_id FROM pick${st - 1}))
+         |    ORDER BY mmr6 DESC, doc_id LIMIT 1))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH r10 AS MATERIALIZED (
+       |  SELECT doc_id, score6 // 100 AS rel6 FROM ($s314Sql)),
+       |e3 AS MATERIALIZED (${Similarity.vecsDuck}),
+       |prs AS MATERIALIZED (
+       |  SELECT q.vec_id AS anid, c.vec_id AS bnid,
+       |    CAST(floor((${Similarity.cosDuck}) * 1000000) AS BIGINT) AS sim6
+       |  FROM e3 q JOIN e3 c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id IN (SELECT doc_id FROM r10)
+       |    AND c.vec_id IN (SELECT doc_id FROM r10)),
+       |pick0 AS (SELECT CAST(NULL AS BIGINT) AS doc_id,
+       |  CAST(NULL AS BIGINT) AS rel6, CAST(NULL AS BIGINT) AS max_sim6,
+       |  CAST(NULL AS BIGINT) AS mmr6, 0 AS rank WHERE 1 = 0),
+       |$steps
+       |SELECT CAST(rank AS INTEGER) AS rank, doc_id, rel6, max_sim6, mmr6
+       |FROM pick5 ORDER BY rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- maps
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s315_rag_pipeline" -> s315RagPipeline,
     "s314_crossencoder_rerank" -> s314CrossencoderRerank,
     "s309_mmr_rerank"   -> s309MmrRerank,
     "s163_ann_recall"   -> s163AnnRecall,
@@ -946,6 +1044,7 @@ object Similarity2 {
     "s299_ann_with_deletes" -> s299AnnWithDeletes)
 
   val oracle: Map[String, String] = Map(
+    "s315_rag_pipeline" -> s315Sql,
     "s314_crossencoder_rerank" -> s314Sql,
     "s309_mmr_rerank"   -> s309Sql,
     "s163_ann_recall"   -> s163Sql,

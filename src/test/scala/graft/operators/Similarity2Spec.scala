@@ -222,6 +222,44 @@ class Similarity2Spec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("s315 brute-force replica: the full retrieve-fuse-rerank-diversify " +
+    "chain matches a plain-Scala four-tier ground truth") {
+    val (fused, qtTerms, docToks, vs) = hybridReplica()
+    val v0 = vs(0L)
+    // tier 3 replica (same arithmetic as the s314 test)
+    val reranked = fused.map { case (_, id, _, _, _) =>
+      val ts = docToks.getOrElse(id, Seq.empty)
+      val nCover = ts.distinct.count(qtTerms).toLong
+      val sumtf = ts.count(qtTerms).toLong
+      val dens6 = if (sumtf == 0L) 0L else 1000000L * sumtf / ts.length
+      val cos6 = vs.get(id)
+        .map(v => math.floor(cosScala(v0, v) * 1000000.0).toLong)
+        .getOrElse(0L)
+      (id, 45L * nCover * 125000L + 25L * dens6 + 30L * cos6)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+      .map { case (id, s) => (id, s / 100L) } // rel6 rescale
+    // tier 4 replica: greedy MMR, max over existing pairs only
+    def sim6(a: Long, b: Long): Option[Long] =
+      for (va <- vs.get(a); vb <- vs.get(b))
+        yield math.floor(cosScala(va, vb) * 1000000.0).toLong
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long, Long)]
+    for (step <- 1 to 5) {
+      val chosen = picked.map(_._2).toSet
+      val best = reranked.iterator.filterNot(c => chosen(c._1))
+        .map { case (id, rel6) =>
+          val mx = chosen.iterator.flatMap(sim6(id, _)).maxOption.getOrElse(0L)
+          (id, rel6, mx, 7L * rel6 - 3L * mx)
+        }
+        .reduceLeft((a, b) =>
+          if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a)
+      picked += ((step, best._1, best._2, best._3, best._4))
+    }
+    val got = Similarity2.s315RagPipeline(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq === picked.toSeq)
+  }
+
   test("s314 plan: rank window bounded by the limit(10), rerank re-sort " +
     "is a top-k physical operator, no corpus-scale stage added") {
     val df = Similarity2.s314CrossencoderRerank(spark, dir)

@@ -34,6 +34,20 @@ def main():
         "spark_reps": spark.get("reps"), "duck_reps": duck.get("reps"),
         "sf": spark.get("sf"),
     }
+    # Floor-corrected view (alongside, never instead of, the raw totals):
+    # subtract the session-measured no-op scheduling floor (floor_sec in
+    # BENCH_FULL.json — a no-file single-stage count, pure DAGScheduler/
+    # task-launch latency, invariant in data size) from each Spark query.
+    # This separates engine cost from local-mode scheduling cost, the part
+    # that amortizes to zero at production scale. DuckDB is in-process and
+    # has no comparable floor, so its side stays raw.
+    floor = spark.get("floor_sec")
+    if floor:
+        corrected = sum(max(sq[n] - floor, 0.0) for n in names)
+        out["floor_sec"] = round(floor, 4)
+        out["spark_total_floor_corrected"] = round(corrected, 3)
+        out["ratio_total_floor_corrected"] = round(
+            corrected / sum(dq[n] for n in names), 3)
     json.dump(out, open(sys.argv[3], "w"), indent=1, sort_keys=True)
     by_ratio = sorted(names, key=lambda n: -queries[n]["ratio"])
     print("slowest relative to DuckDB (ratio = spark/duck):")
@@ -48,7 +62,10 @@ def main():
               f"duck={q['duck']:7.3f}s  {n}")
     print(json.dumps({k: out[k] for k in
                       ("spark_total", "duck_total", "ratio_total",
-                       "n_queries")}))
+                       "n_queries") + (("floor_sec",
+                       "spark_total_floor_corrected",
+                       "ratio_total_floor_corrected")
+                       if "floor_sec" in out else ())}))
 
 
 if __name__ == "__main__":
