@@ -639,7 +639,106 @@ object Curation {
       |    AS BIGINT) AS alloc
       |FROM a, lv ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t316
+
+  /** t316: DELTA decontamination — eval-suite refresh impact analysis.
+    * t92 answers "is this eval doc contaminated by training data?"; this
+    * answers the operational inverse a shipped corpus faces when the
+    * eval suite GROWS: which training docs become newly contaminated by
+    * the delta evals, and which already-shipped SHARDS must therefore be
+    * yanked and rebuilt. Old evals (doc_id % 7 = 0, even) were screened
+    * at ship time; the delta (doc_id % 7 = 0, odd) is the refresh. A
+    * train doc's contamination is its 5-gram overlap ratio against an
+    * eval gram set (t92's ≥ 0.1 rule); NEWLY contaminated = over the
+    * threshold against old ∪ delta but NOT against old alone — exactly
+    * the docs the original screen could not have caught. Shards are the
+    * deterministic doc_id % 8 assignment; a shard rebuilds iff it holds
+    * ≥ 1 newly-contaminated doc.
+    *
+    * Scale shape: one pass over the persisted gram index — eval grams
+    * collapse to a flagged hash set (h → in_old, in_delta; |eval grams|
+    * rows, the broadcast side at scale), train grams probe it in a
+    * single equi-join, and both before/after ratios come out of ONE
+    * per-doc aggregate (sum of in_old vs sum of greatest(in_old,
+    * in_delta) — no second probe of the corpus for the pre-refresh
+    * state). The shard rollup is |train docs| → |shards|. */
+  def t316DecontamDelta(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val grams = gramIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val evalFlags = grams.filter(col("doc_id") % 7 === 0)
+      .groupBy("h")
+      .agg(max(when(col("doc_id") % 2 === 0, 1).otherwise(0)).as("in_old"),
+        max(when(col("doc_id") % 2 =!= 0, 1).otherwise(0)).as("in_delta"))
+    val hits = grams.filter(col("doc_id") % 7 =!= 0)
+      .join(evalFlags, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("in_old"), lit(0))).as("n_old"),
+        sum(greatest(coalesce(col("in_old"), lit(0)),
+          coalesce(col("in_delta"), lit(0)))).as("n_union"))
+    Tables.documents(s, dir).filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"))
+      .join(hits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_old", "n_union"))
+      .selectExpr("shard",
+        """CAST(n_grams > 0
+          |  AND round(n_old / CAST(n_grams AS DOUBLE), 6) >= 0.1
+          |  AS INT) AS before""".stripMargin,
+        """CAST(n_grams > 0
+          |  AND round(n_union / CAST(n_grams AS DOUBLE), 6) >= 0.1
+          |  AS INT) AS after""".stripMargin)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("before")).as("n_already"),
+        sum(expr("CAST(after = 1 AND before = 0 AS INT)")).as("n_newly"))
+      .withColumn("rebuild", (col("n_newly") > 0).cast("int"))
+      .orderBy("shard")
+  }
+
+  val t316Sql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, ${polyDuck("sh")} AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(
+       |      range(1, len(string_split(lower(text),' ')) - 3),
+       |      i -> array_to_string((string_split(lower(text),' '))[i:i+4], ' ')))) AS sh
+       |    FROM documents)),
+       |ef AS (
+       |  SELECT h,
+       |    max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS in_old,
+       |    max(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS in_delta
+       |  FROM s WHERE doc_id % 7 = 0 GROUP BY h),
+       |hits AS (
+       |  SELECT doc_id, count(*) AS n_grams,
+       |    sum(coalesce(in_old, 0)) AS n_old,
+       |    sum(greatest(coalesce(in_old, 0), coalesce(in_delta, 0))) AS n_union
+       |  FROM s LEFT JOIN ef USING (h)
+       |  WHERE doc_id % 7 <> 0 GROUP BY doc_id),
+       |d AS (
+       |  SELECT d.doc_id, d.doc_id % 8 AS shard,
+       |    coalesce(n_grams, 0) AS n_grams, coalesce(n_old, 0) AS n_old,
+       |    coalesce(n_union, 0) AS n_union
+       |  FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+       |  WHERE d.doc_id % 7 <> 0),
+       |flags AS (
+       |  SELECT shard,
+       |    CAST(n_grams > 0 AND
+       |      round(n_old / CAST(n_grams AS DOUBLE), 6) >= 0.1 AS INTEGER)
+       |      AS before,
+       |    CAST(n_grams > 0 AND
+       |      round(n_union / CAST(n_grams AS DOUBLE), 6) >= 0.1 AS INTEGER)
+       |      AS after
+       |  FROM d)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(before) AS BIGINT) AS n_already,
+       |  CAST(sum(CASE WHEN after = 1 AND before = 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_newly,
+       |  CAST(max(CASE WHEN after = 1 AND before = 0 THEN 1 ELSE 0 END)
+       |    AS INTEGER) AS rebuild
+       |FROM flags GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t316_decontam_delta" -> t316DecontamDelta,
     "q138_curation_pipeline" -> q138CurationPipeline,
     "t92_contamination"   -> t92Contamination,
     "t219_decontaminate"  -> t219Decontaminate,
@@ -653,6 +752,7 @@ object Curation {
     "t99_vocab_encode"    -> t99VocabEncode)
 
   val oracle: Map[String, String] = Map(
+    "t316_decontam_delta" -> t316Sql,
     "q138_curation_pipeline" -> q138Sql,
     "t92_contamination"   -> t92Sql,
     "t219_decontaminate"  -> t219Sql,
