@@ -56,9 +56,32 @@ class IncrementalCurationSpec extends SparkSpec {
       .orderBy("source").collect().toSeq
     assert(statsAfterB2 === statsAfterB1)
 
+    // OPTIMIZE the state between batches: fold the accumulated
+    // small-generation index files (init + two admits each appended) —
+    // the q113 small-file pattern on live state. Compaction must be
+    // admission-invariant, and the IVM check alone cannot prove that (a
+    // corrupted index would corrupt BOTH sides identically) — so batch 3
+    // also runs against a TWIN root that skipped the optimize, and the
+    // two per-doc status frames must be identical.
+    Seq("fp", "shingles", "bands").foreach { t =>
+      TxLog.optimize(spark, s"$root/$t", partFiles = 2)
+    }
+    val twin = tmpDir("incr_cur_twin")
+    IncrementalCuration.initState(spark, sf, twin)
+    IncrementalCuration.admitBatch(spark, sf, twin,
+      col("doc_id") % 5 === 3, 0L).unpersist()
+    IncrementalCuration.admitBatch(spark, sf, twin,
+      col("doc_id") % 5 === 3, 10000000L).unpersist()
+    val b3Twin = IncrementalCuration.admitBatch(spark, sf, twin,
+      col("doc_id") % 5 === 4, 0L)
+
     // batch 3: a genuinely fresh slice admits again
     val b3 = IncrementalCuration.admitBatch(spark, sf, root,
       col("doc_id") % 5 === 4, 0L)
+    assert(b3.orderBy("doc_id").collect().toSeq ===
+      b3Twin.orderBy("doc_id").collect().toSeq,
+      "compaction changed batch-3 admission decisions")
+    b3Twin.unpersist()
     val adm3 = b3.filter(col("status") === "admitted")
       .select("source", "score", "n_tokens")
     assert(adm3.count() > 0, "fresh slice admitted nothing")
