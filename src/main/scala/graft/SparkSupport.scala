@@ -3,6 +3,22 @@ package graft
 /** Shared session plumbing for the harness mains. */
 object SparkSupport {
 
+  /** Raise scan parallelism to the session's shuffle parallelism BEFORE a
+    * work-AMPLIFYING stage (an explode ×B replicate fan-out, per-row HOF
+    * signature folds) when the scan under-partitions — the local/
+    * small-file case where one input task would otherwise own B× the
+    * corpus's downstream work (q280 measured 1.87 s with 11 tasks at
+    * local[32]: the ×32 replicate explosion ran inside one scan task).
+    * At production scale the scan already carries ≥ `parts` partitions
+    * and this is a NO-OP — no shuffle is added; the guard reads only
+    * planning metadata. */
+  def parallelized(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val parts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+  }
+
   /** Scratch directory for shuffle/spill files (`spark.local.dir`).
     *
     * The bench/verify hosts run on virtualized block storage where small-file

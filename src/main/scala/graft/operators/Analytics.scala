@@ -219,7 +219,9 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     graft.catalyst.GraftFunctions.ensureRegistered(s)
     val B = 32
-    val rep = Tables.events(s, dir)
+    // ×B fan-out below: scan parallelism must reach the cores BEFORE the
+    // explode (no-op at scale — see SparkSupport.parallelized)
+    val rep = graft.SparkSupport.parallelized(Tables.events(s, dir))
       // the rolling hash is LINEAR, so two replicate strings differing only
       // in the b prefix hash to a CONSTANT offset of each other across all
       // ids — u(·, b₀) and u(·, b₁) correlate at 0.9999 and every replicate

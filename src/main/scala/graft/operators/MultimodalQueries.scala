@@ -181,7 +181,9 @@ object MultimodalQueries {
     // verify joins is 8 bytes, not a 64-int array, and the Hamming verify
     // collapses to bit_count(xor) — one codegen'd instruction pair per
     // candidate instead of a 64-element zip_with fold
-    val sig = corpus
+    // the 64-element per-row HOF folds below are the amplified stage:
+    // parallelize the (narrow) corpus first (no-op at scale)
+    val sig = graft.SparkSupport.parallelized(corpus)
       .selectExpr("media_id", "length(t) AS len",
         "greatest(CAST(1 AS BIGINT), CAST(floor(length(t) / 64) AS BIGINT)) AS stride", "t")
       .selectExpr("media_id",
