@@ -200,6 +200,10 @@ object Analytics2 {
   def t199QualityClassifier(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableHash.tokens
     val stopArr = TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+    // measured: SparkSupport.parallelized here is a net LOSS (1.61 →
+    // 2.01 s at sf0.1): the sequential GD passes each reread the persisted
+    // frame, and 32 cached partitions per pass cost more scheduling than
+    // the one-task feature fold costs compute
     val raw = graft.Tables.documents(s, dir)
       .selectExpr(
         "length(text) AS n_chars",

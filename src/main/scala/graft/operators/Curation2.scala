@@ -276,6 +276,9 @@ object Curation2 {
     * work ∝ corpus token count throughout. */
   def t305BigramLm(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.PortableHash.{seqAsc, tokens}
+    // measured: SparkSupport.parallelized here costs more than it saves
+    // (0.91 → 1.27 s at sf0.1 — the bigram fold is light and the count
+    // shuffles already parallelize; the extra exchange only adds stages)
     val t = Tables.documents(s, dir)
       .selectExpr("doc_id", s"$tokens AS toks")
       .persist(StorageLevel.MEMORY_AND_DISK)

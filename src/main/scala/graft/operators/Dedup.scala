@@ -1045,7 +1045,9 @@ object Dedup {
     // re-split the whole document once PER WINDOW (~50× the work; measured
     // 3.7 s → 1.1 s at sf0.1). The lambda body then only slices the
     // precomputed array and runs the native codegen'd poly_hash kernel.
-    val grams = Tables.documents(s, dir)
+    // per-token window hashing is the amplified stage — parallelize the
+    // narrow scan first (no-op at scale, SparkSupport.parallelized)
+    val grams = graft.SparkSupport.parallelized(Tables.documents(s, dir))
       .filter(expr(s"size($toks) >= $K"))
       .withColumn("toks", expr(toks))
       .selectExpr("doc_id",
