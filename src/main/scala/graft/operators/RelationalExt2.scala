@@ -225,6 +225,50 @@ object RelationalExt2 {
       |SELECT mode.l_returnflag, mode_qty, mode_count, median_qty
       |FROM mode JOIN med USING (l_returnflag) ORDER BY l_returnflag""".stripMargin
 
+  /** q317: exact WEIGHTED median per group — the robust-center statistic
+    * q77's unweighted median can't express (e.g. "median price weighted
+    * by traded volume"). Weight = l_linenumber; the lower weighted
+    * median is the smallest value whose cumulative weight reaches half
+    * the group total, decided by the exact integer test 2·cum ≥ W (no
+    * fractional arithmetic anywhere, so the oracle matches bit-for-bit).
+    *
+    * Scale shape: the q147 value-domain compression — rows collapse to
+    * (group, value) weight sums first (distinct values ≪ rows), and both
+    * the cumulative and the group-total windows are KEYED by the group,
+    * so no single-partition sort touches anything row-scale. */
+  def q317WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vw = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(sum(col("l_linenumber").cast("long")).as("w"))
+    val cum = vw
+      .withColumn("cw", sum(col("w")).over(
+        Window.partitionBy("l_returnflag").orderBy("l_quantity")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum(col("w")).over(
+        Window.partitionBy("l_returnflag")))
+    cum.filter(col("cw") * 2 >= col("tw"))
+      .groupBy("l_returnflag")
+      .agg(min(col("l_quantity")).as("wmedian_qty"),
+        max(col("tw")).as("total_w"))
+      .orderBy("l_returnflag")
+  }
+
+  val q317Sql: String =
+    """WITH vw AS (
+      |  SELECT l_returnflag, l_quantity,
+      |    CAST(sum(l_linenumber) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, l_quantity, w,
+      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM vw)
+      |SELECT l_returnflag, min(l_quantity) AS wmedian_qty,
+      |  CAST(max(tw) AS BIGINT) AS total_w
+      |FROM c WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q78: datetime function family — truncation, component extraction,
     * day arithmetic, month boundaries. Cross-engine notes: Spark
     * `dayofweek` is 1-based Sunday-first vs DuckDB's 0-based `dayofweek`
@@ -377,6 +421,7 @@ object RelationalExt2 {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_weighted_median" -> q317WeightedMedian,
     "q295_group_split"    -> q295GroupSplit,
     "q89_null_safe_join"  -> q89NullSafeJoin,
     "q90_posexplode_argmax" -> q90PosexplodeArgmax,
@@ -390,6 +435,7 @@ object RelationalExt2 {
     "q78_datetime"      -> q78Datetime)
 
   val oracle: Map[String, String] = Map(
+    "q317_weighted_median" -> q317Sql,
     "q295_group_split"    -> q295Sql,
     "q89_null_safe_join"  -> q89Sql,
     "q90_posexplode_argmax" -> q90Sql,
