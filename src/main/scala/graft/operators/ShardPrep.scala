@@ -507,13 +507,168 @@ object ShardPrep {
        |FROM o ORDER BY lang""".stripMargin
   }
 
+  /** t318: the pretrain shard-prep pipeline END-TO-END — the composition a
+    * training-data job actually runs, chaining five stages that each exist
+    * as a verified operator but have never been exercised across their
+    * boundaries in one plan: synthetic re-crawl (d29's corpusWithCopies) →
+    * exact dedup (md5 winner) → quality gate (q138's composite, same
+    * constants) → eval-suite decontamination (t92's 5-gram layout: eval =
+    * doc_id % 7 = 0; train docs with ≥10% gram overlap dropped, eval docs
+    * themselves excluded) → mixture budget (t101's thresholds over the
+    * ADMITTED set — target = smallest admitted source, LCG-threshold
+    * selection) → sequence packing (t100's per-source concat-then-chunk at
+    * 256 tokens). Output: the per-source shard manifest (docs, tokens,
+    * packs, boundary-crossing docs, mean quality) — what a shard writer
+    * would publish alongside the data.
+    *
+    * Scale shape, stage by stage: dedup is one hash-keyed shuffle on a
+    * 32-byte digest; the quality gate is map-side; decontamination probes
+    * the persisted gram index (built once per corpus, t92's artifact) with
+    * a semi-join restricted to ADMITTED train docs — copy-on-write: docs
+    * already rejected upstream never pay the gram probe — and the eval
+    * hash set is a distinct-collapsed equi-join key, never a doc×doc
+    * comparison; mixture thresholds are a |sources|-row broadcast; packing
+    * cumsums are keyed by source (t100's one-worker-per-shard argument).
+    * No stage widens rows it later drops: text is carried only to the
+    * quality gate, then the pipeline narrows to (source, doc_id, score,
+    * n_tokens). The gate checks stage COMPOSITION — the admitted set each
+    * stage hands the next — which is where multi-stage pipelines actually
+    * break (the q313 lesson applied to the batch shard path). */
+  def t318PretrainE2e(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val toks = graft.functions.PortableHash.tokens
+    // stage 1+2: re-crawl corpus → exact dedup (winner = min doc_id, so
+    // every synthetic copy loses to its original and 'copy' rows vanish —
+    // asserted in ShardPipelineSpec)
+    val corpus = Dedup.corpusWithCopies(s, dir)
+    val keep = corpus.select(md5(col("text")).as("h"), col("doc_id"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+    val deduped = corpus.join(keep.select("doc_id"), Seq("doc_id"))
+    // stage 3: quality gate — q138's composite score, identical constants
+    val stopArr = TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+    val gated = deduped.selectExpr("doc_id", "source",
+        s"""least(length(text) / 500.0D, 1.0D) * 0.3D
+           |  + least(size(filter($toks, t -> array_contains($stopArr, t)))
+           |      / CAST(size($toks) AS DOUBLE) * 5.0D, 1.0D) * 0.4D
+           |  + size(regexp_extract_all(lower(text), '[a-z]', 0))
+           |      / CAST(length(text) AS DOUBLE) * 0.3D AS score""".stripMargin,
+        s"size($toks) AS n_tokens")
+      .filter(col("score") >= 0.55)
+    // stage 4: decontamination — gram probe only for docs still standing
+    val trainGated = gated.filter(col("doc_id") % 7 =!= 0)
+    val grams = Curation.gramIndex(s, dir)
+    val evalGrams = grams.filter(col("doc_id") % 7 === 0).select("h").distinct()
+    val contaminated = grams
+      .join(trainGated.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(evalGrams.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg((sum(coalesce(col("hit"), lit(0))) / count(lit(1))).as("contam"))
+      .filter(col("contam") >= 0.1)
+      .select("doc_id")
+    val clean = trainGated.join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 5: mixture budget — t101's thresholds over the ADMITTED set
+    val totals = clean.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+    val target = totals.agg(min("src_tokens").as("target"))
+    val rates = totals.crossJoin(broadcast(target))
+      .withColumn("thresh",
+        floor(col("target").cast("double") / col("src_tokens") * 1048576)
+          .cast("long"))
+      .select("source", "thresh")
+    val mixed = clean.join(broadcast(rates), Seq("source"))
+      .filter(expr(graft.functions.PortableHash.lcgSplit("doc_id", 1048576L)) <
+        col("thresh"))
+    // stage 6: packing (t100's per-source cumsum) → shard manifest
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mixed
+      .withColumn("start_pos",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("end_win", expr("(start_pos + n_tokens - 1) div 256"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        (max("end_win") + 1).as("n_packs"),
+        sum(expr("CAST(end_win > start_pos div 256 AS INT)")).as("n_cross"),
+        round(graft.functions.OracleSafe.davg(col("score")), 6).as("mean_score"))
+      .orderBy("source")
+  }
+
+  val t318Sql: String = {
+    val stopList = TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    val tk = "string_split(lower(text), ' ')"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, 'copy' AS source, text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+       |dd AS (SELECT c.* FROM corpus c JOIN keep USING (doc_id)),
+       |gated AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, source,
+       |      least(length(text) / 500.0, 1.0) * 0.3
+       |        + least(len(list_filter($tk, t -> list_contains($stopList, t)))
+       |          / CAST(len($tk) AS DOUBLE) * 5.0, 1.0) * 0.4
+       |        + len(regexp_extract_all(lower(text), '[a-z]'))
+       |          / CAST(length(text) AS DOUBLE) * 0.3 AS score,
+       |      CAST(len($tk) AS INTEGER) AS n_tokens
+       |    FROM dd)
+       |  WHERE score >= 0.55),
+       |grams AS (
+       |  SELECT doc_id, ${Dedup.polyDuckOf("sh")} AS h
+       |  FROM (
+       |    SELECT doc_id, unnest(list_distinct(list_transform(
+       |      range(1, len($tk) - 3),
+       |      i -> array_to_string(($tk)[i:i+4], ' ')))) AS sh
+       |    FROM documents WHERE len($tk) >= 5)),
+       |ev AS (SELECT DISTINCT h FROM grams WHERE doc_id % 7 = 0),
+       |contam AS (
+       |  SELECT g.doc_id,
+       |    sum(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)
+       |      / CAST(count(*) AS DOUBLE) AS c
+       |  FROM grams g LEFT JOIN ev ON g.h = ev.h
+       |  WHERE g.doc_id % 7 <> 0 GROUP BY 1),
+       |clean AS (
+       |  SELECT * FROM gated
+       |  WHERE doc_id % 7 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM contam WHERE c >= 0.1)),
+       |totals AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM clean GROUP BY 1),
+       |rates AS (
+       |  SELECT source,
+       |    CAST(floor(CAST((SELECT min(src_tokens) FROM totals) AS DOUBLE)
+       |      / src_tokens * 1048576) AS BIGINT) AS thresh
+       |  FROM totals),
+       |mixed AS (
+       |  SELECT t.source, t.doc_id, t.score, t.n_tokens
+       |  FROM clean t JOIN rates r ON t.source = r.source
+       |  WHERE ${graft.functions.PortableHash.lcgSplitDuck("doc_id", 1048576L)}
+       |    < r.thresh),
+       |packed AS (
+       |  SELECT source, doc_id, score, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS start_pos
+       |  FROM mixed)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(max((start_pos + n_tokens - 1) // 256) + 1 AS BIGINT) AS n_packs,
+       |  CAST(sum(CASE WHEN (start_pos + n_tokens - 1) // 256
+       |    > start_pos // 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+       |  round(CAST(sum(CAST(score AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+       |    AS mean_score
+       |FROM packed GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t100_sequence_pack" -> t100SequencePack,
     "t101_mix_sample"    -> t101MixSample,
     "t102_repetition"    -> t102Repetition,
     "q104_event_funnel"  -> q104EventFunnel,
     "t291_domain_reweight" -> t291DomainReweight,
-    "t296_unimax_budget" -> t296UnimaxBudget)
+    "t296_unimax_budget" -> t296UnimaxBudget,
+    "t318_pretrain_e2e"  -> t318PretrainE2e)
 
   val oracle: Map[String, String] = Map(
     "t100_sequence_pack" -> t100Sql,
@@ -521,5 +676,6 @@ object ShardPrep {
     "t102_repetition"    -> t102Sql,
     "q104_event_funnel"  -> q104Sql,
     "t291_domain_reweight" -> t291Sql,
-    "t296_unimax_budget" -> t296Sql)
+    "t296_unimax_budget" -> t296Sql,
+    "t318_pretrain_e2e"  -> t318Sql)
 }

@@ -253,4 +253,31 @@ class ShardPrepSpec extends SparkSpec {
     if (nClick > 0) assert(r.getAs[Double]("view_to_click_h") > 0)
     if (nPurchase > 0) assert(r.getAs[Double]("click_to_purchase_h") > 0)
   }
+
+  test("pretrain e2e: manifest invariants hold across every stage boundary") {
+    val df = ShardPrep.t318PretrainE2e(spark, dir)
+    // every packing window is keyed by source (the t100 discipline survives
+    // the composition; the registry sweep re-checks this globally)
+    assert(assertWindowsKeyedOrBounded(df) >= 1)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, tokens, packs, cross) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tokens"), r.getAs[Long]("n_packs"),
+        r.getAs[Long]("n_cross"))
+      // dedup boundary: synthetic re-crawl copies all lose to their
+      // originals, so the 'copy' source never reaches the manifest
+      assert(r.getAs[String]("source") != "copy")
+      // packing boundary: concat-then-chunk means pack count is exactly
+      // ceil(tokens/256) — any drift in the cumsum/window arithmetic
+      // between stage 5's admitted set and stage 6 breaks this identity
+      assert(packs == (tokens + 255) / 256,
+        s"pack count != ceil(tokens/256) for ${r.getAs[String]("source")}")
+      // a doc crosses at most one boundary per doc
+      assert(cross <= nDocs && nDocs >= 1)
+      // quality boundary: only score >= 0.55 docs were admitted upstream,
+      // so no source's mean can sit below the gate
+      assert(r.getAs[Double]("mean_score") >= 0.55)
+    }
+  }
 }
