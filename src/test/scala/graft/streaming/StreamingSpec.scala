@@ -629,4 +629,81 @@ class StreamingSpec extends SparkSpec {
     val batchRows = EventStreams.hourlyByType(batch).orderBy("hour").collect().toSeq
     assert(streamRows == batchRows)
   }
+
+  test("streaming incremental curation: the probe -> admit -> two-table TxLog " +
+    "commit loop grows the index batch over batch, ignores a restart replay, " +
+    "and converges after a mid-commit crash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.TxLog
+    val root = tmpDir("stream_cur")
+    val corpusT = s"$root/admitted"
+    val indexT = s"$root/band_index"
+    // standing corpus + its band index, the batch-built d189 artifacts
+    val seed = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "data pipelines shuffle partitions across executors with broadcast joins"))
+      .toDF("doc_id", "text")
+    TxLog.append(spark, seed, corpusT)
+    TxLog.append(spark, EventStreams.bandKeys(seed), indexT)
+    // the foreachBatch body — q313's admission stage as a continuous loop.
+    // Each micro-batch probes the CURRENT index (read inside the batch, so
+    // prior commits are visible), admits the miss set, and commits BOTH the
+    // docs and their band keys under the batch id (exactly-once per table).
+    def admitBatch(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val suspects = EventStreams
+        .admissionCandidates(batch, TxLog.read(spark, indexT))
+        .select("doc_id").distinct()
+      val admitted = batch.join(suspects, Seq("doc_id"), "left_anti")
+      TxLog.appendBatch(spark, admitted, corpusT, id)
+      TxLog.appendBatch(spark, EventStreams.bandKeys(admitted), indexT, id)
+    }
+    def docSet: Set[Long] = TxLog.read(spark, corpusT)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def run(batches: Seq[(Long, String)]*): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          admitBatch(b, id); () }
+        .start()
+      try batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val b0 = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog again and again tonight",
+      101L -> "completely unrelated content about cooking pasta with fresh tomatoes basil")
+    val b1 = Seq(
+      // near-copy of 101 — rejectable ONLY if batch 0's commit grew the index
+      200L -> "completely unrelated content about cooking pasta with fresh tomatoes parsley",
+      201L -> "orbital mechanics requires delta v budgets for interplanetary transfer windows")
+    run(b0, b1)
+    assert(docSet == Set(1L, 2L, 101L, 201L),
+      s"100 hits the seed index, 200 hits batch 0's admission, got $docSet")
+    // restart: a fresh query re-delivers batch ids 0/1 with the same data —
+    // both tables already committed those ids, so the replay is a no-op
+    val (vCorpus, vIndex) = (TxLog.versions(corpusT).max, TxLog.versions(indexT).max)
+    run(b0, b1)
+    assert(docSet == Set(1L, 2L, 101L, 201L))
+    assert(TxLog.versions(corpusT).max == vCorpus &&
+      TxLog.versions(indexT).max == vIndex,
+      "a restart replay must not create new versions in either table")
+    // mid-commit crash: the corpus append of batch 7 lands, the process dies
+    // before the index append. The tables disagree until the source replays
+    // the batch: the corpus append is then recognized (no-op) and the index
+    // append completes — per-table idempotence gives cross-table convergence.
+    val b7 = Seq(300L -> "fresh novel text about glacier formation and moraine deposits in valleys")
+      .toDF("doc_id", "text")
+    TxLog.appendBatch(spark, b7, corpusT, batchId = 7L)       // ...crash here
+    assert(TxLog.committedBatch(indexT, 7L).isEmpty, "index must lag the crash")
+    admitBatch(b7, 7L)                                        // the replay
+    assert(docSet == Set(1L, 2L, 101L, 201L, 300L))
+    assert(TxLog.committedBatch(indexT, 7L).nonEmpty)
+    // convergence invariant: the index IS bandKeys(admitted corpus) — no
+    // drift in either direction after growth, replay, and crash recovery
+    val fromIndex = TxLog.read(spark, indexT)
+      .select("doc_id", "band_key").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fromCorpus = EventStreams.bandKeys(TxLog.read(spark, corpusT))
+      .select("doc_id", "band_key").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fromIndex == fromCorpus)
+  }
 }
