@@ -554,8 +554,14 @@ object ShardPrep {
            |      / CAST(length(text) AS DOUBLE) * 0.3D AS score""".stripMargin,
         s"size($toks) AS n_tokens")
       .filter(col("score") >= 0.55)
-    // stage 4: decontamination — gram probe only for docs still standing
+    // stage 4: decontamination — gram probe only for docs still standing.
+    // trainGated feeds both the probe's semi-join and the admit anti-join,
+    // and clean feeds both the budget totals and the final selection: Spark
+    // re-executes unshared subplans, so both are persisted NARROW (no text
+    // — (source, doc_id, score, n_tokens) only) rather than paying the
+    // dedup+gate chain once per consumer (the t92/d30 persist discipline).
     val trainGated = gated.filter(col("doc_id") % 7 =!= 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = Curation.gramIndex(s, dir)
     val evalGrams = grams.filter(col("doc_id") % 7 === 0).select("h").distinct()
     val contaminated = grams
@@ -566,6 +572,7 @@ object ShardPrep {
       .filter(col("contam") >= 0.1)
       .select("doc_id")
     val clean = trainGated.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // stage 5: mixture budget — t101's thresholds over the ADMITTED set
     val totals = clean.groupBy("source").agg(sum("n_tokens").as("src_tokens"))
     val target = totals.agg(min("src_tokens").as("target"))
