@@ -121,8 +121,12 @@ object Similarity2 {
   }
 
   /** The PQ CTE chain (subvectors → codebook → assignment), shared by the
-    * s166 code dump and s173's ADC search oracle. */
-  private val pqCtes: String =
+    * s166 code dump and s173's ADC search oracle — parameterized by the
+    * codebook TRAINING predicate (the s206SqlExcluding convention): the
+    * full-corpus oracles train on `TRUE`, s319 trains on history only.
+    * Assignment (`d`/`best`) always covers every vector — encoding under
+    * a frozen codebook is exactly "assign rows the training never saw". */
+  private def pqCtesTrainedOn(trainPred: String): String =
     s"""e AS (${Similarity.vecsDuck}),
        |sub AS (
        |  SELECT vec_id, m, v[m * 8 + 1 : m * 8 + 8] AS sv
@@ -133,6 +137,7 @@ object Similarity2 {
        |    CAST(sum(CAST(floor(sv[p] * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
        |      / count(*) / 1e6 AS c
        |  FROM sub, (SELECT unnest(range(1, 9)) AS p) ps
+       |  WHERE $trainPred
        |  GROUP BY 1, 2, 3),
        |cb AS (SELECT m, code, list(c ORDER BY p) AS cw
        |       FROM cbdim GROUP BY 1, 2),
@@ -146,6 +151,8 @@ object Similarity2 {
        |  SELECT vec_id, m, code, d2, row_number() OVER (
        |    PARTITION BY vec_id, m ORDER BY d2, code) AS rn
        |  FROM d)""".stripMargin
+
+  private val pqCtes: String = pqCtesTrainedOn("TRUE")
 
   val s166Sql: String =
     s"""WITH $pqCtes
@@ -693,6 +700,170 @@ object Similarity2 {
 
   val s206Sql: String = s206SqlExcluding("FALSE")
 
+  // ---------------------------------------------------------------- s319
+
+  /** s319: FRESH-INDEX retrieval — the freshness seam the lifecycle
+    * queries left open: s193 computes admit assignments but never commits
+    * them, s299 masks deletes but its index holds only the build-time
+    * corpus. Here the searcher SEES post-build writes: the IVF-PQ index is
+    * built from the STANDING corpus only (history = NOT (vec_id % 7 = 0 ∧
+    * vec_id ≥ 16)), its quantizer frozen (history-trained centroids +
+    * codebook); the batch (vec_id % 7 = 0 ∧ ≥ 16) is then ADMITTED —
+    * each vector assigned to its nearest frozen centroid by cosine (the
+    * s193 trained-quantizer semantics, ties to the smaller cell) and
+    * PQ-encoded under the frozen codebook — and lands as ONE exactly-once
+    * [[graft.sources.TxLog.appendBatch]] posting commit; a takedown set
+    * (vec_id % 7 = 3 ∧ ≥ 16) lands as the s299 tombstone table. The
+    * searcher is a pure reader of the post-commit log: probes, ADC, top-3
+    * over (history ∪ batch) − tombstones, `is_fresh` flagging admitted
+    * neighbors. The build itself REPLAYS the admit with the same batch id
+    * and requires the version unchanged — exactly-once is an invariant of
+    * the artifact, not just a spec assertion.
+    *
+    * Exactness (why append ≡ rebuild): cells, centroids, and codewords are
+    * HISTORY statistics, untouched by the admit; ADC scores are
+    * per-candidate independent. So searching the appended index is
+    * bit-identical to searching an index built from scratch over the live
+    * set with the same frozen quantizer — which is exactly what the oracle
+    * does (one SQL chain, no reading of our artifacts).
+    *
+    * Scale shape: the admit is a broadcast of k centroids + 32 codewords
+    * against the batch only — the corpus is never touched (O(batch × k));
+    * the append is O(|batch|) postings; the search is s206's probed-cell
+    * shape. At 100 TB this is the only index-maintenance cost model that
+    * works: admits and takedowns are log appends, rebuilds are overwrite
+    * commits, and freshness is read-your-writes through the log. */
+  def s319FreshIndexSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    import org.apache.spark.sql.expressions.Window
+    val root = graft.SparkSupport.layoutArtifact("ivfpq_fresh", dir) { p =>
+      val all = Similarity.vecs(s, dir)
+        .selectExpr("vec_id", "v", s"${Similarity.signCellExpr} AS cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val isBatch = col("vec_id") % 7 === 0 && col("vec_id") >= 16
+      val hist = all.filter(!isBatch)
+      // frozen quantizer: HISTORY-only per-cell decimal-mean centroids
+      val cent = hist
+        .selectExpr("cell", "posexplode(v) AS (dim, x)")
+        .groupBy("cell", "dim")
+        .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .selectExpr("cell", "transform(dm, e -> e.m) AS cv")
+      val histSub = pqSubOf(hist).persist(StorageLevel.MEMORY_AND_DISK)
+      val cb = pqCodebook(histSub) // frozen codebook: history subvectors only
+      val histPostings = pqAssign(histSub, cb)
+        .selectExpr("vec_id", "m", "b.code AS code")
+        .join(hist.select("vec_id", "cell"), "vec_id")
+      // ADMIT: nearest frozen centroid (s193 semantics) + frozen-cb encode
+      val batch = all.filter(isBatch)
+      val batchCell = batch.select("vec_id", "v").as("q")
+        .join(broadcast(cent).as("c"), lit(true))
+        .selectExpr("vec_id", "cell",
+          Similarity.cosExpr.replace("c.v", "c.cv") + " AS ccos")
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
+        .filter(col("crank") === 1)
+        .select("vec_id", "cell")
+      val batchPostings = pqAssign(pqSubOf(batch), cb)
+        .selectExpr("vec_id", "m", "b.code AS code")
+        .join(batchCell, "vec_id")
+      TxLog.append(s, cent, s"$p/centroids", partFiles = 1)
+      TxLog.append(s, cb, s"$p/codebook", partFiles = 1)
+      TxLog.append(s, histPostings, s"$p/postings", partFiles = 2)
+      val v1 = TxLog.appendBatch(s, batchPostings, s"$p/postings", batchId = 1L)
+      val v2 = TxLog.appendBatch(s, batchPostings, s"$p/postings", batchId = 1L)
+      require(v1 == v2, s"admit replay re-committed: v$v1 then v$v2")
+      TxLog.append(s,
+        all.filter(col("vec_id") % 7 === 3 && col("vec_id") >= 16)
+          .select("vec_id"),
+        s"$p/tombstones", partFiles = 1)
+      all.unpersist(); histSub.unpersist()
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    val cent = TxLog.read(s, s"$root/centroids")
+    val cb = TxLog.read(s, s"$root/codebook")
+    val postings = TxLog.read(s, s"$root/postings")
+    val tomb = TxLog.read(s, s"$root/tombstones")
+    val (q, qsub) = probeInputs(s, dir)
+    ivfpqSearch(q, qsub, cent, cb,
+      postings.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+      .selectExpr("qid", "rank", "nid", "adc",
+        "CAST(nid % 7 = 0 AND nid >= 16 AS INT) AS is_fresh")
+  }
+
+  /** s319's oracle: ONE from-scratch chain over the live set — codebook
+    * and centroids trained on history only ([[pqCtesTrainedOn]]), history
+    * postings in their sign cells, batch postings in their nearest-frozen-
+    * centroid cells, tombstones excluded at the posting scan. Bit-equality
+    * here IS the append ≡ rebuild theorem instantiated. */
+  val s319Sql: String =
+    s"""WITH ${pqCtesTrainedOn("NOT (vec_id % 7 = 0 AND vec_id >= 16)")},
+       |cells AS (
+       |  SELECT vec_id, v,
+       |    CAST(CAST(v[1] >= 0 AS INTEGER) AS VARCHAR) ||
+       |    CAST(CAST(v[2] >= 0 AS INTEGER) AS VARCHAR) ||
+       |    CAST(CAST(v[3] >= 0 AS INTEGER) AS VARCHAR) AS cell
+       |  FROM e),
+       |centdim AS (
+       |  SELECT cell, k, CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS k
+       |        FROM cells WHERE NOT (vec_id % 7 = 0 AND vec_id >= 16))
+       |  GROUP BY cell, k),
+       |cent AS (SELECT cell, list(m ORDER BY k) AS cv FROM centdim GROUP BY cell),
+       |q AS (SELECT vec_id AS qid, v FROM cells WHERE vec_id < 16),
+       |probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY
+       |      list_reduce(list_transform(range(1, 65), k -> q.v[k] * c.cv[k]), (x, y) -> x + y) /
+       |      (sqrt(list_reduce(list_transform(range(1, 65), k -> q.v[k] * q.v[k]), (x, y) -> x + y)) *
+       |       sqrt(list_reduce(list_transform(range(1, 65), k -> c.cv[k] * c.cv[k]), (x, y) -> x + y)))
+       |      DESC, cell) AS crank
+       |    FROM q CROSS JOIN cent c)
+       |  WHERE crank <= 2),
+       |batchcell AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT q.vec_id, c.cell, row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_reduce(list_transform(range(1, 65), k -> q.v[k] * c.cv[k]), (x, y) -> x + y) /
+       |      (sqrt(list_reduce(list_transform(range(1, 65), k -> q.v[k] * q.v[k]), (x, y) -> x + y)) *
+       |       sqrt(list_reduce(list_transform(range(1, 65), k -> c.cv[k] * c.cv[k]), (x, y) -> x + y)))
+       |      DESC, c.cell) AS crank
+       |    FROM (SELECT vec_id, v FROM cells
+       |          WHERE vec_id % 7 = 0 AND vec_id >= 16) q
+       |    CROSS JOIN cent c)
+       |  WHERE crank = 1),
+       |postings AS (
+       |  SELECT b.vec_id, b.m, b.code, cl.cell
+       |  FROM best b JOIN cells cl USING (vec_id)
+       |  WHERE rn = 1 AND NOT (b.vec_id % 7 = 0 AND b.vec_id >= 16)
+       |  UNION ALL
+       |  SELECT b.vec_id, b.m, b.code, bc.cell
+       |  FROM best b JOIN batchcell bc USING (vec_id)
+       |  WHERE rn = 1),
+       |dt AS (
+       |  SELECT s.vec_id AS qid, b.m, b.code,
+       |    CAST(floor(list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+       |      j -> (s.sv[j] - b.cw[j]) * (s.sv[j] - b.cw[j]))),
+       |      (x, y) -> x + y) * 1e6 + 0.5) AS BIGINT) AS q6
+       |  FROM sub s JOIN cb b ON s.m = b.m
+       |  WHERE s.vec_id < 16),
+       |adc AS (
+       |  SELECT p.qid, po.vec_id, CAST(sum(dt.q6) AS BIGINT) AS s6
+       |  FROM probes p JOIN postings po ON po.cell = p.cell
+       |  JOIN dt ON dt.qid = p.qid AND dt.m = po.m AND dt.code = po.code
+       |  WHERE po.vec_id <> p.qid
+       |    AND NOT (po.vec_id % 7 = 3 AND po.vec_id >= 16)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, vec_id, s6, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY s6, vec_id) AS INTEGER) AS rank
+       |  FROM adc)
+       |SELECT qid, rank, vec_id AS nid,
+       |  round(CAST(s6 AS DOUBLE) / 1e6, 6) AS adc,
+       |  CAST(vec_id % 7 = 0 AND vec_id >= 16 AS INTEGER) AS is_fresh
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   // ---------------------------------------------------------------- s256
 
   /** s256: IVF-PQ recall@3 — the END-TO-END accuracy number for the s206
@@ -1041,7 +1212,8 @@ object Similarity2 {
     "s206_ivfpq_search" -> s206IvfPqSearch,
     "s256_ivfpq_recall" -> s256IvfpqRecall,
     "s275_ivfpq_from_table" -> s275IvfpqFromTable,
-    "s299_ann_with_deletes" -> s299AnnWithDeletes)
+    "s299_ann_with_deletes" -> s299AnnWithDeletes,
+    "s319_fresh_index_search" -> s319FreshIndexSearch)
 
   val oracle: Map[String, String] = Map(
     "s315_rag_pipeline" -> s315Sql,
@@ -1057,5 +1229,6 @@ object Similarity2 {
     // the persisted-index searcher must reproduce the in-memory build
     // bit-for-bit — same oracle as s206
     "s275_ivfpq_from_table" -> s206Sql,
-    "s299_ann_with_deletes" -> s299Sql)
+    "s299_ann_with_deletes" -> s299Sql,
+    "s319_fresh_index_search" -> s319Sql)
 }

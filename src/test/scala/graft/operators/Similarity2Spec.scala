@@ -374,6 +374,40 @@ class Similarity2Spec extends SparkSpec {
         s"$t must be one committed version")
   }
 
+  test("s319 fresh-index search: admitted vectors are retrievable, " +
+    "tombstones never surface, and the admit landed exactly once") {
+    val out = Similarity2.s319FreshIndexSearch(spark, dir).cache()
+    // shape: 3 contiguous ranks per probe
+    assert(out.count() == 16 * 3)
+    out.groupBy("qid").agg(collect_list(col("rank")).as("rs")).collect()
+      .foreach(r => assert(r.getSeq[Int](1).sorted == Seq(1, 2, 3)))
+    // the is_fresh flag is exactly the batch membership predicate
+    assert(out.filter((col("is_fresh") === 1) =!=
+      (col("nid") % 7 === 0 && col("nid") >= 16)).count() == 0)
+    // no tombstoned id anywhere
+    assert(out.filter(col("nid") >= 16 && col("nid") % 7 === 3).count() == 0)
+    // the posting log holds exactly TWO commits: the history build and the
+    // exactly-once admit (the build replays the batch id and requires the
+    // version unchanged, so a third version would mean replay re-committed)
+    val root = graft.SparkSupport.layoutArtifact("ivfpq_fresh", dir)(_ => ())
+    assert(graft.sources.TxLog.versions(s"$root/postings") == Seq(1, 2))
+    // the admit is IN the index: the committed postings contain every
+    // batch vector with its full 8-subspace code row set
+    val postings = graft.sources.TxLog.read(spark, s"$root/postings").cache()
+    val nBatch = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") >= 16).count()
+    assert(nBatch > 0)
+    assert(postings.filter(col("vec_id") % 7 === 0 && col("vec_id") >= 16)
+      .count() == nBatch * 8)
+    // and freshness is OBSERVABLE end-to-end: at least one admitted vector
+    // sits in a probed cell of some query (reachable by the searcher), so
+    // the append-then-read path demonstrably feeds retrieval at this SF
+    val fresh = out.filter(col("is_fresh") === 1).count()
+    assert(fresh > 0, "no admitted vector reached any top-3 at sf0.001 — " +
+      "the freshness demonstration is vacuous")
+    postings.unpersist(); out.unpersist()
+  }
+
   test("s309 mmr: rank 1 is the relevance argmax, selected scores are " +
     "non-increasing, and a near-duplicate of a selected result is " +
     "demoted below a diverse lower-relevance candidate") {
