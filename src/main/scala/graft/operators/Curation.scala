@@ -376,16 +376,11 @@ object Curation {
     val keep = corpus.select(md5(col("text")).as("h"), col("doc_id"))
       .groupBy("h").agg(min("doc_id").as("doc_id"))
     val deduped = corpus.join(keep.select("doc_id"), Seq("doc_id"))
-    // stage 2: quality gate (t35's composite, unrounded)
-    val stopArr = TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+    // stage 2: quality gate (the shared Quality.scoreExpr kernel)
     val toks = "split(lower(text), ' ')"
     val scored = deduped.selectExpr("doc_id", "source", "text",
-        s"""least(length(text) / 500.0D, 1.0D) * 0.3D
-           |  + least(size(filter($toks, t -> array_contains($stopArr, t)))
-           |      / CAST(size($toks) AS DOUBLE) * 5.0D, 1.0D) * 0.4D
-           |  + size(regexp_extract_all(lower(text), '[a-z]', 0))
-           |      / CAST(length(text) AS DOUBLE) * 0.3D AS score""".stripMargin)
-      .filter(col("score") >= 0.55)
+        s"${Quality.scoreExpr(toks)} AS score")
+      .filter(col("score") >= Quality.ScoreThreshold)
     // stage 3: deterministic per-source cap, k smallest portable hashes
     val capped = TopKPerKey(
       scored.selectExpr("source", "doc_id", "score",
@@ -400,7 +395,6 @@ object Curation {
   }
 
   val q138Sql: String = {
-    val stopList = TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH corpus AS (
        |  SELECT doc_id, source, text FROM documents
        |  UNION ALL
@@ -410,14 +404,9 @@ object Curation {
        |dd AS (SELECT c.* FROM corpus c JOIN keep USING (doc_id)),
        |scored AS (
        |  SELECT doc_id, source, text,
-       |    least(length(text) / 500.0, 1.0) * 0.3
-       |      + least(len(list_filter(string_split(lower(text), ' '),
-       |          t -> list_contains($stopList, t)))
-       |        / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 5.0, 1.0) * 0.4
-       |      + len(regexp_extract_all(lower(text), '[a-z]'))
-       |        / CAST(length(text) AS DOUBLE) * 0.3 AS score
+       |    ${Quality.scoreDuck()} AS score
        |  FROM dd),
-       |gated AS (SELECT * FROM scored WHERE score >= 0.55),
+       |gated AS (SELECT * FROM scored WHERE score >= ${Quality.ScoreThreshold}),
        |hashed AS (
        |  SELECT source, doc_id, score,
        |    ${polyDuck("CAST(doc_id AS VARCHAR)")} AS ph,

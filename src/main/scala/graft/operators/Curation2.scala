@@ -51,18 +51,12 @@ object Curation2 {
     val comp = docs.select(col("doc_id").as("id"))
       .join(sub.withColumnRenamed("component", "c"), Seq("id"), "left")
       .selectExpr("id", "coalesce(c, id) AS component")
-    val stopArr =
-      TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
-    val toks = "split(lower(text), ' ')"
-    // t35's composite, UNROUNDED (the q138 convention): raw doubles make
-    // round() midpoint ties measure-zero, and the argmax below compares the
-    // raw values so both engines rank the identical bits
+    // t35's composite (the shared Quality.scoreExpr kernel), UNROUNDED
+    // (the q138 convention): raw doubles make round() midpoint ties
+    // measure-zero, and the argmax below compares the raw values so both
+    // engines rank the identical bits
     val scored = docs.selectExpr("doc_id",
-      s"""least(length(text) / 500.0D, 1.0D) * 0.3D
-         |  + least(size(filter($toks, t -> array_contains($stopArr, t)))
-         |      / CAST(size($toks) AS DOUBLE) * 5.0D, 1.0D) * 0.4D
-         |  + size(regexp_extract_all(lower(text), '[a-z]', 0))
-         |      / CAST(length(text) AS DOUBLE) * 0.3D AS qr""".stripMargin)
+      s"${Quality.scoreExpr()} AS qr")
     val j = comp.withColumnRenamed("id", "doc_id").join(scored, "doc_id")
       // feeds the canonical argmax AND the output join (multi-consumer
       // persist convention; released by the runner's clearCache)
@@ -81,8 +75,6 @@ object Curation2 {
   }
 
   val d144Sql: String = {
-    val stopList =
-      TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH RECURSIVE ${Dedup.minhashPairCtes},
        |pairs AS (
        |  SELECT id1, id2
@@ -99,12 +91,7 @@ object Curation2 {
        |comp AS (SELECT id AS doc_id, min(l) AS component FROM reach GROUP BY id),
        |scored AS (
        |  SELECT doc_id,
-       |    least(length(text) / 500.0, 1.0) * 0.3
-       |      + least(len(list_filter(string_split(lower(text), ' '),
-       |          t -> list_contains($stopList, t)))
-       |        / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 5.0, 1.0) * 0.4
-       |      + len(regexp_extract_all(lower(text), '[a-z]'))
-       |        / CAST(length(text) AS DOUBLE) * 0.3 AS qr
+       |    ${Quality.scoreDuck()} AS qr
        |  FROM documents),
        |j AS (SELECT c.doc_id, c.component, s2.qr
        |      FROM comp c JOIN scored s2 USING (doc_id)),

@@ -52,18 +52,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object IncrementalCuration {
 
-  private val Threshold = 0.55
+  private val Threshold = Quality.ScoreThreshold
   private val toksExpr = "split(lower(text), ' ')"
 
-  /** q138's composite quality score, verbatim — one formula, two gates. */
-  private def scoreExpr: String = {
-    val stopArr = TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
-    s"""least(length(text) / 500.0D, 1.0D) * 0.3D
-       |  + least(size(filter($toksExpr, t -> array_contains($stopArr, t)))
-       |      / CAST(size($toksExpr) AS DOUBLE) * 5.0D, 1.0D) * 0.4D
-       |  + size(regexp_extract_all(lower(text), '[a-z]', 0))
-       |      / CAST(length(text) AS DOUBLE) * 0.3D""".stripMargin
-  }
+  /** q138's composite quality score — the shared [[Quality.scoreExpr]]
+    * kernel (one definition across every consuming gate). */
+  private def scoreExpr: String = Quality.scoreExpr(toksExpr)
 
   /** Scored corpus projection (original ids): doc_id, source, content
     * hash, quality score, token count — everything admission needs
@@ -211,19 +205,14 @@ object IncrementalCuration {
   /** From-scratch re-derivation of the post-commit state: the same
     * admission semantics applied in one SQL pass over `documents`. */
   val q313Sql: String = {
-    val stopList = TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH ${Dedup.bandCtes},
        |sc AS (
        |  SELECT doc_id, source, md5(text) AS h,
-       |    least(length(text) / 500.0, 1.0) * 0.3
-       |      + least(len(list_filter(string_split(lower(text), ' '),
-       |          t -> list_contains($stopList, t)))
-       |        / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 5.0, 1.0) * 0.4
-       |      + len(regexp_extract_all(lower(text), '[a-z]'))
-       |        / CAST(length(text) AS DOUBLE) * 0.3 AS score,
+       |    ${Quality.scoreDuck()} AS score,
        |    len(string_split(lower(text), ' ')) AS n_tokens
        |  FROM documents),
-       |histc AS (SELECT * FROM sc WHERE doc_id % 5 <= 2 AND score >= 0.55),
+       |histc AS (SELECT * FROM sc
+       |          WHERE doc_id % 5 <= 2 AND score >= $Threshold),
        |batch AS (SELECT * FROM sc WHERE doc_id % 5 = 3),
        |hb AS (SELECT b.doc_id, b.band_key FROM bands b JOIN histc USING (doc_id)),
        |bb AS (SELECT doc_id, band_key FROM bands WHERE doc_id % 5 = 3),
@@ -254,7 +243,8 @@ object IncrementalCuration {
        |  LEFT JOIN nd ON b.doc_id = nd.doc_id),
        |admitted AS (
        |  SELECT source, score, n_tokens FROM st
-       |  WHERE dup_index = 0 AND rk = 1 AND near_dup = 0 AND score >= 0.55),
+       |  WHERE dup_index = 0 AND rk = 1 AND near_dup = 0
+       |    AND score >= $Threshold),
        |uni AS (
        |  SELECT source, score, n_tokens FROM histc
        |  UNION ALL SELECT source, score, n_tokens FROM admitted)

@@ -172,6 +172,52 @@ object Quality {
       |SELECT check_name, metric6, metric6 = 1000000 AS passed
       |FROM long ORDER BY check_name""".stripMargin
 
+  // ------------------------------------------------------------------
+  // The composite quality-score kernel (t35's formula) — ONE definition.
+  //
+  // q138 (curation pipeline), d144 (dup clusters), q313 (incremental
+  // curation), and t318 (pretrain E2E) all gate or rank on this exact
+  // score, and each one's DuckDB oracle must reproduce it bit-for-bit.
+  // A textual copy at any of those sites is a latent desynchronization:
+  // an edit to one copy keeps every gate green (each oracle matches its
+  // own copy) while the operators silently stop gating the same corpus.
+  // Both dialect renderings therefore live HERE and are interpolated at
+  // every use site — the same collapse already applied to jaccardVerify
+  // and RrfLegK. The 'D' suffixes in the Spark form are load-bearing:
+  // bare literals parse as DECIMAL and would switch the whole formula to
+  // decimal arithmetic (see t35Quality's comment in TextAnalysis).
+  // QualityScoreParitySpec pins t35's column-composed variant to this
+  // kernel so the remaining structural sibling cannot drift either.
+
+  /** Admission threshold shared by every gate consuming [[scoreExpr]]. */
+  val ScoreThreshold: Double = 0.55
+
+  /** Spark-SQL rendering of the composite score over a `text` column.
+    * `toks` must be the whitespace-token expression (callers pass their
+    * local alias; the default is the one shared constant). */
+  def scoreExpr(
+      toks: String = graft.functions.PortableHash.tokens): String = {
+    val stopArr =
+      TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+    s"""least(length(text) / 500.0D, 1.0D) * 0.3D
+       |  + least(size(filter($toks, t -> array_contains($stopArr, t)))
+       |      / CAST(size($toks) AS DOUBLE) * 5.0D, 1.0D) * 0.4D
+       |  + size(regexp_extract_all(lower(text), '[a-z]', 0))
+       |      / CAST(length(text) AS DOUBLE) * 0.3D""".stripMargin
+  }
+
+  /** DuckDB rendering of the same score, for interpolation into the
+    * oracle SQL of every consuming gate. */
+  def scoreDuck(tk: String = "string_split(lower(text), ' ')"): String = {
+    val stopList =
+      TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""least(length(text) / 500.0, 1.0) * 0.3
+       |  + least(len(list_filter($tk, t -> list_contains($stopList, t)))
+       |    / CAST(len($tk) AS DOUBLE) * 5.0, 1.0) * 0.4
+       |  + len(regexp_extract_all(lower(text), '[a-z]'))
+       |    / CAST(length(text) AS DOUBLE) * 0.3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_parse_quarantine" -> q109ParseQuarantine,
     "q110_column_profile"   -> q110ColumnProfile,

@@ -544,16 +544,11 @@ object ShardPrep {
     val keep = corpus.select(md5(col("text")).as("h"), col("doc_id"))
       .groupBy("h").agg(min("doc_id").as("doc_id"))
     val deduped = corpus.join(keep.select("doc_id"), Seq("doc_id"))
-    // stage 3: quality gate — q138's composite score, identical constants
-    val stopArr = TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+    // stage 3: quality gate — the shared Quality.scoreExpr kernel
     val gated = deduped.selectExpr("doc_id", "source",
-        s"""least(length(text) / 500.0D, 1.0D) * 0.3D
-           |  + least(size(filter($toks, t -> array_contains($stopArr, t)))
-           |      / CAST(size($toks) AS DOUBLE) * 5.0D, 1.0D) * 0.4D
-           |  + size(regexp_extract_all(lower(text), '[a-z]', 0))
-           |      / CAST(length(text) AS DOUBLE) * 0.3D AS score""".stripMargin,
+        s"${Quality.scoreExpr(toks)} AS score",
         s"size($toks) AS n_tokens")
-      .filter(col("score") >= 0.55)
+      .filter(col("score") >= Quality.ScoreThreshold)
     // stage 4: decontamination — gram probe only for docs still standing.
     // trainGated feeds both the probe's semi-join and the admit anti-join,
     // and clean feeds both the budget totals and the final selection: Spark
@@ -601,7 +596,6 @@ object ShardPrep {
   }
 
   val t318Sql: String = {
-    val stopList = TextAnalysis.stopEn.map(w => s"'$w'").mkString("[", ", ", "]")
     val tk = "string_split(lower(text), ' ')"
     s"""WITH corpus AS (
        |  SELECT doc_id, source, text FROM documents
@@ -613,14 +607,10 @@ object ShardPrep {
        |gated AS (
        |  SELECT * FROM (
        |    SELECT doc_id, source,
-       |      least(length(text) / 500.0, 1.0) * 0.3
-       |        + least(len(list_filter($tk, t -> list_contains($stopList, t)))
-       |          / CAST(len($tk) AS DOUBLE) * 5.0, 1.0) * 0.4
-       |        + len(regexp_extract_all(lower(text), '[a-z]'))
-       |          / CAST(length(text) AS DOUBLE) * 0.3 AS score,
+       |      ${Quality.scoreDuck(tk)} AS score,
        |      CAST(len($tk) AS INTEGER) AS n_tokens
        |    FROM dd)
-       |  WHERE score >= 0.55),
+       |  WHERE score >= ${Quality.ScoreThreshold}),
        |grams AS (
        |  SELECT doc_id, ${Dedup.polyDuckOf("sh")} AS h
        |  FROM (
