@@ -52,15 +52,36 @@ object Bench {
     val benchQueries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
 
-    def runAll(): Map[String, Double] =
+    // Scheduled-work counters (PlanProbe's listener, promoted to the bench
+    // proper): per-query job/stage counts go into BENCH_FULL.json so the
+    // merge tool can floor-correct each query by its ACTUAL scheduled work
+    // — making an r{N}→r{N+1} per-query delta readable as floor-change vs
+    // data-change without a manual adjudication round. onJobStart is
+    // posted before the blocking action returns, so reading the counters
+    // after count() sees every job of the query (same hazard profile as
+    // PlanProbe; counts are metadata, a ±1 race would not corrupt timing).
+    val jobsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stagesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobsSeen.incrementAndGet()
+          stagesSeen.addAndGet(j.stageInfos.size)
+        }
+      })
+
+    // name -> (seconds, jobs, stages)
+    def runAll(): Map[String, (Double, Int, Int)] =
       benchQueries.map { case (name, fn) =>
+        jobsSeen.set(0); stagesSeen.set(0)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop per-query persisted intermediates so they don't accumulate
         // across the multi-query session
         spark.catalog.clearCache()
-        name -> dt
+        name -> ((dt, jobsSeen.get(), stagesSeen.get()))
       }
 
     // Per-query floor, measured (round 3): a NO-FILE 1-stage count at
@@ -107,8 +128,13 @@ object Bench {
       if (warmupSec < 0) -1.0 else SparkSupport.layoutBuildNanos.get() / 1e9
     val warmupJitSec: Double =
       if (warmupSec < 0) -1.0 else warmupSec - warmupLayoutSec
-    val results = (1 to reps).map(_ => runAll())
-      .reduce((a, b) => a.map { case (k, v) => k -> math.min(v, b(k)) })
+    // min over reps per query; job/stage counts ride with the winning rep
+    // (they are plan-stable across reps — AQE can wobble a stage, in which
+    // case the counts describe the run whose seconds are reported)
+    val fullResults = (1 to reps).map(_ => runAll())
+      .reduce((a, b) => a.map { case (k, v) =>
+        k -> (if (v._1 <= b(k)._1) v else b(k)) })
+    val results = fullResults.map { case (k, v) => k -> v._1 }
     val total = results.values.sum
     // The measured per-query scheduling floor, captured IN THIS SESSION at
     // the same warm state as the timed reps: a no-file single-stage count
@@ -121,6 +147,20 @@ object Bench {
       spark.range(1000000L).count()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // Incremental cost of ONE EXTRA STAGE in the same job: a 2-stage
+    // count over a TINY range (1k rows — so the shuffle carries no real
+    // bytes and the delta is pure stage-scheduling latency) minus the
+    // 1-stage count over the same range. With the per-query (jobs,
+    // stages) above, the merge tool models each query's scheduling floor
+    // as jobs×floor + (stages−jobs)×stage_incr instead of the old
+    // one-floor-per-query approximation (ADVICE r8: that correction
+    // undercounted multi-job queries and was flagged as over-readable).
+    def minOf5(body: => Unit): Double = (1 to 5).map { _ =>
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }.min
+    val tiny1 = minOf5(spark.range(1000L).count())
+    val tiny2 = minOf5(spark.range(1000L).repartition(2).count())
+    val stageFloorIncrSec = math.max(tiny2 - tiny1, 0.0)
 
     def fmt(v: Double, dp: Int): String = {
       val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
@@ -134,12 +174,21 @@ object Bench {
     }
 
     // Full precision to a file for the judge / BASELINE cross-reference.
+    // jobs/stages maps carry each query's scheduled work for the per-query
+    // floor correction in merge_bench_oracle.py.
+    val jobsJson = fullResults.map { case (k, v) => s"\"$k\":${v._2}" }
+      .mkString("{", ",", "}")
+    val stagesJson = fullResults.map { case (k, v) => s"\"$k\":${v._3}" }
+      .mkString("{", ",", "}")
     val fullJson = results.map { case (k, v) => s"\"$k\":$v" }
       .mkString("{\"queries\":{", ",",
-        s"},\"total\":$total,\"warmup_sec\":$warmupSec" +
+        s"},\"jobs\":$jobsJson,\"stages\":$stagesJson" +
+          s",\"total\":$total,\"warmup_sec\":$warmupSec" +
           s",\"warmup_layout_sec\":$warmupLayoutSec" +
           s",\"warmup_jit_sec\":$warmupJitSec,\"reps\":$reps" +
-          s",\"floor_sec\":$floorSec,\"sf\":\"$sfDir\"}")
+          s",\"floor_sec\":$floorSec" +
+          s",\"stage_floor_incr_sec\":$stageFloorIncrSec" +
+          s",\"sf\":\"$sfDir\"}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullJson)
 
