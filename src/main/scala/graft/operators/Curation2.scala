@@ -189,11 +189,20 @@ object Curation2 {
     import org.apache.spark.sql.expressions.Window
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val perDoc = t146UnigramLogprob(s, dir)
+    // localCheckpoint, NOT persist (ADVICE r8): pid captures
+    // spark_partition_id() over a range exchange, and a recompute of a
+    // lost cached partition would RE-SAMPLE the range boundaries — mixing
+    // offsets from one partitioning with local cumsums from another. The
+    // eager checkpoint truncates lineage, freezing the pid-tagged rows:
+    // a lost block now fails the job (retryable) instead of silently
+    // corrupting the prefix sums. The table is value-domain-sized
+    // (distinct 6-decimal scores ≪ docs), so the materialization is
+    // metadata-weight.
     val vals = perDoc.groupBy("avg_nll")
       .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("tk"))
       .repartitionByRange(parts, col("avg_nll"))
       .withColumn("pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds offsets + the cut pass
+      .localCheckpoint() // feeds offsets + the cut pass
     // |partitions| rows of metadata; limit(parts) is identity (pid ∈
     // [0, parts)) and marks the prefix-sum window limit-bounded
     val offsets = vals.groupBy("pid").agg(sum(col("c")).as("pc"))

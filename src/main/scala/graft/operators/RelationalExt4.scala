@@ -274,7 +274,12 @@ object RelationalExt4 {
       .groupBy("wh", "v").agg(count(lit(1)).as("cnt"))
       .repartitionByRange(RankRangeSplits, col("wh"), col("v"))
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, NOT persist (ADVICE r8, the q147 fix): the
+      // offsets below are COLLECTED off this pid tagging; a lost-block
+      // recompute would re-sample the range boundaries and mismatch the
+      // driver-held offsets. Lineage truncation freezes the tagging; the
+      // table is value-domain-sized, so the materialization is cheap.
+      .localCheckpoint()
     val tots = vc.groupBy("pid", "wh").agg(sum(col("cnt")).as("tot"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
     val offsets = tots.map { case ((p, wh), _) =>

@@ -361,11 +361,17 @@ object ScalePatterns {
   def q207GlobalOrdinals(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint, NOT persist (ADVICE r8, the q147 fix): pid captures
+    // spark_partition_id() over a SAMPLED range exchange; a lost-block
+    // recompute would re-sample boundaries and mix offsets from one
+    // partitioning with local ranks from another. Truncating lineage
+    // freezes the pid-tagged rows — loss now fails the job (retryable)
+    // instead of silently corrupting ordinals.
     val ranged = Tables.orders(s, dir)
       .select("o_orderkey", "o_orderdate")
       .repartitionByRange(parts, col("o_orderdate"), col("o_orderkey"))
       .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // |partitions| rows: counts → exclusive prefix sums (this window's
     // SinglePartition is over 32 rows of metadata, not the table);
     // limit(parts) is identity — pid ∈ [0, parts) caps the group count —

@@ -342,17 +342,31 @@ object Similarity2 {
     * oracle can never desynchronize from the Spark path. */
   private[operators] val RrfLegK = 101
 
-  val s196Sql: String =
-    s"""WITH toks AS MATERIALIZED (
+  /** The 8-rarest-query-term selection CTE chain (tokenize → distinct
+    * doc-term pairs → query-doc terms → document frequency → 8 rarest),
+    * emitting CTEs `toks$sfx`, `dt$sfx`, `d0$sfx`, `dfq$sfx`,
+    * `qt$sfx(t, df)`. ONE definition interpolated into both [[s196Sql]]
+    * and [[s314Sql]] (ADVICE r8): the rerank tier's features must be
+    * computed over exactly the terms that built the fused shortlist, and
+    * a textual copy is how they drift. The suffix exists because s314Sql
+    * embeds s196Sql as a subquery and DuckDB's binder rejects an outer
+    * CTE shadowing the nested one's name — the CHAIN stays one
+    * definition, only its names are parameterized. */
+  private[operators] def termSelectCtes(sfx: String = ""): String =
+    s"""toks$sfx AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
        |  FROM documents),
-       |dt AS MATERIALIZED (SELECT DISTINCT doc_id, t FROM toks),
-       |d0 AS (SELECT t FROM dt WHERE doc_id = 0),
-       |dfq AS (SELECT t, count(*) AS df FROM dt
-       |        WHERE t IN (SELECT t FROM d0) GROUP BY t),
-       |qt AS (SELECT t, df FROM (
-       |         SELECT t, df, row_number() OVER (ORDER BY df, t) AS r FROM dfq)
-       |       WHERE r <= 8),
+       |dt$sfx AS MATERIALIZED (SELECT DISTINCT doc_id, t FROM toks$sfx),
+       |d0$sfx AS (SELECT t FROM dt$sfx WHERE doc_id = 0),
+       |dfq$sfx AS (SELECT t, count(*) AS df FROM dt$sfx
+       |        WHERE t IN (SELECT t FROM d0$sfx) GROUP BY t),
+       |qt$sfx AS (SELECT t, df FROM (
+       |         SELECT t, df, row_number() OVER (ORDER BY df, t) AS r
+       |         FROM dfq$sfx)
+       |       WHERE r <= 8)""".stripMargin
+
+  val s196Sql: String =
+    s"""WITH ${termSelectCtes()},
        |lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
        |stats AS (SELECT count(*) AS n_docs, sum(len) AS tot FROM lens),
        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
@@ -1064,17 +1078,8 @@ object Similarity2 {
 
   val s314Sql: String =
     s"""WITH fused AS (SELECT doc_id FROM ($s196Sql)),
-       |tk2 AS MATERIALIZED (
-       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
-       |  FROM documents),
-       |dt2 AS (SELECT DISTINCT doc_id, t FROM tk2),
-       |d02 AS (SELECT t FROM dt2 WHERE doc_id = 0),
-       |dfq2 AS (SELECT t, count(*) AS df FROM dt2
-       |         WHERE t IN (SELECT t FROM d02) GROUP BY t),
-       |qt2 AS (SELECT t FROM (
-       |          SELECT t, row_number() OVER (ORDER BY df, t) AS r FROM dfq2)
-       |        WHERE r <= 8),
-       |short AS (SELECT tk2.doc_id, t FROM tk2 JOIN fused USING (doc_id)),
+       |${termSelectCtes("2")},
+       |short AS (SELECT toks2.doc_id, t FROM toks2 JOIN fused USING (doc_id)),
        |tfa AS (SELECT doc_id, count(*) AS sumtf,
        |          count(DISTINCT t) AS n_cover
        |        FROM short WHERE t IN (SELECT t FROM qt2) GROUP BY doc_id),

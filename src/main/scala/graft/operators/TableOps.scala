@@ -592,13 +592,18 @@ object TableOps {
     // Size each file's bloom from the LARGEST per-file row count (distinct
     // keys per file ≤ rows per file), at 8 bits/item ≈ 2% FPP. A fixed
     // 50k-item sizing saturates once per-file cardinality outgrows it
-    // (FPP→1 admits every file and the skipping guard aborts); this scales
-    // with the data at every SF. The sizing pass prunes to zero columns
-    // (row positions only); floors keep small-SF behavior identical to the
-    // previous fixed 50000/400000 sizing.
-    val maxFileRows = s.read.parquet(tmp)
+    // (FPP→1 admits every file and the skipping guard aborts); sizing from
+    // the data defers that point to Spark's own BloomFilterAggregate conf
+    // caps (~4M items / 67M bits by default), past which FPP degrades
+    // again — the honest bound on this scheme (ADVICE r8). The sizing
+    // pass prunes to zero columns (row positions only); floors keep
+    // small-SF behavior identical to the previous fixed 50000/400000
+    // sizing, and the max(..., 50000) floor also covers an empty layout
+    // (max over zero rows is NULL → treated as 0).
+    val maxRowsRow = s.read.parquet(tmp)
       .groupBy(input_file_name()).count()
-      .agg(max("count")).head().getLong(0)
+      .agg(max("count")).head()
+    val maxFileRows = if (maxRowsRow.isNullAt(0)) 0L else maxRowsRow.getLong(0)
     val expectedItems = math.max(50000L, maxFileRows)
     val numBits = 8L * expectedItems
     val index = s.read.parquet(tmp)

@@ -24,9 +24,13 @@ class RegistryJoinSpec extends SparkSpec {
   private val allow: Set[String] = Set.empty
 
   /** ≤ bounded rows by plan construction: limits, scalar aggregates,
-    * literal relations, small ranges, and compositions of those. */
+    * literal relations, small ranges, and compositions of those.
+    * Only GlobalLimit counts as a bound (ADVICE r8): a bare LocalLimit
+    * caps rows PER PARTITION, so its total is n × partitions — an
+    * effectively unbounded 'small' side. (LocalLimit directly under a
+    * GlobalLimit is covered by the GlobalLimit case recursing.) */
   private def smallByConstruction(p: LogicalPlan): Boolean = p match {
-    case _: GlobalLimit | _: LocalLimit => true
+    case _: GlobalLimit => true
     case a: Aggregate if a.groupingExpressions.isEmpty => true
     case l: LocalRelation => l.data.lengthCompare(4096) <= 0
     case _: OneRowRelation => true

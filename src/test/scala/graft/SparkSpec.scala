@@ -39,8 +39,10 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     * assert the plan actually HAS the windows they expect. */
   def assertWindowsKeyedOrBounded(df: org.apache.spark.sql.DataFrame): Int = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    // GlobalLimit only (the RegistryJoinSpec rule, ADVICE r8): a bare
+    // LocalLimit caps rows per partition, total = n × partitions.
     def bounded(p: LogicalPlan): Boolean = p match {
-      case _: GlobalLimit | _: LocalLimit => true
+      case _: GlobalLimit => true
       case _ if p.children.isEmpty => false
       case _ => p.children.forall(bounded)
     }
