@@ -310,4 +310,79 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.committedBatch(t, 7L).contains(v))
     assert(Files.exists(idx), "a scan hit must backfill the index entry")
   }
+
+  test("OCC hammer: barrier-released concurrent writers serialize into " +
+    "contiguous versions with every commit's adds intact — no lost update") {
+    // q313 / s319 / the streaming admission loop all stack on this
+    // arbitration; the deterministic squat test above observes one retry,
+    // THIS one drives real thread contention through the OCC path
+    // (VERDICT r8 directive 3). 8 threads × 15 commits each, all released
+    // on one barrier so first-attempt collisions are certain.
+    val t = freshTable()
+    val threads = 8
+    val perThread = 15
+    val barrier = new java.util.concurrent.CyclicBarrier(threads)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (0 until threads).map { tid =>
+        pool.submit(new java.util.concurrent.Callable[Seq[(String, Int)]] {
+          def call(): Seq[(String, Int)] = {
+            barrier.await()
+            (0 until perThread).map { i =>
+              val marker = s"w$tid/part-$i.parquet"
+              marker -> TxLog.commit(t, add = Seq(marker), remove = Seq.empty)
+            }
+          }
+        })
+      }
+      val landed = futures.flatMap(_.get(120,
+        java.util.concurrent.TimeUnit.SECONDS))
+      val n = threads * perThread
+      // serialized: versions are exactly 1..n, each claimed by ONE commit
+      assert(TxLog.versions(t) == (1 to n),
+        "version sequence must be contiguous with no gaps or dupes")
+      assert(landed.map(_._2).toSet == (1 to n).toSet,
+        "every writer must land on a distinct version")
+      // no lost update: every marker is live at head exactly once
+      val live = TxLog.liveFiles(t)
+      assert(live.sorted == landed.map(_._1).sorted,
+        s"live set must hold all $n adds exactly once")
+      // and each marker is visible from ITS version onward (snapshot reads
+      // replay the same arbitration order the writers observed)
+      landed.take(5).foreach { case (m, v) =>
+        assert(TxLog.liveFiles(t, Some(v)).contains(m),
+          s"$m must be live at its own commit version $v")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("same batch id raced by two writers: exactly one commit holds it, " +
+    "both callers converge on that version, rows land once") {
+    // the exactly-once contract appendBatch gives foreachBatch replays,
+    // under REAL contention: two workers staging the same micro-batch
+    // concurrently (speculative retry / zombie task shape)
+    val t = freshTable()
+    TxLog.append(spark, df(0L -> "base"), t)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val racers = (1 to 2).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            barrier.await()
+            TxLog.appendBatch(spark, df(7L -> s"racer$i"), t, batchId = 42L)
+          }
+        })
+      }
+      val vs = racers.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(vs.distinct.size == 1,
+        s"both racers must converge on the winning version, got $vs")
+      assert(TxLog.committedBatch(t, 42L).contains(vs.head))
+      // the batch's key appears exactly once at head — the loser's staged
+      // files stay unreferenced and invisible
+      val rows = TxLog.read(spark, t).collect()
+      assert(rows.count(_.getLong(0) == 7L) == 1,
+        "a raced batch id must land its rows exactly once")
+    } finally pool.shutdown()
+  }
 }
