@@ -45,7 +45,7 @@ object Similarity {
       |       CAST(CAST(v[1] >= 0 AS INT) AS STRING),
       |       CAST(CAST(v[2] >= 0 AS INT) AS STRING))""".stripMargin
 
-  private[operators] def vecs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
 

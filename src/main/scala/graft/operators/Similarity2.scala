@@ -74,7 +74,7 @@ object Similarity2 {
     * for corpus AND query sides: a query split that drifted from the
     * layout the persisted codebook/postings were built with would produce
     * a phantom gate mismatch instead of being structurally impossible. */
-  private def pqSubOf(vecs: DataFrame): DataFrame = vecs
+  private[graft] def pqSubOf(vecs: DataFrame): DataFrame = vecs
     .selectExpr("vec_id",
       """explode(transform(sequence(0, 7), m ->
         |  struct(m AS m, slice(v, m * 8 + 1, 8) AS sv))) AS e""".stripMargin)
@@ -86,7 +86,7 @@ object Similarity2 {
 
   /** Per-subspace 4-codeword codebook: floor-scale quantized per-dim means
     * over the subspace's sign-cell partition (m, code, cw). */
-  private def pqCodebook(sub: DataFrame): DataFrame = sub
+  private[graft] def pqCodebook(sub: DataFrame): DataFrame = sub
     .selectExpr("m",
       "2 * CAST(element_at(sv, 1) >= 0 AS INT) + " +
         "CAST(element_at(sv, 2) >= 0 AS INT) AS code",
@@ -537,7 +537,7 @@ object Similarity2 {
     * just-built in-memory index, s275 the same index read back from
     * versioned TxLog tables. `queries` = (qid, v); `qsub` = (qid, qm,
     * qsv) query subvectors. */
-  private def ivfpqSearch(queries: DataFrame, qsub: DataFrame,
+  private[graft] def ivfpqSearch(queries: DataFrame, qsub: DataFrame,
       cent: DataFrame, cb: DataFrame, postings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val probes = broadcast(queries).as("q")
@@ -747,9 +747,46 @@ object Similarity2 {
     * shape. At 100 TB this is the only index-maintenance cost model that
     * works: admits and takedowns are log appends, rebuilds are overwrite
     * commits, and freshness is read-your-writes through the log. */
+  /** HISTORY-trained frozen centroids: per-sign-cell decimal-mean vectors
+    * (cell, cv). ONE definition shared by [[s319FreshIndexSearch]]'s build
+    * and the streaming admission loop
+    * ([[graft.streaming.EventStreams.admitVectorBatch]]) — a drifted copy
+    * would assign streamed vectors to cells the batch build never probes. */
+  private[graft] def frozenCentroids(hist: DataFrame): DataFrame = hist
+    .selectExpr("vec_id", "v", s"${Similarity.signCellExpr} AS cell")
+    .selectExpr("cell", "posexplode(v) AS (dim, x)")
+    .groupBy("cell", "dim")
+    .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
+      count(lit(1))).as("m"))
+    .groupBy("cell")
+    .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+    .selectExpr("cell", "transform(dm, e -> e.m) AS cv")
+
+  /** Frozen-quantizer ADMISSION of an arbitrary vector batch (vec_id, v):
+    * nearest frozen centroid by cosine (s193 semantics, ties to the
+    * smaller cell) + PQ encode under the frozen codebook → posting rows
+    * (vec_id, m, code, cell). s319's admit stage, factored so the
+    * streaming loop commits EXACTLY the postings the batch build would.
+    * Scale shape: broadcast of k centroids + 32 codewords against the
+    * batch only — the standing corpus is never touched, O(batch × k). */
+  private[graft] def freshAdmitPostings(batch: DataFrame, cent: DataFrame,
+      cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val batchCell = batch.select("vec_id", "v").as("q")
+      .join(broadcast(cent).as("c"), lit(true))
+      .selectExpr("vec_id", "cell",
+        Similarity.cosExpr.replace("c.v", "c.cv") + " AS ccos")
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crank") === 1)
+      .select("vec_id", "cell")
+    pqAssign(pqSubOf(batch), cb)
+      .selectExpr("vec_id", "m", "b.code AS code")
+      .join(batchCell, "vec_id")
+  }
+
   def s319FreshIndexSearch(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxLog
-    import org.apache.spark.sql.expressions.Window
     val root = graft.SparkSupport.layoutArtifact("ivfpq_fresh", dir) { p =>
       val all = Similarity.vecs(s, dir)
         .selectExpr("vec_id", "v", s"${Similarity.signCellExpr} AS cell")
@@ -757,32 +794,14 @@ object Similarity2 {
       val isBatch = col("vec_id") % 7 === 0 && col("vec_id") >= 16
       val hist = all.filter(!isBatch)
       // frozen quantizer: HISTORY-only per-cell decimal-mean centroids
-      val cent = hist
-        .selectExpr("cell", "posexplode(v) AS (dim, x)")
-        .groupBy("cell", "dim")
-        .agg((sum(col("x").cast("decimal(38,12)")).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .selectExpr("cell", "transform(dm, e -> e.m) AS cv")
+      val cent = frozenCentroids(hist)
       val histSub = pqSubOf(hist).persist(StorageLevel.MEMORY_AND_DISK)
       val cb = pqCodebook(histSub) // frozen codebook: history subvectors only
       val histPostings = pqAssign(histSub, cb)
         .selectExpr("vec_id", "m", "b.code AS code")
         .join(hist.select("vec_id", "cell"), "vec_id")
       // ADMIT: nearest frozen centroid (s193 semantics) + frozen-cb encode
-      val batch = all.filter(isBatch)
-      val batchCell = batch.select("vec_id", "v").as("q")
-        .join(broadcast(cent).as("c"), lit(true))
-        .selectExpr("vec_id", "cell",
-          Similarity.cosExpr.replace("c.v", "c.cv") + " AS ccos")
-        .withColumn("crank", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
-        .filter(col("crank") === 1)
-        .select("vec_id", "cell")
-      val batchPostings = pqAssign(pqSubOf(batch), cb)
-        .selectExpr("vec_id", "m", "b.code AS code")
-        .join(batchCell, "vec_id")
+      val batchPostings = freshAdmitPostings(all.filter(isBatch), cent, cb)
       TxLog.append(s, cent, s"$p/centroids", partFiles = 1)
       TxLog.append(s, cb, s"$p/codebook", partFiles = 1)
       TxLog.append(s, histPostings, s"$p/postings", partFiles = 2)

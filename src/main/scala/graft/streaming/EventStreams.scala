@@ -163,6 +163,33 @@ object EventStreams {
       .filter(col("doc_id") =!= col("hit_id"))
       .select("doc_id", "band_key", "hit_id")
 
+  /** Streaming VECTOR admission — s319's frozen-quantizer admit as a
+    * `foreachBatch` body (the q313 streaming twin lifted from documents
+    * to the retrieval index): each arriving micro-batch of (vec_id, v)
+    * rows is assigned to its nearest frozen centroid and PQ-encoded under
+    * the frozen codebook ([[graft.operators.Similarity2.freshAdmitPostings]]
+    * — the SAME definition the batch build commits), then lands as ONE
+    * exactly-once [[graft.sources.TxLog.appendBatch]] posting commit
+    * keyed by the micro-batch id. A searcher reading the posting log
+    * between micro-batches therefore sees batch N's vectors in batch N+1
+    * — read-your-writes freshness through the log — and a restart replay
+    * of a committed batch id is a no-op (idempotence inherited from
+    * appendBatch, not re-implemented here). Returns the version holding
+    * the batch.
+    *
+    * Scale shape: per micro-batch this is a broadcast of k centroids +
+    * 32 codewords against the batch only (the standing index is never
+    * rescanned) and a metadata-sized log append; the searcher's cost is
+    * unchanged (probed cells over the live posting set). Compaction of
+    * the accumulated appends is OPTIMIZE on the posting table — the
+    * d189 admit/compact lifecycle applied to the retrieval index. */
+  def admitVectorBatch(batch: DataFrame, postingsTable: String,
+      centroids: DataFrame, codebook: DataFrame, batchId: Long): Int =
+    graft.sources.TxLog.appendBatch(batch.sparkSession,
+      graft.operators.Similarity2.freshAdmitPostings(batch, centroids,
+        codebook),
+      postingsTable, batchId)
+
   // ---- custom state: flatMapGroupsWithState sessionizer -----------------
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

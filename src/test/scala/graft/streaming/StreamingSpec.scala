@@ -706,4 +706,91 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "band_key").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(fromIndex == fromCorpus)
   }
+
+  test("streaming fresh-index retrieval: a vector admitted in batch N is " +
+    "retrievable by the next search with is_fresh, and a restart replay " +
+    "creates no posting versions") {
+    // s319's admit commit composed into the streaming admission loop
+    // (VERDICT r8 directive 4) — the last seam between the streaming and
+    // retrieval stacks: the searcher reads (history ∪ streamed batches)
+    // through the posting log, so freshness is read-your-writes and
+    // exactly-once is appendBatch's, not the spec's.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.TxLog
+    import graft.operators.{Similarity, Similarity2}
+    val dir = "/root/testdata/sf0.001"
+    val root = tmpDir("stream_fresh")
+    val postingsT = s"$root/postings"
+    val vecs = Similarity.vecs(spark, dir)
+    val hist = vecs.select("vec_id", "v")
+    // frozen quantizer, committed and READ BACK from the log — the
+    // production shape: per-batch admits must not re-derive the quantizer
+    TxLog.append(spark, Similarity2.frozenCentroids(hist),
+      s"$root/centroids", partFiles = 1)
+    TxLog.append(spark, Similarity2.pqCodebook(Similarity2.pqSubOf(hist)),
+      s"$root/codebook", partFiles = 1)
+    val cent = TxLog.read(spark, s"$root/centroids")
+    val cb = TxLog.read(spark, s"$root/codebook")
+    TxLog.append(spark, Similarity2.freshAdmitPostings(hist, cent, cb),
+      postingsT, partFiles = 2)
+    val histVersion = TxLog.versions(postingsT).max
+
+    def search(qid: Long): Seq[(Long, Int)] = {
+      val qv = vecs.filter(col("vec_id") === qid)
+      val q = qv.select(col("vec_id").as("qid"), col("v"))
+      val qsub = Similarity2.pqSubOf(qv).select(col("vec_id").as("qid"),
+        col("m").as("qm"), col("sv").as("qsv"))
+      Similarity2.ivfpqSearch(q, qsub, cent, cb, TxLog.read(spark, postingsT))
+        .collect().map(r => (r.getLong(2), r.getInt(1))).toSeq
+    }
+    // fresh = committed after the history build — derived from the LOG
+    // (version asOf diff), the same read-your-writes channel the searcher
+    // uses, not from spec-side bookkeeping
+    def freshIds: Set[Long] = {
+      val atBuild = TxLog.read(spark, postingsT, Some(histVersion))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      TxLog.read(spark, postingsT)
+        .select("vec_id").collect().map(_.getLong(0)).toSet -- atBuild
+    }
+    def vecOf(id: Long): Seq[Double] = vecs.filter(col("vec_id") === id)
+      .head.getAs[scala.collection.Seq[Double]]("v").toVector
+    val v42 = vecOf(42L)
+    val v17 = vecOf(17L)
+    val b0 = Seq(9042L -> v42) // near-copy of 42, new id
+    val b1 = Seq(9017L -> v17)
+    assert(!search(42L).exists(_._1 == 9042L), "not retrievable pre-admit")
+
+    def run(batches: Seq[(Long, Seq[Double])]*)(between: Int => Unit): Unit = {
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val q = mem.toDF().toDF("vec_id", "v").writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          EventStreams.admitVectorBatch(b, postingsT, cent, cb, id); () }
+        .start()
+      try batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b: _*); q.processAllAvailable(); between(i)
+      } finally q.stop()
+    }
+    run(b0, b1) {
+      case 0 =>
+        // the batch-0 admit is visible to a search BETWEEN micro-batches
+        val hits = search(42L)
+        assert(hits.exists(_._1 == 9042L),
+          s"9042 must be retrievable right after its admit, got $hits")
+        assert(freshIds.contains(9042L), "9042 must read back as fresh")
+        assert(!search(17L).exists(_._1 == 9017L), "9017 not yet admitted")
+      case _ =>
+        assert(search(17L).exists(_._1 == 9017L),
+          "batch 1's vector must be retrievable after batch 1")
+    }
+    assert(freshIds == Set(9042L, 9017L))
+    // restart replay: same batch ids, same data — appendBatch recognizes
+    // both commits, no new versions, search results unchanged
+    val vMax = TxLog.versions(postingsT).max
+    val before42 = search(42L)
+    run(b0, b1)((_: Int) => ())
+    assert(TxLog.versions(postingsT).max == vMax,
+      "a restart replay must not create posting versions")
+    assert(search(42L) == before42)
+  }
 }
