@@ -449,7 +449,63 @@ object RelationalExt4 {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2)
       |ORDER BY n_name, bal_cents DESC, c_name""".stripMargin
 
+  // ---------------------------------------------------------------- q320
+
+  /** q320: the TPC-H Q21 de-correlation chain — "the supplier who caused
+    * the ONLY defect in a multi-supplier order", adapted to this corpus
+    * (defect = `l_returnflag = 'R'`; Q21's receipt>commit columns don't
+    * exist here). One statement stacks every de-correlation path q124's
+    * single-level battery leaves untouched:
+    *
+    *  - a correlated SCALAR COUNT threshold (`(SELECT count(*) ...) >= 2`)
+    *    — the classic COUNT-bug shape: Catalyst must de-correlate to a
+    *    left outer aggregate where an empty group yields 0, not NULL;
+    *  - correlated EXISTS with a mixed equi + non-equi condition
+    *    (`same order, DIFFERENT supplier`) → left semi join;
+    *  - correlated NOT EXISTS with the same mixed condition plus a
+    *    payload filter → left anti join;
+    *  - an aggregate HAVING threshold over the surviving groups and a
+    *    ties-broken top-10.
+    *
+    * RegistryJoinSpec sweeps the resulting plan like every other gate:
+    * each rewritten join must be equi-keyed (the l_orderkey conjunct
+    * carries the hash key; the supplier inequality rides as a residual
+    * filter), so the chain executes as four hash joins over ONE shuffle
+    * key family — no nested-loop re-execution per outer row, which is the
+    * difference between this running at 100 TB and not running at all.
+    * RelationalExt4Spec asserts the semi/anti rewrites actually fired. */
+  def q320OnlyDefaulter(s: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders").foreach { t =>
+      Tables.table(s, dir, t).createOrReplaceTempView(t)
+    }
+    s.sql(q320Sql)
+  }
+
+  /** The ONE statement, shared verbatim with the DuckDB oracle — the
+    * portability contract: both engines de-correlate the same text. */
+  val q320Sql: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders o
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND (SELECT count(*) FROM lineitem lc
+      |       WHERE lc.l_orderkey = o.o_orderkey) >= 2
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |HAVING count(*) >= 2
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_only_defaulter"   -> q320OnlyDefaulter,
     "q187_lateral_topk"     -> q187LateralTopk,
     "q134_json_nested"      -> q134JsonNested,
     "q131_array_set_ops"    -> q131ArraySetOps,
@@ -461,6 +517,7 @@ object RelationalExt4 {
     "q128_spearman"         -> q128Spearman)
 
   val oracle: Map[String, String] = Map(
+    "q320_only_defaulter"   -> q320Sql,
     "q187_lateral_topk"     -> q187Sql,
     "q134_json_nested"      -> q134Sql,
     "q131_array_set_ops"    -> q131Sql,

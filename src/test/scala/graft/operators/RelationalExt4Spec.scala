@@ -149,4 +149,26 @@ class RelationalExt4Spec extends SparkSpec {
       .filter(col("rk") <= 2).count()
     assert(rows.length.toLong == expect)
   }
+
+  test("q320 Q21-chain de-correlates fully: semi + anti + count-threshold " +
+    "as equi joins, no nested loop, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti}
+    val df = RelationalExt4.q320OnlyDefaulter(spark, sf)
+    val logical = df.queryExecution.optimizedPlan
+    val joinTypes = logical.collect { case j: Join => j.joinType }
+    assert(joinTypes.contains(LeftSemi),
+      s"EXISTS must rewrite to a left semi join, got $joinTypes")
+    assert(joinTypes.contains(LeftAnti),
+      s"NOT EXISTS must rewrite to a left anti join, got $joinTypes")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"),
+      s"the whole chain must execute as hash-keyed joins:\n$physical")
+    // the COUNT-bug shape: an order with rows must pass the >= 2 gate via
+    // a real aggregate, and the result must be non-empty and bounded
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getLong(1)).forall(_ >= 2), "HAVING threshold holds")
+  }
 }
