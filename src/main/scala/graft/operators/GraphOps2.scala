@@ -240,11 +240,90 @@ object GraphOps2 {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q321
+
+  private val LabelPropRounds = 3
+
+  /** q321: synchronous label propagation (Raghavan et al. 2007) over the
+    * SAME co-occurrence graph as triangles/PageRank/k-core — the
+    * community tier above q198's k-core: every node starts as its own
+    * label, and each round adopts the most frequent label among its
+    * neighbors (ties to the SMALLEST label — the determinism knob plain
+    * LPA lacks). A FIXED 3-round budget, no early exit: unlike the k-core
+    * peel, LPA is not monotone (labels can oscillate), so "converged" is
+    * not detectable from a count, and a fixed budget keeps the Spark loop
+    * and the unrolled oracle bit-identical by construction. Output is the
+    * 20 largest communities (size, min member) — bounded at any SF.
+    *
+    * Scale shape: each round is one shuffle keyed by edge target (join
+    * labels to sym) + one keyed aggregate per (node, label) + one argmax
+    * per node — no windows, no products; per-round state is |V| rows,
+    * localCheckpoint truncates the per-round lineage (the d57/q198
+    * discipline). At 100 TB rounds are the cost driver, and 3 rounds of
+    * keyed joins is exactly the GraphX/Pregel cost model. */
+  def q321LabelProp(s: SparkSession, dir: String): DataFrame =
+    labelProp(coEdges(s, dir), LabelPropRounds)
+
+  private[operators] def labelProp(e: DataFrame, rounds: Int): DataFrame = {
+    val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("u").as("x")).distinct()
+      .withColumn("lbl", col("x"))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      labels = sym
+        .join(labels.select(col("x").as("v"), col("lbl")), "v")
+        .groupBy("u", "lbl").agg(count(lit(1)).as("c"))
+        // argmax by (count DESC, label ASC): max over (c, -lbl)
+        .groupBy("u")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("b"))
+        .selectExpr("u AS x", "-b.nl AS lbl")
+        .localCheckpoint()
+    }
+    labels.groupBy("lbl")
+      .agg(count(lit(1)).as("n_nodes"), min("x").as("min_node"))
+      .selectExpr("lbl AS community", "n_nodes", "min_node")
+      .orderBy(col("n_nodes").desc, col("community"))
+      .limit(20)
+  }
+
+  val q321Sql: String = {
+    // one unrolled round: neighbor-label counts, argmax with the same
+    // (count DESC, label ASC) tie-break. AS MATERIALIZED for the same
+    // reason as q198: each round is referenced by the next.
+    def round(i: Int): String =
+      s"""l$i AS MATERIALIZED (
+         |  SELECT x, lbl FROM (
+         |    SELECT sym.u AS x, p.lbl,
+         |      row_number() OVER (PARTITION BY sym.u
+         |                         ORDER BY count(*) DESC, p.lbl) AS rn
+         |    FROM sym JOIN l${i - 1} p ON sym.v = p.x
+         |    GROUP BY sym.u, p.lbl)
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH hi AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_quantity >= 40),
+       |e AS (
+       |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM hi a JOIN hi b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS x, u AS lbl FROM sym),
+       |${(1 to LabelPropRounds).map(round).mkString(",\n")}
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  min(x) AS min_node
+       |FROM l$LabelPropRounds
+       |GROUP BY lbl ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_pagerank3" -> q148Pagerank3,
-    "q198_kcore_peel" -> q198KcorePeel)
+    "q198_kcore_peel" -> q198KcorePeel,
+    "q321_label_prop" -> q321LabelProp)
 
   val oracle: Map[String, String] = Map(
     "q148_pagerank3" -> q148Sql,
-    "q198_kcore_peel" -> q198Sql)
+    "q198_kcore_peel" -> q198Sql,
+    "q321_label_prop" -> q321Sql)
 }
