@@ -119,6 +119,42 @@ object RelationalExt3 {
     """SELECT c_custkey, c_name FROM customer
       |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
 
+  /** q322: DSv2 AGGREGATE pushdown end-to-end — q107's staged table, but
+    * the query is a grouped COUNT/MIN/MAX and the SOURCE folds it
+    * ([[graft.sources.v2.StagedFdicSource]]'s
+    * `SupportsPushDownAggregates`, the third V2 pushdown tier after
+    * column pruning and filters — the JDBC-connector shape): each staged
+    * file emits one partial row per segment instead of one row per
+    * customer, and Spark plans only the final merge (counts summed,
+    * min/max re-reduced — `supportCompletePushDown` stays false, so the
+    * merge is exactly-once-correct across any file split). At the 100 TB
+    * ingest edge this is the difference between shipping |files|×|groups|
+    * rows and shipping the corpus: the aggregate runs where the bytes
+    * are. StagedFdicSourceSpec covers the merge-across-files, pushed-
+    * filter composition, empty-table-count-is-0, and DISTINCT-rejection
+    * edges; this gate checks the VALUES against the original table. */
+  def q322Dsv2AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.SparkSupport.roundtripPath("staged_agg_rt", dir)
+    Tables.customer(s, dir)
+      .select(concat(lit("{\"data\": "),
+        to_json(struct(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+        lit("}")).as("value"))
+      .repartition(4) // several staged files → the partial merge is real
+      .write.mode("overwrite").text(tmp)
+    s.read.format(classOf[graft.sources.v2.StagedFdicSource].getName)
+      .option("fields", "c_custkey,c_name,c_mktsegment").load(tmp)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        min("c_name").as("first_name"),
+        max("c_name").as("last_name"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q322Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  min(c_name) AS first_name, max(c_name) AS last_name
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** q108: unpivot — the inverse of the reference's quarterly wide-table
     * pivot (A3/J3, BuildGoldLayer.py:92-139): orders pivoted to a
     * status × priority count matrix, then melted back to long form with the
@@ -147,11 +183,13 @@ object RelationalExt3 {
     "q105_map_battery"     -> q105MapBattery,
     "q106_cohort_retention" -> q106CohortRetention,
     "q107_dsv2_roundtrip"  -> q107Dsv2Roundtrip,
+    "q322_dsv2_agg_pushdown" -> q322Dsv2AggPushdown,
     "q108_unpivot"         -> q108Unpivot)
 
   val oracle: Map[String, String] = Map(
     "q105_map_battery"     -> q105Sql,
     "q106_cohort_retention" -> q106Sql,
     "q107_dsv2_roundtrip"  -> q107Sql,
+    "q322_dsv2_agg_pushdown" -> q322Sql,
     "q108_unpivot"         -> q108Sql)
 }

@@ -7,11 +7,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -124,12 +125,18 @@ private[v2] class StagedFdicTable(schema: StructType, path: String)
     new StagedFdicWriteBuilder(path, info.schema(), info.queryId())
 }
 
+/** A pushed aggregation in the source's own vocabulary: group fields plus
+  * (op, field) aggregate specs — op ∈ count_star | count | min | max. */
+private[v2] case class PushedAggregation(groups: Seq[String],
+                                         funcs: Seq[(String, Option[String])])
+
 private[v2] class StagedFdicScanBuilder(fullSchema: StructType, path: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[PushedAggregation] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -146,11 +153,61 @@ private[v2] class StagedFdicScanBuilder(fullSchema: StructType, path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = StagedFdicScan(path, required, pushed)
+  /** PARTIAL aggregate pushdown ([[SupportsPushDownAggregates]], the
+    * third V2 pushdown — the JDBC-connector shape): COUNT(*)/COUNT(f)/
+    * MIN(f)/MAX(f), optionally grouped by source fields, fold INSIDE the
+    * per-file reader, so a grouped count over a staged table ships one
+    * row per (file, group) to Spark instead of one row per record.
+    * `supportCompletePushDown` stays false (the default): Spark plans the
+    * final merge (counts summed, min/max re-reduced) above the partial
+    * rows — exactly-correct across any file/partition split. Rejected
+    * shapes (DISTINCT, AVG/SUM — meaningless on schema-on-read strings,
+    * nested refs, expression group keys) return false and Spark falls
+    * back to a plain scan + its own aggregate. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def fieldOf(e: V2Expression): Option[String] = e match {
+      case fr: NamedReference if fr.fieldNames.length == 1 &&
+        fullSchema.fieldNames.contains(fr.fieldNames()(0)) =>
+        Some(fr.fieldNames()(0))
+      case _ => None
+    }
+    val groups = agg.groupByExpressions.toSeq.map(fieldOf)
+    if (groups.exists(_.isEmpty)) return false
+    val funcs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count_star", None: Option[String]))
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map(f => ("count", Some(f)))
+      case m: Min => fieldOf(m.column).map(f => ("min", Some(f)))
+      case m: Max => fieldOf(m.column).map(f => ("max", Some(f)))
+      case _ => None
+    }
+    if (funcs.exists(_.isEmpty)) return false
+    pushedAgg = Some(PushedAggregation(groups.flatten, funcs.flatten))
+    true
+  }
+
+  /** Scan output under a pushed aggregation: group columns (their source
+    * type — strings here) followed by one column per aggregate, LongType
+    * for counts, the field's type for min/max — the positional/type
+    * contract Spark's final-merge rewrite expects. */
+  private def aggSchema(p: PushedAggregation): StructType =
+    StructType(
+      p.groups.map(g => StructField(g, StringType, nullable = true)) ++
+        p.funcs.zipWithIndex.map { case ((op, f), i) =>
+          val dt = if (op.startsWith("count")) LongType else StringType
+          StructField(s"agg_${i}_${op}${f.fold("")("_" + _)}", dt,
+            nullable = !op.startsWith("count"))
+        })
+
+  override def build(): Scan = pushedAgg match {
+    case Some(p) => StagedFdicScan(path, aggSchema(p), pushed, Some(p))
+    case None    => StagedFdicScan(path, required, pushed)
+  }
 }
 
 private[v2] case class StagedFdicScan(path: String, required: StructType,
-                                      pushed: Array[Filter])
+                                      pushed: Array[Filter],
+                                      agg: Option[PushedAggregation] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -171,24 +228,34 @@ private[v2] case class StagedFdicScan(path: String, required: StructType,
 
   override def description(): String =
     s"StagedFdicScan ReadFields: ${required.fieldNames.mkString("[", ",", "]")}, " +
-      s"PushedFilters: ${pushed.mkString("[", ",", "]")}"
+      s"PushedFilters: ${pushed.mkString("[", ",", "]")}" +
+      agg.fold("") { p =>
+        val fs = p.funcs.map { case (op, f) => s"$op(${f.getOrElse("*")})" }
+        s", PushedAggregates: ${fs.mkString("[", ",", "]")}" +
+          s", GroupBy: ${p.groups.mkString("[", ",", "]")}"
+      }
 
   override def planInputPartitions(): Array[InputPartition] =
     StagedFdicSource.listFiles(path)
       .map(f => StagedFilePartition(f.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    StagedFdicReaderFactory(required.fieldNames, pushed)
+    StagedFdicReaderFactory(required.fieldNames, pushed, agg)
 }
 
 private[v2] case class StagedFilePartition(file: String) extends InputPartition
 
 private[v2] case class StagedFdicReaderFactory(fields: Array[String],
-                                               pushed: Array[Filter])
+                                               pushed: Array[Filter],
+                                               agg: Option[PushedAggregation])
   extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new StagedFdicPartitionReader(
-      p.asInstanceOf[StagedFilePartition].file, fields, pushed)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[StagedFilePartition].file
+    agg match {
+      case Some(a) => new StagedFdicAggregatingReader(file, a, pushed)
+      case None    => new StagedFdicPartitionReader(file, fields, pushed)
+    }
+  }
 }
 
 private[v2] class StagedFdicPartitionReader(file: String,
@@ -232,6 +299,93 @@ private[v2] class StagedFdicPartitionReader(file: String,
 
   override def get(): InternalRow = current
   override def close(): Unit = lines.close()
+}
+
+/** The partial-aggregation reader: folds the pushed COUNT/MIN/MAX specs
+  * over the file's filtered records and emits ONE row per group (group
+  * key columns first, then aggregate columns — the [[StagedFdicScan]]
+  * schema contract). MIN/MAX compare as [[UTF8String]] (byte order), the
+  * SAME ordering Spark's final merge applies — a Java-String comparison
+  * here could disagree with the final reduce on non-ASCII data. For a
+  * GLOBAL aggregate (no group keys) exactly one row is emitted even from
+  * an empty file, so a count over an empty table merges to 0, not NULL.
+  * State is |groups-in-this-file| accumulator rows — the whole point of
+  * the pushdown: a grouped count over 100 TB of staging ships
+  * |files| × |groups| rows to Spark instead of every record. */
+private[v2] class StagedFdicAggregatingReader(file: String,
+                                              agg: PushedAggregation,
+                                              pushed: Array[Filter])
+  extends PartitionReader[InternalRow] {
+
+  private val parseFields: Array[String] =
+    (agg.groups ++ agg.funcs.flatMap(_._2) ++ pushed.flatMap {
+      case EqualTo(attr, _) => Seq(attr)
+      case IsNotNull(attr)  => Seq(attr)
+      case _                => Seq.empty
+    }).distinct.toArray
+
+  private def accepts(vals: Map[String, String]): Boolean = pushed.forall {
+    case EqualTo(attr, v: String) => vals.get(attr).exists(x => x != null && x == v)
+    case IsNotNull(attr)          => vals.get(attr).exists(_ != null)
+    case _                        => true
+  }
+
+  // group key (null-safe) -> one accumulator slot per aggregate spec:
+  // counts as Long, min/max as UTF8String (null until a value is seen)
+  private val acc =
+    scala.collection.mutable.LinkedHashMap[Seq[UTF8String], Array[Any]]()
+  private def freshSlots(): Array[Any] = agg.funcs.map {
+    case (op, _) if op.startsWith("count") => 0L: Any
+    case _                                 => null: Any
+  }.toArray
+  if (agg.groups.isEmpty) acc(Seq.empty) = freshSlots() // global: 1 row always
+
+  locally {
+    val lines = Files.lines(Paths.get(file))
+    try {
+      val it = lines.iterator()
+      while (it.hasNext) {
+        val line = it.next()
+        if (line.nonEmpty) {
+          val vals = StagedJsonLine.extract(line, parseFields)
+          if (accepts(vals)) {
+            val key = agg.groups.map(g =>
+              vals.get(g).filter(_ != null).map(UTF8String.fromString).orNull)
+            val slots = acc.getOrElseUpdate(key, freshSlots())
+            var i = 0
+            agg.funcs.foreach { case (op, f) =>
+              val v = f.flatMap(vals.get).filter(_ != null)
+              op match {
+                case "count_star" => slots(i) = slots(i).asInstanceOf[Long] + 1L
+                case "count" =>
+                  if (v.isDefined) slots(i) = slots(i).asInstanceOf[Long] + 1L
+                case "min" => v.map(UTF8String.fromString).foreach { u =>
+                  val cur = slots(i).asInstanceOf[UTF8String]
+                  if (cur == null || u.compareTo(cur) < 0) slots(i) = u
+                }
+                case "max" => v.map(UTF8String.fromString).foreach { u =>
+                  val cur = slots(i).asInstanceOf[UTF8String]
+                  if (cur == null || u.compareTo(cur) > 0) slots(i) = u
+                }
+              }
+              i += 1
+            }
+          }
+        }
+      }
+    } finally lines.close()
+  }
+
+  private val out = acc.iterator.map { case (key, slots) =>
+    InternalRow.fromSeq(key ++ slots.toSeq)
+  }
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    current = if (out.hasNext) out.next() else null
+    current != null
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** Write side: the K5 staging sink as a distributed V2 write with a

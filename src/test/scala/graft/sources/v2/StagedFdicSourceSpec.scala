@@ -153,4 +153,70 @@ class StagedFdicSourceSpec extends SparkSpec {
     assert(v2.orderBy("CERT").collect().toSeq ==
       v1.orderBy("CERT").collect().toSeq)
   }
+
+  test("aggregate pushdown: grouped count/min/max fold inside the reader, " +
+    "partial rows merge correctly across files, plan shows PushedAggregates") {
+    // 90 records over 3 files so every group SPANS files — the partial
+    // (per-file) rows must re-reduce to the exact global answer
+    val lines = (1 to 90).map { i =>
+      s"""{"data": {"CERT": "$i", "NAME": "BANK${f"$i%03d"}", "STALP": "S${i % 4}"}}"""
+    }
+    val dir = stage(lines, 3)
+    val df = spark.read.format(fmt).option("fields", "CERT,NAME,STALP")
+      .load(dir)
+      .groupBy("STALP")
+      .agg(count(lit(1)).as("n"), min("NAME").as("lo"), max("NAME").as("hi"))
+      .orderBy("STALP")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates:"), s"aggregation must push:\n$plan")
+    assert(plan.contains("GroupBy: [STALP]"), plan)
+    val rows = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val expect = (1 to 90).groupBy(i => s"S${i % 4}").toSeq.sortBy(_._1)
+      .map { case (g, is) =>
+        (g, is.size.toLong, f"BANK${is.min}%03d", f"BANK${is.max}%03d")
+      }
+    assert(rows.toSeq == expect)
+  }
+
+  test("aggregate pushdown: composes with a pushed filter; count(field) " +
+    "skips nulls; a global count over a filtered-to-empty table is 0") {
+    val dir = stage(sample)
+    val filtered = spark.read.format(fmt)
+      .option("fields", "CERT,NAME,STALP,ASSET").load(dir)
+      .filter(col("STALP") === "GA")
+      .agg(count(col("ASSET")).as("n_asset"), count(lit(1)).as("n"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates:") &&
+      plan.contains("""EqualTo(STALP,GA)"""), plan)
+    val r = filtered.head()
+    assert((r.getLong(0), r.getLong(1)) == (2L, 2L)) // both GA rows have ASSET
+    val empty = spark.read.format(fmt)
+      .option("fields", "CERT,NAME,STALP,ASSET").load(dir)
+      .filter(col("STALP") === "ZZ")
+      .agg(count(lit(1)).as("n"))
+    assert(empty.head().getLong(0) == 0L,
+      "a global count over zero matching rows must merge to 0, not NULL")
+  }
+
+  test("the q322 gate's plan actually pushes its aggregation") {
+    val df = graft.operators.RelationalExt3.q322Dsv2AggPushdown(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [count_star(*),min(c_name)," +
+      "max(c_name)]") && plan.contains("GroupBy: [c_mktsegment]"),
+      s"the gate must run through the pushed path:\n$plan")
+  }
+
+  test("aggregate pushdown rejects DISTINCT — Spark falls back to its own " +
+    "aggregate over the plain scan, values unchanged") {
+    val dir = stage(sample)
+    val df = spark.read.format(fmt).option("fields", "CERT,NAME,STALP")
+      .load(dir)
+      .agg(countDistinct(col("STALP")).as("n_states"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedAggregates:"),
+      s"DISTINCT must not push:\n$plan")
+    assert(df.head().getLong(0) == 2L)
+  }
 }
