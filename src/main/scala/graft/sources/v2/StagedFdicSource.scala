@@ -132,11 +132,27 @@ private[v2] case class PushedAggregation(groups: Seq[String],
 
 private[v2] class StagedFdicScanBuilder(fullSchema: StructType, path: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[PushedAggregation] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** PARTIAL limit pushdown ([[SupportsPushDownLimit]]): each file's
+    * reader stops after `n` accepted records — Spark keeps its own final
+    * LIMIT above (isPartiallyPushed stays at its default `true`), so the
+    * answer is exact while a `LIMIT 10` over terabytes of staging reads
+    * ~10 records per file instead of all of them. Spark only offers the
+    * push when every filter below the limit is itself pushed, so "n
+    * accepted records" is the correct stopping rule. Never combined with
+    * a pushed aggregation (a limit above an aggregate must see all
+    * groups; Spark doesn't offer that shape, and the guard keeps the
+    * invariant local). */
+  override def pushLimit(n: Int): Boolean =
+    if (pushedAgg.isDefined) false
+    else { pushedLimit = Some(n); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -201,13 +217,14 @@ private[v2] class StagedFdicScanBuilder(fullSchema: StructType, path: String)
 
   override def build(): Scan = pushedAgg match {
     case Some(p) => StagedFdicScan(path, aggSchema(p), pushed, Some(p))
-    case None    => StagedFdicScan(path, required, pushed)
+    case None    => StagedFdicScan(path, required, pushed, None, pushedLimit)
   }
 }
 
 private[v2] case class StagedFdicScan(path: String, required: StructType,
                                       pushed: Array[Filter],
-                                      agg: Option[PushedAggregation] = None)
+                                      agg: Option[PushedAggregation] = None,
+                                      limit: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -233,35 +250,39 @@ private[v2] case class StagedFdicScan(path: String, required: StructType,
         val fs = p.funcs.map { case (op, f) => s"$op(${f.getOrElse("*")})" }
         s", PushedAggregates: ${fs.mkString("[", ",", "]")}" +
           s", GroupBy: ${p.groups.mkString("[", ",", "]")}"
-      }
+      } + limit.fold("")(n => s", PushedLimit: $n")
 
   override def planInputPartitions(): Array[InputPartition] =
     StagedFdicSource.listFiles(path)
       .map(f => StagedFilePartition(f.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    StagedFdicReaderFactory(required.fieldNames, pushed, agg)
+    StagedFdicReaderFactory(required.fieldNames, pushed, agg, limit)
 }
 
 private[v2] case class StagedFilePartition(file: String) extends InputPartition
 
 private[v2] case class StagedFdicReaderFactory(fields: Array[String],
                                                pushed: Array[Filter],
-                                               agg: Option[PushedAggregation])
+                                               agg: Option[PushedAggregation],
+                                               limit: Option[Int] = None)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[StagedFilePartition].file
     agg match {
       case Some(a) => new StagedFdicAggregatingReader(file, a, pushed)
-      case None    => new StagedFdicPartitionReader(file, fields, pushed)
+      case None    => new StagedFdicPartitionReader(file, fields, pushed, limit)
     }
   }
 }
 
 private[v2] class StagedFdicPartitionReader(file: String,
                                             fields: Array[String],
-                                            pushed: Array[Filter])
+                                            pushed: Array[Filter],
+                                            limit: Option[Int] = None)
   extends PartitionReader[InternalRow] {
+
+  private var emitted = 0
 
   // A fully-pushed filter's column is pruned OUT of the read schema by
   // Spark (the scan is trusted to apply it), so the line parser must
@@ -284,6 +305,7 @@ private[v2] class StagedFdicPartitionReader(file: String,
 
   override def next(): Boolean = {
     current = null
+    if (limit.exists(emitted >= _)) return false // pushed LIMIT: stop early
     while (current == null && it.hasNext) {
       val line = it.next()
       if (line.nonEmpty) {
@@ -291,6 +313,7 @@ private[v2] class StagedFdicPartitionReader(file: String,
         if (accepts(vals)) {
           current = InternalRow.fromSeq(fields.toSeq.map(f =>
             vals.get(f).filter(_ != null).map(UTF8String.fromString).orNull))
+          emitted += 1
         }
       }
     }

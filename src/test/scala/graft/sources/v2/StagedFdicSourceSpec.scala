@@ -199,6 +199,27 @@ class StagedFdicSourceSpec extends SparkSpec {
       "a global count over zero matching rows must merge to 0, not NULL")
   }
 
+  test("limit pushdown: the reader stops after n accepted rows per file, " +
+    "Spark's final limit keeps the answer exact, plan shows PushedLimit") {
+    val lines = (1 to 90).map(i =>
+      s"""{"data": {"CERT": "$i", "STALP": "S${i % 4}"}}""")
+    val dir = stage(lines, 3)
+    val df = spark.read.format(fmt).option("fields", "CERT,STALP").load(dir)
+      .limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 5"), s"limit must push:\n$plan")
+    assert(df.collect().length == 5)
+    // composes with a pushed filter: "n ACCEPTED rows" is the stop rule,
+    // so the limited result still honors the filter exactly
+    val filtered = spark.read.format(fmt).option("fields", "CERT,STALP")
+      .load(dir).filter(col("STALP") === "S1").limit(4)
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedLimit: 4") &&
+      fplan.contains("EqualTo(STALP,S1)"), fplan)
+    val rows = filtered.collect()
+    assert(rows.length == 4 && rows.forall(_.getString(1) == "S1"))
+  }
+
   test("the q322 gate's plan actually pushes its aggregation") {
     val df = graft.operators.RelationalExt3.q322Dsv2AggPushdown(
       spark, "/root/testdata/sf0.001")
