@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -130,15 +130,47 @@ private[v2] class StagedFdicTable(schema: StructType, path: String)
 private[v2] case class PushedAggregation(groups: Seq[String],
                                          funcs: Seq[(String, Option[String])])
 
+/** A pushed top-N sort key: field, descending?, nulls-first? — enough to
+  * rebuild the exact row ordering on UTF8String values in the reader. */
+private[v2] case class PushedSortKey(field: String, desc: Boolean,
+                                     nullsFirst: Boolean)
+
 private[v2] class StagedFdicScanBuilder(fullSchema: StructType, path: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[PushedAggregation] = None
   private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(Seq[PushedSortKey], Int)] = None
+
+  /** PARTIAL top-N pushdown ([[SupportsPushDownTopN]], completing the V2
+    * pushdown family): each file's reader keeps a bounded n-row heap
+    * under the pushed sort keys instead of emitting every record;
+    * `isPartiallyPushed` stays at its default `true`, so Spark's final
+    * TakeOrderedAndProject re-sorts the ≤ n-per-file survivors — exact at
+    * any split, and an ORDER BY name LIMIT 10 over terabytes of staging
+    * ships 10 rows per file. String fields only (this source's whole
+    * schema), compared as UTF8String so the heap agrees byte-for-byte
+    * with Spark's final sort on non-ASCII data too. */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (pushedAgg.isDefined || pushedLimit.isDefined) return false
+    val keys = orders.toSeq.map { o =>
+      o.expression() match {
+        case fr: NamedReference if fr.fieldNames.length == 1 &&
+          fullSchema.fieldNames.contains(fr.fieldNames()(0)) =>
+          Some(PushedSortKey(fr.fieldNames()(0),
+            o.direction() == SortDirection.DESCENDING,
+            o.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.exists(_.isEmpty)) return false
+    pushedTopN = Some((keys.flatten, n))
+    true
+  }
 
   /** PARTIAL limit pushdown ([[SupportsPushDownLimit]]): each file's
     * reader stops after `n` accepted records — Spark keeps its own final
@@ -217,14 +249,16 @@ private[v2] class StagedFdicScanBuilder(fullSchema: StructType, path: String)
 
   override def build(): Scan = pushedAgg match {
     case Some(p) => StagedFdicScan(path, aggSchema(p), pushed, Some(p))
-    case None    => StagedFdicScan(path, required, pushed, None, pushedLimit)
+    case None =>
+      StagedFdicScan(path, required, pushed, None, pushedLimit, pushedTopN)
   }
 }
 
 private[v2] case class StagedFdicScan(path: String, required: StructType,
                                       pushed: Array[Filter],
                                       agg: Option[PushedAggregation] = None,
-                                      limit: Option[Int] = None)
+                                      limit: Option[Int] = None,
+                                      topN: Option[(Seq[PushedSortKey], Int)] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -250,14 +284,20 @@ private[v2] case class StagedFdicScan(path: String, required: StructType,
         val fs = p.funcs.map { case (op, f) => s"$op(${f.getOrElse("*")})" }
         s", PushedAggregates: ${fs.mkString("[", ",", "]")}" +
           s", GroupBy: ${p.groups.mkString("[", ",", "]")}"
-      } + limit.fold("")(n => s", PushedLimit: $n")
+      } + limit.fold("")(n => s", PushedLimit: $n") +
+      topN.fold("") { case (keys, n) =>
+        val ks = keys.map(k => k.field +
+          (if (k.desc) " DESC" else " ASC") +
+          (if (k.nullsFirst) " NULLS FIRST" else " NULLS LAST"))
+        s", PushedTopN: ${ks.mkString("[", ",", "]")} limit $n"
+      }
 
   override def planInputPartitions(): Array[InputPartition] =
     StagedFdicSource.listFiles(path)
       .map(f => StagedFilePartition(f.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    StagedFdicReaderFactory(required.fieldNames, pushed, agg, limit)
+    StagedFdicReaderFactory(required.fieldNames, pushed, agg, limit, topN)
 }
 
 private[v2] case class StagedFilePartition(file: String) extends InputPartition
@@ -265,13 +305,16 @@ private[v2] case class StagedFilePartition(file: String) extends InputPartition
 private[v2] case class StagedFdicReaderFactory(fields: Array[String],
                                                pushed: Array[Filter],
                                                agg: Option[PushedAggregation],
-                                               limit: Option[Int] = None)
+                                               limit: Option[Int] = None,
+                                               topN: Option[(Seq[PushedSortKey], Int)] = None)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[StagedFilePartition].file
-    agg match {
-      case Some(a) => new StagedFdicAggregatingReader(file, a, pushed)
-      case None    => new StagedFdicPartitionReader(file, fields, pushed, limit)
+    (agg, topN) match {
+      case (Some(a), _) => new StagedFdicAggregatingReader(file, a, pushed)
+      case (None, Some((keys, n))) =>
+        new StagedFdicTopNReader(file, fields, pushed, keys, n)
+      case _ => new StagedFdicPartitionReader(file, fields, pushed, limit)
     }
   }
 }
