@@ -56,30 +56,38 @@ object Bench {
     // proper): per-query job/stage counts go into BENCH_FULL.json so the
     // merge tool can floor-correct each query by its ACTUAL scheduled work
     // — making an r{N}→r{N+1} per-query delta readable as floor-change vs
-    // data-change without a manual adjudication round. onJobStart is
-    // posted before the blocking action returns, so reading the counters
-    // after count() sees every job of the query (same hazard profile as
-    // PlanProbe; counts are metadata, a ±1 race would not corrupt timing).
+    // data-change without a manual adjudication round. Listener events are
+    // delivered ASYNCHRONOUSLY on the bus thread (posting ≠ processing), so
+    // the counters are read only after a deterministic bus drain
+    // (GraftSchedulerBridge.drainListenerBus — the same waitUntilEmpty
+    // Spark's own tests use); the drain happens OUTSIDE the timed window.
+    // The listener is removed when the bench finishes so a second
+    // in-session runBench can't double-count.
     val jobsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
     val stagesSeen = new java.util.concurrent.atomic.AtomicInteger(0)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          jobsSeen.incrementAndGet()
-          stagesSeen.addAndGet(j.stageInfos.size)
-        }
-      })
+    val benchListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobsSeen.incrementAndGet()
+        stagesSeen.addAndGet(j.stageInfos.size)
+      }
+    }
+    spark.sparkContext.addSparkListener(benchListener)
 
     // name -> (seconds, jobs, stages)
     def runAll(): Map[String, (Double, Int, Int)] =
       benchQueries.map { case (name, fn) =>
+        org.apache.spark.GraftSchedulerBridge.drainListenerBus(
+          spark.sparkContext)
         jobsSeen.set(0); stagesSeen.set(0)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
-        // drop per-query persisted intermediates so they don't accumulate
-        // across the multi-query session
+        // drain AFTER the action (untimed) so the counters reflect every
+        // job this query scheduled, then drop per-query persisted
+        // intermediates so they don't accumulate across the session
+        org.apache.spark.GraftSchedulerBridge.drainListenerBus(
+          spark.sparkContext)
         spark.catalog.clearCache()
         name -> ((dt, jobsSeen.get(), stagesSeen.get()))
       }
@@ -200,6 +208,7 @@ object Bench {
         Iterator.range(sorted.size - 1, -1, -1).map(n =>
           line(sorted.take(n), 2, sorted.size - n))
     println(candidates.find(_.length <= budget).get)
+    spark.sparkContext.removeSparkListener(benchListener)
     spark.stop()
   }
 }

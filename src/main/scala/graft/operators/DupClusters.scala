@@ -102,7 +102,13 @@ object DupClusters {
       // materialized blocks (executor-local — on a cluster, pair with
       // reliable checkpointing if executor loss must be recoverable
       // mid-computation).
-      if ((round + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
+      // LAZY checkpoint: the convergence count below is the single action
+      // that materializes the round (eager would schedule a second,
+      // floor-priced job per checkpoint round). A lazy-marked round that
+      // sees no action of its own (round 0) materializes inside the next
+      // round's action — its lineage only runs through persist/plain-DF
+      // ancestors at that point, so nothing it needs has been dropped.
+      if ((round + 1) % checkpointEvery == 0) next = next.localCheckpoint(false)
       else next = next.persist(StorageLevel.MEMORY_AND_DISK)
       // round 0 always changes when any edge exists (a non-rep node adopts
       // a smaller neighbor label), so its convergence action is skipped —
@@ -169,10 +175,17 @@ object DupClusters {
       // localCheckpoint EVERY round: one star round references `e` ~12×
       // (unions + both join sides of both stars), so the LOGICAL plan grows
       // 12^rounds without truncation — persist caches execution but not the
-      // plan tree, and the optimizer itself OOMs after ~5 rounds. Eager
-      // checkpoint resets the plan to a LogicalRDD leaf each round; the
-      // materialization it forces doubles as the fingerprint scan below.
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // plan tree, and the optimizer itself OOMs after ~5 rounds. LAZY
+      // checkpoint: the plan truncates to a LogicalRDD leaf immediately,
+      // and the fingerprint action below is the SINGLE job that both
+      // materializes the round's blocks and reads the convergence scalar —
+      // the old eager-then-fingerprint shape scheduled two driver actions
+      // per round of near-pure job-launch floor (r9 verdict: d218 at 75
+      // jobs). The old edge set is unpersisted only AFTER the fingerprint
+      // materializes the new one (its lineage runs through the old,
+      // truncated-lineage blocks — dropping them first would make the
+      // recompute impossible, not just slow).
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       // convergence = edge set fixed point; (count, order-free hash-sum) is
       // an exact set fingerprint up to xxhash64 collision-sums — one cheap
       // action per round instead of an EXCEPT join. DECIMAL accumulation:

@@ -178,14 +178,24 @@ object GraphOps2 {
   private[operators] def kcore(e: DataFrame, k: Int, rounds: Int): DataFrame = {
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // LAZY localCheckpoint fused with the convergence count: the checkpoint
+    // truncates the LOGICAL plan immediately (alive is referenced twice per
+    // round — both endpoint joins — so an untruncated tree doubles per
+    // round), while the count() is the single action that both materializes
+    // the round's blocks and reads the convergence scalar. The old eager-
+    // checkpoint-then-count shape scheduled TWO driver actions per round;
+    // at the gate SFs the per-round cost is almost pure job-launch floor
+    // (r9 verdict: 55 jobs for the 10-round budget), so halving actions
+    // halves the floor without touching the plan. Safe because nothing
+    // unpersists the previous round's blocks before the count materializes
+    // the new ones.
     var alive = sym.select(col("u").as("n")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // peeling is MONOTONE (each round's alive ⊆ the last), so an unchanged
     // COUNT is an unchanged SET — once a round deletes nothing, every
     // remaining round is the identity and can be skipped with a result
     // bit-identical to running the full budget (the oracle's converged
-    // rounds are no-ops on its side too). The count reads the checkpointed
-    // round output — metadata-priced, no recompute.
+    // rounds are no-ops on its side too).
     var cnt = alive.count()
     var prev = -1L
     var r = 0
@@ -197,7 +207,7 @@ object GraphOps2 {
         .groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("u").as("n"))
-        .localCheckpoint() // truncate the per-round lineage (d57 discipline)
+        .localCheckpoint(false) // lazy: the count below materializes it
       cnt = alive.count()
       r += 1
     }
@@ -267,10 +277,18 @@ object GraphOps2 {
   private[operators] def labelProp(e: DataFrame, rounds: Int): DataFrame = {
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // No per-round checkpoint: unlike k-core (whose state is referenced
+    // twice per round), each LPA round references the previous labels
+    // exactly ONCE (the neighbor join), so the logical plan grows LINEARLY
+    // in rounds and the whole fixed budget unrolls into one lazy plan with
+    // a single terminal action — the r9 eager-checkpoint-per-round shape
+    // paid 3 extra driver actions of pure scheduling floor for lineage
+    // hygiene the linear chain doesn't need. A LAZY checkpoint every 5
+    // rounds still bounds the chain for callers that pass big budgets
+    // (property tests take `rounds` as a parameter).
     var labels = sym.select(col("u").as("x")).distinct()
       .withColumn("lbl", col("x"))
-      .localCheckpoint()
-    (1 to rounds).foreach { _ =>
+    (1 to rounds).foreach { i =>
       labels = sym
         .join(labels.select(col("x").as("v"), col("lbl")), "v")
         .groupBy("u", "lbl").agg(count(lit(1)).as("c"))
@@ -278,7 +296,7 @@ object GraphOps2 {
         .groupBy("u")
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("b"))
         .selectExpr("u AS x", "-b.nl AS lbl")
-        .localCheckpoint()
+      if (i % 5 == 0) labels = labels.localCheckpoint(false)
     }
     labels.groupBy("lbl")
       .agg(count(lit(1)).as("n_nodes"), min("x").as("min_node"))

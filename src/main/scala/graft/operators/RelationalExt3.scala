@@ -155,6 +155,40 @@ object RelationalExt3 {
       |  min(c_name) AS first_name, max(c_name) AS last_name
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** q323: DSv2 TOP-N pushdown end-to-end — q107's staged table under an
+    * `ORDER BY c_name DESC LIMIT 10` ([[graft.sources.v2.StagedFdicSource]]'s
+    * `SupportsPushDownTopN`, completing the V2 pushdown family): each
+    * staged file's reader keeps a bounded 10-row heap under the pushed
+    * sort key instead of emitting every record, and Spark's final
+    * TakeOrderedAndProject re-sorts the ≤ 10-per-file survivors —
+    * `isPartiallyPushed` stays true, so the answer is exact at any file
+    * split. At the 100 TB ingest edge an ORDER BY … LIMIT 10 ships 10
+    * rows per file instead of the corpus. The heap compares UTF8String
+    * byte order — the same ordering Spark's final sort applies — so
+    * eviction can never disagree with the final sort. StagedFdicSourceSpec
+    * covers ties, NULLS FIRST/LAST, filter composition, and the
+    * aggregate-exclusion guard; this gate checks the VALUES against the
+    * original table. */
+  def q323Dsv2TopNPushdown(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.SparkSupport.roundtripPath("staged_topn_rt", dir)
+    Tables.customer(s, dir)
+      .select(concat(lit("{\"data\": "),
+        to_json(struct(col("c_custkey"), col("c_name"), col("c_mktsegment"))),
+        lit("}")).as("value"))
+      .repartition(4) // several staged files → the per-file bound is real
+      .write.mode("overwrite").text(tmp)
+    s.read.format(classOf[graft.sources.v2.StagedFdicSource].getName)
+      .option("fields", "c_custkey,c_name,c_mktsegment").load(tmp)
+      .orderBy(col("c_name").desc)
+      .limit(10)
+      .select(col("c_custkey").cast("bigint").as("c_custkey"), col("c_name"))
+      .orderBy(col("c_name").desc)
+  }
+
+  val q323Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |ORDER BY c_name DESC LIMIT 10""".stripMargin
+
   /** q108: unpivot — the inverse of the reference's quarterly wide-table
     * pivot (A3/J3, BuildGoldLayer.py:92-139): orders pivoted to a
     * status × priority count matrix, then melted back to long form with the
@@ -184,6 +218,7 @@ object RelationalExt3 {
     "q106_cohort_retention" -> q106CohortRetention,
     "q107_dsv2_roundtrip"  -> q107Dsv2Roundtrip,
     "q322_dsv2_agg_pushdown" -> q322Dsv2AggPushdown,
+    "q323_dsv2_topn_pushdown" -> q323Dsv2TopNPushdown,
     "q108_unpivot"         -> q108Unpivot)
 
   val oracle: Map[String, String] = Map(
@@ -191,5 +226,6 @@ object RelationalExt3 {
     "q106_cohort_retention" -> q106Sql,
     "q107_dsv2_roundtrip"  -> q107Sql,
     "q322_dsv2_agg_pushdown" -> q322Sql,
+    "q323_dsv2_topn_pushdown" -> q323Sql,
     "q108_unpivot"         -> q108Sql)
 }

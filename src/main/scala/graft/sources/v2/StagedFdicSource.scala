@@ -142,6 +142,13 @@ private[v2] class StagedFdicScanBuilder(fullSchema: StructType, path: String)
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+
+  /** Both limit and top-N pushes are PARTIAL: the reader bounds each
+    * file's output; Spark keeps its own global LIMIT /
+    * TakeOrderedAndProject above, so the answer is exact at any file
+    * split. (Explicit override required — SupportsPushDownLimit and
+    * SupportsPushDownTopN both declare this default method.) */
+  override def isPartiallyPushed(): Boolean = true
   private var pushedAgg: Option[PushedAggregation] = None
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[(Seq[PushedSortKey], Int)] = None
@@ -183,7 +190,7 @@ private[v2] class StagedFdicScanBuilder(fullSchema: StructType, path: String)
     * groups; Spark doesn't offer that shape, and the guard keeps the
     * invariant local). */
   override def pushLimit(n: Int): Boolean =
-    if (pushedAgg.isDefined) false
+    if (pushedAgg.isDefined || pushedTopN.isDefined) false
     else { pushedLimit = Some(n); true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -365,6 +372,110 @@ private[v2] class StagedFdicPartitionReader(file: String,
 
   override def get(): InternalRow = current
   override def close(): Unit = lines.close()
+}
+
+/** The partial top-N reader: scans the file's filtered records through a
+  * BOUNDED n-row heap ordered by the pushed sort keys, then emits the
+  * survivors in sorted order — ≤ n rows leave the file no matter its size.
+  * Exactness contract: `isPartiallyPushed` is true, so Spark's
+  * TakeOrderedAndProject re-sorts and re-limits the per-file survivors;
+  * the per-file top-n is a superset of that file's contribution to the
+  * global top-n (any globally-selected row is ≥ its file's n-th best), so
+  * the final answer is identical to the un-pushed plan, ties included —
+  * Spark's final sort resolves ties by its own (stable partition-order)
+  * rule either way, because BOTH plans hand it every tied candidate: a row
+  * tied with the heap boundary is only evicted in favor of another row
+  * that itself stays a candidate. Comparisons are [[UTF8String]] byte
+  * order — the SAME ordering Spark's final sort applies to string
+  * columns — so heap eviction can never disagree with the final sort on
+  * non-ASCII data. Sort-key fields are parsed even when pruned from the
+  * output projection (Spark keeps them in `required` for its final sort,
+  * but the reader must not depend on that). */
+private[v2] class StagedFdicTopNReader(file: String,
+                                       fields: Array[String],
+                                       pushed: Array[Filter],
+                                       keys: Seq[PushedSortKey],
+                                       n: Int)
+  extends PartitionReader[InternalRow] {
+
+  private val parseFields: Array[String] =
+    (fields ++ keys.map(_.field) ++ pushed.flatMap {
+      case EqualTo(attr, _) => Seq(attr)
+      case IsNotNull(attr)  => Seq(attr)
+      case _                => Seq.empty
+    }).distinct
+
+  private def accepts(vals: Map[String, String]): Boolean = pushed.forall {
+    case EqualTo(attr, v: String) => vals.get(attr).exists(x => x != null && x == v)
+    case IsNotNull(attr)          => vals.get(attr).exists(_ != null)
+    case _                        => true
+  }
+
+  /** Output-order comparator over (sortKeyValues, outputRow) pairs:
+    * negative ⇒ `a` sorts before `b`. NULLS FIRST means null precedes
+    * non-null in the OUTPUT order regardless of ASC/DESC (Spark's
+    * NullOrdering is resolved, not relative to direction). */
+  private def cmp(a: Array[UTF8String], b: Array[UTF8String]): Int = {
+    var i = 0
+    while (i < keys.length) {
+      val k = keys(i); val x = a(i); val y = b(i)
+      val c =
+        if (x == null && y == null) 0
+        else if (x == null) { if (k.nullsFirst) -1 else 1 }
+        else if (y == null) { if (k.nullsFirst) 1 else -1 }
+        else { val c0 = x.compareTo(y); if (k.desc) -c0 else c0 }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  // max-heap under the output order: the root is the WORST retained row,
+  // evicted when a better one arrives — classic bounded top-n, O(file·log n)
+  private val heap = new java.util.PriorityQueue[(Array[UTF8String], InternalRow)](
+    math.max(1, n),
+    (p: (Array[UTF8String], InternalRow), q: (Array[UTF8String], InternalRow)) =>
+      -cmp(p._1, q._1))
+
+  locally {
+    val lines = Files.lines(Paths.get(file))
+    try {
+      val it = lines.iterator()
+      while (it.hasNext) {
+        val line = it.next()
+        if (line.nonEmpty) {
+          val vals = StagedJsonLine.extract(line, parseFields)
+          if (accepts(vals)) {
+            val kv = keys.map(k =>
+              vals.get(k.field).filter(_ != null)
+                .map(UTF8String.fromString).orNull).toArray
+            if (heap.size < n) {
+              heap.add((kv, InternalRow.fromSeq(fields.toSeq.map(f =>
+                vals.get(f).filter(_ != null).map(UTF8String.fromString).orNull))))
+            } else if (n > 0 && cmp(kv, heap.peek()._1) < 0) {
+              heap.poll()
+              heap.add((kv, InternalRow.fromSeq(fields.toSeq.map(f =>
+                vals.get(f).filter(_ != null).map(UTF8String.fromString).orNull))))
+            }
+          }
+        }
+      }
+    } finally lines.close()
+  }
+
+  private val out = {
+    val arr = new Array[(Array[UTF8String], InternalRow)](heap.size)
+    var i = arr.length - 1
+    while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // drain worst-first → sorted
+    arr.iterator.map(_._2)
+  }
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    current = if (out.hasNext) out.next() else null
+    current != null
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** The partial-aggregation reader: folds the pushed COUNT/MIN/MAX specs

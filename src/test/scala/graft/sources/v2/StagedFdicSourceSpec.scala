@@ -220,6 +220,100 @@ class StagedFdicSourceSpec extends SparkSpec {
     assert(rows.length == 4 && rows.forall(_.getString(1) == "S1"))
   }
 
+  test("top-N pushdown: plan shows PushedTopN; result matches the un-pushed " +
+    "plan exactly across files, including ties and DESC") {
+    // 90 records over 3 files, with deliberate TIES on the sort key (V
+    // repeats every 9) so the heap's tie-eviction is exercised: the pushed
+    // answer must equal the un-pushed answer as a SET at the limit boundary
+    val lines = (1 to 90).map(i =>
+      s"""{"data": {"CERT": "$i", "V": "v${f"${i % 9}%02d"}"}}""")
+    val dir = stage(lines, 3)
+    def staged = spark.read.format(fmt).option("fields", "CERT,V").load(dir)
+    val pushedDf = staged.orderBy(col("V").desc, col("CERT")).limit(7)
+    val plan = pushedDf.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: [V DESC NULLS LAST,CERT ASC NULLS FIRST] limit 7"),
+      s"top-N must push:\n$plan")
+    // un-pushed reference: same data through the V1 json path, same sort
+    val unpushed = graft.pipeline.Bronze.readStagedFdicJson(
+      spark, dir, Seq("CERT", "V"))
+      .orderBy(col("V").desc, col("CERT")).limit(7)
+    assert(pushedDf.collect().toSeq == unpushed.collect().toSeq)
+  }
+
+  test("top-N pushdown: NULLS FIRST and NULLS LAST both honored by the " +
+    "per-file heap") {
+    val lines = Seq(
+      """{"data": {"CERT": "1", "V": "b"}}""",
+      """{"data": {"CERT": "2", "V": null}}""",
+      """{"data": {"CERT": "3", "V": "a"}}""",
+      """{"data": {"CERT": "4", "V": null}}""",
+      """{"data": {"CERT": "5", "V": "c"}}""")
+    val dir = stage(lines, 2)
+    def staged = spark.read.format(fmt).option("fields", "CERT,V").load(dir)
+    // asc_nulls_first: the two nulls must SURVIVE the per-file heap at n=3
+    val nf = staged.orderBy(col("V").asc_nulls_first, col("CERT")).limit(3)
+    assert(nf.queryExecution.executedPlan.toString.contains("V ASC NULLS FIRST"))
+    assert(nf.collect().map(_.getString(0)).toSeq == Seq("2", "4", "3"))
+    // desc_nulls_last: the nulls must be EVICTED in favor of values
+    val nl = staged.orderBy(col("V").desc_nulls_last, col("CERT")).limit(3)
+    assert(nl.queryExecution.executedPlan.toString.contains("V DESC NULLS LAST"))
+    assert(nl.collect().map(_.getString(0)).toSeq == Seq("5", "1", "3"))
+  }
+
+  test("top-N pushdown composes with a pushed filter; n larger than the " +
+    "file's accepted rows emits them all") {
+    val lines = (1 to 90).map(i =>
+      s"""{"data": {"CERT": "${f"$i%02d"}", "STALP": "S${i % 4}"}}""")
+    val dir = stage(lines, 3)
+    val df = spark.read.format(fmt).option("fields", "CERT,STALP").load(dir)
+      .filter(col("STALP") === "S1")
+      .orderBy(col("CERT")).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN:") && plan.contains("EqualTo(STALP,S1)"),
+      plan)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      (1 to 90).filter(_ % 4 == 1).map(i => f"$i%02d").sorted.take(5))
+    assert(rows.forall(_.getString(1) == "S1"))
+    // n=50 > the ~8 accepted rows per file: everything accepted survives
+    val wide = spark.read.format(fmt).option("fields", "CERT,STALP").load(dir)
+      .filter(col("STALP") === "S1").orderBy(col("CERT")).limit(50)
+    assert(wide.count() == 23) // |{1..90 : i % 4 == 1}|
+  }
+
+  test("top-N pushdown refuses when an aggregate is pushed (and vice versa " +
+    "for limit) — the builder keeps the pushes mutually exclusive") {
+    val dir = stage(sample)
+    // ORDER BY + LIMIT over an aggregate: the agg pushes, the TopN must NOT
+    val df = spark.read.format(fmt).option("fields", "CERT,NAME,STALP")
+      .load(dir)
+      .groupBy("STALP").agg(count(lit(1)).as("n"))
+      .orderBy(col("STALP")).limit(2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates:") && !plan.contains("PushedTopN:"),
+      s"TopN above a pushed aggregate must stay in Spark:\n$plan")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("GA", 2L), ("TX", 1L)))
+    // builder-level guard symmetry (pushLimit after pushTopN refuses)
+    val b = new StagedFdicScanBuilder(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("CERT",
+          org.apache.spark.sql.types.StringType))), dir)
+    import org.apache.spark.sql.connector.expressions.Expressions
+    assert(b.pushTopN(Array(Expressions.sort(Expressions.column("CERT"),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)), 3))
+    assert(!b.pushLimit(5),
+      "pushLimit must refuse once a TopN is pushed — mutual exclusion")
+  }
+
+  test("the q323 gate's plan actually pushes its top-N") {
+    val df = graft.operators.RelationalExt3.q323Dsv2TopNPushdown(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: [c_name DESC NULLS LAST] limit 10"),
+      s"the gate must run through the pushed path:\n$plan")
+  }
+
   test("the q322 gate's plan actually pushes its aggregation") {
     val df = graft.operators.RelationalExt3.q322Dsv2AggPushdown(
       spark, "/root/testdata/sf0.001")
