@@ -19,6 +19,28 @@ object SparkSupport {
     if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
   }
 
+  /** Run `body` with adaptive query execution OFF, restoring the previous
+    * setting afterwards — for the per-round bodies of ITERATIVE kernels
+    * over contracted, bounded state (k-core peel, label propagation,
+    * min-label/star connected components). AQE materializes every exchange
+    * as its own scheduled job (`submitMapStage` per query stage) so it can
+    * re-plan between stages; on a per-round plan whose state is a few
+    * thousand (long, long) rows, there is nothing to re-plan — the rounds
+    * are skew-free by construction (min/label aggregation absorbs hubs
+    * map-side) — and the extra jobs are pure scheduler floor that
+    * DOMINATES the loop at gate scale (q198: 48 scheduled jobs for ~8
+    * rounds, ~60 ms launch floor each). A static plan runs each round as
+    * ONE job with pipelined stages. The corpus-scale work (edge building)
+    * happens BEFORE the loop under AQE as usual — callers materialize
+    * inputs first (persist + first action), then iterate statically.
+    * Results are identical either way; this toggles scheduling only. */
+  def withoutAqe[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Scratch directory for shuffle/spill files (`spark.local.dir`).
     *
     * The bench/verify hosts run on virtualized block storage where small-file

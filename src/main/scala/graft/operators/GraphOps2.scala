@@ -178,45 +178,65 @@ object GraphOps2 {
   private[operators] def kcore(e: DataFrame, k: Int, rounds: Int): DataFrame = {
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // LAZY localCheckpoint fused with the convergence count: the checkpoint
-    // truncates the LOGICAL plan immediately (alive is referenced twice per
-    // round — both endpoint joins — so an untruncated tree doubles per
-    // round), while the count() is the single action that both materializes
-    // the round's blocks and reads the convergence scalar. The old eager-
-    // checkpoint-then-count shape scheduled TWO driver actions per round;
-    // at the gate SFs the per-round cost is almost pure job-launch floor
-    // (r9 verdict: 55 jobs for the 10-round budget), so halving actions
-    // halves the floor without touching the plan. Safe because nothing
-    // unpersists the previous round's blocks before the count materializes
-    // the new ones.
-    var alive = sym.select(col("u").as("n")).distinct()
-      .localCheckpoint(false)
-    // peeling is MONOTONE (each round's alive ⊆ the last), so an unchanged
-    // COUNT is an unchanged SET — once a round deletes nothing, every
-    // remaining round is the identity and can be skipped with a result
-    // bit-identical to running the full budget (the oracle's converged
-    // rounds are no-ops on its side too).
-    var cnt = alive.count()
-    var prev = -1L
-    var r = 0
-    while (r < rounds && cnt != prev) {
-      prev = cnt
-      alive = sym
-        .join(alive.select(col("n").as("u")), "u")
-        .join(alive.select(col("n").as("v")), "v")
-        .groupBy("u").agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k)
-        .select(col("u").as("n"))
-        .localCheckpoint(false) // lazy: the count below materializes it
-      cnt = alive.count()
-      r += 1
+    // Materialize the corpus-scale edge build under the AMBIENT config
+    // (AQE on — skew/coalesce matter for the lineitem self-join), then run
+    // the rounds STATICALLY ([[graft.SparkSupport.withoutAqe]]): per-round
+    // state is a few-thousand-row alive set, skew-free by construction, so
+    // AQE's per-exchange job materialization is pure scheduler floor —
+    // one static job per round replaces ~5 (r9 verdict: 55 jobs for the
+    // 10-round budget, ~60 ms launch floor each).
+    sym.count()
+    graft.SparkSupport.withoutAqe(sym.sparkSession) {
+      // LAZY localCheckpoint fused with the convergence count: the
+      // checkpoint truncates the LOGICAL plan immediately (alive is
+      // referenced twice per round — both endpoint joins — so an
+      // untruncated tree doubles per round), while the count() is the
+      // single action that both materializes the round's blocks and reads
+      // the convergence scalar. Safe because nothing unpersists the
+      // previous round's blocks before the count materializes the new.
+      var alive = sym.select(col("u").as("n")).distinct()
+        .localCheckpoint(false)
+      // peeling is MONOTONE (each round's alive ⊆ the last), so an
+      // unchanged COUNT is an unchanged SET — once a round deletes
+      // nothing, every remaining round is the identity and can be skipped
+      // with a result bit-identical to running the full budget (the
+      // oracle's converged rounds are no-ops on its side too).
+      var cnt = alive.count()
+      var prev = -1L
+      var r = 0
+      // the convergence count IS the size scalar AQE would have measured
+      // at runtime: when the alive set is small, hint it broadcast so the
+      // static per-round joins keep the hash-join shape AQE's conversion
+      // gave them — driver-known statistics making AQE's decision without
+      // AQE's per-exchange jobs. Above the ceiling the joins shuffle,
+      // which is the correct 100 TB shape anyway.
+      def aliveSide(as: String) = {
+        val side = alive.select(col("n").as(as))
+        if (cnt <= GraphOps.DegreeBroadcastMaxNodes) broadcast(side) else side
+      }
+      while (r < rounds && cnt != prev) {
+        prev = cnt
+        alive = sym
+          .join(aliveSide("u"), "u")
+          .join(aliveSide("v"), "v")
+          .groupBy("u").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k)
+          .select(col("u").as("n"))
+          .localCheckpoint(false) // lazy: the count below materializes it
+        cnt = alive.count()
+        r += 1
+      }
+      // final induced-degree assembly inside the static scope too: it is
+      // the same tiny-state shape as a round, and the eager checkpoint
+      // hands the caller a one-job LogicalRDD instead of 4 more AQE jobs
+      sym
+        .join(aliveSide("u"), "u")
+        .join(aliveSide("v"), "v")
+        .groupBy("u").agg(count(lit(1)).as("core_degree"))
+        .selectExpr("u AS node", "core_degree")
+        .orderBy("node")
+        .localCheckpoint(true)
     }
-    sym
-      .join(alive.select(col("n").as("u")), "u")
-      .join(alive.select(col("n").as("v")), "v")
-      .groupBy("u").agg(count(lit(1)).as("core_degree"))
-      .selectExpr("u AS node", "core_degree")
-      .orderBy("node")
   }
 
   val q198Sql: String = {
@@ -283,9 +303,14 @@ object GraphOps2 {
     // in rounds and the whole fixed budget unrolls into one lazy plan with
     // a single terminal action — the r9 eager-checkpoint-per-round shape
     // paid 3 extra driver actions of pure scheduling floor for lineage
-    // hygiene the linear chain doesn't need. A LAZY checkpoint every 5
-    // rounds still bounds the chain for callers that pass big budgets
-    // (property tests take `rounds` as a parameter).
+    // hygiene the linear chain doesn't need. The chain stays under AQE
+    // (measured: a static AQE-off variant with explicit broadcast hints
+    // ran ~15% SLOWER at sf0.1 — the per-round (u,lbl) aggregate is the
+    // one exchange whose partitioning AQE's runtime coalesce genuinely
+    // improves, unlike the k-core/CC loops where the static plan won on
+    // jobs at equal seconds). A LAZY checkpoint every 5 rounds still
+    // bounds the chain for callers that pass big budgets (property tests
+    // take `rounds` as a parameter).
     var labels = sym.select(col("u").as("x")).distinct()
       .withColumn("lbl", col("x"))
     (1 to rounds).foreach { i =>
