@@ -286,9 +286,17 @@ object Similarity2 {
     val d0 = dt.filter(col("doc_id") === 0).select("t")
     val dfq = dt.join(broadcast(d0), "t")
       .groupBy("t").agg(count(lit(1)).as("df"))
+    // EAGER checkpoint of the 8-row query-term table: it feeds BOTH the
+    // lexical leg here and s314's rerank features, and as a lazy subplan
+    // it re-executed its tokenize→distinct→df→window chain once per
+    // downstream action (r9: s314 at 44 scheduled jobs, floor-dominated).
+    // Materializing 8 rows once turns every later reference into a
+    // LogicalRDD leaf. This also materializes the persisted `toks` cache
+    // as a side effect — work every caller needs anyway.
     val qt = dfq
       .withColumn("r", row_number().over(Window.orderBy(col("df"), col("t"))))
       .filter(col("r") <= 8).select("t", "df")
+      .localCheckpoint(true)
     val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot"))
     val tf = toks.filter(col("doc_id") =!= 0)
@@ -1065,19 +1073,26 @@ object Similarity2 {
     import org.apache.spark.sql.expressions.Window
     graft.catalyst.GraftFunctions.ensureRegistered(s)
     val (toks, qt, fused) = hybridRetrieval(s, dir)
-    val ids = fused.select("doc_id").collect().map(_.getLong(0)).toSeq
-    val short = toks.filter(col("doc_id").isInCollection(ids))
+    // EAGER checkpoint of the 20-row fused shortlist, then BROADCAST joins
+    // against it — r9's shape collected the ids to the driver and rebuilt
+    // three isInCollection filters, each of whose actions re-executed lazy
+    // subplans (44 scheduled jobs, pure floor at gate SF). One
+    // materialization + broadcast semi-join probes is the same point-
+    // lookup access pattern at scale (the shortlist is metadata-sized
+    // either way) with a single terminal action.
+    val shortlist = fused.select("doc_id").localCheckpoint(true)
+    val short = toks.join(broadcast(shortlist), "doc_id")
     val tfa = short.join(broadcast(qt.select("t")), "t")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("sumtf"), countDistinct(col("t")).as("n_cover"))
     val lens = short.groupBy("doc_id").agg(count(lit(1)).as("len"))
     val all = Similarity.vecs(s, dir)
     val cosf = broadcast(all.filter(col("vec_id") === 0).select(col("v"))).as("q")
-      .crossJoin(all.filter(col("vec_id").isInCollection(ids)).as("c"))
+      .crossJoin(all.join(
+        broadcast(shortlist.select(col("doc_id").as("vec_id"))), "vec_id").as("c"))
       .selectExpr("c.vec_id AS doc_id",
         s"CAST(floor((${Similarity.cosExpr}) * 1000000.0D) AS BIGINT) AS cos6")
-    import s.implicits._
-    val feat = ids.toDF("doc_id")
+    val feat = shortlist
       .join(tfa, Seq("doc_id"), "left")
       .join(lens, Seq("doc_id"), "left")
       .join(cosf, Seq("doc_id"), "left")
