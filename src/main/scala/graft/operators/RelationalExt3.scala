@@ -189,6 +189,38 @@ object RelationalExt3 {
     """SELECT c_custkey, c_name FROM customer
       |ORDER BY c_name DESC LIMIT 10""".stripMargin
 
+  /** q324: AVRO interchange roundtrip — customers written as Avro
+    * object-container files through [[graft.sources.v2.AvroInterchangeSource]]
+    * (a DSv2 connector built directly on avro-core: the classpath ships no
+    * spark-avro datasource, and the container format needs only the core
+    * library), read back with a pushed segment filter and a pruned
+    * projection. Avro is the hand-off format at a training pipeline's
+    * edges (crawler output, log deliveries), so the engine treats it as a
+    * first-class table: column pruning maps to Avro reader-schema
+    * resolution (non-requested fields are skipped at the DECODE level),
+    * EqualTo/IsNotNull evaluate inside the reader, and the write is the
+    * staged sink's two-phase commit. Types survive the roundtrip —
+    * c_custkey stays BIGINT through the Avro long, no string casts —
+    * which is the interchange property the gate actually checks against
+    * the original parquet. */
+  def q324AvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.SparkSupport.roundtripPath("avro_rt", dir)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .repartition(4) // several container files → file-parallel read
+      .write.format(classOf[graft.sources.v2.AvroInterchangeSource].getName)
+      .mode("overwrite").save(tmp)
+    s.read.format(classOf[graft.sources.v2.AvroInterchangeSource].getName)
+      .load(tmp)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q324Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
+
   /** q108: unpivot — the inverse of the reference's quarterly wide-table
     * pivot (A3/J3, BuildGoldLayer.py:92-139): orders pivoted to a
     * status × priority count matrix, then melted back to long form with the
@@ -219,6 +251,7 @@ object RelationalExt3 {
     "q107_dsv2_roundtrip"  -> q107Dsv2Roundtrip,
     "q322_dsv2_agg_pushdown" -> q322Dsv2AggPushdown,
     "q323_dsv2_topn_pushdown" -> q323Dsv2TopNPushdown,
+    "q324_avro_roundtrip"  -> q324AvroRoundtrip,
     "q108_unpivot"         -> q108Unpivot)
 
   val oracle: Map[String, String] = Map(
@@ -227,5 +260,6 @@ object RelationalExt3 {
     "q107_dsv2_roundtrip"  -> q107Sql,
     "q322_dsv2_agg_pushdown" -> q322Sql,
     "q323_dsv2_topn_pushdown" -> q323Sql,
+    "q324_avro_roundtrip"  -> q324Sql,
     "q108_unpivot"         -> q108Sql)
 }

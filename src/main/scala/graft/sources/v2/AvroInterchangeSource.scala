@@ -1,0 +1,411 @@
+package graft.sources.v2
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema => AvroSchema, SchemaBuilder}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for Avro object-container files, built directly
+  * on avro-core (the classpath ships no spark-avro datasource; the
+  * container format itself needs only the core library). Avro is the
+  * interchange format training-data pipelines meet at their edges —
+  * upstream crawlers and log pipelines hand off Avro, downstream
+  * consumers expect it — so the engine reads and writes it as a
+  * first-class table:
+  *
+  *  - '''column pruning''' ([[SupportsPushDownRequiredColumns]]) maps to
+  *    Avro's own reader-schema resolution: the datum reader is given a
+  *    projection schema, so non-requested writer fields are SKIPPED at the
+  *    decode level (Avro resolution skips them without materializing) —
+  *    the same "don't decode what you don't read" property a parquet scan
+  *    gets from its column chunks;
+  *  - '''filter pushdown''' ([[SupportsPushDownFilters]]): `EqualTo` /
+  *    `IsNotNull` evaluate inside the reader on decoded primitives, so
+  *    filtered records never become rows;
+  *  - '''two-phase-commit write''' ([[StagedFdicBatchWrite]]'s discipline,
+  *    shared via the same temp-dir + atomic-rename protocol): task files
+  *    land hidden, the driver's job commit publishes them atomically, and
+  *    a failed task never leaves partial data visible.
+  *
+  * Type mapping (both directions): string↔StringType, long↔LongType,
+  * int↔IntegerType, double↔DoubleType, float↔FloatType,
+  * boolean↔BooleanType, bytes↔BinaryType; nullability is the standard
+  * `union {null, T}`. Nested records/arrays/maps are out of scope for the
+  * interchange tier (flat tabular hand-off); the reader fails loud on
+  * them rather than guessing.
+  *
+  * Parallelism is one [[InputPartition]] per container file — Avro files
+  * are block-splittable in principle, but interchange drops arrive as
+  * many files (one per producer task), so file-level parallelism is the
+  * scale unit, mirroring [[StagedFdicSource]].
+  *
+  * Usage: `spark.read.format(classOf[AvroInterchangeSource].getName)
+  * .load(dir)` (schema from the first file's writer schema), and
+  * `df.write.format(...).save(dir)`.
+  */
+class AvroInterchangeSource extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val files = StagedFdicSource.listFiles(options.get("path"))
+    files.headOption match {
+      case None => StructType(Nil)
+      case Some(f) =>
+        val r = new DataFileReader[GenericRecord](
+          f.toFile, new GenericDatumReader[GenericRecord]())
+        try AvroInterchange.toSparkSchema(r.getSchema)
+        finally r.close()
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new AvroInterchangeTable(schema, properties.get("path"))
+}
+
+private[v2] object AvroInterchange {
+
+  def toSparkSchema(s: AvroSchema): StructType = {
+    require(s.getType == AvroSchema.Type.RECORD,
+      s"top-level Avro schema must be a record, got ${s.getType}")
+    StructType(s.getFields.asScala.toSeq.map { f =>
+      val (t, nullable) = unwrap(f.schema())
+      StructField(f.name(), t, nullable)
+    })
+  }
+
+  /** Unwraps `union {null, T}` to (T, nullable=true); plain T to
+    * (T, nullable=false). */
+  private def unwrap(s: AvroSchema): (DataType, Boolean) = s.getType match {
+    case AvroSchema.Type.UNION =>
+      val branches = s.getTypes.asScala.toSeq
+      val nonNull = branches.filter(_.getType != AvroSchema.Type.NULL)
+      require(nonNull.length == 1 && branches.length <= 2,
+        s"only union {null, T} is supported, got $s")
+      (primitive(nonNull.head), true)
+    case _ => (primitive(s), false)
+  }
+
+  private def primitive(s: AvroSchema): DataType = s.getType match {
+    case AvroSchema.Type.STRING  => StringType
+    case AvroSchema.Type.LONG    => LongType
+    case AvroSchema.Type.INT     => IntegerType
+    case AvroSchema.Type.DOUBLE  => DoubleType
+    case AvroSchema.Type.FLOAT   => FloatType
+    case AvroSchema.Type.BOOLEAN => BooleanType
+    case AvroSchema.Type.BYTES   => BinaryType
+    case other => throw new IllegalArgumentException(
+      s"unsupported Avro type for the interchange tier: $other")
+  }
+
+  def toAvroSchema(s: StructType, name: String): AvroSchema = {
+    val fields = SchemaBuilder.record(name).namespace("graft").fields()
+    s.fields.foldLeft(fields) { (fs, f) =>
+      val base = f.dataType match {
+        case StringType  => AvroSchema.create(AvroSchema.Type.STRING)
+        case LongType    => AvroSchema.create(AvroSchema.Type.LONG)
+        case IntegerType => AvroSchema.create(AvroSchema.Type.INT)
+        case DoubleType  => AvroSchema.create(AvroSchema.Type.DOUBLE)
+        case FloatType   => AvroSchema.create(AvroSchema.Type.FLOAT)
+        case BooleanType => AvroSchema.create(AvroSchema.Type.BOOLEAN)
+        case BinaryType  => AvroSchema.create(AvroSchema.Type.BYTES)
+        case other => throw new IllegalArgumentException(
+          s"unsupported Spark type for Avro interchange: $other")
+      }
+      val t =
+        if (f.nullable)
+          AvroSchema.createUnion(
+            AvroSchema.create(AvroSchema.Type.NULL), base)
+        else base
+      fs.name(f.name).`type`(t).withDefault(
+        if (f.nullable) null
+        else f.dataType match { // non-null needs a typed default for
+          case StringType => ""  // reader-schema projection resolution
+          case BinaryType => java.nio.ByteBuffer.allocate(0)
+          case BooleanType => java.lang.Boolean.FALSE
+          case _ => java.lang.Integer.valueOf(0)
+        })
+    }.endRecord()
+  }
+
+  /** Avro decoded value → Catalyst internal value for `dt`. */
+  def toCatalyst(v: AnyRef, dt: DataType): Any = v match {
+    case null => null
+    case s: org.apache.avro.util.Utf8 => UTF8String.fromBytes(s.getBytes.clone().take(s.getByteLength))
+    case s: String => UTF8String.fromString(s)
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case other => other // int/long/float/double/boolean box directly
+  }
+}
+
+private[v2] class AvroInterchangeTable(schema: StructType, path: String)
+  extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"avro_interchange($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(schema, path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(path, info.schema())
+}
+
+private[v2] class AvroScanBuilder(fullSchema: StructType, path: String)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(attr, _) => fullSchema.fieldNames.contains(attr)
+      case IsNotNull(attr)  => fullSchema.fieldNames.contains(attr)
+      case _                => false
+    }
+    pushed = accepted
+    rejected
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = AvroScan(path, fullSchema, required, pushed)
+}
+
+private[v2] case class AvroScan(path: String, fullSchema: StructType,
+                                required: StructType, pushed: Array[Filter])
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Same rationale as [[StagedFdicScan.estimateStatistics]]: file-size
+    * statistics make a small interchange drop a broadcast-join candidate
+    * instead of the V2 default "unknown size". */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes =
+      StagedFdicSource.listFiles(path).map(f => Files.size(f)).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+
+  override def description(): String =
+    s"AvroInterchangeScan ReadFields: " +
+      s"${required.fieldNames.mkString("[", ",", "]")}, " +
+      s"PushedFilters: ${pushed.mkString("[", ",", "]")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    StagedFdicSource.listFiles(path)
+      .map(f => StagedFilePartition(f.toString): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    AvroReaderFactory(fullSchema, required, pushed)
+}
+
+private[v2] case class AvroReaderFactory(fullSchema: StructType,
+                                         required: StructType,
+                                         pushed: Array[Filter])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new AvroPartitionReader(
+      p.asInstanceOf[StagedFilePartition].file, fullSchema, required, pushed)
+}
+
+private[v2] class AvroPartitionReader(file: String,
+                                      fullSchema: StructType,
+                                      required: StructType,
+                                      pushed: Array[Filter])
+  extends PartitionReader[InternalRow] {
+
+  // decode schema = required columns ∪ pushed-filter columns (a fully
+  // pushed filter's column is pruned OUT of `required` by Spark — the
+  // StagedFdicPartitionReader lesson); everything else is skipped by
+  // Avro's reader-schema resolution, never materialized
+  private val decodeFields: Array[StructField] =
+    (required.fields ++ pushed.flatMap {
+      case EqualTo(attr, _) => fullSchema.fields.find(_.name == attr)
+      case IsNotNull(attr)  => fullSchema.fields.find(_.name == attr)
+      case _                => None
+    }).distinctBy(_.name)
+  // Avro schema resolution matches the reader record to the writer record
+  // BY FULL NAME, so the projection must be derived from the file's own
+  // writer schema (same name/namespace, same per-field schemas), not
+  // synthesized — a fresh header read costs one small block
+  private val decodeSchema = {
+    val header = new DataFileReader[GenericRecord](
+      Paths.get(file).toFile, new GenericDatumReader[GenericRecord]())
+    val writerSchema = try header.getSchema finally header.close()
+    val proj = AvroSchema.createRecord(writerSchema.getName,
+      writerSchema.getDoc, writerSchema.getNamespace, false)
+    proj.setFields(decodeFields.toSeq.map { f =>
+      val wf = writerSchema.getField(f.name)
+      require(wf != null, s"column ${f.name} absent from Avro file $file")
+      new AvroSchema.Field(wf.name(), wf.schema(), wf.doc(), wf.defaultVal())
+    }.asJava)
+    proj
+  }
+  private val fieldIdx = decodeFields.map(_.name).zipWithIndex.toMap
+  private val outIdx: Array[Int] =
+    required.fieldNames.map(fieldIdx)
+
+  // filter RHS pre-converted to the Catalyst representation once, so the
+  // per-record check is a plain equals (UTF8String vs UTF8String, boxed
+  // primitives otherwise)
+  private val checks: Array[(Int, Any)] = pushed.collect {
+    case EqualTo(attr, v) =>
+      val dt = fullSchema(attr).dataType
+      val cv = v match {
+        case s: String => UTF8String.fromString(s)
+        case other     => AvroInterchange.toCatalyst(
+          other.asInstanceOf[AnyRef], dt)
+      }
+      (fieldIdx(attr), cv)
+  }
+  private val notNulls: Array[Int] = pushed.collect {
+    case IsNotNull(attr) => fieldIdx(attr)
+  }
+
+  private val reader = new DataFileReader[GenericRecord](
+    Paths.get(file).toFile,
+    new GenericDatumReader[GenericRecord](null, decodeSchema))
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && reader.hasNext) {
+      val rec = reader.next()
+      val vals = new Array[Any](decodeFields.length)
+      var i = 0
+      while (i < decodeFields.length) {
+        vals(i) = AvroInterchange.toCatalyst(
+          rec.get(decodeFields(i).name), decodeFields(i).dataType)
+        i += 1
+      }
+      val ok = notNulls.forall(j => vals(j) != null) &&
+        checks.forall { case (j, cv) => vals(j) != null && (vals(j) match {
+          case b: Array[Byte] => java.util.Arrays.equals(
+            b, cv.asInstanceOf[Array[Byte]])
+          case x => x == cv
+        })}
+      if (ok) current = InternalRow.fromSeq(outIdx.toSeq.map(vals))
+    }
+    current != null
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** Write side: the staged sink's two-phase commit protocol verbatim
+  * (hidden temp dir, task files atomically renamed in at job commit,
+  * truncate snapshots-old/moves-new/deletes-last), writing Avro container
+  * files with deflate compression — the interchange default. */
+private[v2] class AvroWriteBuilder(path: String, schema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = AvroBatchWrite(path, schema, doTruncate)
+  }
+}
+
+private[v2] case class AvroBatchWrite(path: String, schema: StructType,
+                                      truncate: Boolean)
+  extends BatchWrite {
+
+  private val stagingDir = s"$path/.staging-${java.util.UUID.randomUUID()}"
+  private val jobTag = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(stagingDir))
+    AvroWriterFactory(stagingDir, schema, jobTag)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val target = Paths.get(path)
+    Files.createDirectories(target)
+    val old =
+      if (truncate) StagedFdicSource.listFiles(path)
+      else Seq.empty[java.nio.file.Path]
+    messages.foreach { case StagedTaskCommit(tmp) =>
+      val f = Paths.get(tmp)
+      Files.move(f, target.resolve(f.getFileName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    old.foreach(Files.deleteIfExists)
+    StagedFdicSource.dropStaging(stagingDir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    StagedFdicSource.dropStaging(stagingDir)
+}
+
+private[v2] case class AvroWriterFactory(stagingDir: String,
+                                         schema: StructType, jobTag: String)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(
+      s"$stagingDir/part-$partitionId-$taskId-$jobTag.avro", schema)
+}
+
+private[v2] class AvroDataWriter(file: String, schema: StructType)
+  extends DataWriter[InternalRow] {
+
+  private val avroSchema = AvroInterchange.toAvroSchema(schema, "row")
+  private val writer = new DataFileWriter[GenericRecord](
+    new GenericDatumWriter[GenericRecord](avroSchema))
+  writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+  writer.create(avroSchema, Paths.get(file).toFile)
+
+  override def write(row: InternalRow): Unit = {
+    val rec = new GenericData.Record(avroSchema)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema(i)
+      val v: AnyRef =
+        if (row.isNullAt(i)) null
+        else f.dataType match {
+          case StringType  => row.getUTF8String(i).toString
+          case LongType    => java.lang.Long.valueOf(row.getLong(i))
+          case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
+          case DoubleType  => java.lang.Double.valueOf(row.getDouble(i))
+          case FloatType   => java.lang.Float.valueOf(row.getFloat(i))
+          case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
+          case BinaryType  => java.nio.ByteBuffer.wrap(row.getBinary(i))
+          case other => throw new IllegalArgumentException(
+            s"unsupported type in Avro write: $other")
+        }
+      rec.put(f.name, v)
+      i += 1
+    }
+    writer.append(rec)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close(); StagedTaskCommit(file)
+  }
+  override def abort(): Unit = {
+    writer.close(); Files.deleteIfExists(Paths.get(file))
+  }
+  override def close(): Unit = ()
+}

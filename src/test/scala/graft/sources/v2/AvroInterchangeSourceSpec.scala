@@ -1,0 +1,126 @@
+package graft.sources.v2
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AvroInterchangeSourceSpec extends SparkSpec {
+
+  private def fmt = classOf[AvroInterchangeSource].getName
+
+  test("write/read roundtrip across the supported type battery, " +
+    "including nulls") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("avro_rt").toString
+    val df = Seq(
+      (1L, "alpha", 10, 1.5d, 2.5f, true, Array[Byte](1, 2)),
+      (2L, null.asInstanceOf[String], 20, -0.25d, 0f, false, Array[Byte]()),
+      (3L, "gamma", -7, 0d, -1f, true, Array[Byte](-128, 127)))
+      .toDF("id", "name", "n", "d", "f", "b", "bin")
+    df.write.format(fmt).mode("overwrite").save(dir)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val rows = back.orderBy("id").collect()
+    val exp = df.orderBy("id").collect()
+    rows.zip(exp).foreach { case (r, e) =>
+      (0 to 5).foreach(i => assert(r.get(i) == e.get(i), s"col $i"))
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]](6), e.getAs[Array[Byte]](6)))
+    }
+    // no staging residue after the two-phase commit
+    assert(Files.list(java.nio.file.Paths.get(dir)).noneMatch(
+      p => p.getFileName.toString.startsWith(".staging")))
+  }
+
+  test("column pruning reaches the decode schema; filters push and show " +
+    "in the plan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("avro_pf").toString
+    (1 to 90).map(i => (i.toLong, s"n$i", s"S${i % 4}"))
+      .toDF("id", "name", "seg")
+      .repartition(3).write.format(fmt).mode("overwrite").save(dir)
+    val df = spark.read.format(fmt).load(dir)
+      .filter(col("seg") === "S1").select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadFields: [id]"), plan)
+    assert(plan.contains("EqualTo(seg,S1)"), plan)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      (1 to 90).filter(_ % 4 == 1).map(_.toLong))
+    // non-string equality pushes too (typed comparison in the reader)
+    val one = spark.read.format(fmt).load(dir).filter(col("id") === 7L)
+    assert(one.queryExecution.executedPlan.toString.contains("EqualTo(id,7)"))
+    assert(one.collect().map(_.getString(1)).toSeq == Seq("n7"))
+  }
+
+  test("one input partition per container file; append accumulates; " +
+    "overwrite truncates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("avro_parts").toString
+    val df = (1 to 30).map(i => (i.toLong, s"x$i")).toDF("id", "v")
+    df.repartition(3).write.format(fmt).mode("overwrite").save(dir)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.rdd.getNumPartitions == 3)
+    assert(back.count() == 30)
+    df.repartition(2).write.format(fmt).mode("append").save(dir)
+    assert(spark.read.format(fmt).load(dir).count() == 60)
+    df.repartition(1).write.format(fmt).mode("overwrite").save(dir)
+    assert(spark.read.format(fmt).load(dir).count() == 30)
+  }
+
+  test("size statistics make a small Avro drop a broadcast-join candidate") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("avro_bc").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.format(fmt).mode("overwrite").save(dir)
+    val small = spark.read.format(fmt).load(dir)
+    val big = (1 to 1000).map(i => (i.toLong, i)).toDF("id", "x")
+    val plan = big.join(small, Seq("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("files written by a FOREIGN producer (plain avro-core, different " +
+    "record name) read fine — projection derives from the writer schema") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = Files.createTempDirectory("avro_foreign")
+    val sch = SchemaBuilder.record("UpstreamEvent").namespace("com.example")
+      .fields()
+      .requiredLong("id").optionalString("payload").requiredInt("kind")
+      .endRecord()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, dir.resolve("drop-0.avro").toFile)
+    (1 to 5).foreach { i =>
+      val r = new GenericData.Record(sch)
+      r.put("id", i.toLong)
+      r.put("payload", if (i % 2 == 0) null else s"p$i")
+      r.put("kind", i % 3)
+      w.append(r)
+    }
+    w.close()
+    val back = spark.read.format(fmt).load(dir.toString)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "payload", "kind"))
+    assert(back.schema("payload").nullable && !back.schema("id").nullable)
+    val rows = back.select("payload", "kind").orderBy("id").collect()
+    assert(rows.map(r => Option(r.getString(0))).toSeq ==
+      Seq(Some("p1"), None, Some("p3"), None, Some("p5")))
+    // pruned read of a foreign file: only `kind` decodes
+    val k = spark.read.format(fmt).load(dir.toString).select("kind")
+    assert(k.queryExecution.executedPlan.toString.contains(
+      "ReadFields: [kind]"))
+    assert(k.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 1, 2, 2))
+  }
+
+  test("the q324 gate's plan prunes and pushes through the Avro scan") {
+    val df = graft.operators.RelationalExt3.q324AvroRoundtrip(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AvroInterchangeScan") &&
+      plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"the gate must run through the pushed path:\n$plan")
+  }
+}
