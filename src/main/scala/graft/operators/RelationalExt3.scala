@@ -221,6 +221,38 @@ object RelationalExt3 {
     """SELECT c_custkey, c_name FROM customer
       |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
 
+  /** q325: DELTA-PROTOCOL interchange — the reference's gold layer writes
+    * Delta (BuildGoldLayer.py:219-234); without the delta jar this engine
+    * carries the transactional semantics in [[graft.sources.TxLog]] and
+    * speaks the WIRE FORMAT through [[graft.sources.DeltaBridge]]: the
+    * gate builds a customer table as two TxLog commits plus an overwrite,
+    * exports the history as a spec-compliant `_delta_log` (protocol v1 +
+    * metaData + add/remove actions — mountable by delta-spark, delta-rs,
+    * DuckDB's delta extension), then reads the snapshot BACK through the
+    * bridge's own log-replay reader and filters a segment. Values are
+    * checked against the original table; DeltaBridgeSpec covers time
+    * travel, foreign-writer logs (commitInfo/txn/stats noise), checkpoint
+    * bootstrap, and the partitioned/new-protocol refusals. */
+  def q325DeltaBridge(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.SparkSupport.roundtripPath("delta_rt", dir)
+    val c = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    // two appends + an overwrite: the exported log carries a remove set,
+    // not just adds, so the replay exercises the full action vocabulary
+    graft.sources.TxLog.append(s, c.filter(col("c_custkey") % 2 === 0), tmp)
+    graft.sources.TxLog.append(s, c.filter(col("c_custkey") % 2 === 1), tmp)
+    graft.sources.TxLog.overwrite(s, c, tmp)
+    graft.sources.DeltaBridge.exportLog(s, tmp)
+    graft.sources.DeltaBridge.read(s, tmp)
+      .filter(col("c_mktsegment") === "MACHINERY")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q325Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_mktsegment = 'MACHINERY' ORDER BY c_custkey""".stripMargin
+
   /** q108: unpivot — the inverse of the reference's quarterly wide-table
     * pivot (A3/J3, BuildGoldLayer.py:92-139): orders pivoted to a
     * status × priority count matrix, then melted back to long form with the
@@ -252,6 +284,7 @@ object RelationalExt3 {
     "q322_dsv2_agg_pushdown" -> q322Dsv2AggPushdown,
     "q323_dsv2_topn_pushdown" -> q323Dsv2TopNPushdown,
     "q324_avro_roundtrip"  -> q324AvroRoundtrip,
+    "q325_delta_bridge"    -> q325DeltaBridge,
     "q108_unpivot"         -> q108Unpivot)
 
   val oracle: Map[String, String] = Map(
@@ -261,5 +294,6 @@ object RelationalExt3 {
     "q322_dsv2_agg_pushdown" -> q322Sql,
     "q323_dsv2_topn_pushdown" -> q323Sql,
     "q324_avro_roundtrip"  -> q324Sql,
+    "q325_delta_bridge"    -> q325Sql,
     "q108_unpivot"         -> q108Sql)
 }

@@ -1,0 +1,251 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Delta-protocol interchange WITHOUT the Delta jar: the reference's gold
+  * layer writes Delta tables (BuildGoldLayer.py:219-234); this classpath
+  * ships no delta-spark, but the Delta transaction-log format itself is an
+  * open specification — JSON action files under `_delta_log/` plus
+  * parquet checkpoints — so the engine speaks it at the protocol level:
+  *
+  *  - [[exportLog]] materializes a [[TxLog]] table's commit history as a
+  *    spec-compliant `_delta_log` (protocol + metaData at version 0, one
+  *    `add`/`remove` action per file per commit), so ANY Delta reader —
+  *    delta-spark, delta-rs, DuckDB's delta extension, Trino — can mount
+  *    the table, including its full time-travel history;
+  *  - [[read]] reconstructs a snapshot from any protocol-v1 `_delta_log`
+  *    written by a real Delta writer: `_last_checkpoint` bootstrap (the
+  *    checkpoint is itself parquet — Spark reads it natively), JSON action
+  *    replay above the checkpoint, `versionAsOf` time travel, and the
+  *    metaData `schemaString` applied as the read schema (it IS a Spark
+  *    schema JSON — the one part of the format that is Spark-native).
+  *
+  * Scope: unpartitioned tables (the TxLog layout — file-level pruning
+  * comes from stats, not directory layout). A foreign PARTITIONED table
+  * fails loud rather than silently dropping its partition columns.
+  *
+  * Scale: the log is metadata — actions are O(files), the checkpoint
+  * bootstrap reads one parquet, and data files are never touched until
+  * the returned DataFrame's own scan. This is exactly how production
+  * Delta readers behave; nothing here is a toy shortcut.
+  */
+object DeltaBridge {
+
+  private val mapper = new ObjectMapper()
+
+  private def deltaLogDir(table: String): Path =
+    Paths.get(table, "_delta_log")
+
+  private def deltaVersionFile(table: String, v: Long): Path =
+    deltaLogDir(table).resolve(f"$v%020d.json")
+
+  // ------------------------------------------------------------- export
+
+  /** Write `table`'s TxLog history as a Delta `_delta_log`. TxLog version
+    * i (ascending commit order) becomes Delta version i-minus-first —
+    * Delta versions MUST start at 0 and be contiguous (the protocol's
+    * replay rule), while TxLog versions just ascend. Re-export is
+    * idempotent: existing version files are left in place (they are
+    * immutable once published — the same contract TxLog's own createLink
+    * arbitration enforces). Returns the number of Delta versions. */
+  def exportLog(spark: SparkSession, table: String): Int = {
+    val vs = TxLog.versions(table)
+    require(vs.nonEmpty, s"exportLog: $table has no commits")
+    Files.createDirectories(deltaLogDir(table))
+
+    // schemaString from the newest live file's footer: TxLog tables are
+    // written by Spark, so the parquet schema IS the table schema
+    val headLive = TxLog.liveFiles(table)
+    require(headLive.nonEmpty, s"exportLog: $table has no live files")
+    val schemaJson = spark.read.parquet(
+      s"$table/${TxLog.entryPath(headLive.head)}").schema.json
+
+    vs.zipWithIndex.foreach { case (txv, dv) =>
+      val out = deltaVersionFile(table, dv.toLong)
+      if (!Files.exists(out)) {
+        val (add, remove) = TxLog.commitActions(table, txv)
+        val sb = new StringBuilder
+        if (dv == 0) {
+          sb.append(mapper.writeValueAsString(Map(
+            "protocol" -> Map(
+              "minReaderVersion" -> 1, "minWriterVersion" -> 2).asJava
+          ).asJava)).append('\n')
+          sb.append(mapper.writeValueAsString(Map(
+            "metaData" -> Map(
+              "id" -> java.util.UUID.randomUUID().toString,
+              "format" -> Map("provider" -> "parquet",
+                "options" -> Map.empty[String, String].asJava).asJava,
+              "schemaString" -> schemaJson,
+              "partitionColumns" -> java.util.List.of(),
+              "configuration" -> Map.empty[String, String].asJava
+            ).asJava
+          ).asJava)).append('\n')
+        }
+        remove.foreach { entry =>
+          sb.append(mapper.writeValueAsString(Map(
+            "remove" -> Map(
+              "path" -> TxLog.entryPath(entry),
+              "dataChange" -> java.lang.Boolean.TRUE
+            ).asJava
+          ).asJava)).append('\n')
+        }
+        add.foreach { entry =>
+          val p = TxLog.entryPath(entry)
+          val f = Paths.get(table, p)
+          sb.append(mapper.writeValueAsString(Map(
+            "add" -> Map(
+              "path" -> p,
+              "partitionValues" -> Map.empty[String, String].asJava,
+              "size" -> java.lang.Long.valueOf(Files.size(f)),
+              "modificationTime" -> java.lang.Long.valueOf(
+                Files.getLastModifiedTime(f).toMillis),
+              "dataChange" -> java.lang.Boolean.TRUE
+            ).asJava
+          ).asJava)).append('\n')
+        }
+        // same publish discipline as TxLog: write-temp + atomic link, so a
+        // concurrent exporter can't half-write a version file
+        val tmp = Files.createTempFile(deltaLogDir(table), ".tmp-", ".json")
+        Files.writeString(tmp, sb.toString)
+        try Files.createLink(out, tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        finally Files.deleteIfExists(tmp)
+      }
+    }
+    vs.length
+  }
+
+  // --------------------------------------------------------------- read
+
+  private case class LogState(
+      var schemaJson: String = null,
+      var partitionCols: Seq[String] = Seq.empty,
+      live: scala.collection.mutable.LinkedHashSet[String] =
+        scala.collection.mutable.LinkedHashSet.empty)
+
+  private def applyAction(st: LogState, m: java.util.Map[String, AnyRef]): Unit = {
+    Option(m.get("protocol")).foreach { p =>
+      val mr = p.asInstanceOf[java.util.Map[String, AnyRef]]
+        .get("minReaderVersion").asInstanceOf[Number].intValue()
+      require(mr <= 1,
+        s"Delta table needs reader version $mr; this bridge speaks 1 " +
+          "(no column mapping / deletion vectors)")
+    }
+    Option(m.get("metaData")).foreach { md =>
+      val mm = md.asInstanceOf[java.util.Map[String, AnyRef]]
+      st.schemaJson = mm.get("schemaString").asInstanceOf[String]
+      st.partitionCols = Option(mm.get("partitionColumns"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Seq.empty)
+    }
+    Option(m.get("add")).foreach { a =>
+      st.live += a.asInstanceOf[java.util.Map[String, AnyRef]]
+        .get("path").asInstanceOf[String]
+    }
+    Option(m.get("remove")).foreach { r =>
+      st.live -= r.asInstanceOf[java.util.Map[String, AnyRef]]
+        .get("path").asInstanceOf[String]
+    }
+    // commitInfo / txn / cdc: read-irrelevant, skipped
+  }
+
+  private val DeltaVersionName = "(\\d{20})\\.json".r
+
+  /** Delta versions present as JSON action files, ascending. */
+  def versions(table: String): Seq[Long] = {
+    val ld = deltaLogDir(table)
+    if (!Files.isDirectory(ld)) Seq.empty
+    else TxLog.listDir(ld).map(_.getFileName.toString)
+      .collect { case DeltaVersionName(d) => d.toLong }
+      .sorted
+  }
+
+  /** Snapshot a Delta table at `versionAsOf` (None = head). Bootstraps
+    * from `_last_checkpoint` when present AND usable (checkpoint version
+    * ≤ asOf); JSON actions above the bootstrap replay in order. */
+  def read(spark: SparkSession, table: String,
+           versionAsOf: Option[Long] = None): DataFrame = {
+    val st = LogState()
+    val vs = versions(table)
+    require(vs.nonEmpty || lastCheckpointVersion(table).isDefined,
+      s"$table has no _delta_log")
+
+    val ckpt = lastCheckpointVersion(table)
+      .filter(cv => versionAsOf.forall(cv <= _))
+    ckpt.foreach { cv => bootstrapFromCheckpoint(spark, table, cv, st) }
+
+    val replay = vs
+      .filter(v => ckpt.forall(v > _))
+      .filter(v => versionAsOf.forall(v <= _))
+    // the protocol's replay rule: versions are contiguous; a gap means the
+    // log was vacuumed past our bootstrap and the snapshot would be wrong
+    val expectedStart = ckpt.map(_ + 1).getOrElse(0L)
+    require(replay.isEmpty || replay.head == expectedStart,
+      s"$table: _delta_log starts at ${replay.headOption.getOrElse(-1L)}, " +
+        s"needs $expectedStart (vacuumed log without a usable checkpoint)")
+    replay.foreach { v =>
+      Files.readAllLines(deltaVersionFile(table, v)).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          applyAction(st,
+            mapper.readValue(line, classOf[java.util.Map[String, AnyRef]]))
+        }
+    }
+
+    require(st.schemaJson != null, s"$table: no metaData action in log")
+    require(st.partitionCols.isEmpty,
+      s"$table is partitioned on ${st.partitionCols.mkString(",")} — " +
+        "partitioned Delta tables are outside the bridge's scope")
+    val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    if (st.live.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema)
+        .parquet(st.live.toSeq.map(p => s"$table/$p"): _*)
+  }
+
+  private def lastCheckpointVersion(table: String): Option[Long] = {
+    val lc = deltaLogDir(table).resolve("_last_checkpoint")
+    if (!Files.exists(lc)) None
+    else Some(mapper.readValue(Files.readString(lc),
+        classOf[java.util.Map[String, AnyRef]])
+      .get("version").asInstanceOf[Number].longValue())
+  }
+
+  /** A Delta checkpoint is one parquet file whose rows each carry at most
+    * one action as a nested struct column — Spark reads it natively. */
+  private def bootstrapFromCheckpoint(spark: SparkSession, table: String,
+                                      cv: Long, st: LogState): Unit = {
+    val path = deltaLogDir(table).resolve(f"$cv%020d.checkpoint.parquet")
+    require(Files.exists(path),
+      s"$table: _last_checkpoint names version $cv but ${path.getFileName} " +
+        "is missing (multi-part checkpoints are outside the bridge's scope)")
+    val rows = spark.read.parquet(path.toString)
+    val cols = rows.columns.toSet
+    rows.collect().foreach { r =>
+      def struct(name: String): Option[org.apache.spark.sql.Row] =
+        if (cols.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+          Some(r.getStruct(r.fieldIndex(name)))
+        else None
+      struct("protocol").foreach { p =>
+        require(p.getAs[Int]("minReaderVersion") <= 1,
+          "checkpoint protocol needs a newer reader than this bridge")
+      }
+      struct("metaData").foreach { md =>
+        st.schemaJson = md.getAs[String]("schemaString")
+        // Row.getAs surfaces arrays as a MUTABLE Seq — convert, don't cast
+        st.partitionCols =
+          Option(md.getAs[scala.collection.Seq[String]]("partitionColumns"))
+            .map(_.toSeq).getOrElse(Seq.empty)
+      }
+      struct("add").foreach(a => st.live += a.getAs[String]("path"))
+      struct("remove").foreach(rm => st.live -= rm.getAs[String]("path"))
+    }
+  }
+}

@@ -575,6 +575,11 @@ object TxLog {
     s"""{"version":$v,"add":${arr(add)},"remove":${arr(remove)}$bid}"""
   }
 
+  /** The (add, remove) entry lists of commit `v` — the unit
+    * [[DeltaBridge.exportLog]] maps onto Delta-protocol actions. */
+  def commitActions(table: String, v: Int): (Seq[String], Seq[String]) =
+    readCommit(table, v)
+
   private def readCommit(table: String, v: Int): (Seq[String], Seq[String]) = {
     val txt = Files.readString(versionFile(table, v))
     def list(key: String): Seq[String] = {
