@@ -37,6 +37,27 @@ object Medallion {
   def writeGoldWide(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** K4, Delta form: the reference writes the wide tables as Delta with
+    * `overwriteSchema` (BuildGoldLayer.py:227-236). Without the delta jar
+    * the transactional overwrite runs through [[graft.sources.TxLog]] (the
+    * same snapshot-isolated replace semantics — a new column set in a new
+    * commit IS `overwriteSchema`, since readers resolve the schema from
+    * the commit's own files), and [[graft.sources.DeltaBridge.exportLog]]
+    * publishes the history as a spec-compliant `_delta_log`, so the gold
+    * table is MOUNTABLE by any real Delta reader (delta-spark, delta-rs,
+    * DuckDB's delta extension) with full time travel across quarterly
+    * refreshes. */
+  def writeGoldWideDelta(spark: SparkSession, df: DataFrame,
+                         path: String): Unit = {
+    graft.sources.TxLog.overwrite(spark, df, path)
+    graft.sources.DeltaBridge.exportLog(spark, path)
+  }
+
+  /** Read a Delta-form gold table back (HEAD snapshot) — through the
+    * bridge's own log replay, the path an external Delta reader takes. */
+  def readGoldWideDelta(spark: SparkSession, path: String): DataFrame =
+    graft.sources.DeltaBridge.read(spark, path)
+
   /** Silver layer end-to-end from bronze (update_silver_layer,
     * BuildSilverLayer.py:331-338): one lazy DAG, one action at the write. */
   def updateSilverLayer(spark: SparkSession, paths: LayerPaths,

@@ -59,26 +59,34 @@ object DeltaBridge {
     require(vs.nonEmpty, s"exportLog: $table has no commits")
     Files.createDirectories(deltaLogDir(table))
 
-    // schemaString from the newest live file's footer: TxLog tables are
-    // written by Spark, so the parquet schema IS the table schema
-    val headLive = TxLog.liveFiles(table)
-    require(headLive.nonEmpty, s"exportLog: $table has no live files")
-    val schemaJson = spark.read.parquet(
-      s"$table/${TxLog.entryPath(headLive.head)}").schema.json
+    // one table id across re-exports: version files are immutable, so a
+    // later export extending the log must agree with version 0's id
+    val tableId = java.util.UUID.randomUUID().toString
+    // schema per version, from that commit's own added files — a commit
+    // whose schema CHANGED must carry a fresh metaData action (this is
+    // exactly how Delta encodes overwriteSchema; time travel then
+    // resolves each version under the schema it was written with). One
+    // footer read per schema probe, metadata-priced.
+    var lastSchemaJson: String = null
 
     vs.zipWithIndex.foreach { case (txv, dv) =>
       val out = deltaVersionFile(table, dv.toLong)
       if (!Files.exists(out)) {
         val (add, remove) = TxLog.commitActions(table, txv)
+        val schemaJson = add.headOption.map(e => spark.read.parquet(
+          s"$table/${TxLog.entryPath(e)}").schema.json).orNull
         val sb = new StringBuilder
         if (dv == 0) {
           sb.append(mapper.writeValueAsString(Map(
             "protocol" -> Map(
               "minReaderVersion" -> 1, "minWriterVersion" -> 2).asJava
           ).asJava)).append('\n')
+        }
+        if (schemaJson != null &&
+            (dv == 0 || schemaJson != lastSchemaJson)) {
           sb.append(mapper.writeValueAsString(Map(
             "metaData" -> Map(
-              "id" -> java.util.UUID.randomUUID().toString,
+              "id" -> tableId,
               "format" -> Map("provider" -> "parquet",
                 "options" -> Map.empty[String, String].asJava).asJava,
               "schemaString" -> schemaJson,
@@ -87,6 +95,7 @@ object DeltaBridge {
             ).asJava
           ).asJava)).append('\n')
         }
+        if (schemaJson != null) lastSchemaJson = schemaJson
         remove.foreach { entry =>
           sb.append(mapper.writeValueAsString(Map(
             "remove" -> Map(

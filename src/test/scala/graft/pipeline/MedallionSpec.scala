@@ -117,6 +117,33 @@ class MedallionSpec extends SparkSpec {
     assert(wide == Set((1, 1100L, 1000L), (100, 5500L, 5000L)))
   }
 
+  test("K4 Delta form: quarterly wide-table overwriteSchema through the " +
+    "TxLog + _delta_log bridge, with time travel across refreshes") {
+    import spark.implicits._
+    val p = s"${tmpDir("gold_delta")}/quarterly_assets"
+    // quarter 1 refresh: one date column
+    Medallion.writeGoldWideDelta(spark,
+      Seq((1, "bank", 1000L)).toDF("charter_number", "institution_type",
+        "2020-03-31"), p)
+    // quarter 2 refresh: the column SET changes — overwriteSchema
+    Medallion.writeGoldWideDelta(spark,
+      Seq((1, "bank", 1000L, 1100L)).toDF("charter_number",
+        "institution_type", "2020-03-31", "2020-06-30"), p)
+    val head = Medallion.readGoldWideDelta(spark, p)
+    assert(head.columns.toSeq == Seq("charter_number", "institution_type",
+      "2020-03-31", "2020-06-30"))
+    assert(head.collect().map(r => (r.getInt(0), r.getLong(3))).toSeq ==
+      Seq((1, 1100L)))
+    // time travel: version 0 is the pre-refresh schema AND data
+    val v0 = graft.sources.DeltaBridge.read(spark, p, versionAsOf = Some(0L))
+    assert(v0.columns.toSeq == Seq("charter_number", "institution_type",
+      "2020-03-31"))
+    assert(v0.collect().map(_.getLong(2)).toSeq == Seq(1000L))
+    // the published log is a real _delta_log an external reader can mount
+    assert(Files.exists(Paths.get(p, "_delta_log", f"${0L}%020d.json")) &&
+      Files.exists(Paths.get(p, "_delta_log", f"${1L}%020d.json")))
+  }
+
   test("bronze parquet append accumulates quarterly loads (K1)") {
     val p = s"${tmpDir("append")}/t"
     import spark.implicits._
