@@ -428,6 +428,118 @@ object Dedup {
       |SELECT id1, id2, round(cos, 6) AS cos FROM pairs
       |WHERE cos >= 0.98 ORDER BY id1, id2""".stripMargin
 
+  /** d326: SEMANTIC dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space, compute pairwise cosine WITHIN each
+    * cluster only, and prune near-duplicates keeping the member FARTHEST
+    * from its cluster centroid (the paper's keep-low-centroid-similarity
+    * rule — extreme points preserve more of the data distribution than
+    * typical ones). This is the dedup tier ABOVE d33's raw cosine
+    * near-dup: d33 finds byte-level perturbed copies; SemDeDup's cluster
+    * scoping is what makes the same pairwise test tractable at web scale,
+    * because the cluster count is chosen so that Σ|cluster|² stays
+    * feasible — the pairwise work is the ALGORITHM, bounded by design,
+    * not an accident of small data.
+    *
+    * Determinism: clusters are the canonical 3-bit sign-cells (standing
+    * in for trained k-means centroids, the s39/s193/s206/d33 convention);
+    * per-cell centroids use the s122/s132 quantized-mean kernel (integer
+    * sums commute — bit-identical cross-engine); centroid similarity is
+    * floor-scaled to a BIGINT ccos6 so the keep rule compares on the
+    * integer lattice; the prune is pairwise-greedy — x is dropped iff
+    * some τ-neighbor y ranks strictly farther from the centroid
+    * (ccos6_y < ccos6_x, ties to the smaller vec_id). The group's
+    * farthest member always survives, and the rule needs no
+    * connected-components pass, so the oracle states it as one EXISTS.
+    *
+    * Scale shape: centroids are a (cells × dims) aggregate (map-side
+    * partial); the scoring join broadcasts |cells| centroid rows; the
+    * pairwise stage is cell-keyed (never all-pairs); the keep rule is one
+    * aggregation over directed candidate pairs. Corpus = d33's planted
+    * near-dup corpus, so the gate prunes real duplicates. */
+  def d326Semdedup(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val base = Tables.embeddings(s, dir)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val corpus = base.unionByName(
+      base.filter(col("vec_id") % 10 === 0)
+        .selectExpr("vec_id + 1000000 AS vec_id",
+          "transform(v, (x, i) -> x + 0.001D * CAST(i % 3 AS DOUBLE)) AS v"))
+    val cells = corpus.selectExpr("vec_id", "v",
+        s"${Similarity.signCellExpr} AS cell")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cent = cells
+      .selectExpr("cell", "posexplode(v) AS (dim, x)")
+      .groupBy("cell", "dim")
+      .agg(graft.functions.OracleSafe.qmean6(col("x")).as("m"))
+      .groupBy("cell")
+      .agg(expr("transform(sort_array(collect_list(struct(dim, m))), e -> e.m)")
+        .as("cv"))
+    val cosToCent = Similarity.cosExpr.replace("q.v", "cv").replace("c.v", "v")
+    val scored = cells.join(broadcast(cent), "cell")
+      .selectExpr("vec_id", "cell", "v",
+        s"CAST(floor(($cosToCent) * 1000000.0D) AS BIGINT) AS ccos6")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // directed τ-neighbor pairs within a cell: a is dropped iff some
+    // neighbor b is strictly farther from the centroid (ties to smaller id)
+    val dropped = scored.as("a").join(scored.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .filter(expr("cosine_sim(a.v, b.v) >= 0.98D"))
+      .filter(col("b.ccos6") < col("a.ccos6") ||
+        (col("b.ccos6") === col("a.ccos6") &&
+          col("b.vec_id") < col("a.vec_id")))
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("drp", lit(1))
+    scored.join(dropped, Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cell", "ccos6",
+        "CAST(CASE WHEN drp IS NULL THEN 1 ELSE 0 END AS INT) AS keep")
+      .orderBy("vec_id")
+  }
+
+  val d326Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |corpus AS (
+      |  SELECT vec_id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(range(1, 65), k -> v[k] + 0.001 * CAST((k-1) % 3 AS DOUBLE)) AS v
+      |  FROM base WHERE vec_id % 10 = 0),
+      |cells AS (
+      |  SELECT vec_id, v,
+      |    CAST(CAST(v[1] >= 0 AS INTEGER) AS VARCHAR) ||
+      |    CAST(CAST(v[2] >= 0 AS INTEGER) AS VARCHAR) ||
+      |    CAST(CAST(v[3] >= 0 AS INTEGER) AS VARCHAR) AS cell
+      |  FROM corpus),
+      |cent AS (
+      |  SELECT cell, i AS dim,
+      |    CAST(sum(CAST(floor(v[i] * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+      |      / count(*) / 1e6 AS m
+      |  FROM cells, unnest(generate_series(1, 64)) AS t(i)
+      |  GROUP BY 1, 2),
+      |cv AS (SELECT cell, list(m ORDER BY dim) AS cv FROM cent GROUP BY 1),
+      |scored AS (
+      |  SELECT c.vec_id, c.cell, c.v,
+      |    CAST(floor((
+      |      list_reduce(list_transform(range(1, 65), k -> k2.cv[k] * c.v[k]), (x, y) -> x + y) /
+      |      (sqrt(list_reduce(list_transform(range(1, 65), k -> k2.cv[k] * k2.cv[k]), (x, y) -> x + y)) *
+      |       sqrt(list_reduce(list_transform(range(1, 65), k -> c.v[k] * c.v[k]), (x, y) -> x + y)))
+      |    ) * 1000000.0) AS BIGINT) AS ccos6
+      |  FROM cells c JOIN cv k2 USING (cell)),
+      |dropped AS (
+      |  SELECT DISTINCT a.vec_id
+      |  FROM scored a JOIN scored b
+      |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+      |  WHERE (list_reduce(list_transform(range(1, 65), k -> a.v[k] * b.v[k]), (x, y) -> x + y) /
+      |      (sqrt(list_reduce(list_transform(range(1, 65), k -> a.v[k] * a.v[k]), (x, y) -> x + y)) *
+      |       sqrt(list_reduce(list_transform(range(1, 65), k -> b.v[k] * b.v[k]), (x, y) -> x + y)))) >= 0.98
+      |    AND (b.ccos6 < a.ccos6 OR (b.ccos6 = a.ccos6 AND b.vec_id < a.vec_id)))
+      |SELECT s.vec_id, s.cell, s.ccos6,
+      |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+      |FROM scored s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+      |ORDER BY s.vec_id""".stripMargin
+
   /** d135: INCREMENTAL dedup — the production form of d29. A 100 TB corpus
     * is never re-deduped from scratch: the fingerprint index (distinct
     * content hashes of the existing corpus) is a persisted table, and each
@@ -1113,7 +1225,8 @@ object Dedup {
     "d30_dedup_ngram_jaccard" -> d30NgramJaccard,
     "d31_dedup_minhash_lsh"   -> d31MinhashLsh,
     "d32_dedup_simhash"       -> d32Simhash,
-    "d33_dedup_embedding"     -> d33Embedding)
+    "d33_dedup_embedding"     -> d33Embedding,
+    "d326_semdedup"           -> d326Semdedup)
 
   val oracle: Map[String, String] = Map(
     "d302_substring_spans"     -> d302Sql,
@@ -1128,5 +1241,6 @@ object Dedup {
     "d30_dedup_ngram_jaccard" -> d30Sql,
     "d31_dedup_minhash_lsh"   -> d31Sql,
     "d32_dedup_simhash"       -> d32Sql,
-    "d33_dedup_embedding"     -> d33Sql)
+    "d33_dedup_embedding"     -> d33Sql,
+    "d326_semdedup"           -> d326Sql)
 }

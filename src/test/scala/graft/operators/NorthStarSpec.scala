@@ -133,6 +133,39 @@ class NorthStarSpec extends SparkSpec {
     }
   }
 
+  test("d326 semdedup: same-cell planted pairs never BOTH survive, every " +
+    "cell's farthest member survives, and pruning actually happened") {
+    val out = rows(Dedup.d326Semdedup(spark, dir))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getString(1), r.getLong(2), r.getInt(3))).toMap
+    // every %10==0 vector has a planted perturbed copy at id+1000000,
+    // cosine ≈ 0.9999 — when both land in the same cell they are
+    // τ-neighbors, so AT MOST one survives (possibly neither: the corpus
+    // also carries its own planted twins, e.g. vec 100 ≈ vec 0 per the
+    // s38 premise, and a third group member can out-rank both)
+    val planted = byId.keys.filter(_ < 1000000).filter(_ % 10 == 0)
+    assert(planted.nonEmpty)
+    var samePairs = 0
+    planted.foreach { v =>
+      val (cellO, _, kOrig) = byId(v)
+      val (cellC, _, kCopy) = byId(v + 1000000)
+      if (cellO == cellC) {
+        samePairs += 1
+        assert(kOrig + kCopy <= 1,
+          s"τ-neighbors ($v, ${v + 1000000}) must not both survive")
+      }
+    }
+    assert(samePairs > 0, "no planted pair landed in one cell — no test")
+    assert(byId.values.exists(_._3 == 0), "nothing was pruned")
+    // the SemDeDup keep rule: each cell's FARTHEST-from-centroid member
+    // (min ccos6, ties to the smaller id) can never be out-ranked → keeps
+    byId.toSeq.groupBy(_._2._1).foreach { case (cell, members) =>
+      val farthest = members.minBy(m => (m._2._2, m._1))
+      assert(farthest._2._3 == 1,
+        s"cell $cell: farthest member ${farthest._1} was pruned")
+    }
+  }
+
   test("s38 brute-force ANN ranks the planted near-identical vector first") {
     val out = rows(Similarity.s38AnnBrute(spark, dir))
     val top = out.find(r => r.getLong(0) == 0L && r.getInt(1) == 1).get
