@@ -539,7 +539,112 @@ object Pretrain3 {
 
   // ---------------------------------------------------------------- maps
 
+  /** t327: HEAPS-LAW vocabulary-growth fit — the scaling-law regression
+    * every tokenizer/corpus-planning pass runs before committing to a
+    * vocab size: distinct-vocabulary growth follows the power law
+    * V(N) ≈ K·N^β (Heaps/Herdan), so a log-log least-squares fit over
+    * ingest checkpoints forecasts how many distinct tokens a 100 TB crawl
+    * will surface from the first slices — the same fit shape (log-log
+    * OLS over cumulative-scale checkpoints) used for loss scaling laws.
+    *
+    * Checkpoints: docs bucketed by doc_id % 8 stand in for ingest order;
+    * per step, cumulative type volume N_k (running sum of occurrences)
+    * and cumulative type vocabulary V_k (each type attributed to its
+    * FIRST step — min(step) per type — so V_k needs no re-distinct per
+    * step). The TYPE is the 3-gram word shingle, not the bare token: the
+    * synthetic corpus draws from a ~31-word pool, so token vocabulary
+    * saturates in the first slice (β would be 0 and the fit vacuous),
+    * while shingle types keep appearing corpus-long — and shingles are
+    * the dedup unit this engine's n-gram stack (d30/d141) already speaks.
+    * Fit: x=ln N, y=ln V quantized to micro-ln BIGINTs (the d171
+    * round-then-lattice discipline for libm values), then closed-form
+    * OLS over exact integer sums — slope/intercept are single double
+    * divisions of identical integers in both engines.
+    *
+    * Scale shape: one shingle-occurrence aggregate, one min-per-type
+    * aggregate (both map-side partial, shuffle keyed by shingle), an
+    * 8-row window, and a 1-row fit broadcast back — nothing after the
+    * two aggregates scales with the corpus. */
+  def t327HeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // shingle OCCURRENCES (no per-doc distinct — the volume axis counts
+    // every window); seqAsc keeps sub-3-token docs at zero windows
+    val occ = s"transform(${seqAsc("1", s"size($tokens) - 2")}, " +
+      s"i -> concat_ws(' ', slice($tokens, i, 3)))"
+    val toks = Tables.documents(s, dir)
+      .selectExpr("doc_id", s"explode($occ) AS tok")
+      .withColumn("step", col("doc_id") % 8)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tc = toks.groupBy("step").agg(count(lit(1)).as("tc"))
+    val nv = toks.groupBy("tok").agg(min(col("step")).as("step"))
+      .groupBy("step").agg(count(lit(1)).as("nv"))
+    // 8-row cumulative frame: the single-partition window is over the
+    // CHECKPOINT COUNT, not the corpus — constant-sized at any SF
+    val steps = tc.join(nv, Seq("step"), "left")
+      .withColumn("n_cum",
+        sum(col("tc")).over(Window.orderBy("step")).cast("long"))
+      .withColumn("v_cum",
+        sum(coalesce(col("nv"), lit(0L))).over(Window.orderBy("step"))
+          .cast("long"))
+      .selectExpr("CAST(step AS INT) AS step", "n_cum", "v_cum",
+        "CAST(floor(ln(CAST(n_cum AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x",
+        "CAST(floor(ln(CAST(v_cum AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y")
+    val fit = steps.agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .selectExpr(
+        "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "CAST(n * sxx - sx * sx AS DOUBLE) AS beta_raw",
+        "n", "sx", "sy")
+      .selectExpr(
+        "CAST(floor(beta_raw * 1e6 + 0.5) AS BIGINT) AS beta6",
+        """CAST(floor((CAST(sy AS DOUBLE) - beta_raw * CAST(sx AS DOUBLE))
+          |  / n + 0.5) AS BIGINT) AS alpha6""".stripMargin)
+    steps.crossJoin(broadcast(fit))
+      .select("step", "n_cum", "v_cum", "beta6", "alpha6")
+      .orderBy("step")
+  }
+
+  val t327Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(string_split(lower(text), ' ')) - 1),
+      |    i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')))
+      |    AS tok
+      |  FROM documents),
+      |st AS (SELECT doc_id % 8 AS step, tok FROM toks),
+      |tc AS (SELECT step, count(*) AS tc FROM st GROUP BY 1),
+      |nv AS (
+      |  SELECT step, count(*) AS nv FROM (
+      |    SELECT tok, min(step) AS step FROM st GROUP BY 1)
+      |  GROUP BY 1),
+      |steps AS (
+      |  SELECT tc.step,
+      |    CAST(sum(tc.tc) OVER (ORDER BY tc.step) AS BIGINT) AS n_cum,
+      |    CAST(sum(coalesce(nv.nv, 0)) OVER (ORDER BY tc.step) AS BIGINT)
+      |      AS v_cum
+      |  FROM tc LEFT JOIN nv USING (step)),
+      |xy AS (
+      |  SELECT step, n_cum, v_cum,
+      |    CAST(floor(ln(CAST(n_cum AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(v_cum AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+      |  FROM steps),
+      |f AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx
+      |  FROM xy),
+      |b AS (
+      |  SELECT CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      CAST(n * sxx - sx * sx AS DOUBLE) AS beta_raw, n, sx, sy
+      |  FROM f)
+      |SELECT CAST(xy.step AS INTEGER) AS step, xy.n_cum, xy.v_cum,
+      |  CAST(floor(beta_raw * 1e6 + 0.5) AS BIGINT) AS beta6,
+      |  CAST(floor((CAST(sy AS DOUBLE) - beta_raw * CAST(sx AS DOUBLE))
+      |    / n + 0.5) AS BIGINT) AS alpha6
+      |FROM xy CROSS JOIN b ORDER BY step""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t327_heaps_law"      -> t327HeapsLaw,
     "t164_bpe_merges"     -> t164BpeMerges,
     "t165_bigram_nll"     -> t165BigramNll,
     "q167_temperature_mix" -> q167TemperatureMix,
@@ -549,6 +654,7 @@ object Pretrain3 {
     "t182_bpe_exact"      -> t182BpeEncodeExact)
 
   val oracle: Map[String, String] = Map(
+    "t327_heaps_law"      -> t327Sql,
     "t164_bpe_merges"     -> t164Sql,
     "t165_bigram_nll"     -> t165Sql,
     "q167_temperature_mix" -> q167Sql,

@@ -167,10 +167,19 @@ private[v2] class AvroInterchangeTable(schema: StructType, path: String)
 
 private[v2] class AvroScanBuilder(fullSchema: StructType, path: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedLimit: Option[Int] = None
+
+  /** PARTIAL limit pushdown (the [[StagedFdicScanBuilder]] contract): each
+    * file's reader stops DECODING after n accepted records; Spark keeps
+    * its own global LIMIT above, so the answer is exact at any file
+    * split while a LIMIT 10 over a terabyte drop decodes ~10 records per
+    * container file. */
+  override def pushLimit(n: Int): Boolean = { pushedLimit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -187,11 +196,13 @@ private[v2] class AvroScanBuilder(fullSchema: StructType, path: String)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = AvroScan(path, fullSchema, required, pushed)
+  override def build(): Scan =
+    AvroScan(path, fullSchema, required, pushed, pushedLimit)
 }
 
 private[v2] case class AvroScan(path: String, fullSchema: StructType,
-                                required: StructType, pushed: Array[Filter])
+                                required: StructType, pushed: Array[Filter],
+                                limit: Option[Int] = None)
   extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -212,30 +223,36 @@ private[v2] case class AvroScan(path: String, fullSchema: StructType,
   override def description(): String =
     s"AvroInterchangeScan ReadFields: " +
       s"${required.fieldNames.mkString("[", ",", "]")}, " +
-      s"PushedFilters: ${pushed.mkString("[", ",", "]")}"
+      s"PushedFilters: ${pushed.mkString("[", ",", "]")}" +
+      limit.fold("")(n => s", PushedLimit: $n")
 
   override def planInputPartitions(): Array[InputPartition] =
     StagedFdicSource.listFiles(path)
       .map(f => StagedFilePartition(f.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    AvroReaderFactory(fullSchema, required, pushed)
+    AvroReaderFactory(fullSchema, required, pushed, limit)
 }
 
 private[v2] case class AvroReaderFactory(fullSchema: StructType,
                                          required: StructType,
-                                         pushed: Array[Filter])
+                                         pushed: Array[Filter],
+                                         limit: Option[Int] = None)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new AvroPartitionReader(
-      p.asInstanceOf[StagedFilePartition].file, fullSchema, required, pushed)
+      p.asInstanceOf[StagedFilePartition].file, fullSchema, required, pushed,
+      limit)
 }
 
 private[v2] class AvroPartitionReader(file: String,
                                       fullSchema: StructType,
                                       required: StructType,
-                                      pushed: Array[Filter])
+                                      pushed: Array[Filter],
+                                      limit: Option[Int] = None)
   extends PartitionReader[InternalRow] {
+
+  private var emitted = 0
 
   // decode schema = required columns ∪ pushed-filter columns (a fully
   // pushed filter's column is pruned OUT of `required` by Spark — the
@@ -292,6 +309,7 @@ private[v2] class AvroPartitionReader(file: String,
 
   override def next(): Boolean = {
     current = null
+    if (limit.exists(emitted >= _)) return false // pushed LIMIT: stop early
     while (current == null && reader.hasNext) {
       val rec = reader.next()
       val vals = new Array[Any](decodeFields.length)
@@ -307,7 +325,7 @@ private[v2] class AvroPartitionReader(file: String,
             b, cv.asInstanceOf[Array[Byte]])
           case x => x == cv
         })}
-      if (ok) current = InternalRow.fromSeq(outIdx.toSeq.map(vals))
+      if (ok) { current = InternalRow.fromSeq(outIdx.toSeq.map(vals)); emitted += 1 }
     }
     current != null
   }

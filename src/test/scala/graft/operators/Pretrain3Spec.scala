@@ -7,6 +7,30 @@ class Pretrain3Spec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("heaps law: cumulative frames are monotone, the fitted exponent is " +
+    "a sub-linear power law, and the fit reproduces from the rows") {
+    val rows = Pretrain3.t327HeapsLaw(spark, dir).collect()
+    assert(rows.length == 8)
+    // cumulative token volume strictly grows; vocabulary never shrinks
+    // and grows strictly SLOWER (each step adds fewer new types than
+    // occurrences — the Heaps premise)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) > a.getLong(1) && b.getLong(2) >= a.getLong(2))
+      assert(b.getLong(2) - a.getLong(2) < b.getLong(1) - a.getLong(1))
+    }
+    // Heaps exponent for natural-ish text: 0 < β < 1 (sub-linear growth)
+    val beta = rows.head.getLong(3) / 1e6
+    assert(beta > 0 && beta < 1, s"beta=$beta out of the Heaps range")
+    assert(rows.map(_.getLong(3)).distinct.length == 1, "beta6 not constant")
+    // the closed-form fit reproduces from the emitted observations
+    val x = rows.map(r => math.floor(math.log(r.getLong(1)) * 1e6 + 0.5))
+    val y = rows.map(r => math.floor(math.log(r.getLong(2)) * 1e6 + 0.5))
+    val n = x.length
+    val betaRef = (n * x.zip(y).map { case (a, b) => a * b }.sum -
+      x.sum * y.sum) / (n * x.map(a => a * a).sum - x.sum * x.sum)
+    assert(math.abs(betaRef - beta) < 1e-5, s"$betaRef vs $beta")
+  }
+
   test("bpe merges: three ordered rules, round-1 matches t157's argmax, " +
     "and counts never increase across rounds") {
     val out = Pretrain3.t164BpeMerges(spark, dir).cache()

@@ -54,6 +54,25 @@ class AvroInterchangeSourceSpec extends SparkSpec {
     assert(one.collect().map(_.getString(1)).toSeq == Seq("n7"))
   }
 
+  test("limit pushdown: the reader stops decoding after n accepted rows " +
+    "per file, composes with a pushed filter, answer exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("avro_lim").toString
+    (1 to 90).map(i => (i.toLong, s"S${i % 4}")).toDF("id", "seg")
+      .repartition(3).write.format(fmt).mode("overwrite").save(dir)
+    val df = spark.read.format(fmt).load(dir).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 5"), s"limit must push:\n$plan")
+    assert(df.collect().length == 5)
+    val filtered = spark.read.format(fmt).load(dir)
+      .filter(col("seg") === "S1").limit(4)
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedLimit: 4") &&
+      fplan.contains("EqualTo(seg,S1)"), fplan)
+    val rows = filtered.collect()
+    assert(rows.length == 4 && rows.forall(_.getString(1) == "S1"))
+  }
+
   test("one input partition per container file; append accumulates; " +
     "overwrite truncates") {
     import spark.implicits._
