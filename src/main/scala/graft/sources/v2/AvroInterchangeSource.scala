@@ -158,11 +158,12 @@ private[v2] class AvroInterchangeTable(schema: StructType, path: String)
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(schema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new AvroWriteBuilder(path, info.schema())
+    new AvroWriteBuilder(path, info.schema(), info.queryId())
 }
 
 private[v2] class AvroScanBuilder(fullSchema: StructType, path: String)
@@ -338,13 +339,68 @@ private[v2] class AvroPartitionReader(file: String,
   * (hidden temp dir, task files atomically renamed in at job commit,
   * truncate snapshots-old/moves-new/deletes-last), writing Avro container
   * files with deflate compression — the interchange default. */
-private[v2] class AvroWriteBuilder(path: String, schema: StructType)
+private[v2] class AvroWriteBuilder(path: String, schema: StructType,
+                                   queryId: String)
   extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = AvroBatchWrite(path, schema, doTruncate)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      AvroStreamingWrite(path, schema, queryId)
   }
+}
+
+/** Streaming Avro sink: the [[StagedFdicStreamingWrite]] protocol on Avro
+  * container files — per-EPOCH two-phase commit, task files named
+  * `epoch-<id>-<queryTag>-part-<pid>-<tid>.avro`, and a re-delivered
+  * epoch REPLACES its own prior files (delete-then-rename keyed on the
+  * stable streaming queryId) instead of duplicating them — idempotent,
+  * effectively exactly-once file output under the at-least-once epoch
+  * redelivery every long-lived stream eventually sees. Appends across
+  * epochs and across queries accumulate; the batch reader lists epoch
+  * files like any other container file. */
+private[v2] case class AvroStreamingWrite(path: String, schema: StructType,
+                                          queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val stagingDir = s"$path/.staging-stream-${java.util.UUID.randomUUID()}"
+  private val runTag = queryId.take(8)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(stagingDir))
+    AvroStreamingWriterFactory(stagingDir, schema, runTag)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val target = Paths.get(path)
+    Files.createDirectories(target)
+    StagedFdicSource.listFiles(path)
+      .filter(_.getFileName.toString.startsWith(s"epoch-$epochId-$runTag-"))
+      .foreach(Files.delete)
+    messages.foreach { case StagedTaskCommit(tmp) =>
+      val f = Paths.get(tmp)
+      Files.move(f, target.resolve(f.getFileName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    StagedFdicSource.dropStaging(stagingDir)
+}
+
+private[v2] case class AvroStreamingWriterFactory(stagingDir: String,
+                                                  schema: StructType,
+                                                  runTag: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(
+      s"$stagingDir/epoch-$epochId-$runTag-part-$partitionId-$taskId.avro",
+      schema)
 }
 
 private[v2] case class AvroBatchWrite(path: String, schema: StructType,

@@ -134,6 +134,44 @@ class AvroInterchangeSourceSpec extends SparkSpec {
     assert(k.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 1, 2, 2))
   }
 
+  test("streaming write commits per epoch; redelivered epochs replace " +
+    "their own files; a foreign query's epochs are untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("avro_stream").toString
+    val ckpt = Files.createTempDirectory("avro_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "name")
+      .writeStream.format(fmt)
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    in.addData((1L, "alpha"), (2L, "beta"))
+    q.processAllAvailable()
+    in.addData((3L, "gamma"))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("alpha", "beta", "gamma"))
+    val files = StagedFdicSource.listFiles(dir).map(_.getFileName.toString)
+    assert(files.nonEmpty && files.forall(_.startsWith("epoch-")), files)
+    assert(files.map(_.split("-")(1)).distinct.size == 2) // two epochs
+    // redelivery: same query tag, epoch 0 re-commits empty → replaces
+    val tag = files.head.split("-")(2)
+    val w = AvroStreamingWrite(dir,
+      back.schema, tag)
+    val before = spark.read.format(fmt).load(dir).count()
+    w.commit(0L, Array.empty)
+    val after = spark.read.format(fmt).load(dir).count()
+    assert(after < before)
+    assert(StagedFdicSource.listFiles(dir)
+      .forall(!_.getFileName.toString.startsWith(s"epoch-0-$tag-")))
+    // a different query's epoch-0 commit must not delete our files
+    AvroStreamingWrite(dir, back.schema, "feedc0de-0000").commit(0L, Array.empty)
+    assert(spark.read.format(fmt).load(dir).count() == after)
+  }
+
   test("the q324 gate's plan prunes and pushes through the Avro scan") {
     val df = graft.operators.RelationalExt3.q324AvroRoundtrip(
       spark, "/root/testdata/sf0.001")
