@@ -127,13 +127,93 @@ object DeltaBridge {
         finally Files.deleteIfExists(tmp)
       }
     }
+    // checkpoint discipline (the protocol's log-compaction half): every
+    // CheckpointInterval versions, snapshot the live state into one
+    // checkpoint parquet + _last_checkpoint, so (a) readers of a
+    // long-lived table bootstrap in O(live files) instead of replaying
+    // every JSON, and (b) the JSON prefix becomes vacuum-able — exactly
+    // what real Delta writers emit every 10 commits. Idempotent like the
+    // version files (skip if present).
+    val head = vs.length - 1
+    val ckptV = (head / CheckpointInterval) * CheckpointInterval
+    if (ckptV > 0) writeCheckpoint(spark, table, ckptV.toLong)
     vs.length
+  }
+
+  /** Checkpoint cadence — the delta-spark default. */
+  private val CheckpointInterval = 10
+
+  private def writeCheckpoint(spark: SparkSession, table: String,
+                              cv: Long): Unit = {
+    val path = deltaLogDir(table).resolve(f"$cv%020d.checkpoint.parquet")
+    if (Files.exists(path)) return
+    // reconstruct the state AT cv through our own replay (the reader path)
+    val st = replayTo(table, Some(cv))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ckptSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows =
+      Row(Row(1, 2), null, null) +:
+      Row(null, Row(st.metaId, st.schemaJson, Seq.empty[String]), null) +:
+      st.live.toSeq.map { p =>
+        val f = Paths.get(table, p)
+        Row(null, null, Row(p, Map.empty[String, String], Files.size(f),
+          Files.getLastModifiedTime(f).toMillis, true))
+      }
+    val tmpDir = Files.createTempDirectory(deltaLogDir(table), ".ckpt-")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), ckptSchema)
+      .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = TxLog.listDir(tmpDir).map(_.getFileName.toString)
+      .find(_.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write empty"))
+    try Files.createLink(path, tmpDir.resolve(part))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally {
+      TxLog.listDir(tmpDir).foreach(Files.deleteIfExists)
+      Files.deleteIfExists(tmpDir)
+    }
+    // _last_checkpoint points readers at the newest checkpoint; plain
+    // overwrite-in-place is the protocol's own convention for this file
+    Files.writeString(deltaLogDir(table).resolve("_last_checkpoint"),
+      mapper.writeValueAsString(Map(
+        "version" -> java.lang.Long.valueOf(cv),
+        "size" -> java.lang.Long.valueOf(rows.length.toLong)).asJava))
+  }
+
+  /** JSON-only replay to `asOf` — the export-side state reconstruction
+    * (never consults checkpoints: the exporter must not read its own
+    * output while building it). */
+  private def replayTo(table: String, asOf: Option[Long]): LogState = {
+    val st = LogState()
+    versions(table).filter(v => asOf.forall(v <= _)).foreach { v =>
+      Files.readAllLines(deltaVersionFile(table, v)).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          applyAction(st,
+            mapper.readValue(line, classOf[java.util.Map[String, AnyRef]]))
+        }
+    }
+    st
   }
 
   // --------------------------------------------------------------- read
 
   private case class LogState(
       var schemaJson: String = null,
+      var metaId: String = null,
       var partitionCols: Seq[String] = Seq.empty,
       live: scala.collection.mutable.LinkedHashSet[String] =
         scala.collection.mutable.LinkedHashSet.empty)
@@ -149,6 +229,7 @@ object DeltaBridge {
     Option(m.get("metaData")).foreach { md =>
       val mm = md.asInstanceOf[java.util.Map[String, AnyRef]]
       st.schemaJson = mm.get("schemaString").asInstanceOf[String]
+      st.metaId = mm.get("id").asInstanceOf[String]
       st.partitionCols = Option(mm.get("partitionColumns"))
         .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
         .getOrElse(Seq.empty)

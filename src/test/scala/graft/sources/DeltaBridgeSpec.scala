@@ -164,6 +164,30 @@ class DeltaBridgeSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSeq == Seq("a", "b"))
   }
 
+  test("exportLog WRITES a checkpoint every 10 versions; a vacuumed log " +
+    "reads back through it — the full protocol roundtrip") {
+    val t = freshTable()
+    (1 to 11).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), t)
+    }
+    DeltaBridge.exportLog(spark, t)
+    val ld = Paths.get(t, "_delta_log")
+    assert(Files.exists(ld.resolve(f"${10L}%020d.checkpoint.parquet")))
+    assert(Files.exists(ld.resolve("_last_checkpoint")))
+    // vacuum the JSON prefix the checkpoint covers — the long-lived-table
+    // shape; the snapshot must survive on the checkpoint alone
+    (0L to 10L).foreach { v =>
+      Files.deleteIfExists(ld.resolve(f"$v%020d.json"))
+    }
+    val back = DeltaBridge.read(spark, t).orderBy("id").collect()
+    assert(back.map(_.getLong(0)).toSeq == (1L to 11L))
+    assert(back.map(_.getString(1)).toSeq == (1 to 11).map(i => s"v$i"))
+    // a 12th commit after the vacuum: export extends, replay starts at 11
+    TxLog.append(spark, Seq((12L, "v12")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    assert(DeltaBridge.read(spark, t).count() == 12)
+  }
+
   test("fails loud on partitioned tables and on newer reader protocols") {
     val t = freshTable()
     Files.createDirectories(Paths.get(t, "_delta_log"))
