@@ -180,60 +180,64 @@ object GraphOps2 {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Materialize the corpus-scale edge build under the AMBIENT config
     // (AQE on — skew/coalesce matter for the lineitem self-join), then run
-    // the rounds STATICALLY ([[graft.SparkSupport.withoutAqe]]): per-round
-    // state is a few-thousand-row alive set, skew-free by construction, so
-    // AQE's per-exchange job materialization is pure scheduler floor —
-    // one static job per round replaces ~5 (r9 verdict: 55 jobs for the
-    // 10-round budget, ~60 ms launch floor each).
+    // the rounds STATICALLY ([[graft.SparkSupport.withoutAqe]]).
     sym.count()
     graft.SparkSupport.withoutAqe(sym.sparkSession) {
-      // LAZY localCheckpoint fused with the convergence count: the
-      // checkpoint truncates the LOGICAL plan immediately (alive is
-      // referenced twice per round — both endpoint joins — so an
-      // untruncated tree doubles per round), while the count() is the
-      // single action that both materializes the round's blocks and reads
-      // the convergence scalar. Safe because nothing unpersists the
-      // previous round's blocks before the count materializes the new.
-      var alive = sym.select(col("u").as("n")).distinct()
+      // DELTA PEELING (the O(E)-total-work form): degrees are computed
+      // ONCE, then each round only DECREMENTS the neighbors of the nodes
+      // dying this round — every edge is touched at most twice across the
+      // whole loop (once per endpoint death), where the r9/r10-early
+      // recompute-per-round form re-scanned and re-shuffled the full
+      // symmetric edge list twice per round. Synchronous-round semantics
+      // are preserved exactly: deg_r(n) is n's degree in the
+      // alive_r-induced subgraph by induction (an edge into a dying
+      // neighbor decrements exactly when that neighbor leaves; an edge
+      // whose BOTH endpoints die decrements a node that the same round's
+      // anti-join removes — harmless), so dying_r = {deg_r < k} is the
+      // same set the oracle's recomputed round keeps out. Early exit on
+      // an empty dying set is bit-identical to running the full budget
+      // (converged rounds are identities in both engines).
+      //
+      // Per-round plan: the dying set and its decrement counts are
+      // DRIVER-KNOWN-small (bounded by the dying cascade, not the
+      // corpus), so both sides broadcast under the usual ceiling and the
+      // only shuffle is the decrement aggregate over edges incident to
+      // dying nodes. Above the ceiling the joins shuffle — the correct
+      // 100 TB shape, and still O(E) total.
+      var deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
+        .selectExpr("u AS n", "d")
         .localCheckpoint(false)
-      // peeling is MONOTONE (each round's alive ⊆ the last), so an
-      // unchanged COUNT is an unchanged SET — once a round deletes
-      // nothing, every remaining round is the identity and can be skipped
-      // with a result bit-identical to running the full budget (the
-      // oracle's converged rounds are no-ops on its side too).
-      var cnt = alive.count()
-      var prev = -1L
       var r = 0
-      // the convergence count IS the size scalar AQE would have measured
-      // at runtime: when the alive set is small, hint it broadcast so the
-      // static per-round joins keep the hash-join shape AQE's conversion
-      // gave them — driver-known statistics making AQE's decision without
-      // AQE's per-exchange jobs. Above the ceiling the joins shuffle,
-      // which is the correct 100 TB shape anyway.
-      def aliveSide(as: String) = {
-        val side = alive.select(col("n").as(as))
-        if (cnt <= GraphOps.DegreeBroadcastMaxNodes) broadcast(side) else side
+      var done = false
+      while (r < rounds && !done) {
+        val dying = deg.filter(col("d") < k).select("n")
+        val dyingCnt = dying.count() // also materializes deg's checkpoint
+        if (dyingCnt == 0) done = true
+        else {
+          val dyingB =
+            if (dyingCnt <= GraphOps.DegreeBroadcastMaxNodes)
+              broadcast(dying) else dying
+          val dec = sym
+            .join(dyingB.withColumnRenamed("n", "u"), "u")
+            .groupBy("v").agg(count(lit(1)).as("dec"))
+            .withColumnRenamed("v", "n")
+          // |dec| ≤ Σ deg(dying) distinct neighbors; the dying count is
+          // the available proxy for its broadcastability — above the
+          // ceiling both stay shuffle joins
+          val decB =
+            if (dyingCnt <= GraphOps.DegreeBroadcastMaxNodes)
+              broadcast(dec) else dec
+          deg = deg
+            .join(dyingB, Seq("n"), "left_anti")
+            .join(decB, Seq("n"), "left")
+            .selectExpr("n", "d - coalesce(dec, 0L) AS d")
+            .localCheckpoint(false) // next round's count materializes it
+          r += 1
+        }
       }
-      while (r < rounds && cnt != prev) {
-        prev = cnt
-        alive = sym
-          .join(aliveSide("u"), "u")
-          .join(aliveSide("v"), "v")
-          .groupBy("u").agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k)
-          .select(col("u").as("n"))
-          .localCheckpoint(false) // lazy: the count below materializes it
-        cnt = alive.count()
-        r += 1
-      }
-      // final induced-degree assembly inside the static scope too: it is
-      // the same tiny-state shape as a round, and the eager checkpoint
-      // hands the caller a one-job LogicalRDD instead of 4 more AQE jobs
-      sym
-        .join(aliveSide("u"), "u")
-        .join(aliveSide("v"), "v")
-        .groupBy("u").agg(count(lit(1)).as("core_degree"))
-        .selectExpr("u AS node", "core_degree")
+      // at exit deg IS the alive-induced degree table — no re-join of the
+      // edge list; eager checkpoint hands the caller a one-job LogicalRDD
+      deg.selectExpr("n AS node", "d AS core_degree")
         .orderBy("node")
         .localCheckpoint(true)
     }
