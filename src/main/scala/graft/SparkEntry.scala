@@ -51,6 +51,7 @@ object SparkEntry {
       operators.Pretrain2.queries ++
       operators.Pretrain3.queries ++
       operators.Similarity2.queries ++
+      operators.EmbeddingOps.queries ++
       operators.Curation3.queries ++
       operators.IncrementalCuration.queries
 
@@ -92,6 +93,7 @@ object SparkEntry {
       operators.Pretrain2.oracle ++
       operators.Pretrain3.oracle ++
       operators.Similarity2.oracle ++
+      operators.EmbeddingOps.oracle ++
       operators.Curation3.oracle ++
       operators.IncrementalCuration.oracle
 }
