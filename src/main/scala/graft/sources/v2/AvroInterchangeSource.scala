@@ -159,7 +159,7 @@ private[v2] class AvroInterchangeTable(schema: StructType, path: String)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(schema, path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -208,6 +208,22 @@ private[v2] case class AvroScan(path: String, fullSchema: StructType,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Streaming read: a micro-batch per NEWLY-ARRIVED container file — the
+    * landing-zone tail a training pipeline runs over an interchange drop
+    * directory. The offset is the SNAPSHOT of consumed file names (a
+    * set-diff contract, not a monotone counter — interchange producers
+    * name files arbitrarily, so a later file can sort before an earlier
+    * one and any high-watermark scheme would silently skip it); each
+    * batch reads exactly `end.files − start.files`. Drops are assumed
+    * append-only (the interchange shape; files deleted mid-stream are
+    * simply never re-read). At production file counts the offset JSON
+    * grows with the directory — the standard fix is the file-source
+    * compaction log; at the landing-zone cadence this source targets,
+    * the explicit set keeps replay exactly-once with zero bookkeeping. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroMicroBatchStream(path, fullSchema, required, pushed)
 
   /** Same rationale as [[StagedFdicScan.estimateStatistics]]: file-size
     * statistics make a small interchange drop a broadcast-join candidate
@@ -333,6 +349,54 @@ private[v2] class AvroPartitionReader(file: String,
 
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+/** Serializable micro-batch offset: the set of file names consumed so
+  * far. JSON form is a sorted array — deterministic, so checkpoint
+  * equality is textual equality. */
+private[v2] case class AvroFilesOffset(files: Set[String])
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.writeValueAsString(files.toSeq.sorted.toArray)
+  }
+}
+
+private[v2] object AvroFilesOffset {
+  def fromJson(json: String): AvroFilesOffset = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    AvroFilesOffset(mapper.readValue(json,
+      classOf[Array[String]]).toSet)
+  }
+}
+
+private[v2] class AvroMicroBatchStream(path: String, fullSchema: StructType,
+                                       required: StructType,
+                                       pushed: Array[Filter])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset}
+
+  private def currentFiles: Set[String] =
+    StagedFdicSource.listFiles(path).map(_.getFileName.toString).toSet
+
+  override def initialOffset(): StreamOffset = AvroFilesOffset(Set.empty)
+  override def latestOffset(): StreamOffset = AvroFilesOffset(currentFiles)
+  override def deserializeOffset(json: String): StreamOffset =
+    AvroFilesOffset.fromJson(json)
+
+  override def planInputPartitions(start: StreamOffset,
+                                   end: StreamOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[AvroFilesOffset].files
+    val e = end.asInstanceOf[AvroFilesOffset].files
+    (e -- s).toSeq.sorted
+      .map(f => StagedFilePartition(s"$path/$f"): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    AvroReaderFactory(fullSchema, required, pushed, None)
+
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Write side: the staged sink's two-phase commit protocol verbatim

@@ -172,6 +172,36 @@ class AvroInterchangeSourceSpec extends SparkSpec {
     assert(spark.read.format(fmt).load(dir).count() == after)
   }
 
+  test("streaming READ: a micro-batch per newly-arrived container file; " +
+    "restart from checkpoint reads only what arrived since") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("avro_tail").toString
+    val ckpt = Files.createTempDirectory("avro_tail_ckpt").toString
+    val sink = Files.createTempDirectory("avro_tail_sink").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.format(fmt).mode("append").save(dir)
+    def run(): Unit = {
+      val q = spark.readStream.format(fmt).load(dir)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    assert(spark.read.parquet(sink).count() == 2)
+    // a new drop lands between runs: the restarted stream reads ONLY it
+    Seq((3L, "c")).toDF("id", "v")
+      .coalesce(1).write.format(fmt).mode("append").save(dir)
+    run()
+    val rows = spark.read.parquet(sink)
+    assert(rows.count() == 3, "restart must pick up exactly the new file")
+    assert(rows.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("a", "b", "c"))
+    // replaying with nothing new emits nothing
+    run()
+    assert(spark.read.parquet(sink).count() == 3)
+  }
+
   test("the q324 gate's plan prunes and pushes through the Avro scan") {
     val df = graft.operators.RelationalExt3.q324AvroRoundtrip(
       spark, "/root/testdata/sf0.001")
