@@ -566,7 +566,6 @@ object Pretrain3 {
     * 8-row window, and a 1-row fit broadcast back — nothing after the
     * two aggregates scales with the corpus. */
   def t327HeapsLaw(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // shingle OCCURRENCES (no per-doc distinct — the volume axis counts
     // every window); seqAsc keeps sub-3-token docs at zero windows
     val occ = s"transform(${seqAsc("1", s"size($tokens) - 2")}, " +
@@ -578,15 +577,19 @@ object Pretrain3 {
     val tc = toks.groupBy("step").agg(count(lit(1)).as("tc"))
     val nv = toks.groupBy("tok").agg(min(col("step")).as("step"))
       .groupBy("step").agg(count(lit(1)).as("nv"))
-    // 8-row cumulative frame: the single-partition window is over the
-    // CHECKPOINT COUNT, not the corpus — constant-sized at any SF
-    val steps = tc.join(nv, Seq("step"), "left")
-      .withColumn("n_cum",
-        sum(col("tc")).over(Window.orderBy("step")).cast("long"))
-      .withColumn("v_cum",
-        sum(coalesce(col("nv"), lit(0L))).over(Window.orderBy("step"))
-          .cast("long"))
-      .selectExpr("CAST(step AS INT) AS step", "n_cum", "v_cum",
+    // 8-row cumulative frame as a TRIANGULAR SELF-JOIN, not a global
+    // window: the frame is checkpoint-count-sized (8 rows at any SF), so
+    // the ≤ 8×8 join is constant work — and it keeps the registry-wide
+    // "no unpartitioned window over an unbounded input" invariant
+    // STRUCTURAL (RegistryWindowSpec) instead of argued in a comment
+    val byStep = tc.join(nv, Seq("step"), "left")
+      .selectExpr("step", "tc", "coalesce(nv, 0L) AS nv")
+    val steps = byStep.as("a")
+      .join(byStep.as("b"), col("b.step") <= col("a.step"))
+      .groupBy(col("a.step").cast("int").as("step"))
+      .agg(sum(col("b.tc")).cast("long").as("n_cum"),
+        sum(col("b.nv")).cast("long").as("v_cum"))
+      .selectExpr("step", "n_cum", "v_cum",
         "CAST(floor(ln(CAST(n_cum AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x",
         "CAST(floor(ln(CAST(v_cum AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y")
     val fit = steps.agg(
@@ -618,12 +621,15 @@ object Pretrain3 {
       |  SELECT step, count(*) AS nv FROM (
       |    SELECT tok, min(step) AS step FROM st GROUP BY 1)
       |  GROUP BY 1),
-      |steps AS (
-      |  SELECT tc.step,
-      |    CAST(sum(tc.tc) OVER (ORDER BY tc.step) AS BIGINT) AS n_cum,
-      |    CAST(sum(coalesce(nv.nv, 0)) OVER (ORDER BY tc.step) AS BIGINT)
-      |      AS v_cum
+      |bystep AS MATERIALIZED (
+      |  SELECT step, tc, coalesce(nv, 0) AS nv
       |  FROM tc LEFT JOIN nv USING (step)),
+      |steps AS (
+      |  SELECT CAST(a.step AS INTEGER) AS step,
+      |    CAST(sum(b.tc) AS BIGINT) AS n_cum,
+      |    CAST(sum(b.nv) AS BIGINT) AS v_cum
+      |  FROM bystep a JOIN bystep b ON b.step <= a.step
+      |  GROUP BY 1),
       |xy AS (
       |  SELECT step, n_cum, v_cum,
       |    CAST(floor(ln(CAST(n_cum AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
