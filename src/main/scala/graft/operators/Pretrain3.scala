@@ -585,7 +585,9 @@ object Pretrain3 {
     val byStep = tc.join(nv, Seq("step"), "left")
       .selectExpr("step", "tc", "coalesce(nv, 0L) AS nv")
     val steps = byStep.as("a")
-      .join(byStep.as("b"), col("b.step") <= col("a.step"))
+      // declared broadcast side (RegistryJoinSpec's non-equi discipline):
+      // the frame is 8 rows at any SF — checkpoint count, not corpus
+      .join(broadcast(byStep.as("b")), col("b.step") <= col("a.step"))
       .groupBy(col("a.step").cast("int").as("step"))
       .agg(sum(col("b.tc")).cast("long").as("n_cum"),
         sum(col("b.nv")).cast("long").as("v_cum"))
