@@ -566,16 +566,22 @@ object Pretrain3 {
     * 8-row window, and a 1-row fit broadcast back — nothing after the
     * two aggregates scales with the corpus. */
   def t327HeapsLaw(s: SparkSession, dir: String): DataFrame = {
-    // shingle OCCURRENCES (no per-doc distinct — the volume axis counts
-    // every window); seqAsc keeps sub-3-token docs at zero windows
-    val occ = s"transform(${seqAsc("1", s"size($tokens) - 2")}, " +
-      s"i -> concat_ws(' ', slice($tokens, i, 3)))"
-    val toks = Tables.documents(s, dir)
-      .selectExpr("doc_id", s"explode($occ) AS tok")
-      .withColumn("step", col("doc_id") % 8)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val tc = toks.groupBy("step").agg(count(lit(1)).as("tc"))
-    val nv = toks.groupBy("tok").agg(min(col("step")).as("step"))
+    // volume axis WITHOUT the explode: occurrences per doc is just the
+    // window count max(size−2, 0) — a map-side scalar per row, so the
+    // corpus-wide token-volume pass ships one long per doc
+    val tc = Tables.documents(s, dir)
+      .selectExpr("doc_id % 8 AS step",
+        s"greatest(size($tokens) - 2, 0) AS nw")
+      .groupBy("step").agg(sum(col("nw")).cast("long").as("tc"))
+    // type axis: per-doc DISTINCT shingles first (array_distinct inside
+    // the row — a valid pre-reduction for min-step-per-type), THEN the
+    // one explode this operator genuinely needs; seqAsc keeps
+    // sub-3-token docs at zero windows
+    val dst = s"array_distinct(transform(${seqAsc("1", s"size($tokens) - 2")}, " +
+      s"i -> concat_ws(' ', slice($tokens, i, 3))))"
+    val nv = Tables.documents(s, dir)
+      .selectExpr("doc_id % 8 AS step", s"explode($dst) AS tok")
+      .groupBy("tok").agg(min(col("step")).as("step"))
       .groupBy("step").agg(count(lit(1)).as("nv"))
     // 8-row cumulative frame as a TRIANGULAR SELF-JOIN, not a global
     // window: the frame is checkpoint-count-sized (8 rows at any SF), so
@@ -611,14 +617,17 @@ object Pretrain3 {
   }
 
   val t327Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(list_transform(
+    """WITH tc AS (
+      |  SELECT doc_id % 8 AS step,
+      |    CAST(sum(greatest(len(string_split(lower(text), ' ')) - 2, 0))
+      |      AS BIGINT) AS tc
+      |  FROM documents GROUP BY 1),
+      |st AS (
+      |  SELECT doc_id % 8 AS step, unnest(list_distinct(list_transform(
       |    range(1, len(string_split(lower(text), ' ')) - 1),
-      |    i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' ')))
+      |    i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))))
       |    AS tok
       |  FROM documents),
-      |st AS (SELECT doc_id % 8 AS step, tok FROM toks),
-      |tc AS (SELECT step, count(*) AS tc FROM st GROUP BY 1),
       |nv AS (
       |  SELECT step, count(*) AS nv FROM (
       |    SELECT tok, min(step) AS step FROM st GROUP BY 1)
