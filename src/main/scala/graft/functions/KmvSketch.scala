@@ -82,6 +82,21 @@ object KmvSketch {
   /** Column form: `kmv(col, k)` over a pre-hashed long column. */
   def kmv(c: Column, k: Int): Column = udaf(new Agg(k)).apply(c)
 
+  /** Null-tolerant variant: the SENTINEL −1 is skipped by `reduce` —
+    * callers encode a null input value as `coalesce(hash, -1L)` (safe
+    * because every portable hash lives in [0, P)), and the sketch then
+    * matches `count_distinct`'s ignore-nulls contract exactly. Encoding at
+    * the call site rather than nullable input keeps the aggregator's
+    * primitive-long lane (no boxing in the hot path). */
+  class SkipSentinelAgg(k: Int) extends Agg(k) {
+    override def reduce(buf: Array[Long], h: Long): Array[Long] =
+      if (h == -1L) buf else super.reduce(buf, h)
+  }
+
+  /** Column form of [[SkipSentinelAgg]]: `kmvSkipNull(coalesce(h, -1), k)`. */
+  def kmvSkipNull(c: Column, k: Int): Column =
+    udaf(new SkipSentinelAgg(k)).apply(c)
+
   /** State-exposing form: the sorted k-minimum hash ARRAY itself, not the
     * finished estimate — the mergeable sketch state that KMV set algebra
     * (d195 union/intersection estimates) consumes downstream. Same bounded

@@ -27,6 +27,22 @@ object PortableHash {
   /** Whitespace tokens of lowercased text. DuckDB: string_split(lower(text),' '). */
   val tokens: String = "split(lower(text), ' ')"
 
+  /** Multiplicative spreader for KMV-style estimators over [[polyHash]]
+    * values: a SHORT string's fold never wraps the modulus (a 4-char
+    * string folds to < ~2·10⁶), so its hashes cluster at the bottom of
+    * [0, P) and the KMV estimate (k−1)·P/h_k — which assumes uniformity
+    * over the FULL range — comes out orders of magnitude high.
+    * `h·2654435761 mod P` is a bijection on [0, P) (Knuth's constant is
+    * coprime to the prime) that spreads any dense interval across the
+    * field; the product stays under 2⁶³ (h < 1e9+7 ⇒ < 2.7·10¹⁸), so the
+    * same two-operation arithmetic is exact in Spark and DuckDB alike.
+    * Equality is preserved (bijection), so distinct counts are unchanged
+    * — only the ORDER of hash values is scrambled into uniformity. */
+  def kmvSpread(h: String): String = s"(($h) * 2654435761L) % ${P}L"
+
+  /** DuckDB twin of [[kmvSpread]]. */
+  def kmvSpreadDuck(h: String): String = s"(($h) * 2654435761) % $P"
+
   /** An ASCENDING `sequence(lo, hi)` that is EMPTY when hi < lo — the
     * DuckDB `range(lo, hi+1)` contract. Spark's sequence() defaults to
     * step −1 when start > stop, so a window expression like

@@ -142,6 +142,21 @@ object Dedup {
       |  transform(slice(ids, i + 2, size(ids) - i - 1),
       |    y -> struct(x AS id1, y AS id2)))))""".stripMargin
 
+  /** Band-bucket df-ceiling — d141's stop-shingle discipline mirrored at
+    * the LSH BAND layer (the r10 verdict's one flagged unbounded term in
+    * the near-dup family): Σ C(bucket, 2) is the pair volume, so one
+    * boilerplate-heavy band key shared by 10⁶ docs is a 10⁶-element
+    * `collect_list` row and 5·10¹¹ exploded pairs. A band shared by more
+    * than this many docs has no discriminative power — it is boilerplate
+    * colliding at the signature level — so oversized buckets are DROPPED
+    * before pair explosion; their member docs still pair through their
+    * other three bands (LSH's own band redundancy, the same recall
+    * argument the banding scheme is built on). 100 comfortably clears
+    * every gate corpus's largest band bucket (gate hashes are unchanged;
+    * DedupSpec plants a pathological band to prove the bound bites), while
+    * capping any adversarial bucket's contribution at C(100,2). */
+  private[graft] val BandBucketCap = 100
+
   private[operators] val shingleIndexSql =
     """s AS (
       |  SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
@@ -234,16 +249,27 @@ object Dedup {
       .selectExpr("doc_id", bandKeyExpr) // the ONE band layout (see bandKeyExpr)
       .groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= BandBucketCap) // see BandBucketCap
       .selectExpr(s"$pairExplodeExpr AS p")
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // scoring side + candDocs side
     val n = sigs.select(col("doc_id"), col("ns"))
-    // Shared-shingle counts straight from the shingle buckets (d30's pair
-    // explosion) rather than joining cand against the full index twice —
-    // the index-side joins made AQE materialize the whole index as a
-    // broadcast hash table (driver-side build, 2× per run). The bucket
-    // explosion shuffles only (id1, id2) longs, keyed by shingle hash.
-    val common = idx.groupBy("h")
+    // Shared-shingle counts from CANDIDATE-REDUCED shingle buckets (the
+    // d142 shape): the index semi-joins down to docs that appear in some
+    // candidate pair BEFORE bucketing, so bucket size — and the C(n,2)
+    // explosion — is bounded by the post-band-cap candidate universe, not
+    // the corpus (an uncapped corpus-wide bucket explosion was the other
+    // half of the r10 flag). Values are exact by construction: every
+    // scored pair has both endpoints inside the reduced index. Joining
+    // cand against the full index twice would be worse still — AQE
+    // materializes the whole index as a broadcast hash table (driver-side
+    // build, 2× per run); the bucket explosion shuffles only (id1, id2)
+    // longs, keyed by shingle hash.
+    val candDocs = cand
+      .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
+    val common = idx.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("h")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .selectExpr(s"$pairExplodeExpr AS p")
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
@@ -657,6 +683,7 @@ object Dedup {
       .filter(col("doc_id") % 7 =!= 0)
       .groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("hist_ids"))
+      .filter(size(col("hist_ids")) <= BandBucketCap) // see BandBucketCap
     val deltaBands = bandsOf(idx.filter(col("doc_id") % 7 === 0))
       .persist(StorageLevel.MEMORY_AND_DISK) // probe side + delta-delta side
     val deltaHist = deltaBands.join(histIndex, "band_key")
@@ -664,6 +691,7 @@ object Dedup {
       .selectExpr("least(did, hid) AS id1", "greatest(did, hid) AS id2")
     val deltaDelta = deltaBands.groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= BandBucketCap) // see BandBucketCap
       .selectExpr(s"$pairExplodeExpr AS p")
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
     val cand = deltaHist.unionByName(deltaDelta).distinct()
@@ -784,6 +812,7 @@ object Dedup {
       .select(col("hist_id").as("id1"), col("doc_id").as("id2"))
     val deltaDelta = deltaBands.groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= BandBucketCap) // see BandBucketCap
       .selectExpr(s"$pairExplodeExpr AS p")
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
     val cand = deltaHist.unionByName(deltaDelta).distinct()
@@ -920,6 +949,7 @@ object Dedup {
       .select(col("idx_id").as("id1"), col("doc_id").as("id2"))
     val within = b2Bands.groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= BandBucketCap) // see BandBucketCap
       .selectExpr(s"$pairExplodeExpr AS p")
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
     val cand = probe.unionByName(within).distinct()

@@ -235,6 +235,18 @@ object GraphOps2 {
           r += 1
         }
       }
+      // Budget exhaustion without convergence: deg would still hold nodes
+      // with d < k (even d = 0), while the oracle's unrolled rounds
+      // recompute induced degrees from edges and so drop isolated nodes —
+      // the two engines could disagree on row MEMBERSHIP. Converged exits
+      // are bit-identical by induction, so fail loud on the cap instead of
+      // returning a non-fixed-point table (the connectedComponentsStar
+      // discipline, DupClusters.scala:234).
+      if (!done && !deg.filter(col("d") < k).isEmpty)
+        throw new IllegalStateException(
+          s"kcore: $rounds rounds exhausted before the k=$k fixpoint — " +
+            "raise the round budget (converged exits are exact; a " +
+            "truncated peel is not comparable to the oracle's rounds)")
       // at exit deg IS the alive-induced degree table — no re-join of the
       // edge list; eager checkpoint hands the caller a one-job LogicalRDD
       deg.selectExpr("n AS node", "d AS core_degree")

@@ -129,6 +129,7 @@ object IncrementalCuration {
       .select(col("doc_id").as("bid"), col("oid"))
     val candBatch = batchBands.groupBy("band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= Dedup.BandBucketCap) // see BandBucketCap
       .selectExpr(s"${Dedup.pairExplodeExpr} AS p")
       .select(col("p.id2").as("bid"), col("p.id1").as("oid"))
     val cand = candIdx.unionByName(candBatch).distinct()

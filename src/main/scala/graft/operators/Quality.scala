@@ -50,29 +50,63 @@ object Quality {
       |  min(event_id) AS min_event_id
       |FROM events GROUP BY 1 ORDER BY branch""".stripMargin
 
+  /** The q110 profiler's sketch width. 256 ⇒ columns under 256 distinct
+    * values profile EXACTLY (the KMV buffer never fills, `finish` returns
+    * the true count) and high-cardinality columns get a deterministic
+    * (k−1)·P/h_k estimate with ~1/√k ≈ 6% standard error — the ANALYZE-
+    * TABLE trade every warehouse makes. */
+  private[operators] val ProfileK = 256
+
   /** q110: single-pass column profiler — the ANALYZE-TABLE shape: per
-    * column, null count, exact distinct count, and min/max rendered to
-    * strings. ONE aggregate computes every column's stats simultaneously
-    * (one scan — a loop of per-column queries would scan the table once per
-    * column, the reference's F3 anti-pattern), then the 1×(4·k) stats row
-    * melts to k rows via unpivot arithmetic.
+    * column, null count, distinct count, and min/max rendered to strings.
+    * ONE aggregate computes every column's stats simultaneously (one scan
+    * — a loop of per-column queries would scan the table once per column,
+    * the reference's F3 anti-pattern), then the 1×(4·k) stats row melts to
+    * k rows via unpivot arithmetic.
     *
-    * Scale shape: count_distinct per column makes this an expand-style
-    * multi-distinct aggregate; at 100 TB swap `count_distinct` for
-    * `approx_count_distinct` (same plan, sketch state) — kept exact here so
-    * the oracle can hash-match. */
+    * Distinct counts run through the in-house KMV sketch
+    * ([[graft.functions.KmvSketch]], the d62 machinery) rather than exact
+    * `count_distinct`: N exact distincts in one aggregate make Catalyst
+    * plan an EXPAND that replicates every input row once per distinct
+    * aggregate — 5× the row volume into the shuffle here, N× in general —
+    * which is the one shape that cannot survive a 100 TB scan (the r10
+    * verdict's plan audit; QualitySpec pins the Expand-free plan). The
+    * sketch is partial-aggregable fixed state (k longs per column), keeps
+    * the single-scan plan a plain two-phase hash aggregate, and is
+    * DETERMINISTIC — order-independent set math over a portable hash — so
+    * the DuckDB oracle re-derives the exact same k-th hash and estimate,
+    * unlike `approx_count_distinct`'s engine-private HLL. Counts are EXACT
+    * below [[ProfileK]] distincts (nationkey/mktsegment here) and a pinned
+    * estimate above.
+    *
+    * Hash portability boundary: values hash through their CAST-to-string
+    * rendering (the same rendering min_s/max_s already pin cross-engine);
+    * doubles above ~1e7 would hit Spark-vs-DuckDB scientific-notation
+    * divergence — a production profiler hashes a canonical per-type
+    * decimal rendering instead. */
   def q110ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
       "c_acctbal")
-    val agg = Tables.customer(s, dir).agg(
+    // hash once per (row, column) in a codegen'd projection, then SPREAD
+    // to uniformity over [0, P) (short-string polyHashes never wrap the
+    // modulus and would cluster the k minima — see PortableHash.kmvSpread);
+    // null encodes as the −1 sentinel the sketch skips (count_distinct's
+    // null contract)
+    val hashed = Tables.customer(s, dir).selectExpr(
+      cols ++ cols.map(c =>
+        "coalesce(" + graft.functions.PortableHash.kmvSpread(
+          s"poly_hash(CAST($c AS STRING))") + s", -1L) AS ${c}_h"): _*)
+    val agg = hashed.agg(
       count(lit(1)).as("n_rows"),
       cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls"),
-        count_distinct(col(c)).as(s"${c}_distinct"),
+        graft.functions.KmvSketch.kmvSkipNull(col(s"${c}_h"), ProfileK)
+          .as(s"${c}_sk"),
         min(col(c).cast("string")).as(s"${c}_min"),
         max(col(c).cast("string")).as(s"${c}_max"))): _*)
     val stacked = cols.map(c =>
-      s"'$c', n_rows, ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+      s"'$c', n_rows, ${c}_nulls, ${c}_sk.est_distinct, ${c}_min, ${c}_max")
       .mkString(", ")
     agg.selectExpr(
       s"stack(${cols.size}, $stacked) AS " +
@@ -83,10 +117,30 @@ object Quality {
   val q110Sql: String = {
     val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
       "c_acctbal")
+    val k = ProfileK
+    // per column: the KMV estimate re-derived exactly — rank the distinct
+    // spread portable hashes, take the k-th smallest (or the true count
+    // when the column has fewer than k distincts); the d62 oracle shape
+    def kmvSub(c: String): String = {
+      val poly = s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+        s"list_transform(string_split(CAST($c AS VARCHAR), ''), " +
+        "ch -> CAST(ascii(ch) AS BIGINT))), " +
+        "(acc, x) -> (acc * 31 + x) % 1000000007)"
+      val spread = graft.functions.PortableHash.kmvSpreadDuck(poly)
+      s"""(SELECT CAST(coalesce(max(CASE WHEN nd >= $k
+         |    THEN (${k - 1} * CAST(1000000007 AS BIGINT)) // h
+         |    ELSE nd END), 0) AS BIGINT)
+         | FROM (
+         |   SELECT h, row_number() OVER (ORDER BY h) AS rn,
+         |     count(*) OVER () AS nd
+         |   FROM (SELECT DISTINCT $spread AS h
+         |     FROM customer WHERE $c IS NOT NULL))
+         | WHERE rn = LEAST(nd, $k))""".stripMargin
+    }
     cols.map(c =>
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,
          |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-         |  count(DISTINCT $c) AS n_distinct,
+         |  ${kmvSub(c)} AS n_distinct,
          |  min(CAST($c AS VARCHAR)) AS min_s, max(CAST($c AS VARCHAR)) AS max_s
          |FROM customer""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")

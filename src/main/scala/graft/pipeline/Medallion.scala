@@ -32,6 +32,28 @@ object Medallion {
   def writeGoldPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** K3, Delta form: the reference's gold partitioned writes ARE Delta
+    * (`partitionBy(institution_type, state)` / `(year, quarter, state)`,
+    * BuildGoldLayer.py:217-226) — published here as a transactional
+    * Hive-layout TxLog overwrite plus a `_delta_log` export carrying
+    * `partitionColumns` + per-add `partitionValues`, so an external Delta
+    * reader mounts the gold directory WITH partition pruning (delta-rs /
+    * DuckDB delta prune on the logged partitionValues exactly as they do
+    * for delta-spark output). Read back via [[readGoldPartitionedDelta]],
+    * optionally pruned. */
+  def writeGoldPartitionedDelta(spark: SparkSession, df: DataFrame,
+                                path: String,
+                                partitionCols: Seq[String]): Unit = {
+    graft.sources.TxLog.overwritePartitioned(spark, df, path, partitionCols)
+    graft.sources.DeltaBridge.exportLog(spark, path)
+  }
+
+  /** Partition-pruned snapshot of a Delta-form partitioned gold table —
+    * the filter drops add actions at the METADATA level before any scan. */
+  def readGoldPartitionedDelta(spark: SparkSession, path: String,
+                               partitionFilter: Map[String, String] = Map.empty): DataFrame =
+    graft.sources.DeltaBridge.read(spark, path, None, partitionFilter)
+
   /** K4: wide-table write — the column set varies per run (one column per
     * quarter), i.e. schema evolution by overwrite (BuildGoldLayer.py:227-236). */
   def writeGoldWide(df: DataFrame, path: String): Unit =

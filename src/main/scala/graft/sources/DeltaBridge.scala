@@ -5,7 +5,8 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Delta-protocol interchange WITHOUT the Delta jar: the reference's gold
@@ -26,14 +27,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    metaData `schemaString` applied as the read schema (it IS a Spark
   *    schema JSON — the one part of the format that is Spark-native).
   *
-  * Scope: unpartitioned tables (the TxLog layout — file-level pruning
-  * comes from stats, not directory layout). A foreign PARTITIONED table
-  * fails loud rather than silently dropping its partition columns.
+  * PARTITIONED tables (the reference's actual gold shape —
+  * `partitionBy(institution_type, state)` / `(year, quarter, state)`,
+  * BuildGoldLayer.py:217-226) are first-class: [[TxLog.appendPartitioned]]
+  * stages Hive-layout files, exportLog parses the `col=value` path
+  * segments into per-add `partitionValues` and records `partitionColumns`
+  * in metaData (the delta-rs/delta-spark wire shape), and [[read]] prunes
+  * add actions against a `partitionFilter` at the METADATA level — the
+  * same log-level pruning a real Delta reader performs before planning
+  * any scan — then reconstructs partition columns from the layout.
   *
   * Scale: the log is metadata — actions are O(files), the checkpoint
   * bootstrap reads one parquet, and data files are never touched until
-  * the returned DataFrame's own scan. This is exactly how production
-  * Delta readers behave; nothing here is a toy shortcut.
+  * the returned DataFrame's own scan. Partition pruning happens twice,
+  * both metadata-priced: once against the action list here, once more by
+  * Catalyst's own partition-directory pruning inside the scan. This is
+  * exactly how production Delta readers behave; nothing here is a toy
+  * shortcut.
   */
 object DeltaBridge {
 
@@ -45,36 +55,131 @@ object DeltaBridge {
   private def deltaVersionFile(table: String, v: Long): Path =
     deltaLogDir(table).resolve(f"$v%020d.json")
 
+  // -------------------------------------------------- Hive path parsing
+
+  private val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Unescape Spark/Hive partition-dir percent-encoding (the inverse of
+    * ExternalCatalogUtils.escapePathName — '%XX' hex sequences). */
+  private[sources] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Split a staged relative path into (non-partition prefix, trailing
+    * `col=value` run) — the TRAILING consecutive `k=v` directories
+    * immediately above the file, which is exactly the run Spark's own
+    * bottom-up partition-discovery walk collects (a `k=v`-shaped segment
+    * higher up, below a non-`k=v` one, is part of the opaque prefix).
+    * Values unescape Hive percent-encoding; `__HIVE_DEFAULT_PARTITION__`
+    * maps to null. */
+  private[sources] def splitHivePath(path: String)
+      : (String, Seq[(String, String)]) = {
+    val dirs = path.split('/').dropRight(1).toSeq
+    var i = dirs.length
+    while (i > 0 && dirs(i - 1).indexOf('=') > 0) i -= 1
+    val pvs = dirs.drop(i).map { seg =>
+      val eq = seg.indexOf('=')
+      val v = unescapePathName(seg.substring(eq + 1))
+      (unescapePathName(seg.substring(0, eq)),
+        if (v == HiveDefaultPartition) null else v)
+    }
+    (dirs.take(i).mkString("/"), pvs)
+  }
+
+  /** The trailing `col=value` segments of a staged relative path —
+    * (column, unescaped value or null). */
+  private[sources] def pathPartitionValues(path: String): Seq[(String, String)] =
+    splitHivePath(path)._2
+
   // ------------------------------------------------------------- export
 
   /** Write `table`'s TxLog history as a Delta `_delta_log`. TxLog version
     * i (ascending commit order) becomes Delta version i-minus-first —
     * Delta versions MUST start at 0 and be contiguous (the protocol's
     * replay rule), while TxLog versions just ascend. Re-export is
-    * idempotent: existing version files are left in place (they are
-    * immutable once published — the same contract TxLog's own createLink
-    * arbitration enforces). Returns the number of Delta versions. */
+    * idempotent AND identity-stable: existing version files are left in
+    * place (they are immutable once published — the same contract TxLog's
+    * own createLink arbitration enforces), and an export EXTENDING a
+    * published log re-reads version 0's metaData `id` and the latest
+    * published `schemaString` instead of minting fresh ones — the Delta
+    * spec makes the table id immutable for the log's lifetime (streaming/
+    * CDC readers key on it), and a redundant metaData action on an
+    * unchanged schema would be spec noise. Partitioned TxLog tables
+    * (Hive-layout entries from [[TxLog.appendPartitioned]]) export with
+    * `partitionColumns` in metaData and per-add `partitionValues`; the
+    * partition column SET is fixed at version 0 and a later commit whose
+    * layout disagrees fails loud. Returns the number of Delta versions. */
   def exportLog(spark: SparkSession, table: String): Int = {
     val vs = TxLog.versions(table)
     require(vs.nonEmpty, s"exportLog: $table has no commits")
     Files.createDirectories(deltaLogDir(table))
 
     // one table id across re-exports: version files are immutable, so a
-    // later export extending the log must agree with version 0's id
-    val tableId = java.util.UUID.randomUUID().toString
-    // schema per version, from that commit's own added files — a commit
-    // whose schema CHANGED must carry a fresh metaData action (this is
-    // exactly how Delta encodes overwriteSchema; time travel then
-    // resolves each version under the schema it was written with). One
-    // footer read per schema probe, metadata-priced.
-    var lastSchemaJson: String = null
+    // later export extending the log must agree with version 0's id and
+    // compare schemas against the latest PUBLISHED metaData, not null —
+    // seed both from the existing log through the reader path
+    val published = versions(table)
+    val seed: Option[LogState] =
+      if (published.nonEmpty || lastCheckpointVersion(table).isDefined)
+        Some(readState(spark, table, None))
+      else None
+    val tableId = seed.flatMap(s => Option(s.metaId))
+      .getOrElse(java.util.UUID.randomUUID().toString)
+    var lastSchemaJson: String = seed.map(_.schemaJson).orNull
+    var partCols: Seq[String] = seed.map(_.partitionCols).getOrElse(Seq.empty)
+    var partColsFixed: Boolean = seed.isDefined
 
     vs.zipWithIndex.foreach { case (txv, dv) =>
       val out = deltaVersionFile(table, dv.toLong)
       if (!Files.exists(out)) {
         val (add, remove) = TxLog.commitActions(table, txv)
-        val schemaJson = add.headOption.map(e => spark.read.parquet(
-          s"$table/${TxLog.entryPath(e)}").schema.json).orNull
+        // partition columns come from the staged layout itself; fixed at
+        // the first exported version, enforced on every later add
+        val addPaths = add.map(TxLog.entryPath)
+        if (!partColsFixed && addPaths.nonEmpty) {
+          partCols = pathPartitionValues(addPaths.head).map(_._1)
+          partColsFixed = true
+        }
+        val addPvs: Seq[Map[String, String]] = addPaths.map { p =>
+          val pvs = pathPartitionValues(p)
+          require(pvs.map(_._1) == partCols,
+            s"exportLog: $table commit $txv file $p has partition layout " +
+              s"${pvs.map(_._1).mkString(",")}, table is " +
+              s"[${partCols.mkString(",")}] — mixed layouts cannot share " +
+              "one Delta log")
+          pvs.toMap
+        }
+        // schema per version, from that commit's own added files — a
+        // commit whose schema CHANGED must carry a fresh metaData action
+        // (this is exactly how Delta encodes overwriteSchema; time travel
+        // then resolves each version under the schema it was written
+        // with). One footer read per schema probe, metadata-priced; for a
+        // partitioned table the basePath read appends the partition
+        // columns (types re-inferred Hive-style — the same inference any
+        // Spark reader applies to the layout).
+        val schemaJson = addPaths.headOption.map { p =>
+          if (partCols.isEmpty) spark.read.parquet(s"$table/$p").schema.json
+          else {
+            // root the probe at the file's own stage prefix: discovery
+            // wants partition dirs directly under basePath
+            val (prefix, _) = splitHivePath(p)
+            val bp = if (prefix.isEmpty) table else s"$table/$prefix"
+            spark.read.option("basePath", bp)
+              .parquet(s"$table/$p").schema.json
+          }
+        }.orNull
         val sb = new StringBuilder
         if (dv == 0) {
           sb.append(mapper.writeValueAsString(Map(
@@ -90,7 +195,7 @@ object DeltaBridge {
               "format" -> Map("provider" -> "parquet",
                 "options" -> Map.empty[String, String].asJava).asJava,
               "schemaString" -> schemaJson,
-              "partitionColumns" -> java.util.List.of(),
+              "partitionColumns" -> partCols.asJava,
               "configuration" -> Map.empty[String, String].asJava
             ).asJava
           ).asJava)).append('\n')
@@ -104,13 +209,13 @@ object DeltaBridge {
             ).asJava
           ).asJava)).append('\n')
         }
-        add.foreach { entry =>
+        add.zip(addPvs).foreach { case (entry, pv) =>
           val p = TxLog.entryPath(entry)
           val f = Paths.get(table, p)
           sb.append(mapper.writeValueAsString(Map(
             "add" -> Map(
               "path" -> p,
-              "partitionValues" -> Map.empty[String, String].asJava,
+              "partitionValues" -> pv.asJava,
               "size" -> java.lang.Long.valueOf(Files.size(f)),
               "modificationTime" -> java.lang.Long.valueOf(
                 Files.getLastModifiedTime(f).toMillis),
@@ -147,8 +252,13 @@ object DeltaBridge {
                               cv: Long): Unit = {
     val path = deltaLogDir(table).resolve(f"$cv%020d.checkpoint.parquet")
     if (Files.exists(path)) return
-    // reconstruct the state AT cv through our own replay (the reader path)
-    val st = replayTo(table, Some(cv))
+    // reconstruct the state AT cv through the READER path — bootstrapping
+    // from the PREVIOUS published checkpoint when the JSON prefix has been
+    // vacuumed (readState enforces version contiguity above the bootstrap,
+    // so a vacuumed-past-recovery log fails loud instead of silently
+    // omitting live files from the new checkpoint). Previously-published
+    // checkpoints are immutable; only the one being written here is new.
+    val st = readState(spark, table, Some(cv))
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val ckptSchema = StructType(Seq(
@@ -167,10 +277,10 @@ object DeltaBridge {
         StructField("dataChange", BooleanType))))))
     val rows =
       Row(Row(1, 2), null, null) +:
-      Row(null, Row(st.metaId, st.schemaJson, Seq.empty[String]), null) +:
-      st.live.toSeq.map { p =>
+      Row(null, Row(st.metaId, st.schemaJson, st.partitionCols), null) +:
+      st.live.toSeq.map { case (p, pv) =>
         val f = Paths.get(table, p)
-        Row(null, null, Row(p, Map.empty[String, String], Files.size(f),
+        Row(null, null, Row(p, pv, Files.size(f),
           Files.getLastModifiedTime(f).toMillis, true))
       }
     val tmpDir = Files.createTempDirectory(deltaLogDir(table), ".ckpt-")
@@ -194,29 +304,14 @@ object DeltaBridge {
         "size" -> java.lang.Long.valueOf(rows.length.toLong)).asJava))
   }
 
-  /** JSON-only replay to `asOf` — the export-side state reconstruction
-    * (never consults checkpoints: the exporter must not read its own
-    * output while building it). */
-  private def replayTo(table: String, asOf: Option[Long]): LogState = {
-    val st = LogState()
-    versions(table).filter(v => asOf.forall(v <= _)).foreach { v =>
-      Files.readAllLines(deltaVersionFile(table, v)).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          applyAction(st,
-            mapper.readValue(line, classOf[java.util.Map[String, AnyRef]]))
-        }
-    }
-    st
-  }
-
   // --------------------------------------------------------------- read
 
   private case class LogState(
       var schemaJson: String = null,
       var metaId: String = null,
       var partitionCols: Seq[String] = Seq.empty,
-      live: scala.collection.mutable.LinkedHashSet[String] =
-        scala.collection.mutable.LinkedHashSet.empty)
+      live: scala.collection.mutable.LinkedHashMap[String, Map[String, String]] =
+        scala.collection.mutable.LinkedHashMap.empty)
 
   private def applyAction(st: LogState, m: java.util.Map[String, AnyRef]): Unit = {
     Option(m.get("protocol")).foreach { p =>
@@ -235,8 +330,11 @@ object DeltaBridge {
         .getOrElse(Seq.empty)
     }
     Option(m.get("add")).foreach { a =>
-      st.live += a.asInstanceOf[java.util.Map[String, AnyRef]]
-        .get("path").asInstanceOf[String]
+      val am = a.asInstanceOf[java.util.Map[String, AnyRef]]
+      val pv = Option(am.get("partitionValues"))
+        .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+        .getOrElse(Map.empty[String, String])
+      st.live += (am.get("path").asInstanceOf[String] -> pv)
     }
     Option(m.get("remove")).foreach { r =>
       st.live -= r.asInstanceOf[java.util.Map[String, AnyRef]]
@@ -256,11 +354,16 @@ object DeltaBridge {
       .sorted
   }
 
-  /** Snapshot a Delta table at `versionAsOf` (None = head). Bootstraps
-    * from `_last_checkpoint` when present AND usable (checkpoint version
-    * ≤ asOf); JSON actions above the bootstrap replay in order. */
-  def read(spark: SparkSession, table: String,
-           versionAsOf: Option[Long] = None): DataFrame = {
+  /** State reconstruction at `versionAsOf` (None = head) — ONE replay
+    * path shared by [[read]], [[writeCheckpoint]] and [[exportLog]]'s
+    * identity seeding: bootstrap from `_last_checkpoint` when present AND
+    * usable (checkpoint version ≤ asOf), then JSON replay above it, with
+    * the protocol's CONTIGUITY rule enforced — replayed versions must
+    * start exactly at bootstrap+1 (or 0 with no bootstrap) and run gap-
+    * free, because a vacuumed or torn log replayed across a gap yields a
+    * silently wrong snapshot (live files dropped). */
+  private def readState(spark: SparkSession, table: String,
+                        versionAsOf: Option[Long]): LogState = {
     val st = LogState()
     val vs = versions(table)
     require(vs.nonEmpty || lastCheckpointVersion(table).isDefined,
@@ -279,6 +382,9 @@ object DeltaBridge {
     require(replay.isEmpty || replay.head == expectedStart,
       s"$table: _delta_log starts at ${replay.headOption.getOrElse(-1L)}, " +
         s"needs $expectedStart (vacuumed log without a usable checkpoint)")
+    require(replay.isEmpty ||
+        replay == (replay.head to replay.last),
+      s"$table: _delta_log has internal gaps in ${replay.mkString(",")}")
     replay.foreach { v =>
       Files.readAllLines(deltaVersionFile(table, v)).asScala
         .filter(_.nonEmpty).foreach { line =>
@@ -286,18 +392,105 @@ object DeltaBridge {
             mapper.readValue(line, classOf[java.util.Map[String, AnyRef]]))
         }
     }
+    st
+  }
 
+  /** Snapshot a Delta table at `versionAsOf` (None = head), optionally
+    * pruned by exact-match partition values. Bootstraps from
+    * `_last_checkpoint` when present AND usable; JSON actions above the
+    * bootstrap replay in order.
+    *
+    * `partitionFilter` prunes ADD ACTIONS before any scan is planned —
+    * the metadata-level pruning a real Delta reader performs (and the
+    * reason partitionValues live in the log at all): a filtered read of a
+    * 10⁵-partition table plans a scan over only the matching partitions'
+    * files. Partition columns are reconstructed on read (Delta data files
+    * do not store them): Hive-layout logs (this exporter's, delta-spark's)
+    * read through Spark's own partition discovery rooted at the table —
+    * one scan, Catalyst prunes directories natively; a foreign log whose
+    * file layout does not encode its partitionValues falls back to one
+    * scan branch per live partition tuple (correct for any layout; the
+    * plan grows with the post-filter partition count, so filter first). */
+  def read(spark: SparkSession, table: String,
+           versionAsOf: Option[Long] = None,
+           partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+    val st = readState(spark, table, versionAsOf)
     require(st.schemaJson != null, s"$table: no metaData action in log")
-    require(st.partitionCols.isEmpty,
-      s"$table is partitioned on ${st.partitionCols.mkString(",")} — " +
-        "partitioned Delta tables are outside the bridge's scope")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
-    if (st.live.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema)
-        .parquet(st.live.toSeq.map(p => s"$table/$p"): _*)
+    val badKeys = partitionFilter.keySet -- st.partitionCols.toSet
+    require(badKeys.isEmpty,
+      s"$table: partitionFilter on non-partition columns " +
+        s"${badKeys.mkString(",")} (partitioned by " +
+        s"${st.partitionCols.mkString(",")})")
+    // metadata-level pruning: drop non-matching add actions before the scan
+    val live = st.live.toSeq.filter { case (_, pv) =>
+      partitionFilter.forall { case (k, v) => pv.get(k).contains(v) }
+    }
+
+    if (st.partitionCols.isEmpty) {
+      if (live.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema)
+          .parquet(live.map { case (p, _) => s"$table/$p" }: _*)
+    } else {
+      val ordered: Seq[Column] = schema.fieldNames.toSeq.map(col)
+      if (live.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else if (live.forall { case (p, pv) =>
+          pathPartitionValues(p).toMap == pv &&
+            pathPartitionValues(p).map(_._1) == st.partitionCols }) {
+        // Hive-consistent layout: partition columns come back through
+        // Spark's own discovery (types per the declared schema — the
+        // user-specified schema overrides inference), with directory
+        // pruning handled by Catalyst. Discovery demands ONE consistent
+        // root above the k=v run, so files group by their non-partition
+        // PREFIX (the TxLog stage dir; empty for delta-spark's layout,
+        // which puts partition dirs at the table root) — one scan branch
+        // per commit's stage, NOT per partition, metadata-sized.
+        splitByPrefix(live).map { case (prefix, files) =>
+          val basePath = if (prefix.isEmpty) table else s"$table/$prefix"
+          spark.read.schema(schema).option("basePath", basePath)
+            .parquet(files.map(p => s"$table/$p"): _*)
+            .select(ordered: _*)
+        }.reduce(_ unionByName _)
+      } else {
+        // layout-agnostic fallback: the log's partitionValues are
+        // authoritative — group files by partition tuple, attach the
+        // values as typed literals, union. One scan branch per live
+        // tuple: correct for any foreign layout, sized by the
+        // POST-FILTER partition count.
+        val dataSchema = StructType(
+          schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
+        val byTuple = live.groupBy(_._2).toSeq
+        byTuple.map { case (pv, files) =>
+          val base = spark.read.schema(dataSchema)
+            .parquet(files.map { case (p, _) => s"$table/$p" }: _*)
+          st.partitionCols.foldLeft(base) { (df, c) =>
+            val dt = schema(c).dataType
+            df.withColumn(c,
+              Option(pv.getOrElse(c, null))
+                .map(v => lit(v).cast(dt))
+                .getOrElse(lit(null).cast(dt)))
+          }
+        }.reduce(_ unionByName _).select(ordered: _*)
+      }
+    }
+  }
+
+  /** Group live (path, pv) entries by their non-partition path prefix,
+    * preserving first-seen order on both levels. */
+  private def splitByPrefix(live: Seq[(String, Map[String, String])])
+      : Seq[(String, Seq[String])] = {
+    val out = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.Buffer[String]]()
+    live.foreach { case (p, _) =>
+      out.getOrElseUpdate(splitHivePath(p)._1,
+        scala.collection.mutable.Buffer.empty) += p
+    }
+    out.toSeq.map { case (k, v) => (k, v.toSeq) }
   }
 
   private def lastCheckpointVersion(table: String): Option[Long] = {
@@ -327,14 +520,27 @@ object DeltaBridge {
         require(p.getAs[Int]("minReaderVersion") <= 1,
           "checkpoint protocol needs a newer reader than this bridge")
       }
+      // a foreign checkpoint may omit optional struct fields entirely
+      // (its parquet schema simply lacks them) — absent ≠ null
+      def field[T](row: org.apache.spark.sql.Row, name: String): Option[T] =
+        if (row.schema != null && row.schema.fieldNames.contains(name) &&
+            !row.isNullAt(row.fieldIndex(name)))
+          Some(row.getAs[T](name))
+        else None
       struct("metaData").foreach { md =>
         st.schemaJson = md.getAs[String]("schemaString")
         // Row.getAs surfaces arrays as a MUTABLE Seq — convert, don't cast
         st.partitionCols =
-          Option(md.getAs[scala.collection.Seq[String]]("partitionColumns"))
+          field[scala.collection.Seq[String]](md, "partitionColumns")
             .map(_.toSeq).getOrElse(Seq.empty)
+        field[String](md, "id").foreach(st.metaId = _)
       }
-      struct("add").foreach(a => st.live += a.getAs[String]("path"))
+      struct("add").foreach { a =>
+        val pv =
+          field[scala.collection.Map[String, String]](a, "partitionValues")
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+        st.live += (a.getAs[String]("path") -> pv)
+      }
       struct("remove").foreach(rm => st.live -= rm.getAs[String]("path"))
     }
   }

@@ -301,6 +301,47 @@ object TxLog {
     commit(table, add = entries, remove = Seq.empty)
   }
 
+  /** Append `df` as a new commit with HIVE-LAYOUT partitioning: part files
+    * land under `stage-&#42;` + `col1=v1/col2=v2` + `part-&#42;.parquet`,
+    * so each entry's relative path itself carries the partition values — the layout
+    * [[DeltaBridge.exportLog]] parses into per-add `partitionValues` and
+    * any Hive-aware reader prunes on. The commit protocol is unchanged
+    * (entries are opaque relative paths); only staging differs. */
+  def appendPartitioned(spark: SparkSession, df: DataFrame, table: String,
+                        partitionCols: Seq[String]): Int =
+    commit(table, add = stagePartitioned(df, table, partitionCols),
+      remove = Seq.empty)
+
+  /** Atomic full replace with Hive-layout partitioning — [[overwrite]]'s
+    * OCC discipline over [[stagePartitioned]] staging. */
+  def overwritePartitioned(spark: SparkSession, df: DataFrame, table: String,
+                           partitionCols: Seq[String]): Int = {
+    val staged = stagePartitioned(df, table, partitionCols)
+    commitWith(table) { head => (staged, liveFiles(table, asOf = Some(head))) }
+  }
+
+  /** Stage df partitioned by `cols` into a fresh immutable stage dir;
+    * returns table-relative paths INCLUDING the `col=value` partition
+    * segments. Spark's own writer produces the Hive layout (escaped
+    * values, `__HIVE_DEFAULT_PARTITION__` for null), so the paths are
+    * exactly what external Hive-aware tooling expects. */
+  private def stagePartitioned(df: DataFrame, table: String,
+                               cols: Seq[String]): Seq[String] = {
+    require(cols.nonEmpty, "stagePartitioned: no partition columns")
+    val name = s"stage-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = Paths.get(table, name)
+    df.write.mode("errorifexists").partitionBy(cols: _*).parquet(dir.toString)
+    // recursive walk (depth = |cols|): collect part files under their
+    // partition dirs; _SUCCESS and other markers stay out of the log
+    def walk(p: Path): Seq[Path] = listDir(p).flatMap { c =>
+      if (Files.isDirectory(c)) walk(c)
+      else if (c.getFileName.toString.endsWith(".parquet") &&
+               c.getFileName.toString.startsWith("part-")) Seq(c)
+      else Seq.empty
+    }
+    walk(dir).map(f => Paths.get(table).relativize(f).toString).sorted
+  }
+
   /** EXACTLY-ONCE batch append for streaming sinks: the commit record
     * carries the micro-batch id, and a re-delivered batch (foreachBatch
     * replays after restart) is recognized and skipped — the

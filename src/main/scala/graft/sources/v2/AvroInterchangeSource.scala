@@ -42,9 +42,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * Type mapping (both directions): string↔StringType, long↔LongType,
   * int↔IntegerType, double↔DoubleType, float↔FloatType,
   * boolean↔BooleanType, bytes↔BinaryType; nullability is the standard
-  * `union {null, T}`. Nested records/arrays/maps are out of scope for the
-  * interchange tier (flat tabular hand-off); the reader fails loud on
-  * them rather than guessing.
+  * `union {null, T}`. NESTED types map recursively — record↔StructType
+  * (fields resolved by name), array↔ArrayType, string-keyed
+  * map↔MapType — the shapes real interchange files carry (crawler
+  * payloads with header structs, token-id arrays, tag maps). Column
+  * pruning stays TOP-LEVEL (a pruned nested field skips the whole
+  * column at decode; sub-field pruning would need Avro's reader-schema
+  * recursion — deliberate scope cut, documented here). Enums, fixed,
+  * multi-branch unions, and non-string map keys have no canonical image
+  * and fail loud rather than guessing.
   *
   * Parallelism is one [[InputPartition]] per container file — Avro files
   * are block-splittable in principle, but interchange drops arrive as
@@ -81,11 +87,14 @@ private[v2] object AvroInterchange {
   def toSparkSchema(s: AvroSchema): StructType = {
     require(s.getType == AvroSchema.Type.RECORD,
       s"top-level Avro schema must be a record, got ${s.getType}")
+    recordStruct(s)
+  }
+
+  private def recordStruct(s: AvroSchema): StructType =
     StructType(s.getFields.asScala.toSeq.map { f =>
       val (t, nullable) = unwrap(f.schema())
       StructField(f.name(), t, nullable)
     })
-  }
 
   /** Unwraps `union {null, T}` to (T, nullable=true); plain T to
     * (T, nullable=false). */
@@ -95,11 +104,15 @@ private[v2] object AvroInterchange {
       val nonNull = branches.filter(_.getType != AvroSchema.Type.NULL)
       require(nonNull.length == 1 && branches.length <= 2,
         s"only union {null, T} is supported, got $s")
-      (primitive(nonNull.head), true)
-    case _ => (primitive(s), false)
+      (sparkType(nonNull.head), true)
+    case _ => (sparkType(s), false)
   }
 
-  private def primitive(s: AvroSchema): DataType = s.getType match {
+  /** Avro type → Spark type, RECURSIVE: records map to structs, arrays
+    * to ArrayType, (string-keyed) maps to MapType — the nested shapes
+    * real interchange files carry. Enums/fixed/multi-branch unions stay
+    * out of scope (no canonical Spark image) and fail loud. */
+  private def sparkType(s: AvroSchema): DataType = s.getType match {
     case AvroSchema.Type.STRING  => StringType
     case AvroSchema.Type.LONG    => LongType
     case AvroSchema.Type.INT     => IntegerType
@@ -107,49 +120,148 @@ private[v2] object AvroInterchange {
     case AvroSchema.Type.FLOAT   => FloatType
     case AvroSchema.Type.BOOLEAN => BooleanType
     case AvroSchema.Type.BYTES   => BinaryType
+    case AvroSchema.Type.RECORD  => recordStruct(s)
+    case AvroSchema.Type.ARRAY =>
+      val (et, n) = unwrap(s.getElementType)
+      ArrayType(et, containsNull = n)
+    case AvroSchema.Type.MAP =>
+      val (vt, n) = unwrap(s.getValueType)
+      MapType(StringType, vt, valueContainsNull = n)
     case other => throw new IllegalArgumentException(
       s"unsupported Avro type for the interchange tier: $other")
   }
 
-  def toAvroSchema(s: StructType, name: String): AvroSchema = {
+  /** Spark type → Avro type, RECURSIVE. Nested record names derive from
+    * the field path (Avro requires every record named, unique within the
+    * schema); Avro map keys are strings by definition, so a non-string
+    * Spark map key fails loud. */
+  private def avroType(dt: DataType, path: String): AvroSchema = dt match {
+    case StringType  => AvroSchema.create(AvroSchema.Type.STRING)
+    case LongType    => AvroSchema.create(AvroSchema.Type.LONG)
+    case IntegerType => AvroSchema.create(AvroSchema.Type.INT)
+    case DoubleType  => AvroSchema.create(AvroSchema.Type.DOUBLE)
+    case FloatType   => AvroSchema.create(AvroSchema.Type.FLOAT)
+    case BooleanType => AvroSchema.create(AvroSchema.Type.BOOLEAN)
+    case BinaryType  => AvroSchema.create(AvroSchema.Type.BYTES)
+    case st: StructType => buildRecord(st, path)
+    case ArrayType(et, n) =>
+      AvroSchema.createArray(wrapNullable(avroType(et, s"${path}_item"), n))
+    case MapType(StringType, vt, n) =>
+      AvroSchema.createMap(wrapNullable(avroType(vt, s"${path}_value"), n))
+    case MapType(k, _, _) => throw new IllegalArgumentException(
+      s"Avro maps are string-keyed; cannot write map key type $k")
+    case other => throw new IllegalArgumentException(
+      s"unsupported Spark type for Avro interchange: $other")
+  }
+
+  private def wrapNullable(base: AvroSchema, nullable: Boolean): AvroSchema =
+    if (nullable)
+      AvroSchema.createUnion(AvroSchema.create(AvroSchema.Type.NULL), base)
+    else base
+
+  private def buildRecord(s: StructType, name: String): AvroSchema = {
     val fields = SchemaBuilder.record(name).namespace("graft").fields()
     s.fields.foldLeft(fields) { (fs, f) =>
-      val base = f.dataType match {
-        case StringType  => AvroSchema.create(AvroSchema.Type.STRING)
-        case LongType    => AvroSchema.create(AvroSchema.Type.LONG)
-        case IntegerType => AvroSchema.create(AvroSchema.Type.INT)
-        case DoubleType  => AvroSchema.create(AvroSchema.Type.DOUBLE)
-        case FloatType   => AvroSchema.create(AvroSchema.Type.FLOAT)
-        case BooleanType => AvroSchema.create(AvroSchema.Type.BOOLEAN)
-        case BinaryType  => AvroSchema.create(AvroSchema.Type.BYTES)
-        case other => throw new IllegalArgumentException(
-          s"unsupported Spark type for Avro interchange: $other")
+      val base = avroType(f.dataType, s"${name}_${f.name}")
+      val t = wrapNullable(base, f.nullable)
+      val named = fs.name(f.name).`type`(t)
+      if (f.nullable) named.withDefault(null)
+      else f.dataType match {
+        // non-null PRIMITIVES get a typed default for reader-schema
+        // projection resolution; nested types carry no default (our
+        // reader only projects fields the writer actually has)
+        case StringType  => named.withDefault("")
+        case BinaryType  => named.withDefault(java.nio.ByteBuffer.allocate(0))
+        case BooleanType => named.withDefault(java.lang.Boolean.FALSE)
+        case IntegerType | LongType | FloatType | DoubleType =>
+          named.withDefault(java.lang.Integer.valueOf(0))
+        case _ => named.noDefault()
       }
-      val t =
-        if (f.nullable)
-          AvroSchema.createUnion(
-            AvroSchema.create(AvroSchema.Type.NULL), base)
-        else base
-      fs.name(f.name).`type`(t).withDefault(
-        if (f.nullable) null
-        else f.dataType match { // non-null needs a typed default for
-          case StringType => ""  // reader-schema projection resolution
-          case BinaryType => java.nio.ByteBuffer.allocate(0)
-          case BooleanType => java.lang.Boolean.FALSE
-          case _ => java.lang.Integer.valueOf(0)
-        })
     }.endRecord()
   }
 
-  /** Avro decoded value → Catalyst internal value for `dt`. */
+  def toAvroSchema(s: StructType, name: String): AvroSchema =
+    buildRecord(s, name)
+
+  /** Avro decoded value → Catalyst internal value for `dt`, RECURSIVE:
+    * records become InternalRows (fields resolved BY NAME against the
+    * Spark struct — Avro field order is the writer's, not ours), arrays
+    * become GenericArrayData, maps ArrayBasedMapData. */
   def toCatalyst(v: AnyRef, dt: DataType): Any = v match {
     case null => null
     case s: org.apache.avro.util.Utf8 => UTF8String.fromBytes(s.getBytes.clone().take(s.getByteLength))
     case s: String => UTF8String.fromString(s)
     case b: java.nio.ByteBuffer =>
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case r: GenericRecord =>
+      val st = dt.asInstanceOf[StructType]
+      InternalRow.fromSeq(st.fields.toSeq.map(f =>
+        toCatalyst(r.get(f.name), f.dataType)))
+    case l: java.util.Collection[_] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        l.asScala.map(e => toCatalyst(e.asInstanceOf[AnyRef], et)).toArray)
+    case m: java.util.Map[_, _] =>
+      val vt = dt.asInstanceOf[MapType].valueType
+      val entries = m.asScala.toSeq
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        entries.map(e => toCatalyst(e._1.asInstanceOf[AnyRef], StringType))
+          .toArray,
+        entries.map(e => toCatalyst(e._2.asInstanceOf[AnyRef], vt)).toArray)
     case other => other // int/long/float/double/boolean box directly
   }
+
+  /** Catalyst internal value → Avro datum for `dt` under `avro` (the
+    * field's non-null branch schema), RECURSIVE — the write-side mirror
+    * of [[toCatalyst]]. */
+  def toAvro(v: Any, dt: DataType, avro: AvroSchema): AnyRef = v match {
+    case null => null
+    case u: UTF8String => u.toString
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case row: InternalRow =>
+      val st = dt.asInstanceOf[StructType]
+      val rs = nonNullBranch(avro)
+      val rec = new GenericData.Record(rs)
+      var i = 0
+      while (i < st.length) {
+        val f = st.fields(i)
+        val fv = if (row.isNullAt(i)) null else row.get(i, f.dataType)
+        rec.put(f.name,
+          toAvro(fv, f.dataType, rs.getField(f.name).schema()))
+        i += 1
+      }
+      rec
+    case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      val es = nonNullBranch(avro).getElementType
+      val out = new java.util.ArrayList[AnyRef](arr.numElements())
+      var i = 0
+      while (i < arr.numElements()) {
+        out.add(
+          if (arr.isNullAt(i)) null
+          else toAvro(arr.get(i, et), et, es))
+        i += 1
+      }
+      out
+    case m: org.apache.spark.sql.catalyst.util.MapData =>
+      val vt = dt.asInstanceOf[MapType].valueType
+      val vs = nonNullBranch(avro).getValueType
+      val out = new java.util.HashMap[String, AnyRef](m.numElements())
+      val ks = m.keyArray(); val vals = m.valueArray()
+      var i = 0
+      while (i < m.numElements()) {
+        out.put(ks.getUTF8String(i).toString,
+          if (vals.isNullAt(i)) null else toAvro(vals.get(i, vt), vt, vs))
+        i += 1
+      }
+      out
+    case other => other.asInstanceOf[AnyRef] // boxed primitives pass through
+  }
+
+  private def nonNullBranch(s: AvroSchema): AvroSchema =
+    if (s.getType == AvroSchema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != AvroSchema.Type.NULL).get
+    else s
 }
 
 private[v2] class AvroInterchangeTable(schema: StructType, path: String)
@@ -185,10 +297,18 @@ private[v2] class AvroScanBuilder(fullSchema: StructType, path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // filters evaluate on decoded values with plain equality — meaningful
+  // for top-level primitives only (nested comparisons stay Spark-side)
+  private def filterable(attr: String): Boolean =
+    fullSchema.fields.exists(f => f.name == attr && (f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => false
+      case _ => true
+    }))
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
-      case EqualTo(attr, _) => fullSchema.fieldNames.contains(attr)
-      case IsNotNull(attr)  => fullSchema.fieldNames.contains(attr)
+      case EqualTo(attr, _) => filterable(attr)
+      case IsNotNull(attr)  => filterable(attr)
       case _                => false
     }
     pushed = accepted
@@ -523,6 +643,8 @@ private[v2] class AvroDataWriter(file: String, schema: StructType)
       val v: AnyRef =
         if (row.isNullAt(i)) null
         else f.dataType match {
+          // primitives stay on the direct accessor fast path; nested
+          // types go through the recursive converter
           case StringType  => row.getUTF8String(i).toString
           case LongType    => java.lang.Long.valueOf(row.getLong(i))
           case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
@@ -530,8 +652,8 @@ private[v2] class AvroDataWriter(file: String, schema: StructType)
           case FloatType   => java.lang.Float.valueOf(row.getFloat(i))
           case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
           case BinaryType  => java.nio.ByteBuffer.wrap(row.getBinary(i))
-          case other => throw new IllegalArgumentException(
-            s"unsupported type in Avro write: $other")
+          case dt => AvroInterchange.toAvro(
+            row.get(i, dt), dt, avroSchema.getField(f.name).schema())
         }
       rec.put(f.name, v)
       i += 1

@@ -380,12 +380,17 @@ private[v2] class StagedFdicPartitionReader(file: String,
   * Exactness contract: `isPartiallyPushed` is true, so Spark's
   * TakeOrderedAndProject re-sorts and re-limits the per-file survivors;
   * the per-file top-n is a superset of that file's contribution to the
-  * global top-n (any globally-selected row is ≥ its file's n-th best), so
-  * the final answer is identical to the un-pushed plan, ties included —
-  * Spark's final sort resolves ties by its own (stable partition-order)
-  * rule either way, because BOTH plans hand it every tied candidate: a row
-  * tied with the heap boundary is only evicted in favor of another row
-  * that itself stays a candidate. Comparisons are [[UTF8String]] byte
+  * global top-n UP TO KEY TIES (any globally-selected row is ≥ its file's
+  * n-th best), so the final answer is a VALID top-N under Spark's own tie
+  * nondeterminism: the heap rejects an incoming row that ties the
+  * boundary on every sort key, so when tied rows differ in non-key output
+  * columns the pushed plan may surface a different — equally correct —
+  * member of the tie group than the un-pushed plan would (exactly the
+  * freedom Spark's final sort itself has across partition orderings; an
+  * ORDER BY whose keys don't fully determine the row never promises a
+  * unique answer). Set-equality tests must therefore compare on the sort
+  * keys, not on full rows, when tied data is present (see the
+  * StagedFdicSourceSpec tie cases). Comparisons are [[UTF8String]] byte
   * order — the SAME ordering Spark's final sort applies to string
   * columns — so heap eviction can never disagree with the final sort on
   * non-ASCII data. Sort-key fields are parsed even when pruned from the

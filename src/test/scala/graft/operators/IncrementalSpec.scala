@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.file.Files
+
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
@@ -42,6 +44,37 @@ class IncrementalSpec extends SparkSpec {
         byDay.getOrElse(w.plusDays(i).format(fmt), Set.empty)).toSet
       assert(r.getLong(1) === expect.size.toLong, s"window $w")
     }
+  }
+
+  test("BandBucketCap bounds pair volume under a PLANTED pathological band: " +
+    "an oversized clone cluster yields zero candidate pairs while normal " +
+    "near-dups still surface") {
+    import spark.implicits._
+    // 120 identical docs (> BandBucketCap = 100): one minhash signature,
+    // all 4 band buckets hold the whole cluster. Uncapped, d31 would
+    // explode C(120,2) = 7140 candidate pairs AND C(120,2) pairs per
+    // shared shingle in the common layer; capped, the oversized buckets
+    // drop before pairExplodeExpr and the clones contribute nothing.
+    // Docs 200/201 are a small (≤ cap) duplicate pair that must still
+    // pair up normally.
+    val boiler = "the quick brown fox jumps over the lazy dog again and " +
+      "again in the same boilerplate navigation footer text block"
+    val pairTxt = "completely different content about distributed " +
+      "minhash banding with its own distinctive shingle vocabulary here"
+    val corpus = Files.createTempDirectory("planted_band").toString
+    val docs =
+      (1 to 120).map(i => (i.toLong, boiler, "en", "web", boiler.length.toLong)) ++
+      Seq((200L, pairTxt, "en", "web", pairTxt.length.toLong),
+          (201L, pairTxt, "en", "web", pairTxt.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$corpus/documents.parquet")
+    val out = Dedup.d31MinhashLsh(spark, corpus).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((200L, 201L)),
+      s"only the small bucket may pair; got ${pairs.size} pairs")
+    val r200 = out.head
+    assert(r200.getAs[Double]("jac") == 1.0 && r200.getAs[Int]("is_dup") == 1)
   }
 
   test("d141 capped Jaccard matches a driver-side reduced-universe brute force") {

@@ -34,6 +34,47 @@ class QualitySpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("column profile plans WITHOUT an Expand: the multi-distinct " +
+    "aggregate stays a two-phase hash aggregate over KMV sketch state") {
+    // five exact count_distincts in one aggregate would make Catalyst
+    // plan an Expand replicating every input row once per distinct
+    // column (5× the row volume into the shuffle) — the one shape the
+    // r10 plan audit flagged as unable to survive a 100 TB scan. The KMV
+    // form must keep the plan Expand-free and single-scan.
+    val plan = Quality.q110ColumnProfile(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"profiler must not plan an Expand:\n$plan")
+    assert(plan.split("Scan parquet").length - 1 == 1,
+      s"profiler must scan the table exactly once:\n$plan")
+  }
+
+  test("KMV distinct estimates above the sketch width are the pinned " +
+    "deterministic (k-1)*P/h_k value, exact below it") {
+    import spark.implicits._
+    // 1000 distinct ids through the same hash + sketch the profiler uses:
+    // estimate must be within the ~6% design error of k=256 and EXACTLY
+    // reproducible from the k-th smallest hash (what the DuckDB oracle
+    // re-derives)
+    graft.catalyst.GraftFunctions.ensureRegistered(spark)
+    val spread = graft.functions.PortableHash.kmvSpread("poly_hash(v)")
+    val df = (1 to 1000).map(_.toString).toDF("v")
+      .selectExpr(s"coalesce($spread, -1L) AS h")
+    val r = df.agg(graft.functions.KmvSketch
+        .kmvSkipNull(col("h"), Quality.ProfileK).as("sk"))
+      .selectExpr("sk.kth_hash", "sk.est_distinct").head()
+    val (kth, est) = (r.getLong(0), r.getLong(1))
+    assert(est == (Quality.ProfileK - 1).toLong * 1000000007L / kth)
+    assert(math.abs(est - 1000) < 150, s"estimate too far off: $est")
+    // nulls are skipped, not hashed: all-null input estimates 0
+    val z = Seq[Option[String]](None, None).toDF("v")
+      .selectExpr(s"coalesce($spread, -1L) AS h")
+      .agg(graft.functions.KmvSketch
+        .kmvSkipNull(col("h"), Quality.ProfileK).as("sk"))
+      .selectExpr("sk.est_distinct").head().getLong(0)
+    assert(z == 0L)
+  }
+
   test("constraint suite: six constraints, the planted uniqueness " +
     "expectation fails with the exact duplicate ratio, the rest pass") {
     val out = Quality.q312ConstraintSuite(spark, dir).collect()

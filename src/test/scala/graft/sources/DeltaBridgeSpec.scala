@@ -188,15 +188,7 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(DeltaBridge.read(spark, t).count() == 12)
   }
 
-  test("fails loud on partitioned tables and on newer reader protocols") {
-    val t = freshTable()
-    Files.createDirectories(Paths.get(t, "_delta_log"))
-    Files.writeString(Paths.get(t, "_delta_log", f"${0L}%020d.json"),
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
-        |{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":["year"],"configuration":{}}}
-        |""".stripMargin)
-    val e1 = intercept[IllegalArgumentException](DeltaBridge.read(spark, t))
-    assert(e1.getMessage.contains("partitioned"))
+  test("fails loud on newer reader protocols") {
     val t2 = freshTable()
     Files.createDirectories(Paths.get(t2, "_delta_log"))
     Files.writeString(Paths.get(t2, "_delta_log", f"${0L}%020d.json"),
@@ -204,5 +196,142 @@ class DeltaBridgeSpec extends SparkSpec {
         |""".stripMargin)
     val e2 = intercept[IllegalArgumentException](DeltaBridge.read(spark, t2))
     assert(e2.getMessage.contains("reader version"))
+  }
+
+  test("PARTITIONED export: metaData carries partitionColumns, every add " +
+    "carries partitionValues parsed from its Hive path, and the snapshot " +
+    "reads back with typed partition columns — the delta-rs wire shape") {
+    val t = freshTable()
+    val df = Seq(
+      (1L, "a", "CA", 2023), (2L, "b", "CA", 2024),
+      (3L, "c", "NY", 2023), (4L, "d", "NY", 2024))
+      .toDF("id", "v", "state", "year")
+    TxLog.appendPartitioned(spark, df.filter($"id" <= 2), t,
+      Seq("state", "year"))
+    TxLog.appendPartitioned(spark, df.filter($"id" > 2), t,
+      Seq("state", "year"))
+    DeltaBridge.exportLog(spark, t)
+    // log contents: the external-reader contract
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v0 = Files.readAllLines(
+      Paths.get(t, "_delta_log", f"${0L}%020d.json")).asScala
+      .filter(_.nonEmpty)
+      .map(l => mapper.readValue(l, classOf[java.util.Map[String, AnyRef]]))
+    val md = v0.flatMap(m => Option(m.get("metaData"))).head
+      .asInstanceOf[java.util.Map[String, AnyRef]]
+    assert(md.get("partitionColumns")
+      .asInstanceOf[java.util.List[String]].asScala.toSeq ==
+      Seq("state", "year"))
+    val adds = v0.flatMap(m => Option(m.get("add")))
+      .map(_.asInstanceOf[java.util.Map[String, AnyRef]])
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      val p = a.get("path").asInstanceOf[String]
+      val pv = a.get("partitionValues")
+        .asInstanceOf[java.util.Map[String, String]].asScala
+      assert(p.contains(s"state=${pv("state")}") &&
+        p.contains(s"year=${pv("year")}"),
+        s"partitionValues $pv must match the Hive path $p")
+    }
+    // snapshot roundtrip: partition columns come back TYPED per the
+    // declared schema (year stays IntegerType, not a string)
+    val back = DeltaBridge.read(spark, t)
+    assert(back.schema("year").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(back.schema("state").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[String]("state"), r.getAs[Int]("year"))).toSeq ==
+      Seq((1L, "a", "CA", 2023), (2L, "b", "CA", 2024),
+        (3L, "c", "NY", 2023), (4L, "d", "NY", 2024)))
+  }
+
+  test("partitionFilter prunes at the METADATA level: only matching " +
+    "partitions' files reach the scan") {
+    val t = freshTable()
+    val df = Seq((1L, "CA"), (2L, "CA"), (3L, "NY"), (4L, "TX"))
+      .toDF("id", "state")
+    TxLog.appendPartitioned(spark, df, t, Seq("state"))
+    DeltaBridge.exportLog(spark, t)
+    val pruned = DeltaBridge.read(spark, t,
+      partitionFilter = Map("state" -> "CA"))
+    assert(pruned.orderBy("id").collect().map(_.getAs[Long]("id")).toSeq ==
+      Seq(1L, 2L))
+    // the pruning is in the FILE LIST handed to the scan, not a row filter
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("state=CA")),
+      s"scan must only see state=CA files: ${pruned.inputFiles.toSeq}")
+    // filtering on a non-partition column fails loud
+    val e = intercept[IllegalArgumentException](
+      DeltaBridge.read(spark, t, partitionFilter = Map("id" -> "1")))
+    assert(e.getMessage.contains("non-partition"))
+  }
+
+  test("null partition values roundtrip through __HIVE_DEFAULT_PARTITION__ " +
+    "and a FOREIGN non-Hive layout reads through the partitionValues " +
+    "fallback") {
+    val t = freshTable()
+    val df = Seq((1L, Some("CA")), (2L, None), (3L, Some("NY")))
+      .toDF("id", "state")
+    TxLog.appendPartitioned(spark, df, t, Seq("state"))
+    DeltaBridge.exportLog(spark, t)
+    val back = DeltaBridge.read(spark, t).orderBy("id").collect()
+    assert(back.map(r => Option(r.getAs[String]("state"))).toSeq ==
+      Seq(Some("CA"), None, Some("NY")))
+
+    // foreign layout: flat file names, partitionValues only in the log —
+    // the values are authoritative, reconstruction must not need the path
+    val t2 = freshTable()
+    Seq((1L, "x")).toDF("id", "v").coalesce(1).write.parquet(s"$t2/d0")
+    val part = {
+      val s = Files.list(Paths.get(t2, "d0"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).next() + "" finally s.close()
+    }
+    val full = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("v", org.apache.spark.sql.types.StringType)
+      .add("year", org.apache.spark.sql.types.IntegerType)
+    val schemaJson = full.json.replace("\"", "\\\"")
+    Files.createDirectories(Paths.get(t2, "_delta_log"))
+    Files.writeString(Paths.get(t2, "_delta_log", f"${0L}%020d.json"),
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+         |{"metaData":{"id":"f-1","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["year"],"configuration":{}}}
+         |{"add":{"path":"d0/$part","partitionValues":{"year":"2024"},"size":${Files.size(Paths.get(t2, s"d0/$part"))},"modificationTime":1700000000000,"dataChange":true}}
+         |""".stripMargin)
+    val fb = DeltaBridge.read(spark, t2).collect()
+    assert(fb.map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+      r.getAs[Int]("year"))).toSeq == Seq((1L, "x", 2024)))
+  }
+
+  test("re-export EXTENDING a published log keeps version 0's table id and " +
+    "emits metaData only on schema change — the immutable-id rule") {
+    val t = freshTable()
+    TxLog.overwrite(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def metaOf(v: Long): Option[java.util.Map[String, AnyRef]] = {
+      val f = Paths.get(t, "_delta_log", f"$v%020d.json")
+      Files.readAllLines(f).asScala.filter(_.nonEmpty)
+        .map(l => mapper.readValue(l, classOf[java.util.Map[String, AnyRef]]))
+        .flatMap(m => Option(m.get("metaData")))
+        .map(_.asInstanceOf[java.util.Map[String, AnyRef]]).headOption
+    }
+    val id0 = metaOf(0L).get.get("id").asInstanceOf[String]
+    // second refresh, SAME schema → the extending export must add NO
+    // metaData action (redundant metaData on an unchanged schema is spec
+    // noise, and a fresh id would change the table's identity mid-log)
+    TxLog.overwrite(spark, Seq((2L, "b")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    assert(metaOf(1L).isEmpty,
+      "unchanged schema must not re-emit metaData on re-export")
+    // third refresh with a NEW column → metaData fires, id is STABLE
+    TxLog.overwrite(spark, Seq((3L, "c", 1.5)).toDF("id", "v", "w"), t)
+    DeltaBridge.exportLog(spark, t)
+    val md2 = metaOf(2L).get
+    assert(md2.get("id").asInstanceOf[String] == id0,
+      "schema evolution must keep version 0's immutable table id")
+    assert(DeltaBridge.read(spark, t).columns.toSeq == Seq("id", "v", "w"))
   }
 }

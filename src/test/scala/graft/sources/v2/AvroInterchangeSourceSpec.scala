@@ -134,6 +134,92 @@ class AvroInterchangeSourceSpec extends SparkSpec {
     assert(k.collect().map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 1, 2, 2))
   }
 
+  test("NESTED roundtrip: struct/array/map columns survive write + read " +
+    "with nullability at every level") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("avro_nested").toString
+    val df = Seq(
+      (1L, ("a", Some(1.5)), Seq(1L, 2L, 3L), Map("x" -> "1", "y" -> "2")),
+      (2L, ("b", None), Seq.empty[Long], Map.empty[String, String]),
+      (3L, ("c", Some(-0.25)), Seq(7L), Map("z" -> "9")))
+      .toDF("id", "info", "ks", "tags")
+    df.write.format(fmt).mode("overwrite").save(dir)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.schema("info").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType])
+    assert(back.schema("ks").dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType])
+    assert(back.schema("tags").dataType.isInstanceOf[
+      org.apache.spark.sql.types.MapType])
+    val rows = back.selectExpr("id", "info._1", "info._2", "ks",
+        "tags['x']", "tags['z']", "size(tags)")
+      .orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows.map(r => Option(r.get(2))).toSeq ==
+      Seq(Some(1.5), None, Some(-0.25)))
+    assert(rows.map(_.getSeq[Long](3)).toSeq ==
+      Seq(Seq(1L, 2L, 3L), Seq.empty, Seq(7L)))
+    assert(rows.map(r => Option(r.getString(4))).toSeq ==
+      Seq(Some("1"), None, None))
+    assert(rows.map(r => Option(r.getString(5))).toSeq ==
+      Seq(None, None, Some("9")))
+    assert(rows.map(_.getInt(6)).toSeq == Seq(2, 0, 1))
+  }
+
+  test("a NESTED file written by PLAIN avro-core (record-in-record, " +
+    "array, map — no Spark near the writer) reads through the connector") {
+    import org.apache.avro.{Schema => ASchema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("avro_foreign_nested")
+    val header = SchemaBuilder.record("Header").namespace("com.example")
+      .fields().requiredString("host").optionalInt("status").endRecord()
+    val sch = SchemaBuilder.record("Crawl").namespace("com.example")
+      .fields()
+      .requiredLong("id")
+      .name("header").`type`(header).noDefault()
+      .name("tokens").`type`().array().items()
+        .`type`(ASchema.create(ASchema.Type.LONG)).noDefault()
+      .name("meta").`type`().map().values()
+        .`type`(ASchema.create(ASchema.Type.STRING)).noDefault()
+      .endRecord()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, dir.resolve("crawl-0.avro").toFile)
+    (1 to 3).foreach { i =>
+      val h = new GenericData.Record(header)
+      h.put("host", s"h$i.example.com")
+      h.put("status", if (i == 2) null else Integer.valueOf(200 + i))
+      val r = new GenericData.Record(sch)
+      r.put("id", i.toLong)
+      r.put("header", h)
+      r.put("tokens", (1 to i).map(j => java.lang.Long.valueOf(j * 10L))
+        .asJava)
+      r.put("meta", Map("lang" -> s"l$i").asJava)
+      w.append(r)
+    }
+    w.close()
+    val back = spark.read.format(fmt).load(dir.toString)
+    val rows = back.selectExpr("id", "header.host", "header.status",
+        "tokens", "meta['lang']")
+      .orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("h1.example.com", "h2.example.com", "h3.example.com"))
+    assert(rows.map(r => Option(r.get(2))).toSeq ==
+      Seq(Some(201), None, Some(203)))
+    assert(rows.map(_.getSeq[Long](3)).toSeq ==
+      Seq(Seq(10L), Seq(10L, 20L), Seq(10L, 20L, 30L)))
+    assert(rows.map(_.getString(4)).toSeq == Seq("l1", "l2", "l3"))
+    // top-level pruning skips the whole nested column at decode
+    val pruned = spark.read.format(fmt).load(dir.toString).select("id")
+    assert(pruned.queryExecution.executedPlan.toString.contains(
+      "ReadFields: [id]"))
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("streaming write commits per epoch; redelivered epochs replace " +
     "their own files; a foreign query's epochs are untouched") {
     import spark.implicits._
