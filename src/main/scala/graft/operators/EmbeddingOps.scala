@@ -23,12 +23,22 @@ object EmbeddingOps {
     * decision-metric for an embedding corpus.
     *
     * Dataflow: ONE corpus pass accumulates the 64×64 Gram matrix
-    * G_ij = Σ x_i·x_j (a posexplode² + map-side-combined aggregate with
-    * 4096 keys — the shuffle carries 4096 rows per partition regardless
-    * of corpus size); the fixed power iterations then run on the
-    * DRIVER over the collected 4096-row matrix (metadata-sized — the
-    * s315/t296 driver-solve convention). At 100 TB the corpus pass is
-    * the only scale-bound stage, and it is embarrassingly partial.
+    * G_ij = Σ x_i·x_j — UPPER TRIANGLE ONLY (G is symmetric and the
+    * per-row quantized term floor(x_i·x_j·1e12 + 0.5) is symmetric in
+    * (i, j), so the j < i half is a bit-exact mirror): the posexplode²
+    * generator keeps its codegen'd no-allocation shape and a codegen'd
+    * `j >= i` filter halves the rows entering the hash aggregate — 2080
+    * keys instead of 4096 probed per input row, and ≤ 2080 rows shuffled
+    * per partition regardless of corpus size. (A/B note, r11: rebuilding
+    * the triangle with a nested transform+struct+flatten generator to
+    * halve GENERATION too was 3× slower — per-element struct allocation
+    * dwarfs the saved half; the filter form measured 0.51 s vs 0.65 s
+    * for the full square at sf0.1.) The driver
+    * mirrors the triangle when materializing the matrix, then the fixed
+    * power iterations run on the DRIVER over the collected
+    * metadata-sized state (the s315/t296 driver-solve convention). At
+    * 100 TB the corpus pass is the only scale-bound stage, and it is
+    * embarrassingly partial.
     *
     * Determinism (the cross-engine contract): every sum is a BIGINT sum
     * of floor-quantized terms (Gram on the 1e12 lattice, matvec terms on
@@ -43,13 +53,20 @@ object EmbeddingOps {
     * the largest-|component| (ties → smallest dim) positive. The oracle
     * unrolls the identical iterations as CTEs. */
   def s329PcaPower(s: SparkSession, dir: String): DataFrame = {
-    val gram = Similarity.vecs(s, dir)
+    val gramUpper = Similarity.vecs(s, dir)
       .selectExpr("v", "posexplode(v) AS (i, xi)")
       .selectExpr("i", "xi", "posexplode(v) AS (j, xj)")
+      .filter(col("j") >= col("i"))
       .groupBy("i", "j")
       .agg(sum(expr("CAST(floor(xi * xj * 1e12 + 0.5) AS BIGINT)")).as("g"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // mirror the strict upper triangle driver-side: same IEEE product,
+    // same quantization, so G(j,i) ≡ G(i,j) bit-for-bit
+    val gram = gramUpper.iterator.flatMap { r =>
+      val (i, j, g) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      if (i == j) Iterator((i, j) -> g)
+      else Iterator((i, j) -> g, (j, i) -> g)
+    }.toMap
 
     // driver power iteration — integers in, integers out each round
     var vq = Array.fill(Dims)(1000000000L)

@@ -311,7 +311,15 @@ object GraphOps2 {
     labelProp(coEdges(s, dir), LabelPropRounds)
 
   private[operators] def labelProp(e: DataFrame, rounds: Int): DataFrame = {
+    // PRE-PARTITION the edge list by the per-round join key and persist
+    // THAT: the cached InMemoryTableScan then reports
+    // HashPartitioning(v), so every round's labels-onto-edges join reuses
+    // the cached distribution instead of re-shuffling all 2E edge rows
+    // per round — only the |V|-row label table moves. The r10 verdict's
+    // q321 directive (fuse per-round work without flipping the loop
+    // static — the static A/B measured 15% slower and stays rejected).
     val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // No per-round checkpoint: unlike k-core (whose state is referenced
     // twice per round), each LPA round references the previous labels
@@ -332,6 +340,14 @@ object GraphOps2 {
     (1 to rounds).foreach { i =>
       labels = sym
         .join(labels.select(col("x").as("v"), col("lbl")), "v")
+        // ONE explicit exchange by u, then BOTH aggregates run
+        // exchange-free on top of it: HashPartitioning(u) satisfies the
+        // (u, lbl) clustering (partitioning keys ⊆ grouping keys
+        // colocates every group) and trivially the argmax's (u) — the
+        // unhinted plan shuffled the joined rows by (u, lbl) AND the
+        // counts by (u), two exchanges of edge-volume rows per round
+        // where one suffices
+        .repartition(col("u"))
         .groupBy("u", "lbl").agg(count(lit(1)).as("c"))
         // argmax by (count DESC, label ASC): max over (c, -lbl)
         .groupBy("u")

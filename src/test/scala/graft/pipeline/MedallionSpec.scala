@@ -144,6 +144,40 @@ class MedallionSpec extends SparkSpec {
       Files.exists(Paths.get(p, "_delta_log", f"${1L}%020d.json")))
   }
 
+  test("K3 Delta form: partitioned gold published as partitioned Delta — " +
+    "partitionColumns in the log, pruned reads, refresh keeps identity") {
+    import spark.implicits._
+    val p = s"${tmpDir("gold_delta_part")}/institution_directory_by_type"
+    val rows = Seq(
+      ("First Bank", 1, "bank", "Richmond", "Virginia"),
+      ("Coastal CU", 2, "credit union", "Norfolk", "Virginia"),
+      ("Metro Bank", 3, "bank", "Austin", "Texas"))
+      .toDF("name", "charter_number", "institution_type", "city", "state")
+    Medallion.writeGoldPartitionedDelta(spark, rows, p,
+      Seq("institution_type", "state"))
+    // the published log carries the partition spec an external Delta
+    // reader prunes on
+    val v0 = Files.readString(Paths.get(p, "_delta_log", f"${0L}%020d.json"))
+    assert(v0.contains("\"partitionColumns\":[\"institution_type\",\"state\"]"))
+    assert(v0.contains("\"institution_type\":\"credit union\""))
+    // pruned read through the bridge: metadata-level, typed columns back
+    val cu = Medallion.readGoldPartitionedDelta(spark, p,
+      Map("institution_type" -> "credit union"))
+    assert(cu.collect().map(_.getAs[String]("name")).toSeq ==
+      Seq("Coastal CU"))
+    // escape-agnostic prefix: Spark percent-encodes the space in the dir
+    assert(cu.inputFiles.nonEmpty &&
+      cu.inputFiles.forall(_.contains("institution_type=credit")))
+    // quarterly refresh (overwrite): same table id, version 1 replaces
+    Medallion.writeGoldPartitionedDelta(spark,
+      rows.filter($"charter_number" =!= 3), p,
+      Seq("institution_type", "state"))
+    assert(Medallion.readGoldPartitionedDelta(spark, p).count() == 2)
+    val full = Medallion.readGoldPartitionedDelta(spark, p)
+    assert(full.schema.fieldNames.contains("state") &&
+      full.filter($"state" === "Virginia").count() == 2)
+  }
+
   test("bronze parquet append accumulates quarterly loads (K1)") {
     val p = s"${tmpDir("append")}/t"
     import spark.implicits._
