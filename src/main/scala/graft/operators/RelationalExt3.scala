@@ -254,6 +254,36 @@ object RelationalExt3 {
       |  CAST(c_nationkey AS BIGINT) AS k2, c_mktsegment AS seg
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** q332: Avro LOGICAL types — date, timestamp-micros, and decimal
+    * through the interchange connector, the annotations every real
+    * schema registry hands out. The mappings are exact because the
+    * internal encodings coincide (date = int epoch days, timestamp =
+    * long micros, decimal = unscaled two's-complement + declared scale),
+    * so the roundtrip is bit-precise and the gate pins all three value
+    * domains against DuckDB on the original parquet, through a
+    * Spark-side date filter over the decoded column. */
+  def q332AvroLogical(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.SparkSupport.roundtripPath("avro_logical_rt", dir)
+    Tables.orders(s, dir)
+      .selectExpr("o_orderkey", "CAST(o_orderdate AS DATE) AS odate",
+        "o_orderdate AS ots",
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS price")
+      .repartition(4)
+      .write.format(classOf[graft.sources.v2.AvroInterchangeSource].getName)
+      .mode("overwrite").save(tmp)
+    s.read.format(classOf[graft.sources.v2.AvroInterchangeSource].getName)
+      .load(tmp)
+      .filter(col("odate") < lit("1995-06-01").cast("date"))
+      .selectExpr("o_orderkey", "odate", "ots", "price")
+      .orderBy("o_orderkey")
+  }
+
+  val q332Sql: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+      |  o_orderdate AS ots, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      |FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1995-06-01'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q325: DELTA-PROTOCOL interchange — the reference's gold layer writes
     * Delta (BuildGoldLayer.py:219-234); without the delta jar this engine
     * carries the transactional semantics in [[graft.sources.TxLog]] and
@@ -359,6 +389,7 @@ object RelationalExt3 {
     "q323_dsv2_topn_pushdown" -> q323Dsv2TopNPushdown,
     "q324_avro_roundtrip"  -> q324AvroRoundtrip,
     "q331_avro_nested"     -> q331AvroNested,
+    "q332_avro_logical"    -> q332AvroLogical,
     "q325_delta_bridge"    -> q325DeltaBridge,
     "q330_delta_partitioned" -> q330DeltaPartitioned,
     "q108_unpivot"         -> q108Unpivot)
@@ -371,6 +402,7 @@ object RelationalExt3 {
     "q323_dsv2_topn_pushdown" -> q323Sql,
     "q324_avro_roundtrip"  -> q324Sql,
     "q331_avro_nested"     -> q331Sql,
+    "q332_avro_logical"    -> q332Sql,
     "q325_delta_bridge"    -> q325Sql,
     "q330_delta_partitioned" -> q330Sql,
     "q108_unpivot"         -> q108Sql)

@@ -45,7 +45,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `union {null, T}`. NESTED types map recursively — record↔StructType
   * (fields resolved by name), array↔ArrayType, string-keyed
   * map↔MapType — the shapes real interchange files carry (crawler
-  * payloads with header structs, token-id arrays, tag maps). Column
+  * payloads with header structs, token-id arrays, tag maps). LOGICAL
+  * types map where the encodings coincide exactly: `date`↔DateType,
+  * `timestamp-micros`↔TimestampType,
+  * `local-timestamp-micros`↔TimestampNTZType, `decimal` (bytes or
+  * fixed)↔DecimalType. Column
   * pruning stays TOP-LEVEL (a pruned nested field skips the whole
   * column at decode; sub-field pruning would need Avro's reader-schema
   * recursion — deliberate scope cut, documented here). Enums, fixed,
@@ -110,25 +114,49 @@ private[v2] object AvroInterchange {
 
   /** Avro type → Spark type, RECURSIVE: records map to structs, arrays
     * to ArrayType, (string-keyed) maps to MapType — the nested shapes
-    * real interchange files carry. Enums/fixed/multi-branch unions stay
-    * out of scope (no canonical Spark image) and fail loud. */
-  private def sparkType(s: AvroSchema): DataType = s.getType match {
-    case AvroSchema.Type.STRING  => StringType
-    case AvroSchema.Type.LONG    => LongType
-    case AvroSchema.Type.INT     => IntegerType
-    case AvroSchema.Type.DOUBLE  => DoubleType
-    case AvroSchema.Type.FLOAT   => FloatType
-    case AvroSchema.Type.BOOLEAN => BooleanType
-    case AvroSchema.Type.BYTES   => BinaryType
-    case AvroSchema.Type.RECORD  => recordStruct(s)
-    case AvroSchema.Type.ARRAY =>
-      val (et, n) = unwrap(s.getElementType)
-      ArrayType(et, containsNull = n)
-    case AvroSchema.Type.MAP =>
-      val (vt, n) = unwrap(s.getValueType)
-      MapType(StringType, vt, valueContainsNull = n)
-    case other => throw new IllegalArgumentException(
-      s"unsupported Avro type for the interchange tier: $other")
+    * real interchange files carry. LOGICAL types map where the internal
+    * encodings coincide exactly: `date` (int days since epoch = Spark's
+    * DateType internal), `timestamp-micros` (long micros = Spark's
+    * TimestampType internal), and `decimal` over bytes or fixed
+    * (two's-complement unscaled + declared scale). `timestamp-millis`
+    * would need a silent ×1000 rescale at decode — out of scope, fails
+    * loud, as do enums/multi-branch unions (no canonical image). */
+  private def sparkType(s: AvroSchema): DataType = {
+    import org.apache.avro.LogicalTypes
+    s.getLogicalType match {
+      case _: LogicalTypes.Date if s.getType == AvroSchema.Type.INT =>
+        return DateType
+      case _: LogicalTypes.TimestampMicros
+          if s.getType == AvroSchema.Type.LONG =>
+        return TimestampType
+      case _: LogicalTypes.LocalTimestampMicros
+          if s.getType == AvroSchema.Type.LONG =>
+        return TimestampNTZType
+      case d: LogicalTypes.Decimal =>
+        return DecimalType(d.getPrecision, d.getScale)
+      case null => ()
+      case other => throw new IllegalArgumentException(
+        s"unsupported Avro logical type for the interchange tier: $other " +
+          s"over ${s.getType}")
+    }
+    s.getType match {
+      case AvroSchema.Type.STRING  => StringType
+      case AvroSchema.Type.LONG    => LongType
+      case AvroSchema.Type.INT     => IntegerType
+      case AvroSchema.Type.DOUBLE  => DoubleType
+      case AvroSchema.Type.FLOAT   => FloatType
+      case AvroSchema.Type.BOOLEAN => BooleanType
+      case AvroSchema.Type.BYTES   => BinaryType
+      case AvroSchema.Type.RECORD  => recordStruct(s)
+      case AvroSchema.Type.ARRAY =>
+        val (et, n) = unwrap(s.getElementType)
+        ArrayType(et, containsNull = n)
+      case AvroSchema.Type.MAP =>
+        val (vt, n) = unwrap(s.getValueType)
+        MapType(StringType, vt, valueContainsNull = n)
+      case other => throw new IllegalArgumentException(
+        s"unsupported Avro type for the interchange tier: $other")
+    }
   }
 
   /** Spark type → Avro type, RECURSIVE. Nested record names derive from
@@ -143,6 +171,18 @@ private[v2] object AvroInterchange {
     case FloatType   => AvroSchema.create(AvroSchema.Type.FLOAT)
     case BooleanType => AvroSchema.create(AvroSchema.Type.BOOLEAN)
     case BinaryType  => AvroSchema.create(AvroSchema.Type.BYTES)
+    case DateType =>
+      org.apache.avro.LogicalTypes.date()
+        .addToSchema(AvroSchema.create(AvroSchema.Type.INT))
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(AvroSchema.create(AvroSchema.Type.LONG))
+    case TimestampNTZType =>
+      org.apache.avro.LogicalTypes.localTimestampMicros()
+        .addToSchema(AvroSchema.create(AvroSchema.Type.LONG))
+    case d: DecimalType =>
+      org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(AvroSchema.create(AvroSchema.Type.BYTES))
     case st: StructType => buildRecord(st, path)
     case ArrayType(et, n) =>
       AvroSchema.createArray(wrapNullable(avroType(et, s"${path}_item"), n))
@@ -189,6 +229,24 @@ private[v2] object AvroInterchange {
     * become GenericArrayData, maps ArrayBasedMapData. */
   def toCatalyst(v: AnyRef, dt: DataType): Any = v match {
     case null => null
+    // decimal FIRST: its wire form (bytes/fixed) collides with BinaryType's
+    // and only the target type disambiguates. Date (int days) and
+    // timestamp-micros (long) need no conversion at all — Avro's logical
+    // encodings ARE Spark's internal encodings, so they box through the
+    // primitive pass-through below.
+    case b: java.nio.ByteBuffer if dt.isInstanceOf[DecimalType] =>
+      val d = dt.asInstanceOf[DecimalType]
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a)
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(new java.math.BigInteger(a), d.scale),
+        d.precision, d.scale)
+    case f: org.apache.avro.generic.GenericFixed
+        if dt.isInstanceOf[DecimalType] =>
+      val d = dt.asInstanceOf[DecimalType]
+      org.apache.spark.sql.types.Decimal(
+        new java.math.BigDecimal(
+          new java.math.BigInteger(f.bytes()), d.scale),
+        d.precision, d.scale)
     case s: org.apache.avro.util.Utf8 => UTF8String.fromBytes(s.getBytes.clone().take(s.getByteLength))
     case s: String => UTF8String.fromString(s)
     case b: java.nio.ByteBuffer =>
@@ -217,6 +275,11 @@ private[v2] object AvroInterchange {
   def toAvro(v: Any, dt: DataType, avro: AvroSchema): AnyRef = v match {
     case null => null
     case u: UTF8String => u.toString
+    case d: org.apache.spark.sql.types.Decimal =>
+      // Decimal with DecimalType(p, s) carries exactly scale s, matching
+      // the declared avro decimal scale — unscaled two's-complement bytes
+      java.nio.ByteBuffer.wrap(
+        d.toJavaBigDecimal.unscaledValue().toByteArray)
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
     case row: InternalRow =>
       val st = dt.asInstanceOf[StructType]
@@ -298,10 +361,15 @@ private[v2] class AvroScanBuilder(fullSchema: StructType, path: String)
     required = requiredSchema
 
   // filters evaluate on decoded values with plain equality — meaningful
-  // for top-level primitives only (nested comparisons stay Spark-side)
+  // for top-level primitives only (nested comparisons stay Spark-side;
+  // date/timestamp/decimal literals arrive in EXTERNAL Java forms that
+  // would need a per-type internal conversion before comparing against
+  // the decoded representation, so they stay Spark-side too)
   private def filterable(attr: String): Boolean =
     fullSchema.fields.exists(f => f.name == attr && (f.dataType match {
       case _: StructType | _: ArrayType | _: MapType => false
+      case DateType | TimestampType | TimestampNTZType |
+           _: DecimalType => false
       case _ => true
     }))
 

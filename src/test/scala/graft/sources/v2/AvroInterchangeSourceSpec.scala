@@ -220,6 +220,90 @@ class AvroInterchangeSourceSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("LOGICAL types roundtrip (date / timestamp-micros / decimal) and a " +
+    "FOREIGN file with a fixed-backed decimal reads; millis fails loud") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("avro_logical").toString
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789012"),
+        new java.math.BigDecimal("12345.67")),
+      (2L, java.sql.Date.valueOf("1969-12-31"),
+        java.sql.Timestamp.valueOf("1969-12-31 23:59:59.0"),
+        new java.math.BigDecimal("-0.01")))
+      .toDF("id", "d", "ts", "price")
+      .withColumn("price", col("price").cast("decimal(12,2)"))
+    df.write.format(fmt).mode("overwrite").save(dir)
+    val back = spark.read.format(fmt).load(dir)
+    assert(back.schema("d").dataType ==
+      org.apache.spark.sql.types.DateType)
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(back.schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    val rows = back.orderBy("id").collect()
+    val exp = df.orderBy("id").collect()
+    rows.zip(exp).foreach { case (r, e) =>
+      (0 to 3).foreach(i => assert(r.get(i) == e.get(i), s"col $i")) }
+
+    // foreign writer: decimal over FIXED (the schema-registry default for
+    // fixed-width money columns) plus a date — plain avro-core
+    import org.apache.avro.{LogicalTypes, Schema => ASchema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val fdir = Files.createTempDirectory("avro_logical_foreign")
+    val decFixed = LogicalTypes.decimal(10, 3).addToSchema(
+      ASchema.createFixed("Money", null, "com.example", 6))
+    val dateT = LogicalTypes.date().addToSchema(
+      ASchema.create(ASchema.Type.INT))
+    val sch = SchemaBuilder.record("Txn").namespace("com.example").fields()
+      .requiredLong("id")
+      .name("amount").`type`(decFixed).noDefault()
+      .name("day").`type`(dateT).noDefault()
+      .endRecord()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](sch))
+    w.create(sch, fdir.resolve("txn-0.avro").toFile)
+    def fixedOf(unscaled: Long): GenericData.Fixed = {
+      val b = java.nio.ByteBuffer.allocate(8)
+      b.putLong(unscaled)
+      // sign-extended 6-byte big-endian two's complement
+      new GenericData.Fixed(decFixed,
+        java.util.Arrays.copyOfRange(b.array(), 2, 8))
+    }
+    val r1 = new GenericData.Record(sch)
+    r1.put("id", 1L); r1.put("amount", fixedOf(1234567L)) // 1234.567
+    r1.put("day", Integer.valueOf(19782)) // 2024-02-29 epoch days
+    w.append(r1)
+    val r2 = new GenericData.Record(sch)
+    r2.put("id", 2L); r2.put("amount", fixedOf(-500L)) // -0.500
+    r2.put("day", Integer.valueOf(-1)) // 1969-12-31
+    w.append(r2)
+    w.close()
+    val fb = spark.read.format(fmt).load(fdir.toString).orderBy("id")
+      .collect()
+    assert(fb.map(_.getDecimal(1).toPlainString).toSeq ==
+      Seq("1234.567", "-0.500"))
+    assert(fb.map(_.getDate(2).toString).toSeq ==
+      Seq("2024-02-29", "1969-12-31"))
+
+    // timestamp-millis: no silent rescale — fail loud at schema mapping
+    val msT = LogicalTypes.timestampMillis().addToSchema(
+      ASchema.create(ASchema.Type.LONG))
+    val msSch = SchemaBuilder.record("Ms").namespace("com.example").fields()
+      .name("t").`type`(msT).noDefault().endRecord()
+    val mdir = Files.createTempDirectory("avro_millis")
+    val mw = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](msSch))
+    mw.create(msSch, mdir.resolve("m-0.avro").toFile)
+    val mr = new GenericData.Record(msSch)
+    mr.put("t", java.lang.Long.valueOf(1700000000000L))
+    mw.append(mr); mw.close()
+    val e = intercept[IllegalArgumentException](
+      spark.read.format(fmt).load(mdir.toString).schema)
+    assert(e.getMessage.contains("logical type"))
+  }
+
   test("streaming write commits per epoch; redelivered epochs replace " +
     "their own files; a foreign query's epochs are untouched") {
     import spark.implicits._
