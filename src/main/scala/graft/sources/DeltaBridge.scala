@@ -17,9 +17,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   *  - [[exportLog]] materializes a [[TxLog]] table's commit history as a
   *    spec-compliant `_delta_log` (protocol + metaData at version 0, one
-  *    `add`/`remove` action per file per commit), so ANY Delta reader —
+  *    `add`/`remove` action per file per commit, per-add data-skipping
+  *    `stats` lifted from the parquet footers), so ANY Delta reader —
   *    delta-spark, delta-rs, DuckDB's delta extension, Trino — can mount
-  *    the table, including its full time-travel history;
+  *    the table, prune on its statistics, and time-travel its history;
   *  - [[read]] reconstructs a snapshot from any protocol-v1 `_delta_log`
   *    written by a real Delta writer: `_last_checkpoint` bootstrap (the
   *    checkpoint is itself parquet — Spark reads it natively), JSON action
@@ -212,16 +213,19 @@ object DeltaBridge {
         add.zip(addPvs).foreach { case (entry, pv) =>
           val p = TxLog.entryPath(entry)
           val f = Paths.get(table, p)
+          val base = Map[String, AnyRef](
+            "path" -> p,
+            "partitionValues" -> pv.asJava,
+            "size" -> java.lang.Long.valueOf(Files.size(f)),
+            "modificationTime" -> java.lang.Long.valueOf(
+              Files.getLastModifiedTime(f).toMillis),
+            "dataChange" -> java.lang.Boolean.TRUE)
+          val withStats = fileStatsJson(spark, f) match {
+            case Some(stats) => base + ("stats" -> stats)
+            case None        => base
+          }
           sb.append(mapper.writeValueAsString(Map(
-            "add" -> Map(
-              "path" -> p,
-              "partitionValues" -> pv.asJava,
-              "size" -> java.lang.Long.valueOf(Files.size(f)),
-              "modificationTime" -> java.lang.Long.valueOf(
-                Files.getLastModifiedTime(f).toMillis),
-              "dataChange" -> java.lang.Boolean.TRUE
-            ).asJava
-          ).asJava)).append('\n')
+            "add" -> withStats.asJava).asJava)).append('\n')
         }
         // same publish discipline as TxLog: write-temp + atomic link, so a
         // concurrent exporter can't half-write a version file
@@ -247,6 +251,98 @@ object DeltaBridge {
 
   /** Checkpoint cadence — the delta-spark default. */
   private val CheckpointInterval = 10
+
+  /** Per-add `stats` JSON — the Delta data-skipping payload
+    * (`numRecords` + per-column `minValues`/`maxValues`/`nullCount`)
+    * external readers (delta-rs, DuckDB delta, delta-spark) prune files
+    * on, computed from the parquet FOOTER alone (row-group metadata —
+    * never a data scan, so export stays metadata-priced). Columns
+    * covered: top-level int/long (as JSON numbers), float/double (as
+    * numbers, NaN-bearing groups skipped — NaN bounds are unordered and
+    * a reader skipping on them would be unsound), and UTF-8 strings
+    * (parquet's truncation keeps truncated bounds SOUND: min truncates
+    * down, max rounds up). Other types contribute nullCount only.
+    * Best-effort: any footer surprise yields an add without stats —
+    * stats are an optimization, never a correctness dependency. */
+  private def fileStatsJson(spark: SparkSession,
+                            f: Path): Option[String] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.toUri),
+      spark.sessionState.newHadoopConf())
+    val r = ParquetFileReader.open(in)
+    try {
+      val footer = r.getFooter
+      val msgType = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      val mins = new java.util.LinkedHashMap[String, AnyRef]()
+      val maxs = new java.util.LinkedHashMap[String, AnyRef]()
+      val nulls = new java.util.LinkedHashMap[String, AnyRef]()
+      // top-level primitive columns only (nested stats need the full
+      // dotted-path schema walk delta-spark does — scope cut)
+      msgType.getFields.asScala.filter(_.isPrimitive).foreach { field =>
+        val name = field.getName
+        val chunks = blocks.flatMap(_.getColumns.asScala.filter { c =>
+          c.getPath.size() == 1 && c.getPath.toDotString == name })
+        val stats = chunks.map(_.getStatistics)
+        if (stats.nonEmpty && stats.forall(s =>
+            s != null && !s.isEmpty && s.isNumNullsSet)) {
+          nulls.put(name,
+            java.lang.Long.valueOf(stats.map(_.getNumNulls).sum))
+          val valued = stats.filter(_.hasNonNullValue)
+          if (valued.nonEmpty) {
+            val prim = field.asPrimitiveType().getPrimitiveTypeName
+            val logical = field.asPrimitiveType().getLogicalTypeAnnotation
+            prim match {
+              case INT32 | INT64
+                  if logical == null || logical.isInstanceOf[
+                    LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                val lo = valued.map(
+                  _.genericGetMin.asInstanceOf[Number].longValue()).min
+                val hi = valued.map(
+                  _.genericGetMax.asInstanceOf[Number].longValue()).max
+                mins.put(name, java.lang.Long.valueOf(lo))
+                maxs.put(name, java.lang.Long.valueOf(hi))
+              case FLOAT | DOUBLE =>
+                val los = valued.map(
+                  _.genericGetMin.asInstanceOf[Number].doubleValue())
+                val his = valued.map(
+                  _.genericGetMax.asInstanceOf[Number].doubleValue())
+                if (!los.exists(_.isNaN) && !his.exists(_.isNaN)) {
+                  mins.put(name, java.lang.Double.valueOf(los.min))
+                  maxs.put(name, java.lang.Double.valueOf(his.max))
+                }
+              case BINARY
+                  if logical.isInstanceOf[
+                    LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+                def byteMin(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+                  if (java.util.Arrays.compareUnsigned(a, b) <= 0) a else b
+                val lo = valued.map(_.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .getBytes).reduce(byteMin)
+                val hi = valued.map(_.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .getBytes).reduce((a, b) =>
+                    if (java.util.Arrays.compareUnsigned(a, b) >= 0) a else b)
+                mins.put(name, new String(lo, "UTF-8"))
+                maxs.put(name, new String(hi, "UTF-8"))
+              case _ => () // nullCount-only coverage
+            }
+          }
+        }
+      }
+      val payload = new java.util.LinkedHashMap[String, AnyRef]()
+      payload.put("numRecords", java.lang.Long.valueOf(numRecords))
+      payload.put("minValues", mins)
+      payload.put("maxValues", maxs)
+      payload.put("nullCount", nulls)
+      Some(mapper.writeValueAsString(payload))
+    } finally r.close()
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   private def writeCheckpoint(spark: SparkSession, table: String,
                               cv: Long): Unit = {

@@ -188,6 +188,36 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(DeltaBridge.read(spark, t).count() == 12)
   }
 
+  test("adds carry Delta data-skipping STATS from the parquet footer: " +
+    "numRecords + min/max/nullCount for long, double and string columns") {
+    val t = freshTable()
+    TxLog.append(spark,
+      Seq((5L, "bb", 2.5d), (1L, "aa", -0.5d), (9L, "zz", 7.25d))
+        .toDF("id", "v", "x").coalesce(1), t, partFiles = 1)
+    DeltaBridge.exportLog(spark, t)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val add = Files.readAllLines(
+      Paths.get(t, "_delta_log", f"${0L}%020d.json")).asScala
+      .filter(_.nonEmpty)
+      .map(l => mapper.readValue(l, classOf[java.util.Map[String, AnyRef]]))
+      .flatMap(m => Option(m.get("add"))).head
+      .asInstanceOf[java.util.Map[String, AnyRef]]
+    val statsJson = add.get("stats").asInstanceOf[String]
+    assert(statsJson != null, "add must carry a stats payload")
+    val stats = mapper.readValue(statsJson,
+      classOf[java.util.Map[String, AnyRef]])
+    assert(stats.get("numRecords").asInstanceOf[Number].longValue() == 3L)
+    val mins = stats.get("minValues").asInstanceOf[java.util.Map[String, AnyRef]]
+    val maxs = stats.get("maxValues").asInstanceOf[java.util.Map[String, AnyRef]]
+    val nulls = stats.get("nullCount").asInstanceOf[java.util.Map[String, AnyRef]]
+    assert(mins.get("id").asInstanceOf[Number].longValue() == 1L)
+    assert(maxs.get("id").asInstanceOf[Number].longValue() == 9L)
+    assert(mins.get("v") == "aa" && maxs.get("v") == "zz")
+    assert(mins.get("x").asInstanceOf[Number].doubleValue() == -0.5d)
+    assert(maxs.get("x").asInstanceOf[Number].doubleValue() == 7.25d)
+    assert(nulls.get("id").asInstanceOf[Number].longValue() == 0L)
+  }
+
   test("fails loud on newer reader protocols") {
     val t2 = freshTable()
     Files.createDirectories(Paths.get(t2, "_delta_log"))
