@@ -357,6 +357,34 @@ object RelationalExt3 {
     """SELECT c_custkey, c_name, c_mktsegment, c_nationkey FROM customer
       |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin
 
+  /** q333: Delta DATA SKIPPING end-to-end — the stats loop closed inside
+    * one engine: customers land range-partitioned by key (so per-file
+    * bounds come out tight), export lifts per-add min/max stats from the
+    * parquet footers into the `_delta_log`, and the read prunes add
+    * actions whose logged bounds prove them disjoint from the key range
+    * — metadata-level, before any scan, exactly what delta-rs/DuckDB do
+    * with delta-spark's stats. The row-level filter still applies
+    * (pruning is file-granular and sound, never exact); DeltaBridgeSpec
+    * asserts the scan actually touches fewer files. */
+  def q333DeltaStatsSkip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.SparkSupport.roundtripPath("delta_stats_rt", dir)
+    if (graft.sources.TxLog.versions(tmp).isEmpty) {
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .repartitionByRange(8, col("c_custkey"))
+      graft.sources.TxLog.append(s, c, tmp, partFiles = 8)
+      graft.sources.DeltaBridge.exportLog(s, tmp)
+    }
+    graft.sources.DeltaBridge.readPruned(s, tmp, "c_custkey", 100L, 300L)
+      .filter(col("c_custkey") >= 100 && col("c_custkey") < 300)
+      .orderBy("c_custkey")
+  }
+
+  val q333Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_custkey >= 100 AND c_custkey < 300
+      |ORDER BY c_custkey""".stripMargin
+
   /** q108: unpivot — the inverse of the reference's quarterly wide-table
     * pivot (A3/J3, BuildGoldLayer.py:92-139): orders pivoted to a
     * status × priority count matrix, then melted back to long form with the
@@ -392,6 +420,7 @@ object RelationalExt3 {
     "q332_avro_logical"    -> q332AvroLogical,
     "q325_delta_bridge"    -> q325DeltaBridge,
     "q330_delta_partitioned" -> q330DeltaPartitioned,
+    "q333_delta_stats_skip" -> q333DeltaStatsSkip,
     "q108_unpivot"         -> q108Unpivot)
 
   val oracle: Map[String, String] = Map(
@@ -405,5 +434,6 @@ object RelationalExt3 {
     "q332_avro_logical"    -> q332Sql,
     "q325_delta_bridge"    -> q325Sql,
     "q330_delta_partitioned" -> q330Sql,
+    "q333_delta_stats_skip" -> q333Sql,
     "q108_unpivot"         -> q108Sql)
 }

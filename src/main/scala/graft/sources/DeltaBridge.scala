@@ -374,9 +374,9 @@ object DeltaBridge {
     val rows =
       Row(Row(1, 2), null, null) +:
       Row(null, Row(st.metaId, st.schemaJson, st.partitionCols), null) +:
-      st.live.toSeq.map { case (p, pv) =>
+      st.live.toSeq.map { case (p, e) =>
         val f = Paths.get(table, p)
-        Row(null, null, Row(p, pv, Files.size(f),
+        Row(null, null, Row(p, e.pv, Files.size(f),
           Files.getLastModifiedTime(f).toMillis, true))
       }
     val tmpDir = Files.createTempDirectory(deltaLogDir(table), ".ckpt-")
@@ -402,11 +402,18 @@ object DeltaBridge {
 
   // --------------------------------------------------------------- read
 
+  /** Replayed per-file state: partition values plus the add action's raw
+    * `stats` JSON (None for stats-less adds and for files bootstrapped
+    * from this bridge's checkpoints, which do not carry stats — such
+    * files are simply never skipped, the conservative direction). */
+  private case class AddEntry(pv: Map[String, String],
+                              stats: Option[String])
+
   private case class LogState(
       var schemaJson: String = null,
       var metaId: String = null,
       var partitionCols: Seq[String] = Seq.empty,
-      live: scala.collection.mutable.LinkedHashMap[String, Map[String, String]] =
+      live: scala.collection.mutable.LinkedHashMap[String, AddEntry] =
         scala.collection.mutable.LinkedHashMap.empty)
 
   private def applyAction(st: LogState, m: java.util.Map[String, AnyRef]): Unit = {
@@ -430,7 +437,9 @@ object DeltaBridge {
       val pv = Option(am.get("partitionValues"))
         .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
         .getOrElse(Map.empty[String, String])
-      st.live += (am.get("path").asInstanceOf[String] -> pv)
+      val stats = Option(am.get("stats")).map(_.asInstanceOf[String])
+      st.live += (am.get("path").asInstanceOf[String] ->
+        AddEntry(pv, stats))
     }
     Option(m.get("remove")).foreach { r =>
       st.live -= r.asInstanceOf[java.util.Map[String, AnyRef]]
@@ -509,7 +518,8 @@ object DeltaBridge {
     * plan grows with the post-filter partition count, so filter first). */
   def read(spark: SparkSession, table: String,
            versionAsOf: Option[Long] = None,
-           partitionFilter: Map[String, String] = Map.empty): DataFrame = {
+           partitionFilter: Map[String, String] = Map.empty,
+           statsFilter: Option[(String, Any, Any)] = None): DataFrame = {
     val st = readState(spark, table, versionAsOf)
     require(st.schemaJson != null, s"$table: no metaData action in log")
     val schema = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
@@ -518,10 +528,14 @@ object DeltaBridge {
       s"$table: partitionFilter on non-partition columns " +
         s"${badKeys.mkString(",")} (partitioned by " +
         s"${st.partitionCols.mkString(",")})")
-    // metadata-level pruning: drop non-matching add actions before the scan
-    val live = st.live.toSeq.filter { case (_, pv) =>
-      partitionFilter.forall { case (k, v) => pv.get(k).contains(v) }
-    }
+    // metadata-level pruning: drop non-matching add actions before the
+    // scan — partition values exactly, then stats bounds (files are kept
+    // unless their stats PROVE disjointness — sound for stats-less adds)
+    val live = st.live.toSeq.filter { case (_, e) =>
+      partitionFilter.forall { case (k, v) => e.pv.get(k).contains(v) } &&
+        !statsFilter.exists { case (c, lo, hi) =>
+          e.stats.exists(statsProveDisjoint(_, c, lo, hi)) }
+    }.map { case (p, e) => (p, e.pv) }
 
     if (st.partitionCols.isEmpty) {
       if (live.isEmpty)
@@ -575,6 +589,52 @@ object DeltaBridge {
       }
     }
   }
+
+  /** Stats-pruned snapshot read over `[lo, hi)` of `column` — the READER
+    * half of Delta data skipping, consuming the same per-add `stats`
+    * payload [[exportLog]] emits (or any foreign writer's): an add whose
+    * logged bounds PROVE `max < lo ∨ min >= hi` is dropped before the
+    * scan is planned; adds without usable stats for the column (foreign
+    * stats-less writers, non-comparable types, files that round-tripped
+    * through this bridge's stats-less checkpoint rows) are kept
+    * conservatively — every drop is proof-backed, so pruning is sound
+    * for any log. Bounds compare numerically when the logged values and
+    * the given bounds are both numbers, and in UTF-8 byte order when
+    * both are strings (the order parquet ranked the rows by). The caller
+    * still applies the row-level filter — pruning is file-granular, the
+    * same contract as [[TxLog.readPruned]] and every production Delta
+    * reader. */
+  def readPruned(spark: SparkSession, table: String, column: String,
+                 lo: Any, hi: Any,
+                 versionAsOf: Option[Long] = None): DataFrame =
+    read(spark, table, versionAsOf, Map.empty, Some((column, lo, hi)))
+
+  /** True iff `statsJson` PROVES `column`'s values all fall outside
+    * `[lo, hi)`. Unparseable stats, absent columns, and type mismatches
+    * yield false (keep the file). */
+  private def statsProveDisjoint(statsJson: String, column: String,
+                                 lo: Any, hi: Any): Boolean = try {
+    val stats = mapper.readValue(statsJson,
+      classOf[java.util.Map[String, AnyRef]])
+    def bound(key: String): Option[AnyRef] =
+      Option(stats.get(key))
+        .map(_.asInstanceOf[java.util.Map[String, AnyRef]])
+        .flatMap(m => Option(m.get(column)))
+    (bound("minValues"), bound("maxValues")) match {
+      case (Some(mn), Some(mx)) =>
+        def lt(a: Any, b: Any): Option[Boolean] = (a, b) match {
+          case (x: Number, y: Number) =>
+            val (dx, dy) = (x.doubleValue(), y.doubleValue())
+            if (dx.isNaN || dy.isNaN) None else Some(dx < dy)
+          case (x: String, y: String) =>
+            Some(java.util.Arrays.compareUnsigned(
+              x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0)
+          case _ => None
+        }
+        lt(mx, lo).contains(true) || lt(mn, hi).contains(false)
+      case _ => false
+    }
+  } catch { case scala.util.control.NonFatal(_) => false }
 
   /** Group live (path, pv) entries by their non-partition path prefix,
     * preserving first-seen order on both levels. */
@@ -635,7 +695,8 @@ object DeltaBridge {
         val pv =
           field[scala.collection.Map[String, String]](a, "partitionValues")
             .map(_.toMap).getOrElse(Map.empty[String, String])
-        st.live += (a.getAs[String]("path") -> pv)
+        st.live += (a.getAs[String]("path") ->
+          AddEntry(pv, field[String](a, "stats")))
       }
       struct("remove").foreach(rm => st.live -= rm.getAs[String]("path"))
     }

@@ -218,6 +218,48 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(nulls.get("id").asInstanceOf[Number].longValue() == 0L)
   }
 
+  test("readPruned SKIPS files whose logged stats prove disjointness and " +
+    "keeps stats-less adds conservatively") {
+    val t = freshTable()
+    // three range-disjoint files (one commit each, 1 part-file per commit)
+    TxLog.append(spark,
+      Seq((1L, "a"), (5L, "b")).toDF("id", "v").coalesce(1), t, 1)
+    TxLog.append(spark,
+      Seq((10L, "c"), (15L, "d")).toDF("id", "v").coalesce(1), t, 1)
+    TxLog.append(spark,
+      Seq((20L, "e"), (25L, "f")).toDF("id", "v").coalesce(1), t, 1)
+    DeltaBridge.exportLog(spark, t)
+    val full = DeltaBridge.read(spark, t)
+    assert(full.inputFiles.length == 3)
+    val pruned = DeltaBridge.readPruned(spark, t, "id", 10L, 16L)
+    assert(pruned.inputFiles.length == 1,
+      s"stats must prune to the one overlapping file: " +
+        s"${pruned.inputFiles.toSeq}")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 15L))
+    // string bounds prune in byte order too
+    val sPruned = DeltaBridge.readPruned(spark, t, "v", "c", "e")
+    assert(sPruned.inputFiles.length == 1 &&
+      sPruned.collect().map(_.getString(1)).sorted.toSeq == Seq("c", "d"))
+    // a hand-stripped stats field keeps the file (conservative)
+    val ld = Paths.get(t, "_delta_log")
+    val v0 = ld.resolve(f"${0L}%020d.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stripped = Files.readAllLines(v0).asScala.filter(_.nonEmpty)
+      .map { line =>
+        val m = mapper.readValue(line, classOf[java.util.Map[String, AnyRef]])
+        Option(m.get("add")).foreach(
+          _.asInstanceOf[java.util.Map[String, AnyRef]].remove("stats"))
+        mapper.writeValueAsString(m)
+      }.mkString("", "\n", "\n")
+    Files.writeString(v0, stripped)
+    val afterStrip = DeltaBridge.readPruned(spark, t, "id", 100L, 200L)
+    assert(afterStrip.inputFiles.length == 1,
+      "stats-less adds must never be skipped")
+    assert(afterStrip.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 5L), "the stripped file is kept, the proven-out ones drop")
+  }
+
   test("fails loud on newer reader protocols") {
     val t2 = freshTable()
     Files.createDirectories(Paths.get(t2, "_delta_log"))
