@@ -385,6 +385,39 @@ object RelationalExt3 {
       |WHERE c_custkey >= 100 AND c_custkey < 300
       |ORDER BY c_custkey""".stripMargin
 
+  /** q334: the Delta bridge as a NATIVE Spark relation — delta-spark's
+    * architecture (log-driven FileIndex + Spark's own parquet scan)
+    * without the jar: `spark.read.format(graft-delta).load(dir)` mounts
+    * the exported partitioned table, a plain `.filter` on the partition
+    * column prunes through CATALYST (FileSourceStrategy hands the
+    * predicate to the log-backed listing — shows as `PartitionFilters`
+    * in the scan node, no bridge-specific API), and the scan is Spark's
+    * vectorized parquet reader. DeltaBridgeSpec asserts the pruned file
+    * counts and the planner-time stats skipping; this gate pins the
+    * VALUES — partition column reconstructed and typed, rows filtered —
+    * against DuckDB on the original table. */
+  def q334DeltaNativeRelation(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.SparkSupport.roundtripPath("delta_native_rt", dir)
+    if (graft.sources.TxLog.versions(tmp).isEmpty) {
+      graft.sources.TxLog.appendPartitioned(s,
+        Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+        tmp, Seq("c_mktsegment"))
+      graft.sources.DeltaBridge.exportLog(s, tmp)
+    }
+    s.read.format(classOf[graft.sources.DeltaBridgeSource].getName)
+      .load(tmp)
+      .filter(col("c_mktsegment") === "AUTOMOBILE" &&
+        col("c_custkey") % 3 === 0)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val q334Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      |WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 3 = 0
+      |ORDER BY c_custkey""".stripMargin
+
   /** q108: unpivot — the inverse of the reference's quarterly wide-table
     * pivot (A3/J3, BuildGoldLayer.py:92-139): orders pivoted to a
     * status × priority count matrix, then melted back to long form with the
@@ -421,6 +454,7 @@ object RelationalExt3 {
     "q325_delta_bridge"    -> q325DeltaBridge,
     "q330_delta_partitioned" -> q330DeltaPartitioned,
     "q333_delta_stats_skip" -> q333DeltaStatsSkip,
+    "q334_delta_native_relation" -> q334DeltaNativeRelation,
     "q108_unpivot"         -> q108Unpivot)
 
   val oracle: Map[String, String] = Map(
@@ -435,5 +469,6 @@ object RelationalExt3 {
     "q325_delta_bridge"    -> q325Sql,
     "q330_delta_partitioned" -> q330Sql,
     "q333_delta_stats_skip" -> q333Sql,
+    "q334_delta_native_relation" -> q334Sql,
     "q108_unpivot"         -> q108Sql)
 }

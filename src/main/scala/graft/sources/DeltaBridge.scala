@@ -590,6 +590,58 @@ object DeltaBridge {
     }
   }
 
+  /** Replayed snapshot state for external composition —
+    * [[DeltaBridgeSource]]'s FileIndex builds Catalyst-native partition
+    * pruning and stats skipping on top of exactly this. */
+  private[sources] case class Snapshot(
+      schemaJson: String,
+      partitionCols: Seq[String],
+      live: Seq[(String, Map[String, String], Option[String])])
+
+  private[sources] def snapshot(spark: SparkSession, table: String,
+                                versionAsOf: Option[Long]): Snapshot = {
+    val st = readState(spark, table, versionAsOf)
+    require(st.schemaJson != null, s"$table: no metaData action in log")
+    Snapshot(st.schemaJson, st.partitionCols,
+      st.live.toSeq.map { case (p, e) => (p, e.pv, e.stats) })
+  }
+
+  /** True iff `statsJson` PROVES no value of `column` satisfies
+    * `column <op> v` — the planner-facing generalization of
+    * [[statsProveDisjoint]] ([[DeltaBridgeSource]]'s file skipping).
+    * Comparisons follow the same Number/UTF-8-string rules; anything
+    * unprovable keeps the file. */
+  private[sources] def statsExclude(statsJson: String, column: String,
+                                    op: String, v: Any): Boolean = try {
+    val stats = mapper.readValue(statsJson,
+      classOf[java.util.Map[String, AnyRef]])
+    def bound(key: String): Option[AnyRef] =
+      Option(stats.get(key))
+        .map(_.asInstanceOf[java.util.Map[String, AnyRef]])
+        .flatMap(m => Option(m.get(column)))
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Number, y: Number) =>
+        val (dx, dy) = (x.doubleValue(), y.doubleValue())
+        if (dx.isNaN || dy.isNaN) None
+        else Some(java.lang.Double.compare(dx, dy))
+      case (x: String, y: String) =>
+        Some(java.util.Arrays.compareUnsigned(
+          x.getBytes("UTF-8"), y.getBytes("UTF-8")))
+      case _ => None
+    }
+    (bound("minValues"), bound("maxValues")) match {
+      case (Some(mn), Some(mx)) => op match {
+        case "="  => cmp(mx, v).exists(_ < 0) || cmp(mn, v).exists(_ > 0)
+        case ">"  => cmp(mx, v).exists(_ <= 0)
+        case ">=" => cmp(mx, v).exists(_ < 0)
+        case "<"  => cmp(mn, v).exists(_ >= 0)
+        case "<=" => cmp(mn, v).exists(_ > 0)
+        case _    => false
+      }
+      case _ => false
+    }
+  } catch { case scala.util.control.NonFatal(_) => false }
+
   /** Stats-pruned snapshot read over `[lo, hi)` of `column` — the READER
     * half of Delta data skipping, consuming the same per-add `stats`
     * payload [[exportLog]] emits (or any foreign writer's): an add whose

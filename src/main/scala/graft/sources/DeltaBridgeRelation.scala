@@ -1,0 +1,178 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The Delta bridge mounted as a NATIVE Spark relation — the delta-spark
+  * architecture (its TahoeFileIndex) reproduced on the jar-free log
+  * reader: a custom [[FileIndex]] whose file listing comes from the
+  * `_delta_log` replay instead of directory walking, plugged into
+  * Spark's own `HadoopFsRelation` + `ParquetFileFormat` scan path. What
+  * that buys over [[DeltaBridge.read]]'s library calls:
+  *
+  *  - `spark.read.format(<this class>).load(table)` — the table is an
+  *    ordinary Spark source; `option("versionAsOf", n)` time-travels;
+  *  - '''Catalyst-driven partition pruning''': FileSourceStrategy hands
+  *    `listFiles` the resolved partition-column predicates, which
+  *    evaluate here against the LOG's partitionValues (metadata, never a
+  *    directory walk) — a plain `df.filter($"state" === "CA")` prunes
+  *    with no bridge-specific API, and the pruning shows in the scan
+  *    node's `PartitionFilters`;
+  *  - '''planner-time stats skipping''': data-column comparisons arrive
+  *    as `dataFilters`, and any add action whose logged min/max PROVES
+  *    the predicate unsatisfiable drops before the scan — the delta-rs /
+  *    DuckDB-delta behavior, inside Spark's planner. Drops are
+  *    proof-backed only; stats-less adds always scan (sound for any
+  *    writer), and Spark re-applies every filter row-level regardless
+  *    (the listing is file-granular, so over-listing is never wrong);
+  *  - the scan itself is Spark's vectorized parquet reader with column
+  *    pruning, codegen, the works — nothing is re-implemented.
+  *
+  * Read-only by design: writes go through [[TxLog]]'s transactional
+  * commits + [[DeltaBridge.exportLog]], the same split delta-spark makes
+  * between its transaction log and its scan path.
+  */
+class DeltaBridgeSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-delta"
+
+  override def createRelation(ctx: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val table = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-delta needs a path"))
+    val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
+    val spark = ctx.sparkSession
+    val snap = DeltaBridge.snapshot(spark, table, versionAsOf)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val partitionSchema = StructType(snap.partitionCols.map(schema(_)))
+    val dataSchema = StructType(
+      schema.filterNot(f => snap.partitionCols.contains(f.name)))
+    HadoopFsRelation(
+      new DeltaLogFileIndex(spark, table, snap, schema, partitionSchema),
+      partitionSchema, dataSchema, None, new ParquetFileFormat,
+      Map.empty)(spark)
+  }
+}
+
+/** File listing driven by the replayed `_delta_log` — never a directory
+  * walk: `listFiles` filters the log's add entries by the pushed
+  * partition predicates (evaluated on typed partitionValues rows) and by
+  * stats-provable exclusions, then groups survivors into one
+  * [[PartitionDirectory]] per partition tuple. At a 10⁵-file table this
+  * is metadata arithmetic on the driver, exactly like delta-spark's
+  * index — and unlike InMemoryFileIndex there is no filesystem listing
+  * to scale with. */
+private[sources] class DeltaLogFileIndex(
+    spark: SparkSession, table: String, snap: DeltaBridge.Snapshot,
+    schema: StructType, override val partitionSchema: StructType)
+  extends FileIndex {
+
+  private val entries: Seq[(FileStatus, Map[String, String], Option[String])] =
+    snap.live.map { case (p, pv, stats) =>
+      val f = java.nio.file.Paths.get(table, p)
+      (new FileStatus(java.nio.file.Files.size(f), false, 0, 128L * 1024 * 1024,
+        java.nio.file.Files.getLastModifiedTime(f).toMillis,
+        new HPath(f.toUri)), pv, stats)
+    }
+
+  override def rootPaths: Seq[HPath] =
+    Seq(new HPath(java.nio.file.Paths.get(table).toUri))
+
+  /** Hive-string partition value → Catalyst internal value of `dt`. */
+  private def partValue(v: String, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case StringType  => UTF8String.fromString(v)
+      case IntegerType => v.toInt
+      case LongType    => v.toLong
+      case ShortType   => v.toShort
+      case ByteType    => v.toByte
+      case DoubleType  => v.toDouble
+      case FloatType   => v.toFloat
+      case BooleanType => v.toBoolean
+      case DateType    => java.time.LocalDate.parse(v).toEpochDay.toInt
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other")
+    }
+
+  private def rowOf(pv: Map[String, String]): InternalRow =
+    InternalRow.fromSeq(partitionSchema.fields.toSeq.map(f =>
+      partValue(pv.getOrElse(f.name, null), f.dataType)))
+
+  /** Bind a pushed predicate's attributes to partition-row ordinals BY
+    * NAME (the filters carry the relation's AttributeReferences, whose
+    * exprIds this index never sees). */
+  private def bindToPartitionRow(e: Expression): Expression = e.transform {
+    case a: AttributeReference =>
+      val i = partitionSchema.fieldIndex(a.name)
+      BoundReference(i, partitionSchema(i).dataType,
+        partitionSchema(i).nullable)
+  }
+
+  /** (column, op, comparable-literal) triples a stats payload can rule
+    * on — conjuncts in any other shape are simply not used for skipping
+    * (Spark re-applies them row-level anyway). */
+  private def statsChecks(dataFilters: Seq[Expression])
+      : Seq[(String, String, Any)] = {
+    def litOf(l: Literal): Option[Any] = l.value match {
+      case u: UTF8String => Some(u.toString)
+      case n: Number     => Some(n)
+      case _             => None
+    }
+    def flip(op: String): String = op match {
+      case ">" => "<" case ">=" => "<=" case "<" => ">" case "<=" => ">="
+      case x => x
+    }
+    dataFilters.flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        litOf(l).map((a.name, "=", _))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        litOf(l).map((a.name, "=", _))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        litOf(l).map((a.name, ">", _))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        litOf(l).map((a.name, flip(">"), _))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        litOf(l).map((a.name, ">=", _))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        litOf(l).map((a.name, flip(">="), _))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        litOf(l).map((a.name, "<", _))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        litOf(l).map((a.name, flip("<"), _))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        litOf(l).map((a.name, "<=", _))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        litOf(l).map((a.name, flip("<="), _))
+      case _ => None
+    }
+  }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val partPred = partitionFilters.reduceOption(And)
+      .map(f => Predicate.createInterpreted(bindToPartitionRow(f)))
+    partPred.foreach(_.initialize(0))
+    val checks = statsChecks(dataFilters)
+    val kept = entries.filter { case (_, pv, stats) =>
+      partPred.forall(_.eval(rowOf(pv))) &&
+        !checks.exists { case (c, op, v) =>
+          stats.exists(DeltaBridge.statsExclude(_, c, op, v)) }
+    }
+    kept.groupBy(_._2).toSeq.map { case (pv, files) =>
+      PartitionDirectory(rowOf(pv), files.map(_._1).toArray)
+    }
+  }
+
+  override def inputFiles: Array[String] =
+    entries.map(_._1.getPath.toString).toArray
+  override def refresh(): Unit = ()
+  override def sizeInBytes: Long = entries.map(_._1.getLen).sum
+}

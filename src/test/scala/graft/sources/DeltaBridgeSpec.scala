@@ -260,6 +260,65 @@ class DeltaBridgeSpec extends SparkSpec {
       Seq(1L, 5L), "the stripped file is kept, the proven-out ones drop")
   }
 
+  test("NATIVE relation: spark.read.format mounts the log, Catalyst prunes " +
+    "partitions through the log-backed FileIndex, stats skip files at " +
+    "planning time, versionAsOf time-travels") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val fmt = classOf[DeltaBridgeSource].getName
+    val t = freshTable()
+    val df0 = Seq(
+      (1L, "a", "CA"), (2L, "b", "CA"), (3L, "c", "NY"), (4L, "d", "TX"))
+      .toDF("id", "v", "state")
+    TxLog.appendPartitioned(spark, df0, t, Seq("state"))
+    DeltaBridge.exportLog(spark, t)
+
+    val full = spark.read.format(fmt).load(t)
+    assert(full.schema.fieldNames.toSeq == Seq("id", "v", "state"))
+    assert(full.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "CA"), (2L, "CA"), (3L, "NY"), (4L, "TX")))
+
+    // Catalyst partition pruning: a plain filter reaches the log-backed
+    // listing — PartitionFilters in the scan node, 1 of 3 partitions read
+    val ca = full.filter($"state" === "CA")
+    assert(ca.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    val scan = ca.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f }.get
+    assert(scan.toString.contains("PartitionFilters"), scan.toString)
+    assert(scan.metrics("numPartitions").value == 1,
+      s"partition pruning must read 1 partition, read " +
+        s"${scan.metrics("numPartitions").value}")
+    assert(scan.metrics("numFiles").value < full.inputFiles.length,
+      "pruned scan must touch fewer files than the table holds")
+
+    // planner-time stats skipping on an UNPARTITIONED table: three
+    // range-disjoint commits, a range filter reads one file
+    val t2 = freshTable()
+    TxLog.append(spark, Seq((1L, "x"), (5L, "y")).toDF("id", "v")
+      .coalesce(1), t2, 1)
+    TxLog.append(spark, Seq((10L, "x"), (15L, "y")).toDF("id", "v")
+      .coalesce(1), t2, 1)
+    TxLog.append(spark, Seq((20L, "x"), (25L, "y")).toDF("id", "v")
+      .coalesce(1), t2, 1)
+    DeltaBridge.exportLog(spark, t2)
+    val ranged = spark.read.format(fmt).load(t2)
+      .filter($"id" >= 10L && $"id" < 16L)
+    assert(ranged.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 15L))
+    val scan2 = ranged.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f }.get
+    assert(scan2.metrics("numFiles").value == 1,
+      s"stats skipping must read 1 of 3 files, read " +
+        s"${scan2.metrics("numFiles").value}")
+
+    // versionAsOf rides the same option surface
+    TxLog.overwrite(spark, Seq((9L, "z")).toDF("id", "v"), t2)
+    DeltaBridge.exportLog(spark, t2)
+    assert(spark.read.format(fmt).load(t2).count() == 1)
+    assert(spark.read.format(fmt).option("versionAsOf", "2")
+      .load(t2).count() == 6)
+  }
+
   test("fails loud on newer reader protocols") {
     val t2 = freshTable()
     Files.createDirectories(Paths.get(t2, "_delta_log"))
