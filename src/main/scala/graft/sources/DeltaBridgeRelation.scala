@@ -39,14 +39,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * commits + [[DeltaBridge.exportLog]], the same split delta-spark makes
   * between its transaction log and its scan path.
   */
-class DeltaBridgeSource extends RelationProvider with DataSourceRegister {
+class DeltaBridgeSource extends RelationProvider
+  with org.apache.spark.sql.sources.CreatableRelationProvider
+  with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
 
+  /** The catalog hands LOCATION paths over as `file:` URIs; the bridge's
+    * log machinery speaks local filesystem paths. */
+  private def tableOf(parameters: Map[String, String]): String = {
+    val raw = parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-delta needs a path"))
+    new HPath(raw).toUri.getPath
+  }
+
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val table = parameters.getOrElse("path",
-      throw new IllegalArgumentException("graft-delta needs a path"))
+    val table = tableOf(parameters)
     val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
     val spark = ctx.sparkSession
     val snap = DeltaBridge.snapshot(spark, table, versionAsOf)
@@ -58,6 +67,37 @@ class DeltaBridgeSource extends RelationProvider with DataSourceRegister {
       new DeltaLogFileIndex(spark, table, snap, schema, partitionSchema),
       partitionSchema, dataSchema, None, new ParquetFileFormat,
       Map.empty)(spark)
+  }
+
+  /** Write side: `df.write.format("graft-delta").mode(...).save(path)` —
+    * a TRANSACTIONAL TxLog commit (append or snapshot-isolated overwrite)
+    * followed by the `_delta_log` export, so every Spark-API write lands
+    * as a new mountable Delta version. Partition columns ride the
+    * `partitionBy` OPTION (`option("partitionBy", "a,b")`): the V1
+    * writer path does not forward `DataFrameWriter.partitionBy` to
+    * CreatableRelationProvider — documented quirk, fail-loud on the
+    * unsupported modes (Ignore/ErrorIfExists semantics need a catalog's
+    * existence notion, which a bare path does not carry). */
+  override def createRelation(ctx: SQLContext, mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val table = tableOf(parameters)
+    val spark = ctx.sparkSession
+    val partCols = parameters.get("partitionBy").toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    import org.apache.spark.sql.SaveMode
+    mode match {
+      case SaveMode.Append =>
+        if (partCols.isEmpty) TxLog.append(spark, data, table)
+        else TxLog.appendPartitioned(spark, data, table, partCols)
+      case SaveMode.Overwrite =>
+        if (partCols.isEmpty) TxLog.overwrite(spark, data, table)
+        else TxLog.overwritePartitioned(spark, data, table, partCols)
+      case other => throw new IllegalArgumentException(
+        s"graft-delta supports Append/Overwrite, not $other")
+    }
+    DeltaBridge.exportLog(spark, table)
+    createRelation(ctx, parameters)
   }
 }
 

@@ -65,7 +65,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * .load(dir)` (schema from the first file's writer schema), and
   * `df.write.format(...).save(dir)`.
   */
-class AvroInterchangeSource extends TableProvider {
+class AvroInterchangeSource extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+
+  /** ServiceLoader-registered short name: `format("graft-avro")`. */
+  override def shortName(): String = "graft-avro"
 
   override def supportsExternalMetadata(): Boolean = true
 

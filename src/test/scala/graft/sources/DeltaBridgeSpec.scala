@@ -319,6 +319,45 @@ class DeltaBridgeSpec extends SparkSpec {
       .load(t2).count() == 6)
   }
 
+  test("WRITE through the Spark API: format(graft-delta) append/overwrite " +
+    "land as transactional Delta versions; short name + SQL USING resolve") {
+    import spark.implicits._
+    val t = freshTable()
+    // short-name resolution comes from the META-INF services registration
+    Seq((1L, "a", "CA"), (2L, "b", "NY")).toDF("id", "v", "state")
+      .write.format("graft-delta").option("partitionBy", "state")
+      .mode("append").save(t)
+    Seq((3L, "c", "CA")).toDF("id", "v", "state")
+      .write.format("graft-delta").option("partitionBy", "state")
+      .mode("append").save(t)
+    assert(DeltaBridge.versions(t) == Seq(0L, 1L))
+    val back = spark.read.format("graft-delta").load(t)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "CA"), (2L, "NY"), (3L, "CA")))
+    // snapshot-isolated overwrite is one more version; v1 still readable
+    Seq((9L, "z", "TX")).toDF("id", "v", "state")
+      .write.format("graft-delta").option("partitionBy", "state")
+      .mode("overwrite").save(t)
+    assert(spark.read.format("graft-delta").load(t).count() == 1)
+    assert(spark.read.format("graft-delta").option("versionAsOf", "1")
+      .load(t).count() == 3)
+    // SQL surface: CREATE TABLE ... USING graft-delta
+    spark.sql(s"CREATE TABLE graft_delta_sql USING `graft-delta` " +
+      s"LOCATION '$t'")
+    try {
+      assert(spark.sql(
+        "SELECT id FROM graft_delta_sql WHERE state = 'TX'")
+        .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    } finally spark.sql("DROP TABLE graft_delta_sql")
+    // unsupported save modes fail loud
+    val e = intercept[Exception] {
+      Seq((1L, "x", "CA")).toDF("id", "v", "state")
+        .write.format("graft-delta").mode("ignore").save(t)
+    }
+    assert(e.getMessage.contains("Append/Overwrite"))
+  }
+
   test("fails loud on newer reader protocols") {
     val t2 = freshTable()
     Files.createDirectories(Paths.get(t2, "_delta_log"))
