@@ -536,8 +536,17 @@ object DeltaBridge {
         !statsFilter.exists { case (c, lo, hi) =>
           e.stats.exists(statsProveDisjoint(_, c, lo, hi)) }
     }.map { case (p, e) => (p, e.pv) }
+    buildDataFrame(spark, table, schema, st.partitionCols, live)
+  }
 
-    if (st.partitionCols.isEmpty) {
+  /** Construct the DataFrame over a set of (path, partitionValues) files
+    * under `schema` — shared by the snapshot [[read]] and the streaming
+    * source's per-version batches. */
+  private[sources] def buildDataFrame(
+      spark: SparkSession, table: String, schema: StructType,
+      partitionCols: Seq[String],
+      live: Seq[(String, Map[String, String])]): DataFrame = {
+    if (partitionCols.isEmpty) {
       if (live.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -551,7 +560,7 @@ object DeltaBridge {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else if (live.forall { case (p, pv) =>
           pathPartitionValues(p).toMap == pv &&
-            pathPartitionValues(p).map(_._1) == st.partitionCols }) {
+            pathPartitionValues(p).map(_._1) == partitionCols }) {
         // Hive-consistent layout: partition columns come back through
         // Spark's own discovery (types per the declared schema — the
         // user-specified schema overrides inference), with directory
@@ -573,12 +582,12 @@ object DeltaBridge {
         // tuple: correct for any foreign layout, sized by the
         // POST-FILTER partition count.
         val dataSchema = StructType(
-          schema.fields.filterNot(f => st.partitionCols.contains(f.name)))
+          schema.fields.filterNot(f => partitionCols.contains(f.name)))
         val byTuple = live.groupBy(_._2).toSeq
         byTuple.map { case (pv, files) =>
           val base = spark.read.schema(dataSchema)
             .parquet(files.map { case (p, _) => s"$table/$p" }: _*)
-          st.partitionCols.foldLeft(base) { (df, c) =>
+          partitionCols.foldLeft(base) { (df, c) =>
             val dt = schema(c).dataType
             df.withColumn(c,
               Option(pv.getOrElse(c, null))
@@ -588,6 +597,29 @@ object DeltaBridge {
         }.reduce(_ unionByName _).select(ordered: _*)
       }
     }
+  }
+
+  /** One version's actions, parsed for the streaming source: its add
+    * files (path, partitionValues), whether it carried removes (a
+    * non-append change the stream must refuse without `ignoreChanges` —
+    * delta-spark's contract), and its metaData schemaString if the
+    * version re-declared one. */
+  private[sources] case class VersionDelta(
+      adds: Seq[(String, Map[String, String])],
+      hasRemoves: Boolean,
+      schemaJson: Option[String])
+
+  private[sources] def versionDelta(table: String, v: Long): VersionDelta = {
+    val st = LogState()
+    var removes = false
+    Files.readAllLines(deltaVersionFile(table, v)).asScala
+      .filter(_.nonEmpty).foreach { line =>
+        val m = mapper.readValue(line, classOf[java.util.Map[String, AnyRef]])
+        if (m.containsKey("remove")) removes = true
+        applyAction(st, m)
+      }
+    VersionDelta(st.live.toSeq.map { case (p, e) => (p, e.pv) }, removes,
+      Option(st.schemaJson))
   }
 
   /** Replayed snapshot state for external composition —

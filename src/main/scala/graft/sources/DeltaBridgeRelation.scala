@@ -41,6 +41,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class DeltaBridgeSource extends RelationProvider
   with org.apache.spark.sql.sources.CreatableRelationProvider
+  with org.apache.spark.sql.sources.StreamSourceProvider
   with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
@@ -99,6 +100,100 @@ class DeltaBridgeSource extends RelationProvider
     DeltaBridge.exportLog(spark, table)
     createRelation(ctx, parameters)
   }
+
+  // ------------------------------------------------------- streaming read
+
+  override def sourceSchema(ctx: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val table = tableOf(parameters)
+    val snap = DeltaBridge.snapshot(ctx.sparkSession, table, None)
+    (shortName(),
+      DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new DeltaBridgeStreamSource(ctx.sparkSession, tableOf(parameters),
+      parameters)
+}
+
+/** `spark.readStream.format("graft-delta")` — the Delta streaming-source
+  * contract on the jar-free log: the OFFSET is the committed version
+  * number (monotone by the protocol, so exactly-once replay is free —
+  * a batch is the pure function "adds of versions (start, end]"), the
+  * first batch replays the whole existing table (delta-spark's default;
+  * `startingVersion=latest` tails new commits only, `startingVersion=n`
+  * begins at n), and a version that REMOVES files — an overwrite/merge,
+  * not an append — fails the stream loud unless `ignoreChanges=true`
+  * (then its adds still stream; re-written rows re-deliver, delta's own
+  * documented ignoreChanges trade). Schema is pinned at stream start; a
+  * mid-stream metaData with a DIFFERENT schemaString fails loud rather
+  * than silently misreading (the delta-spark behavior).
+  *
+  * Scale: getOffset is one directory listing; a batch reads exactly the
+  * new versions' files through [[DeltaBridge.buildDataFrame]] (partition
+  * columns reconstructed like the snapshot path) — work is proportional
+  * to the delta, never the table. */
+private[sources] class DeltaBridgeStreamSource(
+    spark: SparkSession, table: String, parameters: Map[String, String])
+  extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val snap0 = DeltaBridge.snapshot(spark, table, None)
+  override val schema: StructType =
+    DataType.fromJson(snap0.schemaJson).asInstanceOf[StructType]
+
+  private val ignoreChanges =
+    parameters.get("ignoreChanges").exists(_.toBoolean)
+
+  /** Exclusive lower bound of the stream: −1 streams everything
+    * (delta-spark's default), `latest` skips the versions that existed
+    * at start, an explicit n−1 starts at version n. */
+  private val startExclusive: Long =
+    parameters.get("startingVersion") match {
+      case Some("latest") =>
+        DeltaBridge.versions(table).lastOption.getOrElse(-1L)
+      case Some(v) => v.toLong - 1
+      case None    => -1L
+    }
+
+  override def getOffset: Option[V1Offset] =
+    DeltaBridge.versions(table).lastOption
+      .filter(_ > startExclusive).map(LongOffset(_))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset)
+      : org.apache.spark.sql.DataFrame = {
+    val lo = start.map(_.json().toLong).getOrElse(startExclusive)
+    val hi = end.json().toLong
+    val adds = ((lo + 1) to hi).flatMap { v =>
+      val d = DeltaBridge.versionDelta(table, v)
+      require(!d.hasRemoves || ignoreChanges,
+        s"$table version $v removes files (overwrite/merge in the stream); " +
+          "set ignoreChanges=true to stream its adds anyway " +
+          "(re-written rows re-deliver)")
+      d.schemaJson.filter(_ != snap0.schemaJson).foreach { _ =>
+        throw new IllegalStateException(
+          s"$table version $v changes the schema mid-stream; restart the " +
+            "stream to pick up the new schema")
+      }
+      d.adds
+    }
+    // the engine asserts isStreaming on what a Source returns — flip the
+    // batch relation's flag exactly like FileStreamSource does
+    if (adds.isEmpty)
+      org.apache.spark.sql.GraftSqlBridge.emptyStreaming(spark, schema)
+    else org.apache.spark.sql.GraftSqlBridge.asStreaming(
+      DeltaBridge.buildDataFrame(spark, table, schema, snap0.partitionCols,
+        adds))
+  }
+
+  override def stop(): Unit = ()
 }
 
 /** File listing driven by the replayed `_delta_log` — never a directory

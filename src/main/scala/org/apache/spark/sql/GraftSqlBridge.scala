@@ -10,4 +10,31 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-tag a batch DataFrame as STREAMING — what a V1
+    * `execution.streaming.Source.getBatch` must return (the engine
+    * asserts `isStreaming`). The relation nodes flip their flag exactly
+    * the way FileStreamSource builds its own batches
+    * (`LogicalRelation(..., isStreaming = true)`); empty batches become
+    * an empty streaming LogicalRDD. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation => lr.copy(isStreaming = true)
+    }
+    classic.Dataset.ofRows(spark, plan)
+  }
+
+  /** A zero-row streaming DataFrame of `schema` — the empty micro-batch
+    * a V1 source returns when a version carries no adds. */
+  def emptyStreaming(spark: SparkSession,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    classic.Dataset.ofRows(cs, LogicalRDD(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+      cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
+      isStreaming = true)(cs))
+  }
 }

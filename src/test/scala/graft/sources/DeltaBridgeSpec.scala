@@ -358,6 +358,55 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(e.getMessage.contains("Append/Overwrite"))
   }
 
+  test("STREAMING read: one exactly-once batch per committed version, " +
+    "partition columns reconstructed, removes refused without " +
+    "ignoreChanges, startingVersion honored") {
+    import spark.implicits._
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("delta_stream_ckpt").toString
+    Seq((1L, "a", "CA"), (2L, "b", "NY")).toDF("id", "v", "state")
+      .write.format("graft-delta").option("partitionBy", "state")
+      .mode("append").save(t)
+    val q = spark.readStream.format("graft-delta").load(t)
+      .writeStream.format("memory").queryName("delta_tail")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // the first batch replays the existing table, partition cols intact
+      assert(spark.sql("SELECT id, state FROM delta_tail ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "CA"), (2L, "NY")))
+      // a new commit streams exactly once
+      Seq((3L, "c", "CA")).toDF("id", "v", "state")
+        .write.format("graft-delta").option("partitionBy", "state")
+        .mode("append").save(t)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM delta_tail").head().getLong(0)
+        == 3)
+      // an OVERWRITE (remove-bearing version) fails the stream loud
+      Seq((9L, "z", "TX")).toDF("id", "v", "state")
+        .write.format("graft-delta").option("partitionBy", "state")
+        .mode("overwrite").save(t)
+      val err = intercept[Exception](q.processAllAvailable())
+      assert(err.getMessage.contains("ignoreChanges") ||
+        Option(err.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    } finally q.stop()
+
+    // ignoreChanges streams the overwrite's adds; startingVersion skips
+    // the history
+    val ckpt2 = Files.createTempDirectory("delta_stream_ckpt2").toString
+    val q2 = spark.readStream.format("graft-delta")
+      .option("ignoreChanges", "true").option("startingVersion", "2")
+      .load(t)
+      .writeStream.format("memory").queryName("delta_tail2")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT id FROM delta_tail2").collect()
+        .map(_.getLong(0)).toSeq == Seq(9L))
+    } finally q2.stop()
+  }
+
   test("fails loud on newer reader protocols") {
     val t2 = freshTable()
     Files.createDirectories(Paths.get(t2, "_delta_log"))
