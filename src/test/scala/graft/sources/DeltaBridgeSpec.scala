@@ -407,6 +407,45 @@ class DeltaBridgeSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("ADVERSARIAL partition values survive the Hive escaping roundtrip: " +
+    "'=', '%', ':', spaces, slashes — path-parsed partitionValues match " +
+    "the data exactly") {
+    import spark.implicits._
+    // non-ASCII values are excluded NOT because of the bridge: this
+    // JVM's POSIX-locale filesystem encoding rejects them at Hadoop's
+    // RawLocalFileSystem before any Spark partitionBy write (verified —
+    // plain df.write.partitionBy fails identically); the escaping logic
+    // under test operates on the percent-encoded ASCII forms either way
+    val nasty = Seq("a=b", "50%", "x:y", "two words", "a/b..")
+    val t = freshTable()
+    val df = nasty.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "k")
+    TxLog.appendPartitioned(spark, df, t, Seq("k"))
+    DeltaBridge.exportLog(spark, t)
+    // log values must be the RAW strings (unescaped), path-parse = log
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pvs = Files.readAllLines(
+      Paths.get(t, "_delta_log", f"${0L}%020d.json")).asScala
+      .filter(_.nonEmpty)
+      .map(l => mapper.readValue(l, classOf[java.util.Map[String, AnyRef]]))
+      .flatMap(m => Option(m.get("add")))
+      .map(_.asInstanceOf[java.util.Map[String, AnyRef]]
+        .get("partitionValues").asInstanceOf[java.util.Map[String, String]]
+        .get("k")).toSet
+    assert(pvs == nasty.toSet, s"logged values must be unescaped: $pvs")
+    // roundtrip through the snapshot reader AND the native relation
+    val back = DeltaBridge.read(spark, t).orderBy("id").collect()
+    assert(back.map(_.getString(1)).toSeq == nasty)
+    val native = spark.read.format("graft-delta").load(t)
+    assert(native.orderBy("id").collect().map(_.getString(1)).toSeq == nasty)
+    // partition pruning still works on an escaped value
+    val one = DeltaBridge.read(spark, t,
+      partitionFilter = Map("k" -> "a=b"))
+    assert(one.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(native.filter($"k" === "50%").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("fails loud on newer reader protocols") {
     val t2 = freshTable()
     Files.createDirectories(Paths.get(t2, "_delta_log"))
