@@ -114,4 +114,29 @@ object Medallion {
         paths.gold("quarterly_deposits_table"))
     } finally silver.unpersist()
   }
+
+  /** Gold layer in the reference's EXACT wire shape: all four tables as
+    * DELTA — the two directory/state tables partitioned
+    * (`partitionBy(institution_type, state)` / `(year, quarter, state)`,
+    * BuildGoldLayer.py:217-226) and the two quarterly wide tables with
+    * overwriteSchema semantics (BuildGoldLayer.py:227-236) — published
+    * through the transactional TxLog + `_delta_log` export, so every
+    * refresh is a new mountable Delta version with time travel across
+    * quarters. A user of the reference switches to this function and
+    * keeps their downstream Delta readers unchanged. */
+  def updateGoldLayerDelta(spark: SparkSession, paths: LayerPaths): Unit = {
+    val silver = readSilver(spark, paths).cache()
+    try {
+      writeGoldPartitionedDelta(spark, Gold.institutionDirectoryByType(silver),
+        paths.gold("institution_directory_by_type"),
+        Seq("institution_type", "state"))
+      writeGoldPartitionedDelta(spark, Gold.assetsDepositsByState(silver),
+        paths.gold("assets_deposits_by_state"),
+        Seq("year", "quarter", "state"))
+      writeGoldWideDelta(spark, Gold.quarterlyWide(silver, "assets_total"),
+        paths.gold("quarterly_assets_table"))
+      writeGoldWideDelta(spark, Gold.quarterlyWide(silver, "deposits_total"),
+        paths.gold("quarterly_deposits_table"))
+    } finally silver.unpersist()
+  }
 }

@@ -178,6 +178,51 @@ class MedallionSpec extends SparkSpec {
       full.filter($"state" === "Virginia").count() == 2)
   }
 
+  test("updateGoldLayerDelta publishes all four gold tables in the " +
+    "reference's exact Delta shape — partitioned + wide, mountable logs, " +
+    "pruned reads") {
+    import spark.implicits._
+    val p2 = LayerPaths(tmpDir("medallion_delta"))
+    // minimal conforming silver (Schemas.silver column order)
+    val silver = Seq(
+      (1, "Richmond", "FIRST BANK", Date.valueOf("2020-03-31"), "Virginia",
+        "www.first.com", 1000L, 800L, "bank"),
+      (1, "Richmond", "FIRST BANK", Date.valueOf("2020-06-30"), "Virginia",
+        "www.first.com", 1100L, 850L, "bank"),
+      (100, "Vienna", "NAVY FEDERAL", Date.valueOf("2020-03-31"), "Virginia",
+        "navyfederal.org", 5000L, 4000L, "credit union"),
+      (100, "Vienna", "NAVY FEDERAL", Date.valueOf("2020-06-30"), "Virginia",
+        "navyfederal.org", 5500L, 4300L, "credit union"))
+      .toDF(Schemas.silver.fieldNames.toIndexedSeq: _*)
+    Medallion.writeSilver(silver, p2)
+    Medallion.updateGoldLayerDelta(spark, p2)
+    // every gold table carries a mountable _delta_log
+    Seq("institution_directory_by_type", "assets_deposits_by_state",
+      "quarterly_assets_table", "quarterly_deposits_table").foreach { t =>
+      assert(Files.exists(Paths.get(p2.gold(t), "_delta_log",
+        f"${0L}%020d.json")), s"$t must publish a _delta_log")
+    }
+    // partitioned directory: pruned read through the bridge
+    val cu = Medallion.readGoldPartitionedDelta(spark,
+      p2.gold("institution_directory_by_type"),
+      Map("institution_type" -> "credit union"))
+    assert(cu.collect().map(_.getAs[String]("name")).toSeq ==
+      Seq("NAVY FEDERAL"))
+    // state table partitioned by (year, quarter, state) — year/quarter
+    // come back TYPED through partition reconstruction
+    val q2rows = Medallion.readGoldPartitionedDelta(spark,
+      p2.gold("assets_deposits_by_state"),
+      Map("quarter" -> "2"))
+    assert(q2rows.collect().map(_.getAs[Long]("assets_total")).toSet ==
+      Set(1100L, 5500L))
+    // wide table via the bridge head snapshot
+    val qa = Medallion.readGoldWideDelta(spark,
+      p2.gold("quarterly_assets_table"))
+    assert(qa.columns.toSeq == Seq("charter_number", "institution_type",
+      "name", "2020-06-30", "2020-03-31"))
+    assert(qa.count() == 2)
+  }
+
   test("bronze parquet append accumulates quarterly loads (K1)") {
     val p = s"${tmpDir("append")}/t"
     import spark.implicits._
