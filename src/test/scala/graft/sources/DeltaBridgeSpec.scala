@@ -446,6 +446,62 @@ class DeltaBridgeSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("STREAMING restart from checkpoint: the recovered SerializedOffset " +
+    "replays nothing already committed — rows land exactly once across " +
+    "process boundaries") {
+    import spark.implicits._
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("delta_restart_ckpt").toString
+    // foreachBatch sink: supports checkpoint recovery (the memory sink
+    // deliberately does not); rows land in a synchronized driver buffer
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    def start() = spark.readStream.format("graft-delta").load(t)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => seen.add(r.getLong(0)))
+        () }
+      .option("checkpointLocation", ckpt).start()
+    Seq((1L, "a")).toDF("id", "v")
+      .write.format("graft-delta").mode("append").save(t)
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(seen.toArray.toSeq == Seq(1L))
+    // two more commits while the stream is DOWN
+    Seq((2L, "b")).toDF("id", "v")
+      .write.format("graft-delta").mode("append").save(t)
+    Seq((3L, "c")).toDF("id", "v")
+      .write.format("graft-delta").mode("append").save(t)
+    // restart against the SAME checkpoint: the offset comes back as a
+    // SerializedOffset — getBatch must resume at version 0's successor,
+    // not replay it
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(seen.toArray.map(_.asInstanceOf[Long]).sorted.toSeq ==
+      Seq(1L, 2L, 3L),
+      s"exactly-once across restart; saw ${seen.toArray.toSeq}")
+  }
+
+  test("LAW: the exported bridge agrees with TxLog at EVERY version — " +
+    "time travel through the _delta_log is the same snapshot function") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    TxLog.append(spark, Seq((3L, "c")).toDF("id", "v"), t)
+    TxLog.overwrite(spark, Seq((7L, "x"), (8L, "y")).toDF("id", "v"), t)
+    TxLog.append(spark, Seq((9L, "z")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    val txVersions = TxLog.versions(t)
+    txVersions.zipWithIndex.foreach { case (txv, dv) =>
+      val viaTx = TxLog.read(spark, t, asOf = Some(txv))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      val viaDelta = DeltaBridge.read(spark, t, versionAsOf = Some(dv.toLong))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(viaTx.toSeq == viaDelta.toSeq,
+        s"TxLog v$txv and Delta v$dv must be the same snapshot")
+    }
+  }
+
   test("fails loud on newer reader protocols") {
     val t2 = freshTable()
     Files.createDirectories(Paths.get(t2, "_delta_log"))
