@@ -234,6 +234,23 @@ object DeltaBridge {
         try Files.createLink(out, tmp)
         catch { case _: java.nio.file.FileAlreadyExistsException => () }
         finally Files.deleteIfExists(tmp)
+      } else {
+        // SKIPPED (already-published) version: keep the schema cursor
+        // honest — it must always hold the latest metaData AT OR BEFORE
+        // the current version. The seed starts it at the published HEAD
+        // schema, but re-creating vacuumed earlier versions walks the
+        // cursor back through history; without this update, a published
+        // mid-log schema change would be invisible to the comparison and
+        // a later new version could omit a required metaData (readers
+        // would then resolve it under the wrong schema).
+        Files.readAllLines(out).asScala.filter(_.nonEmpty).foreach { line =>
+          val m = mapper.readValue(line,
+            classOf[java.util.Map[String, AnyRef]])
+          Option(m.get("metaData")).foreach { md =>
+            lastSchemaJson = md.asInstanceOf[java.util.Map[String, AnyRef]]
+              .get("schemaString").asInstanceOf[String]
+          }
+        }
       }
     }
     // checkpoint discipline (the protocol's log-compaction half): every

@@ -502,6 +502,47 @@ class DeltaBridgeSpec extends SparkSpec {
     }
   }
 
+  test("schema cursor survives re-creating a vacuumed prefix: a skipped " +
+    "published version's metaData still anchors the comparison, so a " +
+    "flip-back schema change cannot lose its metaData action") {
+    import spark.implicits._
+    val t = freshTable()
+    // 11 commits of schema A -> export writes delta 0..10 + checkpoint@10
+    (1 to 11).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), t)
+    }
+    DeltaBridge.exportLog(spark, t)
+    // commit 12: schema B (new column) -> delta 11 carries metaData B
+    TxLog.append(spark, Seq((12L, "v12", 1.5)).toDF("id", "v", "w"), t)
+    DeltaBridge.exportLog(spark, t)
+    val ld = Paths.get(t, "_delta_log")
+    // vacuum the checkpoint-covered JSON prefix, as the long-lived-table
+    // workflow invites; delta 11 (the schema-B metaData) survives
+    (0L to 10L).foreach(v => Files.deleteIfExists(ld.resolve(f"$v%020d.json")))
+    // commit 13 flips BACK to schema A; the re-export re-creates the
+    // vacuumed versions (walking the schema cursor through history) and
+    // must still see delta 11's B when deciding whether dv12 needs
+    // metaData — without the skip-branch update it would compare against
+    // dv10's A, omit the action, and readers would resolve dv12's files
+    // under schema B
+    TxLog.append(spark, Seq((13L, "v13")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md12 = Files.readAllLines(ld.resolve(f"${12L}%020d.json")).asScala
+      .filter(_.nonEmpty)
+      .map(l => mapper.readValue(l, classOf[java.util.Map[String, AnyRef]]))
+      .flatMap(m => Option(m.get("metaData")))
+      .map(_.asInstanceOf[java.util.Map[String, AnyRef]]).headOption
+    assert(md12.isDefined,
+      "delta 12 must re-declare the flipped-back schema")
+    val fields12 = org.apache.spark.sql.types.DataType
+      .fromJson(md12.get.get("schemaString").asInstanceOf[String])
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(fields12 == Seq("id", "v"))
+    // and the head snapshot resolves under schema A
+    assert(DeltaBridge.read(spark, t).columns.toSeq == Seq("id", "v"))
+  }
+
   test("fails loud on newer reader protocols") {
     val t2 = freshTable()
     Files.createDirectories(Paths.get(t2, "_delta_log"))
