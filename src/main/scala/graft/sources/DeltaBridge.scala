@@ -639,6 +639,28 @@ object DeltaBridge {
       Option(st.schemaJson))
   }
 
+  /** THE stats-bound comparator — EXACT for every JSON number: Long vs
+    * Long boundaries above 2⁵³ must not collapse under a double cast (a
+    * wrongly-"proven" bound is an UNSOUND file drop, the one failure mode
+    * data skipping can never have), so mixed numbers compare as
+    * BigDecimal of their decimal rendering (driver-side, metadata-sized
+    * — cost is irrelevant). Strings compare in UTF-8 byte order (what
+    * parquet ranked the rows by). NaN or a type mismatch is
+    * incomparable: None, the caller keeps the file. */
+  private def numCmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Double, _) if x.isNaN => None
+    case (_, y: java.lang.Double) if y.isNaN => None
+    case (x: java.lang.Float, _) if x.isNaN  => None
+    case (_, y: java.lang.Float) if y.isNaN  => None
+    case (x: Number, y: Number) =>
+      Some(new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString)))
+    case (x: String, y: String) =>
+      Some(java.util.Arrays.compareUnsigned(
+        x.getBytes("UTF-8"), y.getBytes("UTF-8")))
+    case _ => None
+  }
+
   /** Replayed snapshot state for external composition —
     * [[DeltaBridgeSource]]'s FileIndex builds Catalyst-native partition
     * pruning and stats skipping on top of exactly this. */
@@ -668,16 +690,7 @@ object DeltaBridge {
       Option(stats.get(key))
         .map(_.asInstanceOf[java.util.Map[String, AnyRef]])
         .flatMap(m => Option(m.get(column)))
-    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-      case (x: Number, y: Number) =>
-        val (dx, dy) = (x.doubleValue(), y.doubleValue())
-        if (dx.isNaN || dy.isNaN) None
-        else Some(java.lang.Double.compare(dx, dy))
-      case (x: String, y: String) =>
-        Some(java.util.Arrays.compareUnsigned(
-          x.getBytes("UTF-8"), y.getBytes("UTF-8")))
-      case _ => None
-    }
+    def cmp(a: Any, b: Any): Option[Int] = numCmp(a, b)
     (bound("minValues"), bound("maxValues")) match {
       case (Some(mn), Some(mx)) => op match {
         case "="  => cmp(mx, v).exists(_ < 0) || cmp(mn, v).exists(_ > 0)
@@ -723,15 +736,7 @@ object DeltaBridge {
         .flatMap(m => Option(m.get(column)))
     (bound("minValues"), bound("maxValues")) match {
       case (Some(mn), Some(mx)) =>
-        def lt(a: Any, b: Any): Option[Boolean] = (a, b) match {
-          case (x: Number, y: Number) =>
-            val (dx, dy) = (x.doubleValue(), y.doubleValue())
-            if (dx.isNaN || dy.isNaN) None else Some(dx < dy)
-          case (x: String, y: String) =>
-            Some(java.util.Arrays.compareUnsigned(
-              x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0)
-          case _ => None
-        }
+        def lt(a: Any, b: Any): Option[Boolean] = numCmp(a, b).map(_ < 0)
         lt(mx, lo).contains(true) || lt(mn, hi).contains(false)
       case _ => false
     }

@@ -543,6 +543,27 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(DeltaBridge.read(spark, t).columns.toSeq == Seq("id", "v"))
   }
 
+  test("stats bounds compare EXACTLY above 2^53 — long boundaries never " +
+    "collapse through a double cast") {
+    import spark.implicits._
+    val big = 1L << 53
+    val t = freshTable()
+    TxLog.append(spark,
+      Seq((big + 1, "x")).toDF("id", "v").coalesce(1), t, 1)
+    DeltaBridge.exportLog(spark, t)
+    // value big+1: [big+1, big+2) keeps, adjacent windows drop — each
+    // verdict hinges on a ±1 comparison at 2^53 where doubles cannot
+    // represent the boundary
+    assert(DeltaBridge.readPruned(spark, t, "id", big + 1, big + 2)
+      .inputFiles.length == 1)
+    assert(DeltaBridge.readPruned(spark, t, "id", big + 2, big + 3)
+      .count() == 0)
+    assert(DeltaBridge.readPruned(spark, t, "id", big, big + 1)
+      .count() == 0)
+    assert(DeltaBridge.readPruned(spark, t, "id", big + 1, big + 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(big + 1))
+  }
+
   test("fails loud on newer reader protocols") {
     val t2 = freshTable()
     Files.createDirectories(Paths.get(t2, "_delta_log"))
