@@ -9,7 +9,7 @@ sfDir parquet tables, sorts columns by name and rows by all columns, and
 compares values. Exit 1 on any mismatch. This is a dev tool only — the
 library itself has no Python dependency.
 """
-import sys, os, json, glob
+import sys, os, json, glob, re
 import duckdb, pandas as pd, numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -21,15 +21,55 @@ def _norm_type(t: pa.DataType) -> str:
     The driver's hash is type-sensitive: DuckDB HUGEINT (arrow decimal128)
     vs Spark BIGINT, or BIGINT vs Spark INT, both flip the hash even when
     values are identical. Normalize only flavors that genuinely hash the
-    same (timestamp unit/tz, string vs large_string, list vs large_list).
+    same (timestamp UNIT, string vs large_string, list vs large_list).
+    Timestamp TZ-awareness is NOT collapsed: a tz-aware value renders with
+    an offset suffix, so a naive-vs-aware pair can hash differently on the
+    driver even when the instants match (round-11 lesson: the replica must
+    be at least as strict as the driver on value flavors).
     """
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        return "timestamp[tz]" if t.tz is not None else "timestamp"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return f"list<{_norm_type(t.value_type)}>"
     return str(t)
+
+
+# Oracle-SQL lint: engine-native double->DECIMAL rounding is midpoint-
+# sensitive, and different DuckDB point releases round a double like
+# 12345.675 differently at scale <= 2 (round-11's q332: rows/schema green,
+# hash red on the driver, green locally). The repo convention is either
+# scale >= 6 (price-like doubles never land on a midpoint at the 6th
+# decimal) or exact integer cents first (floor(x*100+0.5) AS BIGINT, then
+# an exact decimal rescale). Anything else is a latent version-portability
+# red row and fails the local gate BEFORE it ships.
+_DEC_CAST = re.compile(
+    r"CAST\s*\((?P<inner>[^()]*(?:\([^()]*(?:\([^()]*\)[^()]*)*\)[^()]*)*?)"
+    r"\s+AS\s+DECIMAL\s*\(\s*\d+\s*,\s*(?P<scale>\d+)\s*\)", re.I)
+
+# Audited exceptions: casts the regex cannot prove exact but a human has
+# verified the operand is integer-valued (integer->DECIMAL never rounds).
+_LINT_ALLOW = {
+    "t178_char_entropy",  # CAST(c AS DECIMAL(18,3)) where c = count(*)
+}
+
+def lint_oracle_sql(name, sql):
+    if name in _LINT_ALLOW:
+        return None
+    errs = []
+    for m in _DEC_CAST.finditer(sql):
+        scale, inner = int(m.group("scale")), m.group("inner")
+        if scale >= 6:
+            continue
+        # floor-scale convention: operand already exact integer units
+        if re.search(r"AS\s+(BIG)?INT", inner, re.I):
+            continue
+        errs.append(
+            f"midpoint-sensitive CAST(.. AS DECIMAL(p,{scale})) on "
+            f"'{' '.join(inner.split())[:60]}' — use scale>=6 or exact "
+            f"integer cents (floor-scale) per OracleSafe")
+    return "; ".join(errs) if errs else None
 
 
 def type_check(name, spark_files, arrow_exp: pa.Table):
@@ -48,17 +88,28 @@ def type_check(name, spark_files, arrow_exp: pa.Table):
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def _tz_flavor(df: pd.DataFrame):
+    """Per-column tz-awareness map (True = tz-aware datetime)."""
+    return {c: isinstance(df[c].dtype, pd.DatetimeTZDtype) for c in df.columns
+            if pd.api.types.is_datetime64_any_dtype(df[c])}
+
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
-        # unify timestamp flavors (tz-aware vs naive, ns vs us)
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        # unify timestamp UNIT only; tz flavor is checked separately and a
+        # naive-vs-aware mismatch FAILS (driver value-flavor strictness)
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
         elif df[c].dtype == object:
             df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 def compare(name, got, exp):
+    gflav, eflav = _tz_flavor(got), _tz_flavor(exp)
+    for c in sorted(set(gflav) | set(eflav)):
+        if gflav.get(c, False) != eflav.get(c, False):
+            return (f"TS flavor mismatch col={c}: spark tz-aware={gflav.get(c)} "
+                    f"oracle tz-aware={eflav.get(c)} — may hash differently on the driver")
     got, exp = norm(got), norm(exp)
     if list(got.columns) != list(exp.columns):
         return f"SCHEMA mismatch: spark={list(got.columns)} oracle={list(exp.columns)}"
@@ -110,7 +161,8 @@ def main():
             print(f"{'FAIL(oracle-sql-error)':28s} {name}: {e}")
             fails += 1
             continue
-        err = compare(name, got, exp) or type_check(name, files, arrow_exp)
+        err = (lint_oracle_sql(name, oracles[name])
+               or compare(name, got, exp) or type_check(name, files, arrow_exp))
         if err:
             print(f"{'FAIL':28s} {name}: {err}")
             fails += 1
