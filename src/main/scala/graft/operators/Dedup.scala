@@ -321,10 +321,17 @@ object Dedup {
        |  FROM sig)""".stripMargin
 
   private[operators] val minhashPairCtes: String = {
+    // keep_bands mirrors the engine's BandBucketCap (same constant): both
+    // sides must drop oversized band buckets or parity on a boilerplate-
+    // heavy corpus becomes data-dependent — the oracle would generate
+    // pairs the engine deliberately refuses (r11 ADVICE finding)
     s"""$bandCtes,
+       |keep_bands AS (
+       |  SELECT band_key FROM bands GROUP BY 1 HAVING count(*) <= $BandBucketCap),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN keep_bands kb ON a.band_key = kb.band_key),
        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
        |common AS (
        |  SELECT id1, id2, count(*) AS common
@@ -715,16 +722,28 @@ object Dedup {
   }
 
   val d142Sql: String = {
+    // hk / dk mirror the engine's two BandBucketCap sites: the history
+    // index bucket (delta×history probes skip oversized HISTORY buckets)
+    // and the delta bucket (delta×delta pairs skip oversized DELTA
+    // buckets) — same constant, same semantics by construction
     s"""WITH $bandCtes,
+       |hk AS (
+       |  SELECT band_key FROM bands WHERE doc_id % 7 <> 0
+       |  GROUP BY 1 HAVING count(*) <= $BandBucketCap),
+       |dk AS (
+       |  SELECT band_key FROM bands WHERE doc_id % 7 = 0
+       |  GROUP BY 1 HAVING count(*) <= $BandBucketCap),
        |cand AS (
        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id1,
        |    greatest(a.doc_id, b.doc_id) AS id2
        |  FROM bands a JOIN bands b ON a.band_key = b.band_key
+       |  JOIN hk ON a.band_key = hk.band_key
        |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
        |  UNION
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
        |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN dk ON a.band_key = dk.band_key
        |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0),
        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
        |common AS (
@@ -842,13 +861,17 @@ object Dedup {
        |dbands AS (
        |  SELECT doc_id + 10000000 AS doc_id, band_key
        |  FROM bands WHERE doc_id % 3 = 0),
+       |ddk AS (
+       |  SELECT band_key FROM dbands
+       |  GROUP BY 1 HAVING count(*) <= $BandBucketCap),
        |cand AS (
        |  SELECT b.doc_id AS id1, a.doc_id AS id2
        |  FROM dbands a JOIN bands b ON a.band_key = b.band_key
        |  UNION
        |  SELECT a.doc_id AS id1, b.doc_id AS id2
        |  FROM dbands a JOIN dbands b
-       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN ddk ON a.band_key = ddk.band_key),
        |su AS (
        |  SELECT doc_id, h FROM s
        |  UNION ALL
@@ -986,13 +1009,17 @@ object Dedup {
        |b2 AS (
        |  SELECT doc_id + 20000000 AS doc_id, band_key
        |  FROM bands WHERE doc_id % 5 = 0),
+       |b2k AS (
+       |  SELECT band_key FROM b2
+       |  GROUP BY 1 HAVING count(*) <= $BandBucketCap),
        |cand AS (
        |  SELECT i.doc_id AS id1, a.doc_id AS id2
        |  FROM b2 a JOIN idx i ON a.band_key = i.band_key
        |  UNION
        |  SELECT a.doc_id AS id1, b.doc_id AS id2
        |  FROM b2 a JOIN b2 b
-       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  JOIN b2k ON a.band_key = b2k.band_key),
        |su AS (
        |  SELECT doc_id, h FROM s
        |  UNION ALL

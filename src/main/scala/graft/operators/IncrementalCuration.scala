@@ -217,12 +217,16 @@ object IncrementalCuration {
        |batch AS (SELECT * FROM sc WHERE doc_id % 5 = 3),
        |hb AS (SELECT b.doc_id, b.band_key FROM bands b JOIN histc USING (doc_id)),
        |bb AS (SELECT doc_id, band_key FROM bands WHERE doc_id % 5 = 3),
+       |bbk AS (
+       |  SELECT band_key FROM bb
+       |  GROUP BY 1 HAVING count(*) <= ${Dedup.BandBucketCap}),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS bid, i.doc_id AS oid
        |  FROM bb a JOIN hb i ON a.band_key = i.band_key
        |  UNION
        |  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS oid
-       |  FROM bb a JOIN bb b ON a.band_key = b.band_key AND b.doc_id < a.doc_id),
+       |  FROM bb a JOIN bb b ON a.band_key = b.band_key AND b.doc_id < a.doc_id
+       |  JOIN bbk ON a.band_key = bbk.band_key),
        |n AS (SELECT doc_id, count(*) AS ns FROM s GROUP BY doc_id),
        |common AS (
        |  SELECT bid, oid, count(*) AS common

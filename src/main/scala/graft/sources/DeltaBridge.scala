@@ -315,9 +315,20 @@ object DeltaBridge {
             val prim = field.asPrimitiveType().getPrimitiveTypeName
             val logical = field.asPrimitiveType().getLogicalTypeAnnotation
             prim match {
+              // SIGNED ints only: parquet ranks an UNSIGNED-annotated
+              // column unsigned, so genericGetMin/Max reinterpreted as
+              // signed longs can invert (max = -1 for a column holding
+              // 2^32-1) and a later statsExclude would "prove"
+              // disjointness and UNSOUNDLY drop the file. Unreachable
+              // via Spark-written stages, but TxLog commits carry opaque
+              // paths — foreign parquet can enter — so unsigned falls to
+              // nullCount-only coverage (skipping may only under-prune).
               case INT32 | INT64
-                  if logical == null || logical.isInstanceOf[
-                    LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+                  if logical == null || (logical match {
+                    case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                      i.isSigned
+                    case _ => false
+                  }) =>
                 val lo = valued.map(
                   _.genericGetMin.asInstanceOf[Number].longValue()).min
                 val hi = valued.map(

@@ -124,20 +124,29 @@ class DeltaBridgeSource extends RelationProvider
 /** `spark.readStream.format("graft-delta")` — the Delta streaming-source
   * contract on the jar-free log: the OFFSET is the committed version
   * number (monotone by the protocol, so exactly-once replay is free —
-  * a batch is the pure function "adds of versions (start, end]"), the
-  * first batch replays the whole existing table (delta-spark's default;
-  * `startingVersion=latest` tails new commits only, `startingVersion=n`
-  * begins at n), and a version that REMOVES files — an overwrite/merge,
-  * not an append — fails the stream loud unless `ignoreChanges=true`
-  * (then its adds still stream; re-written rows re-deliver, delta's own
-  * documented ignoreChanges trade). Schema is pinned at stream start; a
-  * mid-stream metaData with a DIFFERENT schemaString fails loud rather
-  * than silently misreading (the delta-spark behavior).
+  * a batch is the pure function "snapshot-if-first + adds of versions
+  * (start, end]"). The default first batch is the HEAD SNAPSHOT's live
+  * files under the pinned head schema — delta-spark's initial-batch
+  * semantics — NOT a replay of every historical version: replaying
+  * history would resurrect rows from files a later overwrite removed
+  * and would trip the mid-stream schema check on tables whose schema
+  * ever evolved (exactly what Medallion's quarterly overwriteSchema
+  * gold tables produce). `startingVersion=latest` tails new commits
+  * only; an explicit `startingVersion=n` asks for version history and
+  * replays adds from n (delta-spark's contract for that option). Only
+  * versions committed AFTER the served snapshot (or after n) get the
+  * per-version checks: a version that REMOVES files — an
+  * overwrite/merge, not an append — fails the stream loud unless
+  * `ignoreChanges=true` (then its adds still stream; re-written rows
+  * re-deliver, delta's own documented ignoreChanges trade), and a
+  * metaData with a DIFFERENT schemaString fails loud rather than
+  * silently misreading.
   *
   * Scale: getOffset is one directory listing; a batch reads exactly the
-  * new versions' files through [[DeltaBridge.buildDataFrame]] (partition
-  * columns reconstructed like the snapshot path) — work is proportional
-  * to the delta, never the table. */
+  * snapshot (once) plus the new versions' files through
+  * [[DeltaBridge.buildDataFrame]] (partition columns reconstructed like
+  * the snapshot path) — work is proportional to the delta after batch
+  * zero, never the table. */
 private[sources] class DeltaBridgeStreamSource(
     spark: SparkSession, table: String, parameters: Map[String, String])
   extends org.apache.spark.sql.execution.streaming.Source {
@@ -145,32 +154,49 @@ private[sources] class DeltaBridgeStreamSource(
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
-  private val snap0 = DeltaBridge.snapshot(spark, table, None)
+  /** Head version pinned BEFORE the snapshot replay so a commit racing
+    * stream start lands in the delta range, never inside-and-after the
+    * snapshot (double delivery). */
+  private val headVersion: Long =
+    DeltaBridge.versions(table).lastOption.getOrElse(-1L)
+  private val snap0 = DeltaBridge.snapshot(spark, table,
+    Some(headVersion).filter(_ >= 0))
   override val schema: StructType =
     DataType.fromJson(snap0.schemaJson).asInstanceOf[StructType]
 
   private val ignoreChanges =
     parameters.get("ignoreChanges").exists(_.toBoolean)
 
-  /** Exclusive lower bound of the stream: −1 streams everything
-    * (delta-spark's default), `latest` skips the versions that existed
-    * at start, an explicit n−1 starts at version n. */
-  private val startExclusive: Long =
+  /** Exclusive lower bound of the per-version delta range, and whether
+    * batch zero serves the head snapshot: the default serves the
+    * snapshot then tails versions > head; `latest` tails only;
+    * `startingVersion=n` replays adds from n with no snapshot. */
+  private val (startExclusive: Long, serveSnapshot: Boolean) =
     parameters.get("startingVersion") match {
-      case Some("latest") =>
-        DeltaBridge.versions(table).lastOption.getOrElse(-1L)
-      case Some(v) => v.toLong - 1
-      case None    => -1L
+      case Some("latest") => (headVersion, false)
+      case Some(v)        => (v.toLong - 1, false)
+      case None           => (headVersion, true)
     }
 
-  override def getOffset: Option[V1Offset] =
-    DeltaBridge.versions(table).lastOption
-      .filter(_ > startExclusive).map(LongOffset(_))
+  override def getOffset: Option[V1Offset] = {
+    val latest = DeltaBridge.versions(table).lastOption.getOrElse(-1L)
+    // with a snapshot pending, the head itself is an offset worth a
+    // batch even before any new commit lands
+    if (serveSnapshot && latest >= 0) Some(LongOffset(latest max headVersion))
+    else Some(latest).filter(_ > startExclusive).map(LongOffset(_))
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset)
       : org.apache.spark.sql.DataFrame = {
     val lo = start.map(_.json().toLong).getOrElse(startExclusive)
     val hi = end.json().toLong
+    // start == None exactly when this is batch zero (or its replay after
+    // a restart that never committed it) — the only point the snapshot
+    // is served, so exactly-once holds across restarts
+    val snapFiles: Seq[(String, Map[String, String])] =
+      if (serveSnapshot && start.isEmpty)
+        snap0.live.map { case (p, pv, _) => (p, pv) }
+      else Seq.empty
     val adds = ((lo + 1) to hi).flatMap { v =>
       val d = DeltaBridge.versionDelta(table, v)
       require(!d.hasRemoves || ignoreChanges,
@@ -184,13 +210,14 @@ private[sources] class DeltaBridgeStreamSource(
       }
       d.adds
     }
+    val files = snapFiles ++ adds
     // the engine asserts isStreaming on what a Source returns — flip the
     // batch relation's flag exactly like FileStreamSource does
-    if (adds.isEmpty)
+    if (files.isEmpty)
       org.apache.spark.sql.GraftSqlBridge.emptyStreaming(spark, schema)
     else org.apache.spark.sql.GraftSqlBridge.asStreaming(
       DeltaBridge.buildDataFrame(spark, table, schema, snap0.partitionCols,
-        adds))
+        files))
   }
 
   override def stop(): Unit = ()

@@ -49,7 +49,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * types map where the encodings coincide exactly: `date`↔DateType,
   * `timestamp-micros`↔TimestampType,
   * `local-timestamp-micros`↔TimestampNTZType, `decimal` (bytes or
-  * fixed)↔DecimalType. Column
+  * fixed)↔DecimalType; `timestamp-millis`/`local-timestamp-millis`
+  * (the Kafka-ecosystem default flavor) READ via an exact ×1000
+  * upscale, while writes always emit micros. Column
   * pruning stays TOP-LEVEL (a pruned nested field skips the whole
   * column at decode; sub-field pruning would need Avro's reader-schema
   * recursion — deliberate scope cut, documented here). Enums, fixed,
@@ -122,9 +124,14 @@ private[v2] object AvroInterchange {
     * encodings coincide exactly: `date` (int days since epoch = Spark's
     * DateType internal), `timestamp-micros` (long micros = Spark's
     * TimestampType internal), and `decimal` over bytes or fixed
-    * (two's-complement unscaled + declared scale). `timestamp-millis`
-    * would need a silent ×1000 rescale at decode — out of scope, fails
-    * loud, as do enums/multi-branch unions (no canonical image). */
+    * (two's-complement unscaled + declared scale). `timestamp-millis` /
+    * `local-timestamp-millis` — the flavor Kafka-ecosystem producers
+    * default to, and so the one real schema registries hand out most —
+    * READ as TimestampType/TimestampNTZType through an exact ×1000
+    * millis→micros upscale at decode ([[toCatalystResolved]]); the write
+    * side always emits micros (never a downscale, which would be lossy).
+    * Enums and multi-branch unions have no canonical image and fail
+    * loud rather than guessing. */
   private def sparkType(s: AvroSchema): DataType = {
     import org.apache.avro.LogicalTypes
     s.getLogicalType match {
@@ -133,7 +140,13 @@ private[v2] object AvroInterchange {
       case _: LogicalTypes.TimestampMicros
           if s.getType == AvroSchema.Type.LONG =>
         return TimestampType
+      case _: LogicalTypes.TimestampMillis
+          if s.getType == AvroSchema.Type.LONG =>
+        return TimestampType
       case _: LogicalTypes.LocalTimestampMicros
+          if s.getType == AvroSchema.Type.LONG =>
+        return TimestampNTZType
+      case _: LogicalTypes.LocalTimestampMillis
           if s.getType == AvroSchema.Type.LONG =>
         return TimestampNTZType
       case d: LogicalTypes.Decimal =>
@@ -271,6 +284,66 @@ private[v2] object AvroInterchange {
           .toArray,
         entries.map(e => toCatalyst(e._2.asInstanceOf[AnyRef], vt)).toArray)
     case other => other // int/long/float/double/boolean box directly
+  }
+
+  /** True when any node of the (resolved) Avro schema carries a MILLIS
+    * timestamp logical type — the one mapping whose internal encodings
+    * do NOT coincide (Spark timestamps are micros), so decode needs the
+    * schema-threaded [[toCatalystResolved]] instead of the zero-overhead
+    * [[toCatalyst]] pass-through. Computed once per reader, never per
+    * record. */
+  def needsLogicalDecode(s: AvroSchema): Boolean = {
+    import org.apache.avro.LogicalTypes
+    s.getType match {
+      case AvroSchema.Type.UNION  => s.getTypes.asScala.exists(needsLogicalDecode)
+      case AvroSchema.Type.RECORD =>
+        s.getFields.asScala.exists(f => needsLogicalDecode(f.schema()))
+      case AvroSchema.Type.ARRAY  => needsLogicalDecode(s.getElementType)
+      case AvroSchema.Type.MAP    => needsLogicalDecode(s.getValueType)
+      case _ => s.getLogicalType match {
+        case _: LogicalTypes.TimestampMillis      => true
+        case _: LogicalTypes.LocalTimestampMillis => true
+        case _                                    => false
+      }
+    }
+  }
+
+  /** [[toCatalyst]] with the writer's Avro schema threaded alongside the
+    * Spark type, so logical types whose encodings differ from Spark's
+    * internals convert exactly: `timestamp-millis` /
+    * `local-timestamp-millis` longs upscale ×1000 to micros (exact —
+    * micros strictly refine millis). Containers recurse with the
+    * corresponding element/value/field schema; everything else delegates
+    * to the plain converter. Only installed when [[needsLogicalDecode]]
+    * says the file needs it. */
+  def toCatalystResolved(v: AnyRef, dt: DataType, avro: AvroSchema): Any = {
+    import org.apache.avro.LogicalTypes
+    if (v == null) return null
+    val s = nonNullBranch(avro)
+    s.getLogicalType match {
+      case _: LogicalTypes.TimestampMillis | _: LogicalTypes.LocalTimestampMillis =>
+        return java.lang.Long.valueOf(
+          Math.multiplyExact(v.asInstanceOf[java.lang.Long].longValue(), 1000L))
+      case _ => ()
+    }
+    (v, dt) match {
+      case (r: GenericRecord, st: StructType) =>
+        InternalRow.fromSeq(st.fields.toSeq.map { f =>
+          toCatalystResolved(r.get(f.name), f.dataType, s.getField(f.name).schema())
+        })
+      case (l: java.util.Collection[_], at: ArrayType) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          l.asScala.map(e => toCatalystResolved(
+            e.asInstanceOf[AnyRef], at.elementType, s.getElementType)).toArray)
+      case (m: java.util.Map[_, _], mt: MapType) =>
+        val entries = m.asScala.toSeq
+        org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+          entries.map(e => toCatalyst(e._1.asInstanceOf[AnyRef], StringType))
+            .toArray,
+          entries.map(e => toCatalystResolved(
+            e._2.asInstanceOf[AnyRef], mt.valueType, s.getValueType)).toArray)
+      case _ => toCatalyst(v, dt)
+    }
   }
 
   /** Catalyst internal value → Avro datum for `dt` under `avro` (the
@@ -516,6 +589,19 @@ private[v2] class AvroPartitionReader(file: String,
     new GenericDatumReader[GenericRecord](null, decodeSchema))
   private var current: InternalRow = _
 
+  // per-field decoder, chosen ONCE per reader: the schema-threaded
+  // converter only where the field actually carries a millis timestamp
+  // somewhere (×1000 upscale to Spark's micros); the zero-overhead plain
+  // converter everywhere else
+  private val fieldDecode: Array[AnyRef => Any] =
+    decodeFields.map { f =>
+      val fs = decodeSchema.getField(f.name).schema()
+      if (AvroInterchange.needsLogicalDecode(fs))
+        (v: AnyRef) => AvroInterchange.toCatalystResolved(v, f.dataType, fs)
+      else
+        (v: AnyRef) => AvroInterchange.toCatalyst(v, f.dataType)
+    }
+
   override def next(): Boolean = {
     current = null
     if (limit.exists(emitted >= _)) return false // pushed LIMIT: stop early
@@ -524,8 +610,7 @@ private[v2] class AvroPartitionReader(file: String,
       val vals = new Array[Any](decodeFields.length)
       var i = 0
       while (i < decodeFields.length) {
-        vals(i) = AvroInterchange.toCatalyst(
-          rec.get(decodeFields(i).name), decodeFields(i).dataType)
+        vals(i) = fieldDecode(i)(rec.get(decodeFields(i).name))
         i += 1
       }
       val ok = notNulls.forall(j => vals(j) != null) &&

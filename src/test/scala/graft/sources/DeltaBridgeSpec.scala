@@ -358,6 +358,48 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(e.getMessage.contains("Append/Overwrite"))
   }
 
+  test("STREAMING first batch is the HEAD SNAPSHOT, not a history replay: " +
+    "overwritten rows never resurrect, pre-start schema evolution is fine, " +
+    "and post-start commits still tail with full checks") {
+    import spark.implicits._
+    val t = freshTable()
+    // history a gold table produces: an append, then an overwrite that
+    // CHANGES THE SCHEMA (quarterly overwriteSchema) — version 1 carries
+    // removes AND a fresh metaData action
+    Seq((1L, "dead")).toDF("id", "v")
+      .write.format("graft-delta").mode("append").save(t)
+    Seq((10L, "x", 7), (11L, "y", 8)).toDF("id", "v", "extra")
+      .write.format("graft-delta").mode("overwrite").save(t)
+    // a brand-new stream over this table needs NO ignoreChanges and must
+    // not trip the mid-stream schema check: batch zero is the head
+    // snapshot's live files under the head schema
+    val ckpt = Files.createTempDirectory("delta_snap_ckpt").toString
+    val q = spark.readStream.format("graft-delta").load(t)
+      .writeStream.format("memory").queryName("delta_snap_tail")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.sql(
+        "SELECT id, extra FROM delta_snap_tail ORDER BY id").collect()
+      assert(first.map(_.getLong(0)).toSeq == Seq(10L, 11L),
+        "the overwrite-removed row (id=1) must never resurrect")
+      assert(first.map(_.getInt(1)).toSeq == Seq(7, 8),
+        "snapshot rows read under the evolved head schema")
+      // post-start appends tail incrementally (never re-deliver the
+      // snapshot), and a post-start remove still fails loud
+      Seq((12L, "z", 9)).toDF("id", "v", "extra")
+        .write.format("graft-delta").mode("append").save(t)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM delta_snap_tail ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(10L, 11L, 12L))
+      Seq((13L, "w", 1)).toDF("id", "v", "extra")
+        .write.format("graft-delta").mode("overwrite").save(t)
+      val err = intercept[Exception](q.processAllAvailable())
+      assert(err.getMessage.contains("ignoreChanges") ||
+        Option(err.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    } finally q.stop()
+  }
+
   test("STREAMING read: one exactly-once batch per committed version, " +
     "partition columns reconstructed, removes refused without " +
     "ignoreChanges, startingVersion honored") {

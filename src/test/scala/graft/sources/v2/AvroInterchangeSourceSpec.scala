@@ -221,7 +221,7 @@ class AvroInterchangeSourceSpec extends SparkSpec {
   }
 
   test("LOGICAL types roundtrip (date / timestamp-micros / decimal) and a " +
-    "FOREIGN file with a fixed-backed decimal reads; millis fails loud") {
+    "FOREIGN file with a fixed-backed decimal reads; millis upscales exactly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("avro_logical").toString
     val df = Seq(
@@ -287,21 +287,58 @@ class AvroInterchangeSourceSpec extends SparkSpec {
     assert(fb.map(_.getDate(2).toString).toSeq ==
       Seq("2024-02-29", "1969-12-31"))
 
-    // timestamp-millis: no silent rescale — fail loud at schema mapping
+    // timestamp-millis — the Kafka-ecosystem default flavor — reads as
+    // TimestampType via an exact ×1000 upscale; local-timestamp-millis
+    // as TimestampNTZType; and a millis long NESTED inside a record and
+    // an array takes the same schema-threaded decode path. A nullable
+    // millis field with a null exercises the union unwrap.
     val msT = LogicalTypes.timestampMillis().addToSchema(
       ASchema.create(ASchema.Type.LONG))
+    val lmsT = LogicalTypes.localTimestampMillis().addToSchema(
+      ASchema.create(ASchema.Type.LONG))
+    val innerSch = SchemaBuilder.record("Inner").namespace("com.example")
+      .fields().name("seen").`type`(msT).noDefault().endRecord()
     val msSch = SchemaBuilder.record("Ms").namespace("com.example").fields()
-      .name("t").`type`(msT).noDefault().endRecord()
+      .requiredLong("id")
+      .name("t").`type`(msT).noDefault()
+      .name("lt").`type`().optional().`type`(lmsT)
+      .name("hdr").`type`(innerSch).noDefault()
+      .name("ts_arr").`type`().array().items(msT).noDefault()
+      .endRecord()
     val mdir = Files.createTempDirectory("avro_millis")
     val mw = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](msSch))
     mw.create(msSch, mdir.resolve("m-0.avro").toFile)
-    val mr = new GenericData.Record(msSch)
-    mr.put("t", java.lang.Long.valueOf(1700000000000L))
-    mw.append(mr); mw.close()
-    val e = intercept[IllegalArgumentException](
-      spark.read.format(fmt).load(mdir.toString).schema)
-    assert(e.getMessage.contains("logical type"))
+    def msRec(id: Long, t: Long, lt: java.lang.Long): GenericRecord = {
+      val rec = new GenericData.Record(msSch)
+      rec.put("id", id); rec.put("t", java.lang.Long.valueOf(t))
+      rec.put("lt", lt)
+      val inner = new GenericData.Record(innerSch)
+      inner.put("seen", java.lang.Long.valueOf(t + 1))
+      rec.put("hdr", inner)
+      rec.put("ts_arr", java.util.Arrays.asList(
+        java.lang.Long.valueOf(t), java.lang.Long.valueOf(t + 2)))
+      rec
+    }
+    mw.append(msRec(1L, 1700000000123L, java.lang.Long.valueOf(86400001L)))
+    mw.append(msRec(2L, -1L, null)) // pre-epoch millis: -1 ms → -1000 µs
+    mw.close()
+    val mdf = spark.read.format(fmt).load(mdir.toString)
+    assert(mdf.schema("t").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(mdf.schema("lt").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = mdf.orderBy("id")
+      .selectExpr("unix_micros(t)", "lt", "unix_micros(hdr.seen)",
+        "unix_micros(ts_arr[1])")
+      .collect()
+    assert(got(0).getLong(0) == 1700000000123000L)
+    assert(got(0).getAs[java.time.LocalDateTime](1) ==
+      java.time.LocalDateTime.parse("1970-01-02T00:00:00.001"))
+    assert(got(0).getLong(2) == 1700000000124000L)
+    assert(got(0).getLong(3) == 1700000000125000L)
+    assert(got(1).getLong(0) == -1000L)
+    assert(got(1).isNullAt(1))
   }
 
   test("streaming write commits per epoch; redelivered epochs replace " +
