@@ -42,6 +42,7 @@ import org.apache.spark.unsafe.types.UTF8String
 class DeltaBridgeSource extends RelationProvider
   with org.apache.spark.sql.sources.CreatableRelationProvider
   with org.apache.spark.sql.sources.StreamSourceProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider
   with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
@@ -119,6 +120,48 @@ class DeltaBridgeSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Source =
     new DeltaBridgeStreamSource(ctx.sparkSession, tableOf(parameters),
       parameters)
+
+  // ------------------------------------------------------ streaming write
+
+  /** `df.writeStream.format("graft-delta")` — each micro-batch lands as
+    * one mountable Delta version through [[TxLog.appendBatch]]'s
+    * exactly-once commit (the batch id rides the commit record, so a
+    * restart's replayed batch is recognized and creates no version) plus
+    * the `_delta_log` export. Unlike the batch write path,
+    * `writeStream.partitionBy(...)` DOES reach a V1 StreamSinkProvider,
+    * so Hive-layout partitioned streaming tables need no option. Append
+    * only: Complete/Update would need per-batch overwrite semantics the
+    * log's batch-id idempotence contract does not cover — fail loud. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-delta streaming sink supports Append output mode, not $outputMode")
+    new DeltaBridgeStreamSink(ctx.sparkSession, tableOf(parameters),
+      partitionColumns)
+  }
+}
+
+/** The graft-delta streaming SINK: exactly-once micro-batch appends into
+  * the TxLog + Delta-log export. Scale shape: the staged write is the
+  * batch's own parquet job; the commit + export are driver-side metadata
+  * appends (O(batch files), never O(table)). */
+private[sources] class DeltaBridgeStreamSink(
+    spark: SparkSession, table: String, partitionCols: Seq[String])
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.DataFrame): Unit = {
+    val batch = org.apache.spark.sql.GraftSqlBridge.asBatch(data)
+    TxLog.appendBatch(spark, batch, table, batchId,
+      partitionCols = partitionCols)
+    // replay-safe: a re-delivered batch committed nothing above, and the
+    // export cursor makes re-exporting published versions a no-op
+    DeltaBridge.exportLog(spark, table)
+  }
+
+  override def toString: String = s"DeltaBridgeStreamSink[$table]"
 }
 
 /** `spark.readStream.format("graft-delta")` — the Delta streaming-source

@@ -350,11 +350,14 @@ object TxLog {
     * pre-existing). The id check re-runs inside the claim loop, so two
     * workers racing the SAME batch id cannot both land it. */
   def appendBatch(spark: SparkSession, df: DataFrame, table: String,
-                  batchId: Long, partFiles: Int = 2): Int = {
+                  batchId: Long, partFiles: Int = 2,
+                  partitionCols: Seq[String] = Seq.empty): Int = {
     committedBatch(table, batchId) match {
       case Some(v) => v // replay — already durable, stage nothing
       case None =>
-        val staged = stage(df, table, partFiles)
+        val staged =
+          if (partitionCols.isEmpty) stage(df, table, partFiles)
+          else stagePartitioned(df, table, partitionCols)
         // only commits NEWER than the last scan can newly hold the batch
         // id, so each retry reads just the delta — a contended append
         // stays O(log length), not O(retries × log length). checked starts

@@ -26,6 +26,19 @@ object GraftSqlBridge {
     classic.Dataset.ofRows(spark, plan)
   }
 
+  /** Rebind a micro-batch's rows as a PLAIN BATCH DataFrame — what a V1
+    * `Sink.addBatch` must do before handing the data to a batch writer:
+    * the incoming DataFrame's plan is streaming-tagged, so a direct
+    * `.write` would be refused ("streaming sources must be executed with
+    * writeStream"). Binding `queryExecution.toRdd` into a fresh batch
+    * LogicalRDD reuses the already-planned physical query without
+    * re-planning it (the DeltaSink/FileStreamSink pattern). */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** A zero-row streaming DataFrame of `schema` — the empty micro-batch
     * a V1 source returns when a version carries no adds. */
   def emptyStreaming(spark: SparkSession,

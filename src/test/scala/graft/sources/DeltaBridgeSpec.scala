@@ -358,6 +358,57 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(e.getMessage.contains("Append/Overwrite"))
   }
 
+  test("STREAMING WRITE: writeStream.format(graft-delta) lands each " +
+    "micro-batch as a mountable Delta version exactly once across a " +
+    "checkpoint restart, and partitionBy flows through the V1 sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    val t = freshTable()
+    val ckpt = Files.createTempDirectory("delta_sink_ckpt").toString
+    val mem = MemoryStream[(Long, String, String)]
+    def start() = mem.toDF().toDF("id", "v", "state")
+      .writeStream.format("graft-delta").partitionBy("state")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .start(t)
+    mem.addData((1L, "a", "CA"), (2L, "b", "NY"))
+    val q = start()
+    try {
+      q.processAllAvailable()
+      mem.addData((3L, "c", "CA"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // two micro-batches → two log versions, both mountable
+    assert(DeltaBridge.versions(t).size == 2)
+    val back = spark.read.format("graft-delta").load(t)
+    assert(back.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("state"))).toSeq ==
+      Seq((1L, "CA"), (2L, "NY"), (3L, "CA")))
+    // partitioned Hive layout: pruning works at the metadata level
+    assert(back.filter($"state" === "NY").collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(2L))
+    // restart against the same checkpoint: nothing new to process, and
+    // the replayed offsets create NO versions
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(DeltaBridge.versions(t).size == 2,
+      "a restart's replay must not create a new version")
+    assert(spark.read.format("graft-delta").load(t).count() == 3)
+    // Complete mode fails loud
+    val mem2 = MemoryStream[(Long, String, String)]
+    val e = intercept[Exception] {
+      mem2.toDF().toDF("id", "v", "state")
+        .groupBy("state").count()
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation",
+          Files.createTempDirectory("delta_sink_bad").toString)
+        .outputMode("complete").start(freshTable())
+    }
+    assert(e.getMessage.contains("Append output mode") ||
+      Option(e.getCause).exists(_.getMessage.contains("Append output mode")))
+  }
+
   test("STREAMING first batch is the HEAD SNAPSHOT, not a history replay: " +
     "overwritten rows never resurrect, pre-start schema evolution is fine, " +
     "and post-start commits still tail with full checks") {
