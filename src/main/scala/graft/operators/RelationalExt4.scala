@@ -259,8 +259,10 @@ object RelationalExt4 {
       .join(broadcast(Tables.customer(s, dir)),
         col("o_custkey") === col("c_custkey"))
       .select(col("o_totalprice").as("x"), col("c_acctbal").as("y"))
-      // feeds both rank builds and the row-level moment pass (released by
-      // the runner's clearCache, the repo-wide per-query convention)
+      // feeds the rank build and the row-level moment pass (released by
+      // the runner's clearCache, the repo-wide per-query convention).
+      // A/B'd r12: dropping the persist re-runs the broadcast join per
+      // consumer and measured slower (1.87 vs 1.74 s min at sf0.1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (value → exact average rank) for BOTH columns in one fused build:
     // tag-unioned value counts, ONE range partitioning (the sampling job
@@ -269,8 +271,10 @@ object RelationalExt4 {
     // sort key leads with the tag, so each column's values stay ordered
     // and a split straddling the tag boundary is handled by the
     // per-(split, tag) offsets.
-    val vc = joined.select(col("x").as("v"), lit(0).as("wh"))
-      .unionByName(joined.select(col("y").as("v"), lit(1).as("wh")))
+    val vc = joined
+      // ONE scan feeds both columns' value counts (stack, not a 2-branch
+      // union re-reading the cache)
+      .selectExpr("stack(2, x, 0, y, 1) AS (v, wh)")
       .groupBy("wh", "v").agg(count(lit(1)).as("cnt"))
       .repartitionByRange(RankRangeSplits, col("wh"), col("v"))
       .withColumn("pid", spark_partition_id())
@@ -280,6 +284,13 @@ object RelationalExt4 {
       // driver-held offsets. Lineage truncation freezes the tagging; the
       // table is value-domain-sized, so the materialization is cheap.
       .localCheckpoint()
+    // cross-split prefix offsets stay a DRIVER solve over |splits|×2
+    // rows (metadata-sized, the lakehouse-manifest pattern). Negative
+    // A/B (r12, the q148/q321 precedent): deriving them distributed — a
+    // 64-row window over a second vc plan branch, broadcast-joined back —
+    // measured 17 → 20 jobs and 1.90 → 2.01 s min at sf0.1; the extra
+    // AQE re-plans and broadcast exchanges cost more than the collect
+    // they replace.
     val tots = vc.groupBy("pid", "wh").agg(sum(col("cnt")).as("tot"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
     val offsets = tots.map { case ((p, wh), _) =>
