@@ -128,10 +128,9 @@ object Quality {
     // spread portable hashes, take the k-th smallest (or the true count
     // when the column has fewer than k distincts); the d62 oracle shape
     def kmvSub(c: String): String = {
-      val poly = s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
-        s"list_transform(string_split(CAST($c AS VARCHAR), ''), " +
-        "ch -> CAST(ascii(ch) AS BIGINT))), " +
-        "(acc, x) -> (acc * 31 + x) % 1000000007)"
+      // the ONE DuckDB polyHash definition (Dedup.polyDuckOf) — an inline
+      // copy here would silently drift if the hash convention ever moves
+      val poly = Dedup.polyDuckOf(s"CAST($c AS VARCHAR)")
       val spread = graft.functions.PortableHash.kmvSpreadDuck(poly)
       s"""(SELECT CAST(coalesce(max(CASE WHEN nd >= $k
          |    THEN (${k - 1} * CAST(1000000007 AS BIGINT)) // h

@@ -142,7 +142,54 @@ object DeltaBridge {
     var partCols: Seq[String] = seed.map(_.partitionCols).getOrElse(Seq.empty)
     var partColsFixed: Boolean = seed.isDefined
 
-    vs.zipWithIndex.foreach { case (txv, dv) =>
+    // schema of one staged add path, from its parquet footer (partition
+    // columns appended Hive-style for partitioned layouts)
+    def schemaOfAdd(p: String): String =
+      if (pathPartitionValues(p).isEmpty) spark.read.parquet(s"$table/$p").schema.json
+      else {
+        val (prefix, _) = splitHivePath(p)
+        val bp = if (prefix.isEmpty) table else s"$table/$prefix"
+        spark.read.option("basePath", bp).parquet(s"$table/$p").schema.json
+      }
+
+    // version 0 MUST carry a metaData action (the spec: every snapshot
+    // resolves exactly one) — but a ZERO-ADD first commit (an empty first
+    // micro-batch, an empty quarterly refresh) has no files to derive a
+    // schema from. Borrow it from the FIRST commit that has adds, fixing
+    // the partition layout from the same commit; with no data anywhere
+    // yet, DEFER the whole export — a schema-less version 0 would be
+    // unreadable by every Delta reader including this bridge (r12 review
+    // finding).
+    var borrowedSchema: String = null
+    if (lastSchemaJson == null) {
+      val firstAdd = vs.iterator
+        .map(v => TxLog.commitActions(table, v)._1)
+        .find(_.nonEmpty)
+        .flatMap(_.headOption.map(TxLog.entryPath))
+      firstAdd match {
+        case None => return 0 // nothing but empty commits — export later
+        case Some(p) =>
+          borrowedSchema = schemaOfAdd(p)
+          if (!partColsFixed) {
+            partCols = pathPartitionValues(p).map(_._1)
+            partColsFixed = true
+          }
+      }
+    }
+
+    // FAST PATH (r12 review finding): when the published log is exactly
+    // the contiguous prefix 0..p-1 — every export-extending call,
+    // including the streaming sink's per-micro-batch one — the seed's
+    // head state IS the schema cursor at p-1, so the walk starts at the
+    // first unpublished version instead of re-parsing every published
+    // file (which made per-batch export O(total versions), quadratic
+    // over a stream's lifetime). The full walk remains for recreating
+    // vacuumed mid-log versions behind published ones.
+    val startDv =
+      if (published == (0L until published.length.toLong)) published.length
+      else 0
+
+    vs.zipWithIndex.drop(startDv).foreach { case (txv, dv) =>
       val out = deltaVersionFile(table, dv.toLong)
       if (!Files.exists(out)) {
         val (add, remove) = TxLog.commitActions(table, txv)
@@ -170,17 +217,14 @@ object DeltaBridge {
         // partitioned table the basePath read appends the partition
         // columns (types re-inferred Hive-style — the same inference any
         // Spark reader applies to the layout).
-        val schemaJson = addPaths.headOption.map { p =>
-          if (partCols.isEmpty) spark.read.parquet(s"$table/$p").schema.json
-          else {
-            // root the probe at the file's own stage prefix: discovery
-            // wants partition dirs directly under basePath
-            val (prefix, _) = splitHivePath(p)
-            val bp = if (prefix.isEmpty) table else s"$table/$prefix"
-            spark.read.option("basePath", bp)
-              .parquet(s"$table/$p").schema.json
-          }
-        }.orNull
+        val schemaJson = addPaths.headOption.map(schemaOfAdd)
+          // a zero-add version 0 still declares a schema so the exported
+          // log satisfies the spec's metaData-per-snapshot requirement:
+          // the one borrowed from the first data-bearing commit, or (when
+          // recreating a vacuumed v0 behind a published suffix) the seed
+          // cursor's schema
+          .getOrElse(if (dv == 0) Option(borrowedSchema).getOrElse(lastSchemaJson)
+                     else null)
         val sb = new StringBuilder
         if (dv == 0) {
           sb.append(mapper.writeValueAsString(Map(
@@ -487,6 +531,15 @@ object DeltaBridge {
       .sorted
   }
 
+  /** Latest version the log can SERVE, −1 for an empty log: the max of
+    * the JSON action versions and the `_last_checkpoint` version — a log
+    * whose expired JSON commits were cleaned up past a checkpoint has
+    * `versions` empty but still snapshots fine (checkpoint bootstrap), so
+    * version arithmetic must not treat it as empty (r12 review finding:
+    * the streaming source silently served nothing on such a log). */
+  private[sources] def headVersion(table: String): Long =
+    (versions(table) ++ lastCheckpointVersion(table)).foldLeft(-1L)(_ max _)
+
   /** State reconstruction at `versionAsOf` (None = head) — ONE replay
     * path shared by [[read]], [[writeCheckpoint]] and [[exportLog]]'s
     * identity seeding: bootstrap from `_last_checkpoint` when present AND
@@ -663,6 +716,14 @@ object DeltaBridge {
     case (_, y: java.lang.Double) if y.isNaN => None
     case (x: java.lang.Float, _) if x.isNaN  => None
     case (_, y: java.lang.Float) if y.isNaN  => None
+    // Float literals WIDEN before rendering: stats for float columns are
+    // logged through doubleValue() (the exact value Spark compares rows
+    // at after its own float→double promotion), so a float literal must
+    // meet them in the same domain — BigDecimal("1.1") vs the logged
+    // "1.100000023841858" would wrongly "prove" a file of exact matches
+    // disjoint and unsoundly drop it (r12 review finding).
+    case (x: java.lang.Float, y) => numCmp(java.lang.Double.valueOf(x.doubleValue()), y)
+    case (x, y: java.lang.Float) => numCmp(x, java.lang.Double.valueOf(y.doubleValue()))
     case (x: Number, y: Number) =>
       Some(new java.math.BigDecimal(x.toString)
         .compareTo(new java.math.BigDecimal(y.toString)))

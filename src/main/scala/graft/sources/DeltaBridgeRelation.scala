@@ -199,9 +199,10 @@ private[sources] class DeltaBridgeStreamSource(
 
   /** Head version pinned BEFORE the snapshot replay so a commit racing
     * stream start lands in the delta range, never inside-and-after the
-    * snapshot (double delivery). */
-  private val headVersion: Long =
-    DeltaBridge.versions(table).lastOption.getOrElse(-1L)
+    * snapshot (double delivery). [[DeltaBridge.headVersion]] also counts
+    * a checkpoint-only log (JSON commits cleaned up past the
+    * checkpoint), which snapshots fine and must still serve batch zero. */
+  private val headVersion: Long = DeltaBridge.headVersion(table)
   private val snap0 = DeltaBridge.snapshot(spark, table,
     Some(headVersion).filter(_ >= 0))
   override val schema: StructType =
@@ -222,7 +223,7 @@ private[sources] class DeltaBridgeStreamSource(
     }
 
   override def getOffset: Option[V1Offset] = {
-    val latest = DeltaBridge.versions(table).lastOption.getOrElse(-1L)
+    val latest = DeltaBridge.headVersion(table)
     // with a snapshot pending, the head itself is an offset worth a
     // batch even before any new commit lands
     if (serveSnapshot && latest >= 0) Some(LongOffset(latest max headVersion))

@@ -260,6 +260,35 @@ class DeltaBridgeSpec extends SparkSpec {
       Seq(1L, 5L), "the stripped file is kept, the proven-out ones drop")
   }
 
+  test("FLOAT stats never prove a false disjointness: a float literal " +
+    "widens to its exact double before meeting the logged (widened) " +
+    "bounds, so files holding exact matches are kept") {
+    import spark.implicits._
+    val t = freshTable()
+    // 1.1f widens to 1.100000023841858: the logged min/max carry the
+    // widened rendering while the literal's own toString is "1.1" — a
+    // decimal-rendering comparison would "prove" mn > v and drop the file
+    TxLog.append(spark,
+      Seq((1L, 1.1f), (2L, 2.2f)).toDF("id", "f").coalesce(1), t, 1)
+    TxLog.append(spark,
+      Seq((9L, 9.9f)).toDF("id", "f").coalesce(1), t, 1)
+    DeltaBridge.exportLog(spark, t)
+    val hit = spark.read.format("graft-delta").load(t)
+      .filter($"f" === 1.1f)
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "the file containing the exact float match must not be stats-dropped")
+    // real skipping still works in the widened domain
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val miss = spark.read.format("graft-delta").load(t)
+      .filter($"f" > 5.0f)
+    assert(miss.collect().map(_.getLong(0)).toSeq == Seq(9L))
+    val scan = miss.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f }.get
+    assert(scan.metrics("numFiles").value == 1,
+      s"float stats must still skip the provably-disjoint file, read " +
+        s"${scan.metrics("numFiles").value}")
+  }
+
   test("NATIVE relation: spark.read.format mounts the log, Catalyst prunes " +
     "partitions through the log-backed FileIndex, stats skip files at " +
     "planning time, versionAsOf time-travels") {
@@ -356,6 +385,62 @@ class DeltaBridgeSpec extends SparkSpec {
         .write.format("graft-delta").mode("ignore").save(t)
     }
     assert(e.getMessage.contains("Append/Overwrite"))
+  }
+
+  test("a ZERO-ADD first commit still exports a spec-compliant version 0: " +
+    "metaData is borrowed from the first data-bearing commit; a log with " +
+    "no data anywhere defers export instead of publishing schema-less") {
+    import spark.implicits._
+    val t = freshTable()
+    // partitionBy staging writes files lazily, so an empty frame commits
+    // a version with ZERO adds — an empty first micro-batch's shape
+    val empty = Seq.empty[(Long, String)].toDF("id", "state")
+    TxLog.appendPartitioned(spark, empty, t, Seq("state"))
+    assert(DeltaBridge.exportLog(spark, t) == 0,
+      "no data-bearing commit yet: export must defer, not publish")
+    assert(DeltaBridge.versions(t).isEmpty)
+    TxLog.appendPartitioned(spark,
+      Seq((1L, "CA")).toDF("id", "state"), t, Seq("state"))
+    DeltaBridge.exportLog(spark, t)
+    val v0 = Files.readAllLines(
+      Paths.get(t, "_delta_log", f"${0L}%020d.json")).asScala
+      .filter(_.nonEmpty)
+    assert(v0.exists(_.contains("\"metaData\"")),
+      "version 0 must declare metaData even with zero adds")
+    assert(v0.exists(_.contains("\"protocol\"")))
+    assert(DeltaBridge.read(spark, t).collect()
+      .map(_.getAs[Long]("id")).toSeq == Seq(1L))
+    assert(DeltaBridge.read(spark, t, versionAsOf = Some(0L)).count() == 0,
+      "time travel to the empty version resolves under the borrowed schema")
+  }
+
+  test("STREAMING over a CHECKPOINT-ONLY log (JSON commits cleaned up) " +
+    "still serves the head snapshot as batch zero and tails new commits") {
+    import spark.implicits._
+    val t = freshTable()
+    (1 to 11).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), t)
+    }
+    DeltaBridge.exportLog(spark, t)
+    val ld = Paths.get(t, "_delta_log")
+    (0L to 10L).foreach { v =>
+      Files.deleteIfExists(ld.resolve(f"$v%020d.json"))
+    }
+    assert(DeltaBridge.versions(t).isEmpty, "precondition: checkpoint-only")
+    val ckpt = Files.createTempDirectory("delta_ckptonly_stream").toString
+    val q = spark.readStream.format("graft-delta").load(t)
+      .writeStream.format("memory").queryName("ckptonly_tail")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM ckptonly_tail").head().getLong(0)
+        == 11, "batch zero must serve the checkpoint snapshot")
+      Seq((12L, "v12")).toDF("id", "v")
+        .write.format("graft-delta").mode("append").save(t)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT id FROM ckptonly_tail ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == (1L to 12L))
+    } finally q.stop()
   }
 
   test("STREAMING WRITE: writeStream.format(graft-delta) lands each " +
