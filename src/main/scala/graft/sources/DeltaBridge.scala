@@ -177,21 +177,37 @@ object DeltaBridge {
       }
     }
 
-    // FAST PATH (r12 review finding): when the published log is exactly
-    // the contiguous prefix 0..p-1 — every export-extending call,
-    // including the streaming sink's per-micro-batch one — the seed's
-    // head state IS the schema cursor at p-1, so the walk starts at the
-    // first unpublished version instead of re-parsing every published
-    // file (which made per-batch export O(total versions), quadratic
-    // over a stream's lifetime). The full walk remains for recreating
-    // vacuumed mid-log versions behind published ones.
-    val startDv =
-      if (published == (0L until published.length.toLong)) published.length
-      else 0
+    // LOG RETENTION boundary: versions at or below a published checkpoint
+    // are SERVED by it — when [[vacuumLog]] has deleted their JSON, the
+    // export leaves them deleted (recreating them would undo retention,
+    // and their data files may themselves be vacuumed).
+    val retainCkptV: Option[Long] = lastCheckpointVersion(table)
+    def ckptCovered(v: Long): Boolean = retainCkptV.exists(v <= _)
+    val publishedSet = published.toSet
 
+    // FAST PATH (r12 review finding): start the walk at the first version
+    // that actually needs CREATING — for every export-extending call,
+    // including the streaming sink's per-micro-batch one, that skips the
+    // whole published/covered prefix instead of re-parsing every
+    // published file (which made per-batch export O(total versions),
+    // quadratic over a stream's lifetime). Sound only when NO published
+    // version lies above the start point: the seed (head state) is then
+    // exactly the schema cursor there. Recreating torn mid-log versions
+    // behind published ones still takes the full cursor walk.
+    val firstToCreate: Long = (0L until vs.length.toLong)
+      .find(v => !publishedSet.contains(v) && !ckptCovered(v))
+      .getOrElse(vs.length.toLong)
+    val startDv: Int =
+      if (published.forall(_ < firstToCreate)) firstToCreate.toInt else 0
+
+    var sawCoveredAbsent = false
     vs.zipWithIndex.drop(startDv).foreach { case (txv, dv) =>
       val out = deltaVersionFile(table, dv.toLong)
-      if (!Files.exists(out)) {
+      if (!Files.exists(out) && ckptCovered(dv.toLong)) {
+        // vacuumed under the checkpoint: leave deleted; the cursor is
+        // re-anchored from the checkpoint at the end of the covered range
+        sawCoveredAbsent = true
+      } else if (!Files.exists(out)) {
         val (add, remove) = TxLog.commitActions(table, txv)
         // partition columns come from the staged layout itself; fixed at
         // the first exported version, enforced on every later add
@@ -295,6 +311,18 @@ object DeltaBridge {
               .get("schemaString").asInstanceOf[String]
           }
         }
+      }
+      // end of a covered range with HOLES: vacuumed versions may have
+      // carried metaData the cursor never saw — re-anchor at the
+      // checkpoint's own state, which is by construction the latest
+      // metaData at or before ckptV
+      if (sawCoveredAbsent && retainCkptV.contains(dv.toLong)) {
+        val st = LogState()
+        bootstrapFromCheckpoint(spark, table, dv.toLong, st)
+        if (st.schemaJson != null) lastSchemaJson = st.schemaJson
+        partCols = st.partitionCols
+        partColsFixed = true
+        sawCoveredAbsent = false
       }
     }
     // checkpoint discipline (the protocol's log-compaction half): every
@@ -539,6 +567,23 @@ object DeltaBridge {
     * the streaming source silently served nothing on such a log). */
   private[sources] def headVersion(table: String): Long =
     (versions(table) ++ lastCheckpointVersion(table)).foldLeft(-1L)(_ max _)
+
+  /** LOG RETENTION — the log-cleanup half of VACUUM: delete exported JSON
+    * versions a published checkpoint covers (≤ `_last_checkpoint`).
+    * Readers bootstrap from the checkpoint, so the head and any
+    * `versionAsOf ≥ checkpoint` stay readable; time travel below it is
+    * forfeited — delta's own log-retention trade. [[exportLog]] leaves
+    * covered versions deleted instead of recreating them. Returns the
+    * deleted versions. Pair with [[TxLog.vacuum]] for the data-file half:
+    * log first, then data, so no surviving JSON references deleted files. */
+  def vacuumLog(table: String): Seq[Long] =
+    lastCheckpointVersion(table) match {
+      case None => Seq.empty
+      case Some(cv) =>
+        versions(table).filter(_ <= cv).map { v =>
+          Files.deleteIfExists(deltaVersionFile(table, v)); v
+        }
+    }
 
   /** State reconstruction at `versionAsOf` (None = head) — ONE replay
     * path shared by [[read]], [[writeCheckpoint]] and [[exportLog]]'s

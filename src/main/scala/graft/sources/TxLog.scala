@@ -483,6 +483,70 @@ object TxLog {
                   remove: Seq[String], batchId: Option[Long] = None): Boolean =
     publish(table, v, commitJson(v, add, remove, batchId))
 
+  /** VACUUM: physically delete data files no retained version references —
+    * Delta's VACUUM trade brought to the TxLog. The newest
+    * `retainVersions` versions stay fully time-travelable (the keep set
+    * is the union of their live sets); reading an OLDER version
+    * afterwards fails at scan time on the missing files, exactly like a
+    * vacuumed Delta table. Commit RECORDS are never deleted — they are
+    * metadata-sized and replay + OCC arbitration need the full chain.
+    * Files younger than `minAgeMs` survive unconditionally: a concurrent
+    * writer's staged-but-uncommitted files must not be swept, the same
+    * modification-time discipline behind Delta VACUUM's retention window
+    * (production default: hours; `minAgeMs = 0` only makes sense in tests
+    * and maintenance windows with no in-flight writers — a staged-but-
+    * uncommitted file has no log reference protecting it). Stage
+    * directories left empty (bar write markers) are removed, recursing
+    * through partitioned Hive sub-layouts. Returns the deleted
+    * table-relative paths.
+    *
+    * Scale: one log replay (metadata), one filesystem walk of the stage
+    * dirs; at 10⁵ files this is driver-side listing arithmetic, and the
+    * deletes are per-file — no data is read or moved. */
+  def vacuum(table: String, retainVersions: Int = 2,
+             minAgeMs: Long = 0): Seq[String] = {
+    require(retainVersions >= 1, "vacuum must retain at least the head")
+    val vs = versions(table)
+    if (vs.isEmpty) return Seq.empty
+    val cutoff = vs.drop(math.max(0, vs.length - retainVersions)).head
+    // ONE replay pass, snapshotting the live set at every retained version
+    val live = scala.collection.mutable.LinkedHashSet[String]()
+    val keep = scala.collection.mutable.HashSet[String]()
+    vs.foreach { v =>
+      val (add, remove) = readCommit(table, v)
+      remove.foreach(live -= _)
+      add.foreach(live += _)
+      if (v >= cutoff) keep ++= live.iterator.map(entryPath)
+    }
+    val root = Paths.get(table)
+    val deadline = System.currentTimeMillis() - minAgeMs
+    def walk(p: Path): Seq[Path] = listDir(p).flatMap { c =>
+      if (Files.isDirectory(c)) walk(c) else Seq(c)
+    }
+    val stageDirs = listDir(root).filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.startsWith("stage-"))
+    val deleted = stageDirs.flatMap(walk)
+      .filter { f =>
+        f.getFileName.toString.endsWith(".parquet") &&
+          !keep.contains(root.relativize(f).toString) &&
+          Files.getLastModifiedTime(f).toMillis <= deadline
+      }
+      .map { f => Files.delete(f); root.relativize(f).toString }
+    // sweep stage dirs (and partition subdirs) that now hold only markers
+    def sweep(p: Path): Unit = {
+      listDir(p).filter(Files.isDirectory(_)).foreach(sweep)
+      val rest = listDir(p)
+      if (rest.forall(c => !Files.isDirectory(c) &&
+          (c.getFileName.toString == "_SUCCESS" ||
+            c.getFileName.toString.startsWith(".")))) {
+        rest.foreach(Files.delete)
+        Files.delete(p)
+      }
+    }
+    stageDirs.foreach(p => if (Files.exists(p)) sweep(p))
+    deleted.sorted
+  }
+
   /** OPTIMIZE: rewrite the live set into `partFiles` compacted files and
     * publish as ONE commit — q113's small-file compaction under
     * transactional visibility (readers see the old layout or the new,
@@ -552,44 +616,6 @@ object TxLog {
       // lost the race: staged files become vacuum-collectable garbage
     }
     throw new IllegalStateException(s"merge into $table: too many conflicts")
-  }
-
-  /** VACUUM: delete data files not referenced by the snapshot of ANY
-    * retained version (the newest `retainVersions` commits). Time travel
-    * older than the horizon stops working — the documented trade the
-    * protocol makes for reclaiming space. The log records stay (metadata-
-    * sized); only data files are removed. Returns the deleted files.
-    *
-    * Caveat (shared with Delta's VACUUM at low retention): run with no
-    * IN-FLIGHT writers — a writer that has staged files but not yet
-    * published its commit has no log reference protecting them, so a
-    * concurrent vacuum would collect its stage. Production schedules
-    * vacuum in a maintenance window or tracks staging leases; this
-    * implementation documents the contract rather than hiding it. */
-  def vacuum(table: String, retainVersions: Int = 1): Seq[String] = {
-    val vs = versions(table)
-    val retained = vs.takeRight(math.max(1, retainVersions))
-    val keep = retained.flatMap(v => liveFiles(table, Some(v)))
-      .map(entryPath).toSet
-    val root = Paths.get(table)
-    val stageDirs = listDir(root)
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("stage-"))
-    val deleted = scala.collection.mutable.Buffer[String]()
-    stageDirs.foreach { sd =>
-      listDir(sd).foreach { f =>
-        val rel = s"${sd.getFileName}/${f.getFileName}"
-        val isData = f.getFileName.toString.endsWith(".parquet")
-        if (isData && !keep(rel)) { Files.delete(f); deleted += rel }
-      }
-      // drop a stage dir once no data files remain (markers included)
-      val left = listDir(sd)
-      if (!left.exists(_.getFileName.toString.endsWith(".parquet"))) {
-        left.foreach(Files.delete)
-        Files.delete(sd)
-      }
-    }
-    deleted.toSeq
   }
 
   /** OCC claim loop. `actions` receives the HEAD version this attempt

@@ -387,6 +387,42 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(e.getMessage.contains("Append/Overwrite"))
   }
 
+  test("VACUUM lifecycle: vacuumLog deletes the checkpoint-covered JSON " +
+    "and exportLog leaves it deleted; TxLog.vacuum then drops the old " +
+    "data files and the table keeps reading, exporting and streaming") {
+    import spark.implicits._
+    val t = freshTable()
+    (1 to 11).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), t)
+    }
+    DeltaBridge.exportLog(spark, t) // writes ckpt@10
+    assert(DeltaBridge.vacuumLog(t) == (0L to 10L))
+    assert(DeltaBridge.versions(t).isEmpty)
+    // head read bootstraps from the checkpoint
+    assert(DeltaBridge.read(spark, t).count() == 11)
+    // a new commit exports WITHOUT recreating the covered prefix
+    TxLog.append(spark, Seq((12L, "v12")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    assert(DeltaBridge.versions(t) == Seq(11L),
+      "export must not undo log retention by recreating covered versions")
+    assert(DeltaBridge.read(spark, t).count() == 12)
+    // data-file half: TxLog keeps 11 commits live-identical at the head
+    // (append-only history), so retainVersions=1 deletes nothing here —
+    // make removable garbage with an overwrite first
+    TxLog.overwrite(spark,
+      Seq((100L, "w1"), (101L, "w2")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    val dropped = TxLog.vacuum(t, retainVersions = 1)
+    assert(dropped.nonEmpty, "the pre-overwrite files are unreferenced now")
+    assert(DeltaBridge.read(spark, t).count() == 2)
+    assert(spark.read.format("graft-delta").load(t).count() == 2)
+    // export still extends cleanly after BOTH vacuum halves
+    TxLog.append(spark, Seq((102L, "w3")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    assert(DeltaBridge.read(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L))
+  }
+
   test("a ZERO-ADD first commit still exports a spec-compliant version 0: " +
     "metaData is borrowed from the first data-bearing commit; a log with " +
     "no data anywhere defers export instead of publishing schema-less") {
@@ -697,10 +733,10 @@ class DeltaBridgeSpec extends SparkSpec {
     // vacuum the checkpoint-covered JSON prefix, as the long-lived-table
     // workflow invites; delta 11 (the schema-B metaData) survives
     (0L to 10L).foreach(v => Files.deleteIfExists(ld.resolve(f"$v%020d.json")))
-    // commit 13 flips BACK to schema A; the re-export re-creates the
-    // vacuumed versions (walking the schema cursor through history) and
-    // must still see delta 11's B when deciding whether dv12 needs
-    // metaData — without the skip-branch update it would compare against
+    // commit 13 flips BACK to schema A; the re-export (leaving the
+    // checkpoint-covered prefix deleted — retention semantics) must
+    // still see delta 11's B when deciding whether dv12 needs
+    // metaData — without the cursor discipline it would compare against
     // dv10's A, omit the action, and readers would resolve dv12's files
     // under schema B
     TxLog.append(spark, Seq((13L, "v13")).toDF("id", "v"), t)

@@ -26,6 +26,42 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.read(spark, t, Some(1)).count() == 2)
   }
 
+  test("VACUUM deletes only files no retained version references, keeps " +
+    "young files (the in-flight-stage guard), and never touches commit " +
+    "records") {
+    val t = freshTable()
+    TxLog.append(spark, df(1L -> "a"), t)            // v1: f1
+    TxLog.append(spark, df(2L -> "b"), t)            // v2: f2
+    TxLog.overwrite(spark, df(10L -> "x", 11L -> "y"), t) // v3: f3, removes f1+f2
+    TxLog.append(spark, df(12L -> "z"), t)           // v4: f4
+    // a fresh unreferenced staged file — the concurrent-writer shape
+    val orphanDir = Paths.get(t, "stage-orphan00")
+    Files.createDirectories(orphanDir)
+    val orphan = orphanDir.resolve("part-orphan.parquet")
+    Files.writeString(orphan, "not yet committed")
+    // retention window protects the young orphan
+    val d1 = TxLog.vacuum(t, retainVersions = 2, minAgeMs = 3600 * 1000L)
+    assert(Files.exists(orphan), "a young staged file must survive vacuum")
+    assert(d1.isEmpty, s"v1/v2 files are young too: $d1")
+    // age 0: v1+v2's files (unreferenced by v3/v4) and the orphan go
+    val d2 = TxLog.vacuum(t, retainVersions = 2)
+    assert(d2.nonEmpty)
+    assert(!Files.exists(orphan))
+    assert(TxLog.versions(t) == Seq(1, 2, 3, 4),
+      "commit records are never deleted")
+    // head and the retained version still read
+    assert(TxLog.read(spark, t).count() == 3)
+    assert(TxLog.read(spark, t, Some(3)).count() == 2)
+    // time travel BELOW the retention window fails at scan time on the
+    // missing files — the Delta VACUUM trade
+    intercept[Exception] {
+      TxLog.read(spark, t, Some(1)).count()
+    }
+    // the vacuumed table keeps working
+    TxLog.append(spark, df(13L -> "w"), t)
+    assert(TxLog.read(spark, t).count() == 4)
+  }
+
   test("overwrite replaces the live set; time travel still sees the past") {
     val t = freshTable()
     TxLog.append(spark, df(1L -> "a"), t)
