@@ -176,7 +176,11 @@ private[sources] class DeltaBridgeStreamSink(
   * ever evolved (exactly what Medallion's quarterly overwriteSchema
   * gold tables produce). `startingVersion=latest` tails new commits
   * only; an explicit `startingVersion=n` asks for version history and
-  * replays adds from n (delta-spark's contract for that option). Only
+  * replays adds from n (delta-spark's contract for that option);
+  * `maxVersionsPerTrigger=k` paces any backfill into micro-batches of at
+  * most k versions (the `maxFilesPerTrigger` idea at version
+  * granularity), exactly-once across restarts via the V1 commit
+  * callback. Only
   * versions committed AFTER the served snapshot (or after n) get the
   * per-version checks: a version that REMOVES files — an
   * overwrite/merge, not an append — fails the stream loud unless
@@ -211,6 +215,21 @@ private[sources] class DeltaBridgeStreamSource(
   private val ignoreChanges =
     parameters.get("ignoreChanges").exists(_.toBoolean)
 
+  /** Rate limit: at most this many VERSIONS per micro-batch (the
+    * delta-spark `maxFilesPerTrigger` idea at the bridge's version
+    * granularity) — a backfill over a long history proceeds in bounded
+    * batches instead of one giant first batch, keeping per-batch task
+    * counts and sink commits sized to the cluster. The head snapshot
+    * (batch zero of a default start) is not versions-counted: it is one
+    * bounded live-file set by construction. */
+  private val maxVersionsPerTrigger: Option[Long] =
+    parameters.get("maxVersionsPerTrigger").map { s =>
+      val n = s.toLong
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
+
+
   /** Exclusive lower bound of the per-version delta range, and whether
     * batch zero serves the head snapshot: the default serves the
     * snapshot then tails versions > head; `latest` tails only;
@@ -222,11 +241,19 @@ private[sources] class DeltaBridgeStreamSource(
       case None           => (headVersion, true)
     }
 
+  /** Exclusive low end of the NEXT batch, advanced by getBatch — the
+    * internal pacing cursor every rate-limited V1 source keeps (offsets
+    * below it are already served or checkpoint-recovered). */
+  @volatile private var pacedLo: Long = startExclusive
+
   override def getOffset: Option[V1Offset] = {
-    val latest = DeltaBridge.headVersion(table)
+    val head = DeltaBridge.headVersion(table)
+    // the rate limit caps how far past the pacing cursor one batch reaches
+    val latest = maxVersionsPerTrigger
+      .fold(head)(n => math.min(head, math.max(pacedLo, startExclusive) + n))
     // with a snapshot pending, the head itself is an offset worth a
     // batch even before any new commit lands
-    if (serveSnapshot && latest >= 0) Some(LongOffset(latest max headVersion))
+    if (serveSnapshot && head >= 0) Some(LongOffset(latest max headVersion))
     else Some(latest).filter(_ > startExclusive).map(LongOffset(_))
   }
 
@@ -234,6 +261,7 @@ private[sources] class DeltaBridgeStreamSource(
       : org.apache.spark.sql.DataFrame = {
     val lo = start.map(_.json().toLong).getOrElse(startExclusive)
     val hi = end.json().toLong
+    pacedLo = math.max(pacedLo, hi)
     // start == None exactly when this is batch zero (or its replay after
     // a restart that never committed it) — the only point the snapshot
     // is served, so exactly-once holds across restarts
@@ -263,6 +291,13 @@ private[sources] class DeltaBridgeStreamSource(
       DeltaBridge.buildDataFrame(spark, table, schema, snap0.partitionCols,
         files))
   }
+
+  /** V1 commit callback — the engine signals `end` durable, here and
+    * during restart recovery of a committed batch. Advancing the pacing
+    * cursor on it means a rate-limited getOffset can never regress below
+    * the checkpoint and re-deliver committed versions. */
+  override def commit(end: V1Offset): Unit =
+    pacedLo = math.max(pacedLo, end.json().toLong)
 
   override def stop(): Unit = ()
 }

@@ -387,6 +387,51 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(e.getMessage.contains("Append/Overwrite"))
   }
 
+  test("maxVersionsPerTrigger paces a backfill into bounded micro-batches " +
+    "and stays exactly-once across a checkpoint restart") {
+    import spark.implicits._
+    val t = freshTable()
+    (1 to 6).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), t)
+    }
+    DeltaBridge.exportLog(spark, t) // delta versions 0..5
+    val ckpt = Files.createTempDirectory("delta_paced_ckpt").toString
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val batchSizes = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Int]())
+    def start() = spark.readStream.format("graft-delta")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "2")
+      .load(t)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = batch.select("id").collect().map(_.getLong(0))
+        ids.foreach(id => seen.add(id))
+        batchSizes.add(ids.length)
+        () }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(seen.toArray.map(_.asInstanceOf[Long]).sorted.toSeq ==
+      (1L to 6L), s"backfill must deliver everything: ${seen.toArray.toSeq}")
+    assert(batchSizes.size() >= 3,
+      s"6 versions at <=2/trigger need >=3 batches, got $batchSizes")
+    assert(batchSizes.toArray.forall(_.asInstanceOf[Int] <= 2),
+      s"no batch may exceed the cap: $batchSizes")
+    // two more commits while down; restart must resume at the checkpoint
+    // (never re-deliver a committed version) and pace the rest
+    Seq((7L, "w")).toDF("id", "v")
+      .write.format("graft-delta").mode("append").save(t)
+    Seq((8L, "x")).toDF("id", "v")
+      .write.format("graft-delta").mode("append").save(t)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.toArray.map(_.asInstanceOf[Long]).sorted.toSeq ==
+      (1L to 8L),
+      s"exactly-once across the paced restart: ${seen.toArray.toSeq}")
+  }
+
   test("VACUUM lifecycle: vacuumLog deletes the checkpoint-covered JSON " +
     "and exportLog leaves it deleted; TxLog.vacuum then drops the old " +
     "data files and the table keeps reading, exporting and streaming") {
