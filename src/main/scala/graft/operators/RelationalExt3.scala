@@ -428,6 +428,44 @@ object RelationalExt3 {
       |WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 3 = 0
       |ORDER BY c_custkey""".stripMargin
 
+  /** q335: VACUUM lifecycle under the gate — the maintenance sequence a
+    * long-lived gold table actually runs (write → rewrite → export →
+    * vacuum → serve): two appends and an overwrite land in the TxLog, the
+    * history exports as a Delta log, [[graft.sources.TxLog.vacuum]]
+    * physically deletes every data file only pre-overwrite versions
+    * referenced, and the HEAD then reads back through the native
+    * graft-delta relation — pinning that space reclamation never touches
+    * a live file (values equal DuckDB on the original table). TxLogSpec /
+    * DeltaBridgeSpec cover the deletion set, the in-flight age guard, and
+    * the log-retention half (vacuumLog); this gate pins the end-to-end
+    * values. Idempotent across runs via the versions probe (q334's
+    * pattern). */
+  def q335VacuumLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.SparkSupport.roundtripPath("txlog_vacuum_rt", dir)
+    if (graft.sources.TxLog.versions(tmp).isEmpty) {
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      graft.sources.TxLog.append(s, c.filter(col("c_custkey") % 2 === 0), tmp)
+      graft.sources.TxLog.append(s, c.filter(col("c_custkey") % 2 === 1), tmp)
+      graft.sources.TxLog.overwrite(s,
+        c.filter(col("c_mktsegment") === "BUILDING"), tmp)
+      graft.sources.DeltaBridge.exportLog(s, tmp)
+      // export BEFORE vacuum (stats probes read the committed footers);
+      // retain only the head — the two append generations' files go
+      graft.sources.TxLog.vacuum(tmp, retainVersions = 1)
+    }
+    s.read.format(classOf[graft.sources.DeltaBridgeSource].getName)
+      .load(tmp)
+      .filter(col("c_acctbal") > 0)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val q335Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+      |ORDER BY c_custkey""".stripMargin
+
   /** q108: unpivot — the inverse of the reference's quarterly wide-table
     * pivot (A3/J3, BuildGoldLayer.py:92-139): orders pivoted to a
     * status × priority count matrix, then melted back to long form with the
@@ -465,6 +503,7 @@ object RelationalExt3 {
     "q330_delta_partitioned" -> q330DeltaPartitioned,
     "q333_delta_stats_skip" -> q333DeltaStatsSkip,
     "q334_delta_native_relation" -> q334DeltaNativeRelation,
+    "q335_vacuum_lifecycle" -> q335VacuumLifecycle,
     "q108_unpivot"         -> q108Unpivot)
 
   val oracle: Map[String, String] = Map(
@@ -480,5 +519,6 @@ object RelationalExt3 {
     "q330_delta_partitioned" -> q330Sql,
     "q333_delta_stats_skip" -> q333Sql,
     "q334_delta_native_relation" -> q334Sql,
+    "q335_vacuum_lifecycle" -> q335Sql,
     "q108_unpivot"         -> q108Sql)
 }
