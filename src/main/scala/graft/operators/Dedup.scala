@@ -507,7 +507,7 @@ object Dedup {
       .groupBy("cell")
       .agg(expr("transform(sort_array(collect_list(struct(dim, m))), e -> e.m)")
         .as("cv"))
-    val cosToCent = Similarity.cosExpr.replace("q.v", "cv").replace("c.v", "v")
+    val cosToCent = "cosine_sim(cv, v)"
     val scored = cells.join(broadcast(cent), "cell")
       .selectExpr("vec_id", "cell", "v",
         s"CAST(floor(($cosToCent) * 1000000.0D) AS BIGINT) AS ccos6")

@@ -20,6 +20,13 @@ import org.apache.spark.storage.StorageLevel
   */
 object Similarity {
 
+  /** The HOF-tier cosine (interpreted lambdas + zip_with allocation per
+    * row). Its one remaining consumer is s38 — kept deliberately as the
+    * functions-tier twin of s46's native expression; every other cosine
+    * site uses the codegen'd `cosine_sim`, which accumulates in the same
+    * index order and is bit-identical (the s46-vs-s38-oracle proof), so
+    * the swap is pure plan quality (r12: the HOF form was the last
+    * non-codegen expression in the ANN hot paths). */
   private[operators] val cosExpr =
     """aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
       |(sqrt(aggregate(transform(q.v, x -> x * x), 0D, (acc, x) -> acc + x)) *
@@ -100,6 +107,7 @@ object Similarity {
     * from an order-independent decimal mean, queries probe their 2 nearest
     * centroids, exact search only within probed cells. */
   def s39AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     val cellExpr = signCellExpr
     val all = vecs(s, dir).selectExpr("vec_id", "v", s"$cellExpr AS cell")
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds centroids, probes, and corpus side
@@ -116,7 +124,7 @@ object Similarity {
     val probes = broadcast(q).as("q")
       .join(broadcast(cent).as("c"), lit(true))
       .selectExpr("qid", "cell",
-        cosExpr.replace("c.v", "c.cv") + " AS ccos")
+        "cosine_sim(q.v, c.cv) AS ccos")
       .withColumn("crank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(col("ccos").desc, col("cell"))))
@@ -126,7 +134,7 @@ object Similarity {
         col("qid") === col("qid2")).select(col("qid"), col("cell"), col("v")))
       .as("q")
       .join(all.as("c"), col("q.cell") === col("c.cell") && col("c.vec_id") =!= col("qid"))
-      .selectExpr("qid", "c.vec_id AS nid", s"$cosExpr AS cos")
+      .selectExpr("qid", "c.vec_id AS nid", "cosine_sim(q.v, c.v) AS cos")
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
@@ -184,6 +192,7 @@ object Similarity {
     * the quantizer needs retraining (the s137 drift check's actionable
     * form). */
   def s193IvfAdmit(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     val cellExpr = signCellExpr
     val all = vecs(s, dir).selectExpr("vec_id", "v", s"$cellExpr AS sign_cell")
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds centroid + batch sides
@@ -199,7 +208,7 @@ object Similarity {
     all.filter(col("vec_id") % 7 === 0).as("q")
       .join(broadcast(cent).as("c"), lit(true))
       .selectExpr("vec_id", "sign_cell", "cell",
-        cosExpr.replace("c.v", "c.cv") + " AS ccos")
+        "cosine_sim(q.v, c.cv) AS ccos")
       .withColumn("crank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
@@ -255,7 +264,7 @@ object Similarity {
     broadcast(q).as("q")
       .join(all.as("c"),
         col("q.bucket") === col("c.bucket") && col("c.vec_id") =!= col("qid"))
-      .selectExpr("qid", "q.bucket AS bucket", "c.vec_id AS nid", s"$cosExpr AS cos")
+      .selectExpr("qid", "q.bucket AS bucket", "c.vec_id AS nid", "cosine_sim(q.v, c.v) AS cos")
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy(col("cos").desc, col("nid"))))

@@ -278,6 +278,7 @@ object Similarity2 {
     * onto different shortlist definitions. */
   private def hybridRetrieval(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     import org.apache.spark.sql.expressions.Window
     val toks = graft.Tables.documents(s, dir)
       .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS t")
@@ -323,7 +324,7 @@ object Similarity2 {
     val all = Similarity.vecs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val sem = broadcast(all.filter(col("vec_id") === 0).select(col("v"))).as("q")
       .crossJoin(all.filter(col("vec_id") =!= 0).as("c"))
-      .selectExpr("c.vec_id AS doc_id", s"${Similarity.cosExpr} AS cos")
+      .selectExpr("c.vec_id AS doc_id", "cosine_sim(q.v, c.v) AS cos")
       .orderBy(col("cos").desc, col("doc_id")).limit(RrfLegK)
       .withColumn("sem_rank",
         row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
@@ -436,6 +437,7 @@ object Similarity2 {
     * oracle's list_reduce), max is order-independent, ranks tie-break on
     * nid, and all emitted floats round at 6. */
   def s197HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     import org.apache.spark.sql.expressions.Window
     val all = Similarity.vecs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val anchors = all.filter(col("vec_id") < 25)
@@ -443,7 +445,7 @@ object Similarity2 {
     val scored = broadcast(anchors).as("q")
       .join(all.as("c"), col("c.vec_id") =!= col("aid"))
       .selectExpr("aid", "albl", "c.vec_id AS nid", "c.label AS nlbl",
-        s"${Similarity.cosExpr} AS cos")
+        "cosine_sim(q.v, c.v) AS cos")
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds negatives AND positives
     val negs = scored.filter(col("nlbl") =!= col("albl"))
       .withColumn("rank", row_number().over(
@@ -547,11 +549,12 @@ object Similarity2 {
     * qsv) query subvectors. */
   private[graft] def ivfpqSearch(queries: DataFrame, qsub: DataFrame,
       cent: DataFrame, cb: DataFrame, postings: DataFrame): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(queries.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val probes = broadcast(queries).as("q")
       .join(broadcast(cent).as("c"), lit(true))
       .selectExpr("qid", "cell",
-        Similarity.cosExpr.replace("c.v", "c.cv") + " AS ccos")
+        "cosine_sim(q.v, c.cv) AS ccos")
       .withColumn("crank", row_number().over(
         Window.partitionBy("qid").orderBy(col("ccos").desc, col("cell"))))
       .filter(col("crank") <= 2)
@@ -779,11 +782,12 @@ object Similarity2 {
     * batch only — the standing corpus is never touched, O(batch × k). */
   private[graft] def freshAdmitPostings(batch: DataFrame, cent: DataFrame,
       cb: DataFrame): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(batch.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val batchCell = batch.select("vec_id", "v").as("q")
       .join(broadcast(cent).as("c"), lit(true))
       .selectExpr("vec_id", "cell",
-        Similarity.cosExpr.replace("c.v", "c.cv") + " AS ccos")
+        "cosine_sim(q.v, c.cv) AS ccos")
       .withColumn("crank", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
       .filter(col("crank") === 1)
@@ -1091,7 +1095,7 @@ object Similarity2 {
       .crossJoin(all.join(
         broadcast(shortlist.select(col("doc_id").as("vec_id"))), "vec_id").as("c"))
       .selectExpr("c.vec_id AS doc_id",
-        s"CAST(floor((${Similarity.cosExpr}) * 1000000.0D) AS BIGINT) AS cos6")
+        "CAST(floor(cosine_sim(q.v, c.v) * 1000000.0D) AS BIGINT) AS cos6")
     val feat = shortlist
       .join(tfa, Seq("doc_id"), "left")
       .join(lens, Seq("doc_id"), "left")
@@ -1174,7 +1178,7 @@ object Similarity2 {
       .join(sub.selectExpr("vec_id AS bnid", "v").as("c"),
         col("anid") =!= col("bnid"))
       .selectExpr("anid", "bnid",
-        s"CAST(floor((${Similarity.cosExpr}) * 1000000.0D) AS BIGINT) AS sim6")
+        "CAST(floor(cosine_sim(q.v, c.v) * 1000000.0D) AS BIGINT) AS sim6")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     val k = math.min(5, reranked.length)
