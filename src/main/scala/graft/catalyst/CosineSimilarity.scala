@@ -117,6 +117,8 @@ object GraftFunctions {
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", "cosine_sim(a, b) - fused cosine similarity of two double arrays",
       (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),
+    ("l2_sq", "l2_sq(a, b) - fused squared L2 distance of two double arrays",
+      (args: Seq[Expression]) => L2SquaredDistance(args.head, args(1))),
     ("poly_hash", "poly_hash(s[, seed]) - polynomial rolling hash mod 1e9+7",
       (args: Seq[Expression]) =>
         PolyHash(args.head, if (args.size > 1) litLong(args(1)) else 7L)),

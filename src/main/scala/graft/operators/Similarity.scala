@@ -370,6 +370,7 @@ object Similarity {
     * Tie-break: equal distances resolve to the smaller center id, pinned in
     * the struct ordering. */
   def s132KmeansStep(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     // Persist lifetime contract: the returned plan is lazy, so the persist
     // cannot be released here — both gate runners (Verify/Bench) call
     // spark.catalog.clearCache() after each query's action, and library
@@ -385,8 +386,7 @@ object Similarity {
         .as("cv"))
     val out = all.as("e").crossJoin(broadcast(centers))
       .selectExpr("vec_id", "label", "klabel",
-        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, " +
-          "(acc, x) -> acc + x) AS d2")
+        "l2_sq(v, cv) AS d2")
       .groupBy("vec_id")
       .agg(min(struct(col("d2"), col("klabel"), col("label"))).as("b"))
       .select(col("b.klabel").as("cluster"), col("b.label").as("label"),
@@ -435,6 +435,7 @@ object Similarity {
     * join — nothing downstream of the first aggregate scales with corpus
     * size. */
   def s137CentroidDrift(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     def cent(half: DataFrame) = half
       .select(col("label"), posexplode(col("v")).as(Seq("p", "x")))
       .groupBy("label", "p")
@@ -449,9 +450,7 @@ object Similarity {
       .withColumnRenamed("cv", "cb")
     a.join(b, "label")
       .selectExpr("label",
-        """CAST(floor(sqrt(aggregate(zip_with(ca, cb, (x, y) -> (x - y) * (x - y)),
-          |  0D, (acc, x) -> acc + x)) * 1e6 + 0.5D) AS BIGINT) / 1e6 AS l2_shift"""
-          .stripMargin)
+        "CAST(floor(sqrt(l2_sq(ca, cb)) * 1e6 + 0.5D) AS BIGINT) / 1e6 AS l2_shift")
       .withColumn("drifted", col("l2_shift") > 0.5)
       .orderBy("label")
   }

@@ -99,13 +99,14 @@ object Similarity2 {
 
   /** Nearest-codeword assignment per (vec_id, m): `b.code` is the code,
     * `b.d2` the subspace reconstruction error. */
-  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(sub.sparkSession)
     sub.as("s").join(broadcast(cb).as("b"), col("s.m") === col("b.m"))
       .selectExpr("vec_id", "s.m AS m", "code",
-        """aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0D,
-          |  (acc, x) -> acc + x) AS d2""".stripMargin)
+        "l2_sq(sv, cw) AS d2")
       .groupBy("vec_id", "m")
       .agg(min(struct(col("d2"), col("code"))).as("b"))
+  }
 
   def s166PqCodes(s: SparkSession, dir: String): DataFrame = {
     // feeds the codebook aggregate AND the assignment join — one scan
@@ -186,8 +187,7 @@ object Similarity2 {
       .selectExpr("vec_id AS qid", "m AS qm", "sv AS qsv")
       .join(broadcast(cb), col("qm") === col("m"))
       .selectExpr("qid", "m", "code",
-        """CAST(floor(aggregate(zip_with(qsv, cw, (x, y) -> (x - y) * (x - y)),
-          |  0D, (acc, x) -> acc + x) * 1e6 + 0.5) AS BIGINT) AS q6""".stripMargin)
+        "CAST(floor(l2_sq(qsv, cw) * 1e6 + 0.5) AS BIGINT) AS q6")
     codes.join(broadcast(dt), Seq("m", "code"))
       .filter(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id")
@@ -562,8 +562,7 @@ object Similarity2 {
     val dt = qsub
       .join(broadcast(cb), col("qm") === col("m"))
       .selectExpr("qid", "m", "code",
-        """CAST(floor(aggregate(zip_with(qsv, cw, (x, y) -> (x - y) * (x - y)),
-          |  0D, (acc, x) -> acc + x) * 1e6 + 0.5) AS BIGINT) AS q6""".stripMargin)
+        "CAST(floor(l2_sq(qsv, cw) * 1e6 + 0.5) AS BIGINT) AS q6")
     postings.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .join(broadcast(dt), Seq("qid", "m", "code"))
