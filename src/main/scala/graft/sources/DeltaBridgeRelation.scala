@@ -248,41 +248,55 @@ private[sources] class DeltaBridgeStreamSource(
 
   override def getOffset: Option[V1Offset] = {
     val head = DeltaBridge.headVersion(table)
-    // the rate limit caps how far past the pacing cursor one batch reaches
+    // the rate limit caps how far past the pacing cursor one batch
+    // reaches. The cursor, NOT startExclusive, is the floor: after a
+    // checkpoint recovery the committed frontier (delivered via the
+    // commit callback / recovery getBatch) sits BELOW this instance's
+    // re-pinned startExclusive, and flooring at startExclusive would let
+    // the catch-up batch bypass the cap (r12 review finding).
     val latest = maxVersionsPerTrigger
-      .fold(head)(n => math.min(head, math.max(pacedLo, startExclusive) + n))
+      .fold(head)(n => math.min(head, pacedLo + n))
     // with a snapshot pending, the head itself is an offset worth a
-    // batch even before any new commit lands
-    if (serveSnapshot && head >= 0) Some(LongOffset(latest max headVersion))
+    // batch even before any new commit lands (latest >= headVersion on a
+    // fresh start, so batch zero always fires)
+    if (serveSnapshot && head >= 0) Some(LongOffset(latest))
     else Some(latest).filter(_ > startExclusive).map(LongOffset(_))
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset)
       : org.apache.spark.sql.DataFrame = {
-    val lo = start.map(_.json().toLong).getOrElse(startExclusive)
     val hi = end.json().toLong
-    pacedLo = math.max(pacedLo, hi)
+    pacedLo = hi // the engine's frontier, verbatim (recovery may move it DOWN)
     // start == None exactly when this is batch zero (or its replay after
     // a restart that never committed it) — the only point the snapshot
-    // is served, so exactly-once holds across restarts
-    val snapFiles: Seq[(String, Map[String, String])] =
-      if (serveSnapshot && start.isEmpty)
-        snap0.live.map { case (p, pv, _) => (p, pv) }
-      else Seq.empty
-    val adds = ((lo + 1) to hi).flatMap { v =>
-      val d = DeltaBridge.versionDelta(table, v)
-      require(!d.hasRemoves || ignoreChanges,
-        s"$table version $v removes files (overwrite/merge in the stream); " +
-          "set ignoreChanges=true to stream its adds anyway " +
-          "(re-written rows re-deliver)")
-      d.schemaJson.filter(_ != snap0.schemaJson).foreach { _ =>
-        throw new IllegalStateException(
-          s"$table version $v changes the schema mid-stream; restart the " +
-            "stream to pick up the new schema")
+    // is served, so exactly-once holds across restarts. The snapshot is
+    // taken AT THE BATCH'S OWN END OFFSET, not at this instance's pinned
+    // head: on recovery of an uncommitted batch zero the recovered end
+    // predates the re-pinned head, and serving the newer snapshot while
+    // committing the old offset would double-deliver every version
+    // committed while the stream was down (r12 review finding).
+    val files: Seq[(String, Map[String, String])] =
+      if (serveSnapshot && start.isEmpty) {
+        val snap =
+          if (hi == headVersion) snap0
+          else DeltaBridge.snapshot(spark, table, Some(hi))
+        snap.live.map { case (p, pv, _) => (p, pv) }
+      } else {
+        val lo = start.map(_.json().toLong).getOrElse(startExclusive)
+        ((lo + 1) to hi).flatMap { v =>
+          val d = DeltaBridge.versionDelta(table, v)
+          require(!d.hasRemoves || ignoreChanges,
+            s"$table version $v removes files (overwrite/merge in the stream); " +
+              "set ignoreChanges=true to stream its adds anyway " +
+              "(re-written rows re-deliver)")
+          d.schemaJson.filter(_ != snap0.schemaJson).foreach { _ =>
+            throw new IllegalStateException(
+              s"$table version $v changes the schema mid-stream; restart the " +
+                "stream to pick up the new schema")
+          }
+          d.adds
+        }
       }
-      d.adds
-    }
-    val files = snapFiles ++ adds
     // the engine asserts isStreaming on what a Source returns — flip the
     // batch relation's flag exactly like FileStreamSource does
     if (files.isEmpty)
@@ -293,11 +307,16 @@ private[sources] class DeltaBridgeStreamSource(
   }
 
   /** V1 commit callback — the engine signals `end` durable, here and
-    * during restart recovery of a committed batch. Advancing the pacing
-    * cursor on it means a rate-limited getOffset can never regress below
-    * the checkpoint and re-deliver committed versions. */
+    * during restart recovery of a committed batch. The cursor takes the
+    * engine's value VERBATIM (not a max): on recovery the committed
+    * offset sits BELOW this instance's re-pinned head, and keeping the
+    * head would let the catch-up batch bypass maxVersionsPerTrigger
+    * entirely (r12 review finding — a 1000-version backlog arriving as
+    * one flood batch is exactly what the option exists to prevent).
+    * pacedLo only caps getOffset's advance, so a downward move can
+    * never re-deliver anything — Spark's own offsets govern delivery. */
   override def commit(end: V1Offset): Unit =
-    pacedLo = math.max(pacedLo, end.json().toLong)
+    pacedLo = end.json().toLong
 
   override def stop(): Unit = ()
 }

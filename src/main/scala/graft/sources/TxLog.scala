@@ -533,12 +533,18 @@ object TxLog {
       }
       .map { f => Files.delete(f); root.relativize(f).toString }
     // sweep stage dirs (and partition subdirs) that now hold only markers
+    // — but NEVER young ones: a writer that just created its stage (or a
+    // committer's scaffolding of dot-files) has no log reference yet, and
+    // deleting its tree would fail the in-flight job the minAgeMs guard
+    // exists to protect. The guard applies to the directory's own mtime,
+    // which the filesystem bumps on every entry created inside it.
     def sweep(p: Path): Unit = {
       listDir(p).filter(Files.isDirectory(_)).foreach(sweep)
       val rest = listDir(p)
-      if (rest.forall(c => !Files.isDirectory(c) &&
-          (c.getFileName.toString == "_SUCCESS" ||
-            c.getFileName.toString.startsWith(".")))) {
+      if (Files.getLastModifiedTime(p).toMillis <= deadline &&
+          rest.forall(c => !Files.isDirectory(c) &&
+            (c.getFileName.toString == "_SUCCESS" ||
+              c.getFileName.toString.startsWith(".")))) {
         rest.foreach(Files.delete)
         Files.delete(p)
       }

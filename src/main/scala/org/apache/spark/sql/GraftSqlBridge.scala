@@ -39,6 +39,21 @@ object GraftSqlBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
 
+  /** Inverse of [[asStreaming]] — flips relation nodes back to batch so
+    * a TEST driving a V1 `Source.getBatch` directly can collect the
+    * result (outside the engine, a fresh QueryExecution runs the batch
+    * UnsupportedOperationChecker, which refuses streaming-tagged
+    * relations). Production code never needs this: inside `addBatch` the
+    * engine hands an IncrementalExecution-planned frame. */
+  def unStream(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation => lr.copy(isStreaming = false)
+    }
+    classic.Dataset.ofRows(cs, plan)
+  }
+
   /** A zero-row streaming DataFrame of `schema` — the empty micro-batch
     * a V1 source returns when a version carries no adds. */
   def emptyStreaming(spark: SparkSession,
