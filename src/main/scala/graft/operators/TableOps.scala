@@ -646,6 +646,118 @@ object TableOps {
       |FROM lineitem JOIN p ON l_orderkey = k
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q336
+
+  /** q336: transactional DELETE WHERE on the log — the takedown verb an
+    * LLM-training-data table runs daily (GDPR erasure, license removal,
+    * contamination purges): [[graft.sources.TxLog.deleteWhere]] removes
+    * the matching rows as ONE commit with FILE-GRANULAR copy-on-write —
+    * only files containing a matching row rewrite; the rest carry over by
+    * reference, so a point takedown on 100 TB rewrites a handful of
+    * files (TableOpsSpec pins exactly that). The gate reads the
+    * post-delete HEAD and checks per-status counts and exact decimal sums
+    * against the oracle's NOT-predicate recomputation — the delete must
+    * have removed exactly the TRUE-predicate rows. */
+  def q336TxlogDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val table = graft.SparkSupport.layoutArtifact("txlog_delete", dir) { p =>
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      // two generations → several files, so file-granularity is real
+      TxLog.append(s, o.filter(col("o_orderkey") % 2 === 0), p)
+      TxLog.append(s, o.filter(col("o_orderkey") % 2 === 1), p)
+      TxLog.deleteWhere(s, p,
+        "o_orderstatus = 'F' AND o_custkey % 10 = 3")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    TxLog.read(s, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        OracleSafe.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q336Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_custkey % 10 = 3)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q337
+
+  /** q337: transactional UPDATE WHERE on the log — label/score rewrites in
+    * place (re-scored quality tiers, corrected licenses) without touching
+    * non-matching rows or files: [[graft.sources.TxLog.updateWhere]]
+    * evaluates the SET expressions on the OLD row (SQL UPDATE semantics)
+    * and lands as ONE file-granular copy-on-write commit. The doubling is
+    * exact in binary floating point (×2 shifts the exponent), so the
+    * post-update decimal sums are oracle-exact without a cents detour. */
+  def q337TxlogUpdate(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val table = graft.SparkSupport.layoutArtifact("txlog_update", dir) { p =>
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus",
+          "o_totalprice")
+      TxLog.append(s, o.filter(col("o_orderkey") % 2 === 0), p)
+      TxLog.append(s, o.filter(col("o_orderkey") % 2 === 1), p)
+      TxLog.updateWhere(s, p, "o_orderpriority = '1-URGENT'",
+        Map("o_totalprice"   -> "o_totalprice * 2",
+            "o_orderstatus"  -> "'X'"))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    TxLog.read(s, table)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus") === "X", 1).otherwise(0))
+          .as("n_escalated"),
+        OracleSafe.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q337Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_escalated,
+      |  CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+      |                     THEN o_totalprice * 2 ELSE o_totalprice END
+      |               AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q338
+
+  /** q338: RESTORE — roll the table back to a pre-mutation version as ONE
+    * new commit of pure log arithmetic ([[graft.sources.TxLog.restore]]):
+    * no data file is read or copied, so un-doing a bad 100 TB mutation is
+    * a metadata operation, and history is preserved (the rolled-back
+    * delete is still time-travelable — TableOpsSpec pins that). The gate
+    * deletes a slice, restores to the pre-delete version, and must read
+    * back the COMPLETE original table. */
+  def q338TxlogRestore(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxLog
+    val table = graft.SparkSupport.layoutArtifact("txlog_restore", dir) { p =>
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      TxLog.append(s, o.filter(col("o_orderkey") % 2 === 0), p)
+      TxLog.append(s, o.filter(col("o_orderkey") % 2 === 1), p) // v2
+      TxLog.deleteWhere(s, p, "o_orderstatus = 'O'")            // v3
+      TxLog.restore(s, p, 2)                                    // v4 = v2
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    TxLog.read(s, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        OracleSafe.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q338Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q307_bloom_skipping" -> q307BloomSkipping,
     "q111_table_checksum" -> q111TableChecksum,
@@ -657,7 +769,10 @@ object TableOps {
     "q253_txlog_merge"    -> q253TxlogMerge,
     "q254_txlog_skipping" -> q254TxlogSkipping,
     "q300_ivm_agg"        -> q300IvmAgg,
-    "q301_zorder_box"     -> q301ZorderBox)
+    "q301_zorder_box"     -> q301ZorderBox,
+    "q336_txlog_delete"   -> q336TxlogDelete,
+    "q337_txlog_update"   -> q337TxlogUpdate,
+    "q338_txlog_restore"  -> q338TxlogRestore)
 
   val oracle: Map[String, String] = Map(
     "q307_bloom_skipping" -> q307Sql,
@@ -670,5 +785,8 @@ object TableOps {
     "q253_txlog_merge"    -> q253Sql,
     "q254_txlog_skipping" -> q254Sql,
     "q300_ivm_agg"        -> q300Sql,
-    "q301_zorder_box"     -> q301Sql)
+    "q301_zorder_box"     -> q301Sql,
+    "q336_txlog_delete"   -> q336Sql,
+    "q337_txlog_update"   -> q337Sql,
+    "q338_txlog_restore"  -> q338Sql)
 }

@@ -131,23 +131,28 @@ object DeltaBridge {
     // later export extending the log must agree with version 0's id and
     // compare schemas against the latest PUBLISHED metaData, not null —
     // seed both from the existing log through the reader path. The seed
-    // is CACHED per (table, head, checkpoint) so a streaming sink's
-    // per-micro-batch export pays the checkpoint-parquet read + JSON
-    // replay once, not once per batch (r12 review finding); any foreign
-    // commit or new checkpoint changes the key and re-seeds, and version
-    // files are immutable so a stale hit is impossible.
+    // is CACHED per table, validated against (head, checkpoint) so a
+    // streaming sink's per-micro-batch export pays the checkpoint-parquet
+    // read + JSON replay once, not once per batch (r12 review finding);
+    // any foreign commit or new checkpoint misses the frontier check and
+    // re-seeds, and version files are immutable so a stale hit is
+    // impossible. ONE entry per table — keying by frontier would grow an
+    // entry per micro-batch on exactly the streaming path the memo exists
+    // for (r12 second-pass finding).
     val published = versions(table)
     val ckptSeed = lastCheckpointVersion(table)
-    val seedKey = (table, published.lastOption.getOrElse(-1L),
+    val frontier = (published.lastOption.getOrElse(-1L),
       ckptSeed.getOrElse(-1L))
     val seed: Option[(String, String, Seq[String])] =
       if (published.nonEmpty || ckptSeed.isDefined)
-        Some(Option(exportSeedCache.get(seedKey)).getOrElse {
-          val st = readState(spark, table, None)
-          val v = (st.metaId, st.schemaJson, st.partitionCols)
-          exportSeedCache.put(seedKey, v)
-          v
-        })
+        Some(Option(exportSeedCache.get(table))
+          .collect { case (f, v) if f == frontier => v }
+          .getOrElse {
+            val st = readState(spark, table, None)
+            val v = (st.metaId, st.schemaJson, st.partitionCols)
+            exportSeedCache.put(table, (frontier, v))
+            v
+          })
       else None
     val tableId = seed.flatMap(s => Option(s._1))
       .getOrElse(java.util.UUID.randomUUID().toString)
@@ -351,20 +356,22 @@ object DeltaBridge {
     // prime the seed cache with the post-export head state: the next
     // export (the streaming sink's next micro-batch) seeds without any
     // replay at all
-    exportSeedCache.put(
-      (table, head.toLong, lastCheckpointVersion(table).getOrElse(-1L)),
-      (tableId, lastSchemaJson, partCols))
+    exportSeedCache.put(table,
+      ((head.toLong, lastCheckpointVersion(table).getOrElse(-1L)),
+        (tableId, lastSchemaJson, partCols)))
     vs.length
   }
 
-  /** Export-seed memo: (table, last published version, checkpoint
-    * version) → (tableId, head schemaString, partitionColumns). Sound
-    * because published version files are immutable and the key pins both
-    * log frontiers; exists so per-micro-batch exports are O(new
-    * versions) instead of a full state replay each call. */
+  /** Export-seed memo: table → ((last published version, checkpoint
+    * version), (tableId, head schemaString, partitionColumns)). A hit
+    * requires the stored frontier to match what the directory shows NOW —
+    * sound because published version files are immutable, so an equal
+    * frontier implies an identical replay. One entry per table (bounded),
+    * replaced on every export; exists so per-micro-batch exports are
+    * O(new versions) instead of a full state replay each call. */
   private val exportSeedCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
-      (String, String, Seq[String])]()
+    new java.util.concurrent.ConcurrentHashMap[String,
+      ((Long, Long), (String, String, Seq[String]))]()
 
   /** Checkpoint cadence — the delta-spark default. */
   private val CheckpointInterval = 10
@@ -595,6 +602,29 @@ object DeltaBridge {
     * the streaming source silently served nothing on such a log). */
   private[sources] def headVersion(table: String): Long =
     (versions(table) ++ lastCheckpointVersion(table)).foldLeft(-1L)(_ max _)
+
+  /** Resolve a `timestampAsOf` instant to a version — delta-spark's
+    * rule: a commit's timestamp IS its `_delta_log` JSON file's
+    * modification time, and the resolved version is the LATEST commit
+    * at-or-before the instant. Delta-parity errors: an instant before
+    * the earliest available commit (or one older than the log-retention
+    * horizon left behind) and an instant after the latest commit both
+    * fail loud — time travel never silently rounds outside the log. */
+  def versionAtTimestamp(table: String, tsMillis: Long): Long = {
+    val stamped = versions(table).map(v =>
+      v -> Files.getLastModifiedTime(deltaVersionFile(table, v)).toMillis)
+    require(stamped.nonEmpty,
+      s"$table: no JSON commits to resolve a timestamp against (log " +
+        "vacuumed past the retention horizon?); use versionAsOf")
+    require(tsMillis >= stamped.head._2,
+      s"$table: timestamp $tsMillis predates the earliest available " +
+        s"commit (${stamped.head._2}, version ${stamped.head._1})")
+    require(tsMillis <= stamped.last._2,
+      s"$table: timestamp $tsMillis is after the latest commit " +
+        s"(${stamped.last._2}, version ${stamped.last._1}); " +
+        "read the head without timestampAsOf instead")
+    stamped.filter(_._2 <= tsMillis).map(_._1).max
+  }
 
   /** LOG RETENTION — the log-cleanup half of VACUUM: delete exported JSON
     * versions a published checkpoint covers (≤ `_last_checkpoint`).

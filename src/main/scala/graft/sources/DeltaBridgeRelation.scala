@@ -55,12 +55,26 @@ class DeltaBridgeSource extends RelationProvider
     new HPath(raw).toUri.getPath
   }
 
+  /** `timestampAsOf` accepts epoch millis, an ISO-8601 instant
+    * (`2026-01-01T00:00:00Z`) or a local `yyyy-MM-dd HH:mm:ss[.f]`
+    * timestamp (JVM zone — the delta-spark convention for the unzoned
+    * form). */
+  private def parseTs(s: String): Long =
+    scala.util.Try(s.toLong)
+      .orElse(scala.util.Try(java.time.Instant.parse(s).toEpochMilli))
+      .getOrElse(java.sql.Timestamp.valueOf(s).getTime)
+
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val table = tableOf(parameters)
     val versionAsOf = parameters.get("versionAsOf").map(_.toLong)
+    val tsAsOf = parameters.get("timestampAsOf")
+    require(versionAsOf.isEmpty || tsAsOf.isEmpty,
+      "graft-delta: specify either versionAsOf or timestampAsOf, not both")
+    val resolved = versionAsOf.orElse(
+      tsAsOf.map(ts => DeltaBridge.versionAtTimestamp(table, parseTs(ts))))
     val spark = ctx.sparkSession
-    val snap = DeltaBridge.snapshot(spark, table, versionAsOf)
+    val snap = DeltaBridge.snapshot(spark, table, resolved)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val partitionSchema = StructType(snap.partitionCols.map(schema(_)))
     val dataSchema = StructType(
@@ -260,7 +274,15 @@ private[sources] class DeltaBridgeStreamSource(
     // batch even before any new commit lands (latest >= headVersion on a
     // fresh start, so batch zero always fires)
     if (serveSnapshot && head >= 0) Some(LongOffset(latest))
-    else Some(latest).filter(_ > startExclusive).map(LongOffset(_))
+    // "new data" floors on the CURSOR, not startExclusive: after a
+    // checkpoint recovery the committed frontier sits BELOW this
+    // instance's re-pinned startExclusive (`latest` mode re-pins it at
+    // the new head), and flooring there would never report the backlog
+    // versions as available — with pacing on, `latest` could never
+    // exceed the re-pinned head and the stream stalled PERMANENTLY
+    // (r12 second-pass finding; on a fresh start pacedLo ==
+    // startExclusive, so the fresh-start semantics are unchanged)
+    else Some(latest).filter(_ > pacedLo).map(LongOffset(_))
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset)
@@ -280,22 +302,57 @@ private[sources] class DeltaBridgeStreamSource(
         val snap =
           if (hi == headVersion) snap0
           else DeltaBridge.snapshot(spark, table, Some(hi))
+        // recovery batch zero reads at ITS offset but is served under
+        // this instance's declared schema (the engine requires it) —
+        // if the schema moved between the recovered offset and the
+        // re-pinned head, reading the old files under the new schema
+        // would be a silent misread; fail with the recovery contract
+        if (snap.schemaJson != snap0.schemaJson)
+          throw new IllegalStateException(
+            s"$table: the schema changed between the checkpointed batch " +
+              s"(version $hi) and the current head; delete the checkpoint " +
+              "to restart the stream under the current schema")
         snap.live.map { case (p, pv, _) => (p, pv) }
       } else {
         val lo = start.map(_.json().toLong).getOrElse(startExclusive)
-        ((lo + 1) to hi).flatMap { v =>
+        // a metaData action whose schema EQUALS the pinned head schema
+        // marks a change INTO the current schema — every add EARLIER in
+        // this range was then written under a different one (a change
+        // while the stream was down, or below a backfill's starting
+        // point). The != check alone misses that shape (r12 second-pass
+        // finding), so its presence triggers a range-start schema check.
+        var metaIntoCurrent = false
+        val adds = ((lo + 1) to hi).flatMap { v =>
           val d = DeltaBridge.versionDelta(table, v)
           require(!d.hasRemoves || ignoreChanges,
             s"$table version $v removes files (overwrite/merge in the stream); " +
               "set ignoreChanges=true to stream its adds anyway " +
               "(re-written rows re-deliver)")
-          d.schemaJson.filter(_ != snap0.schemaJson).foreach { _ =>
-            throw new IllegalStateException(
-              s"$table version $v changes the schema mid-stream; restart the " +
-                "stream to pick up the new schema")
+          d.schemaJson.foreach { sj =>
+            if (sj != snap0.schemaJson)
+              throw new IllegalStateException(
+                s"$table version $v changes the schema mid-stream; restart " +
+                  "the stream to pick up the new schema")
+            // version 0 is table creation — no adds can precede it
+            else if (v > 0) metaIntoCurrent = true
           }
           d.adds
         }
+        if (metaIntoCurrent) {
+          // one log replay, only on a range that contains a metaData —
+          // the schema the range STARTED under must already be the
+          // pinned one, else the earlier adds misread
+          val atLo = DeltaBridge.snapshot(spark, table,
+            Some(math.max(lo, 0L))).schemaJson
+          if (atLo != snap0.schemaJson)
+            throw new IllegalStateException(
+              s"$table: versions (${lo + 1}..$hi] cross a schema change " +
+                "into the current schema; the files added before the " +
+                "change cannot be read under it — delete the checkpoint " +
+                "(or start the backfill at the change version) to stream " +
+                "under the current schema")
+        }
+        adds
       }
     // the engine asserts isStreaming on what a Source returns — flip the
     // batch relation's flag exactly like FileStreamSource does

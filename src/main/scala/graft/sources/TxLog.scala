@@ -562,6 +562,19 @@ object TxLog {
     * compaction is discarded and the whole operation re-runs against the
     * new head (rewriting stale data would silently drop the concurrent
     * commit's rows). */
+  /** Rewrite ops ([[optimize]]/[[merge]]/[[deleteWhere]]/[[updateWhere]])
+    * re-stage rows through the FLAT writer, but a Hive-partitioned
+    * table's partition values live in its PATHS, not its data files — a
+    * flat rewrite would silently drop the partition column. Fail loud
+    * instead (detected by the `col=` path segment Spark's partitioned
+    * writer produces; [[stage]]'s own file names never contain '='). */
+  private def requireUnpartitioned(table: String, live: Seq[String],
+                                   op: String): Unit =
+    require(!live.exists(e => entryPath(e).contains("=")),
+      s"$op: $table uses Hive partition layout (partition values live in " +
+        "paths, not data files) — a flat rewrite would drop them; " +
+        "reshape partitioned tables with overwritePartitioned")
+
   def optimize(spark: SparkSession, table: String, partFiles: Int = 1): Int = {
     var attempts = 0
     while (attempts < 20) {
@@ -569,6 +582,7 @@ object TxLog {
       val base = versions(table).lastOption.getOrElse(0)
       val live = liveFiles(table, Some(base))
       require(live.nonEmpty, s"optimize: $table is empty")
+      requireUnpartitioned(table, live, "optimize")
       val snapshot =
         spark.read.parquet(live.map(e => s"$table/${entryPath(e)}"): _*)
       val staged = stage(snapshot, table, partFiles)
@@ -597,6 +611,7 @@ object TxLog {
       attempts += 1
       val base = versions(table).lastOption.getOrElse(0)
       val live = liveFiles(table, Some(base))
+      requireUnpartitioned(table, live, "merge")
       val keys = updates.select(key).distinct()
       val hitAbs: Set[String] =
         if (live.isEmpty) Set.empty
@@ -622,6 +637,119 @@ object TxLog {
       // lost the race: staged files become vacuum-collectable garbage
     }
     throw new IllegalStateException(s"merge into $table: too many conflicts")
+  }
+
+  /** DELETE WHERE `predicate` (SQL-standard semantics: rows where the
+    * predicate is TRUE are removed; FALSE and NULL rows survive) —
+    * published as ONE commit. FILE-GRANULAR copy-on-write like [[merge]]:
+    * only live files that CONTAIN a matching row are rewritten (their
+    * non-matching rows survive into the rewrite); untouched files carry
+    * over by reference, so a takedown of a handful of documents out of
+    * 100 TB rewrites a handful of files. The hit-file discovery collects
+    * FILE NAMES (metadata-sized) through one predicate scan that parquet
+    * footer min/max pruning skips non-candidate files of when the
+    * predicate is pushable — the same pruning a read pays, not a second
+    * mechanism. Conflict-safe like [[optimize]]. */
+  def deleteWhere(spark: SparkSession, table: String, predicate: String,
+                  partFiles: Int = 2): Int =
+    rewriteMatched(spark, table, predicate, partFiles, "delete")(_ => None)
+
+  /** UPDATE ... SET WHERE `predicate`: matching rows are replaced by
+    * themselves with each `set` column overwritten by its expression
+    * (evaluated on the OLD row, SQL UPDATE semantics); non-matching rows
+    * and untouched files survive as in [[deleteWhere]]. `set` expressions
+    * must not change a column's type (the table schema is fixed by the
+    * log, not renegotiated per commit). */
+  def updateWhere(spark: SparkSession, table: String, predicate: String,
+                  set: Map[String, String], partFiles: Int = 2): Int = {
+    import org.apache.spark.sql.functions.expr
+    require(set.nonEmpty, "updateWhere: empty SET")
+    rewriteMatched(spark, table, predicate, partFiles, "update") { matched =>
+      require(set.keySet.subsetOf(matched.columns.toSet),
+        s"updateWhere: SET columns ${set.keySet -- matched.columns} " +
+          s"not in $table")
+      val updated = matched.withColumns(set.map { case (c, e) => c -> expr(e) })
+      // ENFORCE type stability, don't just document it: a widening SET
+      // (int := long expr) would flow through unionByName's implicit
+      // coercion and land rewritten files under a silently different
+      // parquet type than the carried-over files — a mixed-schema table
+      val newTypes = updated.schema.fields.map(f => f.name -> f.dataType).toMap
+      matched.schema.fields.foreach { f =>
+        require(newTypes(f.name) == f.dataType,
+          s"updateWhere: SET changes ${f.name}: ${f.dataType} -> " +
+            s"${newTypes(f.name)} — the table schema is fixed by the log; " +
+            "CAST the expression back to the column's type")
+      }
+      Some(updated)
+    }
+  }
+
+  /** Shared copy-on-write kernel of [[deleteWhere]]/[[updateWhere]]:
+    * rewrite each hit file as (rows where the predicate is NOT true) ++
+    * transform(rows where it IS true). Three-valued logic is explicit —
+    * `NOT coalesce(p, false)` — so a NULL predicate row always survives
+    * unmodified on the survivor side, never dropped by `NOT p`'s NULL. */
+  private def rewriteMatched(spark: SparkSession, table: String,
+                             predicate: String, partFiles: Int, op: String)
+                            (transform: DataFrame => Option[DataFrame]): Int = {
+    import org.apache.spark.sql.functions.input_file_name
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val base = versions(table).lastOption.getOrElse(0)
+      val live = liveFiles(table, Some(base))
+      requireUnpartitioned(table, live, op)
+      val hitAbs: Set[String] =
+        if (live.isEmpty) Set.empty
+        else spark.read.parquet(live.map(e => s"$table/${entryPath(e)}"): _*)
+          .where(predicate)
+          .select(input_file_name()).distinct()
+          .collect().map(_.getString(0)).toSet
+      val hitRel = live.filter(e => hitAbs.exists(_.endsWith(entryPath(e))))
+      if (hitRel.isEmpty) return base // no row matches: the commit is a no-op
+      val hitDf = spark.read.parquet(
+        hitRel.map(e => s"$table/${entryPath(e)}"): _*)
+      val survivors = hitDf.where(s"NOT coalesce(($predicate), false)")
+      val rewrite = transform(hitDf.where(s"($predicate)")) match {
+        case Some(updated) => survivors.unionByName(updated)
+        case None          => survivors
+      }
+      val staged = stage(rewrite, table, partFiles)
+      if (tryCommitAt(table, base + 1, add = staged, remove = hitRel))
+        return base + 1
+      // lost the race: staged files become vacuum-collectable garbage
+    }
+    throw new IllegalStateException(s"$op on $table: too many conflicts")
+  }
+
+  /** RESTORE the table to its state at `asOfVersion` — delta-spark's
+    * RESTORE: ONE new commit whose add/remove lists move the live set
+    * back (history is preserved; a post-restore time travel still shows
+    * the rolled-back versions, and the restore itself is just another
+    * version). Pure log arithmetic — no data file is read, copied or
+    * rewritten, so restoring a 100 TB table is a metadata operation.
+    * Fails loud if a file the target version references was vacuumed
+    * past the retention horizon. Conflict-safe via the OCC claim loop. */
+  def restore(spark: SparkSession, table: String, asOfVersion: Int): Int = {
+    val _ = spark // signature symmetry with the other DML verbs
+    require(versions(table).contains(asOfVersion),
+      s"restore: $table has no committed version $asOfVersion")
+    val target = liveFiles(table, Some(asOfVersion))
+    target.foreach { e =>
+      require(Files.exists(Paths.get(table, entryPath(e))),
+        s"restore: ${entryPath(e)} of version $asOfVersion was vacuumed " +
+          "past the retention horizon; restore an in-retention version")
+    }
+    // restoring to the state the head already has is a no-op, not an
+    // empty commit cluttering the history
+    if (liveFiles(table).toSet == target.toSet)
+      return versions(table).last
+    commitWith(table) { head =>
+      val current = liveFiles(table, Some(head)).toSet
+      val want = target.toSet
+      (target.filterNot(current), // re-add in the target's replay order
+        liveFiles(table, Some(head)).filterNot(want))
+    }
   }
 
   /** OCC claim loop. `actions` receives the HEAD version this attempt

@@ -1002,4 +1002,180 @@ class DeltaBridgeSpec extends SparkSpec {
       "schema evolution must keep version 0's immutable table id")
     assert(DeltaBridge.read(spark, t).columns.toSeq == Seq("id", "v", "w"))
   }
+
+  test("timestampAsOf resolves to the latest commit at-or-before the " +
+    "instant (commit time = log-file mtime, the delta-spark rule); " +
+    "instants outside the log fail loud; exclusive with versionAsOf") {
+    import spark.implicits._
+    import java.nio.file.attribute.FileTime
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    TxLog.append(spark, Seq((2L, "b")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t) // delta 0, 1
+    // pin deterministic commit times an hour apart
+    val ld = Paths.get(t, "_delta_log")
+    val t0 = 1700000000000L; val t1 = t0 + 3600000L
+    Files.setLastModifiedTime(ld.resolve(f"${0L}%020d.json"),
+      FileTime.fromMillis(t0))
+    Files.setLastModifiedTime(ld.resolve(f"${1L}%020d.json"),
+      FileTime.fromMillis(t1))
+    def idsAt(ts: String): Seq[Long] =
+      spark.read.format("graft-delta").option("timestampAsOf", ts)
+        .load(t).collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsAt((t0 + 60000L).toString) == Seq(1L),
+      "between the commits resolves to the earlier version")
+    assert(idsAt(t1.toString) == Seq(1L, 2L),
+      "at the exact commit instant resolves to that commit")
+    assert(idsAt("2023-11-14T22:14:00Z") == Seq(1L),
+      "ISO-8601 instants parse (60 s after t0)")
+    val before = intercept[Exception] { idsAt((t0 - 1L).toString) }
+    assert(before.getMessage.contains("predates"))
+    val after = intercept[Exception] { idsAt((t1 + 1L).toString) }
+    assert(after.getMessage.contains("after the latest commit"))
+    val both = intercept[Exception] {
+      spark.read.format("graft-delta").option("timestampAsOf", t1.toString)
+        .option("versionAsOf", "0").load(t).collect()
+    }
+    assert(both.getMessage.contains("not both"))
+  }
+
+  test("DML verbs flow through the bridge: deleteWhere/updateWhere/restore " +
+    "export as Delta versions, the native relation serves each state by " +
+    "versionAsOf, and a restore's re-ADDED file (removed by an earlier " +
+    "Delta version) survives the export roundtrip") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t,
+      partFiles = 1)                                     // tx v1 → delta 0
+    TxLog.append(spark, Seq((3L, "c")).toDF("id", "v"), t,
+      partFiles = 1)                                     // tx v2 → delta 1
+    TxLog.deleteWhere(spark, t, "id = 1")                // tx v3 → delta 2
+    TxLog.updateWhere(spark, t, "id = 2", Map("v" -> "upper(v)")) // delta 3
+    TxLog.restore(spark, t, 2)                           // tx v5 → delta 4
+    DeltaBridge.exportLog(spark, t)
+    def stateAt(dv: Long): Map[Long, String] =
+      DeltaBridge.read(spark, t, versionAsOf = Some(dv)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stateAt(2) == Map(2L -> "b", 3L -> "c"), "post-delete state")
+    assert(stateAt(3) == Map(2L -> "B", 3L -> "c"), "post-update state")
+    assert(stateAt(4) == Map(1L -> "a", 2L -> "b", 3L -> "c"),
+      "the restore must resurrect the ORIGINAL rows — including a file " +
+        "the exported delta 2 explicitly removed")
+    // and the native relation's head agrees
+    assert(spark.read.format("graft-delta").load(t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
+  test("LATEST-mode paced restart resumes from the checkpoint frontier — " +
+    "versions committed while the stream was down deliver (no stall " +
+    "below the re-pinned head)") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq((0L, "base")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t) // delta version 0
+    val ckpt = Files.createTempDirectory("delta_latest_ckpt").toString
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    def start() = spark.readStream.format("graft-delta")
+      .option("startingVersion", "latest")
+      .option("maxVersionsPerTrigger", "1")
+      .load(t)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => seen.add(r.getLong(0)))
+        () }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // latest: nothing historical delivers
+      Seq((1L, "a")).toDF("id", "v")
+        .write.format("graft-delta").mode("append").save(t)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.toArray.toSeq == Seq(1L),
+      s"latest must tail only new commits, saw ${seen.toArray.toSeq}")
+    // two commits while the stream is DOWN; a fresh instance re-pins
+    // startingVersion=latest at the NEW head — the checkpoint frontier
+    // (not the re-pinned head) must floor the availability check, else
+    // the backlog never reports as available and the stream stalls
+    Seq((2L, "b")).toDF("id", "v")
+      .write.format("graft-delta").mode("append").save(t)
+    Seq((3L, "c")).toDF("id", "v")
+      .write.format("graft-delta").mode("append").save(t)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.toArray.map(_.asInstanceOf[Long]).sorted.toSeq ==
+      Seq(1L, 2L, 3L),
+      s"paced latest restart must deliver the downtime backlog exactly " +
+        s"once, saw ${seen.toArray.toSeq}")
+  }
+
+  test("catch-up range that CROSSES a schema change into the current " +
+    "schema fails loud — old-schema files never silently read under " +
+    "the re-pinned head schema") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t) // delta version 0, schema (id, v)
+    val ckpt = Files.createTempDirectory("delta_schema_ckpt").toString
+    val seen = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    def start() = spark.readStream.format("graft-delta").load(t)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("id").collect().foreach(r => seen.add(r.getLong(0)))
+        () }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // batch zero: the snapshot
+      // one committed DELTA batch before going down, so the restart's
+      // batch replay is a plain (0..1] range and the DOWNTIME range is
+      // what crosses the change — exercising the catch-up check, not
+      // the batch-zero snapshot check
+      Seq((2L, "b")).toDF("id", "v")
+        .write.format("graft-delta").mode("append").save(t)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(seen.toArray.map(_.asInstanceOf[Long]).sorted.toSeq ==
+      Seq(1L, 2L))
+    // while the stream is down: one more OLD-schema append, then a
+    // NEW-schema append (delta metaData that EQUALS the head schema a
+    // restarted instance pins — the shape the != check alone misses)
+    TxLog.append(spark, Seq((3L, "c")).toDF("id", "v"), t)
+    TxLog.append(spark, Seq((4L, "d", 1.5)).toDF("id", "v", "w"), t)
+    DeltaBridge.exportLog(spark, t) // delta versions 2 (no meta), 3 (meta)
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++
+        messages(t.getCause))
+    assert(messages(e).exists(_.contains("cross a schema change")),
+      s"must fail with the range-start schema contract, got: $e")
+    assert(seen.toArray.map(_.asInstanceOf[Long]).sorted.toSeq == Seq(1L, 2L),
+      "no old-schema row may slip through under the new schema")
+  }
+
+  test("RECOVERY batch zero across a schema change fails loud: the " +
+    "snapshot at the recovered offset cannot be served under the " +
+    "re-pinned head schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    TxLog.append(spark, Seq((2L, "b", 1.5)).toDF("id", "v", "w"), t)
+    DeltaBridge.exportLog(spark, t) // delta 0 schema A, delta 1 schema B
+    // fresh instance pins head=1 (schema B); the engine recovers an
+    // uncommitted batch zero that ended at offset 0 (schema A)
+    val src = new DeltaBridgeStreamSource(spark, t, Map.empty)
+    val e = intercept[IllegalStateException] {
+      src.getBatch(None, LongOffset(0L))
+    }
+    assert(e.getMessage.contains("delete the checkpoint"),
+      s"recovered snapshot under a moved schema must fail loud, got: $e")
+    src.stop()
+  }
 }

@@ -421,4 +421,112 @@ class TxLogSpec extends SparkSpec {
         "a raced batch id must land its rows exactly once")
     } finally pool.shutdown()
   }
+
+  test("deleteWhere: TRUE rows removed, FALSE and NULL-predicate rows " +
+    "survive (SQL three-valued semantics), files without a match carry " +
+    "over by reference, no-match delete is a no-op commit-wise") {
+    import spark.implicits._
+    val t = freshTable()
+    // s = null makes `s = 'a'` NULL — such rows must SURVIVE a delete
+    TxLog.append(spark,
+      Seq((1L, "a"), (2L, null), (3L, "b")).toDF("k", "s"), t, partFiles = 1)
+    TxLog.append(spark, df(10L -> "x", 11L -> "y"), t, partFiles = 1)
+    val filesBefore = TxLog.liveFiles(t)
+    val v = TxLog.deleteWhere(spark, t, "s = 'a'")
+    assert(v == 3)
+    val out = TxLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(2L -> None, 3L -> Some("b"),
+      10L -> Some("x"), 11L -> Some("y")),
+      s"exactly the TRUE-predicate row goes; NULL survives (got $out)")
+    assert(TxLog.liveFiles(t).contains(filesBefore(1)),
+      "the matchless file must carry over by reference")
+    assert(!TxLog.liveFiles(t).contains(filesBefore.head),
+      "the hit file must be rewritten out")
+    // no row matches → no new version (a no-op mutation commits nothing)
+    val vBefore = TxLog.versions(t).last
+    TxLog.deleteWhere(spark, t, "s = 'zzz'")
+    assert(TxLog.versions(t).last == vBefore,
+      "a no-match delete must not commit")
+  }
+
+  test("updateWhere: SET evaluates on the OLD row, non-matching rows and " +
+    "files untouched, unknown SET column fails loud") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark,
+      Seq((1L, 10L, "keep"), (2L, 20L, "bump")).toDF("k", "n", "tag"), t,
+      partFiles = 1)
+    TxLog.append(spark,
+      Seq((3L, 30L, "bump")).toDF("k", "n", "tag"), t, partFiles = 1)
+    // swap-flavored SET: n := n + k must read the OLD k even though the
+    // same statement also rewrites rows — both expressions see the old row
+    TxLog.updateWhere(spark, t, "tag = 'bump'",
+      Map("n" -> "n + k", "tag" -> "upper(tag)"))
+    val out = TxLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out == Map(1L -> ((10L, "keep")), 2L -> ((22L, "BUMP")),
+      3L -> ((33L, "BUMP"))), s"got $out")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, t, "k = 1", Map("nope" -> "1"))
+    }
+    assert(e.getMessage.contains("nope"))
+    // a type-changing SET fails loud (mixed parquet types across files)
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.updateWhere(spark, t, "k = 1", Map("n" -> "CAST(n AS INT)"))
+    }
+    assert(e2.getMessage.contains("fixed by the log"))
+  }
+
+  test("rewrite ops refuse Hive-partitioned tables: flat re-staging would " +
+    "silently drop path-borne partition values") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.appendPartitioned(spark,
+      Seq((1L, "a", "US"), (2L, "b", "DE")).toDF("k", "s", "country"), t,
+      Seq("country"))
+    Seq[(String, () => Any)](
+      "optimize"  -> (() => TxLog.optimize(spark, t)),
+      "merge"     -> (() => TxLog.merge(spark,
+        Seq((1L, "x", "US")).toDF("k", "s", "country"), t, "k")),
+      "delete"    -> (() => TxLog.deleteWhere(spark, t, "k = 1")),
+      "update"    -> (() => TxLog.updateWhere(spark, t, "k = 1",
+        Map("s" -> "'z'")))
+    ).foreach { case (name, run) =>
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains("partition layout"),
+        s"$name must refuse the partitioned table, got: $e")
+    }
+  }
+
+  test("restore: one metadata-only commit rolls the live set back; " +
+    "history is preserved (the undone mutation stays time-travelable); " +
+    "a vacuumed target fails loud") {
+    val t = freshTable()
+    TxLog.append(spark, df(1L -> "a"), t)              // v1
+    TxLog.append(spark, df(2L -> "b"), t)              // v2
+    TxLog.deleteWhere(spark, t, "k = 1")               // v3
+    assert(TxLog.read(spark, t).count() == 1)
+    val v = TxLog.restore(spark, t, 2)
+    assert(v == 4, "restore is a NEW commit, not a log rewrite")
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L), "the head must be version 2's state again")
+    // the rolled-back delete is still visible at v3
+    assert(TxLog.read(spark, t, Some(3)).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L),
+      "history must survive the restore")
+    // restore's commit must be pure log arithmetic: v4's add entries are
+    // exactly v2's live minus v3's live — no fresh files staged
+    val (add4, _) = TxLog.commitActions(t, 4)
+    assert(add4.forall(TxLog.liveFiles(t, Some(2)).contains),
+      "restore must re-add the ORIGINAL entries, never copies")
+    // vacuum away the pre-restore generations, then ask for one: loud
+    TxLog.overwrite(spark, df(9L -> "z"), t)           // v5
+    TxLog.vacuum(t, retainVersions = 1, minAgeMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.restore(spark, t, 1)
+    }
+    assert(e.getMessage.contains("vacuum"),
+      s"a vacuumed restore target must fail with the retention contract: $e")
+  }
 }
