@@ -466,6 +466,47 @@ object RelationalExt3 {
       |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
       |ORDER BY c_custkey""".stripMargin
 
+  /** q339: the SQL-catalog mount end-to-end — the full statement surface a
+    * lakehouse SQL user runs ([[graft.sources.v2.GraftDeltaCatalog]]):
+    * INSERT INTO appends a Delta version, DELETE FROM routes the pushed V2
+    * predicates through the file-granular copy-on-write delete, and the
+    * final SELECT aggregates through the catalog's V2 parquet scan (the
+    * same log-driven index as the native relation). The gate compares the
+    * post-DML state against the oracle's direct recomputation; idempotent
+    * across runs (the DML re-runs are no-ops: the insert key is re-deleted,
+    * and a no-match delete commits nothing). */
+  def q339SqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftDeltaCatalog].getName)
+    val tmp = graft.SparkSupport.roundtripPath("sql_catalog_rt", dir)
+    if (graft.sources.TxLog.versions(tmp).isEmpty) {
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      graft.sources.TxLog.append(s, c.filter(col("c_custkey") % 2 === 0), tmp)
+      graft.sources.TxLog.append(s, c.filter(col("c_custkey") % 2 === 1), tmp)
+      graft.sources.DeltaBridge.exportLog(s, tmp)
+    }
+    // a sentinel row INSERTed through SQL, then DELETEd through SQL along
+    // with a real slice — both verbs must land for the aggregate to match
+    s.sql(s"INSERT INTO graft.`$tmp` VALUES " +
+      "(-1L, 'SENTINEL', CAST(0.0 AS DOUBLE), 'SENTINEL')")
+    s.sql(s"DELETE FROM graft.`$tmp` WHERE c_mktsegment = 'SENTINEL' " +
+      "OR (c_mktsegment = 'MACHINERY' AND c_acctbal < 0)")
+    s.sql(s"""SELECT c_mktsegment,
+             |  count(*) AS n_rows,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+             |    AS sum_bal
+             |FROM graft.`$tmp`
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q339Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |WHERE NOT (c_mktsegment = 'MACHINERY' AND c_acctbal < 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q108: unpivot — the inverse of the reference's quarterly wide-table
     * pivot (A3/J3, BuildGoldLayer.py:92-139): orders pivoted to a
     * status × priority count matrix, then melted back to long form with the
@@ -504,6 +545,7 @@ object RelationalExt3 {
     "q333_delta_stats_skip" -> q333DeltaStatsSkip,
     "q334_delta_native_relation" -> q334DeltaNativeRelation,
     "q335_vacuum_lifecycle" -> q335VacuumLifecycle,
+    "q339_sql_catalog"     -> q339SqlCatalog,
     "q108_unpivot"         -> q108Unpivot)
 
   val oracle: Map[String, String] = Map(
@@ -520,5 +562,6 @@ object RelationalExt3 {
     "q333_delta_stats_skip" -> q333Sql,
     "q334_delta_native_relation" -> q334Sql,
     "q335_vacuum_lifecycle" -> q335Sql,
+    "q339_sql_catalog"     -> q339Sql,
     "q108_unpivot"         -> q108Sql)
 }

@@ -402,6 +402,18 @@ private[sources] class DeltaLogFileIndex(
   override def rootPaths: Seq[HPath] =
     Seq(new HPath(java.nio.file.Paths.get(table).toUri))
 
+  /** The V2 catalog adapter's views ([[graft.sources.v2.DeltaLogV2Index]]):
+    * same snapshot entries, stats column dropped. */
+  private[sources] def entriesWithValues: Seq[(FileStatus, Map[String, String])] =
+    entries.map { case (fs, pv, _) => (fs, pv) }
+
+  /** Typed partition value of `name` in a partitionValues map — the V2
+    * adapter's PartitionSpec uses the SAME string→Catalyst conversion
+    * the V1 listing binds predicates against. */
+  private[sources] def typedPartValue(pv: Map[String, String], name: String,
+                                      dt: DataType): Any =
+    partValue(pv.getOrElse(name, null), dt)
+
   /** Hive-string partition value → Catalyst internal value of `dt`. */
   private def partValue(v: String, dt: DataType): Any =
     if (v == null) null

@@ -1,0 +1,337 @@
+package graft.sources.v2
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import graft.sources.{DeltaBridge, TxLog}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDeleteV2, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Literal => VLiteral, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, PartitioningAwareFileIndex, PartitionPath, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL-catalog mount of graft-delta tables — the API surface a lakehouse
+  * user reaches for after `spark.read.format(...)`:
+  *
+  * {{{
+  *   spark.sql.catalog.graft = graft.sources.v2.GraftDeltaCatalog
+  *
+  *   SELECT * FROM graft.`/data/events`
+  *   SELECT * FROM graft.`/data/events` VERSION AS OF 3
+  *   SELECT * FROM graft.`/data/events` TIMESTAMP AS OF '2026-01-01'
+  *   INSERT INTO graft.`/data/events` SELECT ...
+  *   INSERT OVERWRITE graft.`/data/events` SELECT ...
+  *   DELETE FROM graft.`/data/events` WHERE doc_id = 42
+  * }}}
+  *
+  * A PATH catalog (the `delta.`/path`` idiom): the identifier is one
+  * back-quoted absolute path; there is no namespace to enumerate, create
+  * into, or drop from — DDL lifecycle stays with the transaction log's
+  * own verbs ([[graft.sources.TxLog]]). Reads plan through the SAME
+  * log-driven index as `format("graft-delta")` (metadata partition
+  * pruning + stats skipping — [[DeltaLogV2Index]] delegates listing to
+  * [[graft.sources.DeltaLogFileIndex]]) feeding Spark's own V2 parquet
+  * scan. Writes are the V1-fallback bridge (`V1Write`) onto the
+  * transactional TxLog append/overwrite + `_delta_log` export — one
+  * write path, not two drifting ones. SQL DELETE routes the pushed V2
+  * predicates through a CLOSED-WORLD translator ([[V2PredicateSql]]) to
+  * [[graft.sources.TxLog.deleteWhere]]'s file-granular copy-on-write:
+  * anything the translator cannot prove it renders exactly makes
+  * `canDeleteWhere` answer false (Spark then fails the statement loud —
+  * never a wrong delete).
+  */
+class GraftDeltaCatalog extends TableCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String = {
+    require(ident.namespace().isEmpty,
+      s"$catalogName is a path catalog: use one back-quoted absolute " +
+        s"path, e.g. $catalogName.`/data/events` " +
+        s"(got namespace ${ident.namespace().mkString(".")})")
+    new HPath(ident.name()).toUri.getPath
+  }
+
+  private def load(ident: Identifier, versionAsOf: Option[Long]): Table = {
+    val path = pathOf(ident)
+    val hasDelta =
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "_delta_log"))
+    if (!hasDelta && TxLog.versions(path).isEmpty)
+      throw new NoSuchTableException(Seq(catalogName, ident.name()))
+    // TxLog-backed tables serve their freshest state: export any
+    // versions committed since the last export before pinning a snapshot
+    if (TxLog.versions(path).nonEmpty)
+      DeltaBridge.exportLog(SparkSession.active, path)
+    new GraftDeltaTable(path, versionAsOf)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** SQL `VERSION AS OF n`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version.toLong))
+
+  /** SQL `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds; commit
+    * time is the `_delta_log` file mtime ([[DeltaBridge.versionAtTimestamp]]). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = pathOf(ident)
+    load(ident, Some(DeltaBridge.versionAtTimestamp(path, timestamp / 1000L)))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // paths are not enumerable
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: create tables by writing — " +
+        "df.write.format(\"graft-delta\").save(path) or " +
+        "CREATE TABLE ... USING graft-delta LOCATION path")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: schema evolves through writes (the log's metaData " +
+        "actions), not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      s"$catalogName: a path table's lifecycle belongs to the filesystem " +
+        "and TxLog.vacuum, not DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: paths do not rename through the catalog")
+}
+
+/** One graft-delta table as a DSv2 `Table`: reads via the log-driven
+  * index into Spark's V2 parquet scan; writes via the V1 bridge onto
+  * TxLog; SQL DELETE via [[TxLog.deleteWhere]]. Time-travel loads
+  * (`versionAsOf` defined) are read-only — mutating a pinned past is a
+  * contradiction the catalog refuses loudly. */
+private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
+  extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+
+  private def spark: SparkSession = SparkSession.active
+  private lazy val snap = DeltaBridge.snapshot(spark, path, versionAsOf)
+  private lazy val fullSchema =
+    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+
+  override def name(): String =
+    s"graft-delta.`$path`" + versionAsOf.fold("")(v => s"@v$v")
+
+  override def schema(): StructType = fullSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val partitionSchema = StructType(snap.partitionCols.map(fullSchema(_)))
+    val dataSchema = StructType(
+      fullSchema.filterNot(f => snap.partitionCols.contains(f.name)))
+    ParquetScanBuilder(spark,
+      new DeltaLogV2Index(spark, path, snap, fullSchema, partitionSchema),
+      fullSchema, dataSchema, options)
+  }
+
+  /** Guard shared by every mutating entry point. */
+  private def mutable(op: String): Unit = {
+    require(versionAsOf.isEmpty,
+      s"$op on ${name()}: a VERSION/TIMESTAMP AS OF load is read-only")
+    require(TxLog.versions(path).nonEmpty,
+      s"$op on ${name()}: not a TxLog-backed table (a foreign _delta_log " +
+        "mounts read-only; its writer owns its commits)")
+  }
+
+  /** INSERT INTO / INSERT OVERWRITE — the V1 write bridge: Spark has
+    * already validated the input schema against [[schema]]; the insert
+    * lands as one transactional TxLog commit + `_delta_log` export, the
+    * same path as `df.write.format("graft-delta")`. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                ovr: Boolean): Unit = {
+              mutable(if (overwrite || ovr) "INSERT OVERWRITE" else "INSERT")
+              val s = data.sparkSession
+              if (overwrite || ovr) TxLog.overwrite(s, data, path)
+              else TxLog.append(s, data, path)
+              DeltaBridge.exportLog(s, path)
+            }
+          }
+      }
+    }
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    versionAsOf.isEmpty && TxLog.versions(path).nonEmpty &&
+      predicates.forall(V2PredicateSql.toSql(_).isDefined)
+
+  /** SQL `DELETE FROM ... WHERE` — the pushed predicates conjoin into
+    * one SQL string for [[TxLog.deleteWhere]]'s file-granular
+    * copy-on-write; an empty array is Spark's TRUNCATE. The translation
+    * re-checks per predicate: arriving here with an untranslatable one
+    * (engine skipped [[canDeleteWhere]]) fails loud, never drops rows a
+    * different predicate would have kept. */
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    mutable("DELETE")
+    val parts = predicates.map { p =>
+      V2PredicateSql.toSql(p).getOrElse(throw new IllegalArgumentException(
+        s"DELETE on ${name()}: cannot translate predicate $p exactly"))
+    }
+    val sql = if (parts.isEmpty) "true" else parts.mkString("(", ") AND (", ")")
+    TxLog.deleteWhere(spark, path, sql)
+    DeltaBridge.exportLog(spark, path)
+  }
+
+  override def toString: String = name()
+}
+
+/** The log-driven file index in the shape Spark's V2 parquet scan
+  * requires (`PartitioningAwareFileIndex`): listing DELEGATES to
+  * [[graft.sources.DeltaLogFileIndex]], so catalog reads get the same
+  * metadata partition pruning and proof-backed stats skipping as
+  * `format("graft-delta")` — one pruning implementation, two mounts.
+  * The partition-spec / leaf-file views are derived from the same log
+  * snapshot (they feed `sizeInBytes`, `inputFiles` and the scan's
+  * partition arithmetic, never a directory walk). */
+private[v2] class DeltaLogV2Index(
+    spark: SparkSession, table: String, snap: DeltaBridge.Snapshot,
+    fullSchema: StructType, partSchema: StructType)
+  extends PartitioningAwareFileIndex(spark, Map.empty, Some(fullSchema),
+    FileStatusCache.getOrCreate(spark)) {
+
+  private val inner = new graft.sources.DeltaLogFileIndex(
+    spark, table, snap, fullSchema, partSchema)
+
+  override def partitionSpec(): PartitionSpec =
+    if (partSchema.isEmpty) PartitionSpec(StructType(Nil), Seq.empty)
+    else {
+      val dirs = inner.entriesWithValues
+        .groupBy(_._2) // by partitionValues map
+        .toSeq
+        .map { case (pv, files) =>
+          PartitionPath(
+            InternalRow.fromSeq(partSchema.map(f =>
+              inner.typedPartValue(pv, f.name, f.dataType))),
+            files.head._1.getPath.getParent)
+        }
+      PartitionSpec(partSchema, dirs)
+    }
+
+  override def leafFiles: scala.collection.mutable.LinkedHashMap[
+      org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap
+      .empty[org.apache.hadoop.fs.Path, org.apache.hadoop.fs.FileStatus]
+    inner.entriesWithValues.foreach { case (fs, _) => m(fs.getPath) = fs }
+    m
+  }
+
+  override def leafDirToChildrenFiles: Map[
+      org.apache.hadoop.fs.Path, Array[org.apache.hadoop.fs.FileStatus]] =
+    inner.entriesWithValues.map(_._1).groupBy(_.getPath.getParent)
+      .map { case (d, fs) => d -> fs.toArray }
+
+  /** The pruning entry point the scan calls — the log-driven listing
+    * (partition predicates on typed partitionValues + stats-proof file
+    * drops), NOT the superclass's directory-derived one. */
+  override def listFiles(
+      partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
+    inner.listFiles(partitionFilters, dataFilters)
+
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] = inner.rootPaths
+
+  override def refresh(): Unit = ()
+}
+
+/** CLOSED-WORLD V2-predicate → Spark-SQL translation for the DELETE
+  * path: renders exactly the forms it can prove (comparisons, boolean
+  * combinators, null tests, IN over literals, the ALWAYS_* constants;
+  * single-part column references; string/numeric/boolean/date
+  * literals), returns None for everything else — [[GraftDeltaTable
+  * .canDeleteWhere]] turns None into a loud statement failure instead
+  * of a wrong delete. Timestamp literals are deliberately out: their
+  * SQL rendering is session-zone-dependent, exactly the ambiguity a
+  * delete predicate must not carry. */
+private[v2] object V2PredicateSql {
+
+  def toSql(e: VExpression): Option[String] = e match {
+    case p: Predicate => p.name() match {
+      case "ALWAYS_TRUE"  => Some("true")
+      case "ALWAYS_FALSE" => Some("false")
+      case "AND" | "OR" =>
+        binary(p.children(), s => s"(${s(0)} ${p.name()} ${s(1)})")
+      case "NOT" =>
+        toSql(p.children()(0)).map(c => s"(NOT $c)")
+      case "IS_NULL" =>
+        toSql(p.children()(0)).map(c => s"($c IS NULL)")
+      case "IS_NOT_NULL" =>
+        toSql(p.children()(0)).map(c => s"($c IS NOT NULL)")
+      case op @ ("=" | "<>" | "<" | "<=" | ">" | ">=") =>
+        binary(p.children(), s => s"(${s(0)} $op ${s(1)})")
+      case "IN" =>
+        val cs = p.children().toSeq.map(toSql)
+        if (cs.exists(_.isEmpty) || cs.length < 2) None
+        else Some(s"(${cs.head.get} IN (${cs.tail.map(_.get).mkString(", ")}))")
+      case _ => None
+    }
+    case f: NamedReference =>
+      f.fieldNames() match {
+        case Array(one) => Some(s"`${one.replace("`", "``")}`")
+        case _          => None // nested fields: out of the proven set
+      }
+    case l: VLiteral[_] => literal(l)
+    case _ => None
+  }
+
+  private def binary(cs: Array[VExpression],
+                     render: IndexedSeq[String] => String): Option[String] = {
+    val rendered = cs.toIndexedSeq.map(toSql)
+    if (rendered.length == 2 && rendered.forall(_.isDefined))
+      Some(render(rendered.map(_.get)))
+    else None
+  }
+
+  private def literal(l: VLiteral[_]): Option[String] =
+    if (l.value() == null) None // null literals only via IS [NOT] NULL
+    else l.dataType() match {
+      case StringType =>
+        Some(s"'${l.value().toString.replace("'", "''")}'")
+      case IntegerType | LongType | ShortType | ByteType | BooleanType =>
+        Some(l.value().toString)
+      case DoubleType | FloatType =>
+        val d = l.value().toString
+        // NaN/Infinity have no plain SQL literal — refuse, don't guess
+        if (d == "NaN" || d.endsWith("Infinity")) None
+        else Some(s"CAST('$d' AS ${l.dataType().sql})")
+      case _: DecimalType =>
+        Some(s"CAST('${l.value()}' AS ${l.dataType().sql})")
+      case DateType => // internal form: epoch days
+        Some(s"DATE '${java.time.LocalDate.ofEpochDay(
+          l.value().asInstanceOf[Int].toLong)}'")
+      case _ => None // timestamps (zone-ambiguous), binary, intervals...
+    }
+}

@@ -1,0 +1,159 @@
+package graft.sources.v2
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.sources.{DeltaBridge, TxLog}
+import org.apache.spark.sql.functions.col
+
+/** The SQL-catalog mount: SELECT / time travel / INSERT / DELETE over
+  * `graft.`/path`` identifiers, planned through the log-driven V2 index. */
+class GraftDeltaCatalogSpec extends SparkSpec {
+
+  private lazy val catalogReady: Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftDeltaCatalog].getName)
+
+  private def freshTable(): String = { catalogReady; tmpDir("graft_cat") }
+
+  import org.apache.spark.sql.DataFrame
+  private def sqlDf(q: String): DataFrame = { catalogReady; spark.sql(q) }
+
+  test("SELECT through the catalog: values, column pruning, VERSION AS OF " +
+    "and TIMESTAMP AS OF time travel — all against the exported log") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    TxLog.overwrite(spark, Seq((3L, "c")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t) // delta 0 (two rows), delta 1 (one)
+    assert(sqlDf(s"SELECT id, v FROM graft.`$t` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((3L, "c")))
+    assert(sqlDf(s"SELECT id FROM graft.`$t` VERSION AS OF 0 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // pin commit mtimes for the timestamp form (UTC session)
+    val ld = Paths.get(t, "_delta_log")
+    val t0 = 1700000000000L
+    Files.setLastModifiedTime(ld.resolve(f"${0L}%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(t0))
+    Files.setLastModifiedTime(ld.resolve(f"${1L}%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(t0 + 3600000L))
+    // 2023-11-14 22:14:00 UTC = t0 + 40 s: between the commits → version 0
+    assert(sqlDf(s"SELECT id FROM graft.`$t` " +
+        "TIMESTAMP AS OF '2023-11-14 22:14:00' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("catalog reads PRUNE like the native relation: partition predicates " +
+    "drop non-matching partitions' files at the metadata level") {
+    import spark.implicits._
+    val t = freshTable()
+    Seq((1L, "US"), (2L, "US"), (3L, "DE"))
+      .toDF("id", "country")
+      .write.format("graft-delta").option("partitionBy", "country")
+      .mode("append").save(t)
+    val q = sqlDf(s"SELECT id FROM graft.`$t` WHERE country = 'US'")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // the planned scan must carry the partition predicate, and the
+    // index's listing under it must surface the US partition's files only
+    import org.apache.spark.sql.execution.datasources.v2.{BatchScanExec, FileScan}
+    val scan = q.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b }.get
+    val fs = scan.scan.asInstanceOf[FileScan]
+    assert(fs.partitionFilters.nonEmpty,
+      "the country predicate must plan as a partition filter")
+    val listed = fs.fileIndex.listFiles(fs.partitionFilters, fs.dataFilters)
+      .flatMap(_.files.map(_.getPath.toString))
+    assert(listed.nonEmpty && listed.forall(_.contains("country=US")),
+      s"only the US partition may reach the scan, got: $listed")
+  }
+
+  test("INSERT INTO appends a new Delta version; INSERT OVERWRITE replaces " +
+    "the live set — both land as TxLog commits visible to every mount") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    sqlDf(s"INSERT INTO graft.`$t` VALUES (2L, 'b')")
+    assert(sqlDf(s"SELECT id FROM graft.`$t` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // visible through the non-catalog mounts too (one log, three mounts)
+    assert(spark.read.format("graft-delta").load(t).count() == 2)
+    assert(TxLog.read(spark, t).count() == 2)
+    sqlDf(s"INSERT OVERWRITE graft.`$t` VALUES (9L, 'z')")
+    assert(sqlDf(s"SELECT id, v FROM graft.`$t`")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((9L, "z")))
+    // history preserved: the pre-overwrite state time-travels
+    assert(sqlDf(s"SELECT count(*) AS n FROM graft.`$t` VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+  }
+
+  test("DELETE FROM translates the pushed predicates to the file-granular " +
+    "copy-on-write delete: TRUE rows go, untouched files carry over by " +
+    "reference, and the delete is a new time-travelable version") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t,
+      partFiles = 1)
+    TxLog.append(spark, Seq((10L, "x")).toDF("id", "v"), t, partFiles = 1)
+    DeltaBridge.exportLog(spark, t)
+    val filesBefore = TxLog.liveFiles(t)
+    sqlDf(s"DELETE FROM graft.`$t` WHERE id = 1 AND v = 'a'")
+    assert(sqlDf(s"SELECT id FROM graft.`$t` ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 10L))
+    assert(TxLog.liveFiles(t).contains(filesBefore(1)),
+      "the matchless file must survive by reference")
+    assert(!TxLog.liveFiles(t).contains(filesBefore.head),
+      "the hit file must be rewritten out")
+    // the delete exported as a Delta version; pre-delete state travels
+    assert(spark.read.format("graft-delta").option("versionAsOf", "1")
+      .load(t).count() == 3)
+    // IN + IS NULL forms translate too
+    sqlDf(s"DELETE FROM graft.`$t` WHERE id IN (10L, 11L) OR v IS NULL")
+    assert(sqlDf(s"SELECT id FROM graft.`$t`")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("DELETE with a predicate outside the proven translation set fails " +
+    "LOUD (never a wrong or partial delete); time-travel loads and " +
+    "foreign Delta logs are read-only") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "ab")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    val e = intercept[Exception] {
+      sqlDf(s"DELETE FROM graft.`$t` WHERE length(v) > 1")
+    }
+    assert(TxLog.read(spark, t).count() == 1,
+      s"an untranslatable DELETE must not remove rows (failed with: $e)")
+    // a foreign _delta_log (no TxLog behind it) mounts read-only
+    val f = tmpDir("graft_foreign")
+    TxLog.append(spark, Seq((5L, "q")).toDF("id", "v"), f)
+    DeltaBridge.exportLog(spark, f)
+    // strip the TxLog: what remains is a foreign-producer Delta table
+    val lg = Paths.get(f, "_graft_log")
+    graft.sources.TxLog.listDir(lg).foreach(Files.delete)
+    Files.delete(lg)
+    assert(sqlDf(s"SELECT id FROM graft.`$f`").head().getLong(0) == 5L,
+      "foreign logs read fine")
+    intercept[Exception] {
+      sqlDf(s"DELETE FROM graft.`$f` WHERE id = 5")
+    }
+    assert(spark.read.format("graft-delta").load(f).count() == 1,
+      "a foreign table's rows must survive the refused delete")
+  }
+
+  test("a missing table raises the catalog's NoSuchTable, and namespaced " +
+    "identifiers are rejected with the path-catalog contract") {
+    val missing = intercept[Exception] {
+      sqlDf(s"SELECT * FROM graft.`/definitely/not/a/table`").collect()
+    }
+    assert(missing.getMessage.toLowerCase.contains("table"))
+    val ns = intercept[Exception] {
+      sqlDf("SELECT * FROM graft.db.tbl").collect()
+    }
+    assert(ns.getMessage.contains("path catalog") ||
+      ns.getMessage.toLowerCase.contains("table"))
+  }
+}
