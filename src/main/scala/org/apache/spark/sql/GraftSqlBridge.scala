@@ -65,4 +65,16 @@ object GraftSqlBridge {
       cs.sparkContext.emptyRDD[org.apache.spark.sql.catalyst.InternalRow],
       isStreaming = true)(cs))
   }
+
+  /** V2-expression constructors for TESTS of the DELETE translator
+    * (`graft.sources.v2.V2PredicateSql`): `FieldReference`/`LiteralValue`
+    * companions are `private[sql]` in this build, so the two factory
+    * calls live here. The engine constructs the real ones. */
+  def v2Column(name: String): connector.expressions.NamedReference =
+    connector.expressions.FieldReference.column(name)
+  def v2NestedColumn(parts: Seq[String]): connector.expressions.NamedReference =
+    connector.expressions.FieldReference(parts)
+  def v2Literal(value: Any, dt: org.apache.spark.sql.types.DataType)
+      : connector.expressions.Literal[_] =
+    connector.expressions.LiteralValue(value, dt)
 }

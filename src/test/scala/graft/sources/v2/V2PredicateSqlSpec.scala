@@ -1,0 +1,85 @@
+package graft.sources.v2
+
+import graft.SparkSpec
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.types._
+
+/** The closed-world DELETE translator, unit-level: every rendered form is
+  * SEMANTICALLY verified by evaluating the produced SQL against rows in a
+  * DataFrame (the exact engine the delete feeds), and everything outside
+  * the proven set returns None. */
+class V2PredicateSqlSpec extends SparkSpec {
+
+  private def col(n: String): VExpression = GraftSqlBridge.v2Column(n)
+  private def lit(v: Any, dt: DataType): VExpression =
+    GraftSqlBridge.v2Literal(v, dt)
+  private def p(name: String, cs: VExpression*): Predicate =
+    new Predicate(name, cs.toArray)
+
+  /** Evaluate a rendered predicate against the fixture rows and return
+    * the surviving ids — proves the SQL means what the V2 form meant. */
+  private def idsWhere(sql: String): Seq[Long] = {
+    import spark.implicits._
+    Seq((1L, "a", 10, java.sql.Date.valueOf("2024-03-01")),
+        (2L, "o'x", 20, java.sql.Date.valueOf("2024-06-01")),
+        (3L, null, 30, java.sql.Date.valueOf("2024-09-01")))
+      .toDF("id", "v", "n", "d")
+      .where(sql).select("id").collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  test("comparisons, boolean combinators, null tests and IN render to SQL " +
+    "with the V2 form's exact semantics") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val eq = V2PredicateSql.toSql(
+      p("=", col("v"), lit(UTF8String.fromString("o'x"), StringType))).get
+    assert(idsWhere(eq) == Seq(2L), "string literal escaping must hold")
+    val range = V2PredicateSql.toSql(
+      p("AND", p(">=", col("n"), lit(15, IntegerType)),
+        p("<", col("n"), lit(30, IntegerType)))).get
+    assert(idsWhere(range) == Seq(2L))
+    val or = V2PredicateSql.toSql(
+      p("OR", p("IS_NULL", col("v")),
+        p("=", col("id"), lit(1L, LongType)))).get
+    assert(idsWhere(or) == Seq(1L, 3L))
+    val notNull = V2PredicateSql.toSql(p("IS_NOT_NULL", col("v"))).get
+    assert(idsWhere(notNull) == Seq(1L, 2L))
+    val in = V2PredicateSql.toSql(
+      p("IN", col("id"), lit(1L, LongType), lit(3L, LongType))).get
+    assert(idsWhere(in) == Seq(1L, 3L))
+    val not = V2PredicateSql.toSql(
+      p("NOT", p("=", col("id"), lit(2L, LongType)))).get
+    assert(idsWhere(not) == Seq(1L, 3L))
+    val date = V2PredicateSql.toSql(
+      p("<", col("d"), lit(java.time.LocalDate.parse("2024-07-01")
+        .toEpochDay.toInt, DateType))).get
+    assert(idsWhere(date) == Seq(1L, 2L), "date renders from epoch days")
+    assert(V2PredicateSql.toSql(p("ALWAYS_TRUE")).contains("true"))
+  }
+
+  test("everything outside the proven set is REFUSED, never guessed: " +
+    "nested fields, unknown ops, timestamps, NaN, null literals") {
+    assert(V2PredicateSql.toSql(
+      p("=", GraftSqlBridge.v2NestedColumn(Seq("a", "b")),
+        lit(1, IntegerType))).isEmpty,
+      "nested field references are out")
+    assert(V2PredicateSql.toSql(
+      p("STARTS_WITH", col("v"),
+        lit(org.apache.spark.unsafe.types.UTF8String.fromString("a"),
+          StringType))).isEmpty, "unproven op names are out")
+    assert(V2PredicateSql.toSql(
+      p("=", col("t"), lit(1700000000000000L, TimestampType))).isEmpty,
+      "timestamp literals are zone-ambiguous and out")
+    assert(V2PredicateSql.toSql(
+      p("=", col("x"), lit(Double.NaN, DoubleType))).isEmpty,
+      "NaN has no SQL literal")
+    assert(V2PredicateSql.toSql(
+      p("=", col("v"), lit(null, StringType))).isEmpty,
+      "null equality only via IS NULL")
+    // one refused conjunct poisons the whole conjunction (no partial SQL)
+    assert(V2PredicateSql.toSql(
+      p("AND", p("=", col("id"), lit(1L, LongType)),
+        p("WEIRD_OP", col("id")))).isEmpty)
+  }
+}
