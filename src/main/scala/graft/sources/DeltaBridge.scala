@@ -603,6 +603,34 @@ object DeltaBridge {
   private[sources] def headVersion(table: String): Long =
     (versions(table) ++ lastCheckpointVersion(table)).foldLeft(-1L)(_ max _)
 
+  /** DESCRIBE HISTORY — one row per surviving log version: (version,
+    * commit timestamp = the action file's mtime, the same clock
+    * [[versionAtTimestamp]] resolves against, add/remove action counts,
+    * whether the version re-declared a schema). METADATA-ONLY: reads the
+    * JSON action files, never a data file, so auditing a 100 TB table's
+    * history costs its log. Versions vacuumed past the retention horizon
+    * (JSON deleted under a checkpoint by [[vacuumLog]]) are absent —
+    * delta's own DESCRIBE HISTORY retention behavior. */
+  def history(spark: SparkSession, table: String)
+      : org.apache.spark.sql.DataFrame = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import spark.implicits._
+    versions(table).map { v =>
+      var adds = 0L; var removes = 0L; var meta = false
+      Files.readAllLines(deltaVersionFile(table, v)).asScala
+        .filter(_.nonEmpty).foreach { line =>
+          val m = mapper.readValue(line,
+            classOf[java.util.Map[String, AnyRef]])
+          if (m.containsKey("add")) adds += 1
+          else if (m.containsKey("remove")) removes += 1
+          else if (m.containsKey("metaData")) meta = true
+        }
+      (v, Files.getLastModifiedTime(deltaVersionFile(table, v)).toMillis,
+        adds, removes, meta)
+    }.toDF("version", "timestamp_ms", "n_adds", "n_removes",
+      "schema_changed").orderBy("version")
+  }
+
   /** Resolve a `timestampAsOf` instant to a version — delta-spark's
     * rule: a commit's timestamp IS its `_delta_log` JSON file's
     * modification time, and the resolved version is the LATEST commit

@@ -1003,6 +1003,41 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(DeltaBridge.read(spark, t).columns.toSeq == Seq("id", "v", "w"))
   }
 
+  test("DESCRIBE HISTORY: per-version add/remove counts and schema-change " +
+    "flags from the log alone; vacuumLog shrinks it to the retained " +
+    "suffix (delta's retention behavior)") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t,
+      partFiles = 2)                                        // delta 0
+    TxLog.overwrite(spark, Seq((3L, "c")).toDF("id", "v"), t,
+      partFiles = 1)                                        // delta 1
+    TxLog.append(spark, Seq((4L, "d", 1.5)).toDF("id", "v", "w"), t,
+      partFiles = 1)                                        // delta 2: schema B
+    DeltaBridge.exportLog(spark, t)
+    val h = DeltaBridge.history(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(h.toSeq == Seq(
+      (0L, 2L, 0L, true),   // creation: 2 adds + the initial metaData
+      (1L, 1L, 2L, false),  // overwrite: 1 add, 2 removes
+      (2L, 1L, 0L, true)),  // evolution: 1 add + re-declared schema
+      s"got ${h.toSeq}")
+    // timestamps are the same clock timestampAsOf resolves against
+    val ts = DeltaBridge.history(spark, t).collect().map(_.getLong(1))
+    assert(ts.sorted.toSeq == ts.toSeq, "commit times must be monotone here")
+    assert(DeltaBridge.versionAtTimestamp(t, ts.last) == 2L)
+    // retention: 11 more appends → checkpoint at 10; vacuumLog drops the
+    // covered JSON prefix and history shows only the surviving suffix
+    (1 to 11).foreach { i =>
+      TxLog.append(spark, Seq((10L + i, "x", 0.0)).toDF("id", "v", "w"), t)
+    }
+    DeltaBridge.exportLog(spark, t)
+    DeltaBridge.vacuumLog(t)
+    val left = DeltaBridge.history(spark, t).collect().map(_.getLong(0))
+    assert(left.nonEmpty && left.forall(_ > 10L),
+      s"history must shrink to the post-checkpoint suffix, got ${left.toSeq}")
+  }
+
   test("timestampAsOf resolves to the latest commit at-or-before the " +
     "instant (commit time = log-file mtime, the delta-spark rule); " +
     "instants outside the log fail loud; exclusive with versionAsOf") {
