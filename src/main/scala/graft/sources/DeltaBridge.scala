@@ -615,6 +615,9 @@ object DeltaBridge {
       : org.apache.spark.sql.DataFrame = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     import spark.implicits._
+    // Same running-max monotonization as [[versionAtTimestamp]], so the
+    // published history and timestamp resolution always agree.
+    var runMax = Long.MinValue
     versions(table).map { v =>
       var adds = 0L; var removes = 0L; var meta = false
       Files.readAllLines(deltaVersionFile(table, v)).asScala
@@ -625,8 +628,9 @@ object DeltaBridge {
           else if (m.containsKey("remove")) removes += 1
           else if (m.containsKey("metaData")) meta = true
         }
-      (v, Files.getLastModifiedTime(deltaVersionFile(table, v)).toMillis,
-        adds, removes, meta)
+      runMax = math.max(runMax,
+        Files.getLastModifiedTime(deltaVersionFile(table, v)).toMillis)
+      (v, runMax, adds, removes, meta)
     }.toDF("version", "timestamp_ms", "n_adds", "n_removes",
       "schema_changed").orderBy("version")
   }
@@ -639,8 +643,16 @@ object DeltaBridge {
     * horizon left behind) and an instant after the latest commit both
     * fail loud — time travel never silently rounds outside the log. */
   def versionAtTimestamp(table: String, tsMillis: Long): Long = {
-    val stamped = versions(table).map(v =>
-      v -> Files.getLastModifiedTime(deltaVersionFile(table, v)).toMillis)
+    // Monotonize mtimes over version order (running max): clock skew or
+    // a copied/restored _delta_log can make raw mtimes non-monotone, and
+    // the head/last bound checks below assume sortedness — delta-spark's
+    // DeltaHistoryManager monotonizes commit timestamps for this reason.
+    var runMax = Long.MinValue
+    val stamped = versions(table).map { v =>
+      val raw = Files.getLastModifiedTime(deltaVersionFile(table, v)).toMillis
+      runMax = math.max(runMax, raw)
+      v -> runMax
+    }
     require(stamped.nonEmpty,
       s"$table: no JSON commits to resolve a timestamp against (log " +
         "vacuumed past the retention horizon?); use versionAsOf")

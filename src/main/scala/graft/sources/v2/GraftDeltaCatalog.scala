@@ -67,7 +67,12 @@ class GraftDeltaCatalog extends TableCatalog {
     new HPath(ident.name()).toUri.getPath
   }
 
-  private def load(ident: Identifier, versionAsOf: Option[Long]): Table = {
+  /** Existence check + TxLog→log export, shared by every load form. Runs
+    * BEFORE any timestamp/version resolution so commits not yet exported
+    * are addressable by `TIMESTAMP AS OF` too (resolution reads the
+    * exported `_delta_log`), and a never-exported TxLog table fails with
+    * NoSuchTable semantics, not a confusing 'no JSON commits' require. */
+  private def resolveAndExport(ident: Identifier): String = {
     val path = pathOf(ident)
     val hasDelta =
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, "_delta_log"))
@@ -77,8 +82,11 @@ class GraftDeltaCatalog extends TableCatalog {
     // versions committed since the last export before pinning a snapshot
     if (TxLog.versions(path).nonEmpty)
       DeltaBridge.exportLog(SparkSession.active, path)
-    new GraftDeltaTable(path, versionAsOf)
+    path
   }
+
+  private def load(ident: Identifier, versionAsOf: Option[Long]): Table =
+    new GraftDeltaTable(resolveAndExport(ident), versionAsOf)
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
@@ -89,8 +97,9 @@ class GraftDeltaCatalog extends TableCatalog {
   /** SQL `TIMESTAMP AS OF ts` — Spark hands epoch MICROseconds; commit
     * time is the `_delta_log` file mtime ([[DeltaBridge.versionAtTimestamp]]). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
-    val path = pathOf(ident)
-    load(ident, Some(DeltaBridge.versionAtTimestamp(path, timestamp / 1000L)))
+    val path = resolveAndExport(ident)
+    new GraftDeltaTable(path,
+      Some(DeltaBridge.versionAtTimestamp(path, timestamp / 1000L)))
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -319,7 +328,13 @@ private[v2] object V2PredicateSql {
     if (l.value() == null) None // null literals only via IS [NOT] NULL
     else l.dataType() match {
       case StringType =>
-        Some(s"'${l.value().toString.replace("'", "''")}'")
+        // Backslash FIRST: Spark's default parser (escapedStringLiterals
+        // =false) treats \ as an escape inside string literals, so an
+        // unescaped backslash would silently shift the value — on a
+        // DELETE predicate that means deleting the wrong rows. Doubling
+        // round-trips on this runtime (V2PredicateSqlSpec evaluates it).
+        Some(s"'${l.value().toString
+          .replace("\\", "\\\\").replace("'", "''")}'")
       case IntegerType | LongType | ShortType | ByteType | BooleanType =>
         Some(l.value().toString)
       case DoubleType | FloatType =>

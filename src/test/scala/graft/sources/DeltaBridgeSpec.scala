@@ -1213,4 +1213,32 @@ class DeltaBridgeSpec extends SparkSpec {
       s"recovered snapshot under a moved schema must fail loud, got: $e")
     src.stop()
   }
+
+  test("versionAtTimestamp MONOTONIZES non-monotone log-file mtimes " +
+    "(running max over version order — clock skew / restored logs), " +
+    "and history publishes the same monotonized clock") {
+    import spark.implicits._
+    import java.nio.file.attribute.FileTime
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    TxLog.append(spark, Seq((2L, "b")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t) // delta 0, 1
+    // a restored/copied log: version 1's mtime is BEHIND version 0's
+    val ld = Paths.get(t, "_delta_log")
+    Files.setLastModifiedTime(ld.resolve(f"${0L}%020d.json"),
+      FileTime.fromMillis(5000L))
+    Files.setLastModifiedTime(ld.resolve(f"${1L}%020d.json"),
+      FileTime.fromMillis(1000L))
+    // monotonized clock: v0 -> 5000, v1 -> max(5000, 1000) = 5000; raw
+    // mtimes would make the head/last bound checks unsatisfiable (head
+    // 5000 > last 1000 rejects every instant)
+    assert(DeltaBridge.versionAtTimestamp(t, 5000L) == 1L,
+      "at the monotonized instant the LATEST version wins")
+    val before = intercept[Exception] {
+      DeltaBridge.versionAtTimestamp(t, 4999L) }
+    assert(before.getMessage.contains("predates"))
+    val h = DeltaBridge.history(spark, t).collect().map(_.getLong(1))
+    assert(h.toSeq == Seq(5000L, 5000L),
+      s"history must publish the monotonized clock, got ${h.toSeq}")
+  }
 }

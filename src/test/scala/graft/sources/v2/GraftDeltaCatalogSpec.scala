@@ -156,4 +156,35 @@ class GraftDeltaCatalogSpec extends SparkSpec {
     assert(ns.getMessage.contains("path catalog") ||
       ns.getMessage.toLowerCase.contains("table"))
   }
+
+  test("TIMESTAMP AS OF on a TxLog table that was NEVER exported works: " +
+    "the catalog exports pending commits BEFORE resolving the instant " +
+    "(same prologue as plain loads and VERSION AS OF)") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    TxLog.overwrite(spark, Seq((3L, "c")).toDF("id", "v"), t)
+    // no exportLog here — the catalog must export, then resolve. A
+    // far-past instant proves resolution ran against a real log (the
+    // pre-fix path failed earlier with a 'no JSON commits' require).
+    val past = intercept[Exception] {
+      sqlDf(s"SELECT id FROM graft.`$t` " +
+        "TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+    assert(past.getMessage.contains("predates"),
+      s"resolution must see the freshly exported log, got: $past")
+    assert(Files.exists(Paths.get(t, "_delta_log", f"${1L}%020d.json")),
+      "the timestamp load path must have exported the TxLog commits")
+    // with the export in place, pin mtimes and resolve for real
+    val t0 = 1700000000000L
+    val ld = Paths.get(t, "_delta_log")
+    Files.setLastModifiedTime(ld.resolve(f"${0L}%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(t0))
+    Files.setLastModifiedTime(ld.resolve(f"${1L}%020d.json"),
+      java.nio.file.attribute.FileTime.fromMillis(t0 + 3600000L))
+    assert(sqlDf(s"SELECT id FROM graft.`$t` " +
+        "TIMESTAMP AS OF '2023-11-14 22:14:00' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "between the commits resolves to the pre-overwrite version")
+  }
 }

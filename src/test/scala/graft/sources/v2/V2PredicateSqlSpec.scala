@@ -24,7 +24,8 @@ class V2PredicateSqlSpec extends SparkSpec {
     import spark.implicits._
     Seq((1L, "a", 10, java.sql.Date.valueOf("2024-03-01")),
         (2L, "o'x", 20, java.sql.Date.valueOf("2024-06-01")),
-        (3L, null, 30, java.sql.Date.valueOf("2024-09-01")))
+        (3L, null, 30, java.sql.Date.valueOf("2024-09-01")),
+        (4L, "a\\b'c", 40, java.sql.Date.valueOf("2024-10-01")))
       .toDF("id", "v", "n", "d")
       .where(sql).select("id").collect().map(_.getLong(0)).sorted.toSeq
   }
@@ -35,6 +36,12 @@ class V2PredicateSqlSpec extends SparkSpec {
     val eq = V2PredicateSql.toSql(
       p("=", col("v"), lit(UTF8String.fromString("o'x"), StringType))).get
     assert(idsWhere(eq) == Seq(2L), "string literal escaping must hold")
+    // backslash: the default parser treats \ as an escape, so the
+    // translator must double it or the predicate silently shifts —
+    // evaluated here against the real parser, not just string-compared
+    val bs = V2PredicateSql.toSql(
+      p("=", col("v"), lit(UTF8String.fromString("a\\b'c"), StringType))).get
+    assert(idsWhere(bs) == Seq(4L), "backslash literal escaping must hold")
     val range = V2PredicateSql.toSql(
       p("AND", p(">=", col("n"), lit(15, IntegerType)),
         p("<", col("n"), lit(30, IntegerType)))).get
@@ -44,13 +51,13 @@ class V2PredicateSqlSpec extends SparkSpec {
         p("=", col("id"), lit(1L, LongType)))).get
     assert(idsWhere(or) == Seq(1L, 3L))
     val notNull = V2PredicateSql.toSql(p("IS_NOT_NULL", col("v"))).get
-    assert(idsWhere(notNull) == Seq(1L, 2L))
+    assert(idsWhere(notNull) == Seq(1L, 2L, 4L))
     val in = V2PredicateSql.toSql(
       p("IN", col("id"), lit(1L, LongType), lit(3L, LongType))).get
     assert(idsWhere(in) == Seq(1L, 3L))
     val not = V2PredicateSql.toSql(
       p("NOT", p("=", col("id"), lit(2L, LongType)))).get
-    assert(idsWhere(not) == Seq(1L, 3L))
+    assert(idsWhere(not) == Seq(1L, 3L, 4L))
     val date = V2PredicateSql.toSql(
       p("<", col("d"), lit(java.time.LocalDate.parse("2024-07-01")
         .toEpochDay.toInt, DateType))).get
