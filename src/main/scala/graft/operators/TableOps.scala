@@ -758,7 +758,57 @@ object TableOps {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q340
+
+  /** q340: partition-aware DML — DELETE WHERE and UPDATE WHERE on a
+    * HIVE-PARTITIONED log table, the reference's actual gold shape
+    * (`partitionBy(institution_type, state)` / `(year, quarter, state)`,
+    * BuildGoldLayer.py:217-226). The rewrite kernel re-attaches the
+    * path-borne partition values on read (so the predicate can mix
+    * partition and data columns) and re-stages survivors under re-derived
+    * `col=value` paths; unhit partitions carry over by reference
+    * (TxLogSpec pins the by-reference law and partition-moving SET). The
+    * gate reads the post-DML head back through [[graft.sources
+    * .DeltaBridge]] — partition values come from the exported layout, not
+    * the data files — and checks per-partition counts and exact sums. */
+  def q340PartitionedDml(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaBridge, TxLog}
+    val table = graft.SparkSupport.layoutArtifact("txlog_part_dml", dir) { p =>
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      // two generations per partition → file-granularity is real
+      TxLog.appendPartitioned(s, o.filter(col("o_orderkey") % 2 === 0), p,
+        Seq("o_orderstatus"))
+      TxLog.appendPartitioned(s, o.filter(col("o_orderkey") % 2 === 1), p,
+        Seq("o_orderstatus"))
+      // takedown predicate MIXES the partition column with a data column
+      TxLog.deleteWhere(s, p, "o_orderstatus = 'F' AND o_custkey % 10 = 3")
+      // partition-predicate UPDATE on a data column (×2 is fp-exact)
+      TxLog.updateWhere(s, p, "o_orderstatus = 'P'",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      DeltaBridge.exportLog(s, p)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    DeltaBridge.read(s, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        OracleSafe.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q340Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice * 2
+      |                     ELSE o_totalprice END
+      |               AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_custkey % 10 = 3)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q340_partitioned_dml" -> q340PartitionedDml,
     "q307_bloom_skipping" -> q307BloomSkipping,
     "q111_table_checksum" -> q111TableChecksum,
     "q112_file_skipping"  -> q112FileSkipping,
@@ -775,6 +825,7 @@ object TableOps {
     "q338_txlog_restore"  -> q338TxlogRestore)
 
   val oracle: Map[String, String] = Map(
+    "q340_partitioned_dml" -> q340Sql,
     "q307_bloom_skipping" -> q307Sql,
     "q111_table_checksum" -> q111Sql,
     "q112_file_skipping"  -> q112Sql,

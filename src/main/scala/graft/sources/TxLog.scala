@@ -562,18 +562,72 @@ object TxLog {
     * compaction is discarded and the whole operation re-runs against the
     * new head (rewriting stale data would silently drop the concurrent
     * commit's rows). */
-  /** Rewrite ops ([[optimize]]/[[merge]]/[[deleteWhere]]/[[updateWhere]])
-    * re-stage rows through the FLAT writer, but a Hive-partitioned
-    * table's partition values live in its PATHS, not its data files — a
-    * flat rewrite would silently drop the partition column. Fail loud
-    * instead (detected by the `col=` path segment Spark's partitioned
-    * writer produces; [[stage]]'s own file names never contain '='). */
-  private def requireUnpartitioned(table: String, live: Seq[String],
-                                   op: String): Unit =
-    require(!live.exists(e => entryPath(e).contains("=")),
-      s"$op: $table uses Hive partition layout (partition values live in " +
-        "paths, not data files) — a flat rewrite would drop them; " +
-        "reshape partitioned tables with overwritePartitioned")
+  /** Partition columns of a live snapshot, parsed from the trailing
+    * `col=value` path segments ([[DeltaBridge.splitHivePath]] — the same
+    * trailing-run walk Spark's own partition discovery does). Empty for
+    * flat tables. Rewrite ops branch on this: a Hive-partitioned table's
+    * partition values live in its PATHS, not its data files, so its
+    * rewrites must re-attach them on read and re-derive the layout on
+    * stage — a flat rewrite would silently drop the partition column.
+    * Mixed layouts fail loud (they cannot share one rewritten table; the
+    * export enforces the same invariant per commit). */
+  private def livePartitionCols(table: String, live: Seq[String],
+                                op: String): Seq[String] = {
+    val layouts = live
+      .map(e => DeltaBridge.splitHivePath(entryPath(e))._2.map(_._1))
+      .distinct
+    require(layouts.size <= 1,
+      s"$op: $table mixes partition layouts " +
+        s"${layouts.map(_.mkString("(", ",", ")")).mkString(" vs ")} — " +
+        "a rewrite requires one consistent Hive layout")
+    layouts.headOption.getOrElse(Seq.empty)
+  }
+
+  /** Read live entries AS THE TABLE'S ROWS: flat entries read directly;
+    * Hive-layout entries read per stage root with `basePath`, so Spark's
+    * partition discovery re-attaches the path-borne partition columns
+    * (types re-inferred Hive-style — the same inference any Spark read
+    * of the layout applies, and the typing [[DeltaBridge]] exports).
+    * Predicates and merge keys over partition columns therefore evaluate
+    * exactly as they would on a read. */
+  private def readEntries(spark: SparkSession, table: String,
+                          entries: Seq[String],
+                          partCols: Seq[String]): DataFrame = {
+    if (partCols.isEmpty)
+      spark.read.parquet(entries.map(e => s"$table/${entryPath(e)}"): _*)
+    else entries
+      .groupBy(e => DeltaBridge.splitHivePath(entryPath(e))._1)
+      .toSeq.sortBy(_._1)
+      .map { case (stage, es) =>
+        spark.read.option("basePath", s"$table/$stage")
+          .parquet(es.map(e => s"$table/${entryPath(e)}"): _*)
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  /** Re-stage a rewrite preserving the table's Hive layout. Rows shuffle
+    * onto (partition values[, deterministic row-hash salt]) so each
+    * partition directory gets at most `partFiles` files — bounded file
+    * counts per partition, while a large partition's rewrite still
+    * parallelizes across `partFiles` tasks. */
+  private def stagePartitionedSized(df: DataFrame, table: String,
+                                    cols: Seq[String],
+                                    partFiles: Int): Seq[String] = {
+    import org.apache.spark.sql.functions.{abs => cabs, col, hash, lit, pmod}
+    val shaped =
+      if (partFiles <= 1) df.repartition(cols.map(col): _*)
+      else df.repartition(cols.map(col) :+
+        pmod(cabs(hash(df.columns.toIndexedSeq.map(col): _*)),
+          lit(partFiles)): _*)
+    stagePartitioned(shaped, table, cols)
+  }
+
+  /** Stage a rewrite in the live set's own layout: flat through [[stage]],
+    * Hive-partitioned through [[stagePartitionedSized]]. */
+  private def stageLike(df: DataFrame, table: String, partCols: Seq[String],
+                        partFiles: Int): Seq[String] =
+    if (partCols.isEmpty) stage(df, table, partFiles)
+    else stagePartitionedSized(df, table, partCols, partFiles)
 
   def optimize(spark: SparkSession, table: String, partFiles: Int = 1): Int = {
     var attempts = 0
@@ -582,10 +636,13 @@ object TxLog {
       val base = versions(table).lastOption.getOrElse(0)
       val live = liveFiles(table, Some(base))
       require(live.nonEmpty, s"optimize: $table is empty")
-      requireUnpartitioned(table, live, "optimize")
-      val snapshot =
-        spark.read.parquet(live.map(e => s"$table/${entryPath(e)}"): _*)
-      val staged = stage(snapshot, table, partFiles)
+      // partitioned: compaction PRESERVES the layout — `partFiles` caps
+      // files PER PARTITION (default 1 = the per-partition compaction
+      // delta-spark's OPTIMIZE performs), and partition values ride the
+      // re-derived paths, never the data files
+      val partCols = livePartitionCols(table, live, "optimize")
+      val snapshot = readEntries(spark, table, live, partCols)
+      val staged = stageLike(snapshot, table, partCols, partFiles)
       if (tryCommitAt(table, base + 1, add = staged, remove = live))
         return base + 1
       // lost the race: staged files become unreferenced garbage for vacuum
@@ -611,11 +668,11 @@ object TxLog {
       attempts += 1
       val base = versions(table).lastOption.getOrElse(0)
       val live = liveFiles(table, Some(base))
-      requireUnpartitioned(table, live, "merge")
+      val partCols = livePartitionCols(table, live, "merge")
       val keys = updates.select(key).distinct()
       val hitAbs: Set[String] =
         if (live.isEmpty) Set.empty
-        else spark.read.parquet(live.map(e => s"$table/${entryPath(e)}"): _*)
+        else readEntries(spark, table, live, partCols)
           .withColumn("_graft_file", input_file_name())
           .join(keys, Seq(key), "left_semi")
           .select("_graft_file").distinct()
@@ -623,15 +680,14 @@ object TxLog {
       val hitRel = live.filter(e => hitAbs.exists(_.endsWith(entryPath(e))))
       val survivors =
         if (hitRel.isEmpty) None
-        else Some(spark.read.parquet(
-            hitRel.map(e => s"$table/${entryPath(e)}"): _*)
+        else Some(readEntries(spark, table, hitRel, partCols)
           .join(keys, Seq(key), "left_anti"))
       val rewrite = survivors match {
         case Some(sv) =>
           sv.unionByName(updates.select(sv.columns.toIndexedSeq.map(col): _*))
         case None     => updates
       }
-      val staged = stage(rewrite, table, partFiles)
+      val staged = stageLike(rewrite, table, partCols, partFiles)
       if (tryCommitAt(table, base + 1, add = staged, remove = hitRel))
         return base + 1
       // lost the race: staged files become vacuum-collectable garbage
@@ -698,23 +754,29 @@ object TxLog {
       attempts += 1
       val base = versions(table).lastOption.getOrElse(0)
       val live = liveFiles(table, Some(base))
-      requireUnpartitioned(table, live, op)
+      // partitioned tables flow through the same file-granular kernel:
+      // partition columns re-attach on read (so predicates over them
+      // evaluate — and a pure partition predicate's hit scan prunes to
+      // the matching partitions' files via discovery), and survivors +
+      // updates re-stage under re-derived `col=value` paths. A SET on a
+      // partition column MOVES rows between partitions, delta-spark's
+      // UPDATE semantics, because paths derive from the updated values.
+      val partCols = livePartitionCols(table, live, op)
       val hitAbs: Set[String] =
         if (live.isEmpty) Set.empty
-        else spark.read.parquet(live.map(e => s"$table/${entryPath(e)}"): _*)
+        else readEntries(spark, table, live, partCols)
           .where(predicate)
           .select(input_file_name()).distinct()
           .collect().map(_.getString(0)).toSet
       val hitRel = live.filter(e => hitAbs.exists(_.endsWith(entryPath(e))))
       if (hitRel.isEmpty) return base // no row matches: the commit is a no-op
-      val hitDf = spark.read.parquet(
-        hitRel.map(e => s"$table/${entryPath(e)}"): _*)
+      val hitDf = readEntries(spark, table, hitRel, partCols)
       val survivors = hitDf.where(s"NOT coalesce(($predicate), false)")
       val rewrite = transform(hitDf.where(s"($predicate)")) match {
         case Some(updated) => survivors.unionByName(updated)
         case None          => survivors
       }
-      val staged = stage(rewrite, table, partFiles)
+      val staged = stageLike(rewrite, table, partCols, partFiles)
       if (tryCommitAt(table, base + 1, add = staged, remove = hitRel))
         return base + 1
       // lost the race: staged files become vacuum-collectable garbage

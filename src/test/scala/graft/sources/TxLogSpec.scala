@@ -478,25 +478,73 @@ class TxLogSpec extends SparkSpec {
     assert(e2.getMessage.contains("fixed by the log"))
   }
 
-  test("rewrite ops refuse Hive-partitioned tables: flat re-staging would " +
-    "silently drop path-borne partition values") {
+  test("partition-aware copy-on-write DML: rewrites preserve path-borne " +
+    "partition values, untouched partitions carry over BY REFERENCE, a " +
+    "SET on a partition column moves rows between partitions, and " +
+    "optimize compacts per partition") {
     import spark.implicits._
     val t = freshTable()
     TxLog.appendPartitioned(spark,
-      Seq((1L, "a", "US"), (2L, "b", "DE")).toDF("k", "s", "country"), t,
-      Seq("country"))
-    Seq[(String, () => Any)](
-      "optimize"  -> (() => TxLog.optimize(spark, t)),
-      "merge"     -> (() => TxLog.merge(spark,
-        Seq((1L, "x", "US")).toDF("k", "s", "country"), t, "k")),
-      "delete"    -> (() => TxLog.deleteWhere(spark, t, "k = 1")),
-      "update"    -> (() => TxLog.updateWhere(spark, t, "k = 1",
-        Map("s" -> "'z'")))
-    ).foreach { case (name, run) =>
-      val e = intercept[IllegalArgumentException](run())
-      assert(e.getMessage.contains("partition layout"),
-        s"$name must refuse the partitioned table, got: $e")
+      Seq((1L, "a", "US"), (2L, "b", "US"), (3L, "c", "DE"),
+          (4L, "d", null.asInstanceOf[String]))
+        .toDF("k", "s", "country"), t, Seq("country"))
+    def snap(): Set[(Long, String, String)] = {
+      DeltaBridge.exportLog(spark, t)
+      DeltaBridge.read(spark, t).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+          r.getAs[String]("country"))).toSet
     }
+    assert(snap() == Set((1L, "a", "US"), (2L, "b", "US"), (3L, "c", "DE"),
+      (4L, "d", null)))
+    // DELETE with a data-column predicate: the US partition rewrites,
+    // DE and null partitions carry over by reference (file-granular law)
+    val deBefore = TxLog.liveFiles(t).filter(_.contains("country=DE"))
+    TxLog.deleteWhere(spark, t, "k = 2")
+    assert(snap() == Set((1L, "a", "US"), (3L, "c", "DE"), (4L, "d", null)))
+    assert(TxLog.liveFiles(t).filter(_.contains("country=DE")) == deBefore,
+      "an unhit partition's files must survive by reference, not rewrite")
+    assert(TxLog.liveFiles(t).forall(e =>
+      TxLog.entryPath(e).contains("country=")),
+      "every rewritten file must keep the Hive layout")
+    // UPDATE a data column inside a partition
+    TxLog.updateWhere(spark, t, "k = 3", Map("s" -> "upper(s)"))
+    assert(snap() == Set((1L, "a", "US"), (3L, "C", "DE"), (4L, "d", null)))
+    // UPDATE a PARTITION column: the row must move to the new partition
+    // (paths derive from the updated values — delta-spark semantics)
+    TxLog.updateWhere(spark, t, "k = 1", Map("country" -> "'CA'"))
+    assert(snap() == Set((1L, "a", "CA"), (3L, "C", "DE"), (4L, "d", null)))
+    assert(TxLog.liveFiles(t).exists(_.contains("country=CA")),
+      "the moved row must land under its new partition directory")
+    // MERGE: replace k=3 (partition value from the update row) + insert
+    TxLog.merge(spark,
+      Seq((3L, "m", "FR"), (9L, "n", "XX")).toDF("k", "s", "country"),
+      t, "k")
+    assert(snap() == Set((1L, "a", "CA"), (3L, "m", "FR"), (4L, "d", null),
+      (9L, "n", "XX")))
+    // DELETE with a PARTITION-ONLY predicate
+    TxLog.deleteWhere(spark, t, "country = 'XX'")
+    assert(snap() == Set((1L, "a", "CA"), (3L, "m", "FR"), (4L, "d", null)))
+    // OPTIMIZE: per-partition compaction to one file each, values intact
+    TxLog.optimize(spark, t)
+    val live = TxLog.liveFiles(t)
+    assert(live.size == 3 && live.forall(e =>
+        TxLog.entryPath(e).contains("=")),
+      s"optimize must leave one Hive-layout file per live partition: $live")
+    assert(snap() == Set((1L, "a", "CA"), (3L, "m", "FR"), (4L, "d", null)))
+  }
+
+  test("rewrite ops refuse a table MIXING flat and partitioned layouts " +
+    "(one consistent layout is required to re-stage)") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, df(1L -> "a"), t)
+    TxLog.appendPartitioned(spark,
+      Seq((2L, "b", "US")).toDF("k", "s", "country"), t, Seq("country"))
+    val e = intercept[IllegalArgumentException] {
+      TxLog.deleteWhere(spark, t, "k = 1")
+    }
+    assert(e.getMessage.contains("layout"),
+      s"mixed layouts must fail loud, got: $e")
   }
 
   test("restore: one metadata-only commit rolls the live set back; " +
