@@ -168,5 +168,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     ext.injectOptimizerRule(_ => graft.plans.DedupCollapseRule)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectPlannerStrategy(_ => graft.sources.v2.GraftDmlStrategy)
   }
 }

@@ -515,6 +515,68 @@ object RelationalExt3 {
       |WHERE NOT (c_mktsegment = 'MACHINERY' AND c_acctbal < 0)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q341: SQL UPDATE and MERGE INTO through the catalog — the two
+    * statements [[graft.sources.v2.GraftDmlStrategy]] plans onto the
+    * file-granular TxLog kernel (closed-world condition/SET translation;
+    * `experimental.extraStrategies` precedence over the built-in planner
+    * that would refuse them). The gate: UPDATE rewrites one segment's
+    * label and lowercases its names (both SET forms — literal and
+    * old-row expression), MERGE upserts the odd-key half of the table
+    * (`UPDATE SET * / INSERT *`), and the final SELECT aggregates the
+    * post-DML state through the same catalog scan. Idempotent across
+    * runs: every statement re-applies to its own fixpoint (re-lowering a
+    * lowered name, re-merging identical rows). */
+  def q341SqlUpdateMerge(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftDeltaCatalog].getName)
+    val tmp = graft.SparkSupport.roundtripPath("sql_update_merge_rt", dir)
+    val c = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    if (graft.sources.TxLog.versions(tmp).isEmpty) {
+      graft.sources.TxLog.append(s, c.filter(col("c_custkey") % 2 === 0), tmp)
+      graft.sources.DeltaBridge.exportLog(s, tmp)
+    }
+    c.filter(col("c_custkey") % 2 === 1)
+      .createOrReplaceTempView("q341_src")
+    // the even-key guard keeps the statement idempotent across runs
+    // (merged odd-key BUILDING rows must not relabel on a re-run) and
+    // exercises the arithmetic leg of the proven predicate set
+    s.sql(s"UPDATE graft.`$tmp` SET c_mktsegment = 'B2', " +
+      "c_name = lower(c_name) " +
+      "WHERE c_mktsegment IN ('BUILDING', 'B2') AND c_custkey % 2 = 0")
+    s.sql(
+      s"""MERGE INTO graft.`$tmp` tgt
+         |USING (SELECT c_custkey, lower(c_name) AS c_name, c_acctbal,
+         |              c_mktsegment
+         |       FROM q341_src) src
+         |ON tgt.c_custkey = src.c_custkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN c_name = lower(c_name) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_lower,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+         |FROM graft.`$tmp`
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q341Sql: String =
+    """WITH t AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 2 = 1 THEN c_mktsegment
+      |         WHEN c_mktsegment = 'BUILDING' THEN 'B2'
+      |         ELSE c_mktsegment END AS c_mktsegment,
+      |    CASE WHEN c_custkey % 2 = 1 OR c_mktsegment = 'BUILDING'
+      |         THEN lower(c_name) ELSE c_name END AS c_name,
+      |    c_acctbal
+      |  FROM customer)
+      |SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN c_name = lower(c_name) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_lower,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q108: unpivot — the inverse of the reference's quarterly wide-table
     * pivot (A3/J3, BuildGoldLayer.py:92-139): orders pivoted to a
     * status × priority count matrix, then melted back to long form with the
@@ -548,6 +610,7 @@ object RelationalExt3 {
     "q324_avro_roundtrip"  -> q324AvroRoundtrip,
     "q331_avro_nested"     -> q331AvroNested,
     "q332_avro_logical"    -> q332AvroLogical,
+    "q341_sql_update_merge" -> q341SqlUpdateMerge,
     "q325_delta_bridge"    -> q325DeltaBridge,
     "q330_delta_partitioned" -> q330DeltaPartitioned,
     "q333_delta_stats_skip" -> q333DeltaStatsSkip,
@@ -565,6 +628,7 @@ object RelationalExt3 {
     "q324_avro_roundtrip"  -> q324Sql,
     "q331_avro_nested"     -> q331Sql,
     "q332_avro_logical"    -> q332Sql,
+    "q341_sql_update_merge" -> q341Sql,
     "q325_delta_bridge"    -> q325Sql,
     "q330_delta_partitioned" -> q330Sql,
     "q333_delta_stats_skip" -> q333Sql,

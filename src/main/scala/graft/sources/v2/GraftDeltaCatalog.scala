@@ -54,8 +54,14 @@ class GraftDeltaCatalog extends TableCatalog {
   private var catalogName: String = "graft"
 
   override def initialize(name: String,
-                          options: CaseInsensitiveStringMap): Unit =
+                          options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    // UPDATE / MERGE INTO plan through [[GraftDmlStrategy]]; catalogs
+    // initialize lazily on first reference, so the active session is the
+    // one about to plan the statement (extensions-built sessions already
+    // carry the strategy — registration is idempotent either way)
+    GraftDmlStrategy.ensureRegistered(SparkSession.active)
+  }
 
   override def name(): String = catalogName
 
@@ -160,6 +166,10 @@ private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
       new DeltaLogV2Index(spark, path, snap, fullSchema, partitionSchema),
       fullSchema, dataSchema, options)
   }
+
+  /** Accessors for [[GraftDmlStrategy]] (UPDATE / MERGE INTO planning). */
+  private[v2] def dmlPath: String = path
+  private[v2] def assertMutable(op: String): Unit = mutable(op)
 
   /** Guard shared by every mutating entry point. */
   private def mutable(op: String): Unit = {
@@ -313,6 +323,31 @@ private[v2] object V2PredicateSql {
         case _          => None // nested fields: out of the proven set
       }
     case l: VLiteral[_] => literal(l)
+    // A PROVEN scalar subset (the forms predicates over derived values
+    // arrive in — `k % 10 = 3`, `abs(delta) < 5`): each renders to the
+    // SQL spelling Spark parses back to the identical Catalyst node, so
+    // the round trip is exact. Everything else stays None.
+    case g: org.apache.spark.sql.connector.expressions.GeneralScalarExpression =>
+      g.name() match {
+        case op @ ("+" | "-" | "*" | "/" | "%") if g.children().length == 2 =>
+          binary(g.children(), s => s"(${s(0)} $op ${s(1)})")
+        case "-" if g.children().length == 1 =>
+          toSql(g.children()(0)).map(c => s"(- $c)")
+        case fn @ ("ABS" | "UPPER" | "LOWER") if g.children().length == 1 =>
+          toSql(g.children()(0)).map(c => s"${fn.toLowerCase}($c)")
+        case "COALESCE" if g.children().nonEmpty =>
+          val cs = g.children().toSeq.map(toSql)
+          if (cs.exists(_.isEmpty)) None
+          else Some(s"coalesce(${cs.map(_.get).mkString(", ")})")
+        case _ => None
+      }
+    case c: org.apache.spark.sql.connector.expressions.Cast =>
+      c.dataType() match {
+        case StringType | IntegerType | LongType | ShortType | ByteType |
+             BooleanType | DoubleType | FloatType | DateType | _: DecimalType =>
+          toSql(c.expression()).map(e => s"CAST($e AS ${c.dataType().sql})")
+        case _ => None // timestamp/binary/nested casts: out
+      }
     case _ => None
   }
 
@@ -325,28 +360,36 @@ private[v2] object V2PredicateSql {
   }
 
   private def literal(l: VLiteral[_]): Option[String] =
-    if (l.value() == null) None // null literals only via IS [NOT] NULL
-    else l.dataType() match {
+    literalSql(l.value(), l.dataType())
+
+  /** Render one typed literal value (internal representation — the one
+    * both V2 `LiteralValue` and Catalyst `Literal` carry) as a Spark-SQL
+    * literal, or None outside the proven set. Shared by the DELETE
+    * predicate translator and the UPDATE/MERGE SET renderer
+    * ([[CatalystSetSql]]). */
+  private[v2] def literalSql(value: Any, dt: DataType): Option[String] =
+    if (value == null) None // null literals only via IS [NOT] NULL
+    else dt match {
       case StringType =>
         // Backslash FIRST: Spark's default parser (escapedStringLiterals
         // =false) treats \ as an escape inside string literals, so an
         // unescaped backslash would silently shift the value — on a
         // DELETE predicate that means deleting the wrong rows. Doubling
         // round-trips on this runtime (V2PredicateSqlSpec evaluates it).
-        Some(s"'${l.value().toString
+        Some(s"'${value.toString
           .replace("\\", "\\\\").replace("'", "''")}'")
       case IntegerType | LongType | ShortType | ByteType | BooleanType =>
-        Some(l.value().toString)
+        Some(value.toString)
       case DoubleType | FloatType =>
-        val d = l.value().toString
+        val d = value.toString
         // NaN/Infinity have no plain SQL literal — refuse, don't guess
         if (d == "NaN" || d.endsWith("Infinity")) None
-        else Some(s"CAST('$d' AS ${l.dataType().sql})")
+        else Some(s"CAST('$d' AS ${dt.sql})")
       case _: DecimalType =>
-        Some(s"CAST('${l.value()}' AS ${l.dataType().sql})")
+        Some(s"CAST('$value' AS ${dt.sql})")
       case DateType => // internal form: epoch days
         Some(s"DATE '${java.time.LocalDate.ofEpochDay(
-          l.value().asInstanceOf[Int].toLong)}'")
+          value.asInstanceOf[Int].toLong)}'")
       case _ => None // timestamps (zone-ambiguous), binary, intervals...
     }
 }

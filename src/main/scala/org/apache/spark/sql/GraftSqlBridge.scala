@@ -77,4 +77,11 @@ object GraftSqlBridge {
   def v2Literal(value: Any, dt: org.apache.spark.sql.types.DataType)
       : connector.expressions.Literal[_] =
     connector.expressions.LiteralValue(value, dt)
+
+  /** Catalyst→V2 predicate translation — Spark's OWN translator (the one
+    * DSv2 pushdown trusts), `private[sql]` in this build, re-exported for
+    * the closed-world UPDATE/MERGE condition path. */
+  def translateFilterV2(e: catalyst.expressions.Expression)
+      : Option[connector.expressions.filter.Predicate] =
+    execution.datasources.v2.DataSourceV2Strategy.translateFilterV2(e)
 }

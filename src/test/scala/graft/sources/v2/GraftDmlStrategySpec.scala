@@ -1,0 +1,137 @@
+package graft.sources.v2
+
+import graft.SparkSpec
+import graft.sources.TxLog
+
+/** SQL UPDATE / MERGE INTO statements planned by [[GraftDmlStrategy]]
+  * onto the file-granular TxLog kernel — values, partition awareness,
+  * and the closed-world refusals. */
+class GraftDmlStrategySpec extends SparkSpec {
+
+  private lazy val catalogReady: Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftDeltaCatalog].getName)
+
+  private def freshTable(): String = { catalogReady; tmpDir("graft_dml") }
+
+  private def rows(t: String): Set[(Long, String, Long)] =
+    spark.sql(s"SELECT k, s, n FROM graft.`$t`").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("UPDATE … SET literal and old-row expressions, WHERE over the " +
+    "proven predicate set; unhit files carry over by reference") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), t)
+    TxLog.append(spark, Seq((3L, "c", 30L)).toDF("k", "s", "n"), t)
+    val before = TxLog.liveFiles(t)
+    spark.sql(s"UPDATE graft.`$t` SET s = upper(s), n = n * 2 + 1 " +
+      "WHERE k % 2 = 1")
+    assert(rows(t) == Set((1L, "A", 21L), (2L, "b", 20L), (3L, "C", 61L)))
+    // both files contained an odd key → both rewrote; a SET evaluates on
+    // the OLD row (n*2+1 from the pre-update n)
+    assert(TxLog.liveFiles(t).intersect(before).isEmpty ||
+      TxLog.liveFiles(t).exists(before.contains),
+      "sanity: live set changed through the statement")
+    // unconditional UPDATE (no WHERE)
+    spark.sql(s"UPDATE graft.`$t` SET s = 'z'")
+    assert(rows(t).map(_._2) == Set("z"))
+  }
+
+  test("UPDATE on a PARTITIONED catalog table: partition predicate " +
+    "evaluates, a SET on the partition column moves the row") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.appendPartitioned(spark,
+      Seq((1L, "a", "US"), (2L, "b", "DE")).toDF("k", "s", "country"),
+      t, Seq("country"))
+    spark.sql(s"UPDATE graft.`$t` SET s = 'x' WHERE country = 'US'")
+    spark.sql(s"UPDATE graft.`$t` SET country = 'CA' WHERE k = 2")
+    val got = spark.sql(s"SELECT k, s, country FROM graft.`$t`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == Set((1L, "x", "US"), (2L, "b", "CA")))
+    assert(TxLog.liveFiles(t).exists(_.contains("country=CA")),
+      "the updated row must land under its new partition directory")
+  }
+
+  test("MERGE INTO … UPDATE SET * / INSERT *: matched keys replaced, " +
+    "unmatched inserted, via one TxLog commit") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), t)
+    val vBefore = TxLog.versions(t).last
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt
+         |USING (SELECT 2L AS k, 'bb' AS s, 200L AS n
+         |       UNION ALL SELECT 9L, 'i', 90L) src
+         |ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(t) == Set((1L, "a", 10L), (2L, "bb", 200L), (9L, "i", 90L)))
+    assert(TxLog.versions(t).last == vBefore + 1,
+      "the whole MERGE must land as ONE commit")
+    // explicit full-row column lists are the same proven shape as *
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt
+         |USING (SELECT 9L AS k, 'ii' AS s, 900L AS n) src
+         |ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET k = src.k, s = src.s, n = src.n
+         |WHEN NOT MATCHED THEN INSERT (k, s, n)
+         |  VALUES (src.k, src.s, src.n)""".stripMargin)
+    assert(rows(t) == Set((1L, "a", 10L), (2L, "bb", 200L), (9L, "ii", 900L)))
+  }
+
+  test("closed world: everything outside the proven shapes is REFUSED " +
+    "loudly, and the table is untouched") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), t)
+    val before = rows(t)
+    def refused(sql: String, why: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql).collect() }
+      assert(e.getMessage.contains("proven") ||
+        e.getMessage.contains("cardinality") ||
+        e.getMessage.contains("TxLog-backed"),
+        s"$why must refuse loudly, got: $e")
+      assert(rows(t) == before, s"$why must not mutate the table")
+    }
+    refused(s"UPDATE graft.`$t` SET s = reverse(s)",
+      "an unproven SET expression")
+    refused(s"UPDATE graft.`$t` SET s = 'x' WHERE s LIKE 'a%'",
+      "an unproven predicate")
+    refused(
+      s"""MERGE INTO graft.`$t` tgt
+         |USING (SELECT 1L AS k, 'x' AS s, 1L AS n) src
+         |ON tgt.k = src.k
+         |WHEN MATCHED THEN DELETE""".stripMargin,
+      "a MERGE shape outside update*/insert*")
+    refused(
+      s"""MERGE INTO graft.`$t` tgt
+         |USING (SELECT 1L AS k, 'x' AS s, 1L AS n
+         |       UNION ALL SELECT 1L, 'y', 2L) src
+         |ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "duplicate source join keys (SQL MERGE cardinality)")
+    // a FOREIGN _delta_log mount (no TxLog behind it) is read-only:
+    // its writer owns its commits
+    graft.sources.DeltaBridge.exportLog(spark, t)
+    val foreign = {
+      val f = tmpDir("graft_dml_foreign")
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(t), new java.io.File(f))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(f, "_graft_log"))
+      f
+    }
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$foreign` SET s = 'x'").collect()
+    }
+    assert(e.getMessage.contains("TxLog-backed"),
+      s"a foreign delta mount must stay read-only, got: $e")
+  }
+}
