@@ -515,6 +515,87 @@ object RelationalExt3 {
       |WHERE NOT (c_mktsegment = 'MACHINERY' AND c_acctbal < 0)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q342: FOREIGN Delta reader features — a reader-version-3 table with
+    * COLUMN MAPPING (name mode: parquet columns under physical names,
+    * logical names only in the logged schema) and a DELETION VECTOR
+    * (deleted row INDICES in a spec-format sidecar `.bin` — z85 UUID
+    * path, RoaringBitmapArray portable bytes, CRC framing) mounts and
+    * reads correctly through [[graft.sources.DeltaBridge.read]]: the
+    * data files scan under the physical schema and cast back to logical
+    * names, and the DV'd file drops exactly the deleted positions via
+    * `_metadata.row_index`. The log is hand-written exactly as delta-
+    * spark would emit it (DeltaBridgeSpec adds id-mode field-id
+    * matching, inline DVs, and the unsupported-feature refusal); the
+    * gate pins post-DV VALUES against the oracle's predicate
+    * recomputation. */
+  def q342DvColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    val table = graft.SparkSupport.layoutArtifact("delta_dv_cm", dir) { p =>
+      import java.nio.file.{Files => JF, Paths => JP}
+      JF.createDirectories(JP.get(p))
+      def stageOne(df: DataFrame, name: String): String = {
+        val tmp = JF.createTempDirectory("q342_stage").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = JF.list(JP.get(tmp)).toArray.map(_.toString)
+          .find(f => f.endsWith(".parquet") && f.contains("part-")).get
+        JF.copy(JP.get(part), JP.get(p, name),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        name
+      }
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("col-k"),
+          col("o_totalprice").as("col-p"),
+          col("o_orderstatus").as("col-s"))
+      val f1 = stageOne(o.filter(col("col-k") % 2 === 0).orderBy("col-k"),
+        "part-even.parquet")
+      val f2 = stageOne(o.filter(col("col-k") % 2 === 1).orderBy("col-k"),
+        "part-odd.parquet")
+      // the DV deletes rows with key % 10 == 4 (all even) BY ROW INDEX —
+      // positions read back from the staged file itself, so the gate's
+      // oracle predicate and the DV describe the same rows
+      val deleted = s.read.parquet(s"$p/$f1")
+        .select(col("_metadata.row_index"), col("col-k"))
+        .filter(col("col-k") % 10 === 4)
+        .collect().map(_.getLong(0)).sorted
+      val (enc, spans) =
+        graft.sources.DeletionVectors.writeDvFile(p, Seq(deleted))
+      import org.apache.spark.sql.types._
+      def fld(name: String, dt: DataType, phys: String, id: Int) =
+        StructField(name, dt, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", phys)
+            .putLong("delta.columnMapping.id", id.toLong).build())
+      val schema = StructType(Seq(
+        fld("o_orderkey", LongType, "col-k", 1),
+        fld("o_totalprice", DoubleType, "col-p", 2),
+        fld("o_orderstatus", StringType, "col-s", 3)))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ld = JP.get(p, "_delta_log")
+      JF.createDirectories(ld)
+      JF.writeString(ld.resolve(f"${0L}%020d.json"), Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["deletionVectors","columnMapping"],""" +
+          """"writerFeatures":["deletionVectors","columnMapping"]}}""",
+        s"""{"metaData":{"id":"q342","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+        s"""{"add":{"path":"$f1","partitionValues":{},"size":${JF.size(JP.get(p, f1))},"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$enc","offset":${spans(0)._1},"sizeInBytes":${spans(0)._2},"cardinality":${deleted.length}}}}""",
+        s"""{"add":{"path":"$f2","partitionValues":{},"size":${JF.size(JP.get(p, f2))},"modificationTime":0,"dataChange":true}}"""
+      ).mkString("", "\n", "\n"))
+      JF.createFile(JP.get(p, "_SUCCESS"))
+    }
+    graft.sources.DeltaBridge.read(s, table)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_key"),
+        graft.functions.OracleSafe.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q342Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 10 <> 4
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q341: SQL UPDATE and MERGE INTO through the catalog — the two
     * statements [[graft.sources.v2.GraftDmlStrategy]] plans onto the
     * file-granular TxLog kernel (closed-world condition/SET translation;
@@ -611,6 +692,7 @@ object RelationalExt3 {
     "q331_avro_nested"     -> q331AvroNested,
     "q332_avro_logical"    -> q332AvroLogical,
     "q341_sql_update_merge" -> q341SqlUpdateMerge,
+    "q342_dv_column_mapping" -> q342DvColumnMapping,
     "q325_delta_bridge"    -> q325DeltaBridge,
     "q330_delta_partitioned" -> q330DeltaPartitioned,
     "q333_delta_stats_skip" -> q333DeltaStatsSkip,
@@ -629,6 +711,7 @@ object RelationalExt3 {
     "q331_avro_nested"     -> q331Sql,
     "q332_avro_logical"    -> q332Sql,
     "q341_sql_update_merge" -> q341Sql,
+    "q342_dv_column_mapping" -> q342Sql,
     "q325_delta_bridge"    -> q325Sql,
     "q330_delta_partitioned" -> q330Sql,
     "q333_delta_stats_skip" -> q333Sql,

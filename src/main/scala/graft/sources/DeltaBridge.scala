@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Delta-protocol interchange WITHOUT the Delta jar: the reference's gold
   * layer writes Delta tables (BuildGoldLayer.py:219-234); this classpath
@@ -542,22 +542,41 @@ object DeltaBridge {
     * from this bridge's checkpoints, which do not carry stats — such
     * files are simply never skipped, the conservative direction). */
   private case class AddEntry(pv: Map[String, String],
-                              stats: Option[String])
+                              stats: Option[String],
+                              dv: Option[DeletionVectors.Descriptor] = None)
 
   private case class LogState(
       var schemaJson: String = null,
       var metaId: String = null,
       var partitionCols: Seq[String] = Seq.empty,
+      var configuration: Map[String, String] = Map.empty,
       live: scala.collection.mutable.LinkedHashMap[String, AddEntry] =
         scala.collection.mutable.LinkedHashMap.empty)
 
+  /** The reader features this bridge actually implements; a protocol
+    * asking for anything else still refuses loudly. */
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping")
+
+  private def requireReadable(mr: Int, features: Seq[String]): Unit =
+    if (mr == 2) () // column mapping (legacy reader-version form)
+    else if (mr == 3) {
+      val unsupported = features.toSet -- SupportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"Delta table needs reader features ${unsupported.mkString(",")}; " +
+          s"this bridge speaks ${SupportedReaderFeatures.mkString(",")}")
+    } else require(mr <= 1,
+      s"Delta table needs reader version $mr; this bridge speaks 1-3 " +
+        s"(features: ${SupportedReaderFeatures.mkString(",")})")
+
   private def applyAction(st: LogState, m: java.util.Map[String, AnyRef]): Unit = {
     Option(m.get("protocol")).foreach { p =>
-      val mr = p.asInstanceOf[java.util.Map[String, AnyRef]]
-        .get("minReaderVersion").asInstanceOf[Number].intValue()
-      require(mr <= 1,
-        s"Delta table needs reader version $mr; this bridge speaks 1 " +
-          "(no column mapping / deletion vectors)")
+      val pm = p.asInstanceOf[java.util.Map[String, AnyRef]]
+      val mr = pm.get("minReaderVersion").asInstanceOf[Number].intValue()
+      val features = Option(pm.get("readerFeatures"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Seq.empty)
+      requireReadable(mr, features)
     }
     Option(m.get("metaData")).foreach { md =>
       val mm = md.asInstanceOf[java.util.Map[String, AnyRef]]
@@ -566,6 +585,9 @@ object DeltaBridge {
       st.partitionCols = Option(mm.get("partitionColumns"))
         .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
         .getOrElse(Seq.empty)
+      st.configuration = Option(mm.get("configuration"))
+        .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
+        .getOrElse(Map.empty)
     }
     Option(m.get("add")).foreach { a =>
       val am = a.asInstanceOf[java.util.Map[String, AnyRef]]
@@ -573,8 +595,18 @@ object DeltaBridge {
         .map(_.asInstanceOf[java.util.Map[String, String]].asScala.toMap)
         .getOrElse(Map.empty[String, String])
       val stats = Option(am.get("stats")).map(_.asInstanceOf[String])
+      val dv = Option(am.get("deletionVector")).map { d =>
+        val dm = d.asInstanceOf[java.util.Map[String, AnyRef]]
+        DeletionVectors.Descriptor(
+          dm.get("storageType").asInstanceOf[String],
+          dm.get("pathOrInlineDv").asInstanceOf[String],
+          Option(dm.get("offset")).map(_.asInstanceOf[Number].intValue()),
+          dm.get("sizeInBytes").asInstanceOf[Number].intValue(),
+          Option(dm.get("cardinality")).map(_.asInstanceOf[Number].longValue())
+            .getOrElse(-1L))
+      }
       st.live += (am.get("path").asInstanceOf[String] ->
-        AddEntry(pv, stats))
+        AddEntry(pv, stats, dv))
     }
     Option(m.get("remove")).foreach { r =>
       st.live -= r.asInstanceOf[java.util.Map[String, AnyRef]]
@@ -752,15 +784,130 @@ object DeltaBridge {
       s"$table: partitionFilter on non-partition columns " +
         s"${badKeys.mkString(",")} (partitioned by " +
         s"${st.partitionCols.mkString(",")})")
+    val mapping = columnMappingMode(st)
+    // under column mapping the log's partitionValues / stats keys are
+    // PHYSICAL names — translate the caller's logical names once
+    val physOf: String => String =
+      if (mapping == "none") identity
+      else {
+        val m = schema.fields.map(f => f.name -> physicalName(f)).toMap
+        n => m.getOrElse(n, n)
+      }
     // metadata-level pruning: drop non-matching add actions before the
     // scan — partition values exactly, then stats bounds (files are kept
     // unless their stats PROVE disjointness — sound for stats-less adds)
     val live = st.live.toSeq.filter { case (_, e) =>
-      partitionFilter.forall { case (k, v) => e.pv.get(k).contains(v) } &&
+      partitionFilter.forall { case (k, v) =>
+        e.pv.get(physOf(k)).contains(v) } &&
         !statsFilter.exists { case (c, lo, hi) =>
-          e.stats.exists(statsProveDisjoint(_, c, lo, hi)) }
-    }.map { case (p, e) => (p, e.pv) }
-    buildDataFrame(spark, table, schema, st.partitionCols, live)
+          e.stats.exists(statsProveDisjoint(_, physOf(c), lo, hi)) }
+    }
+    if (mapping == "none" && live.forall(_._2.dv.isEmpty))
+      buildDataFrame(spark, table, schema, st.partitionCols,
+        live.map { case (p, e) => (p, e.pv) })
+    else
+      extendedRead(spark, table, schema, mapping, st.partitionCols, live)
+  }
+
+  private def columnMappingMode(st: LogState): String =
+    st.configuration.getOrElse("delta.columnMapping.mode", "none")
+
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** The schema the DATA FILES store under a column-mapped table:
+    * every field (recursively) renamed to its logged physical name; in
+    * `id` mode each field additionally carries its `parquet.field.id`
+    * so Spark's reader matches by field id (the mode's contract — names
+    * in id-mode files are not required to match at all). */
+  private def physicalField(f: StructField, idMode: Boolean): StructField = {
+    def physType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(physicalField(_, idMode)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = physType(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = physType(m.keyType),
+          valueType = physType(m.valueType))
+      case other => other
+    }
+    val meta =
+      if (idMode && f.metadata.contains("delta.columnMapping.id"))
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("parquet.field.id",
+            f.metadata.getLong("delta.columnMapping.id"))
+          .build()
+      else org.apache.spark.sql.types.Metadata.empty
+    StructField(physicalName(f), physType(f.dataType), f.nullable, meta)
+  }
+
+  /** Snapshot read for tables using reader features the FAST path can't
+    * serve — column mapping and/or deletion vectors:
+    *
+    *  - data files read under the PHYSICAL schema (name mode: physical
+    *    names match the parquet columns; id mode: `parquet.field.id`
+    *    metadata + Spark's field-id matching), then each top-level
+    *    column casts back to its logical field — struct casts rename
+    *    nested fields positionally, so nested mapping comes free;
+    *  - a file with a deletion vector reads with `_metadata.row_index`
+    *    and drops exactly the indices the DV stores (sorted-array
+    *    binary-search predicate — DV cardinality is bounded by the
+    *    file's row count, metadata-sized next to the data);
+    *  - partition columns attach from the log's partitionValues as
+    *    typed literals (the layout-agnostic branch — a mapped table's
+    *    directory names are physical and untrustworthy for discovery).
+    *
+    * One scan branch per (partition tuple) plus one per DV'd file; DV'd
+    * files are the copy-on-write minority by construction, so the plan
+    * stays metadata-sized. */
+  private def extendedRead(spark: SparkSession, table: String,
+                           schema: StructType, mapping: String,
+                           partitionCols: Seq[String],
+                           live: Seq[(String, AddEntry)]): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    val idMode = mapping == "id"
+    if (idMode) // field-id matching is conf-gated in the parquet reader
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val dataFields = schema.fields.filterNot(f => partitionCols.contains(f.name))
+    val physDataSchema = StructType(dataFields.map(f =>
+      if (mapping == "none") f else physicalField(f, idMode)))
+    val physOfData: Map[String, String] = dataFields.map(f =>
+      f.name -> (if (mapping == "none") f.name else physicalName(f))).toMap
+    val physOfPart: Map[String, String] = partitionCols.map { c =>
+      c -> (if (mapping == "none") c else physicalName(schema(c)))
+    }.toMap
+    def finishBranch(raw: DataFrame, pv: Map[String, String]): DataFrame = {
+      val withParts = partitionCols.foldLeft(raw) { (df, c) =>
+        val dt = schema(c).dataType
+        df.withColumn(c,
+          Option(pv.getOrElse(physOfPart(c), null))
+            .map(v => lit(v).cast(dt))
+            .getOrElse(lit(null).cast(dt)))
+      }
+      withParts.select(schema.fields.toIndexedSeq.map { f =>
+        if (partitionCols.contains(f.name)) col(f.name)
+        else col(s"`${physOfData(f.name)}`").cast(f.dataType).as(f.name)
+      }: _*)
+    }
+    if (live.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val (clean, dvd) = live.partition(_._2.dv.isEmpty)
+    val cleanBranches = clean.groupBy(_._2.pv).toSeq.map { case (pv, files) =>
+      finishBranch(
+        spark.read.schema(physDataSchema)
+          .parquet(files.map { case (p, _) => s"$table/$p" }: _*), pv)
+    }
+    val dvBranches = dvd.map { case (p, e) =>
+      val deleted = DeletionVectors.load(table, e.dv.get)
+      val dropped = udf((i: Long) =>
+        java.util.Arrays.binarySearch(deleted, i) >= 0)
+      finishBranch(
+        spark.read.schema(physDataSchema).parquet(s"$table/$p")
+          .filter(!dropped(col("_metadata.row_index"))), e.pv)
+    }
+    (cleanBranches ++ dvBranches).reduce(_ unionByName _)
   }
 
   /** Construct the DataFrame over a set of (path, partitionValues) files
@@ -897,6 +1044,18 @@ object DeltaBridge {
                                 versionAsOf: Option[Long]): Snapshot = {
     val st = readState(spark, table, versionAsOf)
     require(st.schemaJson != null, s"$table: no metaData action in log")
+    // the native relation / catalog / streaming paths plan through
+    // Spark's V2 parquet scan under LOGICAL names with no row-index
+    // filtering — serving a mapped or DV'd snapshot there would silently
+    // mis-read; those tables mount through DeltaBridge.read (which
+    // implements both) until the index path learns them
+    require(columnMappingMode(st) == "none",
+      s"$table: column-mapped tables read through DeltaBridge.read " +
+        "(the native relation's index serves unmapped tables)")
+    require(st.live.values.forall(_.dv.isEmpty),
+      s"$table: tables with deletion vectors read through " +
+        "DeltaBridge.read (the native relation's index serves DV-free " +
+        "tables)")
     Snapshot(st.schemaJson, st.partitionCols,
       st.live.toSeq.map { case (p, e) => (p, e.pv, e.stats) })
   }
@@ -1002,10 +1161,6 @@ object DeltaBridge {
         if (cols.contains(name) && !r.isNullAt(r.fieldIndex(name)))
           Some(r.getStruct(r.fieldIndex(name)))
         else None
-      struct("protocol").foreach { p =>
-        require(p.getAs[Int]("minReaderVersion") <= 1,
-          "checkpoint protocol needs a newer reader than this bridge")
-      }
       // a foreign checkpoint may omit optional struct fields entirely
       // (its parquet schema simply lacks them) — absent ≠ null
       def field[T](row: org.apache.spark.sql.Row, name: String): Option[T] =
@@ -1013,6 +1168,11 @@ object DeltaBridge {
             !row.isNullAt(row.fieldIndex(name)))
           Some(row.getAs[T](name))
         else None
+      struct("protocol").foreach { p =>
+        requireReadable(p.getAs[Int]("minReaderVersion"),
+          field[scala.collection.Seq[String]](p, "readerFeatures")
+            .map(_.toSeq).getOrElse(Seq.empty))
+      }
       struct("metaData").foreach { md =>
         st.schemaJson = md.getAs[String]("schemaString")
         // Row.getAs surfaces arrays as a MUTABLE Seq — convert, don't cast
@@ -1020,13 +1180,25 @@ object DeltaBridge {
           field[scala.collection.Seq[String]](md, "partitionColumns")
             .map(_.toSeq).getOrElse(Seq.empty)
         field[String](md, "id").foreach(st.metaId = _)
+        st.configuration =
+          field[scala.collection.Map[String, String]](md, "configuration")
+            .map(_.toMap).getOrElse(Map.empty)
       }
       struct("add").foreach { a =>
         val pv =
           field[scala.collection.Map[String, String]](a, "partitionValues")
             .map(_.toMap).getOrElse(Map.empty[String, String])
+        val dv = field[org.apache.spark.sql.Row](a, "deletionVector")
+          .map { d =>
+            DeletionVectors.Descriptor(
+              d.getAs[String]("storageType"),
+              d.getAs[String]("pathOrInlineDv"),
+              field[Int](d, "offset"),
+              d.getAs[Int]("sizeInBytes"),
+              field[Long](d, "cardinality").getOrElse(-1L))
+          }
         st.live += (a.getAs[String]("path") ->
-          AddEntry(pv, field[String](a, "stats")))
+          AddEntry(pv, field[String](a, "stats"), dv))
       }
       struct("remove").foreach(rm => st.live -= rm.getAs[String]("path"))
     }

@@ -856,11 +856,12 @@ class DeltaBridgeSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(big + 1))
   }
 
-  test("fails loud on newer reader protocols") {
+  test("fails loud on newer reader protocols (v2/v3 with supported " +
+    "features now read; anything beyond still refuses)") {
     val t2 = freshTable()
     Files.createDirectories(Paths.get(t2, "_delta_log"))
     Files.writeString(Paths.get(t2, "_delta_log", f"${0L}%020d.json"),
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}
+      """{"protocol":{"minReaderVersion":4,"minWriterVersion":8}}
         |""".stripMargin)
     val e2 = intercept[IllegalArgumentException](DeltaBridge.read(spark, t2))
     assert(e2.getMessage.contains("reader version"))
@@ -1240,5 +1241,156 @@ class DeltaBridgeSpec extends SparkSpec {
     val h = DeltaBridge.history(spark, t).collect().map(_.getLong(1))
     assert(h.toSeq == Seq(5000L, 5000L),
       s"history must publish the monotonized clock, got ${h.toSeq}")
+  }
+
+  // ------------------------- reader features: DVs and column mapping
+
+  /** Hand-write a foreign `_delta_log` version file. */
+  private def writeLogJson(t: String, v: Long, lines: Seq[String]): Unit = {
+    val ld = Paths.get(t, "_delta_log")
+    Files.createDirectories(ld)
+    Files.writeString(ld.resolve(f"$v%020d.json"),
+      lines.mkString("", "\n", "\n"))
+  }
+
+  /** Stage `df` as ONE parquet file directly under `t`; returns the
+    * file's table-relative name. Row order is preserved (single task),
+    * so `_metadata.row_index` positions are the input order. */
+  private def stageOneFile(df: org.apache.spark.sql.DataFrame,
+                           t: String, name: String): String = {
+    val tmp = Files.createTempDirectory("dv_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .find(p => p.endsWith(".parquet") && p.contains("part-")).get
+    Files.copy(Paths.get(part), Paths.get(t, name))
+    name
+  }
+
+  test("DELETION VECTORS: a foreign reader-v3 log with file-based and " +
+    "inline DVs reads minus exactly the deleted row indices; the native " +
+    "relation path refuses the same table loudly") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val f1 = stageOneFile((0L until 10L).map(i => (i, s"r$i"))
+      .toDF("id", "v"), t, "part-dv1.parquet")
+    val f2 = stageOneFile((10L until 20L).map(i => (i, s"r$i"))
+      .toDF("id", "v"), t, "part-dv2.parquet")
+    // file-based DV over f1 (drop row positions 1 and 3) and an inline
+    // DV over f2 (drop position 0)
+    val (enc, spans) = DeletionVectors.writeDvFile(t, Seq(Array(1L, 3L)))
+    val inline = {
+      val data = DeletionVectors.serialize(Array(0L))
+      val padded = data ++ Array.fill((4 - data.length % 4) % 4)(0.toByte)
+      (DeletionVectors.z85Encode(padded), data.length)
+    }
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    writeLogJson(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"t-dv","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"$enc","offset":${spans(0)._1},"sizeInBytes":${spans(0)._2},"cardinality":2}}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"${inline._1}","sizeInBytes":${inline._2},"cardinality":1}}}"""))
+    val got = DeltaBridge.read(spark, t).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == ((0L until 20L).toSet -- Set(1L, 3L, 10L)).toSeq.sorted,
+      s"DV'd rows must be dropped by ROW INDEX, got $got")
+    // the index-backed relation path refuses rather than mis-reads
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-delta").load(t).collect()
+    }
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+
+  test("COLUMN MAPPING (name mode): logical schema over physically-named " +
+    "parquet columns, mapped partitionValues, stats keyed physically") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    // data files store physical names; the partition column is NOT in
+    // the data file at all (delta semantics)
+    val f1 = stageOneFile(Seq((1L, "a"), (2L, "b"))
+      .toDF("col-9f1", "col-2ab"), t, "part-m1.parquet")
+    val f2 = stageOneFile(Seq((3L, "c")).toDF("col-9f1", "col-2ab"),
+      t, "part-m2.parquet")
+    def fld(name: String, dt: DataType, phys: String, id: Int) =
+      StructField(name, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id.toLong).build())
+    val schema = StructType(Seq(
+      fld("id", LongType, "col-9f1", 1),
+      fld("v", StringType, "col-2ab", 2),
+      fld("part", StringType, "col-777", 3)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    writeLogJson(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t-cm","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schema.json)},"partitionColumns":["part"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{"col-777":"x"},"size":1,"modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":2,\\"minValues\\":{\\"col-9f1\\":1},\\"maxValues\\":{\\"col-9f1\\":2}}"}}""",
+      s"""{"add":{"path":"$f2","partitionValues":{"col-777":"y"},"size":1,"modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":1,\\"minValues\\":{\\"col-9f1\\":3},\\"maxValues\\":{\\"col-9f1\\":3}}"}}"""))
+    val got = DeltaBridge.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        r.getAs[String]("part"))).toSeq
+    assert(got == Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y")),
+      s"logical names must map onto physical columns, got $got")
+    // partitionFilter speaks LOGICAL names; the log's keys are physical
+    assert(DeltaBridge.read(spark, t,
+        partitionFilter = Map("part" -> "y"))
+      .collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    // stats pruning translates the logical column to the physical key
+    assert(DeltaBridge.readPruned(spark, t, "id", 3L, 99L)
+      .collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
+    // the relation path refuses mapped tables loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-delta").load(t).collect()
+    }
+    assert(e.getMessage.contains("column-mapped"), e.getMessage)
+  }
+
+  test("COLUMN MAPPING (id mode): parquet columns match by FIELD ID even " +
+    "when physical names disagree with the files") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    // the data file's columns carry parquet field ids 1 and 2 under
+    // arbitrary names — id-mode readers must match by id, not name
+    val writeSchema = StructType(Seq(
+      StructField("anything", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("whatever", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val df = spark.createDataFrame(
+      Seq((5L, "e"), (6L, "f")).toDF("a", "b").rdd, writeSchema)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val f1 = stageOneFile(df, t, "part-id1.parquet")
+    def fld(name: String, dt: DataType, phys: String, id: Int) =
+      StructField(name, dt, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id.toLong).build())
+    val schema = StructType(Seq(
+      fld("id", LongType, "col-AAA", 1),
+      fld("v", StringType, "col-BBB", 2)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    writeLogJson(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"t-cmid","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val got = DeltaBridge.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSeq
+    assert(got == Seq((5L, "e"), (6L, "f")),
+      s"id-mode must match by parquet field id, got $got")
+  }
+
+  test("an UNSUPPORTED reader feature still refuses loudly") {
+    val t = freshTable()
+    writeLogJson(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","v2Checkpoint"]}}""",
+      """{"metaData":{"id":"t-x","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[]}","partitionColumns":[],"configuration":{}}}"""))
+    val e = intercept[IllegalArgumentException] {
+      DeltaBridge.read(spark, t).collect()
+    }
+    assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
   }
 }
