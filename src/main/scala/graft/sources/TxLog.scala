@@ -358,27 +358,44 @@ object TxLog {
         val staged =
           if (partitionCols.isEmpty) stage(df, table, partFiles)
           else stagePartitioned(df, table, partitionCols)
-        // only commits NEWER than the last scan can newly hold the batch
-        // id, so each retry reads just the delta — a contended append
-        // stays O(log length), not O(retries × log length). checked starts
-        // at 0 (NOT at the pre-stage head): a racer landing between the
-        // probe above and here must not be skipped.
-        var checked = 0
-        var attempts = 0
-        while (attempts < 100) {
-          attempts += 1
-          val vs = versions(table)
-          vs.filter(_ > checked).find(hasBatchId(table, _, batchId)) match {
-            case Some(v) => return recordBatch(table, batchId, v) // racer won
-            case None =>
-              checked = vs.lastOption.getOrElse(0)
-              if (tryCommitAt(table, checked + 1, staged, Seq.empty,
-                  Some(batchId)))
-                return recordBatch(table, batchId, checked + 1)
-          }
-        }
-        throw new IllegalStateException(s"appendBatch $table: too many conflicts")
+        claimBatch(table, batchId, staged)
     }
+  }
+
+  /** EXACTLY-ONCE commit of ALREADY-STAGED files under a batch id — the
+    * V2 streaming-write path, where executors have written the epoch's
+    * parquet files themselves and the driver commits the file list. Same
+    * idempotence contract as [[appendBatch]]: a replayed epoch whose id
+    * is already committed stages new orphans but lands no version. */
+  def appendBatchStaged(table: String, batchId: Long,
+                        staged: Seq[String]): Int =
+    committedBatch(table, batchId) match {
+      case Some(v) => v
+      case None    => claimBatch(table, batchId, staged)
+    }
+
+  /** The batch-id claim loop. Only commits NEWER than the last scan can
+    * newly hold the batch id, so each retry reads just the delta — a
+    * contended append stays O(log length), not O(retries × log length).
+    * `checked` starts at 0 (NOT at the pre-stage head): a racer landing
+    * between the caller's probe and here must not be skipped. */
+  private def claimBatch(table: String, batchId: Long,
+                         staged: Seq[String]): Int = {
+    var checked = 0
+    var attempts = 0
+    while (attempts < 100) {
+      attempts += 1
+      val vs = versions(table)
+      vs.filter(_ > checked).find(hasBatchId(table, _, batchId)) match {
+        case Some(v) => return recordBatch(table, batchId, v) // racer won
+        case None =>
+          checked = vs.lastOption.getOrElse(0)
+          if (tryCommitAt(table, checked + 1, staged, Seq.empty,
+              Some(batchId)))
+            return recordBatch(table, batchId, checked + 1)
+      }
+    }
+    throw new IllegalStateException(s"appendBatch $table: too many conflicts")
   }
 
   private def hasBatchId(table: String, v: Int, batchId: Long): Boolean =

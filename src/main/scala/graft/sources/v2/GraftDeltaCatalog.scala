@@ -156,7 +156,8 @@ private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val partitionSchema = StructType(snap.partitionCols.map(fullSchema(_)))
@@ -200,6 +201,22 @@ private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
               DeltaBridge.exportLog(s, path)
             }
           }
+        /** `writeStream.toTable` — the exactly-once V2 streaming sink
+          * ([[GraftDeltaStreamingWrite]]: one Delta version per epoch).
+          * Append-only, flat tables: Hive-layout streaming targets use
+          * the V1 `format("graft-delta")` sink's `partitionBy`. */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          mutable("writeStream")
+          require(!overwrite,
+            s"writeStream into ${name()}: Append output mode only (the " +
+              "epoch-id idempotence contract does not cover truncation)")
+          require(snap.partitionCols.isEmpty,
+            s"writeStream into ${name()}: partitioned streaming targets " +
+              "go through writeStream.format(\"graft-delta\")" +
+              ".partitionBy(...) — the catalog sink writes flat tables")
+          GraftDeltaStreamingWrite(path, info.schema())
+        }
       }
     }
 

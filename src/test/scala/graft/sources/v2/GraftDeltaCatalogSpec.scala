@@ -187,4 +187,73 @@ class GraftDeltaCatalogSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
       "between the commits resolves to the pre-overwrite version")
   }
+
+  test("writeStream.toTable lands each micro-batch as ONE Delta version " +
+    "through the V2 streaming sink, exactly once across a checkpoint " +
+    "restart, with batch/stream parquet byte-compatibility") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    val t = freshTable()
+    // the table must exist (the catalog creates through writes, not DDL)
+    TxLog.append(spark, Seq((0L, "seed")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    val ckpt = Files.createTempDirectory("cat_sink_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    def start() = mem.toDF().toDF("id", "v")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").toTable(s"graft.`$t`")
+    mem.addData((1L, "a"), (2L, "b"))
+    val q = start()
+    try {
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // seed + two micro-batches → three log versions
+    assert(DeltaBridge.versions(t).size == 3,
+      s"got versions ${DeltaBridge.versions(t)}")
+    assert(sqlDf(s"SELECT id, v FROM graft.`$t` ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "seed"), (1L, "a"), (2L, "b"), (3L, "c")))
+    // restart against the same checkpoint: replayed offsets, no version
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(DeltaBridge.versions(t).size == 3,
+      "a restart's replay must not create a new version")
+    // streamed files are ordinary parquet a plain batch reader mounts
+    val streamed = TxLog.liveFiles(t)
+      .filter(_.contains("stage-stream-e"))
+    assert(streamed.nonEmpty, "streamed epochs must be in the live set")
+    assert(spark.read.parquet(
+        streamed.map(e => s"$t/${TxLog.entryPath(e)}"): _*)
+      .count() == 3)
+  }
+
+  test("writeStream.toTable refuses non-TxLog and partitioned targets " +
+    "loudly at stream start") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    val t = freshTable()
+    TxLog.appendPartitioned(spark,
+      Seq((1L, "a", "US")).toDF("id", "v", "country"), t, Seq("country"))
+    DeltaBridge.exportLog(spark, t)
+    val mem = MemoryStream[(Long, String, String)]
+    mem.addData((2L, "b", "DE"))
+    val q = mem.toDF().toDF("id", "v", "country")
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("cat_sink_bad").toString)
+      .toTable(s"graft.`$t`")
+    val e = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t0 =>
+        Option(t0.getMessage).toSeq ++ msgs(t0.getCause))
+    assert(msgs(e).exists(_.contains("partitioned streaming targets")),
+      s"got: ${msgs(e)}")
+  }
 }
