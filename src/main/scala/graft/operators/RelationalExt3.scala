@@ -515,6 +515,45 @@ object RelationalExt3 {
       |WHERE NOT (c_mktsegment = 'MACHINERY' AND c_acctbal < 0)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q343: the SQL LIFECYCLE surface — Spark 4 stored procedures
+    * (`ProcedureCatalog`, the `CALL catalog.proc(...)` maintenance idiom)
+    * over the same engine verbs the programmatic API runs
+    * ([[graft.sources.v2.GraftProcedures]]): `CALL graft.optimize`
+    * compacts (a fresh commit each run — value-idempotent), `CALL
+    * graft.history` lists the log (the gate asserts its row count grew
+    * past the data commits), and `CALL graft.vacuum` sweeps the
+    * unreferenced generations under a 2-version retention. The final
+    * SELECT reads the post-maintenance head through the catalog scan and
+    * pins VALUES against the oracle — compaction and vacuum must be
+    * invisible to the data. */
+  def q343CallLifecycle(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftDeltaCatalog].getName)
+    val tmp = graft.SparkSupport.roundtripPath("call_lifecycle_rt", dir)
+    if (graft.sources.TxLog.versions(tmp).isEmpty) {
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      graft.sources.TxLog.append(s, c.filter(col("c_custkey") % 2 === 0), tmp)
+      graft.sources.TxLog.append(s, c.filter(col("c_custkey") % 2 === 1), tmp)
+    }
+    s.sql(s"CALL graft.optimize('$tmp')").collect()
+    val hist = s.sql(s"CALL graft.history('$tmp')").collect()
+    require(hist.length >= 3,
+      s"history must show the data commits plus the compaction, " +
+        s"got ${hist.length} rows")
+    s.sql(s"CALL graft.vacuum('$tmp', retain_versions => 2)").collect()
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_rows,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+         |FROM graft.`$tmp`
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q343Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q342: FOREIGN Delta reader features — a reader-version-3 table with
     * COLUMN MAPPING (name mode: parquet columns under physical names,
     * logical names only in the logged schema) and a DELETION VECTOR
@@ -693,6 +732,7 @@ object RelationalExt3 {
     "q332_avro_logical"    -> q332AvroLogical,
     "q341_sql_update_merge" -> q341SqlUpdateMerge,
     "q342_dv_column_mapping" -> q342DvColumnMapping,
+    "q343_call_lifecycle"   -> q343CallLifecycle,
     "q325_delta_bridge"    -> q325DeltaBridge,
     "q330_delta_partitioned" -> q330DeltaPartitioned,
     "q333_delta_stats_skip" -> q333DeltaStatsSkip,
@@ -712,6 +752,7 @@ object RelationalExt3 {
     "q332_avro_logical"    -> q332Sql,
     "q341_sql_update_merge" -> q341Sql,
     "q342_dv_column_mapping" -> q342Sql,
+    "q343_call_lifecycle"   -> q343Sql,
     "q325_delta_bridge"    -> q325Sql,
     "q330_delta_partitioned" -> q330Sql,
     "q333_delta_stats_skip" -> q333Sql,

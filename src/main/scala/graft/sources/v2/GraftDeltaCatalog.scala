@@ -49,9 +49,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `canDeleteWhere` answer false (Spark then fails the statement loud —
   * never a wrong delete).
   */
-class GraftDeltaCatalog extends TableCatalog {
+class GraftDeltaCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft"
+
+  /** `CALL graft.history/vacuum/optimize/restore(...)` — Spark 4 stored
+    * procedures over the lifecycle verbs ([[GraftProcedures]]). */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system")),
+      s"$catalogName procedures live at the catalog root (or `system.`): " +
+        s"CALL $catalogName.${GraftProcedures.names.mkString("|")}(...)")
+    GraftProcedures.load(catalogName, ident.name()).getOrElse(
+      throw new RuntimeException(
+        s"$catalogName has no procedure '${ident.name()}'; available: " +
+          GraftProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftProcedures.names.map(Identifier.of(Array.empty, _)).toArray
+    else Array.empty
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {

@@ -256,4 +256,50 @@ class GraftDeltaCatalogSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("partitioned streaming targets")),
       s"got: ${msgs(e)}")
   }
+
+  test("CALL procedures: history / optimize / restore / vacuum run the " +
+    "lifecycle verbs from pure SQL and return metadata-sized rows") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      t, partFiles = 2)
+    TxLog.append(spark, Seq((3L, "c")).toDF("id", "v"), t)
+    // history exports pending commits first, like every catalog load
+    val h = sqlDf(s"CALL graft.history('$t')").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L),
+      s"history must list the exported versions, got ${h.toSeq}")
+    assert(h.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((2L, 0L), (1L, 0L)), "per-version add/remove counts")
+    // optimize compacts to one file and lands one new version
+    val ov = sqlDf(s"CALL graft.optimize('$t')").collect()
+    assert(ov.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(TxLog.liveFiles(t).size == 1)
+    assert(sqlDf(s"SELECT count(*) AS n FROM graft.`$t`")
+      .collect().head.getLong(0) == 3L)
+    // restore rolls back to the pre-optimize state (named argument form)
+    sqlDf(s"CALL graft.restore('$t', version => 2)").collect()
+    assert(TxLog.liveFiles(t).size == 3,
+      "restore must re-reference the pre-compaction files")
+    // vacuum: the compacted file (now unreferenced by the retained
+    // window after another optimize) gets swept; counts come back
+    sqlDf(s"CALL graft.optimize('$t')").collect()
+    val vc = sqlDf(
+      s"CALL graft.vacuum('$t', retain_versions => 1, min_age_ms => 0)")
+      .collect()
+    assert(vc.length == 1 && vc.head.getLong(0) >= 3L,
+      s"vacuum must sweep the unreferenced generations, got ${vc.toSeq}")
+    assert(sqlDf(s"SELECT count(*) AS n FROM graft.`$t`")
+      .collect().head.getLong(0) == 3L, "the head must survive vacuum")
+    // unknown procedure and foreign-table mutation refuse loudly
+    val unknown = intercept[Exception] {
+      sqlDf(s"CALL graft.nonsense('$t')").collect()
+    }
+    assert(unknown.getMessage.contains("no procedure") ||
+      unknown.getMessage.contains("Failed to load routine"),
+      s"got: $unknown")
+    val foreign = freshTable()
+    assert(intercept[Exception] {
+      sqlDf(s"CALL graft.optimize('$foreign')").collect()
+    }.getMessage.contains("TxLog-backed"))
+  }
 }
