@@ -867,7 +867,14 @@ object DeltaBridge {
                            live: Seq[(String, AddEntry)]): DataFrame = {
     import org.apache.spark.sql.functions.udf
     val idMode = mapping == "id"
-    if (idMode) // field-id matching is conf-gated in the parquet reader
+    // field-id matching is conf-gated in the parquet reader and consulted
+    // lazily at scan time, so a save-and-restore here would revert before
+    // the returned DataFrame executes. Leaving it on is benign for other
+    // reads: the flag only changes resolution for REQUESTED schemas that
+    // carry `parquet.field.id` metadata — which this bridge attaches
+    // deliberately, and footer-inferred schemas replicate their own
+    // file's ids, where id- and name-matching agree.
+    if (idMode)
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val dataFields = schema.fields.filterNot(f => partitionCols.contains(f.name))
     val physDataSchema = StructType(dataFields.map(f =>

@@ -368,10 +368,11 @@ object TxLog {
     * idempotence contract as [[appendBatch]]: a replayed epoch whose id
     * is already committed stages new orphans but lands no version. */
   def appendBatchStaged(table: String, batchId: Long,
-                        staged: Seq[String]): Int =
-    committedBatch(table, batchId) match {
+                        staged: Seq[String],
+                        appId: Option[String] = None): Int =
+    committedBatch(table, batchId, appId) match {
       case Some(v) => v
-      case None    => claimBatch(table, batchId, staged)
+      case None    => claimBatch(table, batchId, staged, appId)
     }
 
   /** The batch-id claim loop. Only commits NEWER than the last scan can
@@ -380,30 +381,38 @@ object TxLog {
     * `checked` starts at 0 (NOT at the pre-stage head): a racer landing
     * between the caller's probe and here must not be skipped. */
   private def claimBatch(table: String, batchId: Long,
-                         staged: Seq[String]): Int = {
+                         staged: Seq[String],
+                         appId: Option[String] = None): Int = {
     var checked = 0
     var attempts = 0
     while (attempts < 100) {
       attempts += 1
       val vs = versions(table)
-      vs.filter(_ > checked).find(hasBatchId(table, _, batchId)) match {
-        case Some(v) => return recordBatch(table, batchId, v) // racer won
+      vs.filter(_ > checked)
+        .find(hasBatchId(table, _, batchId, appId)) match {
+        case Some(v) => // racer won
+          return recordBatch(table, batchId, v, appId)
         case None =>
           checked = vs.lastOption.getOrElse(0)
           if (tryCommitAt(table, checked + 1, staged, Seq.empty,
-              Some(batchId)))
-            return recordBatch(table, batchId, checked + 1)
+              Some(batchId), appId))
+            return recordBatch(table, batchId, checked + 1, appId)
       }
     }
     throw new IllegalStateException(s"appendBatch $table: too many conflicts")
   }
 
-  private def hasBatchId(table: String, v: Int, batchId: Long): Boolean =
-    s""""batchId":$batchId[,}]""".r
-      .findFirstIn(Files.readString(versionFile(table, v))).isDefined
+  private def hasBatchId(table: String, v: Int, batchId: Long,
+                         appId: Option[String]): Boolean = {
+    val txt = Files.readString(versionFile(table, v))
+    s""""batchId":$batchId[,}]""".r.findFirstIn(txt).isDefined &&
+      appId.forall(a => txt.contains(s""""appId":"$a\""""))
+  }
 
-  private def batchIndexFile(table: String, batchId: Long): Path =
-    logPath(table).resolve("_batch_index").resolve(s"b$batchId")
+  private def batchIndexFile(table: String, batchId: Long,
+                             appId: Option[String]): Path =
+    logPath(table).resolve("_batch_index")
+      .resolve(appId.fold(s"b$batchId")(a => s"a${a}_b$batchId"))
 
   /** Cache batchId → version in the side index (a batch id maps to exactly
     * one version — the claim loop guarantees it — so concurrent writers
@@ -414,8 +423,9 @@ object TxLog {
     * (committedBatch backfill) or an already-durable commit (appendBatch
     * return path) into a failure. The cost is one log scan on the next
     * probe. */
-  private def recordBatch(table: String, batchId: Long, v: Int): Int = {
-    val f = batchIndexFile(table, batchId)
+  private def recordBatch(table: String, batchId: Long, v: Int,
+                          appId: Option[String] = None): Int = {
+    val f = batchIndexFile(table, batchId, appId)
     try {
       if (!Files.exists(f)) {
         Files.createDirectories(f.getParent)
@@ -435,11 +445,12 @@ object TxLog {
     * before recording it. The index is authoritative-if-present: entries
     * are written only after the commit record is durable, and commit
     * records are never rewritten. */
-  def committedBatch(table: String, batchId: Long): Option[Int] = {
-    val f = batchIndexFile(table, batchId)
+  def committedBatch(table: String, batchId: Long,
+                     appId: Option[String] = None): Option[Int] = {
+    val f = batchIndexFile(table, batchId, appId)
     if (Files.exists(f)) Some(Files.readString(f).trim.toInt)
-    else versions(table).find(hasBatchId(table, _, batchId))
-      .map(recordBatch(table, batchId, _))
+    else versions(table).find(hasBatchId(table, _, batchId, appId))
+      .map(recordBatch(table, batchId, _, appId))
   }
 
   /** Replace the table contents atomically; returns the version. */
@@ -497,8 +508,9 @@ object TxLog {
     * builds on: a writer that staged work against version v−1 must NOT
     * blindly land at a later version (its inputs may be stale). */
   def tryCommitAt(table: String, v: Int, add: Seq[String],
-                  remove: Seq[String], batchId: Option[Long] = None): Boolean =
-    publish(table, v, commitJson(v, add, remove, batchId))
+                  remove: Seq[String], batchId: Option[Long] = None,
+                  appId: Option[String] = None): Boolean =
+    publish(table, v, commitJson(v, add, remove, batchId, appId))
 
   /** VACUUM: physically delete data files no retained version references —
     * Delta's VACUUM trade brought to the TxLog. The newest
@@ -601,25 +613,65 @@ object TxLog {
   }
 
   /** Read live entries AS THE TABLE'S ROWS: flat entries read directly;
-    * Hive-layout entries read per stage root with `basePath`, so Spark's
-    * partition discovery re-attaches the path-borne partition columns
-    * (types re-inferred Hive-style — the same inference any Spark read
-    * of the layout applies, and the typing [[DeltaBridge]] exports).
-    * Predicates and merge keys over partition columns therefore evaluate
-    * exactly as they would on a read. */
+    * Hive-layout entries read per stage root with `basePath` and an
+    * EXPLICIT schema, so Spark's partition discovery re-attaches the
+    * path-borne partition columns under [[roundTripStableType]]s —
+    * types the re-staging write renders back to the IDENTICAL path
+    * string (free inference would silently rewrite `code=0123` to
+    * `code=123` on any rewrite op; review finding r13). Predicates and
+    * merge keys over partition columns therefore evaluate on typed
+    * values, and untouched rows' partition values survive rewrites
+    * byte-for-byte. */
   private def readEntries(spark: SparkSession, table: String,
                           entries: Seq[String],
                           partCols: Seq[String]): DataFrame = {
     if (partCols.isEmpty)
       spark.read.parquet(entries.map(e => s"$table/${entryPath(e)}"): _*)
-    else entries
-      .groupBy(e => DeltaBridge.splitHivePath(entryPath(e))._1)
-      .toSeq.sortBy(_._1)
-      .map { case (stage, es) =>
-        spark.read.option("basePath", s"$table/$stage")
-          .parquet(es.map(e => s"$table/${entryPath(e)}"): _*)
+    else {
+      val partTypes: Map[String, org.apache.spark.sql.types.DataType] = {
+        val byCol = entries
+          .flatMap(e => DeltaBridge.splitHivePath(entryPath(e))._2)
+          .groupBy(_._1)
+        partCols.map(c => c -> roundTripStableType(
+          byCol.getOrElse(c, Seq.empty).map(_._2))).toMap
       }
-      .reduce(_.unionByName(_))
+      entries
+        .groupBy(e => DeltaBridge.splitHivePath(entryPath(e))._1)
+        .toSeq.sortBy(_._1)
+        .map { case (stage, es) =>
+          val files = es.map(e => s"$table/${entryPath(e)}")
+          // per-group data schema from the group's own footer (a stage
+          // dir is one write → uniform), partition columns appended in
+          // discovery order with the stable types
+          val dataSchema = spark.read.parquet(files.head).schema
+          val full = org.apache.spark.sql.types.StructType(
+            dataSchema.fields ++ partCols.map(c =>
+              org.apache.spark.sql.types.StructField(c, partTypes(c))))
+          spark.read.schema(full).option("basePath", s"$table/$stage")
+            .parquet(files: _*)
+        }
+        .reduce(_.unionByName(_))
+    }
+  }
+
+  /** The narrowest partition-column type whose Spark path rendering is
+    * the IDENTITY on every observed value — BIGINT only when each value
+    * round-trips `v == v.toLong.toString`, DATE only for canonical
+    * ISO dates, else STRING (which preserves anything: leading zeros,
+    * spaces, mixed shapes). Nulls (`__HIVE_DEFAULT_PARTITION__`) are
+    * render-stable under every type. */
+  private def roundTripStableType(values: Seq[String])
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{DateType, LongType, StringType}
+    val nn = values.filter(_ != null)
+    def stableLong(v: String) =
+      try v.toLong.toString == v catch { case _: NumberFormatException => false }
+    def stableDate(v: String) =
+      try java.time.LocalDate.parse(v).toString == v
+      catch { case _: java.time.format.DateTimeParseException => false }
+    if (nn.nonEmpty && nn.forall(stableLong)) LongType
+    else if (nn.nonEmpty && nn.forall(stableDate)) DateType
+    else StringType
   }
 
   /** Re-stage a rewrite preserving the table's Hive layout. Rows shuffle
@@ -645,6 +697,20 @@ object TxLog {
                         partFiles: Int): Seq[String] =
     if (partCols.isEmpty) stage(df, table, partFiles)
     else stagePartitionedSized(df, table, partCols, partFiles)
+
+  /** `input_file_name()` returns a URI (percent-encoded — a partition
+    * value with a space rides as `%20`), while log entries are raw
+    * on-disk paths. Decode before comparing, or hit-file discovery on
+    * such partitions silently matches nothing (review finding r13).
+    * Flat stage names are hex-only, where decoding is the identity. */
+  private def decodeFileUri(s: String): String =
+    try new java.net.URI(s).getPath
+    catch { case _: java.net.URISyntaxException => s }
+
+  private def hitEntries(live: Seq[String], hitAbs: Set[String]): Seq[String] = {
+    val decoded = hitAbs.map(decodeFileUri)
+    live.filter(e => decoded.exists(_.endsWith(entryPath(e))))
+  }
 
   def optimize(spark: SparkSession, table: String, partFiles: Int = 1): Int = {
     var attempts = 0
@@ -694,7 +760,7 @@ object TxLog {
           .join(keys, Seq(key), "left_semi")
           .select("_graft_file").distinct()
           .collect().map(_.getString(0)).toSet
-      val hitRel = live.filter(e => hitAbs.exists(_.endsWith(entryPath(e))))
+      val hitRel = hitEntries(live, hitAbs)
       val survivors =
         if (hitRel.isEmpty) None
         else Some(readEntries(spark, table, hitRel, partCols)
@@ -785,7 +851,7 @@ object TxLog {
           .where(predicate)
           .select(input_file_name()).distinct()
           .collect().map(_.getString(0)).toSet
-      val hitRel = live.filter(e => hitAbs.exists(_.endsWith(entryPath(e))))
+      val hitRel = hitEntries(live, hitAbs)
       if (hitRel.isEmpty) return base // no row matches: the commit is a no-op
       val hitDf = readEntries(spark, table, hitRel, partCols)
       val survivors = hitDf.where(s"NOT coalesce(($predicate), false)")
@@ -852,10 +918,13 @@ object TxLog {
   }
 
   private def commitJson(v: Int, add: Seq[String], remove: Seq[String],
-                         batchId: Option[Long] = None): String = {
+                         batchId: Option[Long] = None,
+                         appId: Option[String] = None): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
     val bid = batchId.map(b => s""","batchId":$b""").getOrElse("")
-    s"""{"version":$v,"add":${arr(add)},"remove":${arr(remove)}$bid}"""
+    // appId is a streaming query id (UUID alphabet) — JSON-safe verbatim
+    val aid = appId.map(a => s""","appId":"$a"""").getOrElse("")
+    s"""{"version":$v,"add":${arr(add)},"remove":${arr(remove)}$bid$aid}"""
   }
 
   /** The (add, remove) entry lists of commit `v` — the unit

@@ -235,7 +235,7 @@ private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
             s"writeStream into ${name()}: partitioned streaming targets " +
               "go through writeStream.format(\"graft-delta\")" +
               ".partitionBy(...) — the catalog sink writes flat tables")
-          GraftDeltaStreamingWrite(path, info.schema())
+          GraftDeltaStreamingWrite(path, info.schema(), info.queryId())
         }
       }
     }

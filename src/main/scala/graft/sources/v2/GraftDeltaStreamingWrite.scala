@@ -33,7 +33,8 @@ import org.apache.spark.util.SerializableConfiguration
   * driver handles only file NAMES per epoch. Zero-row tasks delete their
   * empty file and commit nothing. Append-only like the V1 sink. */
 private[v2] case class GraftDeltaStreamingWrite(table: String,
-                                                schema: StructType)
+                                                schema: StructType,
+                                                queryId: String)
   extends StreamingWrite {
 
   private val (factory, conf) =
@@ -49,7 +50,13 @@ private[v2] case class GraftDeltaStreamingWrite(table: String,
     val staged = messages
       .collect { case m: GraftDeltaFileCommit => m.relPath }
       .flatten.sorted
-    TxLog.appendBatchStaged(table, epochId, staged.toIndexedSeq)
+    // idempotence is keyed on (queryId, epochId) — delta-spark's txn
+    // (appId, version) rule: two INDEPENDENT queries streaming into the
+    // same table both start at epoch 0 and must not swallow each other's
+    // batches (review finding r13); queryId is the STABLE streaming id
+    // (checkpoint-persisted), so a restart's replayed epoch still dedups
+    TxLog.appendBatchStaged(table, epochId, staged.toIndexedSeq,
+      appId = Some(queryId))
     // replay-safe: a re-delivered epoch committed nothing above, and the
     // export cursor makes re-exporting published versions a no-op
     DeltaBridge.exportLog(SparkSession.active, table)

@@ -105,8 +105,12 @@ object GraftDmlStrategy extends SparkStrategy {
             "expression set (literals, columns, arithmetic, CAST, " +
             "upper/lower/concat/coalesce)"))
         name -> value
-      }.toMap
-      TxLog.updateWhere(spark, table.dmlPath, condSql, set)
+      }
+      // a duplicate SET target must not silently last-win through toMap
+      val dup = set.groupBy(_._1).collect { case (n, vs) if vs.size > 1 => n }
+      if (dup.nonEmpty) refuse(table, "UPDATE",
+        s"duplicate SET targets ${dup.mkString(",")}")
+      TxLog.updateWhere(spark, table.dmlPath, condSql, set.toMap)
       DeltaBridge.exportLog(spark, table.dmlPath)
     })
 
@@ -175,15 +179,32 @@ object GraftDmlStrategy extends SparkStrategy {
         pairs
       }
       val up = fullRow(upAssigns, "UPDATE")
-      fullRow(insAssigns, "INSERT")
+      val ins = fullRow(insAssigns, "INSERT")
+      // TxLog.merge writes ONE projection for both verbs (matched keys
+      // replaced by it, unmatched keys insert it), so the proven shape
+      // requires the UPDATE and INSERT lists to assign the SAME source
+      // expression per column — `SET * / INSERT *` trivially does.
+      // Diverging lists must refuse, or inserted rows would silently
+      // take the UPDATE list's values (review finding r13).
+      val insByName = ins.map { case (t, v) => t.name.toLowerCase -> v }.toMap
+      up.foreach { case (t, v) =>
+        val iv = insByName(t.name.toLowerCase)
+        if (!v.semanticEquals(iv)) refuse(table, "MERGE",
+          s"UPDATE assigns ${t.name} = ${v.sql} but INSERT assigns " +
+            s"${iv.sql}; the proven shape uses one projection for both " +
+            "(SET * / INSERT *)")
+      }
       // one source projection named as the target's columns, evaluated
       // from the resolved source plan — TxLog.merge replaces matched
       // keys with these rows and inserts the unmatched ones
       val projected = Project(
         up.map { case (t, v) => Alias(v, t.name)() }, m.sourceTable)
       val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, projected)
-      // SQL MERGE cardinality: at most one source row per key
-      val dup = src.groupBy(key.name).count()
+      // SQL MERGE cardinality: at most one source row per NON-NULL key
+      // (NULL keys never match anything — they all insert, legally)
+      val dup = src
+        .filter(org.apache.spark.sql.functions.col(key.name).isNotNull)
+        .groupBy(key.name).count()
         .filter(org.apache.spark.sql.functions.col("count") > 1)
         .limit(1).count()
       require(dup == 0,
@@ -201,7 +222,12 @@ object GraftDmlStrategy extends SparkStrategy {
     * proven renderer small without losing exactness. */
   private def fold(e: Expression): Expression = e.transformUp {
     case x if x.foldable && x.deterministic =>
-      Literal.create(x.eval(null), x.dataType)
+      // some foldable shapes only evaluate after their own optimizer
+      // rule runs (current_date and friends) — keep the node on any
+      // evaluation failure so the CLOSED-WORLD renderer refuses it with
+      // its own message instead of an eval stack trace
+      try Literal.create(x.eval(null), x.dataType)
+      catch { case scala.util.control.NonFatal(_) => x }
   }
 
   private def conditionSql(table: GraftDeltaTable, verb: String,

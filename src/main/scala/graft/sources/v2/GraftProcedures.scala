@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL stored procedures for the table lifecycle — Spark 4's
   * `ProcedureCatalog` contract (the `CALL catalog.proc(...)` idiom
@@ -162,8 +161,4 @@ private[v2] object GraftProcedures {
       result(schema, Seq(InternalRow(v.toLong)))
     }
   }
-
-  // keep the unused-import checker honest: UTF8String is the input's
-  // string representation (read via getUTF8String above)
-  private val _ = UTF8String.EMPTY_UTF8
 }

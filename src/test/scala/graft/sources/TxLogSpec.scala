@@ -533,6 +533,48 @@ class TxLogSpec extends SparkSpec {
     assert(snap() == Set((1L, "a", "CA"), (3L, "m", "FR"), (4L, "d", null)))
   }
 
+  test("partition VALUES survive rewrites byte-for-byte: URI-special " +
+    "characters (space) still hit-match, and numeric-looking strings " +
+    "('0123') are not re-typed by the re-stage (review findings r13)") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.appendPartitioned(spark,
+      Seq((1L, "a", "NORTH AMERICA", "0123"), (2L, "b", "EUROPE", "7"),
+          (3L, "c", "NORTH AMERICA", "0123"))
+        .toDF("k", "s", "region", "code"), t, Seq("region", "code"))
+    // export-tier typing is a SEPARATE (pre-existing) contract: the
+    // declared schema re-infers from the layout, so `code` reads as an
+    // integer there; this test pins the TxLog tier — raw path VALUES
+    // must survive rewrites, and hit discovery must work through the
+    // URI encoding input_file_name applies
+    def snap(): Set[(Long, String, String)] = {
+      DeltaBridge.exportLog(spark, t)
+      DeltaBridge.read(spark, t).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("s"),
+          r.getAs[String]("region"))).toSet
+    }
+    // a space rides as %20 in input_file_name — the hit scan must still
+    // find the file, and the delete must actually delete
+    TxLog.deleteWhere(spark, t, "region = 'NORTH AMERICA' AND k = 1")
+    assert(snap() == Set((2L, "b", "EUROPE"),
+      (3L, "c", "NORTH AMERICA")),
+      "the space-partition row must actually be deleted")
+    // the surviving rewrite must keep the RAW path values: code=0123
+    // (free inference would re-render it as 123) and the literal space
+    val live = TxLog.liveFiles(t).map(TxLog.entryPath)
+    assert(live.exists(_.contains("code=0123")),
+      s"leading-zero partition values must survive the rewrite: $live")
+    assert(live.exists(_.contains("region=NORTH AMERICA")),
+      s"the space must survive un-mangled: $live")
+    TxLog.updateWhere(spark, t, "code = '0123'", Map("s" -> "upper(s)"))
+    assert(snap() == Set((2L, "b", "EUROPE"),
+      (3L, "C", "NORTH AMERICA")),
+      "string-typed partition predicates must match the raw path value")
+    assert(TxLog.liveFiles(t).map(TxLog.entryPath)
+        .exists(_.contains("code=0123")),
+      "the update's re-stage must also preserve the raw value")
+  }
+
   test("rewrite ops refuse a table MIXING flat and partitioned layouts " +
     "(one consistent layout is required to re-stage)") {
     import spark.implicits._

@@ -302,4 +302,30 @@ class GraftDeltaCatalogSpec extends SparkSpec {
       sqlDf(s"CALL graft.optimize('$foreign')").collect()
     }.getMessage.contains("TxLog-backed"))
   }
+
+  test("two INDEPENDENT streaming queries into the same table both land: " +
+    "epoch dedup is keyed on (queryId, epoch), not epoch alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    val t = freshTable()
+    TxLog.append(spark, Seq((0L, "seed")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    def runOne(tag: String, k: Long): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      mem.addData((k, tag))
+      val q = mem.toDF().toDF("id", "v")
+        .writeStream.option("checkpointLocation",
+          Files.createTempDirectory(s"cat_sink_$tag").toString)
+        .outputMode("append").toTable(s"graft.`$t`")
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOne("qa", 1L) // query A, epoch 0
+    runOne("qb", 2L) // query B, ALSO epoch 0 — must not be swallowed
+    assert(sqlDf(s"SELECT id, v FROM graft.`$t` ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((0L, "seed"), (1L, "qa"), (2L, "qb")),
+      "the second query's epoch-0 batch must land, not dedup against A's")
+  }
 }

@@ -134,4 +134,40 @@ class GraftDmlStrategySpec extends SparkSpec {
     assert(e.getMessage.contains("TxLog-backed"),
       s"a foreign delta mount must stay read-only, got: $e")
   }
+
+  test("MERGE refuses DIVERGING update/insert expression lists (one " +
+    "projection serves both verbs) and accepts NULL source keys " +
+    "(they never match — both rows insert)") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), t)
+    val before = rows(t)
+    // explicit INSERT list whose values DIFFER from the UPDATE list:
+    // must refuse loudly, never silently insert the UPDATE projection
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$t` tgt
+           |USING (SELECT 1L AS k, 'x' AS s, 1L AS n) src
+           |ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET k = src.k, s = src.s, n = src.n
+           |WHEN NOT MATCHED THEN INSERT (k, s, n)
+           |  VALUES (src.k, concat(src.s, '!'), src.n)""".stripMargin)
+        .collect()
+    }
+    assert(e.getMessage.contains("one projection"), s"got: $e")
+    assert(rows(t) == before, "a refused MERGE must not mutate")
+    // NULL join keys are legal SQL MERGE: they match nothing and insert
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt
+         |USING (SELECT CAST(NULL AS BIGINT) AS k, 'p' AS s, 1L AS n
+         |       UNION ALL SELECT CAST(NULL AS BIGINT), 'q', 2L) src
+         |ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(s"SELECT s FROM graft.`$t` WHERE k IS NULL")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("p", "q"),
+      "both NULL-key source rows must insert (no spurious cardinality refusal)")
+  }
 }
