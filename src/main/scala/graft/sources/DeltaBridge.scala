@@ -554,9 +554,14 @@ object DeltaBridge {
         scala.collection.mutable.LinkedHashMap.empty)
 
   /** The reader features this bridge actually implements; a protocol
-    * asking for anything else still refuses loudly. */
+    * asking for anything else still refuses loudly. `timestampNtz` needs
+    * only the TIMESTAMP_NTZ type (native to this Spark — the schemaString
+    * parses and parquet reads it); `vacuumProtocolCheck` imposes reader
+    * obligations of exactly nothing (it gates WRITER vacuum discipline —
+    * per the spec, readers pass through). */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping")
+    Set("deletionVectors", "columnMapping", "timestampNtz",
+      "vacuumProtocolCheck")
 
   private def requireReadable(mr: Int, features: Seq[String]): Unit =
     if (mr == 2) () // column mapping (legacy reader-version form)

@@ -1382,6 +1382,31 @@ class DeltaBridgeSpec extends SparkSpec {
       s"id-mode must match by parquet field id, got $got")
   }
 
+  test("timestampNtz reads through a v3 log (the type is native here); " +
+    "vacuumProtocolCheck is a reader no-op — both features mount") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val df = spark.sql(
+      "SELECT id, TIMESTAMP_NTZ '2024-02-29 12:34:56' AS ts " +
+        "FROM VALUES (1L), (2L) AS v(id)")
+    val f1 = stageOneFile(df, t, "part-ntz.parquet")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("ts", TimestampNTZType)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    writeLogJson(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["timestampNtz","vacuumProtocolCheck"],""" +
+        """"writerFeatures":["timestampNtz","vacuumProtocolCheck"]}}""",
+      s"""{"metaData":{"id":"t-ntz","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val got = DeltaBridge.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime]("ts").toString)).toSeq
+    assert(got == Seq((1L, "2024-02-29T12:34:56"),
+      (2L, "2024-02-29T12:34:56")),
+      s"TIMESTAMP_NTZ must read zone-free, got $got")
+  }
+
   test("an UNSUPPORTED reader feature still refuses loudly") {
     val t = freshTable()
     writeLogJson(t, 0L, Seq(
