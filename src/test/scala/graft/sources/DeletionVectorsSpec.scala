@@ -106,4 +106,25 @@ class DeletionVectorsSpec extends SparkSpec {
       DeletionVectors.z85Encode(padded), None, data.length, 3L)
     assert(DeletionVectors.load("/nonexistent", d).toSeq == bm.toSeq)
   }
+
+  test("seeded fuzz: serialize/deserialize round-trips arbitrary sorted " +
+    "sets across container tiers and 32-bit key boundaries") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { trial =>
+      val size = 1 + rnd.nextInt(9000)
+      val values = Iterator.continually {
+        val tier = rnd.nextInt(4)
+        val base = tier match {
+          case 0 => 0L
+          case 1 => 0xFFFFL                   // container boundary
+          case 2 => 0xFFFFFFFFL               // 32-bit key boundary
+          case 3 => (rnd.nextInt(3).toLong << 32)
+        }
+        base + rnd.nextInt(1 << 17)
+      }.take(size).toArray.distinct.sorted
+      val back = DeletionVectors.deserialize(
+        DeletionVectors.serialize(values))
+      assert(back.toSeq == values.toSeq, s"trial $trial size $size")
+    }
+  }
 }

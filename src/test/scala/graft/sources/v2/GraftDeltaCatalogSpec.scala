@@ -328,4 +328,21 @@ class GraftDeltaCatalogSpec extends SparkSpec {
       Seq((0L, "seed"), (1L, "qa"), (2L, "qb")),
       "the second query's epoch-0 batch must land, not dedup against A's")
   }
+
+  test("CALL optimize on a PARTITIONED table compacts per partition and " +
+    "preserves path-borne values") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.appendPartitioned(spark,
+      Seq((1L, "US"), (2L, "DE")).toDF("id", "country"), t, Seq("country"))
+    TxLog.appendPartitioned(spark,
+      Seq((3L, "US"), (4L, "DE")).toDF("id", "country"), t, Seq("country"))
+    sqlDf(s"CALL graft.optimize('$t')").collect()
+    val live = TxLog.liveFiles(t).map(TxLog.entryPath)
+    assert(live.size == 2 && live.count(_.contains("country=US")) == 1 &&
+      live.count(_.contains("country=DE")) == 1,
+      s"one compacted file per partition expected: $live")
+    assert(sqlDf(s"SELECT id FROM graft.`$t` WHERE country = 'US' " +
+        "ORDER BY id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
 }

@@ -170,4 +170,33 @@ class GraftDmlStrategySpec extends SparkSpec {
     assert(got == Seq("p", "q"),
       "both NULL-key source rows must insert (no spurious cardinality refusal)")
   }
+
+  test("MERGE INTO a PARTITIONED catalog table: matched rows adopt the " +
+    "source's partition value (the row MOVES), inserts land under " +
+    "theirs, and the scalar predicate subset renders in UPDATE WHERE") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.appendPartitioned(spark,
+      Seq((1L, "a", "US"), (2L, "b", "DE")).toDF("k", "s", "country"),
+      t, Seq("country"))
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt
+         |USING (SELECT 2L AS k, 'bb' AS s, 'FR' AS country
+         |       UNION ALL SELECT 5L, 'e', 'JP') src
+         |ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(s"SELECT k, s, country FROM graft.`$t`")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(got == Set((1L, "a", "US"), (2L, "bb", "FR"), (5L, "e", "JP")))
+    val live = TxLog.liveFiles(t).map(TxLog.entryPath)
+    assert(live.exists(_.contains("country=FR")) &&
+      live.exists(_.contains("country=JP")),
+      s"merged rows must land under their source partition values: $live")
+    // the extended scalar subset (% arithmetic) through UPDATE WHERE
+    spark.sql(s"UPDATE graft.`$t` SET s = upper(s) WHERE k % 2 = 1")
+    assert(spark.sql(s"SELECT s FROM graft.`$t` ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("A", "bb", "E"))
+  }
 }

@@ -89,4 +89,35 @@ class V2PredicateSqlSpec extends SparkSpec {
       p("AND", p("=", col("id"), lit(1L, LongType)),
         p("WEIRD_OP", col("id")))).isEmpty)
   }
+
+  test("the PROVEN scalar subset renders through Spark's own catalyst->V2 " +
+    "translator with exact semantics: arithmetic, abs, coalesce") {
+    import org.apache.spark.sql.GraftSqlBridge.translateFilterV2
+    def render(sqlExpr: String): String = {
+      val plan = spark.sessionState.sqlParser.parsePlan(
+        s"SELECT * FROM VALUES (1L, CAST(1 AS DOUBLE)) AS t(id, x) " +
+          s"WHERE $sqlExpr")
+      val analyzed = spark.sessionState.analyzer.execute(plan)
+      val cond = analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.get
+      translateFilterV2(cond).flatMap(V2PredicateSql.toSql).getOrElse(
+        fail(s"must translate: $sqlExpr"))
+    }
+    def ids(whereSql: String): Seq[Long] = {
+      import spark.implicits._
+      Seq((1L, 10L), (2L, 20L), (3L, 33L), (4L, -8L))
+        .toDF("id", "n")
+        .where(whereSql).select("id").collect().map(_.getLong(0))
+        .sorted.toSeq
+    }
+    // rendered predicates must mean what the original SQL meant —
+    // evaluated against real rows, not just string-compared
+    assert(ids(render("id % 2 = 1")) == Seq(1L, 3L))
+    assert(ids(render("abs(id) = 8").replace("`id`", "`n`")) == Seq(4L))
+    assert(ids(render("id + 1 = 3")) == Seq(2L))
+    assert(ids(render("id * 10 >= 30")) == Seq(3L, 4L))
+    assert(ids(render("coalesce(id, 0L) = 2")) == Seq(2L))
+  }
 }
