@@ -31,6 +31,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   INSERT INTO graft.`/data/events` SELECT ...
   *   INSERT OVERWRITE graft.`/data/events` SELECT ...
   *   DELETE FROM graft.`/data/events` WHERE doc_id = 42
+  *   UPDATE graft.`/data/events` SET label = 'spam' WHERE doc_id = 42
+  *   MERGE INTO graft.`/data/events` t USING updates s ON t.id = s.id
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *   CALL graft.history('/data/events')   -- vacuum/optimize/restore too
+  *   df.writeStream.toTable("graft.`/data/events`")
   * }}}
   *
   * A PATH catalog (the `delta.`/path`` idiom): the identifier is one
