@@ -752,13 +752,39 @@ object DeltaBridge {
         replay == (replay.head to replay.last),
       s"$table: _delta_log has internal gaps in ${replay.mkString(",")}")
     replay.foreach { v =>
-      Files.readAllLines(deltaVersionFile(table, v)).asScala
-        .filter(_.nonEmpty).foreach { line =>
-          applyAction(st,
-            mapper.readValue(line, classOf[java.util.Map[String, AnyRef]]))
-        }
+      val actions = Files.readAllLines(deltaVersionFile(table, v)).asScala
+        .filter(_.nonEmpty)
+        .map(mapper.readValue(_, classOf[java.util.Map[String, AnyRef]]))
+        .toSeq
+      applyVersion(st, actions)
     }
     st
+  }
+
+  /** Apply ONE version's actions with the protocol's order-free file
+    * reconciliation: within a commit, a path that is both removed and
+    * (re-)added stays live under the add — the exact shape a foreign
+    * DV-rewriting DELETE emits (`remove(f, oldDv)` + `add(f, newDv)`,
+    * line order unspecified by the spec). Applying lines in file order
+    * would silently drop the file whenever the add serialized first
+    * (review finding r13). Non-file actions (protocol, metaData) carry
+    * no such ambiguity and apply directly. */
+  private def applyVersion(st: LogState,
+                           actions: Seq[java.util.Map[String, AnyRef]]): Unit = {
+    val addPaths: Set[String] = actions.flatMap(a =>
+      Option(a.get("add")).map(_.asInstanceOf[java.util.Map[String, AnyRef]]
+        .get("path").asInstanceOf[String])).toSet
+    // removes first (skipping paths the same version re-adds), adds last
+    actions.foreach { m =>
+      Option(m.get("remove")).foreach { r =>
+        val p = r.asInstanceOf[java.util.Map[String, AnyRef]]
+          .get("path").asInstanceOf[String]
+        if (!addPaths.contains(p)) st.live -= p
+      }
+    }
+    actions.foreach { m =>
+      if (m.get("remove") == null) applyAction(st, m)
+    }
   }
 
   /** Snapshot a Delta table at `versionAsOf` (None = head), optionally
@@ -1168,7 +1194,16 @@ object DeltaBridge {
         "is missing (multi-part checkpoints are outside the bridge's scope)")
     val rows = spark.read.parquet(path.toString)
     val cols = rows.columns.toSet
-    rows.collect().foreach { r =>
+    val collected = rows.collect()
+    // a checkpoint can hold a remove TOMBSTONE and an add for the same
+    // path (a DV rewrite inside the tombstone-retention window); like
+    // the per-version replay, adds win regardless of row order
+    val ckptAddPaths: Set[String] = collected.flatMap { r =>
+      if (cols.contains("add") && !r.isNullAt(r.fieldIndex("add")))
+        Option(r.getStruct(r.fieldIndex("add")).getAs[String]("path"))
+      else None
+    }.toSet
+    collected.foreach { r =>
       def struct(name: String): Option[org.apache.spark.sql.Row] =
         if (cols.contains(name) && !r.isNullAt(r.fieldIndex(name)))
           Some(r.getStruct(r.fieldIndex(name)))
@@ -1212,7 +1247,10 @@ object DeltaBridge {
         st.live += (a.getAs[String]("path") ->
           AddEntry(pv, field[String](a, "stats"), dv))
       }
-      struct("remove").foreach(rm => st.live -= rm.getAs[String]("path"))
+      struct("remove").foreach { rm =>
+        val p = rm.getAs[String]("path")
+        if (!ckptAddPaths.contains(p)) st.live -= p
+      }
     }
   }
 }

@@ -406,7 +406,14 @@ object TxLog {
                          appId: Option[String]): Boolean = {
     val txt = Files.readString(versionFile(table, v))
     s""""batchId":$batchId[,}]""".r.findFirstIn(txt).isDefined &&
-      appId.forall(a => txt.contains(s""""appId":"$a\""""))
+      // the two id spaces are DISJOINT: an appId-less probe (the V1
+      // foreachBatch sink) must not match a V2 streaming query's commit
+      // that happens to share the numeric id, and vice versa — both
+      // start at 0, and a cross-match silently swallows a batch
+      (appId match {
+        case Some(a) => txt.contains(s""""appId":"$a"""")
+        case None    => !txt.contains("\"appId\":")
+      })
   }
 
   private def batchIndexFile(table: String, batchId: Long,
@@ -622,19 +629,28 @@ object TxLog {
     * merge keys over partition columns therefore evaluate on typed
     * values, and untouched rows' partition values survive rewrites
     * byte-for-byte. */
+  /** Round-trip-stable partition types derived from a REFERENCE entry
+    * set — always the FULL live snapshot, so the hit-discovery scan and
+    * the hit-subset rewrite read type (and therefore evaluate predicates
+    * over) partition columns identically; typing each read from its own
+    * subset could diverge (review finding r13). */
+  private def partitionTypesOf(entries: Seq[String], partCols: Seq[String])
+      : Map[String, org.apache.spark.sql.types.DataType] = {
+    val byCol = entries
+      .flatMap(e => DeltaBridge.splitHivePath(entryPath(e))._2)
+      .groupBy(_._1)
+    partCols.map(c => c -> roundTripStableType(
+      byCol.getOrElse(c, Seq.empty).map(_._2))).toMap
+  }
+
   private def readEntries(spark: SparkSession, table: String,
                           entries: Seq[String],
-                          partCols: Seq[String]): DataFrame = {
+                          partCols: Seq[String],
+                          partTypes: Map[String, org.apache.spark.sql.types.DataType])
+      : DataFrame = {
     if (partCols.isEmpty)
       spark.read.parquet(entries.map(e => s"$table/${entryPath(e)}"): _*)
     else {
-      val partTypes: Map[String, org.apache.spark.sql.types.DataType] = {
-        val byCol = entries
-          .flatMap(e => DeltaBridge.splitHivePath(entryPath(e))._2)
-          .groupBy(_._1)
-        partCols.map(c => c -> roundTripStableType(
-          byCol.getOrElse(c, Seq.empty).map(_._2))).toMap
-      }
       entries
         .groupBy(e => DeltaBridge.splitHivePath(entryPath(e))._1)
         .toSeq.sortBy(_._1)
@@ -724,7 +740,8 @@ object TxLog {
       // delta-spark's OPTIMIZE performs), and partition values ride the
       // re-derived paths, never the data files
       val partCols = livePartitionCols(table, live, "optimize")
-      val snapshot = readEntries(spark, table, live, partCols)
+      val partTypes = partitionTypesOf(live, partCols)
+      val snapshot = readEntries(spark, table, live, partCols, partTypes)
       val staged = stageLike(snapshot, table, partCols, partFiles)
       if (tryCommitAt(table, base + 1, add = staged, remove = live))
         return base + 1
@@ -752,10 +769,11 @@ object TxLog {
       val base = versions(table).lastOption.getOrElse(0)
       val live = liveFiles(table, Some(base))
       val partCols = livePartitionCols(table, live, "merge")
+      val partTypes = partitionTypesOf(live, partCols)
       val keys = updates.select(key).distinct()
       val hitAbs: Set[String] =
         if (live.isEmpty) Set.empty
-        else readEntries(spark, table, live, partCols)
+        else readEntries(spark, table, live, partCols, partTypes)
           .withColumn("_graft_file", input_file_name())
           .join(keys, Seq(key), "left_semi")
           .select("_graft_file").distinct()
@@ -763,7 +781,7 @@ object TxLog {
       val hitRel = hitEntries(live, hitAbs)
       val survivors =
         if (hitRel.isEmpty) None
-        else Some(readEntries(spark, table, hitRel, partCols)
+        else Some(readEntries(spark, table, hitRel, partCols, partTypes)
           .join(keys, Seq(key), "left_anti"))
       val rewrite = survivors match {
         case Some(sv) =>
@@ -845,15 +863,16 @@ object TxLog {
       // partition column MOVES rows between partitions, delta-spark's
       // UPDATE semantics, because paths derive from the updated values.
       val partCols = livePartitionCols(table, live, op)
+      val partTypes = partitionTypesOf(live, partCols)
       val hitAbs: Set[String] =
         if (live.isEmpty) Set.empty
-        else readEntries(spark, table, live, partCols)
+        else readEntries(spark, table, live, partCols, partTypes)
           .where(predicate)
           .select(input_file_name()).distinct()
           .collect().map(_.getString(0)).toSet
       val hitRel = hitEntries(live, hitAbs)
       if (hitRel.isEmpty) return base // no row matches: the commit is a no-op
-      val hitDf = readEntries(spark, table, hitRel, partCols)
+      val hitDf = readEntries(spark, table, hitRel, partCols, partTypes)
       val survivors = hitDf.where(s"NOT coalesce(($predicate), false)")
       val rewrite = transform(hitDf.where(s"($predicate)")) match {
         case Some(updated) => survivors.unionByName(updated)

@@ -377,10 +377,10 @@ private[v2] object V2PredicateSql {
           toSql(g.children()(0)).map(c => s"(- $c)")
         case fn @ ("ABS" | "UPPER" | "LOWER") if g.children().length == 1 =>
           toSql(g.children()(0)).map(c => s"${fn.toLowerCase}($c)")
-        case "COALESCE" if g.children().nonEmpty =>
+        case fn @ ("COALESCE" | "CONCAT") if g.children().nonEmpty =>
           val cs = g.children().toSeq.map(toSql)
           if (cs.exists(_.isEmpty)) None
-          else Some(s"coalesce(${cs.map(_.get).mkString(", ")})")
+          else Some(s"${fn.toLowerCase}(${cs.map(_.get).mkString(", ")})")
         case _ => None
       }
     case c: org.apache.spark.sql.connector.expressions.Cast =>

@@ -3,8 +3,7 @@ package graft.sources.v2
 import graft.sources.{DeltaBridge, TxLog}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Concat, Expression, Literal, Lower, Upper}
-import org.apache.spark.sql.catalyst.expressions.{Add, Divide, Multiply, Remainder, Subtract, UnaryMinus}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, V2CommandExec}
@@ -199,18 +198,25 @@ object GraftDmlStrategy extends SparkStrategy {
       // keys with these rows and inserts the unmatched ones
       val projected = Project(
         up.map { case (t, v) => Alias(v, t.name)() }, m.sourceTable)
+      // evaluate the source ONCE: the cardinality check plus merge's own
+      // two passes (hit semi-join, rewrite union) would otherwise run an
+      // expensive — or non-deterministic — source plan three times
+      // (review finding r13)
       val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, projected)
-      // SQL MERGE cardinality: at most one source row per NON-NULL key
-      // (NULL keys never match anything — they all insert, legally)
-      val dup = src
-        .filter(org.apache.spark.sql.functions.col(key.name).isNotNull)
-        .groupBy(key.name).count()
-        .filter(org.apache.spark.sql.functions.col("count") > 1)
-        .limit(1).count()
-      require(dup == 0,
-        s"MERGE on ${table.name()}: the source has multiple rows for " +
-          "the same join key — SQL MERGE cardinality violation")
-      TxLog.merge(spark, src, table.dmlPath, key.name)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // SQL MERGE cardinality: at most one source row per NON-NULL key
+        // (NULL keys never match anything — they all insert, legally)
+        val dup = src
+          .filter(org.apache.spark.sql.functions.col(key.name).isNotNull)
+          .groupBy(key.name).count()
+          .filter(org.apache.spark.sql.functions.col("count") > 1)
+          .limit(1).count()
+        require(dup == 0,
+          s"MERGE on ${table.name()}: the source has multiple rows for " +
+            "the same join key — SQL MERGE cardinality violation")
+        TxLog.merge(spark, src, table.dmlPath, key.name)
+      } finally src.unpersist(blocking = false)
       DeltaBridge.exportLog(spark, table.dmlPath)
     })
 
@@ -244,47 +250,20 @@ object GraftDmlStrategy extends SparkStrategy {
         "the proven set, or use the TxLog API directly")
 }
 
-/** CLOSED-WORLD Catalyst→SQL renderer for UPDATE SET values (and merge
-  * assignment validation): literals of [[V2PredicateSql.literalSql]]'s
-  * types, top-level column references, +,-,*,/,%, unary minus, CAST to
-  * the literal-proven types, upper/lower/concat/coalesce. The rendered
-  * string is evaluated by the SAME Spark session (TxLog's `expr`), so
-  * each form's round trip is parser-exact; None for everything else. */
+/** UPDATE SET values render through ONE closed-world pipeline — Spark's
+  * own catalyst→V2 scalar translator ([[org.apache.spark.sql
+  * .GraftSqlBridge.translateExpressionV2]], the `V2ExpressionBuilder`
+  * the DSv2 pushdown machinery trusts) into [[V2PredicateSql]]'s proven
+  * SQL renderer — the exact path WHERE conditions take, so the two
+  * surfaces cannot drift (review finding r13: a hand-rolled second
+  * renderer had already diverged on ABS/CONCAT). The rendered string is
+  * evaluated by the SAME Spark session (TxLog's `expr`), so every
+  * accepted form's round trip is parser-exact; None for everything
+  * outside the proven set. */
 private[v2] object CatalystSetSql {
-
-  def toSql(e: Expression): Option[String] = e match {
-    case Literal(v, dt) => V2PredicateSql.literalSql(v, dt)
-    case a: AttributeReference => Some(s"`${a.name.replace("`", "``")}`")
-    case Add(l, r, _)       => bin(l, r, "+")
-    case Subtract(l, r, _)  => bin(l, r, "-")
-    case Multiply(l, r, _)  => bin(l, r, "*")
-    case Divide(l, r, _)    => bin(l, r, "/")
-    case Remainder(l, r, _) => bin(l, r, "%")
-    case UnaryMinus(c, _)   => toSql(c).map(s => s"(- $s)")
-    case c: Cast =>
-      import org.apache.spark.sql.types._
-      c.dataType match {
-        case StringType | IntegerType | LongType | ShortType | ByteType |
-             BooleanType | DoubleType | FloatType | DateType |
-             _: DecimalType =>
-          toSql(c.child).map(s => s"CAST($s AS ${c.dataType.sql})")
-        case _ => None
-      }
-    case Upper(c) => toSql(c).map(s => s"upper($s)")
-    case Lower(c) => toSql(c).map(s => s"lower($s)")
-    case Concat(cs) if cs.nonEmpty => all(cs).map(s => s"concat($s)")
-    case Coalesce(cs) if cs.nonEmpty => all(cs).map(s => s"coalesce($s)")
-    case _ => None
-  }
-
-  private def bin(l: Expression, r: Expression, op: String) =
-    for (ls <- toSql(l); rs <- toSql(r)) yield s"($ls $op $rs)"
-
-  private def all(cs: Seq[Expression]): Option[String] = {
-    val rendered = cs.map(toSql)
-    if (rendered.exists(_.isEmpty)) None
-    else Some(rendered.map(_.get).mkString(", "))
-  }
+  def toSql(e: Expression): Option[String] =
+    org.apache.spark.sql.GraftSqlBridge.translateExpressionV2(e)
+      .flatMap(V2PredicateSql.toSql)
 }
 
 /** Eager command execution node (the `V2CommandExec` contract: `run()`

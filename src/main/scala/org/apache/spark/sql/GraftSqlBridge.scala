@@ -84,4 +84,11 @@ object GraftSqlBridge {
   def translateFilterV2(e: catalyst.expressions.Expression)
       : Option[connector.expressions.filter.Predicate] =
     execution.datasources.v2.DataSourceV2Strategy.translateFilterV2(e)
+
+  /** Catalyst→V2 SCALAR translation (the same `V2ExpressionBuilder` the
+    * pushdown machinery uses), re-exported for the UPDATE SET renderer —
+    * one translator for predicates and values, not two drifting ones. */
+  def translateExpressionV2(e: catalyst.expressions.Expression)
+      : Option[connector.expressions.Expression] =
+    new catalyst.util.V2ExpressionBuilder(e).build()
 }

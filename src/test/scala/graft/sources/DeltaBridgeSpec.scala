@@ -1418,4 +1418,39 @@ class DeltaBridgeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("v2Checkpoint"), e.getMessage)
   }
+
+  test("within-commit reconciliation is ORDER-FREE: a version whose add " +
+    "line precedes its remove line for the SAME path (the foreign DV " +
+    "rewrite shape) keeps the file live under the new add") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val f1 = stageOneFile((0L until 6L).map(i => (i, s"r$i"))
+      .toDF("id", "v"), t, "part-rw.parquet")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    writeLogJson(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""",
+      s"""{"metaData":{"id":"t-rw","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    // version 1: a DELETE-with-DV rewrite — ADD (with the new DV)
+    // serialized BEFORE the REMOVE of the same path, the order the spec
+    // explicitly allows; row index 2 is deleted
+    val inline = {
+      val data = DeletionVectors.serialize(Array(2L))
+      val padded = data ++ Array.fill((4 - data.length % 4) % 4)(0.toByte)
+      (DeletionVectors.z85Encode(padded), data.length)
+    }
+    writeLogJson(t, 1L, Seq(
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"${inline._1}","sizeInBytes":${inline._2},"cardinality":1}}}""",
+      s"""{"remove":{"path":"$f1","dataChange":true}}"""))
+    val got = DeltaBridge.read(spark, t).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 3L, 4L, 5L),
+      s"the add must win over the same-version remove, got $got")
+    // at version 0 the file is DV-free
+    assert(DeltaBridge.read(spark, t, versionAsOf = Some(0L)).count() == 6)
+  }
 }

@@ -619,4 +619,28 @@ class TxLogSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuum"),
       s"a vacuumed restore target must fail with the retention contract: $e")
   }
+
+  test("batch-id spaces are DISJOINT: a V1 (appId-less) append is never " +
+    "swallowed by a V2 streaming commit sharing the numeric id, and two " +
+    "query ids dedup independently") {
+    val t = freshTable()
+    // a "V2 streaming" epoch-0 commit under query id qa
+    val s1 = TxLog.append(spark, df(1L -> "a"), t) // plain v1 for staging
+    val _ = s1
+    val staged = TxLog.liveFiles(t) // reuse as a stand-in staged list
+    TxLog.appendBatchStaged(t, 0L, Seq.empty, appId = Some("qa"))
+    // V1 appendBatch with batchId 0 must still land (no appId on record)
+    val vV1 = TxLog.appendBatch(spark, df(2L -> "b"), t, batchId = 0L)
+    assert(TxLog.read(spark, t).count() == 2,
+      "the V1 batch must not dedup against the V2 commit")
+    // replaying each id in its own space is a no-op
+    assert(TxLog.appendBatch(spark, df(9L -> "x"), t, batchId = 0L) == vV1)
+    assert(TxLog.appendBatchStaged(t, 0L, staged, appId = Some("qa")) <
+      TxLog.versions(t).last + 1, "qa's epoch 0 must resolve to its own")
+    // a SECOND query id's epoch 0 lands as a fresh commit
+    val before = TxLog.versions(t).last
+    TxLog.appendBatchStaged(t, 0L, Seq.empty, appId = Some("qb"))
+    assert(TxLog.versions(t).last == before + 1,
+      "qb's epoch 0 must not dedup against qa's")
+  }
 }
