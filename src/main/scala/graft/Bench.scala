@@ -178,7 +178,11 @@ object Bench {
       val qj = qs.map { case (k, v) => s"\"$k\":${fmt(v, dp)}" }
         .mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","warmup_sec":${fmt(warmupSec, 1)},"warmup_layout_sec":${fmt(warmupLayoutSec, 1)},"warmup_jit_sec":${fmt(warmupJitSec, 1)},"reps":$reps,"queries":$qj$om,"sf":"$sfDir"}"""
+      // floor_sec / stage_floor_incr_sec ride the one-line tail so the
+      // recorded artifact is SELF-ATTRIBUTING: a degraded bench host
+      // (r13: 101 ms/job vs the usual ~33) reads as a floor shift, not a
+      // phantom per-query regression (VERDICT r13 directive 6)
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","warmup_sec":${fmt(warmupSec, 1)},"warmup_layout_sec":${fmt(warmupLayoutSec, 1)},"warmup_jit_sec":${fmt(warmupJitSec, 1)},"floor_sec":${fmt(floorSec, 3)},"stage_floor_incr_sec":${fmt(stageFloorIncrSec, 3)},"reps":$reps,"queries":$qj$om,"sf":"$sfDir"}"""
     }
 
     // Full precision to a file for the judge / BASELINE cross-reference.

@@ -575,13 +575,21 @@ object RelationalExt3 {
       def stageOne(df: DataFrame, name: String): String = {
         val tmp = JF.createTempDirectory("q342_stage")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = JF.list(tmp).toArray.map(_.toString)
+        // list with the stream CLOSED (Files.list leaks a directory fd
+        // until GC otherwise — ADVICE r13)
+        def ls(): Seq[java.nio.file.Path] = {
+          val s = JF.list(tmp)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.toSeq
+          } finally s.close()
+        }
+        val part = ls().map(_.toString)
           .find(f => f.endsWith(".parquet") && f.contains("part-")).get
         JF.copy(JP.get(part), JP.get(p, name),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         // the staged copy is the artifact; drop the temp duplicate
-        JF.list(tmp).toArray.foreach(f =>
-          JF.deleteIfExists(f.asInstanceOf[java.nio.file.Path]))
+        ls().foreach(JF.deleteIfExists)
         JF.deleteIfExists(tmp)
         name
       }
@@ -702,6 +710,84 @@ object RelationalExt3 {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q344: GENERAL MERGE clause shapes — the full SQL MERGE vocabulary
+    * ([[graft.sources.v2.GraftDmlStrategy]] → [[graft.sources.TxLog
+    * .mergeClauses]]'s file-granular cascade), one statement exercising
+    * every clause family: `WHEN MATCHED AND src.cond THEN DELETE` (a
+    * source-referencing matched condition), a partial `WHEN MATCHED THEN
+    * UPDATE SET` (unassigned columns keep target values), `WHEN NOT
+    * MATCHED AND cond THEN INSERT (explicit diverging list)`, and two
+    * ordered `WHEN NOT MATCHED BY SOURCE` clauses (conditional DELETE
+    * before conditional UPDATE — first-match-wins cascade order is load-
+    * bearing for rows satisfying both). Value-idempotent across runs:
+    * every clause re-applies to its own fixpoint (deleted keys stay
+    * excluded by the insert condition, re-lowering is stable, re-labeled
+    * segments no longer satisfy their conditions). The oracle recomputes
+    * the final state as pure SQL over the original table. */
+  def q344MergeClauses(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftDeltaCatalog].getName)
+    val tmp = graft.SparkSupport.roundtripPath("merge_clauses_rt", dir)
+    val c = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    if (graft.sources.TxLog.versions(tmp).isEmpty) {
+      graft.sources.TxLog.append(s, c.filter(col("c_custkey") % 2 === 0), tmp)
+      graft.sources.DeltaBridge.exportLog(s, tmp)
+    }
+    c.filter(col("c_custkey") % 3 === 0).createOrReplaceTempView("q344_src")
+    s.sql(
+      s"""MERGE INTO graft.`$tmp` tgt
+         |USING q344_src src
+         |ON tgt.c_custkey = src.c_custkey
+         |WHEN MATCHED AND src.c_acctbal < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET c_name = lower(src.c_name),
+         |  c_mktsegment = 'M14'
+         |WHEN NOT MATCHED AND src.c_acctbal >= 0 THEN
+         |  INSERT (c_custkey, c_name, c_acctbal, c_mktsegment)
+         |  VALUES (src.c_custkey, lower(src.c_name), src.c_acctbal, 'M14')
+         |WHEN NOT MATCHED BY SOURCE AND tgt.c_acctbal < -900 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND tgt.c_mktsegment = 'MACHINERY'
+         |  THEN UPDATE SET c_mktsegment = 'MACH14'""".stripMargin)
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN c_name = lower(c_name) THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_lower,
+         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+         |FROM graft.`$tmp`
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q344Sql: String =
+    """WITH tgt AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      |  WHERE c_custkey % 2 = 0),
+      |src AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      |  WHERE c_custkey % 3 = 0),
+      |merged AS (
+      |  SELECT t.c_custkey, lower(s.c_name) AS c_name, t.c_acctbal,
+      |    'M14' AS c_mktsegment
+      |  FROM tgt t JOIN src s USING (c_custkey) WHERE s.c_acctbal >= 0
+      |  UNION ALL
+      |  SELECT t.c_custkey, t.c_name, t.c_acctbal,
+      |    CASE WHEN t.c_mktsegment = 'MACHINERY' THEN 'MACH14'
+      |         ELSE t.c_mktsegment END
+      |  FROM tgt t
+      |  WHERE t.c_custkey NOT IN (SELECT c_custkey FROM src)
+      |    AND NOT (t.c_acctbal < -900)
+      |  UNION ALL
+      |  SELECT s.c_custkey, lower(s.c_name), s.c_acctbal, 'M14'
+      |  FROM src s
+      |  WHERE s.c_custkey NOT IN (SELECT c_custkey FROM tgt)
+      |    AND s.c_acctbal >= 0)
+      |SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN c_name = lower(c_name) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_lower,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q108: unpivot — the inverse of the reference's quarterly wide-table
     * pivot (A3/J3, BuildGoldLayer.py:92-139): orders pivoted to a
     * status × priority count matrix, then melted back to long form with the
@@ -738,6 +824,7 @@ object RelationalExt3 {
     "q341_sql_update_merge" -> q341SqlUpdateMerge,
     "q342_dv_column_mapping" -> q342DvColumnMapping,
     "q343_call_lifecycle"   -> q343CallLifecycle,
+    "q344_merge_clauses"    -> q344MergeClauses,
     "q325_delta_bridge"    -> q325DeltaBridge,
     "q330_delta_partitioned" -> q330DeltaPartitioned,
     "q333_delta_stats_skip" -> q333DeltaStatsSkip,
@@ -758,6 +845,7 @@ object RelationalExt3 {
     "q341_sql_update_merge" -> q341Sql,
     "q342_dv_column_mapping" -> q342Sql,
     "q343_call_lifecycle"   -> q343Sql,
+    "q344_merge_clauses"    -> q344Sql,
     "q325_delta_bridge"    -> q325Sql,
     "q330_delta_partitioned" -> q330Sql,
     "q333_delta_stats_skip" -> q333Sql,

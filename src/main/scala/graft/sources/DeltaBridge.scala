@@ -899,14 +899,16 @@ object DeltaBridge {
     import org.apache.spark.sql.functions.udf
     val idMode = mapping == "id"
     // field-id matching is conf-gated in the parquet reader and consulted
-    // lazily at scan time, so a save-and-restore here would revert before
-    // the returned DataFrame executes. Leaving it on is benign for other
-    // reads: the flag only changes resolution for REQUESTED schemas that
-    // carry `parquet.field.id` metadata — which this bridge attaches
-    // deliberately, and footer-inferred schemas replicate their own
-    // file's ids, where id- and name-matching agree.
-    if (idMode)
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // lazily at scan time FROM THE RELATION'S OWN SESSION — so id-mode
+    // data files read through a cloned session carrying the flag, and
+    // the caller's session conf is never mutated (a save-and-restore here
+    // would revert before the lazy scan runs; a permanent set would
+    // silently flip any later read whose explicit schema carries
+    // parquet.field.id metadata — ADVICE r13)
+    val rspark =
+      if (idMode) org.apache.spark.sql.GraftSqlBridge.sessionWithConf(
+        spark, "spark.sql.parquet.fieldId.read.enabled", "true")
+      else spark
     val dataFields = schema.fields.filterNot(f => partitionCols.contains(f.name))
     val physDataSchema = StructType(dataFields.map(f =>
       if (mapping == "none") f else physicalField(f, idMode)))
@@ -934,7 +936,7 @@ object DeltaBridge {
     val (clean, dvd) = live.partition(_._2.dv.isEmpty)
     val cleanBranches = clean.groupBy(_._2.pv).toSeq.map { case (pv, files) =>
       finishBranch(
-        spark.read.schema(physDataSchema)
+        rspark.read.schema(physDataSchema)
           .parquet(files.map { case (p, _) => s"$table/$p" }: _*), pv)
     }
     val dvBranches = dvd.map { case (p, e) =>
@@ -942,7 +944,7 @@ object DeltaBridge {
       val dropped = udf((i: Long) =>
         java.util.Arrays.binarySearch(deleted, i) >= 0)
       finishBranch(
-        spark.read.schema(physDataSchema).parquet(s"$table/$p")
+        rspark.read.schema(physDataSchema).parquet(s"$table/$p")
           .filter(!dropped(col("_metadata.row_index"))), e.pv)
     }
     (cleanBranches ++ dvBranches).reduce(_ unionByName _)

@@ -720,7 +720,9 @@ object TxLog {
     * such partitions silently matches nothing (review finding r13).
     * Flat stage names are hex-only, where decoding is the identity. */
   private def decodeFileUri(s: String): String =
-    try new java.net.URI(s).getPath
+    // getPath is null (no exception) for opaque URIs — fall back to the
+    // raw string there too, or hitEntries' endsWith would NPE (ADVICE r13)
+    try Option(new java.net.URI(s).getPath).getOrElse(s)
     catch { case _: java.net.URISyntaxException => s }
 
   private def hitEntries(live: Seq[String], hitAbs: Set[String]): Seq[String] = {
@@ -787,6 +789,205 @@ object TxLog {
         case Some(sv) =>
           sv.unionByName(updates.select(sv.columns.toIndexedSeq.map(col): _*))
         case None     => updates
+      }
+      val staged = stageLike(rewrite, table, partCols, partFiles)
+      if (tryCommitAt(table, base + 1, add = staged, remove = hitRel))
+        return base + 1
+      // lost the race: staged files become vacuum-collectable garbage
+    }
+    throw new IllegalStateException(s"merge into $table: too many conflicts")
+  }
+
+  /** One WHEN clause's effect in [[mergeClauses]]. UPDATE SET expressions
+    * are SQL over the clause's namespace — target columns by their own
+    * names, source columns as `__src_<name>` — evaluated on the OLD
+    * joined row (SQL UPDATE semantics: all SET expressions see the
+    * pre-update values). DELETE drops the row. */
+  sealed trait MergeClauseAction
+  final case class MergeUpdate(set: Seq[(String, String)])
+    extends MergeClauseAction
+  case object MergeDelete extends MergeClauseAction
+
+  /** GENERAL SQL MERGE on the file-granular copy-on-write kernel — the
+    * full clause vocabulary ([[graft.sources.v2.GraftDmlStrategy]] renders
+    * SQL `MERGE INTO` onto this; [[merge]] remains the simple
+    * replace-by-key upsert):
+    *
+    *  - `matched`: `WHEN MATCHED [AND cond] THEN UPDATE SET .. | DELETE`,
+    *    conditions/values over target columns and `__src_<name>` source
+    *    columns; first clause whose condition holds (NULL = no) fires,
+    *    none firing keeps the row unchanged;
+    *  - `notMatchedInsert`: `WHEN NOT MATCHED [AND cond] THEN INSERT`,
+    *    conditions/values over `__src_*` only; each INSERT list must
+    *    cover every table column (closed world — no silent NULL fill);
+    *  - `notMatchedBySource`: `WHEN NOT MATCHED BY SOURCE [AND cond]
+    *    THEN UPDATE | DELETE`, conditions/values over target columns.
+    *
+    * FILE-GRANULAR like [[merge]]: with no BY SOURCE clauses only files
+    * CONTAINING a matched key rewrite (metadata-sized semi-join
+    * discovery); BY SOURCE clauses can touch every target row, so they
+    * rewrite the live set — exactly delta-spark's cost model for the same
+    * statement. Inserts anti-join the source against the matched keys
+    * (hit rows contain every matched key by construction, so the probe
+    * never scans beyond the hit set). SQL MERGE cardinality: duplicate
+    * non-null source keys are refused whenever a MATCHED clause exists
+    * (the join would multiply target rows). Conflict-safe via the OCC
+    * claim loop; `tableCols` pins the output column set/order (needed
+    * when the statement only inserts). */
+  def mergeClauses(spark: SparkSession, source: DataFrame, table: String,
+                   key: String, tableCols: Seq[String],
+                   matched: Seq[(Option[String], MergeClauseAction)],
+                   notMatchedInsert: Seq[(Option[String], Seq[(String, String)])],
+                   notMatchedBySource: Seq[(Option[String], MergeClauseAction)],
+                   partFiles: Int = 2): Int = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, when}
+    require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
+      notMatchedBySource.nonEmpty, "mergeClauses: no WHEN clauses")
+    val reserved = tableCols.filter(c =>
+      c.startsWith("__src_") || c == "__src_present" || c == "__clause")
+    require(reserved.isEmpty,
+      s"mergeClauses: table columns ${reserved.mkString(",")} collide " +
+        "with the clause namespace (__src_*, __clause)")
+    notMatchedInsert.foreach { case (_, setSeq) =>
+      require(setSeq.map(_._1.toLowerCase).toSet ==
+          tableCols.map(_.toLowerCase).toSet,
+        s"mergeClauses: INSERT must cover every table column; got " +
+          s"${setSeq.map(_._1).mkString(",")} of ${tableCols.mkString(",")}")
+    }
+    if (matched.nonEmpty) {
+      // SQL MERGE cardinality: a target row matched by several source
+      // rows has no deterministic UPDATE — refuse (delta-spark errors on
+      // the same shape). limit(1) probe: existence, not a full count.
+      val dup = source.filter(col(key).isNotNull)
+        .groupBy(key).count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0,
+        s"mergeClauses into $table: the source has multiple rows for the " +
+          "same join key — SQL MERGE cardinality violation")
+    }
+    val srcKey = s"__src_$key"
+    // first clause whose condition holds (NULL = false) wins; -1 = none
+    def cascade(conds: Seq[Option[String]]): Column =
+      conds.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
+        case (acc, (c, i)) =>
+          acc.when(c.map(s => coalesce(expr(s), lit(false)))
+            .getOrElse(lit(true)), lit(i))
+      }.otherwise(lit(-1))
+    // rows with __clause == i flow through clause i's action; -1 keeps
+    def applyClauses(rows: DataFrame,
+                     clauses: Seq[(Option[String], MergeClauseAction)])
+        : Seq[DataFrame] = {
+      val kept = rows.where(col("__clause") === -1)
+        .select(tableCols.map(col): _*)
+      val fired = clauses.zipWithIndex.collect {
+        case ((_, MergeUpdate(set)), i) =>
+          val byCol = set.toMap
+          // ONE projection over the old row: SET expressions must all see
+          // pre-update values (sequential withColumn would leak updates)
+          rows.where(col("__clause") === i)
+            .select(tableCols.map(c =>
+              byCol.get(c).map(e => expr(e).as(c)).getOrElse(col(c))): _*)
+        // MergeDelete: the clause contributes no rows
+      }
+      kept +: fired
+    }
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val base = versions(table).lastOption.getOrElse(0)
+      val live = liveFiles(table, Some(base))
+      val partCols = livePartitionCols(table, live, "merge")
+      val partTypes = partitionTypesOf(live, partCols)
+      val keys = source.select(key).where(col(key).isNotNull).distinct()
+      val needTargetRewrite = matched.nonEmpty || notMatchedBySource.nonEmpty
+      // hit discovery: BY SOURCE clauses can touch every target row → the
+      // live set rewrites; else only files CONTAINING a matched key; an
+      // insert-only statement rewrites nothing at all
+      val hitRel: Seq[String] =
+        if (live.isEmpty || !needTargetRewrite) Seq.empty
+        else if (notMatchedBySource.nonEmpty) live
+        else {
+          val hitAbs = readEntries(spark, table, live, partCols, partTypes)
+            .withColumn("_graft_file", input_file_name())
+            .join(keys, Seq(key), "left_semi")
+            .select("_graft_file").distinct()
+            .collect().map(_.getString(0)).toSet
+          hitEntries(live, hitAbs)
+        }
+      if (hitRel.isEmpty && notMatchedInsert.isEmpty) return base
+      val parts = scala.collection.mutable.Buffer.empty[DataFrame]
+      val targetOpt =
+        if (hitRel.isEmpty) None
+        else Some(readEntries(spark, table, hitRel, partCols, partTypes))
+      // source columns prefixed __src_ so both namespaces coexist in the
+      // joined row. With no MATCHED clause the join right side is the
+      // DISTINCT key set (duplicate source keys must not multiply kept
+      // target rows); matched clauses need the full source row and the
+      // cardinality check above made it key-unique.
+      val joinRight =
+        if (matched.nonEmpty)
+          source.select(source.columns.toIndexedSeq.map(c =>
+              col(c).as(s"__src_$c")): _*)
+            .withColumn("__src_present", lit(true))
+        else keys.select(col(key).as(srcKey))
+          .withColumn("__src_present", lit(true))
+      targetOpt.foreach { target =>
+        val joined = target.join(joinRight,
+          col(key) === col(srcKey), "left_outer")
+        parts ++= applyClauses(
+          joined.where(col("__src_present").isNotNull)
+            .withColumn("__clause", cascade(matched.map(_._1))), matched)
+        parts ++= applyClauses(
+          joined.where(col("__src_present").isNull)
+            .withColumn("__clause", cascade(notMatchedBySource.map(_._1))),
+          notMatchedBySource)
+      }
+      // reference schema for the type-stability check below: the hit rows
+      // when any were read, else the live snapshot (an insert-only merge
+      // must not land mistyped files under a silently different schema)
+      var schemaRef: Option[org.apache.spark.sql.types.StructType] =
+        targetOpt.map(_.schema)
+      if (notMatchedInsert.nonEmpty) {
+        val src0 = source.select(source.columns.toIndexedSeq.map(c =>
+          col(c).as(s"__src_$c")): _*)
+        // target keys for the anti-join: from the hit rows when they were
+        // key-discovered (they contain every matched key by construction);
+        // from a column-pruned full-live scan when nothing was read
+        val tKeys: Option[DataFrame] = targetOpt match {
+          case Some(t) => Some(t.select(col(key)))
+          case None if live.nonEmpty =>
+            val fullLive = readEntries(spark, table, live, partCols, partTypes)
+            schemaRef = schemaRef.orElse(Some(fullLive.schema))
+            Some(fullLive.select(col(key)))
+          case None => None
+        }
+        val insBase = tKeys match {
+          case Some(tk) => src0.join(
+            tk.where(col(key).isNotNull).distinct()
+              .select(col(key).as(srcKey)), Seq(srcKey), "left_anti")
+          case None => src0
+        }
+        val insRows = insBase.withColumn("__clause",
+          cascade(notMatchedInsert.map(_._1)))
+        parts ++= notMatchedInsert.zipWithIndex.map { case ((_, setSeq), i) =>
+          val byCol = setSeq.map { case (c, e) => c.toLowerCase -> e }.toMap
+          insRows.where(col("__clause") === i)
+            .select(tableCols.map(c =>
+              expr(byCol(c.toLowerCase)).as(c)): _*)
+        }
+      }
+      val rewrite = parts.reduce(_.unionByName(_))
+      // ENFORCE type stability like [[updateWhere]]: a widening SET or a
+      // mistyped INSERT value must not land rewritten files under a
+      // silently different parquet type than the carried-over files
+      schemaRef.foreach { ref =>
+        val tTypes = ref.fields.map(f => f.name -> f.dataType).toMap
+        rewrite.schema.fields.foreach { f =>
+          require(tTypes.get(f.name).forall(_ == f.dataType),
+            s"mergeClauses: clause changes ${f.name}: " +
+              s"${tTypes(f.name)} -> ${f.dataType} — the table schema is " +
+              "fixed by the log; CAST the expression back")
+        }
       }
       val staged = stageLike(rewrite, table, partCols, partFiles)
       if (tryCommitAt(table, base + 1, add = staged, remove = hitRel))

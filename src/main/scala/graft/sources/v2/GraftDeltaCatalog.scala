@@ -418,8 +418,16 @@ private[v2] object V2PredicateSql {
         // unescaped backslash would silently shift the value — on a
         // DELETE predicate that means deleting the wrong rows. Doubling
         // round-trips on this runtime (V2PredicateSqlSpec evaluates it).
-        Some(s"'${value.toString
-          .replace("\\", "\\\\").replace("'", "''")}'")
+        // Under the LEGACY conf (escapedStringLiterals=true) backslashes
+        // are literal and doubling would match the WRONG rows — render
+        // without it there, consulting the conf of the session that will
+        // parse the string back (ADVICE r13).
+        val escaped = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.sql.parser.escapedStringLiterals", "false")
+          .toBoolean
+        val bs = if (escaped) value.toString
+                 else value.toString.replace("\\", "\\\\")
+        Some(s"'${bs.replace("'", "''")}'")
       case IntegerType | LongType | ShortType | ByteType | BooleanType =>
         Some(value.toString)
       case DoubleType | FloatType =>

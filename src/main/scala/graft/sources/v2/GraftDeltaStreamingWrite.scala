@@ -50,16 +50,23 @@ private[v2] case class GraftDeltaStreamingWrite(table: String,
     val staged = messages
       .collect { case m: GraftDeltaFileCommit => m.relPath }
       .flatten.sorted
-    // idempotence is keyed on (queryId, epochId) — delta-spark's txn
-    // (appId, version) rule: two INDEPENDENT queries streaming into the
-    // same table both start at epoch 0 and must not swallow each other's
-    // batches (review finding r13); queryId is the STABLE streaming id
-    // (checkpoint-persisted), so a restart's replayed epoch still dedups
-    TxLog.appendBatchStaged(table, epochId, staged.toIndexedSeq,
-      appId = Some(queryId))
-    // replay-safe: a re-delivered epoch committed nothing above, and the
-    // export cursor makes re-exporting published versions a no-op
-    DeltaBridge.exportLog(SparkSession.active, table)
+    // a ZERO-ROW epoch commits nothing: an idle trigger must not mint a
+    // TxLog version + an empty exported commit file per tick (version
+    // churn; some foreign Delta readers reject empty commits — ADVICE
+    // r13). Replay-safe either way: a replayed empty epoch is a no-op
+    // whether or not its id was ever recorded.
+    if (staged.nonEmpty) {
+      // idempotence is keyed on (queryId, epochId) — delta-spark's txn
+      // (appId, version) rule: two INDEPENDENT queries streaming into the
+      // same table both start at epoch 0 and must not swallow each other's
+      // batches (review finding r13); queryId is the STABLE streaming id
+      // (checkpoint-persisted), so a restart's replayed epoch still dedups
+      TxLog.appendBatchStaged(table, epochId, staged.toIndexedSeq,
+        appId = Some(queryId))
+      // replay-safe: a re-delivered epoch committed nothing above, and the
+      // export cursor makes re-exporting published versions a no-op
+      DeltaBridge.exportLog(SparkSession.active, table)
+    }
   }
 
   override def abort(epochId: Long,

@@ -3,8 +3,8 @@ package graft.sources.v2
 import graft.sources.{DeltaBridge, TxLog}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, V2CommandExec}
 
@@ -34,12 +34,19 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, V2Co
   * it with `expr`/`where`), so the round trip is parser-exact, not
   * cross-engine-approximate.
   *
-  * MERGE accepts the TxLog-provable shape — `ON t.k = s.k` with
-  * unconditional `WHEN MATCHED THEN UPDATE SET *` + `WHEN NOT MATCHED
-  * THEN INSERT *` (star or the equivalent explicit full-row column list)
-  * — and refuses everything else loudly. SQL MERGE cardinality holds: a
-  * source with duplicate join keys is refused (delta-spark raises the
-  * same error), because the kernel would insert both copies.
+  * MERGE accepts the GENERAL clause vocabulary on `ON t.k = s.k` —
+  * `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE` (conditions
+  * and values over both sides; partial SET lists keep unassigned
+  * columns), `WHEN NOT MATCHED [AND cond] THEN INSERT ...` (source-only;
+  * the list must cover every column — no silent NULL fill), and `WHEN
+  * NOT MATCHED BY SOURCE [AND cond] THEN UPDATE | DELETE` (target-only)
+  * — each condition/value through the same proven renderers, planned
+  * onto [[graft.sources.TxLog.mergeClauses]]'s file-granular cascade.
+  * Refused loudly: a non-equi/multi-key ON, expressions outside the
+  * proven set, a non-last unconditional clause (dead-code shape), an
+  * INSERT list that skips columns, and duplicate source join keys when
+  * a MATCHED clause exists (SQL MERGE cardinality — delta-spark raises
+  * the same error).
   */
 object GraftDmlStrategy extends SparkStrategy {
 
@@ -122,11 +129,9 @@ object GraftDmlStrategy extends SparkStrategy {
       require(!m.withSchemaEvolution,
         s"MERGE on ${table.name()}: WITH SCHEMA EVOLUTION is not " +
           "supported (the table schema is fixed by the log)")
-      require(m.notMatchedBySourceActions.isEmpty,
-        s"MERGE on ${table.name()}: WHEN NOT MATCHED BY SOURCE clauses " +
-          "are outside the proven shape")
       val targetOut = m.targetTable.outputSet
       val sourceOut = m.sourceTable.outputSet
+      val tableCols = m.targetTable.output.map(_.name)
       // ON t.k = s.k — one equi-key, same column name on both sides
       val key = m.mergeCondition match {
         case org.apache.spark.sql.catalyst.expressions.EqualTo(
@@ -145,77 +150,127 @@ object GraftDmlStrategy extends SparkStrategy {
           s"ON ${other.sql} is outside the proven shape (one equality " +
             "between a target and a source column)")
       }
-      // WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *
-      // (resolved: full-row target := source assignments)
-      val upAssigns = m.matchedActions match {
-        case Seq(UpdateAction(None, as, _)) => as
-        case other => refuse(table, "MERGE",
-          s"matched actions $other: the proven shape is exactly one " +
-            "unconditional UPDATE SET *")
+      // ---- CLOSED-WORLD clause rendering into TxLog.mergeClauses'
+      // namespace: target columns keep their names, source columns render
+      // as `__src_<name>` (the kernel's joined-row layout), both through
+      // the SAME proven translators as UPDATE/DELETE — anything either
+      // cannot prove fails the STATEMENT loudly.
+      def namespaced(e: Expression): Expression = fold(e).transformUp {
+        case a: AttributeReference if sourceOut.contains(a) =>
+          a.withName(s"__src_${a.name}")
       }
-      val insAssigns = m.notMatchedActions match {
-        case Seq(InsertAction(None, as)) => as
-        case other => refuse(table, "MERGE",
-          s"not-matched actions $other: the proven shape is exactly one " +
-            "unconditional INSERT *")
-      }
-      def fullRow(as: Seq[Assignment], what: String)
-          : Seq[(Attribute, Expression)] = {
+      def renderCond(cond: Expression, what: String): String =
+        org.apache.spark.sql.GraftSqlBridge.translateFilterV2(namespaced(cond))
+          .flatMap(V2PredicateSql.toSql)
+          .getOrElse(refuse(table, "MERGE",
+            s"$what condition ${cond.sql} is outside the proven " +
+              "predicate set"))
+      def renderAssigns(as: Seq[Assignment], what: String,
+                        allowed: org.apache.spark.sql.catalyst.expressions
+                          .AttributeSet): Seq[(String, String)] = {
         val pairs = as.map {
           case Assignment(t: AttributeReference, v) =>
-            if (!v.references.subsetOf(sourceOut)) refuse(table, "MERGE",
-              s"$what assignment for ${t.name} references target " +
-                "columns; the proven shape assigns from the source row")
-            (t: Attribute) -> v
+            if (!targetOut.contains(t)) refuse(table, "MERGE",
+              s"$what target ${t.name} is not a column of the table")
+            if (!v.references.subsetOf(allowed)) refuse(table, "MERGE",
+              s"$what value for ${t.name} references columns outside " +
+                "the clause's legal namespace")
+            t.name -> CatalystSetSql.toSql(namespaced(v)).getOrElse(
+              refuse(table, "MERGE",
+                s"$what value ${v.sql} is outside the proven " +
+                  "expression set"))
           case a => refuse(table, "MERGE",
             s"$what target ${a.key} is not a top-level column")
         }
-        val names = pairs.map(_._1.name.toLowerCase).toSet
-        val all = m.targetTable.output.map(_.name.toLowerCase).toSet
-        if (names != all) refuse(table, "MERGE",
-          s"$what must cover every table column (SET * / INSERT *); " +
-            s"got ${names.mkString(",")} of ${all.mkString(",")}")
+        val dup = pairs.groupBy(_._1.toLowerCase)
+          .collect { case (n, vs) if vs.size > 1 => n }
+        if (dup.nonEmpty) refuse(table, "MERGE",
+          s"$what has duplicate assignment targets ${dup.mkString(",")}")
         pairs
       }
-      val up = fullRow(upAssigns, "UPDATE")
-      val ins = fullRow(insAssigns, "INSERT")
-      // TxLog.merge writes ONE projection for both verbs (matched keys
-      // replaced by it, unmatched keys insert it), so the proven shape
-      // requires the UPDATE and INSERT lists to assign the SAME source
-      // expression per column — `SET * / INSERT *` trivially does.
-      // Diverging lists must refuse, or inserted rows would silently
-      // take the UPDATE list's values (review finding r13).
-      val insByName = ins.map { case (t, v) => t.name.toLowerCase -> v }.toMap
-      up.foreach { case (t, v) =>
-        val iv = insByName(t.name.toLowerCase)
-        if (!v.semanticEquals(iv)) refuse(table, "MERGE",
-          s"UPDATE assigns ${t.name} = ${v.sql} but INSERT assigns " +
-            s"${iv.sql}; the proven shape uses one projection for both " +
-            "(SET * / INSERT *)")
-      }
-      // one source projection named as the target's columns, evaluated
-      // from the resolved source plan — TxLog.merge replaces matched
-      // keys with these rows and inserts the unmatched ones
-      val projected = Project(
-        up.map { case (t, v) => Alias(v, t.name)() }, m.sourceTable)
-      // evaluate the source ONCE: the cardinality check plus merge's own
-      // two passes (hit semi-join, rewrite union) would otherwise run an
-      // expensive — or non-deterministic — source plan three times
+      // SQL clause-order rule (delta-spark's too): only the LAST clause
+      // of each list may omit its AND condition — an earlier
+      // unconditional clause would make every later one dead code.
+      def lastOnlyUnconditional(conds: Seq[Option[Expression]],
+                                what: String): Unit =
+        if (conds.dropRight(1).exists(_.isEmpty)) refuse(table, "MERGE",
+          s"$what: only the last clause may omit its AND condition " +
+            "(an earlier unconditional clause makes later ones dead)")
+      val bothSides = targetOut ++ sourceOut
+      lastOnlyUnconditional(m.matchedActions.map(_.condition),
+        "WHEN MATCHED")
+      lastOnlyUnconditional(m.notMatchedActions.map(_.condition),
+        "WHEN NOT MATCHED")
+      lastOnlyUnconditional(m.notMatchedBySourceActions.map(_.condition),
+        "WHEN NOT MATCHED BY SOURCE")
+      val matchedClauses: Seq[(Option[String], TxLog.MergeClauseAction)] =
+        m.matchedActions.map {
+          case UpdateAction(cond, as, _) =>
+            (cond.map(renderCond(_, "WHEN MATCHED")),
+              TxLog.MergeUpdate(
+                renderAssigns(as, "WHEN MATCHED UPDATE", bothSides)))
+          case DeleteAction(cond) =>
+            (cond.map(renderCond(_, "WHEN MATCHED")),
+              TxLog.MergeDelete: TxLog.MergeClauseAction)
+          case other => refuse(table, "MERGE",
+            s"matched action $other is outside the proven shape " +
+              "(UPDATE SET ... / DELETE)")
+        }
+      val insertClauses: Seq[(Option[String], Seq[(String, String)])] =
+        m.notMatchedActions.map {
+          case InsertAction(cond, as) =>
+            // SQL rule: NOT MATCHED conditions and values see only the
+            // source row (there is no target row to reference)
+            cond.foreach { c =>
+              if (!c.references.subsetOf(sourceOut)) refuse(table, "MERGE",
+                "WHEN NOT MATCHED condition may reference only source " +
+                  "columns")
+            }
+            val pairs = renderAssigns(as, "WHEN NOT MATCHED INSERT",
+              sourceOut)
+            val names = pairs.map(_._1.toLowerCase).toSet
+            val all = tableCols.map(_.toLowerCase).toSet
+            if (names != all) refuse(table, "MERGE",
+              "WHEN NOT MATCHED INSERT must cover every table column " +
+                s"(no silent NULL fill); got ${pairs.map(_._1).mkString(",")}" +
+                s" of ${tableCols.mkString(",")}")
+            (cond.map(renderCond(_, "WHEN NOT MATCHED")), pairs)
+          case other => refuse(table, "MERGE",
+            s"not-matched action $other is outside the proven shape " +
+              "(INSERT ...)")
+        }
+      val bySourceClauses: Seq[(Option[String], TxLog.MergeClauseAction)] =
+        m.notMatchedBySourceActions.map {
+          case UpdateAction(cond, as, _) =>
+            cond.foreach { c =>
+              if (!c.references.subsetOf(targetOut)) refuse(table, "MERGE",
+                "WHEN NOT MATCHED BY SOURCE condition may reference only " +
+                  "target columns (there is no matched source row)")
+            }
+            (cond.map(renderCond(_, "WHEN NOT MATCHED BY SOURCE")),
+              TxLog.MergeUpdate(renderAssigns(as,
+                "WHEN NOT MATCHED BY SOURCE UPDATE", targetOut)))
+          case DeleteAction(cond) =>
+            cond.foreach { c =>
+              if (!c.references.subsetOf(targetOut)) refuse(table, "MERGE",
+                "WHEN NOT MATCHED BY SOURCE condition may reference only " +
+                  "target columns")
+            }
+            (cond.map(renderCond(_, "WHEN NOT MATCHED BY SOURCE")),
+              TxLog.MergeDelete: TxLog.MergeClauseAction)
+          case other => refuse(table, "MERGE",
+            s"not-matched-by-source action $other is outside the proven " +
+              "shape (UPDATE SET ... / DELETE)")
+        }
+      // evaluate the source ONCE: the kernel's cardinality probe, hit
+      // semi-join, matched join, and insert anti-join would otherwise run
+      // an expensive — or non-deterministic — source plan four times
       // (review finding r13)
-      val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, projected)
+      val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, m.sourceTable)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        // SQL MERGE cardinality: at most one source row per NON-NULL key
-        // (NULL keys never match anything — they all insert, legally)
-        val dup = src
-          .filter(org.apache.spark.sql.functions.col(key.name).isNotNull)
-          .groupBy(key.name).count()
-          .filter(org.apache.spark.sql.functions.col("count") > 1)
-          .limit(1).count()
-        require(dup == 0,
-          s"MERGE on ${table.name()}: the source has multiple rows for " +
-            "the same join key — SQL MERGE cardinality violation")
-        TxLog.merge(spark, src, table.dmlPath, key.name)
+        TxLog.mergeClauses(spark, src, table.dmlPath, key.name, tableCols,
+          matchedClauses, insertClauses, bySourceClauses)
       } finally src.unpersist(blocking = false)
       DeltaBridge.exportLog(spark, table.dmlPath)
     })

@@ -78,6 +78,21 @@ object GraftSqlBridge {
       : connector.expressions.Literal[_] =
     connector.expressions.LiteralValue(value, dt)
 
+  /** A cloned session — same SparkContext, COPIED session state — with
+    * one conf key overridden. Scopes a conf-gated reader behavior (e.g.
+    * `spark.sql.parquet.fieldId.read.enabled`, which the parquet scan
+    * consults from the RELATION's own session at execution) to exactly
+    * the DataFrames built through the clone: the caller's session conf
+    * is never mutated, so unrelated later reads cannot silently change
+    * resolution mode (ADVICE r13). `cloneSession` is `private[sql]`,
+    * hence the bridge placement. */
+  def sessionWithConf(spark: SparkSession, key: String,
+                      value: String): SparkSession = {
+    val c = spark.asInstanceOf[classic.SparkSession].cloneSession()
+    c.conf.set(key, value)
+    c
+  }
+
   /** Catalyst→V2 predicate translation — Spark's OWN translator (the one
     * DSv2 pushdown trusts), `private[sql]` in this build, re-exported for
     * the closed-world UPDATE/MERGE condition path. */

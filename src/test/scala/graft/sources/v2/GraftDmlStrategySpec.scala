@@ -107,8 +107,25 @@ class GraftDmlStrategySpec extends SparkSpec {
       s"""MERGE INTO graft.`$t` tgt
          |USING (SELECT 1L AS k, 'x' AS s, 1L AS n) src
          |ON tgt.k = src.k
-         |WHEN MATCHED THEN DELETE""".stripMargin,
-      "a MERGE shape outside update*/insert*")
+         |WHEN MATCHED AND tgt.s LIKE 'a%' THEN DELETE""".stripMargin,
+      "an unproven MATCHED condition (LIKE)")
+    refused(
+      s"""MERGE INTO graft.`$t` tgt
+         |USING (SELECT 1L AS k, 'x' AS s, 1L AS n) src
+         |ON tgt.k = src.k
+         |WHEN NOT MATCHED THEN INSERT (k, s) VALUES (src.k, src.s)""".stripMargin,
+      "an INSERT list that skips columns (silent NULL fill)")
+    // a non-last unconditional clause is refused by Spark's PARSER
+    // (same dead-code rule the strategy re-checks for programmatic plans)
+    intercept[org.apache.spark.sql.catalyst.parser.ParseException] {
+      spark.sql(
+        s"""MERGE INTO graft.`$t` tgt
+           |USING (SELECT 1L AS k, 'x' AS s, 1L AS n) src
+           |ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET s = src.s
+           |WHEN MATCHED AND tgt.n > 5 THEN DELETE""".stripMargin).collect()
+    }
+    assert(rows(t) == before, "a parser-refused MERGE must not mutate")
     refused(
       s"""MERGE INTO graft.`$t` tgt
          |USING (SELECT 1L AS k, 'x' AS s, 1L AS n
@@ -135,28 +152,25 @@ class GraftDmlStrategySpec extends SparkSpec {
       s"a foreign delta mount must stay read-only, got: $e")
   }
 
-  test("MERGE refuses DIVERGING update/insert expression lists (one " +
-    "projection serves both verbs) and accepts NULL source keys " +
-    "(they never match — both rows insert)") {
+  test("MERGE with DIVERGING update/insert expression lists: inserted " +
+    "rows take the INSERT list's values, updated rows the UPDATE list's; " +
+    "NULL source keys never match — both rows insert") {
     import spark.implicits._
     val t = freshTable()
     TxLog.append(spark,
       Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), t)
-    val before = rows(t)
-    // explicit INSERT list whose values DIFFER from the UPDATE list:
-    // must refuse loudly, never silently insert the UPDATE projection
-    val e = intercept[Exception] {
-      spark.sql(
-        s"""MERGE INTO graft.`$t` tgt
-           |USING (SELECT 1L AS k, 'x' AS s, 1L AS n) src
-           |ON tgt.k = src.k
-           |WHEN MATCHED THEN UPDATE SET k = src.k, s = src.s, n = src.n
-           |WHEN NOT MATCHED THEN INSERT (k, s, n)
-           |  VALUES (src.k, concat(src.s, '!'), src.n)""".stripMargin)
-        .collect()
-    }
-    assert(e.getMessage.contains("one projection"), s"got: $e")
-    assert(rows(t) == before, "a refused MERGE must not mutate")
+    // the round-13 refusal shape is now a SUPPORTED general-merge form:
+    // the two verbs evaluate their own expression lists independently
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt
+         |USING (SELECT 1L AS k, 'x' AS s, 1L AS n
+         |       UNION ALL SELECT 9L, 'y', 9L) src
+         |ON tgt.k = src.k
+         |WHEN MATCHED THEN UPDATE SET k = src.k, s = src.s, n = src.n
+         |WHEN NOT MATCHED THEN INSERT (k, s, n)
+         |  VALUES (src.k, concat(src.s, '!'), src.n)""".stripMargin)
+    assert(rows(t) == Set((1L, "x", 1L), (2L, "b", 20L), (9L, "y!", 9L)),
+      "matched row takes the UPDATE list, inserted row the INSERT list")
     // NULL join keys are legal SQL MERGE: they match nothing and insert
     spark.sql(
       s"""MERGE INTO graft.`$t` tgt
@@ -169,6 +183,77 @@ class GraftDmlStrategySpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted.toSeq
     assert(got == Seq("p", "q"),
       "both NULL-key source rows must insert (no spurious cardinality refusal)")
+  }
+
+  test("GENERAL MERGE clause vocabulary: conditional matched DELETE/" +
+    "partial UPDATE, conditional INSERT, NOT MATCHED BY SOURCE cascade " +
+    "in order, all as ONE commit") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq(
+      (1L, "a", 10L),   // matched, src.n < 0 → DELETE
+      (2L, "b", 20L),   // matched → partial UPDATE (n kept)
+      (3L, "d", -30L),  // unmatched target, satisfies BOTH by-source conds → first (DELETE) wins
+      (4L, "d", 40L),   // unmatched target, s='d' → BY SOURCE UPDATE
+      (5L, "e", 50L)    // unmatched target, no clause fires → kept
+    ).toDF("k", "s", "n"), t)
+    val vBefore = TxLog.versions(t).last
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt
+         |USING (SELECT 1L AS k, 'A' AS s, -1L AS n
+         |       UNION ALL SELECT 2L, 'B', 200L
+         |       UNION ALL SELECT 8L, 'H', -8L
+         |       UNION ALL SELECT 9L, 'I', 90L) src
+         |ON tgt.k = src.k
+         |WHEN MATCHED AND src.n < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET s = upper(src.s)
+         |WHEN NOT MATCHED AND src.n >= 0 THEN INSERT (k, s, n)
+         |  VALUES (src.k, src.s, src.n)
+         |WHEN NOT MATCHED BY SOURCE AND tgt.n < 0 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE AND tgt.s = 'd'
+         |  THEN UPDATE SET s = concat(s, '14')""".stripMargin)
+    assert(rows(t) == Set(
+      (2L, "B", 20L),   // partial UPDATE: n untouched, s from source
+      (4L, "d14", 40L), // BY SOURCE UPDATE (old-row expression)
+      (5L, "e", 50L),   // no clause fired
+      (9L, "I", 90L)),  // conditional INSERT (8L excluded by src.n >= 0)
+      s"got: ${rows(t)}")
+    assert(TxLog.versions(t).last == vBefore + 1,
+      "the whole multi-clause MERGE must land as ONE commit")
+    // value-idempotence: BY SOURCE UPDATE re-run must not re-fire on 'd14'
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt
+         |USING (SELECT 2L AS k, 'B' AS s, 200L AS n) src
+         |ON tgt.k = src.k
+         |WHEN NOT MATCHED BY SOURCE AND tgt.s = 'd'
+         |  THEN UPDATE SET s = concat(s, '14')""".stripMargin)
+    assert(rows(t).contains((4L, "d14", 40L)) &&
+      !rows(t).exists(_._2 == "d1414"),
+      "a fired BY SOURCE clause must reach its fixpoint")
+  }
+
+  test("insert-only MERGE rewrites NOTHING (pure append commit), and " +
+    "duplicate source keys are then legal — each unmatched row inserts") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), t)
+    val before = TxLog.liveFiles(t)
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt
+         |USING (SELECT 1L AS k, 'x' AS s, 1L AS n
+         |       UNION ALL SELECT 7L, 'g', 70L
+         |       UNION ALL SELECT 7L, 'g', 70L) src
+         |ON tgt.k = src.k
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(TxLog.liveFiles(t).toSet.intersect(before.toSet) == before.toSet,
+      "an insert-only MERGE must carry every existing file over by " +
+        "reference (no rewrite)")
+    val sevens = spark.sql(s"SELECT s FROM graft.`$t` WHERE k = 7")
+      .collect().map(_.getString(0)).toSeq
+    assert(sevens == Seq("g", "g"),
+      "SQL inserts each unmatched source row, duplicates included")
+    assert(rows(t).contains((1L, "a", 10L)), "matched row untouched")
   }
 
   test("MERGE INTO a PARTITIONED catalog table: matched rows adopt the " +
