@@ -710,6 +710,46 @@ object RelationalExt3 {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q346: EXPLICIT CHECKPOINT lifecycle from SQL — `CALL
+    * graft.checkpoint(path)` pins a log checkpoint at the exported head
+    * (the delta/Iceberg maintenance idiom for long-lived tables, below
+    * the automatic 10-version cadence), `CALL graft.history` reports the
+    * covered prefix as `checkpointed`, `CALL graft.vacuum` then retires
+    * the covered JSON, and the final SELECT reads the head back through
+    * the catalog scan — which now BOOTSTRAPS FROM THE CHECKPOINT alone
+    * (the JSON prefix is gone), pinning O(live files) reader startup
+    * against DuckDB on the original table. Idempotent across runs: a
+    * re-pinned head reuses the published checkpoint and the re-vacuum
+    * sweeps nothing. */
+  def q346CheckpointLifecycle(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftDeltaCatalog].getName)
+    val tmp = graft.SparkSupport.roundtripPath("checkpoint_rt", dir)
+    if (graft.sources.TxLog.versions(tmp).isEmpty) {
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      graft.sources.TxLog.append(s, c.filter(col("c_custkey") % 2 === 0), tmp)
+      graft.sources.TxLog.append(s, c.filter(col("c_custkey") % 2 === 1), tmp)
+    }
+    val cv = s.sql(s"CALL graft.checkpoint('$tmp')").collect().head.getLong(0)
+    val hist = s.sql(s"CALL graft.history('$tmp')").collect()
+    require(hist.filter(_.getLong(0) <= cv).forall(_.getBoolean(5)),
+      "history must mark the checkpoint-covered prefix")
+    s.sql(s"CALL graft.vacuum('$tmp', retain_versions => 2)").collect()
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_rows,
+         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+         |FROM graft.`$tmp`
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q346Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q344: GENERAL MERGE clause shapes — the full SQL MERGE vocabulary
     * ([[graft.sources.v2.GraftDmlStrategy]] → [[graft.sources.TxLog
     * .mergeClauses]]'s file-granular cascade), one statement exercising
@@ -825,6 +865,7 @@ object RelationalExt3 {
     "q342_dv_column_mapping" -> q342DvColumnMapping,
     "q343_call_lifecycle"   -> q343CallLifecycle,
     "q344_merge_clauses"    -> q344MergeClauses,
+    "q346_checkpoint_lifecycle" -> q346CheckpointLifecycle,
     "q325_delta_bridge"    -> q325DeltaBridge,
     "q330_delta_partitioned" -> q330DeltaPartitioned,
     "q333_delta_stats_skip" -> q333DeltaStatsSkip,
@@ -846,6 +887,7 @@ object RelationalExt3 {
     "q342_dv_column_mapping" -> q342Sql,
     "q343_call_lifecycle"   -> q343Sql,
     "q344_merge_clauses"    -> q344Sql,
+    "q346_checkpoint_lifecycle" -> q346Sql,
     "q325_delta_bridge"    -> q325Sql,
     "q330_delta_partitioned" -> q330Sql,
     "q333_delta_stats_skip" -> q333Sql,

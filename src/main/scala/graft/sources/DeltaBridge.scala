@@ -655,6 +655,11 @@ object DeltaBridge {
     // Same running-max monotonization as [[versionAtTimestamp]], so the
     // published history and timestamp resolution always agree.
     var runMax = Long.MinValue
+    // `checkpointed` surfaces the `_last_checkpoint` state per row: a
+    // version at or below it is served by the checkpoint and its JSON is
+    // log-retention-eligible (the lifecycle fact a maintenance operator
+    // reads history for)
+    val ckpt = lastCheckpointVersion(table)
     versions(table).map { v =>
       var adds = 0L; var removes = 0L; var meta = false
       Files.readAllLines(deltaVersionFile(table, v)).asScala
@@ -667,9 +672,9 @@ object DeltaBridge {
         }
       runMax = math.max(runMax,
         Files.getLastModifiedTime(deltaVersionFile(table, v)).toMillis)
-      (v, runMax, adds, removes, meta)
+      (v, runMax, adds, removes, meta, ckpt.exists(v <= _))
     }.toDF("version", "timestamp_ms", "n_adds", "n_removes",
-      "schema_changed").orderBy("version")
+      "schema_changed", "checkpointed").orderBy("version")
   }
 
   /** Resolve a `timestampAsOf` instant to a version — delta-spark's
@@ -1178,34 +1183,85 @@ object DeltaBridge {
     out.toSeq.map { case (k, v) => (k, v.toSeq) }
   }
 
-  private def lastCheckpointVersion(table: String): Option[Long] = {
+  private def lastCheckpointVersion(table: String): Option[Long] =
+    lastCheckpointMeta(table).map(_._1)
+
+  /** `_last_checkpoint` content: (version, parts) — `parts` absent means
+    * a single-file checkpoint (the spec's default). */
+  private def lastCheckpointMeta(table: String): Option[(Long, Int)] = {
     val lc = deltaLogDir(table).resolve("_last_checkpoint")
     if (!Files.exists(lc)) None
-    else Some(mapper.readValue(Files.readString(lc),
+    else {
+      val m = mapper.readValue(Files.readString(lc),
         classOf[java.util.Map[String, AnyRef]])
-      .get("version").asInstanceOf[Number].longValue())
+      Some((m.get("version").asInstanceOf[Number].longValue(),
+        Option(m.get("parts")).map(_.asInstanceOf[Number].intValue())
+          .getOrElse(1)))
+    }
   }
 
-  /** A Delta checkpoint is one parquet file whose rows each carry at most
-    * one action as a nested struct column — Spark reads it natively. */
+  /** The parquet file(s) of checkpoint `cv` — one `N.checkpoint.parquet`
+    * for the classic form, or the spec's multi-part layout
+    * `N.checkpoint.<part>.<parts>.parquet` (part indices 1-based, every
+    * part REQUIRED: a missing part would silently drop live files, so the
+    * resolution fails loud instead). */
+  private def checkpointFiles(table: String, cv: Long): Seq[Path] = {
+    val single = deltaLogDir(table).resolve(f"$cv%020d.checkpoint.parquet")
+    if (Files.exists(single)) Seq(single)
+    else lastCheckpointMeta(table) match {
+      case Some((v, parts)) if v == cv && parts > 1 =>
+        val files = (1 to parts).map(i =>
+          deltaLogDir(table).resolve(
+            f"$cv%020d.checkpoint.$i%010d.$parts%010d.parquet"))
+        val missing = files.filterNot(Files.exists(_))
+        require(missing.isEmpty,
+          s"$table: _last_checkpoint names a $parts-part checkpoint at " +
+            s"version $cv but ${missing.map(_.getFileName).mkString(",")} " +
+            "is missing — a partial multi-part checkpoint cannot replay")
+        files
+      case _ => throw new IllegalArgumentException(
+        s"$table: _last_checkpoint names version $cv but " +
+          s"${single.getFileName} is missing and no multi-part layout is " +
+          "declared")
+    }
+  }
+
+  /** EXPLICIT checkpoint of the exported log's HEAD — the maintenance
+    * verb behind `CALL graft.checkpoint(path)`: snapshots the live state
+    * into one checkpoint parquet + `_last_checkpoint` (idempotent — an
+    * existing checkpoint file at the head is kept), so readers bootstrap
+    * in O(live files) and [[vacuumLog]] may retire the covered JSON
+    * prefix. [[exportLog]] still checkpoints automatically every 10
+    * versions; this pins one at the current head on demand. Returns the
+    * checkpointed version. */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    val head = headVersion(table)
+    require(head >= 0, s"checkpoint: $table has no exported _delta_log")
+    writeCheckpoint(spark, table, head)
+    head
+  }
+
+  /** A Delta checkpoint is parquet whose rows each carry at most one
+    * action as a nested struct column — Spark reads it natively (all
+    * parts as one scan for the multi-part form). Rows stream to the
+    * driver through `toLocalIterator` — one partition in memory at a
+    * time, never the whole manifest as a second driver-side array (the
+    * replayed `st.live` map is the only O(files) driver state, and it is
+    * the reader's product). Bootstraps into a FRESH state only; remove
+    * tombstones are then no-ops by construction (a fresh replay holds
+    * exactly the checkpoint's own adds, and the protocol's order-free
+    * rule says an add beats a tombstone for the same path within one
+    * checkpoint), so they are skipped explicitly rather than re-ordered. */
   private def bootstrapFromCheckpoint(spark: SparkSession, table: String,
                                       cv: Long, st: LogState): Unit = {
-    val path = deltaLogDir(table).resolve(f"$cv%020d.checkpoint.parquet")
-    require(Files.exists(path),
-      s"$table: _last_checkpoint names version $cv but ${path.getFileName} " +
-        "is missing (multi-part checkpoints are outside the bridge's scope)")
-    val rows = spark.read.parquet(path.toString)
+    require(st.live.isEmpty && st.schemaJson == null,
+      "bootstrapFromCheckpoint expects a fresh LogState")
+    val files = checkpointFiles(table, cv)
+    val rows = spark.read.parquet(files.map(_.toString): _*)
     val cols = rows.columns.toSet
-    val collected = rows.collect()
-    // a checkpoint can hold a remove TOMBSTONE and an add for the same
-    // path (a DV rewrite inside the tombstone-retention window); like
-    // the per-version replay, adds win regardless of row order
-    val ckptAddPaths: Set[String] = collected.flatMap { r =>
-      if (cols.contains("add") && !r.isNullAt(r.fieldIndex("add")))
-        Option(r.getStruct(r.fieldIndex("add")).getAs[String]("path"))
-      else None
-    }.toSet
-    collected.foreach { r =>
+    val it = rows.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
       def struct(name: String): Option[org.apache.spark.sql.Row] =
         if (cols.contains(name) && !r.isNullAt(r.fieldIndex(name)))
           Some(r.getStruct(r.fieldIndex(name)))
@@ -1249,10 +1305,7 @@ object DeltaBridge {
         st.live += (a.getAs[String]("path") ->
           AddEntry(pv, field[String](a, "stats"), dv))
       }
-      struct("remove").foreach { rm =>
-        val p = rm.getAs[String]("path")
-        if (!ckptAddPaths.contains(p)) st.live -= p
-      }
+      // remove tombstones: no-ops in a fresh bootstrap (see Scaladoc)
     }
   }
 }

@@ -19,6 +19,7 @@ import org.apache.spark.sql.types._
   *   CALL graft.vacuum('/data/events', retain_versions => 2)
   *   CALL graft.optimize('/data/events')
   *   CALL graft.restore('/data/events', version => 3)
+  *   CALL graft.checkpoint('/data/events')
   * }}}
   *
   * Each procedure executes the SAME engine verb the programmatic API
@@ -30,15 +31,17 @@ import org.apache.spark.sql.types._
   * surface and foreign readers always see the post-verb state. */
 private[v2] object GraftProcedures {
 
-  val names: Seq[String] = Seq("history", "vacuum", "optimize", "restore")
+  val names: Seq[String] =
+    Seq("history", "vacuum", "optimize", "restore", "checkpoint")
 
   def load(catalogName: String, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
-      case "history"  => Some(HistoryProc)
-      case "vacuum"   => Some(VacuumProc)
-      case "optimize" => Some(OptimizeProc)
-      case "restore"  => Some(RestoreProc)
-      case _          => None
+      case "history"    => Some(HistoryProc)
+      case "vacuum"     => Some(VacuumProc)
+      case "optimize"   => Some(OptimizeProc)
+      case "restore"    => Some(RestoreProc)
+      case "checkpoint" => Some(CheckpointProc)
+      case _            => None
     }
 
   private def spark: SparkSession = SparkSession.active
@@ -78,8 +81,9 @@ private[v2] object GraftProcedures {
     override def isDeterministic: Boolean = false // reads/advances state
   }
 
-  /** DESCRIBE HISTORY as rows: per version, its monotonized commit time
-    * and add/remove/schema-change counts — [[DeltaBridge.history]],
+  /** DESCRIBE HISTORY as rows: per version, its monotonized commit time,
+    * add/remove/schema-change counts, and whether a published checkpoint
+    * covers it (`_last_checkpoint` state) — [[DeltaBridge.history]],
     * metadata-only (never reads a data file). */
   private object HistoryProc extends SimpleProc("history") {
     override def parameters(): Array[ProcedureParameter] =
@@ -89,15 +93,35 @@ private[v2] object GraftProcedures {
       StructField("timestamp_ms", LongType),
       StructField("n_adds", LongType),
       StructField("n_removes", LongType),
-      StructField("schema_changed", BooleanType)))
+      StructField("schema_changed", BooleanType),
+      StructField("checkpointed", BooleanType)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       exportIfTx(table)
       val rows = DeltaBridge.history(spark, table).collect().map { r =>
         InternalRow(r.getLong(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), r.getBoolean(4))
+          r.getLong(3), r.getBoolean(4), r.getBoolean(5))
       }.toSeq
       result(schema, rows)
+    }
+  }
+
+  /** CHECKPOINT: pin a log checkpoint at the exported head
+    * ([[DeltaBridge.checkpoint]]) — readers then bootstrap in O(live
+    * files) and `CALL vacuum` may retire the covered JSON prefix.
+    * Works on TxLog-backed tables (exported first) AND foreign
+    * `_delta_log`s (a checkpoint is a READER-side compaction: it adds
+    * derived metadata without touching the writer's commits). */
+  private object CheckpointProc extends SimpleProc("checkpoint") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val schema =
+      StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      exportIfTx(table)
+      result(schema,
+        Seq(InternalRow(DeltaBridge.checkpoint(spark, table))))
     }
   }
 

@@ -164,6 +164,88 @@ class DeltaBridgeSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSeq == Seq("a", "b"))
   }
 
+  test("bootstraps from a MULTI-PART checkpoint (_last_checkpoint.parts) " +
+    "and fails loud when a part is missing — foreign large-table layout") {
+    val t = freshTable()
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(s"$t/f0")
+    Seq((2L, "b")).toDF("id", "v").coalesce(1).write.parquet(s"$t/f1")
+    def partOf(dir: String): String = {
+      val s = Files.list(Paths.get(t, dir))
+      try s.iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet"))
+        .next() + "" finally s.close()
+    }
+    val f0 = s"f0/${partOf("f0")}"
+    val f1 = s"f1/${partOf("f1")}"
+    val schemaJson = spark.read.parquet(s"$t/f0").schema.json
+    Files.createDirectories(Paths.get(t, "_delta_log"))
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ckptSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("size", LongType),
+        StructField("dataChange", BooleanType))))))
+    def writeCkptPart(rows: Seq[Row], name: String): Unit = {
+      val tmp = Files.createTempDirectory("ckpt_mp")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), ckptSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val s = Files.list(tmp)
+        try s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).next() + "" finally s.close()
+      }
+      Files.copy(tmp.resolve(part), Paths.get(t, "_delta_log", name))
+    }
+    // the spec's multi-part names: N.checkpoint.<part>.<parts>.parquet
+    writeCkptPart(Seq(
+        Row(Row(1, 2), null, null),
+        Row(null, Row("mp", schemaJson, Seq.empty[String]), null),
+        Row(null, null, Row(f0, Files.size(Paths.get(t, f0)), true))),
+      f"${3L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    writeCkptPart(Seq(
+        Row(null, null, Row(f1, Files.size(Paths.get(t, f1)), true))),
+      f"${3L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    Files.writeString(Paths.get(t, "_delta_log", "_last_checkpoint"),
+      """{"version":3,"size":4,"parts":2}""")
+    assert(DeltaBridge.read(spark, t).orderBy("id")
+      .collect().map(_.getString(1)).toSeq == Seq("a", "b"),
+      "both parts' adds must replay")
+    // a missing part must fail LOUD, never a silently smaller snapshot
+    Files.delete(Paths.get(t, "_delta_log",
+      f"${3L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    val e = intercept[Exception] { DeltaBridge.read(spark, t).collect() }
+    assert(e.getMessage.contains("part"), s"got: $e")
+  }
+
+  test("explicit DeltaBridge.checkpoint pins the head; vacuumLog then " +
+    "retires the covered JSON and the snapshot survives") {
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "v"), t, partFiles = 1)
+    TxLog.append(spark, Seq((2L, "b")).toDF("id", "v"), t, partFiles = 1)
+    TxLog.append(spark, Seq((3L, "c")).toDF("id", "v"), t, partFiles = 1)
+    DeltaBridge.exportLog(spark, t)
+    // head is version 2 — far below the automatic 10-version cadence
+    assert(DeltaBridge.checkpoint(spark, t) == 2L)
+    assert(Files.exists(
+      Paths.get(t, "_delta_log", f"${2L}%020d.checkpoint.parquet")))
+    assert(DeltaBridge.vacuumLog(t).nonEmpty,
+      "the covered JSON prefix becomes retention-eligible")
+    assert(DeltaBridge.read(spark, t).orderBy("id")
+      .collect().map(_.getString(1)).toSeq == Seq("a", "b", "c"),
+      "the head must survive on the explicit checkpoint alone")
+    // idempotent: a second call re-uses the published checkpoint
+    assert(DeltaBridge.checkpoint(spark, t) == 2L)
+  }
+
   test("exportLog WRITES a checkpoint every 10 versions; a vacuumed log " +
     "reads back through it — the full protocol roundtrip") {
     val t = freshTable()

@@ -290,6 +290,19 @@ class GraftDeltaCatalogSpec extends SparkSpec {
       s"vacuum must sweep the unreferenced generations, got ${vc.toSeq}")
     assert(sqlDf(s"SELECT count(*) AS n FROM graft.`$t`")
       .collect().head.getLong(0) == 3L, "the head must survive vacuum")
+    // CALL checkpoint pins the head; history then reports the covered
+    // prefix as checkpointed and vacuum may retire its JSON
+    val cv = sqlDf(s"CALL graft.checkpoint('$t')").collect()
+    assert(cv.length == 1 &&
+      cv.head.getLong(0) == TxLog.versions(t).length - 1L,
+      s"checkpoint must pin the exported head, got ${cv.toSeq}")
+    val hc = sqlDf(s"CALL graft.history('$t')").collect()
+    assert(hc.forall(_.getBoolean(5)),
+      s"every version at or below the pinned head is checkpointed: " +
+        s"${hc.toSeq}")
+    assert(sqlDf(s"SELECT count(*) AS n FROM graft.`$t`")
+      .collect().head.getLong(0) == 3L,
+      "the snapshot must survive the explicit checkpoint")
     // unknown procedure and foreign-table mutation refuse loudly
     val unknown = intercept[Exception] {
       sqlDf(s"CALL graft.nonsense('$t')").collect()
