@@ -568,8 +568,11 @@ object RelationalExt3 {
     * matching, inline DVs, and the unsupported-feature refusal); the
     * gate pins post-DV VALUES against the oracle's predicate
     * recomputation. */
-  def q342DvColumnMapping(s: SparkSession, dir: String): DataFrame = {
-    val table = graft.SparkSupport.layoutArtifact("delta_dv_cm", dir) { p =>
+  /** The shared DV + column-mapped FOREIGN table artifact (q342 reads it
+    * through the bridge API; q345 through the native relation and the
+    * SQL catalog — one fixture, three mounts that must agree). */
+  private def dvCmTable(s: SparkSession, dir: String): String =
+    graft.SparkSupport.layoutArtifact("delta_dv_cm", dir) { p =>
       import java.nio.file.{Files => JF, Paths => JP}
       JF.createDirectories(JP.get(p))
       def stageOne(df: DataFrame, name: String): String = {
@@ -633,6 +636,9 @@ object RelationalExt3 {
       ).mkString("", "\n", "\n"))
       JF.createFile(JP.get(p, "_SUCCESS"))
     }
+
+  def q342DvColumnMapping(s: SparkSession, dir: String): DataFrame = {
+    val table = dvCmTable(s, dir)
     graft.sources.DeltaBridge.read(s, table)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_rows"),
@@ -646,6 +652,41 @@ object RelationalExt3 {
       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
       |FROM orders WHERE o_orderkey % 10 <> 4
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q345: DV + COLUMN-MAPPED snapshots on the NATIVE mounts — the same
+    * foreign fixture as q342 (reader-version-3, name-mode mapping, a
+    * sidecar deletion vector) read through `spark.read.format
+    * ("graft-delta")` (the [[graft.sources.ExtendedDeltaRelation]]
+    * branch: pruning + best-effort filter pushdown over the extended
+    * read) AND through the SQL catalog (the V1Scan adapter), where
+    * round 13 both refused. The gate runs the catalog SQL leg and pins
+    * its values against the oracle's predicate recomputation, after
+    * asserting the format() leg agrees row-for-row — three mounts, one
+    * answer. */
+  def q345NativeDvMapped(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftDeltaCatalog].getName)
+    val table = dvCmTable(s, dir)
+    val native = s.read.format(classOf[graft.sources.DeltaBridgeSource].getName)
+      .load(table)
+      .filter(col("o_orderkey") % 3 === 0)
+    val sql = s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+         |FROM graft.`$table` WHERE o_orderkey % 3 = 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    // the two native mounts must agree before the oracle sees either
+    require(native.count() ==
+      sql.selectExpr("sum(n_rows)").collect().head.getLong(0),
+      "format() and catalog mounts disagree on the DV'd mapped table")
+    sql
+  }
+
+  val q345Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+      |FROM orders WHERE o_orderkey % 10 <> 4 AND o_orderkey % 3 = 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q341: SQL UPDATE and MERGE INTO through the catalog — the two
@@ -865,6 +906,7 @@ object RelationalExt3 {
     "q342_dv_column_mapping" -> q342DvColumnMapping,
     "q343_call_lifecycle"   -> q343CallLifecycle,
     "q344_merge_clauses"    -> q344MergeClauses,
+    "q345_native_dv_mapped" -> q345NativeDvMapped,
     "q346_checkpoint_lifecycle" -> q346CheckpointLifecycle,
     "q325_delta_bridge"    -> q325DeltaBridge,
     "q330_delta_partitioned" -> q330DeltaPartitioned,
@@ -887,6 +929,7 @@ object RelationalExt3 {
     "q342_dv_column_mapping" -> q342Sql,
     "q343_call_lifecycle"   -> q343Sql,
     "q344_merge_clauses"    -> q344Sql,
+    "q345_native_dv_mapped" -> q345Sql,
     "q346_checkpoint_lifecycle" -> q346Sql,
     "q325_delta_bridge"    -> q325Sql,
     "q330_delta_partitioned" -> q330Sql,

@@ -74,6 +74,14 @@ class DeltaBridgeSource extends RelationProvider
     val resolved = versionAsOf.orElse(
       tsAsOf.map(ts => DeltaBridge.versionAtTimestamp(table, parseTs(ts))))
     val spark = ctx.sparkSession
+    // column-mapped / DV'd snapshots cannot plan through the parquet
+    // index (physical names, row-index filtering) — they mount through
+    // the extended-read relation instead, same user surface
+    DeltaBridge.extendedSchema(spark, table, resolved) match {
+      case Some(logical) =>
+        return new ExtendedDeltaRelation(ctx, table, resolved, logical)
+      case None => ()
+    }
     val snap = DeltaBridge.snapshot(spark, table, resolved)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val partitionSchema = StructType(snap.partitionCols.map(schema(_)))
@@ -376,6 +384,80 @@ private[sources] class DeltaBridgeStreamSource(
     pacedLo = end.json().toLong
 
   override def stop(): Unit = ()
+}
+
+/** The EXTENDED-read mount as a native relation: column-mapped and/or
+  * DV'd snapshots served through [[DeltaBridge.read]]'s proven extended
+  * branch (physical-schema scans cast back to logical names; per-file
+  * `_metadata.row_index` DV filtering), wrapped as a `PrunedFilteredScan`
+  * so `spark.read.format("graft-delta")` works identically on them:
+  *
+  *  - column pruning flows into the inner read's projection (pruned
+  *    logical columns are never cast back, and Catalyst prunes the
+  *    physical scan below them);
+  *  - pushed filters apply BEST-EFFORT on the inner DataFrame (the
+  *    comparison/null/in/and/or vocabulary) where Catalyst pushes them
+  *    into the per-file parquet scans; Spark re-applies every filter
+  *    above regardless (`unhandledFilters` stays the default), so the
+  *    translation is an optimization, never a correctness dependency.
+  *
+  * The one cost vs the index path is the Row conversion at the V1
+  * boundary — paid only by tables that NEED per-file row filtering or
+  * physical-name mapping, the copy-on-write minority by construction.
+  * Read-only like every foreign mount. */
+private[sources] class ExtendedDeltaRelation(
+    ctx: SQLContext, table: String, versionAsOf: Option[Long],
+    logical: StructType)
+  extends BaseRelation
+  with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = ctx
+  override val schema: StructType = logical
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    ExtendedDeltaRelation.scan(ctx.sparkSession, table, versionAsOf,
+      requiredColumns.toIndexedSeq, filters.toIndexedSeq).rdd
+}
+
+private[sources] object ExtendedDeltaRelation {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.{sources => sf}
+
+  private def c(name: String): Column =
+    col(s"`${name.replace("`", "``")}`")
+
+  /** Best-effort source-filter → Column translation; None falls back to
+    * Spark's own re-applied filter (always present above this scan). */
+  private def filterToColumn(f: sf.Filter): Option[Column] = f match {
+    case sf.EqualTo(a, v)            => Some(c(a) === lit(v))
+    case sf.GreaterThan(a, v)        => Some(c(a) > lit(v))
+    case sf.GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+    case sf.LessThan(a, v)           => Some(c(a) < lit(v))
+    case sf.LessThanOrEqual(a, v)    => Some(c(a) <= lit(v))
+    case sf.IsNull(a)                => Some(c(a).isNull)
+    case sf.IsNotNull(a)             => Some(c(a).isNotNull)
+    case sf.In(a, vs)                => Some(c(a).isin(vs.toIndexedSeq: _*))
+    case sf.And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case sf.Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case sf.Not(x)                   => filterToColumn(x).map(!_)
+    case _                           => None
+  }
+
+  /** Shared by the V1 relation and the catalog's V1Scan adapter. */
+  private[sources] def scan(spark: org.apache.spark.sql.SparkSession,
+                            table: String, versionAsOf: Option[Long],
+                            requiredColumns: Seq[String],
+                            filters: Seq[sf.Filter]): DataFrame = {
+    val base = DeltaBridge.read(spark, table, versionAsOf)
+    val filtered = filters.flatMap(filterToColumn)
+      .foldLeft(base)(_ filter _)
+    filtered.select(requiredColumns.map(c): _*)
+  }
 }
 
 /** File listing driven by the replayed `_delta_log` — never a directory

@@ -170,9 +170,15 @@ private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
   extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active
+  /** Some(logical schema) when the snapshot needs the EXTENDED read
+    * (column mapping / deletion vectors) — such tables scan through
+    * [[graft.sources.ExtendedDeltaRelation]]'s proven path via a V1Scan
+    * adapter instead of the parquet index. */
+  private lazy val extSchema: Option[StructType] =
+    DeltaBridge.extendedSchema(spark, path, versionAsOf)
   private lazy val snap = DeltaBridge.snapshot(spark, path, versionAsOf)
-  private lazy val fullSchema =
-    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+  private lazy val fullSchema = extSchema.getOrElse(
+    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
 
   override def name(): String =
     s"graft-delta.`$path`" + versionAsOf.fold("")(v => s"@v$v")
@@ -184,14 +190,21 @@ private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val partitionSchema = StructType(snap.partitionCols.map(fullSchema(_)))
-    val dataSchema = StructType(
-      fullSchema.filterNot(f => snap.partitionCols.contains(f.name)))
-    ParquetScanBuilder(spark,
-      new DeltaLogV2Index(spark, path, snap, fullSchema, partitionSchema),
-      fullSchema, dataSchema, options)
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    extSchema match {
+      case Some(logical) =>
+        // mapped / DV'd snapshot: a V1Scan adapter onto the proven
+        // extended-read path, with column pruning pushed through — the
+        // SQL surface is identical, only the physical mount differs
+        new ExtendedV1ScanBuilder(path, versionAsOf, logical)
+      case None =>
+        val partitionSchema = StructType(snap.partitionCols.map(fullSchema(_)))
+        val dataSchema = StructType(
+          fullSchema.filterNot(f => snap.partitionCols.contains(f.name)))
+        ParquetScanBuilder(spark,
+          new DeltaLogV2Index(spark, path, snap, fullSchema, partitionSchema),
+          fullSchema, dataSchema, options)
+    }
 
   /** Accessors for [[GraftDmlStrategy]] (UPDATE / MERGE INTO planning). */
   private[v2] def dmlPath: String = path
@@ -267,6 +280,47 @@ private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
   }
 
   override def toString: String = name()
+}
+
+/** V1Scan adapter for EXTENDED (column-mapped / DV'd) snapshots in the
+  * SQL catalog: Spark plans the V2 scan, prunes columns through
+  * `SupportsPushDownRequiredColumns`, and the execution drops to
+  * [[graft.sources.ExtendedDeltaRelation]]'s DataFrame (physical-name
+  * cast-back + `_metadata.row_index` DV filtering) via the V1 TableScan
+  * bridge — the JDBC-connector pattern for scans a native batch cannot
+  * express. Filters are re-applied by Spark above the scan (none are
+  * claimed pushed), so correctness never depends on the adapter. */
+private[v2] class ExtendedV1ScanBuilder(path: String,
+                                        versionAsOf: Option[Long],
+                                        logical: StructType)
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var required: StructType = logical
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new org.apache.spark.sql.connector.read.V1Scan {
+      override def readSchema(): StructType = required
+      override def description(): String =
+        s"graft-delta extended scan (columnMapping/deletionVectors) $path"
+      override def toV1TableScan[
+          T <: org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan](
+          context: org.apache.spark.sql.SQLContext): T =
+        new org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: org.apache.spark.sql.SQLContext = context
+          override val schema: StructType = required
+          override def buildScan()
+              : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+            graft.sources.ExtendedDeltaRelation.scan(context.sparkSession,
+              path, versionAsOf, required.fieldNames.toIndexedSeq,
+              Seq.empty).rdd
+        }.asInstanceOf[T]
+    }
 }
 
 /** The log-driven file index in the shape Spark's V2 parquet scan

@@ -1379,11 +1379,13 @@ class DeltaBridgeSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got == ((0L until 20L).toSet -- Set(1L, 3L, 10L)).toSeq.sorted,
       s"DV'd rows must be dropped by ROW INDEX, got $got")
-    // the index-backed relation path refuses rather than mis-reads
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft-delta").load(t).collect()
-    }
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // the native relation mounts DV'd tables through the extended branch
+    // (round 13 refused here) — same rows, filters/pruning composable
+    val nat = spark.read.format("graft-delta").load(t)
+      .filter($"id" >= 5L).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(nat == got.filter(_ >= 5L),
+      s"format() mount must apply the DVs, got $nat")
   }
 
   test("COLUMN MAPPING (name mode): logical schema over physically-named " +
@@ -1423,11 +1425,21 @@ class DeltaBridgeSpec extends SparkSpec {
     // stats pruning translates the logical column to the physical key
     assert(DeltaBridge.readPruned(spark, t, "id", 3L, 99L)
       .collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
-    // the relation path refuses mapped tables loudly
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format("graft-delta").load(t).collect()
-    }
-    assert(e.getMessage.contains("column-mapped"), e.getMessage)
+    // the native relation mounts mapped tables through the extended
+    // branch (round 13 refused here): logical names, pruning, filters
+    val nat = spark.read.format("graft-delta").load(t)
+      .filter($"part" === "x").select("v").orderBy("v")
+      .collect().map(_.getString(0)).toSeq
+    assert(nat == Seq("a", "b"),
+      s"format() mount must serve logical names over the mapping, got $nat")
+    // and the SQL catalog serves the same table via the V1Scan adapter
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftDeltaCatalog].getName)
+    val viaSql = spark.sql(
+        s"SELECT id FROM graft.`$t` WHERE v <> 'b' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == Seq(1L, 3L),
+      s"catalog mount must serve the mapped table, got $viaSql")
   }
 
   test("COLUMN MAPPING (id mode): parquet columns match by FIELD ID even " +
