@@ -807,8 +807,61 @@ object TableOps {
       |WHERE NOT (o_orderstatus = 'F' AND o_custkey % 10 = 3)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q347
+
+  /** q347: WRITER-SIDE DELETION VECTORS — merge-on-read DELETE
+    * ([[graft.sources.TxLog.deleteWhereDv]]): a takedown hitting ~1% of
+    * rows across an 8-file table writes spec-format sidecar vectors and
+    * re-publishes the SAME data files (the build asserts every original
+    * path survives and the log shows DV entries — no rewrite), the
+    * export upgrades the protocol to readerVersion 3 + deletionVectors
+    * and republishes the descriptors, and the gate reads the post-delete
+    * head through the SQL catalog (the extended mount) with the bridge
+    * read asserted equal. At 100 TB this is the difference between a
+    * point-delete costing O(deleted rows) and rewriting every hit
+    * gigabyte-file. */
+  def q347DvDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaBridge, TxLog}
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftDeltaCatalog].getName)
+    val table = graft.SparkSupport.layoutArtifact("txlog_dv_delete", dir) { p =>
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .repartitionByRange(8, col("c_custkey"))
+      TxLog.append(s, c, p, partFiles = 8)
+      val before = TxLog.liveFiles(p).map(TxLog.entryPath).toSet
+      TxLog.deleteWhereDv(s, p, "c_custkey % 97 = 0", maxDvFraction = 0.5)
+      val after = TxLog.liveFiles(p)
+      require(after.map(TxLog.entryPath).toSet == before,
+        "a sub-threshold DV delete must keep every data file in place")
+      require(after.exists(_.contains("#dv:")),
+        s"the log must show DV entries, got $after")
+      DeltaBridge.exportLog(s, p)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    val sql = s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_rows,
+         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+         |FROM graft.`$table`
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    // bridge and catalog mounts must agree on the DV'd snapshot
+    require(DeltaBridge.read(s, table).count() ==
+      sql.selectExpr("sum(n_rows)").collect().head.getLong(0),
+      "bridge and catalog disagree on the DV'd table")
+    sql
+  }
+
+  val q347Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer WHERE c_custkey % 97 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q340_partitioned_dml" -> q340PartitionedDml,
+    "q347_dv_delete"      -> q347DvDelete,
     "q307_bloom_skipping" -> q307BloomSkipping,
     "q111_table_checksum" -> q111TableChecksum,
     "q112_file_skipping"  -> q112FileSkipping,
@@ -826,6 +879,7 @@ object TableOps {
 
   val oracle: Map[String, String] = Map(
     "q340_partitioned_dml" -> q340Sql,
+    "q347_dv_delete"      -> q347Sql,
     "q307_bloom_skipping" -> q307Sql,
     "q111_table_checksum" -> q111Sql,
     "q112_file_skipping"  -> q112Sql,

@@ -278,11 +278,24 @@ object DeletionVectors {
     * (offset, sizeInBytes). */
   def writeDvFile(table: String, bitmaps: Seq[Array[Long]])
       : (String, Seq[(Int, Int)]) = {
-    val uuid = java.util.UUID.randomUUID()
+    val (uuid, spans) = writeDvFileRef(table, bitmaps)
+    (z85OfUuid(uuid), spans)
+  }
+
+  /** The z85 rendering of a UUID — a "u"-descriptor's `pathOrInlineDv`. */
+  def z85OfUuid(uuid: java.util.UUID): String = {
     val ub = ByteBuffer.allocate(16)
     ub.putLong(uuid.getMostSignificantBits)
     ub.putLong(uuid.getLeastSignificantBits)
-    val enc = z85Encode(ub.array())
+    z85Encode(ub.array())
+  }
+
+  /** [[writeDvFile]] returning the raw UUID — [[graft.sources.TxLog]]'s
+    * writer-side DVs key their log entries on the hex form (the z85
+    * alphabet contains both '#' and ':', the entry separators). */
+  def writeDvFileRef(table: String, bitmaps: Seq[Array[Long]])
+      : (java.util.UUID, Seq[(Int, Int)]) = {
+    val uuid = java.util.UUID.randomUUID()
     val serialized = bitmaps.map(serialize)
     val total = 1 + serialized.map(8 + _.length).sum
     val bb = ByteBuffer.allocate(total) // BIG endian (default) framing
@@ -296,6 +309,6 @@ object DeletionVectors {
       (off, data.length)
     }
     Files.write(Paths.get(table, s"deletion_vector_$uuid.bin"), bb.array())
-    (enc, spans)
+    (uuid, spans)
   }
 }

@@ -218,6 +218,12 @@ object DeltaBridge {
     val startDv: Int =
       if (published.forall(_ < firstToCreate)) firstToCreate.toInt else 0
 
+    // whether the deletionVectors reader/writer features are already
+    // advertised at the walk's position — a DV-bearing commit below an
+    // un-upgraded protocol would be unreadable by spec-strict readers.
+    // Walk-local; re-advertising after the fast-path skip is spec-legal
+    // (a protocol action may appear in any commit, last-replay-wins).
+    var dvAdvertised = false
     var sawCoveredAbsent = false
     vs.zipWithIndex.drop(startDv).foreach { case (txv, dv) =>
       val out = deltaVersionFile(table, dv.toLong)
@@ -227,6 +233,7 @@ object DeltaBridge {
         sawCoveredAbsent = true
       } else if (!Files.exists(out)) {
         val (add, remove) = TxLog.commitActions(table, txv)
+        val hasDv = add.exists(e => TxLog.entryDv(e).isDefined)
         // partition columns come from the staged layout itself; fixed at
         // the first exported version, enforced on every later add
         val addPaths = add.map(TxLog.entryPath)
@@ -260,11 +267,26 @@ object DeltaBridge {
           .getOrElse(if (dv == 0) Option(borrowedSchema).getOrElse(lastSchemaJson)
                      else null)
         val sb = new StringBuilder
-        if (dv == 0) {
-          sb.append(mapper.writeValueAsString(Map(
+        def protocolLine(withDv: Boolean): String =
+          if (withDv) mapper.writeValueAsString(Map(
+            "protocol" -> Map[String, AnyRef](
+              "minReaderVersion" -> Integer.valueOf(3),
+              "minWriterVersion" -> Integer.valueOf(7),
+              "readerFeatures" -> java.util.List.of("deletionVectors"),
+              "writerFeatures" -> java.util.List.of("deletionVectors")
+            ).asJava).asJava)
+          else mapper.writeValueAsString(Map(
             "protocol" -> Map(
               "minReaderVersion" -> 1, "minWriterVersion" -> 2).asJava
-          ).asJava)).append('\n')
+          ).asJava)
+        if (dv == 0) {
+          sb.append(protocolLine(hasDv)).append('\n')
+          if (hasDv) dvAdvertised = true
+        } else if (hasDv && !dvAdvertised) {
+          // mid-log protocol UPGRADE — exactly how delta-spark introduces
+          // a feature into an existing table's log
+          sb.append(protocolLine(withDv = true)).append('\n')
+          dvAdvertised = true
         }
         if (schemaJson != null &&
             (dv == 0 || schemaJson != lastSchemaJson)) {
@@ -302,8 +324,23 @@ object DeltaBridge {
             case Some(stats) => base + ("stats" -> stats)
             case None        => base
           }
+          // writer-side DVs republish as spec descriptors ("u" relative
+          // sidecar) — numRecords in stats stays the file's PHYSICAL
+          // count, the spec's shape for DV'd adds
+          val withDv = TxLog.entryDv(entry) match {
+            case Some(ref) =>
+              val d = ref.descriptor
+              withStats + ("deletionVector" -> Map[String, AnyRef](
+                "storageType" -> d.storageType,
+                "pathOrInlineDv" -> d.pathOrInlineDv,
+                "offset" -> Integer.valueOf(d.offset.get),
+                "sizeInBytes" -> Integer.valueOf(d.sizeInBytes),
+                "cardinality" -> java.lang.Long.valueOf(d.cardinality)
+              ).asJava)
+            case None => withStats
+          }
           sb.append(mapper.writeValueAsString(Map(
-            "add" -> withStats.asJava).asJava)).append('\n')
+            "add" -> withDv.asJava).asJava)).append('\n')
         }
         // same publish discipline as TxLog: write-temp + atomic link, so a
         // concurrent exporter can't half-write a version file
@@ -327,6 +364,15 @@ object DeltaBridge {
           Option(m.get("metaData")).foreach { md =>
             lastSchemaJson = md.asInstanceOf[java.util.Map[String, AnyRef]]
               .get("schemaString").asInstanceOf[String]
+          }
+          // a published protocol already advertising deletionVectors
+          // means later new versions need no re-upgrade
+          Option(m.get("protocol")).foreach { p =>
+            val features = Option(p.asInstanceOf[java.util.Map[String, AnyRef]]
+                .get("readerFeatures"))
+              .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+              .getOrElse(Seq.empty)
+            if (features.contains("deletionVectors")) dvAdvertised = true
           }
         }
       }
@@ -495,24 +541,45 @@ object DeltaBridge {
     val ckptSchema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType))))),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType)))))))))
+    // protocol / configuration republish VERBATIM: a checkpoint that
+    // silently downgraded a feature-bearing table (DVs, column mapping)
+    // would let a later reader mis-read it
     val rows =
-      Row(Row(1, 2), null, null) +:
-      Row(null, Row(st.metaId, st.schemaJson, st.partitionCols), null) +:
+      Row(Row(st.minReader, st.minWriter,
+        if (st.readerFeatures.isEmpty) null else st.readerFeatures,
+        if (st.writerFeatures.isEmpty) null else st.writerFeatures),
+        null, null) +:
+      Row(null, Row(st.metaId, st.schemaJson, st.partitionCols,
+        st.configuration), null) +:
       st.live.toSeq.map { case (p, e) =>
         val f = Paths.get(table, p)
         Row(null, null, Row(p, e.pv, Files.size(f),
-          Files.getLastModifiedTime(f).toMillis, true))
+          Files.getLastModifiedTime(f).toMillis, true,
+          e.stats.orNull,
+          e.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Int.box).orNull, d.sizeInBytes,
+            d.cardinality)).orNull))
       }
     val tmpDir = Files.createTempDirectory(deltaLogDir(table), ".ckpt-")
     spark.createDataFrame(
@@ -539,8 +606,9 @@ object DeltaBridge {
 
   /** Replayed per-file state: partition values plus the add action's raw
     * `stats` JSON (None for stats-less adds and for files bootstrapped
-    * from this bridge's checkpoints, which do not carry stats — such
-    * files are simply never skipped, the conservative direction). */
+    * from pre-round-14 checkpoints of this bridge, which did not carry
+    * stats — such files are simply never skipped, the conservative
+    * direction; checkpoints written now preserve them). */
   private case class AddEntry(pv: Map[String, String],
                               stats: Option[String],
                               dv: Option[DeletionVectors.Descriptor] = None)
@@ -550,6 +618,13 @@ object DeltaBridge {
       var metaId: String = null,
       var partitionCols: Seq[String] = Seq.empty,
       var configuration: Map[String, String] = Map.empty,
+      // the replayed protocol (last wins) — republished verbatim by
+      // [[writeCheckpoint]] so a checkpoint never silently downgrades a
+      // feature-bearing table
+      var minReader: Int = 1,
+      var minWriter: Int = 2,
+      var readerFeatures: Seq[String] = Seq.empty,
+      var writerFeatures: Seq[String] = Seq.empty,
       live: scala.collection.mutable.LinkedHashMap[String, AddEntry] =
         scala.collection.mutable.LinkedHashMap.empty)
 
@@ -582,6 +657,13 @@ object DeltaBridge {
         .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
         .getOrElse(Seq.empty)
       requireReadable(mr, features)
+      st.minReader = mr
+      st.minWriter = Option(pm.get("minWriterVersion"))
+        .map(_.asInstanceOf[Number].intValue()).getOrElse(st.minWriter)
+      st.readerFeatures = features
+      st.writerFeatures = Option(pm.get("writerFeatures"))
+        .map(_.asInstanceOf[java.util.List[String]].asScala.toSeq)
+        .getOrElse(Seq.empty)
     }
     Option(m.get("metaData")).foreach { md =>
       val mm = md.asInstanceOf[java.util.Map[String, AnyRef]]
@@ -1292,9 +1374,15 @@ object DeltaBridge {
           Some(row.getAs[T](name))
         else None
       struct("protocol").foreach { p =>
-        requireReadable(p.getAs[Int]("minReaderVersion"),
-          field[scala.collection.Seq[String]](p, "readerFeatures")
-            .map(_.toSeq).getOrElse(Seq.empty))
+        val features = field[scala.collection.Seq[String]](p, "readerFeatures")
+          .map(_.toSeq).getOrElse(Seq.empty)
+        requireReadable(p.getAs[Int]("minReaderVersion"), features)
+        st.minReader = p.getAs[Int]("minReaderVersion")
+        st.minWriter = field[Int](p, "minWriterVersion").getOrElse(st.minWriter)
+        st.readerFeatures = features
+        st.writerFeatures =
+          field[scala.collection.Seq[String]](p, "writerFeatures")
+            .map(_.toSeq).getOrElse(Seq.empty)
       }
       struct("metaData").foreach { md =>
         st.schemaJson = md.getAs[String]("schemaString")

@@ -191,14 +191,55 @@ object TxLog {
     }
   }
 
+  /** A WRITER-SIDE deletion vector riding a log entry — merge-on-read
+    * DELETE ([[deleteWhereDv]]): the entry's data file stays in place and
+    * the DV names the deleted row indices in a spec-format sidecar
+    * ([[DeletionVectors.writeDvFile]]'s layout, so [[DeltaBridge
+    * .exportLog]] republishes it verbatim as a Delta `deletionVector`
+    * descriptor). Wire form, one `#`-separated entry field:
+    * `dv:<uuid-hex>:<offset>:<size>:<cardinality>` — the uuid in HEX, not
+    * z85 (the z85 alphabet contains both '#' and ':'). Unlike stats, a
+    * malformed DV field FAILS LOUD: dropping it silently would resurrect
+    * deleted rows. */
+  private[sources] final case class DvRef(uuid: String, offset: Int,
+                                          size: Int, cardinality: Long) {
+    def enc: String = s"dv:$uuid:$offset:$size:$cardinality"
+    def descriptor: DeletionVectors.Descriptor =
+      DeletionVectors.Descriptor("u",
+        DeletionVectors.z85OfUuid(java.util.UUID.fromString(uuid)),
+        Some(offset), size, cardinality)
+  }
+
+  /** The DV field of an entry, if any. */
+  private[sources] def entryDv(entry: String): Option[DvRef] =
+    entry.split('#').find(_.startsWith("dv:")).map { f =>
+      f.split(':') match {
+        case Array("dv", u, off, sz, card) =>
+          try DvRef(u, off.toInt, sz.toInt, card.toLong)
+          catch { case _: NumberFormatException =>
+            throw new IllegalStateException(
+              s"corrupt deletion-vector entry field '$f' in $entry")
+          }
+        case _ => throw new IllegalStateException(
+          s"corrupt deletion-vector entry field '$f' in $entry")
+      }
+    }
+
+  /** The non-DV fields of an entry (path + stats) — what a DV update
+    * preserves when it re-publishes the entry under a new vector. */
+  private def entryWithoutDv(entry: String): Seq[String] =
+    entry.split('#').toSeq.filterNot(_.startsWith("dv:"))
+
   /** Live (path, Option(min, max)) pairs with TYPED statistics — what an
     * [[appendWithStats]] writer recorded in its commit, any supported
     * column type. Malformed or legacy-unparseable suffixes degrade to
-    * None (file kept on every read), never to an error. */
+    * None (file kept on every read), never to an error. DV fields are
+    * transparent here (stats stay sound under deletion — bounds only
+    * ever over-approximate). */
   def liveFilesWithTypedStats(table: String, asOf: Option[Int] = None)
       : Seq[(String, Option[(StatValue, StatValue)])] =
     liveFiles(table, asOf).map { e =>
-      e.split('#') match {
+      e.split('#').filterNot(_.startsWith("dv:")) match {
         case Array(p, lo, hi) =>
           (StatValue.decode(lo), StatValue.decode(hi)) match {
             case (Some(a), Some(b)) => (p, Some((a, b)))
@@ -219,12 +260,38 @@ object TxLog {
       case (p, _) => (p, None)
     }
 
-  /** Snapshot read; empty-schema-safe only when the table has data. */
+  /** Snapshot read; empty-schema-safe only when the table has data.
+    * DV-bearing entries ([[deleteWhereDv]]) drop exactly their deleted
+    * row indices. */
   def read(spark: SparkSession, table: String,
            asOf: Option[Int] = None): DataFrame = {
-    val files = liveFiles(table, asOf).map(e => s"$table/${entryPath(e)}")
-    require(files.nonEmpty, s"no live files in $table at $asOf")
-    spark.read.parquet(files: _*)
+    val entries = liveFiles(table, asOf)
+    require(entries.nonEmpty, s"no live files in $table at $asOf")
+    readFlatEntries(spark, table, entries)
+  }
+
+  /** Flat (no partition re-attach) read of entries with DV filtering:
+    * clean files as one scan; each DV'd file as its own scan branch with
+    * the vector's row indices dropped via `_metadata.row_index` (the
+    * same predicate [[DeltaBridge]]'s extended read uses). DV'd files
+    * are the merge-on-read minority by construction, so the plan stays
+    * metadata-sized. */
+  private def readFlatEntries(spark: SparkSession, table: String,
+                              entries: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val (dvd, clean) = entries.partition(e => entryDv(e).isDefined)
+    val cleanDf =
+      if (clean.isEmpty) Seq.empty[DataFrame]
+      else Seq(spark.read.parquet(
+        clean.map(e => s"$table/${entryPath(e)}"): _*))
+    val dvDfs = dvd.map { e =>
+      val deleted = DeletionVectors.load(table, entryDv(e).get.descriptor)
+      val dropped = udf((i: Long) =>
+        java.util.Arrays.binarySearch(deleted, i) >= 0)
+      spark.read.parquet(s"$table/${entryPath(e)}")
+        .filter(!dropped(col("_metadata.row_index")))
+    }
+    (cleanDf ++ dvDfs).reduce(_.unionByName(_))
   }
 
   /** Paths of live files whose [min, max] stats intersect [lo, hi) — the
@@ -254,12 +321,14 @@ object TxLog {
 
   /** Stats-pruned snapshot read over [lo, hi) of the stats column. The
     * caller still applies the row-level filter — pruning is file-granular
-    * and sound (never drops a file that could match), not exact. */
+    * and sound (never drops a file that could match), not exact. DV'd
+    * entries among the survivors filter their deleted rows. */
   def readPruned(spark: SparkSession, table: String, lo: Long, hi: Long,
                  asOf: Option[Int] = None): DataFrame = {
-    val kept = pruneFiles(table, lo, hi, asOf)
+    val kept = pruneFiles(table, lo, hi, asOf).toSet
     require(kept.nonEmpty, s"no candidate files in $table for [$lo, $hi)")
-    spark.read.parquet(kept.map(f => s"$table/$f"): _*)
+    readFlatEntries(spark, table,
+      liveFiles(table, asOf).filter(e => kept.contains(entryPath(e))))
   }
 
   /** Append `df` as a new commit; returns the committed version. */
@@ -648,6 +717,30 @@ object TxLog {
                           partCols: Seq[String],
                           partTypes: Map[String, org.apache.spark.sql.types.DataType])
       : DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val (dvd, clean) = entries.partition(e => entryDv(e).isDefined)
+    val parts =
+      (if (clean.isEmpty) Seq.empty[DataFrame]
+       else Seq(readEntriesRaw(spark, table, clean, partCols, partTypes))) ++
+        dvd.map { e =>
+          val deleted = DeletionVectors.load(table, entryDv(e).get.descriptor)
+          val dropped = udf((i: Long) =>
+            java.util.Arrays.binarySearch(deleted, i) >= 0)
+          // the DV names PHYSICAL row indices, so the filter sits on the
+          // raw per-file scan; every kernel above (hit discovery,
+          // survivors, merges) then sees only the live rows — and any
+          // REWRITE of a DV'd file materializes the deletion away
+          readEntriesRaw(spark, table, Seq(e), partCols, partTypes)
+            .filter(!dropped(col("_metadata.row_index")))
+        }
+    parts.reduce(_.unionByName(_))
+  }
+
+  private def readEntriesRaw(spark: SparkSession, table: String,
+                             entries: Seq[String],
+                             partCols: Seq[String],
+                             partTypes: Map[String, org.apache.spark.sql.types.DataType])
+      : DataFrame = {
     if (partCols.isEmpty)
       spark.read.parquet(entries.map(e => s"$table/${entryPath(e)}"): _*)
     else {
@@ -1011,6 +1104,113 @@ object TxLog {
   def deleteWhere(spark: SparkSession, table: String, predicate: String,
                   partFiles: Int = 2): Int =
     rewriteMatched(spark, table, predicate, partFiles, "delete")(_ => None)
+
+  /** DELETE WHERE with MERGE-ON-READ deletion vectors — the takedown
+    * path for point deletes at 100 TB: a file whose matching-row
+    * fraction is at most `maxDvFraction` is NOT rewritten; instead its
+    * deleted row indices land in a spec-format sidecar DV
+    * ([[DeletionVectors.writeDvFile]]'s layout) and the entry
+    * re-publishes carrying the vector ([[DvRef]]), so a point-delete in
+    * a 1 GB file costs O(deleted rows), not a file rewrite. Files above
+    * the threshold rewrite copy-on-write exactly like [[deleteWhere]]
+    * (a mostly-deleted file SHOULD compact). An already-DV'd file's new
+    * deletions UNION into a fresh vector (the old sidecar becomes
+    * unreferenced garbage, like any superseded stage file). Every read
+    * path honors the vectors — [[read]]/[[readPruned]]/the rewrite
+    * kernels here, and [[DeltaBridge.exportLog]] republishes them as
+    * Delta `deletionVector` descriptors (with the protocol upgraded to
+    * readerVersion 3 + deletionVectors), so foreign readers and the
+    * native catalog mounts agree. ONE commit, OCC-safe; stats fields
+    * survive (deletion only shrinks the value set — bounds stay sound).
+    *
+    * Scale shape: one predicate scan computes per-file hit/total counts
+    * (metadata-sized result); row INDICES come to the driver only for
+    * files under the threshold, bounded by maxDvFraction × file rows.
+    * The SQL DELETE surface stays copy-on-write (rewrite threshold
+    * policy belongs to the maintenance API, not a silent statement
+    * default). */
+  def deleteWhereDv(spark: SparkSession, table: String, predicate: String,
+                    maxDvFraction: Double = 0.05,
+                    partFiles: Int = 2): Int = {
+    import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, when, sum}
+    require(maxDvFraction > 0 && maxDvFraction <= 1,
+      s"deleteWhereDv: maxDvFraction $maxDvFraction outside (0, 1]")
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val base = versions(table).lastOption.getOrElse(0)
+      val live = liveFiles(table, Some(base))
+      val partCols = livePartitionCols(table, live, "delete")
+      val partTypes = partitionTypesOf(live, partCols)
+      if (live.isEmpty) return base
+      // ONE scan: per-file matching and total LIVE row counts (DV-read,
+      // so already-deleted rows never re-match or re-count)
+      val counts = readEntries(spark, table, live, partCols, partTypes)
+        .withColumn("_graft_file", input_file_name())
+        .groupBy("_graft_file")
+        .agg(sum(when(expr(s"coalesce(($predicate), false)"), lit(1L))
+            .otherwise(lit(0L))).as("hits"),
+          count(lit(1)).as("rows"))
+        .filter(col("hits") > 0)
+        .collect().map(r => (decodeFileUri(r.getString(0)),
+          r.getLong(1), r.getLong(2)))
+      if (counts.isEmpty) return base // no row matches: the commit is a no-op
+      def entryOf(abs: String): String =
+        live.find(e => abs.endsWith(entryPath(e))).getOrElse(
+          throw new IllegalStateException(
+            s"deleteWhereDv: hit file $abs not in the live set"))
+      val (dvBound, rwBound) = counts.partition { case (_, hits, rows) =>
+        hits.toDouble <= maxDvFraction * rows }
+      val dvEntriesOld = dvBound.map { case (abs, _, _) => entryOf(abs) }
+      val rwEntriesOld = rwBound.map { case (abs, _, _) => entryOf(abs) }
+      // deleted PHYSICAL row indices per DV-bound file — driver-sized by
+      // the threshold; unioned with any existing vector's indices
+      val newDvAdds: Seq[String] =
+        if (dvEntriesOld.isEmpty) Seq.empty
+        else {
+          val byFile = readEntries(spark, table, dvEntriesOld, partCols,
+              partTypes)
+            .withColumn("_graft_file", input_file_name())
+            .withColumn("_graft_ridx", col("_metadata.row_index"))
+            .where(s"coalesce(($predicate), false)")
+            .select("_graft_file", "_graft_ridx")
+            .collect()
+            .groupBy(r => decodeFileUri(r.getString(0)))
+            .map { case (abs, rs) => abs -> rs.map(_.getLong(1)) }
+          val ordered = dvEntriesOld.map { e =>
+            val abs = byFile.keys.find(_.endsWith(entryPath(e))).getOrElse(
+              throw new IllegalStateException(
+                s"deleteWhereDv: counted file ${entryPath(e)} vanished " +
+                  "from the index pass"))
+            val old = entryDv(e)
+              .map(d => DeletionVectors.load(table, d.descriptor))
+              .getOrElse(Array.empty[Long])
+            (e, (old ++ byFile(abs)).distinct.sorted)
+          }
+          // ONE sidecar file holds every new vector (spec layout: one
+          // framed bitmap per DV at its offset)
+          val (uuid, spans) = DeletionVectors.writeDvFileRef(table,
+            ordered.map(_._2))
+          ordered.zip(spans).map { case ((e, vals), (off, sz)) =>
+            (entryWithoutDv(e) :+
+              DvRef(uuid.toString, off, sz, vals.length.toLong).enc)
+              .mkString("#")
+          }
+        }
+      // over-threshold files rewrite copy-on-write (survivors only)
+      val staged: Seq[String] =
+        if (rwEntriesOld.isEmpty) Seq.empty
+        else stageLike(
+          readEntries(spark, table, rwEntriesOld, partCols, partTypes)
+            .where(s"NOT coalesce(($predicate), false)"),
+          table, partCols, partFiles)
+      if (tryCommitAt(table, base + 1, add = newDvAdds ++ staged,
+          remove = dvEntriesOld ++ rwEntriesOld))
+        return base + 1
+      // lost the race: staged files / sidecars become unreferenced garbage
+    }
+    throw new IllegalStateException(s"delete on $table: too many conflicts")
+  }
 
   /** UPDATE ... SET WHERE `predicate`: matching rows are replaced by
     * themselves with each `set` column overwritten by its expression

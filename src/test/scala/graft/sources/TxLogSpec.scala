@@ -450,6 +450,63 @@ class TxLogSpec extends SparkSpec {
       "a no-match delete must not commit")
   }
 
+  test("deleteWhereDv: sub-threshold files take a DELETION VECTOR (same " +
+    "data file, no rewrite), over-threshold files rewrite, every read " +
+    "honors the vectors, and a second delete UNIONS into a fresh one") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "s"), t, partFiles = 1)
+    TxLog.append(spark,
+      (1000L until 1010L).map(i => (i, s"v$i")).toDF("k", "s"), t,
+      partFiles = 1)
+    val before = TxLog.liveFiles(t)
+    // file A: 2/100 hits (DV); file B: 8/10 hits (rewrite)
+    val v = TxLog.deleteWhereDv(spark, t,
+      "k IN (5, 17) OR k >= 1002", maxDvFraction = 0.05)
+    assert(v == 3)
+    val after = TxLog.liveFiles(t)
+    assert(after.exists(e => TxLog.entryPath(e) ==
+        TxLog.entryPath(before.head) && TxLog.entryDv(e).isDefined),
+      s"the sub-threshold file keeps its DATA FILE and gains a DV: $after")
+    assert(!after.map(TxLog.entryPath).contains(
+        TxLog.entryPath(before(1))),
+      "the over-threshold file must rewrite out")
+    val got = TxLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(got == ((0L until 100L).toSet -- Set(5L, 17L)) ++
+        Set(1000L, 1001L),
+      s"reads must drop exactly the deleted rows, got ${got.size} rows")
+    // second DV delete on the same file: indices UNION, path unchanged
+    TxLog.deleteWhereDv(spark, t, "k = 30", maxDvFraction = 0.05)
+    val dv2 = TxLog.liveFiles(t).flatMap(TxLog.entryDv).head
+    assert(dv2.cardinality == 3, s"unioned vector must hold 3 rows: $dv2")
+    assert(!TxLog.read(spark, t).collect().map(_.getLong(0)).contains(30L))
+    // kernels see through the vectors too: an update touching a DV'd row
+    // range must not resurrect deleted keys
+    TxLog.updateWhere(spark, t, "k < 50", Map("s" -> "upper(s)"))
+    val upd = TxLog.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(!upd.exists(Set(5L, 17L, 30L)),
+      "a rewrite over a DV'd file materializes the deletion, never undoes it")
+    // no-match DV delete commits nothing
+    val vBefore = TxLog.versions(t).last
+    TxLog.deleteWhereDv(spark, t, "k = 999999")
+    assert(TxLog.versions(t).last == vBefore)
+    // export republishes the descriptors + the protocol upgrade; the
+    // bridge and the DV-aware stats read agree with TxLog.read
+    DeltaBridge.exportLog(spark, t)
+    val lines = Files.readAllLines(
+      Paths.get(t, "_delta_log", f"${2L}%020d.json"))
+    assert(lines.toString.contains("deletionVectors") &&
+      lines.toString.contains("\"deletionVector\""),
+      s"the DV-introducing version must upgrade the protocol and carry " +
+        s"the descriptor: $lines")
+    // note: the update at v5 rewrote k<50; only k>=50 rows still sit
+    // under the original DV'd file — but the SNAPSHOT must equal TxLog's
+    val viaBridge = DeltaBridge.read(spark, t).collect()
+      .map(_.getLong(0)).toSet
+    assert(viaBridge == upd, "bridge read must equal the TxLog read")
+  }
+
   test("updateWhere: SET evaluates on the OLD row, non-matching rows and " +
     "files untouched, unknown SET column fails loud") {
     import spark.implicits._
