@@ -123,7 +123,63 @@ object StreamingQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY tier NULLS FIRST""".stripMargin
 
+  /** q348: PARTITIONED streaming sink through the SQL catalog — a REAL
+    * streaming query (`writeStream.toTable`) lands the odd-key half of
+    * customers into a Hive-partitioned graft-delta table whose even-key
+    * half was batch-seeded: executors split each epoch across
+    * per-partition writers (values escaped on the paths, data files
+    * exclude the partition column — [[graft.sources.v2
+    * .GraftDeltaStreamingWrite]]), the commit is ONE exactly-once
+    * TxLog/Delta version, and the gate reads the union back through the
+    * catalog scan with partition pruning live. StreamingSpec /
+    * GraftDeltaCatalogSpec cover restart-replay and null/escaped values;
+    * this pins the VALUES of the batch+stream union against DuckDB.
+    * Build-once per JVM (the stream replays as a no-op only against its
+    * own checkpoint — reruns skip the stream entirely). */
+  def q348StreamPartitionedSink(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaBridge, TxLog}
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftDeltaCatalog].getName)
+    val tmp = graft.SparkSupport.roundtripPath("stream_part_rt", dir)
+    if (TxLog.versions(tmp).isEmpty) {
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      TxLog.appendPartitioned(s, c.filter(col("c_custkey") % 2 === 0),
+        tmp, Seq("c_mktsegment"))
+      DeltaBridge.exportLog(s, tmp)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        s.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+      val mem = MemoryStream[(Long, String, Double, String)]
+      mem.addData(c.filter(col("c_custkey") % 2 === 1).collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getString(3))))
+      val q = mem.toDF()
+        .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("q348_ckpt").toString)
+        .outputMode("append")
+        .toTable(s"graft.`$tmp`")
+      try q.processAllAvailable() finally q.stop()
+    }
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_rows,
+         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+         |FROM graft.`$tmp`
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q348Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q348_stream_partitioned_sink" -> q348StreamPartitionedSink,
     "q79_stream_static"   -> q79StreamStatic,
     "q41_sliding_window"  -> q41Sliding,
     "q42_session_window"  -> q42Sessions,
@@ -132,6 +188,7 @@ object StreamingQueries {
     "q53_stream_join"     -> q53StreamJoin)
 
   val oracle: Map[String, String] = Map(
+    "q348_stream_partitioned_sink" -> q348Sql,
     "q79_stream_static"   -> q79Sql,
     "q41_sliding_window"  -> q41Sql,
     "q42_session_window"  -> q42Sql,

@@ -231,8 +231,9 @@ class GraftDeltaCatalogSpec extends SparkSpec {
       .count() == 3)
   }
 
-  test("writeStream.toTable refuses non-TxLog and partitioned targets " +
-    "loudly at stream start") {
+  test("writeStream.toTable on a PARTITIONED target: epochs land under " +
+    "Hive col=value paths (values escaped, nulls defaulted), partition " +
+    "pruning works on the streamed rows, exactly-once across restart") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext =
@@ -241,9 +242,50 @@ class GraftDeltaCatalogSpec extends SparkSpec {
     TxLog.appendPartitioned(spark,
       Seq((1L, "a", "US")).toDF("id", "v", "country"), t, Seq("country"))
     DeltaBridge.exportLog(spark, t)
+    val ckpt = Files.createTempDirectory("cat_sink_part").toString
     val mem = MemoryStream[(Long, String, String)]
-    mem.addData((2L, "b", "DE"))
-    val q = mem.toDF().toDF("id", "v", "country")
+    def start() = mem.toDF().toDF("id", "v", "country")
+      .writeStream.option("checkpointLocation", ckpt)
+      .outputMode("append").toTable(s"graft.`$t`")
+    // a URI-hostile value and a NULL partition value ride the paths
+    mem.addData((2L, "b", "DE"), (3L, "c", "a b/c"), (4L, "d", null))
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val live = TxLog.liveFiles(t).map(TxLog.entryPath)
+    assert(live.exists(_.contains("country=DE")) &&
+      live.exists(_.contains("country=a b%2Fc")) &&
+      live.exists(_.contains("country=__HIVE_DEFAULT_PARTITION__")),
+      s"streamed rows must land under escaped Hive paths: $live")
+    // partition pruning + values through the catalog scan
+    assert(sqlDf(s"SELECT id FROM graft.`$t` WHERE country = 'a b/c'")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(sqlDf(s"SELECT id, v, country FROM graft.`$t` ORDER BY id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSeq ==
+      Seq((1L, Some("US")), (2L, Some("DE")), (3L, Some("a b/c")),
+        (4L, None)))
+    // restart against the same checkpoint: replayed epoch, no version
+    val versions = DeltaBridge.versions(t).size
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(DeltaBridge.versions(t).size == versions,
+      "a restart's replay must not create a new version")
+  }
+
+  test("writeStream.toTable refuses non-TxLog (foreign) targets loudly " +
+    "at stream start") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    // strip the TxLog: what remains is a foreign _delta_log mount
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(t, "_graft_log"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((2L, "b"))
+    val q = mem.toDF().toDF("id", "v")
       .writeStream.option("checkpointLocation",
         Files.createTempDirectory("cat_sink_bad").toString)
       .toTable(s"graft.`$t`")
@@ -253,7 +295,7 @@ class GraftDeltaCatalogSpec extends SparkSpec {
     def msgs(x: Throwable): Seq[String] =
       Option(x).toSeq.flatMap(t0 =>
         Option(t0.getMessage).toSeq ++ msgs(t0.getCause))
-    assert(msgs(e).exists(_.contains("partitioned streaming targets")),
+    assert(msgs(e).exists(_.contains("TxLog-backed")),
       s"got: ${msgs(e)}")
   }
 
