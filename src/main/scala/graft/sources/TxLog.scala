@@ -602,8 +602,9 @@ object TxLog {
     * and maintenance windows with no in-flight writers — a staged-but-
     * uncommitted file has no log reference protecting it). Stage
     * directories left empty (bar write markers) are removed, recursing
-    * through partitioned Hive sub-layouts. Returns the deleted
-    * table-relative paths.
+    * through partitioned Hive sub-layouts; deletion-vector sidecars no
+    * retained version references sweep under the same age guard.
+    * Returns the deleted table-relative paths.
     *
     * Scale: one log replay (metadata), one filesystem walk of the stage
     * dirs; at 10⁵ files this is driver-side listing arithmetic, and the
@@ -617,11 +618,18 @@ object TxLog {
     // ONE replay pass, snapshotting the live set at every retained version
     val live = scala.collection.mutable.LinkedHashSet[String]()
     val keep = scala.collection.mutable.HashSet[String]()
+    val keepDv = scala.collection.mutable.HashSet[String]()
     vs.foreach { v =>
       val (add, remove) = readCommit(table, v)
       remove.foreach(live -= _)
       add.foreach(live += _)
-      if (v >= cutoff) keep ++= live.iterator.map(entryPath)
+      if (v >= cutoff) {
+        keep ++= live.iterator.map(entryPath)
+        // deletion-vector sidecars referenced by any retained version
+        // survive; superseded vectors (re-deleted or rewritten files)
+        // become sweepable like any unreferenced stage file
+        keepDv ++= live.iterator.flatMap(e => entryDv(e).map(_.uuid))
+      }
     }
     val root = Paths.get(table)
     val deadline = System.currentTimeMillis() - minAgeMs
@@ -630,13 +638,27 @@ object TxLog {
     }
     val stageDirs = listDir(root).filter(p => Files.isDirectory(p) &&
       p.getFileName.toString.startsWith("stage-"))
+    val DvName = "deletion_vector_(.+)\\.bin".r
+    // orphaned DV sidecars sweep under the same age guard: an in-flight
+    // deleteWhereDv writes its sidecar BEFORE committing, so a young
+    // unreferenced .bin may be about to be referenced
+    val deadDvs = listDir(root)
+      .filter(p => !Files.isDirectory(p))
+      .filter { p =>
+        p.getFileName.toString match {
+          case DvName(uuid) => !keepDv.contains(uuid) &&
+            Files.getLastModifiedTime(p).toMillis <= deadline
+          case _ => false
+        }
+      }
+      .map { f => Files.delete(f); root.relativize(f).toString }
     val deleted = stageDirs.flatMap(walk)
       .filter { f =>
         f.getFileName.toString.endsWith(".parquet") &&
           !keep.contains(root.relativize(f).toString) &&
           Files.getLastModifiedTime(f).toMillis <= deadline
       }
-      .map { f => Files.delete(f); root.relativize(f).toString }
+      .map { f => Files.delete(f); root.relativize(f).toString } ++ deadDvs
     // sweep stage dirs (and partition subdirs) that now hold only markers
     // — but NEVER young ones: a writer that just created its stage (or a
     // committer's scaffolding of dot-files) has no log reference yet, and

@@ -20,6 +20,7 @@ import org.apache.spark.sql.types._
   *   CALL graft.optimize('/data/events')
   *   CALL graft.restore('/data/events', version => 3)
   *   CALL graft.checkpoint('/data/events')
+  *   CALL graft.delete_dv('/data/events', 'doc_id = 42')
   * }}}
   *
   * Each procedure executes the SAME engine verb the programmatic API
@@ -32,7 +33,8 @@ import org.apache.spark.sql.types._
 private[v2] object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("history", "vacuum", "optimize", "restore", "checkpoint")
+    Seq("history", "vacuum", "optimize", "restore", "checkpoint",
+      "delete_dv")
 
   def load(catalogName: String, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -41,6 +43,7 @@ private[v2] object GraftProcedures {
       case "optimize"   => Some(OptimizeProc)
       case "restore"    => Some(RestoreProc)
       case "checkpoint" => Some(CheckpointProc)
+      case "delete_dv"  => Some(DeleteDvProc)
       case _            => None
     }
 
@@ -165,6 +168,30 @@ private[v2] object GraftProcedures {
       val table = input.getUTF8String(0).toString
       requireTx(table, "optimize")
       val v = TxLog.optimize(spark, table, input.getInt(1))
+      DeltaBridge.exportLog(spark, table)
+      result(schema, Seq(InternalRow(v.toLong)))
+    }
+  }
+
+  /** DELETE_DV: merge-on-read delete ([[TxLog.deleteWhereDv]]) — files
+    * whose matching-row fraction is at most `max_dv_fraction` take a
+    * deletion vector (no rewrite; O(deleted rows)); files above it
+    * rewrite copy-on-write. The predicate STRING is evaluated by this
+    * session's own parser (an explicit maintenance argument, not a
+    * translated statement — the DML statement surface keeps its
+    * closed-world rendering). Returns the committed version. */
+  private object DeleteDvProc extends SimpleProc("delete_dv") {
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType),
+        param("predicate", StringType),
+        paramDefault("max_dv_fraction", DoubleType, "0.05"))
+    private val schema =
+      StructType(Seq(StructField("version", LongType)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      requireTx(table, "delete_dv")
+      val v = TxLog.deleteWhereDv(spark, table,
+        input.getUTF8String(1).toString, input.getDouble(2))
       DeltaBridge.exportLog(spark, table)
       result(schema, Seq(InternalRow(v.toLong)))
     }

@@ -505,6 +505,13 @@ class TxLogSpec extends SparkSpec {
     val viaBridge = DeltaBridge.read(spark, t).collect()
       .map(_.getLong(0)).toSet
     assert(viaBridge == upd, "bridge read must equal the TxLog read")
+    // the v5 update rewrote the DV'd file, orphaning both sidecars —
+    // vacuum sweeps them under the same retention guard as stage files
+    val swept = TxLog.vacuum(t, retainVersions = 1)
+    assert(swept.exists(_.startsWith("deletion_vector_")),
+      s"orphaned DV sidecars must sweep: $swept")
+    assert(TxLog.read(spark, t).collect().map(_.getLong(0)).toSet == upd,
+      "the head must survive the sweep")
   }
 
   test("updateWhere: SET evaluates on the OLD row, non-matching rows and " +

@@ -345,6 +345,15 @@ class GraftDeltaCatalogSpec extends SparkSpec {
     assert(sqlDf(s"SELECT count(*) AS n FROM graft.`$t`")
       .collect().head.getLong(0) == 3L,
       "the snapshot must survive the explicit checkpoint")
+    // merge-on-read delete from SQL: the sub-threshold file keeps its
+    // data file and gains a deletion vector; the catalog read honors it
+    sqlDf(s"CALL graft.delete_dv('$t', 'id = 1', " +
+      "max_dv_fraction => 0.5)").collect()
+    assert(TxLog.liveFiles(t).exists(_.contains("#dv:")),
+      s"delete_dv must publish a DV entry: ${TxLog.liveFiles(t)}")
+    assert(sqlDf(s"SELECT id FROM graft.`$t` ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L),
+      "the catalog scan must drop exactly the DV'd row")
     // unknown procedure and foreign-table mutation refuse loudly
     val unknown = intercept[Exception] {
       sqlDf(s"CALL graft.nonsense('$t')").collect()
