@@ -988,24 +988,6 @@ object TxLog {
           acc.when(c.map(s => coalesce(expr(s), lit(false)))
             .getOrElse(lit(true)), lit(i))
       }.otherwise(lit(-1))
-    // rows with __clause == i flow through clause i's action; -1 keeps
-    def applyClauses(rows: DataFrame,
-                     clauses: Seq[(Option[String], MergeClauseAction)])
-        : Seq[DataFrame] = {
-      val kept = rows.where(col("__clause") === -1)
-        .select(tableCols.map(col): _*)
-      val fired = clauses.zipWithIndex.collect {
-        case ((_, MergeUpdate(set)), i) =>
-          val byCol = set.toMap
-          // ONE projection over the old row: SET expressions must all see
-          // pre-update values (sequential withColumn would leak updates)
-          rows.where(col("__clause") === i)
-            .select(tableCols.map(c =>
-              byCol.get(c).map(e => expr(e).as(c)).getOrElse(col(c))): _*)
-        // MergeDelete: the clause contributes no rows
-      }
-      kept +: fired
-    }
     var attempts = 0
     while (attempts < 20) {
       attempts += 1
@@ -1047,15 +1029,49 @@ object TxLog {
         else keys.select(col(key).as(srcKey))
           .withColumn("__src_present", lit(true))
       targetOpt.foreach { target =>
+        // ONE pass over the hit files (delta-spark's single-join rewrite
+        // — at 100 TB a BY SOURCE merge rewrites the table, and reading
+        // it once instead of once-per-branch halves the rewrite's I/O):
+        // each row resolves its side (__matched) and its firing clause
+        // (__clause, first-match-wins), deletes filter out, and every
+        // column folds its UPDATE expressions under mutually-exclusive
+        // (side, clause) guards — all SET expressions see OLD values
+        // (one projection, never sequential withColumn).
         val joined = target.join(joinRight,
-          col(key) === col(srcKey), "left_outer")
-        parts ++= applyClauses(
-          joined.where(col("__src_present").isNotNull)
-            .withColumn("__clause", cascade(matched.map(_._1))), matched)
-        parts ++= applyClauses(
-          joined.where(col("__src_present").isNull)
-            .withColumn("__clause", cascade(notMatchedBySource.map(_._1))),
-          notMatchedBySource)
+            col(key) === col(srcKey), "left_outer")
+          .withColumn("__matched", col("__src_present").isNotNull)
+          .withColumn("__clause",
+            when(col("__src_present").isNotNull, cascade(matched.map(_._1)))
+              .otherwise(cascade(notMatchedBySource.map(_._1))))
+        def side(matchedSide: Boolean): Column =
+          if (matchedSide) col("__matched") else !col("__matched")
+        def deleteCond(clauses: Seq[(Option[String], MergeClauseAction)],
+                       matchedSide: Boolean): Column = {
+          val idx = clauses.zipWithIndex.collect {
+            case ((_, MergeDelete), i) => i }
+          if (idx.isEmpty) lit(false)
+          else side(matchedSide) && col("__clause").isin(idx.map(Int.box): _*)
+        }
+        def applyUpdates(base: Column, c: String,
+                         clauses: Seq[(Option[String], MergeClauseAction)],
+                         matchedSide: Boolean): Column =
+          clauses.zipWithIndex.foldLeft(base) {
+            case (acc, ((_, MergeUpdate(set)), i)) =>
+              set.toMap.get(c) match {
+                case Some(e) =>
+                  when(side(matchedSide) && col("__clause") === i, expr(e))
+                    .otherwise(acc)
+                case None => acc
+              }
+            case (acc, _) => acc
+          }
+        val kept = joined.filter(!(deleteCond(matched, matchedSide = true) ||
+          deleteCond(notMatchedBySource, matchedSide = false)))
+        parts += kept.select(tableCols.map { c =>
+          applyUpdates(
+            applyUpdates(col(c), c, matched, matchedSide = true),
+            c, notMatchedBySource, matchedSide = false).as(c)
+        }: _*)
       }
       // reference schema for the type-stability check below: the hit rows
       // when any were read, else the live snapshot (an insert-only merge
