@@ -1083,13 +1083,21 @@ object TxLog {
           col(c).as(s"__src_$c")): _*)
         // target keys for the anti-join: from the hit rows when they were
         // key-discovered (they contain every matched key by construction);
-        // from a column-pruned full-live scan when nothing was read
+        // when key discovery RAN and found nothing, every source key is
+        // provably absent — no anti-join at all; a column-pruned
+        // full-live scan only for insert-only statements (no discovery)
         val tKeys: Option[DataFrame] = targetOpt match {
           case Some(t) => Some(t.select(col(key)))
-          case None if live.nonEmpty =>
+          case None if live.nonEmpty && !needTargetRewrite =>
             val fullLive = readEntries(spark, table, live, partCols, partTypes)
             schemaRef = schemaRef.orElse(Some(fullLive.schema))
             Some(fullLive.select(col(key)))
+          case None if live.nonEmpty =>
+            // keys provably absent; still pin the schema for the type
+            // check from ONE live file (footer-priced, no scan job)
+            schemaRef = schemaRef.orElse(Some(readEntries(spark, table,
+              Seq(live.head), partCols, partTypes).schema))
+            None
           case None => None
         }
         val insBase = tKeys match {
