@@ -74,23 +74,24 @@ class DeltaBridgeSource extends RelationProvider
     val resolved = versionAsOf.orElse(
       tsAsOf.map(ts => DeltaBridge.versionAtTimestamp(table, parseTs(ts))))
     val spark = ctx.sparkSession
-    // column-mapped / DV'd snapshots cannot plan through the parquet
-    // index (physical names, row-index filtering) — they mount through
-    // the extended-read relation instead, same user surface
-    DeltaBridge.extendedSchema(spark, table, resolved) match {
-      case Some(logical) =>
-        return new ExtendedDeltaRelation(ctx, table, resolved, logical)
-      case None => ()
+    // ONE log replay decides the mount: column-mapped / DV'd snapshots
+    // cannot plan through the parquet index (physical names, row-index
+    // filtering) — they mount through the extended-read relation
+    // instead, same user surface
+    DeltaBridge.mount(spark, table, resolved) match {
+      case Left((logical, _)) =>
+        new ExtendedDeltaRelation(ctx, table, resolved, logical)
+      case Right(snap) =>
+        val schema =
+          DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+        val partitionSchema = StructType(snap.partitionCols.map(schema(_)))
+        val dataSchema = StructType(
+          schema.filterNot(f => snap.partitionCols.contains(f.name)))
+        HadoopFsRelation(
+          new DeltaLogFileIndex(spark, table, snap, schema, partitionSchema),
+          partitionSchema, dataSchema, None, new ParquetFileFormat,
+          Map.empty)(spark)
     }
-    val snap = DeltaBridge.snapshot(spark, table, resolved)
-    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    val partitionSchema = StructType(snap.partitionCols.map(schema(_)))
-    val dataSchema = StructType(
-      schema.filterNot(f => snap.partitionCols.contains(f.name)))
-    HadoopFsRelation(
-      new DeltaLogFileIndex(spark, table, snap, schema, partitionSchema),
-      partitionSchema, dataSchema, None, new ParquetFileFormat,
-      Map.empty)(spark)
   }
 
   /** Write side: `df.write.format("graft-delta").mode(...).save(path)` —

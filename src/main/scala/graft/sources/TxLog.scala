@@ -960,10 +960,11 @@ object TxLog {
     require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
       notMatchedBySource.nonEmpty, "mergeClauses: no WHEN clauses")
     val reserved = tableCols.filter(c =>
-      c.startsWith("__src_") || c == "__src_present" || c == "__clause")
+      c.startsWith("__src_") || c.startsWith("__graft_") ||
+        c == "__clause" || c == "__matched")
     require(reserved.isEmpty,
       s"mergeClauses: table columns ${reserved.mkString(",")} collide " +
-        "with the clause namespace (__src_*, __clause)")
+        "with the clause namespace (__src_*/__graft_*/__clause/__matched)")
     notMatchedInsert.foreach { case (_, setSeq) =>
       require(setSeq.map(_._1.toLowerCase).toSet ==
           tableCols.map(_.toLowerCase).toSet,
@@ -1017,17 +1018,19 @@ object TxLog {
         if (hitRel.isEmpty) None
         else Some(readEntries(spark, table, hitRel, partCols, partTypes))
       // source columns prefixed __src_ so both namespaces coexist in the
-      // joined row. With no MATCHED clause the join right side is the
-      // DISTINCT key set (duplicate source keys must not multiply kept
-      // target rows); matched clauses need the full source row and the
-      // cardinality check above made it key-unique.
+      // joined row (the match MARKER sits outside that prefix — a source
+      // column named `present` must not collide with it). With no
+      // MATCHED clause the join right side is the DISTINCT key set
+      // (duplicate source keys must not multiply kept target rows);
+      // matched clauses need the full source row and the cardinality
+      // check above made it key-unique.
       val joinRight =
         if (matched.nonEmpty)
           source.select(source.columns.toIndexedSeq.map(c =>
               col(c).as(s"__src_$c")): _*)
-            .withColumn("__src_present", lit(true))
+            .withColumn("__graft_present", lit(true))
         else keys.select(col(key).as(srcKey))
-          .withColumn("__src_present", lit(true))
+          .withColumn("__graft_present", lit(true))
       targetOpt.foreach { target =>
         // ONE pass over the hit files (delta-spark's single-join rewrite
         // — at 100 TB a BY SOURCE merge rewrites the table, and reading
@@ -1039,9 +1042,10 @@ object TxLog {
         // (one projection, never sequential withColumn).
         val joined = target.join(joinRight,
             col(key) === col(srcKey), "left_outer")
-          .withColumn("__matched", col("__src_present").isNotNull)
+          .withColumn("__matched", col("__graft_present").isNotNull)
           .withColumn("__clause",
-            when(col("__src_present").isNotNull, cascade(matched.map(_._1)))
+            when(col("__graft_present").isNotNull,
+                cascade(matched.map(_._1)))
               .otherwise(cascade(notMatchedBySource.map(_._1))))
         def side(matchedSide: Boolean): Column =
           if (matchedSide) col("__matched") else !col("__matched")

@@ -170,15 +170,15 @@ private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
   extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active
-  /** Some(logical schema) when the snapshot needs the EXTENDED read
-    * (column mapping / deletion vectors) — such tables scan through
-    * [[graft.sources.ExtendedDeltaRelation]]'s proven path via a V1Scan
-    * adapter instead of the parquet index. */
-  private lazy val extSchema: Option[StructType] =
-    DeltaBridge.extendedSchema(spark, path, versionAsOf)
-  private lazy val snap = DeltaBridge.snapshot(spark, path, versionAsOf)
-  private lazy val fullSchema = extSchema.getOrElse(
-    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
+  /** ONE log replay decides the mount: Left(schema, partCols) routes
+    * scans through [[graft.sources.ExtendedDeltaRelation]]'s path via a
+    * V1Scan adapter (column mapping / deletion vectors); Right(snapshot)
+    * is the fast parquet-index path. */
+  private lazy val mounted = DeltaBridge.mount(spark, path, versionAsOf)
+  private lazy val fullSchema = mounted.fold(_._1, s =>
+    DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+  private def partitionColsOf: Seq[String] =
+    mounted.fold(_._2, _.partitionCols)
 
   override def name(): String =
     s"graft-delta.`$path`" + versionAsOf.fold("")(v => s"@v$v")
@@ -191,18 +191,18 @@ private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    extSchema match {
-      case Some(logical) =>
+    mounted match {
+      case Left((logical, _)) =>
         // mapped / DV'd snapshot: a V1Scan adapter onto the proven
         // extended-read path, with column pruning pushed through — the
         // SQL surface is identical, only the physical mount differs
         new ExtendedV1ScanBuilder(path, versionAsOf, logical)
-      case None =>
-        val partitionSchema = StructType(snap.partitionCols.map(fullSchema(_)))
+      case Right(s) =>
+        val partitionSchema = StructType(s.partitionCols.map(fullSchema(_)))
         val dataSchema = StructType(
-          fullSchema.filterNot(f => snap.partitionCols.contains(f.name)))
+          fullSchema.filterNot(f => s.partitionCols.contains(f.name)))
         ParquetScanBuilder(spark,
-          new DeltaLogV2Index(spark, path, snap, fullSchema, partitionSchema),
+          new DeltaLogV2Index(spark, path, s, fullSchema, partitionSchema),
           fullSchema, dataSchema, options)
     }
 
@@ -252,7 +252,7 @@ private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
             s"writeStream into ${name()}: Append output mode only (the " +
               "epoch-id idempotence contract does not cover truncation)")
           GraftDeltaStreamingWrite(path, info.schema(), info.queryId(),
-            snap.partitionCols)
+            partitionColsOf)
         }
       }
     }

@@ -153,11 +153,14 @@ private[v2] case class GraftDeltaStreamingWriterFactory(
       private def dirOf(record: InternalRow): String =
         if (partitionCols.isEmpty) ""
         else partitionCols.zip(partOrdinals).map { case (c, i) =>
-          val raw =
-            if (record.isNullAt(i)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-            else ExternalCatalogUtils.escapePathName(
-              GraftDeltaStreamingWrite.renderValue(
-                record.get(i, fieldTypes(i)), fieldTypes(i)))
+          // getPartitionValueString is Spark's OWN writer rendering:
+          // null AND empty string both map to __HIVE_DEFAULT_PARTITION__,
+          // everything else percent-escapes — byte parity with the batch
+          // partitioned writer's layout
+          val raw = ExternalCatalogUtils.getPartitionValueString(
+            if (record.isNullAt(i)) null
+            else GraftDeltaStreamingWrite.renderValue(
+              record.get(i, fieldTypes(i)), fieldTypes(i)))
           s"${ExternalCatalogUtils.escapePathName(c)}=$raw"
         }.mkString("/", "/", "")
 
