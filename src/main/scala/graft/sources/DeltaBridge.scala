@@ -1183,12 +1183,13 @@ object DeltaBridge {
     // [[read]]'s extended branch instead (the relation/catalog mounts
     // probe it FIRST and fall back to that path)
     require(columnMappingMode(st) == "none",
-      s"$table: column-mapped tables read through DeltaBridge.read " +
-        "(the native relation's index serves unmapped tables)")
+      s"$table: column-mapped snapshots have no parquet-index form — " +
+        "batch mounts serve them via the extended read (DeltaBridge.mount);" +
+        " streaming over a mapped table is unsupported")
     require(st.live.values.forall(_.dv.isEmpty),
-      s"$table: tables with deletion vectors read through " +
-        "DeltaBridge.read (the native relation's index serves DV-free " +
-        "tables)")
+      s"$table: DV'd snapshots have no parquet-index form — batch mounts " +
+        "serve them via the extended read (DeltaBridge.mount); streaming " +
+        "over a DV'd table is unsupported")
     Snapshot(st.schemaJson, st.partitionCols,
       st.live.toSeq.map { case (p, e) => (p, e.pv, e.stats) })
   }

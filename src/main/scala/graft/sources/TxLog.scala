@@ -924,8 +924,9 @@ object TxLog {
   case object MergeDelete extends MergeClauseAction
 
   /** GENERAL SQL MERGE on the file-granular copy-on-write kernel — the
-    * full clause vocabulary ([[graft.sources.v2.GraftDmlStrategy]] renders
-    * SQL `MERGE INTO` onto this; [[merge]] remains the simple
+    * full clause vocabulary over one or more equi-join `keys` (composite
+    * ON conjunctions; [[graft.sources.v2.GraftDmlStrategy]] renders SQL
+    * `MERGE INTO` onto this; [[merge]] remains the simple
     * replace-by-key upsert):
     *
     *  - `matched`: `WHEN MATCHED [AND cond] THEN UPDATE SET .. | DELETE`,
@@ -950,13 +951,14 @@ object TxLog {
     * claim loop; `tableCols` pins the output column set/order (needed
     * when the statement only inserts). */
   def mergeClauses(spark: SparkSession, source: DataFrame, table: String,
-                   key: String, tableCols: Seq[String],
+                   keys: Seq[String], tableCols: Seq[String],
                    matched: Seq[(Option[String], MergeClauseAction)],
                    notMatchedInsert: Seq[(Option[String], Seq[(String, String)])],
                    notMatchedBySource: Seq[(Option[String], MergeClauseAction)],
                    partFiles: Int = 2): Int = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, when}
+    require(keys.nonEmpty, "mergeClauses: no join keys")
     require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
       notMatchedBySource.nonEmpty, "mergeClauses: no WHEN clauses")
     val reserved = tableCols.filter(c =>
@@ -971,17 +973,21 @@ object TxLog {
         s"mergeClauses: INSERT must cover every table column; got " +
           s"${setSeq.map(_._1).mkString(",")} of ${tableCols.mkString(",")}")
     }
+    // a source row with ANY null key column matches nothing (SQL equality)
+    def allKeysNonNull(of: Seq[String]): Column =
+      of.map(col(_).isNotNull).reduce(_ && _)
     if (matched.nonEmpty) {
       // SQL MERGE cardinality: a target row matched by several source
       // rows has no deterministic UPDATE — refuse (delta-spark errors on
       // the same shape). limit(1) probe: existence, not a full count.
-      val dup = source.filter(col(key).isNotNull)
-        .groupBy(key).count().filter(col("count") > 1).limit(1).count()
+      val dup = source.filter(allKeysNonNull(keys))
+        .groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
       require(dup == 0,
         s"mergeClauses into $table: the source has multiple rows for the " +
           "same join key — SQL MERGE cardinality violation")
     }
-    val srcKey = s"__src_$key"
+    val srcKeys = keys.map(k => s"__src_$k")
     // first clause whose condition holds (NULL = false) wins; -1 = none
     def cascade(conds: Seq[Option[String]]): Column =
       conds.zipWithIndex.foldLeft(when(lit(false), lit(-1))) {
@@ -996,7 +1002,8 @@ object TxLog {
       val live = liveFiles(table, Some(base))
       val partCols = livePartitionCols(table, live, "merge")
       val partTypes = partitionTypesOf(live, partCols)
-      val keys = source.select(key).where(col(key).isNotNull).distinct()
+      val keyRows = source.select(keys.map(col): _*)
+        .where(allKeysNonNull(keys)).distinct()
       val needTargetRewrite = matched.nonEmpty || notMatchedBySource.nonEmpty
       // hit discovery: BY SOURCE clauses can touch every target row → the
       // live set rewrites; else only files CONTAINING a matched key; an
@@ -1007,7 +1014,7 @@ object TxLog {
         else {
           val hitAbs = readEntries(spark, table, live, partCols, partTypes)
             .withColumn("_graft_file", input_file_name())
-            .join(keys, Seq(key), "left_semi")
+            .join(keyRows, keys, "left_semi")
             .select("_graft_file").distinct()
             .collect().map(_.getString(0)).toSet
           hitEntries(live, hitAbs)
@@ -1029,7 +1036,8 @@ object TxLog {
           source.select(source.columns.toIndexedSeq.map(c =>
               col(c).as(s"__src_$c")): _*)
             .withColumn("__graft_present", lit(true))
-        else keys.select(col(key).as(srcKey))
+        else keyRows.select(keys.zip(srcKeys).map { case (k, sk) =>
+            col(k).as(sk) }: _*)
           .withColumn("__graft_present", lit(true))
       targetOpt.foreach { target =>
         // ONE pass over the hit files (delta-spark's single-join rewrite
@@ -1041,7 +1049,8 @@ object TxLog {
         // (side, clause) guards — all SET expressions see OLD values
         // (one projection, never sequential withColumn).
         val joined = target.join(joinRight,
-            col(key) === col(srcKey), "left_outer")
+            keys.zip(srcKeys).map { case (k, sk) => col(k) === col(sk) }
+              .reduce(_ && _), "left_outer")
           .withColumn("__matched", col("__graft_present").isNotNull)
           .withColumn("__clause",
             when(col("__graft_present").isNotNull,
@@ -1091,11 +1100,11 @@ object TxLog {
         // provably absent — no anti-join at all; a column-pruned
         // full-live scan only for insert-only statements (no discovery)
         val tKeys: Option[DataFrame] = targetOpt match {
-          case Some(t) => Some(t.select(col(key)))
+          case Some(t) => Some(t.select(keys.map(col): _*))
           case None if live.nonEmpty && !needTargetRewrite =>
             val fullLive = readEntries(spark, table, live, partCols, partTypes)
             schemaRef = schemaRef.orElse(Some(fullLive.schema))
-            Some(fullLive.select(col(key)))
+            Some(fullLive.select(keys.map(col): _*))
           case None if live.nonEmpty =>
             // keys provably absent; still pin the schema for the type
             // check from ONE live file (footer-priced, no scan job)
@@ -1106,8 +1115,10 @@ object TxLog {
         }
         val insBase = tKeys match {
           case Some(tk) => src0.join(
-            tk.where(col(key).isNotNull).distinct()
-              .select(col(key).as(srcKey)), Seq(srcKey), "left_anti")
+            tk.where(allKeysNonNull(keys)).distinct()
+              .select(keys.zip(srcKeys).map { case (k, sk) =>
+                col(k).as(sk) }: _*),
+            srcKeys, "left_anti")
           case None => src0
         }
         val insRows = insBase.withColumn("__clause",

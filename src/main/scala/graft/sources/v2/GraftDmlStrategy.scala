@@ -34,7 +34,8 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, V2Co
   * it with `expr`/`where`), so the round trip is parser-exact, not
   * cross-engine-approximate.
   *
-  * MERGE accepts the GENERAL clause vocabulary on `ON t.k = s.k` —
+  * MERGE accepts the GENERAL clause vocabulary on `ON t.k1 = s.k1
+  * [AND t.k2 = s.k2 ...]` (composite equi-keys) —
   * `WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE` (conditions
   * and values over both sides; partial SET lists keep unassigned
   * columns), `WHEN NOT MATCHED [AND cond] THEN INSERT ...` (source-only;
@@ -132,24 +133,36 @@ object GraftDmlStrategy extends SparkStrategy {
       val targetOut = m.targetTable.outputSet
       val sourceOut = m.sourceTable.outputSet
       val tableCols = m.targetTable.output.map(_.name)
-      // ON t.k = s.k — one equi-key, same column name on both sides
-      val key = m.mergeCondition match {
+      // ON t.k1 = s.k1 [AND t.k2 = s.k2 ...] — a conjunction of
+      // equi-keys, each the same column name on both sides (the
+      // delta-spark composite-key shape)
+      def keyOf(e: Expression): AttributeReference = e match {
         case org.apache.spark.sql.catalyst.expressions.EqualTo(
             a: AttributeReference, b: AttributeReference) =>
           val (tk, sk) =
             if (targetOut.contains(a) && sourceOut.contains(b)) (a, b)
             else if (targetOut.contains(b) && sourceOut.contains(a)) (b, a)
             else refuse(table, "MERGE",
-              s"ON ${m.mergeCondition.sql} must compare one target " +
-                "column with one source column")
+              s"ON ${e.sql} must compare one target column with one " +
+                "source column")
           if (!tk.name.equalsIgnoreCase(sk.name)) refuse(table, "MERGE",
             s"ON compares ${tk.name} with ${sk.name}; the proven shape " +
               "is the same column name on both sides")
           tk
         case other => refuse(table, "MERGE",
-          s"ON ${other.sql} is outside the proven shape (one equality " +
-            "between a target and a source column)")
+          s"ON conjunct ${other.sql} is outside the proven shape " +
+            "(equalities between target and source columns, AND-joined)")
       }
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      val keyAttrs = conjuncts(m.mergeCondition).map(keyOf)
+      val dupKeys = keyAttrs.groupBy(_.name.toLowerCase)
+        .collect { case (n, as) if as.size > 1 => n }
+      if (dupKeys.nonEmpty) refuse(table, "MERGE",
+        s"ON repeats key column(s) ${dupKeys.mkString(",")}")
       // ---- CLOSED-WORLD clause rendering into TxLog.mergeClauses'
       // namespace: target columns keep their names, source columns render
       // as `__src_<name>` (the kernel's joined-row layout), both through
@@ -269,7 +282,8 @@ object GraftDmlStrategy extends SparkStrategy {
       val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, m.sourceTable)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        TxLog.mergeClauses(spark, src, table.dmlPath, key.name, tableCols,
+        TxLog.mergeClauses(spark, src, table.dmlPath,
+          keyAttrs.map(_.name), tableCols,
           matchedClauses, insertClauses, bySourceClauses)
       } finally src.unpersist(blocking = false)
       DeltaBridge.exportLog(spark, table.dmlPath)

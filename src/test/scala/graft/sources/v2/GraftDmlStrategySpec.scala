@@ -232,6 +232,40 @@ class GraftDmlStrategySpec extends SparkSpec {
       "a fired BY SOURCE clause must reach its fixpoint")
   }
 
+  test("COMPOSITE-key MERGE: ON t.a = s.a AND t.b = s.b matches on the " +
+    "pair; a row sharing only one key component inserts") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark, Seq(
+      (1L, "x", 10L), (1L, "y", 20L), (2L, "x", 30L)
+    ).toDF("a", "b", "n"), t)
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt
+         |USING (SELECT 1L AS a, 'x' AS b, 100L AS n
+         |       UNION ALL SELECT 2L, 'y', 200L) src
+         |ON tgt.a = src.a AND tgt.b = src.b
+         |WHEN MATCHED THEN UPDATE SET n = src.n
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(s"SELECT a, b, n FROM graft.`$t`").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, "x", 100L),  // full pair matched → updated
+      (1L, "y", 20L),   // half-pair only → untouched
+      (2L, "x", 30L),   // half-pair only → untouched
+      (2L, "y", 200L)), // unmatched pair → inserted
+      s"got $got")
+    // duplicate PAIRS refuse; same a with different b is legal
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$t` tgt
+           |USING (SELECT 1L AS a, 'x' AS b, 1L AS n
+           |       UNION ALL SELECT 1L, 'x', 2L) src
+           |ON tgt.a = src.a AND tgt.b = src.b
+           |WHEN MATCHED THEN UPDATE SET n = src.n""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("cardinality"), s"got: $e")
+  }
+
   test("insert-only MERGE rewrites NOTHING (pure append commit), and " +
     "duplicate source keys are then legal — each unmatched row inserts") {
     import spark.implicits._
