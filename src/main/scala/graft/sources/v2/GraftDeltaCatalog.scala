@@ -298,7 +298,14 @@ private[v2] class ExtendedV1ScanBuilder(path: String,
   private var required: StructType = logical
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // TOP-LEVEL pruning only: the optimizer may hand a NESTED-pruned
+    // schema (struct subsets), but this scan materializes full logical
+    // columns — reporting the pruned struct back while returning full
+    // rows would misalign the row converter. Reconstructing each field
+    // from the table schema keeps readSchema() honest; Spark prunes
+    // nested fields above the scan.
+    required = StructType(requiredSchema.fieldNames.map(n =>
+      logical(logical.fieldIndex(n))))
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
     new org.apache.spark.sql.connector.read.V1Scan {
