@@ -1365,6 +1365,15 @@ object TxLog {
       require(Files.exists(Paths.get(table, entryPath(e))),
         s"restore: ${entryPath(e)} of version $asOfVersion was vacuumed " +
           "past the retention horizon; restore an in-retention version")
+      // a DV'd entry needs its sidecar too — failing here (loud, before
+      // the commit) beats failing at the first read of the restored state
+      entryDv(e).foreach { d =>
+        require(Files.exists(
+            Paths.get(table, s"deletion_vector_${d.uuid}.bin")),
+          s"restore: deletion vector of ${entryPath(e)} at version " +
+            s"$asOfVersion was vacuumed past the retention horizon; " +
+            "restore an in-retention version")
+      }
     }
     // restoring to the state the head already has is a no-op, not an
     // empty commit cluttering the history

@@ -246,6 +246,29 @@ class DeltaBridgeSpec extends SparkSpec {
     assert(DeltaBridge.checkpoint(spark, t) == 2L)
   }
 
+  test("checkpoint over a DV'd table preserves the vectors, protocol " +
+    "and stats: the bootstrap-served snapshot still drops deleted rows " +
+    "through every mount") {
+    val t = freshTable()
+    TxLog.append(spark,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"), t, partFiles = 1)
+    TxLog.deleteWhereDv(spark, t, "id IN (3, 7)", maxDvFraction = 0.2)
+    DeltaBridge.exportLog(spark, t)
+    assert(DeltaBridge.checkpoint(spark, t) == 1L)
+    assert(DeltaBridge.vacuumLog(t).nonEmpty,
+      "the covered JSON retires — the snapshot must survive on the " +
+        "checkpoint alone")
+    val got = DeltaBridge.read(spark, t).collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 50L).toSet -- Set(3L, 7L),
+      s"the checkpointed DV must still apply, got ${got.size} rows")
+    // the catalog mount over the checkpoint-only log routes through the
+    // extended path too (the descriptor survived the parquet roundtrip)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftDeltaCatalog].getName)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+      .collect().head.getLong(0) == 48L)
+  }
+
   test("exportLog WRITES a checkpoint every 10 versions; a vacuumed log " +
     "reads back through it — the full protocol roundtrip") {
     val t = freshTable()
