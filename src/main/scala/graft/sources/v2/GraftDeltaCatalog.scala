@@ -479,15 +479,20 @@ private[v2] object V2PredicateSql {
         // DELETE predicate that means deleting the wrong rows. Doubling
         // round-trips on this runtime (V2PredicateSqlSpec evaluates it).
         // Under the LEGACY conf (escapedStringLiterals=true) backslashes
-        // are literal and doubling would match the WRONG rows — render
-        // without it there, consulting the conf of the session that will
-        // parse the string back (ADVICE r13).
-        val escaped = org.apache.spark.sql.internal.SQLConf.get
+        // are LITERAL — doubling would match the wrong rows — and there
+        // is NO proven in-literal escape for a single quote ('' parses
+        // as adjacent-literal concatenation there, probed empirically in
+        // V2PredicateSqlSpec): quote-free strings render plainly,
+        // quote-bearing ones REFUSE loudly (ADVICE r13 — closed world,
+        // never a wrong delete).
+        val raw = value.toString
+        val legacy = org.apache.spark.sql.internal.SQLConf.get
           .getConfString("spark.sql.parser.escapedStringLiterals", "false")
           .toBoolean
-        val bs = if (escaped) value.toString
-                 else value.toString.replace("\\", "\\\\")
-        Some(s"'${bs.replace("'", "''")}'")
+        if (legacy) {
+          if (raw.contains("'")) None
+          else Some(s"'$raw'")
+        } else Some(s"'${raw.replace("\\", "\\\\").replace("'", "''")}'")
       case IntegerType | LongType | ShortType | ByteType | BooleanType =>
         Some(value.toString)
       case DoubleType | FloatType =>

@@ -231,6 +231,37 @@ class GraftDeltaCatalogSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("writeStream.toTable: a ZERO-ROW epoch commits NOTHING — no " +
+    "version churn, no empty exported commit file (ADVICE r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext.asInstanceOf[org.apache.spark.sql.SQLContext]
+    val t = freshTable()
+    TxLog.append(spark, Seq((200L, "seed")).toDF("id", "v"), t)
+    DeltaBridge.exportLog(spark, t)
+    val mem = MemoryStream[(Long, String)]
+    // the filter drops everything below 100 — epochs still FIRE, with
+    // zero rows after the transform
+    val q = mem.toDF().toDF("id", "v").filter($"id" > 100)
+      .writeStream.option("checkpointLocation",
+        Files.createTempDirectory("cat_sink_empty").toString)
+      .outputMode("append").toTable(s"graft.`$t`")
+    try {
+      mem.addData((1L, "dropped"), (2L, "dropped"))
+      q.processAllAvailable()
+      assert(TxLog.versions(t).size == 1 &&
+        DeltaBridge.versions(t).size == 1,
+        "a zero-row epoch must not mint a version or an exported commit")
+      // a later non-empty epoch still lands normally
+      mem.addData((101L, "kept"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(DeltaBridge.versions(t).size == 2)
+    assert(sqlDf(s"SELECT id FROM graft.`$t` ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(101L, 200L))
+  }
+
   test("writeStream.toTable on a PARTITIONED target: epochs land under " +
     "Hive col=value paths (values escaped, nulls defaulted), partition " +
     "pruning works on the streamed rows, exactly-once across restart") {
