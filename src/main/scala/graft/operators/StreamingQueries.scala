@@ -141,7 +141,16 @@ object StreamingQueries {
     s.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.v2.GraftDeltaCatalog].getName)
     val tmp = graft.SparkSupport.roundtripPath("stream_part_rt", dir)
-    if (TxLog.versions(tmp).isEmpty) {
+    // completion marker OUTSIDE the table dir (a file inside would be a
+    // foreign object in TxLog's layout): the build spans a batch seed AND
+    // a streaming write, and gating on log non-emptiness would let a
+    // crash between them leave a half-built fixture that later runs
+    // silently accept (ADVICE r14). No marker + a non-empty log = a
+    // half-build — wipe and rebuild.
+    val done = new java.io.File(tmp + ".complete")
+    if (!done.isFile) {
+      if (TxLog.versions(tmp).nonEmpty)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       val c = Tables.customer(s, dir)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
       TxLog.appendPartitioned(s, c.filter(col("c_custkey") % 2 === 0),
@@ -163,6 +172,8 @@ object StreamingQueries {
         .outputMode("append")
         .toTable(s"graft.`$tmp`")
       try q.processAllAvailable() finally q.stop()
+      require(done.createNewFile() || done.isFile,
+        s"q348: cannot write the completion marker $done")
     }
     s.sql(
       s"""SELECT c_mktsegment, count(*) AS n_rows,

@@ -268,12 +268,18 @@ object DeltaBridge {
                      else null)
         val sb = new StringBuilder
         def protocolLine(withDv: Boolean): String =
+          // moving to table features (writer 7) must ENUMERATE the legacy
+          // features the replaced minWriterVersion=2 implied (appendOnly,
+          // invariants) — the spec's upgrade rule, and what delta-spark
+          // lists on the same (1,2)→(3,7) step; reader 1 implies none, so
+          // readerFeatures carries only the new feature (ADVICE r14)
           if (withDv) mapper.writeValueAsString(Map(
             "protocol" -> Map[String, AnyRef](
               "minReaderVersion" -> Integer.valueOf(3),
               "minWriterVersion" -> Integer.valueOf(7),
               "readerFeatures" -> java.util.List.of("deletionVectors"),
-              "writerFeatures" -> java.util.List.of("deletionVectors")
+              "writerFeatures" -> java.util.List.of(
+                "appendOnly", "invariants", "deletionVectors")
             ).asJava).asJava)
           else mapper.writeValueAsString(Map(
             "protocol" -> Map(

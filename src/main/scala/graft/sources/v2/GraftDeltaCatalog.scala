@@ -170,11 +170,21 @@ private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
   extends Table with SupportsRead with SupportsWrite with SupportsDeleteV2 {
 
   private def spark: SparkSession = SparkSession.active
+  /** The version this mount RESOLVED to, pinned before the replay: the
+    * extended scan re-reads the log at execution time, and with
+    * versionAsOf=None a commit landing between planning and execution
+    * would make the executed rows come from a newer snapshot than the
+    * planned schema/mount decision (ADVICE r14). Pinning the head here
+    * makes planning and execution read the same snapshot; an explicit
+    * time-travel version passes through untouched. */
+  private lazy val resolvedVersion: Option[Long] =
+    versionAsOf.orElse(
+      Some(DeltaBridge.headVersion(path)).filter(_ >= 0))
   /** ONE log replay decides the mount: Left(schema, partCols) routes
     * scans through [[graft.sources.ExtendedDeltaRelation]]'s path via a
     * V1Scan adapter (column mapping / deletion vectors); Right(snapshot)
     * is the fast parquet-index path. */
-  private lazy val mounted = DeltaBridge.mount(spark, path, versionAsOf)
+  private lazy val mounted = DeltaBridge.mount(spark, path, resolvedVersion)
   private lazy val fullSchema = mounted.fold(_._1, s =>
     DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
   private def partitionColsOf: Seq[String] =
@@ -195,8 +205,11 @@ private[v2] class GraftDeltaTable(path: String, versionAsOf: Option[Long])
       case Left((logical, _)) =>
         // mapped / DV'd snapshot: a V1Scan adapter onto the proven
         // extended-read path, with column pruning pushed through — the
-        // SQL surface is identical, only the physical mount differs
-        new ExtendedV1ScanBuilder(path, versionAsOf, logical)
+        // SQL surface is identical, only the physical mount differs.
+        // resolvedVersion (not versionAsOf): the adapter replays the log
+        // at EXECUTION time, and it must read the snapshot this mount
+        // decision was planned against
+        new ExtendedV1ScanBuilder(path, resolvedVersion, logical)
       case Right(s) =>
         val partitionSchema = StructType(s.partitionCols.map(fullSchema(_)))
         val dataSchema = StructType(
