@@ -176,9 +176,21 @@ object Dedup {
     * pairs per bucket rather than self-joining the index — a self-join
     * would recompute the tokenize+shingle+hash projection on BOTH sides
     * (Spark doesn't materialize shared subplans), doubling the expensive
-    * part. One shuffle keyed by shingle hash; bucket sizes are bounded
-    * (max 25 docs/shingle at sf0.1), and a stop-shingle cap would bound
-    * them adversarially at larger corpora. */
+    * part. One shuffle keyed by shingle hash.
+    *
+    * REGIME BOUNDARY (r14 verdict finding 1): this is the EXACT form —
+    * every co-shingling pair is generated, so pair volume is Σ C(df, 2)
+    * over shingle document frequencies and one boilerplate shingle shared
+    * by 10⁶ docs would alone explode its bucket to 5·10¹¹ pairs. It is
+    * therefore valid only while the corpus's max shingle df stays small
+    * (gate corpora: ≤ 25 docs/shingle at sf0.1; IncrementalSpec bounds
+    * the pair volume as a property). At production scale — or on any
+    * corpus with shared boilerplate — use [[d141CappedJaccard]], the SAME
+    * pipeline with shingles above a df ceiling dropped before pair
+    * generation (Σ C(df,2) bounded at C(10,2) per bucket), or the banded
+    * [[d31MinhashLsh]] whose [[BandBucketCap]] bounds candidate volume
+    * regardless of df skew. d30 is kept in this exact form as the parity
+    * oracle those capped forms are validated against. */
   def d30NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // idx feeds both the pair explosion and the per-doc sizes — persist so
     // the tokenize→shingle→hash pipeline runs once (see d31's cost note).

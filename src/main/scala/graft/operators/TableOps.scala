@@ -859,9 +859,93 @@ object TableOps {
       |FROM customer WHERE c_custkey % 97 <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- q349
+
+  /** q349: DELETION VECTORS FROM MERGE — the q347 economics applied to
+    * `MERGE … WHEN MATCHED THEN DELETE` ([[graft.sources.TxLog
+    * .mergeClauses]]'s maxDvFraction): a takedown-shaped merge whose
+    * matched rows resolve only to DELETE, touching ~1% of each hit
+    * file, publishes sidecar deletion vectors instead of rewriting the
+    * files (the build asserts every pre-merge data file survives in
+    * place and the log carries DV entries), while the same statement's
+    * NOT MATCHED rows still INSERT as ordinary staged adds — one
+    * commit. Hit files whose matched rows fire NO clause (the
+    * `c_acctbal >= 9000` survivors) carry over by reference. The export
+    * republishes the vectors as Delta descriptors and the gate reads
+    * the post-merge head through the SQL catalog with the bridge read
+    * asserted equal — delta-spark's merge-on-read MERGE, writer side. */
+  def q349DvMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaBridge, TxLog}
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.v2.GraftDeltaCatalog].getName)
+    val table = graft.SparkSupport.layoutArtifact("txlog_dv_merge", dir) { p =>
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .repartitionByRange(8, col("c_custkey"))
+      TxLog.append(s, c, p, partFiles = 8)
+      val before = TxLog.liveFiles(p).map(TxLog.entryPath).toSet
+      val vBefore = TxLog.versions(p).last
+      // takedown-with-backfill: matched keys whose balance is under the
+      // bar DELETE (sub-threshold per file → DVs); three synthetic rows
+      // match nothing and INSERT
+      val src = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .filter(col("c_custkey") % 89 === 0)
+        .unionByName(s.createDataFrame(Seq(
+          (9000001L, "Customer#9000001", 111.25, "SYNTH"),
+          (9000002L, "Customer#9000002", 222.50, "SYNTH"),
+          (9000003L, "Customer#9000003", 333.75, "SYNTH")))
+          .toDF("c_custkey", "c_name", "c_acctbal", "c_mktsegment"))
+      TxLog.mergeClauses(s, src, p,
+        keys = Seq("c_custkey"),
+        tableCols = Seq("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+        matched = Seq((Some("c_acctbal < 9000"), TxLog.MergeDelete)),
+        notMatchedInsert = Seq((None, Seq(
+          "c_custkey" -> "__src_c_custkey",
+          "c_name" -> "__src_c_name",
+          "c_acctbal" -> "__src_c_acctbal",
+          "c_mktsegment" -> "__src_c_mktsegment"))),
+        notMatchedBySource = Seq.empty,
+        maxDvFraction = 0.1)
+      val after = TxLog.liveFiles(p)
+      require(TxLog.versions(p).last == vBefore + 1,
+        "the whole MERGE must land as ONE commit")
+      require(before.subsetOf(after.map(TxLog.entryPath).toSet),
+        "a sub-threshold matched-DELETE must keep every data file in place")
+      require(after.exists(_.contains("#dv:")),
+        s"the log must show DV entries from the MERGE, got $after")
+      DeltaBridge.exportLog(s, p)
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    val sql = s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_rows,
+         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+         |FROM graft.`$table`
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    // bridge and catalog mounts must agree on the DV'd snapshot
+    require(DeltaBridge.read(s, table).count() ==
+      sql.selectExpr("sum(n_rows)").collect().head.getLong(0),
+      "bridge and catalog disagree on the post-merge DV'd table")
+    sql
+  }
+
+  val q349Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      |  WHERE NOT (c_custkey % 89 = 0 AND c_acctbal < 9000)
+      |  UNION ALL SELECT 9000001, 111.25, 'SYNTH'
+      |  UNION ALL SELECT 9000002, 222.50, 'SYNTH'
+      |  UNION ALL SELECT 9000003, 333.75, 'SYNTH')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q340_partitioned_dml" -> q340PartitionedDml,
     "q347_dv_delete"      -> q347DvDelete,
+    "q349_dv_merge"       -> q349DvMerge,
     "q307_bloom_skipping" -> q307BloomSkipping,
     "q111_table_checksum" -> q111TableChecksum,
     "q112_file_skipping"  -> q112FileSkipping,
@@ -880,6 +964,7 @@ object TableOps {
   val oracle: Map[String, String] = Map(
     "q340_partitioned_dml" -> q340Sql,
     "q347_dv_delete"      -> q347Sql,
+    "q349_dv_merge"       -> q349Sql,
     "q307_bloom_skipping" -> q307Sql,
     "q111_table_checksum" -> q111Sql,
     "q112_file_skipping"  -> q112Sql,

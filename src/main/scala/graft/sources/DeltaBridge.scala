@@ -310,8 +310,12 @@ object DeltaBridge {
         if (schemaJson != null) lastSchemaJson = schemaJson
         remove.foreach { entry =>
           sb.append(mapper.writeValueAsString(Map(
-            "remove" -> Map(
+            "remove" -> Map[String, AnyRef](
               "path" -> TxLog.entryPath(entry),
+              // dates the tombstone so checkpoint retention filtering
+              // ([[tombstoneRetentionMs]]) and foreign vacuums can age it
+              "deletionTimestamp" -> java.lang.Long.valueOf(
+                System.currentTimeMillis()),
               "dataChange" -> java.lang.Boolean.TRUE
             ).asJava
           ).asJava)).append('\n')
@@ -536,6 +540,33 @@ object DeltaBridge {
     } finally r.close()
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** `delta.deletedFileRetentionDuration` parsed per the spec's
+    * CalendarInterval subset real writers emit (`interval N unit`);
+    * absent or unparseable → delta's 1-week default. */
+  private[sources] def tombstoneRetentionMs(
+      configuration: Map[String, String]): Long = {
+    val Default = 7L * 24 * 3600 * 1000
+    configuration.get("delta.deletedFileRetentionDuration") match {
+      case None => Default
+      case Some(raw) =>
+        val Pat = """(?i)\s*interval\s+(\d+)\s+(\w+?)s?\s*""".r
+        raw match {
+          case Pat(n, unit) =>
+            val ms = unit.toLowerCase match {
+              case "millisecond"        => 1L
+              case "second"             => 1000L
+              case "minute"             => 60L * 1000
+              case "hour"               => 3600L * 1000
+              case "day"                => 24L * 3600 * 1000
+              case "week"               => 7L * 24 * 3600 * 1000
+              case _                    => -1L
+            }
+            if (ms < 0) Default else n.toLong * ms
+          case _ => Default
+        }
+    }
+  }
+
   private def writeCheckpoint(spark: SparkSession, table: String,
                               cv: Long): Unit = {
     val path = deltaLogDir(table).resolve(f"$cv%020d.checkpoint.parquet")
@@ -572,26 +603,51 @@ object DeltaBridge {
           StructField("pathOrInlineDv", StringType),
           StructField("offset", IntegerType),
           StructField("sizeInBytes", IntegerType),
-          StructField("cardinality", LongType)))))))))
+          StructField("cardinality", LongType))))))),
+      // the spec's two non-file state carriers a checkpoint must keep
+      // (ADVICE r14): SetTransaction idempotence state and in-retention
+      // remove tombstones (vacuum's worklist)
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType),
+        StructField("lastUpdated", LongType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType))))))
     // protocol / configuration republish VERBATIM: a checkpoint that
     // silently downgraded a feature-bearing table (DVs, column mapping)
     // would let a later reader mis-read it
+    // tombstone retention: keep removes younger than the table's
+    // deletedFileRetentionDuration (default 1 week — delta's own), plus
+    // undated ones (conservative: a foreign writer that logs no
+    // deletionTimestamp must not have its vacuum worklist truncated)
+    val retainMs = tombstoneRetentionMs(st.configuration)
+    val horizon = System.currentTimeMillis() - retainMs
+    val keptTombstones = st.tombstones.toSeq.filter { case (_, (ts, _)) =>
+      ts.forall(_ >= horizon) }
     val rows =
       Row(Row(st.minReader, st.minWriter,
         if (st.readerFeatures.isEmpty) null else st.readerFeatures,
         if (st.writerFeatures.isEmpty) null else st.writerFeatures),
-        null, null) +:
+        null, null, null, null) +:
       Row(null, Row(st.metaId, st.schemaJson, st.partitionCols,
-        st.configuration), null) +:
-      st.live.toSeq.map { case (p, e) =>
+        st.configuration), null, null, null) +:
+      (st.live.toSeq.map { case (p, e) =>
         val f = Paths.get(table, p)
         Row(null, null, Row(p, e.pv, Files.size(f),
           Files.getLastModifiedTime(f).toMillis, true,
           e.stats.orNull,
           e.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
             d.offset.map(Int.box).orNull, d.sizeInBytes,
-            d.cardinality)).orNull))
-      }
+            d.cardinality)).orNull), null, null)
+      } ++
+      st.txns.toSeq.map { case (appId, (v, lu)) =>
+        Row(null, null, null, Row(appId, v, lu.map(Long.box).orNull), null)
+      } ++
+      keptTombstones.map { case (p, (ts, dc)) =>
+        Row(null, null, null, null, Row(p, ts.map(Long.box).orNull, dc))
+      })
     val tmpDir = Files.createTempDirectory(deltaLogDir(table), ".ckpt-")
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), ckptSchema)
@@ -637,6 +693,17 @@ object DeltaBridge {
       var readerFeatures: Seq[String] = Seq.empty,
       var writerFeatures: Seq[String] = Seq.empty,
       live: scala.collection.mutable.LinkedHashMap[String, AddEntry] =
+        scala.collection.mutable.LinkedHashMap.empty,
+      // SetTransaction state (appId → latest version, lastUpdated) and
+      // remove TOMBSTONES (path → deletionTimestamp, dataChange): read-
+      // irrelevant for a snapshot, but the Delta spec requires a
+      // checkpoint to preserve both — dropping txn loses a foreign
+      // streaming writer's idempotence state (duplicate batch on
+      // restart), dropping in-retention removes breaks its VACUUM
+      // (ADVICE r14). Replayed here, republished by [[writeCheckpoint]].
+      txns: scala.collection.mutable.LinkedHashMap[String, (Long, Option[Long])] =
+        scala.collection.mutable.LinkedHashMap.empty,
+      tombstones: scala.collection.mutable.LinkedHashMap[String, (Option[Long], Boolean)] =
         scala.collection.mutable.LinkedHashMap.empty)
 
   /** The reader features this bridge actually implements; a protocol
@@ -703,14 +770,28 @@ object DeltaBridge {
           Option(dm.get("cardinality")).map(_.asInstanceOf[Number].longValue())
             .getOrElse(-1L))
       }
-      st.live += (am.get("path").asInstanceOf[String] ->
-        AddEntry(pv, stats, dv))
+      val path = am.get("path").asInstanceOf[String]
+      st.live += (path -> AddEntry(pv, stats, dv))
+      st.tombstones -= path // a re-added path is live, not a tombstone
     }
     Option(m.get("remove")).foreach { r =>
-      st.live -= r.asInstanceOf[java.util.Map[String, AnyRef]]
-        .get("path").asInstanceOf[String]
+      val rm = r.asInstanceOf[java.util.Map[String, AnyRef]]
+      val path = rm.get("path").asInstanceOf[String]
+      st.live -= path
+      st.tombstones += (path -> (
+        Option(rm.get("deletionTimestamp"))
+          .map(_.asInstanceOf[Number].longValue()),
+        Option(rm.get("dataChange"))
+          .forall(_.asInstanceOf[Boolean])))
     }
-    // commitInfo / txn / cdc: read-irrelevant, skipped
+    Option(m.get("txn")).foreach { tx =>
+      val tm = tx.asInstanceOf[java.util.Map[String, AnyRef]]
+      st.txns += (tm.get("appId").asInstanceOf[String] -> (
+        tm.get("version").asInstanceOf[Number].longValue(),
+        Option(tm.get("lastUpdated"))
+          .map(_.asInstanceOf[Number].longValue())))
+    }
+    // commitInfo / cdc: read-irrelevant, skipped
   }
 
   private val DeltaVersionName = "(\\d{20})\\.json".r
@@ -872,12 +953,20 @@ object DeltaBridge {
     val addPaths: Set[String] = actions.flatMap(a =>
       Option(a.get("add")).map(_.asInstanceOf[java.util.Map[String, AnyRef]]
         .get("path").asInstanceOf[String])).toSet
-    // removes first (skipping paths the same version re-adds), adds last
+    // removes first (skipping paths the same version re-adds — those
+    // stay live, so no tombstone either), adds last
     actions.foreach { m =>
       Option(m.get("remove")).foreach { r =>
-        val p = r.asInstanceOf[java.util.Map[String, AnyRef]]
-          .get("path").asInstanceOf[String]
-        if (!addPaths.contains(p)) st.live -= p
+        val rm = r.asInstanceOf[java.util.Map[String, AnyRef]]
+        val p = rm.get("path").asInstanceOf[String]
+        if (!addPaths.contains(p)) {
+          st.live -= p
+          st.tombstones += (p -> (
+            Option(rm.get("deletionTimestamp"))
+              .map(_.asInstanceOf[Number].longValue()),
+            Option(rm.get("dataChange"))
+              .forall(_.asInstanceOf[Boolean])))
+        }
       }
     }
     actions.foreach { m =>
@@ -1109,12 +1198,15 @@ object DeltaBridge {
   }
 
   /** One version's actions, parsed for the streaming source: its add
-    * files (path, partitionValues), whether it carried removes (a
-    * non-append change the stream must refuse without `ignoreChanges` —
-    * delta-spark's contract), and its metaData schemaString if the
-    * version re-declared one. */
+    * files (path, partitionValues, deletion-vector descriptor — a DV
+    * delete's re-published add is a LOGICAL remove+add, and the stream
+    * must emit its post-DV row set, never the raw physical rows),
+    * whether it carried removes (a non-append change the stream must
+    * refuse without `ignoreChanges` — delta-spark's contract), and its
+    * metaData schemaString if the version re-declared one. */
   private[sources] case class VersionDelta(
-      adds: Seq[(String, Map[String, String])],
+      adds: Seq[(String, Map[String, String],
+        Option[DeletionVectors.Descriptor])],
       hasRemoves: Boolean,
       schemaJson: Option[String])
 
@@ -1136,8 +1228,8 @@ object DeltaBridge {
         if (m.containsKey("remove")) removes = true
         applyAction(st, m)
       }
-    VersionDelta(st.live.toSeq.map { case (p, e) => (p, e.pv) }, removes,
-      Option(st.schemaJson))
+    VersionDelta(st.live.toSeq.map { case (p, e) => (p, e.pv, e.dv) },
+      removes, Option(st.schemaJson))
   }
 
   /** THE stats-bound comparator — EXACT for every JSON number: Long vs
@@ -1198,6 +1290,72 @@ object DeltaBridge {
         "over a DV'd table is unsupported")
     Snapshot(st.schemaJson, st.partitionCols,
       st.live.toSeq.map { case (p, e) => (p, e.pv, e.stats) })
+  }
+
+  /** The STREAMING flavor of [[snapshot]] — tolerates deletion vectors
+    * (the stream serves their post-DV row sets through
+    * [[buildDataFrameWithDvs]]; a batch-zero or recovery snapshot over a
+    * table that took a DV delete must not brick the stream — VERDICT r14
+    * directive 6) but still refuses column mapping, whose physical-name
+    * scans the streaming source cannot plan. */
+  private[sources] case class StreamSnapshot(
+      schemaJson: String,
+      partitionCols: Seq[String],
+      live: Seq[(String, Map[String, String],
+        Option[DeletionVectors.Descriptor])])
+
+  private[sources] def streamSnapshot(spark: SparkSession, table: String,
+                                      versionAsOf: Option[Long])
+      : StreamSnapshot = {
+    val st = readState(spark, table, versionAsOf)
+    require(st.schemaJson != null, s"$table: no metaData action in log")
+    require(columnMappingMode(st) == "none",
+      s"$table: column-mapped snapshots have no parquet-index form — " +
+        "batch mounts serve them via the extended read (DeltaBridge.mount);" +
+        " streaming over a mapped table is unsupported")
+    StreamSnapshot(st.schemaJson, st.partitionCols,
+      st.live.toSeq.map { case (p, e) => (p, e.pv, e.dv) })
+  }
+
+  /** [[buildDataFrame]] extended with per-file deletion-vector
+    * filtering: DV-free files go through the shared builder untouched
+    * (one scan branch per stage prefix); each DV'd file reads its data
+    * schema with `_metadata.row_index` filtered against the loaded
+    * vector (the extended-read discipline), partition columns attached
+    * as typed literals from the log. The DV branches are bounded by the
+    * batch's own DV'd-file count — a streaming micro-batch shape, never
+    * O(table). */
+  private[sources] def buildDataFrameWithDvs(
+      spark: SparkSession, table: String, schema: StructType,
+      partitionCols: Seq[String],
+      files: Seq[(String, Map[String, String],
+        Option[DeletionVectors.Descriptor])]): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    val (dvd, clean) = files.partition(_._3.isDefined)
+    val cleanDf = buildDataFrame(spark, table, schema, partitionCols,
+      clean.map { case (p, pv, _) => (p, pv) })
+    if (dvd.isEmpty) cleanDf
+    else {
+      val dataSchema = StructType(
+        schema.filterNot(f => partitionCols.contains(f.name)))
+      val ordered: Seq[Column] = schema.fieldNames.toSeq.map(col)
+      val branches = dvd.map { case (p, pv, d) =>
+        val deleted = DeletionVectors.load(table, d.get)
+        val dropped = udf((i: Long) =>
+          java.util.Arrays.binarySearch(deleted, i) >= 0)
+        val base = spark.read.schema(dataSchema).parquet(s"$table/$p")
+          .filter(!dropped(col("_metadata.row_index")))
+        partitionCols.foldLeft(base) { (df, c) =>
+          val dt = schema(c).dataType
+          df.withColumn(c,
+            Option(pv.getOrElse(c, null))
+              .map(v => lit(v).cast(dt))
+              .getOrElse(lit(null).cast(dt)))
+        }.select(ordered: _*)
+      }
+      ((if (clean.nonEmpty) Seq(cleanDf) else Seq.empty) ++ branches)
+        .reduce(_ unionByName _)
+    }
   }
 
   /** Some(logical schema) iff the snapshot needs the EXTENDED read path —
@@ -1370,12 +1528,15 @@ object DeltaBridge {
     * parts as one scan for the multi-part form). Rows stream to the
     * driver through `toLocalIterator` — one partition in memory at a
     * time, never the whole manifest as a second driver-side array (the
-    * replayed `st.live` map is the only O(files) driver state, and it is
-    * the reader's product). Bootstraps into a FRESH state only; remove
-    * tombstones are then no-ops by construction (a fresh replay holds
-    * exactly the checkpoint's own adds, and the protocol's order-free
-    * rule says an add beats a tombstone for the same path within one
-    * checkpoint), so they are skipped explicitly rather than re-ordered. */
+    * replayed `st.live` + tombstone maps are the only O(files) driver
+    * state, and they are the reader's product). Bootstraps into a FRESH
+    * state only; remove tombstones are no-ops for the LIVE set by
+    * construction (a fresh replay holds exactly the checkpoint's own
+    * adds, and the protocol's order-free rule says an add beats a
+    * tombstone for the same path within one checkpoint) but are carried
+    * as state — with txn actions — so a later checkpoint republishes
+    * them (ADVICE r14: dropping either broke foreign writers' vacuum /
+    * streaming idempotence across this bridge's log cleanup). */
   private def bootstrapFromCheckpoint(spark: SparkSession, table: String,
                                       cv: Long, st: LogState): Unit = {
     require(st.live.isEmpty && st.schemaJson == null,
@@ -1435,7 +1596,25 @@ object DeltaBridge {
         st.live += (a.getAs[String]("path") ->
           AddEntry(pv, field[String](a, "stats"), dv))
       }
-      // remove tombstones: no-ops in a fresh bootstrap (see Scaladoc)
+      // remove tombstones: no-ops for the LIVE set in a fresh bootstrap
+      // (see Scaladoc) but carried as state so a LATER checkpoint built
+      // on this bootstrap republishes them (the spec's retention chain;
+      // a path also added in this checkpoint stays live — defensive, a
+      // conformant checkpoint never carries both)
+      struct("remove").foreach { r =>
+        val p = r.getAs[String]("path")
+        if (!st.live.contains(p))
+          st.tombstones += (p -> (
+            field[Long](r, "deletionTimestamp"),
+            field[Boolean](r, "dataChange").getOrElse(true)))
+      }
+      struct("txn").foreach { tx =>
+        st.txns += (tx.getAs[String]("appId") -> (
+          tx.getAs[Long]("version"), field[Long](tx, "lastUpdated")))
+      }
     }
+    // the add-beats-tombstone rule, order-free: a foreign checkpoint
+    // may serialize a path's remove row before its add row
+    st.live.keysIterator.foreach(st.tombstones -= _)
   }
 }

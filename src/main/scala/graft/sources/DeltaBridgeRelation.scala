@@ -132,7 +132,9 @@ class DeltaBridgeSource extends RelationProvider
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
     val table = tableOf(parameters)
-    val snap = DeltaBridge.snapshot(ctx.sparkSession, table, None)
+    // streamSnapshot: a DV'd head must not brick stream creation — the
+    // source serves post-DV row sets (column mapping still refuses)
+    val snap = DeltaBridge.streamSnapshot(ctx.sparkSession, table, None)
     (shortName(),
       DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
   }
@@ -206,11 +208,14 @@ private[sources] class DeltaBridgeStreamSink(
   * callback. Only
   * versions committed AFTER the served snapshot (or after n) get the
   * per-version checks: a version that REMOVES files — an
-  * overwrite/merge, not an append — fails the stream loud unless
-  * `ignoreChanges=true` (then its adds still stream; re-written rows
-  * re-deliver, delta's own documented ignoreChanges trade), and a
-  * metaData with a DIFFERENT schemaString fails loud rather than
-  * silently misreading.
+  * overwrite/merge/DV delete, not an append — fails the stream loud
+  * unless `ignoreChanges=true` (then its adds still stream; re-written
+  * rows re-deliver, delta's own documented ignoreChanges trade, and a
+  * DV'd add delivers its POST-DELETE row set through the vector-aware
+  * builder, never raw physical rows), and a metaData with a DIFFERENT
+  * schemaString fails loud rather than silently misreading. Batch-zero
+  * and recovery snapshots over a DV'd table likewise serve post-DV
+  * rows ([[DeltaBridge.streamSnapshot]]) instead of refusing.
   *
   * Scale: getOffset is one directory listing; a batch reads exactly the
   * snapshot (once) plus the new versions' files through
@@ -230,7 +235,7 @@ private[sources] class DeltaBridgeStreamSource(
     * a checkpoint-only log (JSON commits cleaned up past the
     * checkpoint), which snapshots fine and must still serve batch zero. */
   private val headVersion: Long = DeltaBridge.headVersion(table)
-  private val snap0 = DeltaBridge.snapshot(spark, table,
+  private val snap0 = DeltaBridge.streamSnapshot(spark, table,
     Some(headVersion).filter(_ >= 0))
   override val schema: StructType =
     DataType.fromJson(snap0.schemaJson).asInstanceOf[StructType]
@@ -306,11 +311,12 @@ private[sources] class DeltaBridgeStreamSource(
     // predates the re-pinned head, and serving the newer snapshot while
     // committing the old offset would double-deliver every version
     // committed while the stream was down (r12 review finding).
-    val files: Seq[(String, Map[String, String])] =
+    val files: Seq[(String, Map[String, String],
+        Option[DeletionVectors.Descriptor])] =
       if (serveSnapshot && start.isEmpty) {
         val snap =
           if (hi == headVersion) snap0
-          else DeltaBridge.snapshot(spark, table, Some(hi))
+          else DeltaBridge.streamSnapshot(spark, table, Some(hi))
         // recovery batch zero reads at ITS offset but is served under
         // this instance's declared schema (the engine requires it) —
         // if the schema moved between the recovered offset and the
@@ -321,7 +327,7 @@ private[sources] class DeltaBridgeStreamSource(
             s"$table: the schema changed between the checkpointed batch " +
               s"(version $hi) and the current head; delete the checkpoint " +
               "to restart the stream under the current schema")
-        snap.live.map { case (p, pv, _) => (p, pv) }
+        snap.live
       } else {
         val lo = start.map(_.json().toLong).getOrElse(startExclusive)
         // a metaData action whose schema EQUALS the pinned head schema
@@ -334,9 +340,10 @@ private[sources] class DeltaBridgeStreamSource(
         val adds = ((lo + 1) to hi).flatMap { v =>
           val d = DeltaBridge.versionDelta(table, v)
           require(!d.hasRemoves || ignoreChanges,
-            s"$table version $v removes files (overwrite/merge in the stream); " +
-              "set ignoreChanges=true to stream its adds anyway " +
-              "(re-written rows re-deliver)")
+            s"$table version $v removes files (overwrite/merge/DV delete " +
+              "in the stream); set ignoreChanges=true to stream its adds " +
+              "anyway (re-written rows re-deliver; a DV'd add delivers " +
+              "its post-delete rows)")
           d.schemaJson.foreach { sj =>
             if (sj != snap0.schemaJson)
               throw new IllegalStateException(
@@ -368,8 +375,8 @@ private[sources] class DeltaBridgeStreamSource(
     if (files.isEmpty)
       org.apache.spark.sql.GraftSqlBridge.emptyStreaming(spark, schema)
     else org.apache.spark.sql.GraftSqlBridge.asStreaming(
-      DeltaBridge.buildDataFrame(spark, table, schema, snap0.partitionCols,
-        files))
+      DeltaBridge.buildDataFrameWithDvs(spark, table, schema,
+        snap0.partitionCols, files))
   }
 
   /** V1 commit callback — the engine signals `end` durable, here and

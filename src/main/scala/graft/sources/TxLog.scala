@@ -468,7 +468,7 @@ object TxLog {
             return recordBatch(table, batchId, checked + 1, appId)
       }
     }
-    throw new IllegalStateException(s"appendBatch $table: too many conflicts")
+    occExhausted("appendBatch", table, 100)
   }
 
   private def hasBatchId(table: String, v: Int, batchId: Long,
@@ -587,6 +587,23 @@ object TxLog {
                   remove: Seq[String], batchId: Option[Long] = None,
                   appId: Option[String] = None): Boolean =
     publish(table, v, commitJson(v, add, remove, batchId, appId))
+
+  /** Uniform OCC-exhaustion failure for every write loop: the claim
+    * loop re-reads the head and retries, so reaching the attempt budget
+    * means a concurrent writer claimed the next version every single
+    * time. FAIL-LOUD CONTRACT (spec'd in TxLogSpec under a deliberately
+    * racing committer): nothing was committed — every staged file and
+    * sidecar of the losing attempts is unreferenced by the log and
+    * vacuum-collectable — so the caller retries the whole statement,
+    * never repairs partial state. */
+  private def occExhausted(op: String, table: String,
+                           attempts: Int): Nothing =
+    throw new IllegalStateException(
+      s"$op on $table: gave up after $attempts OCC attempts — a " +
+        "concurrent writer claimed the next version every time. No " +
+        "partial state was committed (losing attempts' staged files are " +
+        "unreferenced and vacuum-collectable); retry the statement when " +
+        "contention subsides")
 
   /** VACUUM: physically delete data files no retained version references —
     * Delta's VACUUM trade brought to the TxLog. The newest
@@ -864,7 +881,7 @@ object TxLog {
         return base + 1
       // lost the race: staged files become unreferenced garbage for vacuum
     }
-    throw new IllegalStateException(s"optimize $table: too many conflicts")
+    occExhausted("optimize", table, 20)
   }
 
   /** MERGE (upsert) by `key`: rows of `updates` replace same-key rows in
@@ -910,7 +927,7 @@ object TxLog {
         return base + 1
       // lost the race: staged files become vacuum-collectable garbage
     }
-    throw new IllegalStateException(s"merge into $table: too many conflicts")
+    occExhausted("merge", table, 20)
   }
 
   /** One WHEN clause's effect in [[mergeClauses]]. UPDATE SET expressions
@@ -945,19 +962,25 @@ object TxLog {
     * rewrite the live set — exactly delta-spark's cost model for the same
     * statement. Inserts anti-join the source against the matched keys
     * (hit rows contain every matched key by construction, so the probe
-    * never scans beyond the hit set). SQL MERGE cardinality: duplicate
-    * non-null source keys are refused whenever a MATCHED clause exists
-    * (the join would multiply target rows). Conflict-safe via the OCC
-    * claim loop; `tableCols` pins the output column set/order (needed
-    * when the statement only inserts). */
+    * never scans beyond the hit set). SQL MERGE cardinality enforced
+    * IN THE JOIN (delta-spark's runtime rule): a target row matched by
+    * several source rows has no deterministic verdict, so the rewrite
+    * fails loudly the moment such a row is seen — a per-key source
+    * count rides the join side (same shuffle the join pays; no separate
+    * probe scan over the source) and `raise_error` fires only for keys
+    * that actually match a target row. Duplicate source keys that all
+    * INSERT are legal and each insert, exactly as delta-spark accepts
+    * them. Conflict-safe via the OCC claim loop; `tableCols` pins the
+    * output column set/order (needed when the statement only inserts). */
   def mergeClauses(spark: SparkSession, source: DataFrame, table: String,
                    keys: Seq[String], tableCols: Seq[String],
                    matched: Seq[(Option[String], MergeClauseAction)],
                    notMatchedInsert: Seq[(Option[String], Seq[(String, String)])],
                    notMatchedBySource: Seq[(Option[String], MergeClauseAction)],
-                   partFiles: Int = 2): Int = {
+                   partFiles: Int = 2,
+                   maxDvFraction: Double = 0.0): Int = {
     import org.apache.spark.sql.Column
-    import org.apache.spark.sql.functions.{coalesce, col, expr, input_file_name, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, expr, input_file_name, lit, raise_error, when}
     require(keys.nonEmpty, "mergeClauses: no join keys")
     require(matched.nonEmpty || notMatchedInsert.nonEmpty ||
       notMatchedBySource.nonEmpty, "mergeClauses: no WHEN clauses")
@@ -976,17 +999,6 @@ object TxLog {
     // a source row with ANY null key column matches nothing (SQL equality)
     def allKeysNonNull(of: Seq[String]): Column =
       of.map(col(_).isNotNull).reduce(_ && _)
-    if (matched.nonEmpty) {
-      // SQL MERGE cardinality: a target row matched by several source
-      // rows has no deterministic UPDATE — refuse (delta-spark errors on
-      // the same shape). limit(1) probe: existence, not a full count.
-      val dup = source.filter(allKeysNonNull(keys))
-        .groupBy(keys.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dup == 0,
-        s"mergeClauses into $table: the source has multiple rows for the " +
-          "same join key — SQL MERGE cardinality violation")
-    }
     val srcKeys = keys.map(k => s"__src_$k")
     // first clause whose condition holds (NULL = false) wins; -1 = none
     def cascade(conds: Seq[Option[String]]): Column =
@@ -1021,63 +1033,182 @@ object TxLog {
         }
       if (hitRel.isEmpty && notMatchedInsert.isEmpty) return base
       val parts = scala.collection.mutable.Buffer.empty[DataFrame]
-      val targetOpt =
-        if (hitRel.isEmpty) None
-        else Some(readEntries(spark, table, hitRel, partCols, partTypes))
       // source columns prefixed __src_ so both namespaces coexist in the
       // joined row (the match MARKER sits outside that prefix — a source
       // column named `present` must not collide with it). With no
       // MATCHED clause the join right side is the DISTINCT key set
       // (duplicate source keys must not multiply kept target rows);
-      // matched clauses need the full source row and the cardinality
-      // check above made it key-unique.
+      // matched clauses carry the full source row PLUS its per-key
+      // count (a window over the join keys — the same hash partitioning
+      // the join shuffle needs, never a second source scan) so the
+      // cardinality rule can fire in the join itself.
       val joinRight =
-        if (matched.nonEmpty)
+        if (matched.nonEmpty) {
+          import org.apache.spark.sql.expressions.Window
           source.select(source.columns.toIndexedSeq.map(c =>
               col(c).as(s"__src_$c")): _*)
+            .withColumn("__graft_srccnt", count(lit(1))
+              .over(Window.partitionBy(srcKeys.map(col): _*)))
             .withColumn("__graft_present", lit(true))
+        }
         else keyRows.select(keys.zip(srcKeys).map { case (k, sk) =>
             col(k).as(sk) }: _*)
           .withColumn("__graft_present", lit(true))
-      targetOpt.foreach { target =>
-        // ONE pass over the hit files (delta-spark's single-join rewrite
-        // — at 100 TB a BY SOURCE merge rewrites the table, and reading
-        // it once instead of once-per-branch halves the rewrite's I/O):
-        // each row resolves its side (__matched) and its firing clause
-        // (__clause, first-match-wins), deletes filter out, and every
-        // column folds its UPDATE expressions under mutually-exclusive
-        // (side, clause) guards — all SET expressions see OLD values
-        // (one projection, never sequential withColumn).
-        val joined = target.join(joinRight,
-            keys.zip(srcKeys).map { case (k, sk) => col(k) === col(sk) }
-              .reduce(_ && _), "left_outer")
-          .withColumn("__matched", col("__graft_present").isNotNull)
-          .withColumn("__clause",
-            when(col("__graft_present").isNotNull,
-                cascade(matched.map(_._1)))
-              .otherwise(cascade(notMatchedBySource.map(_._1))))
-        def side(matchedSide: Boolean): Column =
-          if (matchedSide) col("__matched") else !col("__matched")
-        def deleteCond(clauses: Seq[(Option[String], MergeClauseAction)],
-                       matchedSide: Boolean): Column = {
-          val idx = clauses.zipWithIndex.collect {
-            case ((_, MergeDelete), i) => i }
-          if (idx.isEmpty) lit(false)
-          else side(matchedSide) && col("__clause").isin(idx.map(Int.box): _*)
+      val joinOn = keys.zip(srcKeys).map { case (k, sk) => col(k) === col(sk) }
+        .reduce(_ && _)
+      // SQL MERGE cardinality, delta-spark's RUNTIME rule: the error
+      // fires only when a duplicated source key actually matches a
+      // target row (duplicates that all insert are legal). Folded into
+      // the __matched resolution so no joined row — updated, deleted
+      // or kept — can pass before its key's count is checked, and the
+      // whole statement fails before any commit (staged files from the
+      // failed job are unreferenced garbage, the table is untouched).
+      val matchedCol =
+        if (matched.isEmpty) col("__graft_present").isNotNull
+        else when(col("__graft_present").isNotNull &&
+            col("__graft_srccnt") > 1,
+          raise_error(concat(
+            lit(s"mergeClauses into $table: multiple source rows match " +
+              "one target row — SQL MERGE cardinality violation (key "),
+            concat_ws(",", srcKeys.map(k => col(k).cast("string")): _*),
+            lit(")"))).cast("boolean"))
+          .otherwise(col("__graft_present").isNotNull)
+      val clauseCol =
+        when(col("__graft_present").isNotNull, cascade(matched.map(_._1)))
+          .otherwise(cascade(notMatchedBySource.map(_._1)))
+      def side(matchedSide: Boolean): Column =
+        if (matchedSide) col("__matched") else !col("__matched")
+      def clauseIdx(clauses: Seq[(Option[String], MergeClauseAction)],
+                    pf: PartialFunction[MergeClauseAction, Unit]): Seq[Int] =
+        clauses.zipWithIndex.collect {
+          case ((_, a), i) if pf.isDefinedAt(a) => i }
+      def deleteCond(clauses: Seq[(Option[String], MergeClauseAction)],
+                     matchedSide: Boolean): Column = {
+        val idx = clauseIdx(clauses, { case MergeDelete => () })
+        if (idx.isEmpty) lit(false)
+        else side(matchedSide) && col("__clause").isin(idx.map(Int.box): _*)
+      }
+      def applyUpdates(base: Column, c: String,
+                       clauses: Seq[(Option[String], MergeClauseAction)],
+                       matchedSide: Boolean): Column =
+        clauses.zipWithIndex.foldLeft(base) {
+          case (acc, ((_, MergeUpdate(set)), i)) =>
+            set.toMap.get(c) match {
+              case Some(e) =>
+                when(side(matchedSide) && col("__clause") === i, expr(e))
+                  .otherwise(acc)
+              case None => acc
+            }
+          case (acc, _) => acc
         }
-        def applyUpdates(base: Column, c: String,
-                         clauses: Seq[(Option[String], MergeClauseAction)],
-                         matchedSide: Boolean): Column =
-          clauses.zipWithIndex.foldLeft(base) {
-            case (acc, ((_, MergeUpdate(set)), i)) =>
-              set.toMap.get(c) match {
-                case Some(e) =>
-                  when(side(matchedSide) && col("__clause") === i, expr(e))
-                    .otherwise(acc)
-                case None => acc
-              }
-            case (acc, _) => acc
+      // ---- MERGE-ON-READ phase (maxDvFraction > 0): a hit file whose
+      // matched rows resolve ONLY to DELETE clauses, with a deleted
+      // fraction at most maxDvFraction, publishes a deletion vector
+      // instead of rewriting (the deleteWhereDv economics applied to
+      // MERGE matched-DELETE: a takedown-style merge touching <1% of
+      // rows in a 1 GB file costs O(deleted rows)); files where an
+      // UPDATE fires, or above the threshold, rewrite copy-on-write as
+      // before. A file whose matched rows fire NO clause carries over by
+      // reference — nothing changed in it. The probe is one aggregate
+      // pass over the hit files sharing the rewrite's own join; its
+      // result is metadata-sized (one row per hit file).
+      val matchedDelIdx = clauseIdx(matched, { case MergeDelete => () })
+      val matchedUpdIdx = clauseIdx(matched,
+        { case MergeUpdate(_) => () })
+      var dvOldEntries: Seq[String] = Seq.empty
+      var dvAdds: Seq[String] = Seq.empty
+      var rwRel: Seq[String] = hitRel
+      val dvPhase = maxDvFraction > 0 && matchedDelIdx.nonEmpty &&
+        notMatchedBySource.isEmpty && hitRel.nonEmpty
+      if (dvPhase) {
+        import org.apache.spark.sql.functions.sum
+        val delFires = side(matchedSide = true) &&
+          col("__clause").isin(matchedDelIdx.map(Int.box): _*)
+        val updFires =
+          if (matchedUpdIdx.isEmpty) lit(false)
+          else side(matchedSide = true) &&
+            col("__clause").isin(matchedUpdIdx.map(Int.box): _*)
+        val probe = readEntries(spark, table, hitRel, partCols, partTypes)
+          .withColumn("__graft_file", input_file_name())
+          .join(joinRight, joinOn, "left_outer")
+          .withColumn("__matched", matchedCol)
+          .withColumn("__clause", clauseCol)
+        val stats = probe.groupBy("__graft_file")
+          .agg(sum(when(delFires, lit(1L)).otherwise(lit(0L))).as("dels"),
+            sum(when(updFires, lit(1L)).otherwise(lit(0L))).as("upds"),
+            count(lit(1)).as("nrows"))
+          .collect()
+          .map(r => (decodeFileUri(r.getString(0)),
+            r.getLong(1), r.getLong(2), r.getLong(3)))
+        def entryOf(abs: String): String =
+          hitRel.find(e => abs.endsWith(entryPath(e))).getOrElse(
+            throw new IllegalStateException(
+              s"mergeClauses: probed file $abs not in the hit set"))
+        val dvBound = stats.filter { case (_, dels, upds, nrows) =>
+          upds == 0 && dels > 0 && dels.toDouble <= maxDvFraction * nrows }
+        val untouched = stats.filter { case (_, dels, upds, _) =>
+          dels == 0 && upds == 0 }
+        val dropRel = (dvBound ++ untouched)
+          .map { case (abs, _, _, _) => entryOf(abs) }.toSet
+        rwRel = hitRel.filterNot(dropRel.contains)
+        dvOldEntries = dvBound.toSeq.map { case (abs, _, _, _) => entryOf(abs) }
+        if (dvOldEntries.nonEmpty) {
+          // deleted PHYSICAL row indices, driver-sized by the threshold;
+          // unioned with any existing vector (same discipline as
+          // deleteWhereDv — the superseded sidecar becomes garbage)
+          val byFile = readEntries(spark, table, dvOldEntries, partCols,
+              partTypes)
+            .withColumn("__graft_file", input_file_name())
+            .withColumn("__graft_ridx", col("_metadata.row_index"))
+            .join(joinRight, joinOn, "left_outer")
+            .withColumn("__matched", matchedCol)
+            .withColumn("__clause", clauseCol)
+            .where(delFires)
+            .select("__graft_file", "__graft_ridx")
+            .collect()
+            .groupBy(r => decodeFileUri(r.getString(0)))
+            .map { case (abs, rs) => abs -> rs.map(_.getLong(1)) }
+          val ordered = dvOldEntries.map { e =>
+            val abs = byFile.keys.find(_.endsWith(entryPath(e))).getOrElse(
+              throw new IllegalStateException(
+                s"mergeClauses: DV-bound file ${entryPath(e)} vanished " +
+                  "from the index pass"))
+            val old = entryDv(e)
+              .map(d => DeletionVectors.load(table, d.descriptor))
+              .getOrElse(Array.empty[Long])
+            (e, (old ++ byFile(abs)).distinct.sorted)
           }
+          val (uuid, spans) = DeletionVectors.writeDvFileRef(table,
+            ordered.map(_._2))
+          dvAdds = ordered.zip(spans).map { case ((e, vals), (off, sz)) =>
+            (entryWithoutDv(e) :+
+              DvRef(uuid.toString, off, sz, vals.length.toLong).enc)
+              .mkString("#")
+          }
+        }
+      }
+      val targetOpt =
+        if (rwRel.isEmpty) None
+        else Some(readEntries(spark, table, rwRel, partCols, partTypes))
+      // the insert anti-join needs the matched keys of EVERY hit file —
+      // including DV'd and carried-over ones the rewrite no longer reads
+      val hitKeysOpt: Option[DataFrame] =
+        if (hitRel.isEmpty) None
+        else if (rwRel == hitRel) targetOpt.map(_.select(keys.map(col): _*))
+        else Some(readEntries(spark, table, hitRel, partCols, partTypes)
+          .select(keys.map(col): _*))
+      targetOpt.foreach { target =>
+        // ONE pass over the rewrite-bound files (delta-spark's
+        // single-join rewrite — at 100 TB a BY SOURCE merge rewrites the
+        // table, and reading it once instead of once-per-branch halves
+        // the rewrite's I/O): each row resolves its side (__matched) and
+        // its firing clause (__clause, first-match-wins), deletes filter
+        // out, and every column folds its UPDATE expressions under
+        // mutually-exclusive (side, clause) guards — all SET expressions
+        // see OLD values (one projection, never sequential withColumn).
+        val joined = target.join(joinRight, joinOn, "left_outer")
+          .withColumn("__matched", matchedCol)
+          .withColumn("__clause", clauseCol)
         val kept = joined.filter(!(deleteCond(matched, matchedSide = true) ||
           deleteCond(notMatchedBySource, matchedSide = false)))
         parts += kept.select(tableCols.map { c =>
@@ -1091,6 +1222,10 @@ object TxLog {
       // must not land mistyped files under a silently different schema)
       var schemaRef: Option[org.apache.spark.sql.types.StructType] =
         targetOpt.map(_.schema)
+          // all hit files DV'd or carried over: pin from one hit file
+          // (footer-priced) so INSERT typing is still enforced
+          .orElse(hitRel.headOption.map(h => readEntries(spark, table,
+            Seq(h), partCols, partTypes).schema))
       if (notMatchedInsert.nonEmpty) {
         val src0 = source.select(source.columns.toIndexedSeq.map(c =>
           col(c).as(s"__src_$c")): _*)
@@ -1099,8 +1234,8 @@ object TxLog {
         // when key discovery RAN and found nothing, every source key is
         // provably absent — no anti-join at all; a column-pruned
         // full-live scan only for insert-only statements (no discovery)
-        val tKeys: Option[DataFrame] = targetOpt match {
-          case Some(t) => Some(t.select(keys.map(col): _*))
+        val tKeys: Option[DataFrame] = hitKeysOpt match {
+          case Some(tk) => Some(tk)
           case None if live.nonEmpty && !needTargetRewrite =>
             val fullLive = readEntries(spark, table, live, partCols, partTypes)
             schemaRef = schemaRef.orElse(Some(fullLive.schema))
@@ -1130,25 +1265,39 @@ object TxLog {
               expr(byCol(c.toLowerCase)).as(c)): _*)
         }
       }
-      val rewrite = parts.reduce(_.unionByName(_))
-      // ENFORCE type stability like [[updateWhere]]: a widening SET or a
-      // mistyped INSERT value must not land rewritten files under a
-      // silently different parquet type than the carried-over files
-      schemaRef.foreach { ref =>
-        val tTypes = ref.fields.map(f => f.name -> f.dataType).toMap
-        rewrite.schema.fields.foreach { f =>
-          require(tTypes.get(f.name).forall(_ == f.dataType),
-            s"mergeClauses: clause changes ${f.name}: " +
-              s"${tTypes(f.name)} -> ${f.dataType} — the table schema is " +
-              "fixed by the log; CAST the expression back")
+      // parts can be EMPTY under the DV phase (every hit file DV'd or
+      // carried over, no inserts) — the commit is then DV adds only
+      val staged: Seq[String] =
+        if (parts.isEmpty) Seq.empty
+        else {
+          val rewrite = parts.reduce(_.unionByName(_))
+          // ENFORCE type stability like [[updateWhere]]: a widening SET
+          // or a mistyped INSERT value must not land rewritten files
+          // under a silently different parquet type than the carried-over
+          // files
+          schemaRef.foreach { ref =>
+            val tTypes = ref.fields.map(f => f.name -> f.dataType).toMap
+            rewrite.schema.fields.foreach { f =>
+              require(tTypes.get(f.name).forall(_ == f.dataType),
+                s"mergeClauses: clause changes ${f.name}: " +
+                  s"${tTypes(f.name)} -> ${f.dataType} — the table schema " +
+                  "is fixed by the log; CAST the expression back")
+            }
+          }
+          stageLike(rewrite, table, partCols, partFiles)
         }
-      }
-      val staged = stageLike(rewrite, table, partCols, partFiles)
-      if (tryCommitAt(table, base + 1, add = staged, remove = hitRel))
+      if (dvAdds.isEmpty && staged.isEmpty && rwRel.isEmpty &&
+          dvOldEntries.isEmpty)
+        return base // DV probe proved the whole statement a no-op
+      // remove = rewritten files + DV-superseded entries; hit files the
+      // DV probe proved untouched carry over by reference
+      if (tryCommitAt(table, base + 1, add = dvAdds ++ staged,
+          remove = rwRel ++ dvOldEntries))
         return base + 1
-      // lost the race: staged files become vacuum-collectable garbage
+      // lost the race: staged files / sidecars become vacuum-collectable
+      // garbage
     }
-    throw new IllegalStateException(s"merge into $table: too many conflicts")
+    occExhausted("merge", table, 20)
   }
 
   /** DELETE WHERE `predicate` (SQL-standard semantics: rows where the
@@ -1270,7 +1419,7 @@ object TxLog {
         return base + 1
       // lost the race: staged files / sidecars become unreferenced garbage
     }
-    throw new IllegalStateException(s"delete on $table: too many conflicts")
+    occExhausted("delete", table, 20)
   }
 
   /** UPDATE ... SET WHERE `predicate`: matching rows are replaced by
@@ -1345,7 +1494,7 @@ object TxLog {
         return base + 1
       // lost the race: staged files become vacuum-collectable garbage
     }
-    throw new IllegalStateException(s"$op on $table: too many conflicts")
+    occExhausted(op, table, 20)
   }
 
   /** RESTORE the table to its state at `asOfVersion` — delta-spark's
@@ -1404,7 +1553,7 @@ object TxLog {
         return head + 1
       // lost the race — re-read the log, recompute actions, retry
     }
-    throw new IllegalStateException(s"commit to $table: too many conflicts")
+    occExhausted("commit", table, 100)
   }
 
   private def commitJson(v: Int, add: Seq[String], remove: Seq[String],

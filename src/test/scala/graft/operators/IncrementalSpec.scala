@@ -108,6 +108,51 @@ class IncrementalSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("d30 regime bound: gate-corpus shingle buckets stay small enough " +
+    "for the exact form, and d141's df ceiling caps a PLANTED hot shingle") {
+    import spark.implicits._
+    // the property behind d30's Scaladoc regime boundary: pair volume is
+    // Σ C(df,2) over shingle document frequencies; on the corpora d30
+    // actually runs (the gate fixtures) the max df and the total pair
+    // volume must stay far below explosion (documented: ≤ 25 docs/shingle
+    // at sf0.1, ≤ 64·|docs| pairs)
+    val df = Dedup.shingleIndex(spark, sf)
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .agg(max(col("df")).as("max_df"),
+        sum(col("df") * (col("df") - 1) / 2).as("pairs"))
+      .collect().head
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(df.getLong(0) <= 25,
+      s"max shingle df ${df.getLong(0)} breaks d30's documented regime — " +
+        "switch the gate entry to the capped form (d141)")
+    assert(df.getAs[Number](1).longValue() <= 64L * nDocs,
+      s"d30 pair volume ${df.get(1)} exceeds 64·|docs| — out of regime")
+    // d141's production answer to the regime's failure mode: ONE shingle
+    // shared by 60 docs (df far above the ceiling of 10) contributes
+    // ZERO pairs; a rare near-dup pair still surfaces through its
+    // sub-ceiling shingles.
+    val boiler = "shared boilerplate footer appears in every single page " +
+      "of this synthetic corpus unchanged throughout"
+    val corpus = Files.createTempDirectory("planted_shingle").toString
+    val docs =
+      (1 to 60).map(i => (i.toLong,
+        s"$boiler unique tail number $i with words w${i}a w${i}b w${i}c",
+        "en", "web", 80L)) ++
+      Seq((200L, "rare duplicated article body with distinctive shingle " +
+            "vocabulary of its own kind", "en", "web", 80L),
+          (201L, "rare duplicated article body with distinctive shingle " +
+            "vocabulary of its own kind", "en", "web", 80L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$corpus/documents.parquet")
+    val capped = Dedup.d141CappedJaccard(spark, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((200L, 201L)),
+      "the rare pair must survive the df ceiling")
+    assert(capped.forall { case (a, b) => a >= 200L && b >= 200L },
+      s"boilerplate-only pairs must be dropped by the cap; got $capped")
+  }
+
   test("s139 covariance: diagonal is variance >= 0, one entry checks by hand") {
     val rows = Similarity.s139Covariance(spark, sf).collect()
     assert(rows.length === 136) // upper triangle of 16x16

@@ -1570,4 +1570,136 @@ class DeltaBridgeSpec extends SparkSpec {
     // at version 0 the file is DV-free
     assert(DeltaBridge.read(spark, t, versionAsOf = Some(0L)).count() == 6)
   }
+
+  test("checkpoint preserves txn actions and IN-RETENTION remove " +
+    "tombstones (spec completeness, ADVICE r14); expired tombstones age " +
+    "out; both survive a bootstrap → re-checkpoint chain") {
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    val f0 = stageOneFile(Seq((1L, "a")).toDF("id", "v"), t, "p0.parquet")
+    val f1 = stageOneFile(Seq((2L, "b")).toDF("id", "v"), t, "p1.parquet")
+    val f2 = stageOneFile(Seq((3L, "c")).toDF("id", "v"), t, "p2.parquet")
+    val f3 = stageOneFile(Seq((4L, "d")).toDF("id", "v"), t, "p3.parquet")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val recent = System.currentTimeMillis() - 3600 * 1000 // 1h: in retention
+    val expired = 1700000000000L // 2023: far past the 1-week default
+    writeLogJson(t, 0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"t-ckpt","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    writeLogJson(t, 1L, Seq(
+      """{"txn":{"appId":"upstream-etl","version":7,"lastUpdated":1700000001000}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      s"""{"remove":{"path":"$f0","deletionTimestamp":$recent,"dataChange":true}}"""))
+    writeLogJson(t, 2L, Seq(
+      s"""{"add":{"path":"$f2","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""",
+      s"""{"remove":{"path":"$f1","deletionTimestamp":$expired,"dataChange":true}}"""))
+    assert(DeltaBridge.checkpoint(spark, t) == 2L)
+    def ckptActions(cv: Long) = {
+      val rows = spark.read.parquet(
+        Paths.get(t, "_delta_log", f"$cv%020d.checkpoint.parquet").toString)
+      (rows.filter(col("txn").isNotNull)
+         .select("txn.appId", "txn.version").collect()
+         .map(r => (r.getString(0), r.getLong(1))).toSet,
+       rows.filter(col("remove").isNotNull)
+         .select("remove.path").collect().map(_.getString(0)).toSet,
+       rows.filter(col("add").isNotNull)
+         .select("add.path").collect().map(_.getString(0)).toSet)
+    }
+    val (txns, tombs, adds) = ckptActions(2L)
+    assert(txns == Set(("upstream-etl", 7L)),
+      s"the SetTransaction state must ride the checkpoint: $txns")
+    assert(tombs == Set(f0),
+      s"the in-retention tombstone survives, the expired one ages out: $tombs")
+    assert(adds == Set(f2), s"live set: $adds")
+    // log cleanup under the checkpoint, then a new version + a NEW
+    // checkpoint: the chain must carry the state THROUGH the bootstrap
+    assert(DeltaBridge.vacuumLog(t) == Seq(0L, 1L, 2L))
+    writeLogJson(t, 3L, Seq(
+      s"""{"add":{"path":"$f3","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    assert(DeltaBridge.checkpoint(spark, t) == 3L)
+    val (txns3, tombs3, adds3) = ckptActions(3L)
+    assert(txns3 == Set(("upstream-etl", 7L)),
+      s"txn must survive bootstrap → re-checkpoint: $txns3")
+    assert(tombs3 == Set(f0), s"tombstone chain: $tombs3")
+    assert(adds3 == Set(f2, f3), s"live set at 3: $adds3")
+    // the snapshot read itself is unchanged by the carried state
+    assert(DeltaBridge.read(spark, t).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+  }
+
+  test("STREAMING over DV deletes: a mid-stream DV delete refuses " +
+    "without ignoreChanges, delivers POST-DELETE rows with it, and a " +
+    "fresh stream over the DV'd head serves the post-DV snapshot") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "s"), t, partFiles = 1)
+    DeltaBridge.exportLog(spark, t)
+    // stream 1: default start, no opt-in — the DV delete (a logical
+    // remove) must fail the stream loud, like any remove-bearing version
+    val ckpt1 = Files.createTempDirectory("dv_stream_ckpt1").toString
+    val q1 = spark.readStream.format("graft-delta").load(t)
+      .writeStream.format("memory").queryName("dv_tail1")
+      .option("checkpointLocation", ckpt1).outputMode("append").start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dv_tail1").head().getLong(0)
+        == 100)
+      TxLog.deleteWhereDv(spark, t, "k IN (5, 17)", maxDvFraction = 0.05)
+      DeltaBridge.exportLog(spark, t)
+      val err = intercept[Exception](q1.processAllAvailable())
+      assert(err.getMessage.contains("ignoreChanges") ||
+        Option(err.getCause).exists(_.getMessage.contains("ignoreChanges")),
+        s"a DV'd version must refuse with the opt-in named: $err")
+    } finally q1.stop()
+    // stream 2: fresh default start over the NOW-DV'd head — batch zero
+    // must serve the post-DV snapshot (98 rows), not refuse and not
+    // resurrect deleted rows
+    val ckpt2 = Files.createTempDirectory("dv_stream_ckpt2").toString
+    val q2 = spark.readStream.format("graft-delta")
+      .option("ignoreChanges", "true").load(t)
+      .writeStream.format("memory").queryName("dv_tail2")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM dv_tail2").head().getLong(0)
+        == 98, "batch zero over a DV'd table is its post-DV live set")
+      // mid-stream DV delete under ignoreChanges: the re-published add
+      // re-delivers the file's POST-DELETE rows (the documented
+      // ignoreChanges trade) — never the raw physical rows
+      TxLog.deleteWhereDv(spark, t, "k = 30", maxDvFraction = 0.05)
+      DeltaBridge.exportLog(spark, t)
+      q2.processAllAvailable()
+      val byK = spark.sql("SELECT k, count(*) AS n FROM dv_tail2 GROUP BY k")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(!byK.contains(5L) && !byK.contains(17L),
+        "rows deleted before the stream started must never appear")
+      assert(byK(30L) == 1,
+        "the mid-stream-deleted row appears only from batch zero — the " +
+          s"re-delivered add must exclude it, got ${byK.get(30L)}")
+      assert(byK(31L) == 2, "surviving rows of the DV'd file re-deliver")
+      assert(byK.values.sum == 98 + 97,
+        s"98 snapshot + 97 post-DV re-delivered, got ${byK.values.sum}")
+    } finally q2.stop()
+  }
+
+  test("tombstoneRetentionMs parses the spec's interval forms and " +
+    "defaults to one week") {
+    val week = 7L * 24 * 3600 * 1000
+    assert(DeltaBridge.tombstoneRetentionMs(Map.empty) == week)
+    assert(DeltaBridge.tombstoneRetentionMs(Map(
+      "delta.deletedFileRetentionDuration" -> "interval 2 days")) ==
+      2 * 24 * 3600 * 1000L)
+    assert(DeltaBridge.tombstoneRetentionMs(Map(
+      "delta.deletedFileRetentionDuration" -> "INTERVAL 12 HOURS")) ==
+      12 * 3600 * 1000L)
+    assert(DeltaBridge.tombstoneRetentionMs(Map(
+      "delta.deletedFileRetentionDuration" -> "interval 1 week")) == week)
+    assert(DeltaBridge.tombstoneRetentionMs(Map(
+      "delta.deletedFileRetentionDuration" -> "not an interval")) == week,
+      "unparseable → conservative default")
+  }
 }

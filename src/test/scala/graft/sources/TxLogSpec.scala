@@ -514,6 +514,100 @@ class TxLogSpec extends SparkSpec {
       "the head must survive the sweep")
   }
 
+  test("mergeClauses with maxDvFraction: per-file verdicts split DV / " +
+    "rewrite / carry-over, inserts still stage, ONE commit") {
+    import spark.implicits._
+    val t = freshTable()
+    // file A: 100 rows, file B: 10 rows, file C: 50 rows
+    TxLog.append(spark,
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "s"), t, partFiles = 1)
+    TxLog.append(spark,
+      (1000L until 1010L).map(i => (i, s"v$i")).toDF("k", "s"), t,
+      partFiles = 1)
+    TxLog.append(spark,
+      (2000L until 2050L).map(i => (i, s"v$i")).toDF("k", "s"), t,
+      partFiles = 1)
+    val before = TxLog.liveFiles(t)
+    val vBefore = TxLog.versions(t).last
+    // A: keys 5,17 fire DELETE (2/100 <= 0.05 → DV); B: key 1000 fires
+    // UPDATE (→ rewrite); C: key 2000 matches but fires NO clause
+    // (→ carry over by reference); key 5000 matches nothing (→ INSERT)
+    val src = Seq((5L, "x"), (17L, "x"), (1000L, "x"), (2000L, "x"),
+      (5000L, "ins")).toDF("k", "s")
+    TxLog.mergeClauses(spark, src, t,
+      keys = Seq("k"), tableCols = Seq("k", "s"),
+      matched = Seq(
+        (Some("k < 999"), TxLog.MergeDelete),
+        (Some("k >= 1000 AND k < 2000"),
+          TxLog.MergeUpdate(Seq("s" -> "'UPD'")))),
+      notMatchedInsert = Seq((None,
+        Seq("k" -> "__src_k", "s" -> "__src_s"))),
+      notMatchedBySource = Seq.empty,
+      maxDvFraction = 0.05)
+    assert(TxLog.versions(t).last == vBefore + 1, "ONE commit")
+    val after = TxLog.liveFiles(t)
+    val aEntry = after.find(e =>
+      TxLog.entryPath(e) == TxLog.entryPath(before.head))
+    assert(aEntry.exists(e => TxLog.entryDv(e).exists(_.cardinality == 2L)),
+      s"file A keeps its data file and gains a 2-row DV: $after")
+    assert(!after.map(TxLog.entryPath).contains(TxLog.entryPath(before(1))),
+      "file B (an UPDATE fired) must rewrite out")
+    assert(after.contains(before(2)),
+      "file C (matched but no clause fired) must carry over VERBATIM")
+    val out = TxLog.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!out.contains(5L) && !out.contains(17L), "DV'd rows are gone")
+    assert(out(1000L) == "UPD" && out(1001L) == "v1001", "B updated")
+    assert(out(2000L) == "v2000" && out.contains(2049L), "C unchanged")
+    assert(out(5000L) == "ins", "the unmatched source row inserted")
+    assert(out.size == 98 + 10 + 50 + 1, s"row count, got ${out.size}")
+    // export + bridge agreement over the merge-written vectors
+    DeltaBridge.exportLog(spark, t)
+    val viaBridge = DeltaBridge.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaBridge == out, "bridge read must equal the TxLog read")
+  }
+
+  test("OCC exhaustion under a deliberately-racing committer fails loud " +
+    "with NO partial state") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("k", "s"), t, partFiles = 1)
+    val beforeRows = TxLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // the racer claims every next version with a no-op commit the moment
+    // it becomes claimable — updateWhere's scan+stage window is orders of
+    // magnitude longer than the racer's loop, so every attempt loses
+    @volatile var stop = false
+    val racer = new Thread(() => {
+      while (!stop) {
+        val v = TxLog.versions(t).lastOption.getOrElse(0) + 1
+        TxLog.tryCommitAt(t, v, add = Seq.empty, remove = Seq.empty)
+        Thread.sleep(1)
+      }
+    })
+    racer.setDaemon(true)
+    racer.start()
+    try {
+      val e = intercept[IllegalStateException] {
+        TxLog.updateWhere(spark, t, "k < 10", Map("s" -> "'X'"))
+      }
+      assert(e.getMessage.contains("OCC attempts") &&
+        e.getMessage.contains("No partial state"),
+        s"exhaustion must explain itself: ${e.getMessage}")
+    } finally { stop = true; racer.join() }
+    val afterRows = TxLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterRows == beforeRows,
+      "a statement that exhausted its OCC budget must leave the data " +
+        "EXACTLY as it was — no partial update, no phantom rows")
+    // the losing attempts' staged files are unreferenced → vacuum sweeps
+    // them; the head still reads
+    TxLog.vacuum(t, retainVersions = 1)
+    assert(TxLog.read(spark, t).collect().length == beforeRows.size)
+  }
+
   test("updateWhere: SET evaluates on the OLD row, non-matching rows and " +
     "files untouched, unknown SET column fails loud") {
     import spark.implicits._

@@ -185,6 +185,60 @@ class GraftDmlStrategySpec extends SparkSpec {
       "both NULL-key source rows must insert (no spurious cardinality refusal)")
   }
 
+  test("MERGE cardinality is the RUNTIME rule (in-join, no pre-pass): " +
+    "duplicate source keys that all INSERT are accepted; duplicates " +
+    "matching a target row refuse mid-join and mutate nothing") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "n"), t)
+    // count jobs scheduled by the statement: the r14 pre-pass probe
+    // (groupBy/count/limit over the full source) was one extra job per
+    // MATCHED-bearing MERGE; the in-join check adds none. Ceiling pinned
+    // at the measured in-join count (10 on this fixture) — the old probe
+    // pushed it past this.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // duplicate key 9 matches NOTHING: both rows insert (delta-spark
+      // raises only when a target row matches multiple source rows)
+      spark.sql(
+        s"""MERGE INTO graft.`$t` tgt
+           |USING (SELECT 9L AS k, 'x' AS s, 1L AS n
+           |       UNION ALL SELECT 9L, 'y', 2L) src
+           |ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      org.apache.spark.GraftSchedulerBridge.drainListenerBus(
+        spark.sparkContext)
+      val dupInsertJobs = jobs.get()
+      assert(rows(t).count(_._1 == 9L) == 2,
+        "both duplicate-key source rows must insert when neither matches")
+      assert(dupInsertJobs <= 10,
+        s"a MATCHED-bearing MERGE must not pay a separate duplicate-probe " +
+          s"pass over the source (scheduled $dupInsertJobs jobs)")
+      // the same duplicated key NOW matches a target row → refuse, in-join
+      val before = rows(t)
+      val e = intercept[Exception] {
+        spark.sql(
+          s"""MERGE INTO graft.`$t` tgt
+             |USING (SELECT 1L AS k, 'x' AS s, 1L AS n
+             |       UNION ALL SELECT 1L, 'y', 2L) src
+             |ON tgt.k = src.k
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      }
+      assert(e.getMessage.contains("cardinality"),
+        s"matched duplicates must raise the cardinality error, got: $e")
+      assert(rows(t) == before, "a refused MERGE must not mutate the table")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("GENERAL MERGE clause vocabulary: conditional matched DELETE/" +
     "partial UPDATE, conditional INSERT, NOT MATCHED BY SOURCE cascade " +
     "in order, all as ONE commit") {
