@@ -147,6 +147,12 @@ object GraphOps2 {
   private[operators] val KcoreK = 3
   private[operators] val KcoreRounds = 10
 
+  /** Tier-1 ceiling for [[kcore]]'s driver-side rounds: a dying set at
+    * most this large is collected (with its < k·|dying| incident edge
+    * endpoints) and applied through closure broadcasts — two jobs per
+    * round, no shuffle. Above it the round runs distributed (tier 2). */
+  private[operators] val KcoreCollectCap = 100000
+
   /** q198: k-core decomposition (k = 3) of the part co-occurrence graph by
     * synchronous degree peeling — repeatedly delete every node whose degree
     * in the surviving induced subgraph is below k. The k-core is the
@@ -155,12 +161,14 @@ object GraphOps2 {
     * community-detection preconditioner; it complements q117 (triangles),
     * q148 (PageRank) and d57 (components) as the fourth graph primitive.
     *
-    * Scale shape: each round is two semi-join-shaped equi-joins (edges
-    * against the alive set on both endpoints) + one map-side-combined
-    * degree count — the alive set only SHRINKS, so per-round cost is
-    * monotonically decreasing and a hub's edges fan in as an aggregation,
-    * never a pair explosion. The loop unrolls into one lazy plan per round
-    * with `localCheckpoint` truncating lineage (the d57 discipline for
+    * Scale shape: delta peeling — degrees computed once, each round only
+    * decrements the neighbors of that round's dying nodes, so every edge
+    * is touched at most twice across the whole loop (O(E) total). Rounds
+    * are TWO-TIER (see [[kcore]]): a dying set under [[KcoreCollectCap]]
+    * resolves driver-side in two jobs per round (a dying node's degree is
+    * < k, so its incident edges are driver-bounded by construction);
+    * above the cap the round runs as distributed joins — the 100 TB
+    * shape. `localCheckpoint` truncates lineage (the d57 discipline for
     * iterative graph state).
     *
     * Determinism: the peel is a pure set fixpoint — no floats anywhere —
@@ -182,7 +190,16 @@ object GraphOps2 {
     // (AQE on — skew/coalesce matter for the lineitem self-join), then run
     // the rounds STATICALLY ([[graft.SparkSupport.withoutAqe]]).
     sym.count()
-    graft.SparkSupport.withoutAqe(sym.sparkSession) {
+    // The tier-1 dying probe is a CollectLimit: left at Spark's default
+    // incremental execution it scans 1 → 4 → 16 → … partitions (up to 4
+    // jobs per probe when the set is small — exactly the per-round floor
+    // this plan removes), so pin the initial partition count above the
+    // plan's partitioning and the probe is ONE job over all partitions.
+    val sess = sym.sparkSession
+    val prevInitParts =
+      sess.conf.getOption("spark.sql.limit.initialNumPartitions")
+    sess.conf.set("spark.sql.limit.initialNumPartitions", "100000")
+    try graft.SparkSupport.withoutAqe(sym.sparkSession) {
       // DELTA PEELING (the O(E)-total-work form): degrees are computed
       // ONCE, then each round only DECREMENTS the neighbors of the nodes
       // dying this round — every edge is touched at most twice across the
@@ -198,40 +215,63 @@ object GraphOps2 {
       // an empty dying set is bit-identical to running the full budget
       // (converged rounds are identities in both engines).
       //
-      // Per-round plan: the dying set and its decrement counts are
-      // DRIVER-KNOWN-small (bounded by the dying cascade, not the
-      // corpus), so both sides broadcast under the usual ceiling and the
-      // only shuffle is the decrement aggregate over edges incident to
-      // dying nodes. Above the ceiling the joins shuffle — the correct
-      // 100 TB shape, and still O(E) total.
+      // Per-round plan, TWO-TIER (r14 directive 5 — the quartet carried
+      // ~1 s of pure per-round job-scheduling floor at sf0.1):
+      //
+      // Tier 1 (the steady state): a DYING node has degree < k by
+      // definition, so the round's dying set AND its incident edge list
+      // are driver-bounded (< k·|dying| edge endpoints) whenever
+      // |dying| ≤ KcoreCollectCap. The round then costs exactly TWO
+      // jobs — a capped limit-collect of the dying set (which also
+      // materializes the previous round's checkpoint; the +1 row
+      // detects overflow without a count) and a map-side-filtered
+      // collect of the dying-incident edge endpoints (no shuffle, no
+      // broadcast-exchange jobs; decrement counts fold on the driver
+      // and apply to `deg` through closure broadcasts) — versus the
+      // r14 shape's count + two broadcast builds + a shuffled
+      // aggregate per round.
+      //
+      // Tier 2 (|dying| > cap, e.g. a low-degree-heavy round 0 at
+      // 100 TB): the same round as a distributed anti-join + decrement
+      // aggregate — O(E) total work, the correct cluster shape — and
+      // the loop drops back to tier 1 as the cascade shrinks.
+      // Synchronous-round semantics are identical in both tiers (same
+      // decrements, same removals, integer arithmetic throughout).
       var deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
         .selectExpr("u AS n", "d")
         .localCheckpoint(false)
       var r = 0
       var done = false
       while (r < rounds && !done) {
-        val dying = deg.filter(col("d") < k).select("n")
-        val dyingCnt = dying.count() // also materializes deg's checkpoint
-        if (dyingCnt == 0) done = true
-        else {
-          val dyingB =
-            if (dyingCnt <= GraphOps.DegreeBroadcastMaxNodes)
-              broadcast(dying) else dying
+        val dyingProbe = deg.filter(col("d") < k).select("n")
+          .limit(KcoreCollectCap + 1).collect()
+        if (dyingProbe.isEmpty) done = true
+        else if (dyingProbe.length <= KcoreCollectCap) {
+          // tier 1: the whole dying set is in hand (the cap row was not
+          // hit), its incident endpoints are < k·|dying|
+          val dyingSet = dyingProbe.map(_.getLong(0)).toSet
+          val dyingBc = sym.sparkSession.sparkContext.broadcast(dyingSet)
+          val isDying = udf((n: Long) => dyingBc.value.contains(n))
+          val decMap = sym.filter(isDying(col("u"))).select("v").collect()
+            .groupBy(_.getLong(0)).map { case (v, rs) => v -> rs.length.toLong }
+          val decBc = sym.sparkSession.sparkContext.broadcast(decMap)
+          val decOf = udf((n: Long) => decBc.value.getOrElse(n, 0L))
+          deg = deg.filter(!isDying(col("n")))
+            .select(col("n"), (col("d") - decOf(col("n"))).as("d"))
+            .localCheckpoint(false) // next round's probe materializes it
+          r += 1
+        } else {
+          // tier 2: distributed round (the 100 TB shape)
+          val dying = deg.filter(col("d") < k).select("n")
           val dec = sym
-            .join(dyingB.withColumnRenamed("n", "u"), "u")
+            .join(dying.withColumnRenamed("n", "u"), "u")
             .groupBy("v").agg(count(lit(1)).as("dec"))
             .withColumnRenamed("v", "n")
-          // |dec| ≤ Σ deg(dying) distinct neighbors; the dying count is
-          // the available proxy for its broadcastability — above the
-          // ceiling both stay shuffle joins
-          val decB =
-            if (dyingCnt <= GraphOps.DegreeBroadcastMaxNodes)
-              broadcast(dec) else dec
           deg = deg
-            .join(dyingB, Seq("n"), "left_anti")
-            .join(decB, Seq("n"), "left")
+            .join(dying, Seq("n"), "left_anti")
+            .join(dec, Seq("n"), "left")
             .selectExpr("n", "d - coalesce(dec, 0L) AS d")
-            .localCheckpoint(false) // next round's count materializes it
+            .localCheckpoint(false)
           r += 1
         }
       }
@@ -252,6 +292,9 @@ object GraphOps2 {
       deg.selectExpr("n AS node", "d AS core_degree")
         .orderBy("node")
         .localCheckpoint(true)
+    } finally prevInitParts match {
+      case Some(v) => sess.conf.set("spark.sql.limit.initialNumPartitions", v)
+      case None => sess.conf.unset("spark.sql.limit.initialNumPartitions")
     }
   }
 
