@@ -189,8 +189,65 @@ object StreamingQueries {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q350: STREAMING over a DELETION-VECTOR delete — the readStream
+    * contract of [[graft.sources.DeltaBridgeRelation]] extended to
+    * merge-on-read tables (VERDICT r14 directive 6): the fixture's
+    * version history is an append then a sub-threshold DV DELETE
+    * (remove + re-add-with-vector of the SAME file), and the gate
+    * replays it from `startingVersion=0` with `ignoreChanges=true` —
+    * version 0 delivers the file's full rows, the DV version delivers
+    * its POST-DELETE row set (never the raw physical rows: a vector-
+    * blind batch would resurrect the deleted keys into every consumer).
+    * The streamed union is aggregated and pinned against DuckDB; the
+    * refusal path (no ignoreChanges) and batch-zero-over-DV'd-head are
+    * spec'd in DeltaBridgeSpec. Each run drives a REAL stream into a
+    * fresh memory sink over the build-once fixture. */
+  def q350StreamDvDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{DeltaBridge, TxLog}
+    val table = graft.SparkSupport.layoutArtifact("stream_dv_src", dir) { p =>
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .filter(col("c_custkey") % 5 === 0)
+      TxLog.append(s, c, p, partFiles = 1)
+      TxLog.deleteWhereDv(s, p, "c_custkey % 485 = 0", maxDvFraction = 0.5)
+      DeltaBridge.exportLog(s, p)
+      require(TxLog.liveFiles(p).exists(_.contains("#dv:")),
+        "q350 fixture must carry a DV entry")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    // fresh sink per run (bench reps share the session): drop the old view
+    scala.util.Try(s.catalog.dropTempView("q350_sink"))
+    val q = s.readStream.format("graft-delta")
+      .option("ignoreChanges", "true").option("startingVersion", "0")
+      .load(table)
+      .writeStream.format("memory").queryName("q350_sink")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("q350_ckpt").toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        |FROM q350_sink
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q350Sql: String =
+    """WITH s AS (
+      |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+      |  WHERE c_custkey % 5 = 0),
+      |u AS (
+      |  SELECT * FROM s
+      |  UNION ALL SELECT * FROM s WHERE c_custkey % 485 <> 0)
+      |SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q348_stream_partitioned_sink" -> q348StreamPartitionedSink,
+    "q350_stream_dv_delete" -> q350StreamDvDelete,
     "q79_stream_static"   -> q79StreamStatic,
     "q41_sliding_window"  -> q41Sliding,
     "q42_session_window"  -> q42Sessions,
@@ -200,6 +257,7 @@ object StreamingQueries {
 
   val oracle: Map[String, String] = Map(
     "q348_stream_partitioned_sink" -> q348Sql,
+    "q350_stream_dv_delete" -> q350Sql,
     "q79_stream_static"   -> q79Sql,
     "q41_sliding_window"  -> q41Sql,
     "q42_session_window"  -> q42Sql,
