@@ -308,6 +308,19 @@ object DeltaBridge {
           ).asJava)).append('\n')
         }
         if (schemaJson != null) lastSchemaJson = schemaJson
+        // a streaming commit's (appId, batchId) republishes as the
+        // spec's SetTransaction action — foreign engines then share the
+        // TxLog's exactly-once frontier (ADVICE r14: the bridge never
+        // emitted txn; checkpoints now preserve it, so emit it too)
+        TxLog.commitTxn(table, txv).foreach { case (aid, bid) =>
+          sb.append(mapper.writeValueAsString(Map(
+            "txn" -> Map[String, AnyRef](
+              "appId" -> aid,
+              "version" -> java.lang.Long.valueOf(bid),
+              "lastUpdated" -> java.lang.Long.valueOf(
+                System.currentTimeMillis())
+            ).asJava).asJava)).append('\n')
+        }
         remove.foreach { entry =>
           sb.append(mapper.writeValueAsString(Map(
             "remove" -> Map[String, AnyRef](

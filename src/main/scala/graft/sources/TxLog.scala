@@ -1571,6 +1571,24 @@ object TxLog {
   def commitActions(table: String, v: Int): (Seq[String], Seq[String]) =
     readCommit(table, v)
 
+  /** The (appId, batchId) a STREAMING commit recorded, if any —
+    * [[DeltaBridge.exportLog]] republishes it as a Delta `txn`
+    * (SetTransaction) action, so a foreign engine resuming the same
+    * streaming query against the exported log sees the exactly-once
+    * frontier the TxLog enforces (the spec's appId/version contract;
+    * checkpoints preserve it through the r15 txn replay). V1-sink
+    * commits carry a batchId with NO appId — one shared id space by
+    * [[appendBatch]]'s replay rule — so they export under the stable
+    * synthetic appId `graft-stream-v1`. */
+  def commitTxn(table: String, v: Int): Option[(String, Long)] = {
+    val txt = Files.readString(versionFile(table, v))
+    """"batchId":(\d+)""".r.findFirstMatchIn(txt).map { m =>
+      val aid = """"appId":"([^"]+)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("graft-stream-v1")
+      (aid, m.group(1).toLong)
+    }
+  }
+
   private def readCommit(table: String, v: Int): (Seq[String], Seq[String]) = {
     val txt = Files.readString(versionFile(table, v))
     def list(key: String): Seq[String] = {

@@ -1686,6 +1686,35 @@ class DeltaBridgeSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming batch commits export as Delta txn actions and the " +
+    "checkpoint carries the latest frontier per appId") {
+    val t = freshTable()
+    TxLog.append(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    TxLog.appendBatch(spark, Seq((2L, "b")).toDF("id", "v"), t, batchId = 6L)
+    TxLog.appendBatch(spark, Seq((3L, "c")).toDF("id", "v"), t, batchId = 7L)
+    DeltaBridge.exportLog(spark, t)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val txns = (0L to 2L).flatMap { v =>
+      Files.readAllLines(Paths.get(t, "_delta_log", f"$v%020d.json"))
+        .asScala.filter(_.nonEmpty)
+        .map(mapper.readValue(_, classOf[java.util.Map[String, AnyRef]]))
+        .flatMap(m => Option(m.get("txn"))
+          .map(_.asInstanceOf[java.util.Map[String, AnyRef]]))
+    }
+    assert(txns.map(tx => (tx.get("appId").asInstanceOf[String],
+        tx.get("version").asInstanceOf[Number].longValue())) ==
+      Seq(("graft-stream-v1", 6L), ("graft-stream-v1", 7L)),
+      s"each batch commit must export its SetTransaction: $txns")
+    assert(DeltaBridge.checkpoint(spark, t) == 2L)
+    val ck = spark.read.parquet(Paths.get(t, "_delta_log",
+      f"${2L}%020d.checkpoint.parquet").toString)
+    val rows = ck.filter(col("txn").isNotNull)
+      .select("txn.appId", "txn.version").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("graft-stream-v1", 7L)),
+      s"the checkpoint keeps the LATEST version per appId: $rows")
+  }
+
   test("tombstoneRetentionMs parses the spec's interval forms and " +
     "defaults to one week") {
     val week = 7L * 24 * 3600 * 1000
