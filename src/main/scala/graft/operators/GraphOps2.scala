@@ -87,16 +87,29 @@ object GraphOps2 {
 
   /** The q117/q148/q198 co-occurrence edge list: parts sharing an order
     * with l_quantity ≥ 40, canonical u < v, distinct — one definition so
-    * the three graph primitives provably analyze the SAME graph. */
+    * the graph primitives provably analyze the SAME graph. PERSISTED as
+    * a layout artifact (the shingle-index discipline, r15): five gate
+    * queries consume this edge list, and re-deriving it means five
+    * lineitem self-joins per session where one suffices — at 100 TB the
+    * edge list IS the graph workload's input table, built once by
+    * whoever arrives first and read as a plain parquet scan after. The
+    * artifact key folds in the corpus fingerprint, so a regenerated
+    * corpus rebuilds it. */
   private[operators] def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val hi = Tables.lineitem(s, dir)
-      .filter(col("l_quantity") >= 40)
-      .select("l_orderkey", "l_partkey").distinct()
-    hi.as("a").join(hi.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .distinct()
+    val root = graft.SparkSupport.layoutArtifact("co_edges", dir) { p =>
+      val hi = Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey").distinct()
+      hi.as("a").join(hi.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+        .coalesce(4)
+        .write.parquet(s"$p/edges")
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
+    }
+    s.read.parquet(s"$root/edges")
   }
 
   def q148Pagerank3(s: SparkSession, dir: String): DataFrame =
@@ -193,12 +206,17 @@ object GraphOps2 {
     // The tier-1 dying probe is a CollectLimit: left at Spark's default
     // incremental execution it scans 1 → 4 → 16 → … partitions (up to 4
     // jobs per probe when the set is small — exactly the per-round floor
-    // this plan removes), so pin the initial partition count above the
-    // plan's partitioning and the probe is ONE job over all partitions.
+    // this plan removes), so pin the initial partition count AT the
+    // session's shuffle partitioning (deg is a groupBy product, so this
+    // covers every partition) and the probe is ONE job. Driver transfer
+    // is bounded either way: LocalLimit ships at most cap+1 rows per
+    // partition, so the worst round moves partitions × cap single-long
+    // rows — and a round that large trips the cap row and runs tier 2.
     val sess = sym.sparkSession
     val prevInitParts =
       sess.conf.getOption("spark.sql.limit.initialNumPartitions")
-    sess.conf.set("spark.sql.limit.initialNumPartitions", "100000")
+    sess.conf.set("spark.sql.limit.initialNumPartitions",
+      sess.conf.get("spark.sql.shuffle.partitions"))
     try graft.SparkSupport.withoutAqe(sym.sparkSession) {
       // DELTA PEELING (the O(E)-total-work form): degrees are computed
       // ONCE, then each round only DECREMENTS the neighbors of the nodes

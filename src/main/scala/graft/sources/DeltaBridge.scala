@@ -1299,8 +1299,8 @@ object DeltaBridge {
         " streaming over a mapped table is unsupported")
     require(st.live.values.forall(_.dv.isEmpty),
       s"$table: DV'd snapshots have no parquet-index form — batch mounts " +
-        "serve them via the extended read (DeltaBridge.mount); streaming " +
-        "over a DV'd table is unsupported")
+        "serve them via the extended read (DeltaBridge.mount); the " +
+        "streaming source uses streamSnapshot's vector-aware path")
     Snapshot(st.schemaJson, st.partitionCols,
       st.live.toSeq.map { case (p, e) => (p, e.pv, e.stats) })
   }
