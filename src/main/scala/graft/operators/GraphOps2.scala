@@ -105,7 +105,11 @@ object GraphOps2 {
             col("a.l_partkey") < col("b.l_partkey"))
         .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
         .distinct()
-        .coalesce(4)
+        // repartition, NOT coalesce: coalesce would propagate into the
+        // distinct's shuffle read and serialize the one-time build onto
+        // 4 tasks (review r15); a separate exchange keeps the self-join
+        // + distinct at full parallelism and only the write narrows
+        .repartition(4)
         .write.parquet(s"$p/edges")
       java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
     }
@@ -160,11 +164,18 @@ object GraphOps2 {
   private[operators] val KcoreK = 3
   private[operators] val KcoreRounds = 10
 
-  /** Tier-1 ceiling for [[kcore]]'s driver-side rounds: a dying set at
-    * most this large is collected (with its < k·|dying| incident edge
-    * endpoints) and applied through closure broadcasts — two jobs per
-    * round, no shuffle. Above it the round runs distributed (tier 2). */
+  /** Tier-1 ceilings for [[kcore]]'s driver-side rounds: a round is
+    * driver-resolvable only when the dying set is at most
+    * [[KcoreCollectCap]] nodes AND its ORIGINAL-degree mass is at most
+    * [[KcoreEdgeCollectCap]] edge endpoints. The second bound is the
+    * load-bearing one (review r15): `sym` keeps edges to
+    * already-peeled neighbors, so the dying-incident collect moves each
+    * dying node's ORIGINAL degree to the driver — a decayed hub with
+    * 10⁸ original edges must route through tier 2 even in a tiny dying
+    * set. Original degrees ride `deg` as a constant `d0` column, so the
+    * probe knows the mass before collecting any edge. */
   private[operators] val KcoreCollectCap = 100000
+  private[operators] val KcoreEdgeCollectCap = 2000000L
 
   /** q198: k-core decomposition (k = 3) of the part co-occurrence graph by
     * synchronous degree peeling — repeatedly delete every node whose degree
@@ -178,10 +189,10 @@ object GraphOps2 {
     * decrements the neighbors of that round's dying nodes, so every edge
     * is touched at most twice across the whole loop (O(E) total). Rounds
     * are TWO-TIER (see [[kcore]]): a dying set under [[KcoreCollectCap]]
-    * resolves driver-side in two jobs per round (a dying node's degree is
-    * < k, so its incident edges are driver-bounded by construction);
-    * above the cap the round runs as distributed joins — the 100 TB
-    * shape. `localCheckpoint` truncates lineage (the d57 discipline for
+    * nodes whose ORIGINAL-degree mass is under [[KcoreEdgeCollectCap]]
+    * resolves driver-side in two jobs per round; either ceiling exceeded
+    * and the round runs as distributed joins — the 100 TB shape.
+    * `localCheckpoint` truncates lineage (the d57 discipline for
     * iterative graph state).
     *
     * Determinism: the peel is a pure set fixpoint — no floats anywhere —
@@ -236,37 +247,41 @@ object GraphOps2 {
       // Per-round plan, TWO-TIER (r14 directive 5 — the quartet carried
       // ~1 s of pure per-round job-scheduling floor at sf0.1):
       //
-      // Tier 1 (the steady state): a DYING node has degree < k by
-      // definition, so the round's dying set AND its incident edge list
-      // are driver-bounded (< k·|dying| edge endpoints) whenever
-      // |dying| ≤ KcoreCollectCap. The round then costs exactly TWO
-      // jobs — a capped limit-collect of the dying set (which also
-      // materializes the previous round's checkpoint; the +1 row
-      // detects overflow without a count) and a map-side-filtered
-      // collect of the dying-incident edge endpoints (no shuffle, no
-      // broadcast-exchange jobs; decrement counts fold on the driver
-      // and apply to `deg` through closure broadcasts) — versus the
-      // r14 shape's count + two broadcast builds + a shuffled
-      // aggregate per round.
+      // Tier 1 (the steady state): when the dying set is small
+      // (≤ KcoreCollectCap nodes) AND its ORIGINAL-degree mass is small
+      // (≤ KcoreEdgeCollectCap endpoints — the true driver bound: sym
+      // keeps edges to already-peeled neighbors, so the incident-edge
+      // collect moves original degrees, not alive degrees), the round
+      // costs exactly TWO jobs — a capped limit-collect of the dying
+      // (n, d0) rows (which also materializes the previous round's
+      // checkpoint; the +1 row detects overflow without a count) and a
+      // map-side-filtered collect of the dying-incident edge endpoints
+      // (no shuffle, no broadcast-exchange jobs; decrement counts fold
+      // on the driver and apply to `deg` through closure broadcasts) —
+      // versus the r14 shape's count + two broadcast builds + a
+      // shuffled aggregate per round.
       //
-      // Tier 2 (|dying| > cap, e.g. a low-degree-heavy round 0 at
-      // 100 TB): the same round as a distributed anti-join + decrement
-      // aggregate — O(E) total work, the correct cluster shape — and
-      // the loop drops back to tier 1 as the cascade shrinks.
-      // Synchronous-round semantics are identical in both tiers (same
-      // decrements, same removals, integer arithmetic throughout).
+      // Tier 2 (either ceiling exceeded — a low-degree-heavy round 0,
+      // or a decayed hub whose original degree is huge): the same
+      // round as a distributed anti-join + decrement aggregate — O(E)
+      // total work, the correct cluster shape — and the loop drops
+      // back to tier 1 as the cascade shrinks. Synchronous-round
+      // semantics are identical in both tiers (same decrements, same
+      // removals, integer arithmetic throughout). `d0` rides deg as a
+      // constant so the probe knows the edge mass BEFORE collecting.
       var deg = sym.groupBy("u").agg(count(lit(1)).as("d"))
-        .selectExpr("u AS n", "d")
+        .selectExpr("u AS n", "d", "d AS d0")
         .localCheckpoint(false)
       var r = 0
       var done = false
       while (r < rounds && !done) {
-        val dyingProbe = deg.filter(col("d") < k).select("n")
+        val dyingProbe = deg.filter(col("d") < k).select("n", "d0")
           .limit(KcoreCollectCap + 1).collect()
         if (dyingProbe.isEmpty) done = true
-        else if (dyingProbe.length <= KcoreCollectCap) {
+        else if (dyingProbe.length <= KcoreCollectCap &&
+            dyingProbe.iterator.map(_.getLong(1)).sum <= KcoreEdgeCollectCap) {
           // tier 1: the whole dying set is in hand (the cap row was not
-          // hit), its incident endpoints are < k·|dying|
+          // hit) and its incident endpoints are edge-mass-bounded
           val dyingSet = dyingProbe.map(_.getLong(0)).toSet
           val dyingBc = sym.sparkSession.sparkContext.broadcast(dyingSet)
           val isDying = udf((n: Long) => dyingBc.value.contains(n))
@@ -275,7 +290,8 @@ object GraphOps2 {
           val decBc = sym.sparkSession.sparkContext.broadcast(decMap)
           val decOf = udf((n: Long) => decBc.value.getOrElse(n, 0L))
           deg = deg.filter(!isDying(col("n")))
-            .select(col("n"), (col("d") - decOf(col("n"))).as("d"))
+            .select(col("n"), (col("d") - decOf(col("n"))).as("d"),
+              col("d0"))
             .localCheckpoint(false) // next round's probe materializes it
           r += 1
         } else {
@@ -288,7 +304,7 @@ object GraphOps2 {
           deg = deg
             .join(dying, Seq("n"), "left_anti")
             .join(dec, Seq("n"), "left")
-            .selectExpr("n", "d - coalesce(dec, 0L) AS d")
+            .selectExpr("n", "d - coalesce(dec, 0L) AS d", "d0")
             .localCheckpoint(false)
           r += 1
         }

@@ -217,14 +217,21 @@ object StreamingQueries {
     }
     // fresh sink per run (bench reps share the session): drop the old view
     scala.util.Try(s.catalog.dropTempView("q350_sink"))
+    // the stream checkpoint lives under the session's scratch dir and is
+    // deleted after the run — a per-run system-temp dir accumulated
+    // unboundedly across gate rounds (review r15)
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(graft.SparkSupport.scratchDir), "q350_ckpt")
     val q = s.readStream.format("graft-delta")
       .option("ignoreChanges", "true").option("startingVersion", "0")
       .load(table)
       .writeStream.format("memory").queryName("q350_sink")
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("q350_ckpt").toString)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile): Unit
+    }
     s.sql(
       """SELECT c_mktsegment, count(*) AS n_rows,
         |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,

@@ -837,19 +837,18 @@ object TableOps {
       require(after.exists(_.contains("#dv:")),
         s"the log must show DV entries, got $after")
       DeltaBridge.exportLog(s, p)
+      // bridge/catalog agreement asserted ONCE per corpus (see q349)
+      require(DeltaBridge.read(s, p).count() ==
+        s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0),
+        "bridge and catalog disagree on the DV'd table")
       java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
     }
-    val sql = s.sql(
+    s.sql(
       s"""SELECT c_mktsegment, count(*) AS n_rows,
          |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
          |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
          |FROM graft.`$table`
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
-    // bridge and catalog mounts must agree on the DV'd snapshot
-    require(DeltaBridge.read(s, table).count() ==
-      sql.selectExpr("sum(n_rows)").collect().head.getLong(0),
-      "bridge and catalog disagree on the DV'd table")
-    sql
   }
 
   val q347Sql: String =
@@ -915,19 +914,21 @@ object TableOps {
       require(after.exists(_.contains("#dv:")),
         s"the log must show DV entries from the MERGE, got $after")
       DeltaBridge.exportLog(s, p)
+      // bridge/catalog agreement asserted ONCE per corpus, here in the
+      // build (the artifact is immutable behind its fingerprinted
+      // marker — re-asserting per run tripled the gated query's work,
+      // review r15)
+      require(DeltaBridge.read(s, p).count() ==
+        s.sql(s"SELECT count(*) FROM graft.`$p`").head().getLong(0),
+        "bridge and catalog disagree on the post-merge DV'd table")
       java.nio.file.Files.createFile(java.nio.file.Paths.get(p, "_SUCCESS"))
     }
-    val sql = s.sql(
+    s.sql(
       s"""SELECT c_mktsegment, count(*) AS n_rows,
          |  CAST(sum(c_custkey) AS BIGINT) AS sum_key,
          |  CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
          |FROM graft.`$table`
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
-    // bridge and catalog mounts must agree on the DV'd snapshot
-    require(DeltaBridge.read(s, table).count() ==
-      sql.selectExpr("sum(n_rows)").collect().head.getLong(0),
-      "bridge and catalog disagree on the post-merge DV'd table")
-    sql
   }
 
   val q349Sql: String =

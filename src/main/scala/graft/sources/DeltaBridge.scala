@@ -1140,14 +1140,25 @@ object DeltaBridge {
           .parquet(files.map { case (p, _) => s"$table/$p" }: _*), pv)
     }
     val dvBranches = dvd.map { case (p, e) =>
-      val deleted = DeletionVectors.load(table, e.dv.get)
-      val dropped = udf((i: Long) =>
-        java.util.Arrays.binarySearch(deleted, i) >= 0)
       finishBranch(
-        rspark.read.schema(physDataSchema).parquet(s"$table/$p")
-          .filter(!dropped(col("_metadata.row_index"))), e.pv)
+        dvFilteredScan(rspark, table, physDataSchema, p, e.dv.get), e.pv)
     }
     (cleanBranches ++ dvBranches).reduce(_ unionByName _)
+  }
+
+  /** ONE definition of the per-file vector filter (shared by the
+    * extended read and the streaming builder): scan the file under
+    * `dataSchema` and drop rows whose PHYSICAL `_metadata.row_index`
+    * the loaded deletion vector marks. */
+  private def dvFilteredScan(s: SparkSession, table: String,
+                             dataSchema: StructType, path: String,
+                             d: DeletionVectors.Descriptor): DataFrame = {
+    import org.apache.spark.sql.functions.udf
+    val deleted = DeletionVectors.load(table, d)
+    val dropped = udf((i: Long) =>
+      java.util.Arrays.binarySearch(deleted, i) >= 0)
+    s.read.schema(dataSchema).parquet(s"$table/$path")
+      .filter(!dropped(col("_metadata.row_index")))
   }
 
   /** Construct the DataFrame over a set of (path, partitionValues) files
@@ -1283,20 +1294,30 @@ object DeltaBridge {
       partitionCols: Seq[String],
       live: Seq[(String, Map[String, String], Option[String])])
 
-  private[sources] def snapshot(spark: SparkSession, table: String,
-                                versionAsOf: Option[Long]): Snapshot = {
+  /** Shared replay + refusals behind both snapshot flavors: a usable
+    * snapshot needs a metaData action, and NEITHER flavor can plan a
+    * column-mapped table (physical-name scans). The DV refusal is
+    * [[snapshot]]'s alone — [[streamSnapshot]] serves vectors. */
+  private def replayForSnapshot(spark: SparkSession, table: String,
+                                versionAsOf: Option[Long]): LogState = {
     val st = readState(spark, table, versionAsOf)
     require(st.schemaJson != null, s"$table: no metaData action in log")
-    // the native relation / catalog / streaming paths plan through
-    // Spark's V2 parquet scan under LOGICAL names with no row-index
-    // filtering — serving a mapped or DV'd snapshot there would silently
-    // mis-read; those tables route through [[extendedSchema]] +
-    // [[read]]'s extended branch instead (the relation/catalog mounts
-    // probe it FIRST and fall back to that path)
     require(columnMappingMode(st) == "none",
       s"$table: column-mapped snapshots have no parquet-index form — " +
         "batch mounts serve them via the extended read (DeltaBridge.mount);" +
         " streaming over a mapped table is unsupported")
+    st
+  }
+
+  private[sources] def snapshot(spark: SparkSession, table: String,
+                                versionAsOf: Option[Long]): Snapshot = {
+    // the native relation / catalog paths plan through Spark's V2
+    // parquet scan under LOGICAL names with no row-index filtering —
+    // serving a mapped or DV'd snapshot there would silently mis-read;
+    // those tables route through [[extendedSchema]] + [[read]]'s
+    // extended branch instead (the relation/catalog mounts probe it
+    // FIRST and fall back to that path)
+    val st = replayForSnapshot(spark, table, versionAsOf)
     require(st.live.values.forall(_.dv.isEmpty),
       s"$table: DV'd snapshots have no parquet-index form — batch mounts " +
         "serve them via the extended read (DeltaBridge.mount); the " +
@@ -1320,12 +1341,7 @@ object DeltaBridge {
   private[sources] def streamSnapshot(spark: SparkSession, table: String,
                                       versionAsOf: Option[Long])
       : StreamSnapshot = {
-    val st = readState(spark, table, versionAsOf)
-    require(st.schemaJson != null, s"$table: no metaData action in log")
-    require(columnMappingMode(st) == "none",
-      s"$table: column-mapped snapshots have no parquet-index form — " +
-        "batch mounts serve them via the extended read (DeltaBridge.mount);" +
-        " streaming over a mapped table is unsupported")
+    val st = replayForSnapshot(spark, table, versionAsOf)
     StreamSnapshot(st.schemaJson, st.partitionCols,
       st.live.toSeq.map { case (p, e) => (p, e.pv, e.dv) })
   }
@@ -1353,11 +1369,7 @@ object DeltaBridge {
         schema.filterNot(f => partitionCols.contains(f.name)))
       val ordered: Seq[Column] = schema.fieldNames.toSeq.map(col)
       val branches = dvd.map { case (p, pv, d) =>
-        val deleted = DeletionVectors.load(table, d.get)
-        val dropped = udf((i: Long) =>
-          java.util.Arrays.binarySearch(deleted, i) >= 0)
-        val base = spark.read.schema(dataSchema).parquet(s"$table/$p")
-          .filter(!dropped(col("_metadata.row_index")))
+        val base = dvFilteredScan(spark, table, dataSchema, p, d.get)
         partitionCols.foldLeft(base) { (df, c) =>
           val dt = schema(c).dataType
           df.withColumn(c,

@@ -358,7 +358,11 @@ private[sources] class DeltaBridgeStreamSource(
           // one log replay, only on a range that contains a metaData —
           // the schema the range STARTED under must already be the
           // pinned one, else the earlier adds misread
-          val atLo = DeltaBridge.snapshot(spark, table,
+          // streamSnapshot: only the schema is needed here, and the
+          // snapshot at lo may legitimately carry DVs (review r15: the
+          // DV-refusing flavor bricked a DV'd stream crossing a
+          // metaData that re-declares the current schema)
+          val atLo = DeltaBridge.streamSnapshot(spark, table,
             Some(math.max(lo, 0L))).schemaJson
           if (atLo != snap0.schemaJson)
             throw new IllegalStateException(

@@ -1154,8 +1154,7 @@ object TxLog {
         dvOldEntries = dvBound.toSeq.map { case (abs, _, _, _) => entryOf(abs) }
         if (dvOldEntries.nonEmpty) {
           // deleted PHYSICAL row indices, driver-sized by the threshold;
-          // unioned with any existing vector (same discipline as
-          // deleteWhereDv — the superseded sidecar becomes garbage)
+          // vector union + sidecar publish shared with deleteWhereDv
           val byFile = readEntries(spark, table, dvOldEntries, partCols,
               partTypes)
             .withColumn("__graft_file", input_file_name())
@@ -1168,23 +1167,7 @@ object TxLog {
             .collect()
             .groupBy(r => decodeFileUri(r.getString(0)))
             .map { case (abs, rs) => abs -> rs.map(_.getLong(1)) }
-          val ordered = dvOldEntries.map { e =>
-            val abs = byFile.keys.find(_.endsWith(entryPath(e))).getOrElse(
-              throw new IllegalStateException(
-                s"mergeClauses: DV-bound file ${entryPath(e)} vanished " +
-                  "from the index pass"))
-            val old = entryDv(e)
-              .map(d => DeletionVectors.load(table, d.descriptor))
-              .getOrElse(Array.empty[Long])
-            (e, (old ++ byFile(abs)).distinct.sorted)
-          }
-          val (uuid, spans) = DeletionVectors.writeDvFileRef(table,
-            ordered.map(_._2))
-          dvAdds = ordered.zip(spans).map { case ((e, vals), (off, sz)) =>
-            (entryWithoutDv(e) :+
-              DvRef(uuid.toString, off, sz, vals.length.toLong).enc)
-              .mkString("#")
-          }
+          dvAdds = buildDvAdds(table, dvOldEntries, byFile, "mergeClauses")
         }
       }
       val targetOpt =
@@ -1315,6 +1298,35 @@ object TxLog {
                   partFiles: Int = 2): Int =
     rewriteMatched(spark, table, predicate, partFiles, "delete")(_ => None)
 
+  /** Shared DV publication for the merge-on-read writers
+    * ([[deleteWhereDv]], [[mergeClauses]]'s DV phase): union each
+    * entry's EXISTING vector with its newly-deleted physical row
+    * indices (`newIdxByAbs`, keyed by the scan's absolute file URI),
+    * write ONE sidecar holding every new vector (spec layout: one
+    * framed bitmap per DV at its offset — the superseded sidecar
+    * becomes unreferenced garbage), and return the re-published
+    * entries carrying their [[DvRef]]s. */
+  private def buildDvAdds(table: String, entries: Seq[String],
+                          newIdxByAbs: Map[String, Array[Long]],
+                          op: String): Seq[String] = {
+    val ordered = entries.map { e =>
+      val abs = newIdxByAbs.keys.find(_.endsWith(entryPath(e))).getOrElse(
+        throw new IllegalStateException(
+          s"$op: counted file ${entryPath(e)} vanished from the index pass"))
+      val old = entryDv(e)
+        .map(d => DeletionVectors.load(table, d.descriptor))
+        .getOrElse(Array.empty[Long])
+      (e, (old ++ newIdxByAbs(abs)).distinct.sorted)
+    }
+    val (uuid, spans) = DeletionVectors.writeDvFileRef(table,
+      ordered.map(_._2))
+    ordered.zip(spans).map { case ((e, vals), (off, sz)) =>
+      (entryWithoutDv(e) :+
+        DvRef(uuid.toString, off, sz, vals.length.toLong).enc)
+        .mkString("#")
+    }
+  }
+
   /** DELETE WHERE with MERGE-ON-READ deletion vectors — the takedown
     * path for point deletes at 100 TB: a file whose matching-row
     * fraction is at most `maxDvFraction` is NOT rewritten; instead its
@@ -1387,25 +1399,7 @@ object TxLog {
             .collect()
             .groupBy(r => decodeFileUri(r.getString(0)))
             .map { case (abs, rs) => abs -> rs.map(_.getLong(1)) }
-          val ordered = dvEntriesOld.map { e =>
-            val abs = byFile.keys.find(_.endsWith(entryPath(e))).getOrElse(
-              throw new IllegalStateException(
-                s"deleteWhereDv: counted file ${entryPath(e)} vanished " +
-                  "from the index pass"))
-            val old = entryDv(e)
-              .map(d => DeletionVectors.load(table, d.descriptor))
-              .getOrElse(Array.empty[Long])
-            (e, (old ++ byFile(abs)).distinct.sorted)
-          }
-          // ONE sidecar file holds every new vector (spec layout: one
-          // framed bitmap per DV at its offset)
-          val (uuid, spans) = DeletionVectors.writeDvFileRef(table,
-            ordered.map(_._2))
-          ordered.zip(spans).map { case ((e, vals), (off, sz)) =>
-            (entryWithoutDv(e) :+
-              DvRef(uuid.toString, off, sz, vals.length.toLong).enc)
-              .mkString("#")
-          }
+          buildDvAdds(table, dvEntriesOld, byFile, "deleteWhereDv")
         }
       // over-threshold files rewrite copy-on-write (survivors only)
       val staged: Seq[String] =

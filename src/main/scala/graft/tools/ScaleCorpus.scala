@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   *    within a replica and impossible across replicas (appending a
   *    shared marker instead would plant a corpus-wide hot shingle and
   *    measure the planted blowup, not the operator);
-  *  - embeddings: replica r cyclically rotates each vector by r
-  *    positions — intra-replica geometry (norms, dot products) is
-  *    EXACTLY preserved, cross-replica similarity decorrelates;
+  *  - embeddings: replica r applies a distinct ORTHOGONAL transform —
+  *    cyclic rotation by (r mod dim) composed with axis sign flips
+  *    keyed by the bits of (r div dim) — so intra-replica geometry
+  *    (norms, dot products) is EXACTLY preserved, cross-replica
+  *    similarity decorrelates, and no two replicas share a transform
+  *    for any r < dim·2^dim (rotation alone is the identity whenever
+  *    r is a multiple of dim — review r15);
   *  - lineitem: orderkey/partkey/suppkey offsets make replica graphs
   *    disjoint — nodes and edges scale by R at constant degree, the
   *    shape real corpus growth has.
@@ -62,7 +66,10 @@ object ScaleCorpus {
           (col("vec_id") + col("__r") * 10000000L).as("vec_id"),
           expr("transform(sequence(0, size(embedding) - 1), i -> " +
             "element_at(embedding, CAST((i + __r) % size(embedding) " +
-            "AS INT) + 1))").cast("array<float>").as("embedding"),
+            "AS INT) + 1) * CASE WHEN (shiftright(CAST(__r DIV " +
+            "size(embedding) AS INT), CAST(i AS INT)) & 1) = 1 " +
+            "THEN -1.0 ELSE 1.0 END)").cast("array<float>")
+            .as("embedding"),
           col("label"))
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 

@@ -1686,6 +1686,40 @@ class DeltaBridgeSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("catch-up range over a DV'd table crossing a metaData that " +
+    "re-declares the current schema still streams (regression r15: the " +
+    "range-start schema check used the DV-refusing snapshot)") {
+    import spark.implicits._
+    val t = freshTable()
+    TxLog.append(spark,
+      (0L until 50L).map(i => (i, s"v$i")).toDF("k", "s"), t, partFiles = 1)
+    DeltaBridge.exportLog(spark, t) // v0
+    TxLog.deleteWhereDv(spark, t, "k = 5", maxDvFraction = 0.1)
+    DeltaBridge.exportLog(spark, t) // v1: remove + DV'd re-add
+    // v2: a foreign writer re-declares the SAME schema alongside an add
+    // — the shape that flips the range-start schema check on
+    val schemaJson = DeltaBridge.streamSnapshot(spark, t, None).schemaJson
+    val f = stageOneFile(Seq((100L, "x")).toDF("k", "s"), t, "pX.parquet")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    writeLogJson(t, 2L, Seq(
+      s"""{"metaData":{"id":"t-redecl","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{}}}""",
+      s"""{"add":{"path":"$f","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    val ckpt = Files.createTempDirectory("dv_redecl_ckpt").toString
+    val q = spark.readStream.format("graft-delta")
+      .option("ignoreChanges", "true").option("startingVersion", "1")
+      .load(t)
+      .writeStream.format("memory").queryName("dv_redecl_tail")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ks = spark.sql("SELECT k FROM dv_redecl_tail").collect()
+        .map(_.getLong(0)).toSet
+      assert(!ks.contains(5L), "the DV'd add must exclude the deleted row")
+      assert(ks.contains(100L), "the post-metaData add must stream")
+      assert(ks.size == 50, s"49 post-DV rows + the new add, got ${ks.size}")
+    } finally q.stop()
+  }
+
   test("streaming batch commits export as Delta txn actions and the " +
     "checkpoint carries the latest frontier per appId") {
     val t = freshTable()
