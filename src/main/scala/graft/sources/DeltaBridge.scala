@@ -580,10 +580,20 @@ object DeltaBridge {
     }
   }
 
+  /** Action rows per checkpoint part — one part up to here (the classic
+    * single-file form); above it the spec's multi-part layout. */
+  private val CheckpointPartRows = 100000
+
   private def writeCheckpoint(spark: SparkSession, table: String,
-                              cv: Long): Unit = {
+                              cv: Long,
+                              partRows: Int = CheckpointPartRows): Unit = {
     val path = deltaLogDir(table).resolve(f"$cv%020d.checkpoint.parquet")
     if (Files.exists(path)) return
+    // an already-DECLARED multi-part checkpoint at cv is complete by
+    // the publish order below (parts before _last_checkpoint) — done;
+    // an undeclared partial part-set re-publishes idempotently
+    if (lastCheckpointMeta(table).exists { case (v, parts) =>
+        v == cv && parts > 1 }) return
     // reconstruct the state AT cv through the READER path — bootstrapping
     // from the PREVIOUS published checkpoint when the JSON prefix has been
     // vacuumed (readState enforces version contiguity above the bootstrap,
@@ -661,25 +671,47 @@ object DeltaBridge {
       keptTombstones.map { case (p, (ts, dc)) =>
         Row(null, null, null, null, Row(p, ts.map(Long.box).orNull, dc))
       })
-    val tmpDir = Files.createTempDirectory(deltaLogDir(table), ".ckpt-")
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), ckptSchema)
-      .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    val part = TxLog.listDir(tmpDir).map(_.getFileName.toString)
-      .find(_.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write empty"))
-    try Files.createLink(path, tmpDir.resolve(part))
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
-    finally {
-      TxLog.listDir(tmpDir).foreach(Files.deleteIfExists)
-      Files.deleteIfExists(tmpDir)
+    def writeOne(dest: Path, chunk: Seq[Row]): Unit = {
+      val tmpDir = Files.createTempDirectory(deltaLogDir(table), ".ckpt-")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(chunk, 1), ckptSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+      val part = TxLog.listDir(tmpDir).map(_.getFileName.toString)
+        .find(_.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("checkpoint write empty"))
+      try Files.createLink(dest, tmpDir.resolve(part))
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally {
+        TxLog.listDir(tmpDir).foreach(Files.deleteIfExists)
+        Files.deleteIfExists(tmpDir)
+      }
+    }
+    // MULTI-PART above the row threshold — the spec's layout for
+    // checkpoints too large to be one parquet write
+    // (`N.checkpoint.<part>.<parts>.parquet`, 1-based, every part
+    // required): at 10⁶ live files one single-file checkpoint is a
+    // single-task bottleneck and a single atomic publish of a very
+    // large object; parts keep each write bounded. Readers
+    // ([[checkpointFiles]] + the bootstrap) already consume this
+    // layout. Part files publish BEFORE `_last_checkpoint` names them,
+    // so a crash mid-set leaves dangling part files, never a declared
+    // checkpoint with missing parts.
+    val nParts = math.max(1,
+      math.ceil(rows.length.toDouble / partRows).toInt)
+    if (nParts == 1) writeOne(path, rows)
+    else rows.grouped(partRows).zipWithIndex.foreach { case (chunk, i) =>
+      writeOne(deltaLogDir(table).resolve(
+        f"$cv%020d.checkpoint.${i + 1}%010d.$nParts%010d.parquet"), chunk)
     }
     // _last_checkpoint points readers at the newest checkpoint; plain
     // overwrite-in-place is the protocol's own convention for this file
+    val meta = Map[String, AnyRef](
+      "version" -> java.lang.Long.valueOf(cv),
+      "size" -> java.lang.Long.valueOf(rows.length.toLong)) ++
+      (if (nParts > 1) Map[String, AnyRef](
+        "parts" -> Integer.valueOf(nParts)) else Map.empty)
     Files.writeString(deltaLogDir(table).resolve("_last_checkpoint"),
-      mapper.writeValueAsString(Map(
-        "version" -> java.lang.Long.valueOf(cv),
-        "size" -> java.lang.Long.valueOf(rows.length.toLong)).asJava))
+      mapper.writeValueAsString(meta.asJava))
   }
 
   // --------------------------------------------------------------- read
@@ -1539,12 +1571,16 @@ object DeltaBridge {
     * existing checkpoint file at the head is kept), so readers bootstrap
     * in O(live files) and [[vacuumLog]] may retire the covered JSON
     * prefix. [[exportLog]] still checkpoints automatically every 10
-    * versions; this pins one at the current head on demand. Returns the
+    * versions; this pins one at the current head on demand. Above
+    * `partRows` action rows the checkpoint lands in the spec's
+    * MULTI-PART layout (each part a bounded parquet write; parts
+    * publish before `_last_checkpoint` declares them). Returns the
     * checkpointed version. */
-  def checkpoint(spark: SparkSession, table: String): Long = {
+  def checkpoint(spark: SparkSession, table: String,
+                 partRows: Int = CheckpointPartRows): Long = {
     val head = headVersion(table)
     require(head >= 0, s"checkpoint: $table has no exported _delta_log")
-    writeCheckpoint(spark, table, head)
+    writeCheckpoint(spark, table, head, partRows)
     head
   }
 

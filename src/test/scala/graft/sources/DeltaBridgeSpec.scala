@@ -1686,6 +1686,48 @@ class DeltaBridgeSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("MULTI-PART checkpoint WRITE: above the part-row threshold the " +
+    "checkpoint lands as the spec's part layout, bootstraps after log " +
+    "cleanup, and carries txn/tombstone state") {
+    import spark.implicits._
+    val t = freshTable()
+    (1 to 6).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), t,
+        partFiles = 1)
+    }
+    TxLog.appendBatch(spark, Seq((100L, "s")).toDF("id", "v"), t,
+      batchId = 3L)
+    DeltaBridge.exportLog(spark, t)
+    // protocol + metaData + 7 adds + 1 txn = 10 rows; 3 rows/part → 4
+    assert(DeltaBridge.checkpoint(spark, t, partRows = 3) == 6L)
+    val ld = Paths.get(t, "_delta_log")
+    val parts = TxLog.listDir(ld).map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet"))
+      .sorted
+    assert(parts.size == 4 && parts.head.contains(".0000000001.0000000004."),
+      s"expected a 4-part layout, got $parts")
+    assert(!Files.exists(ld.resolve(f"${6L}%020d.checkpoint.parquet")),
+      "no single-file checkpoint alongside the part set")
+    val lc = Files.readString(ld.resolve("_last_checkpoint"))
+    assert(lc.contains("\"parts\":4"), s"_last_checkpoint declares parts: $lc")
+    // log cleanup under it, then bootstrap from the part set alone
+    assert(DeltaBridge.vacuumLog(t).nonEmpty)
+    assert(DeltaBridge.read(spark, t).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L, 6L, 100L))
+    // carried state: the streaming frontier survives into the next
+    // (single-file) checkpoint built ON the multi-part bootstrap
+    writeLogJson(t, 7L, Seq(
+      s"""{"add":{"path":"${stageOneFile(Seq((200L, "w")).toDF("id", "v"),
+        t, "pW.parquet")}","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""))
+    assert(DeltaBridge.checkpoint(spark, t) == 7L)
+    val txns = spark.read.parquet(
+        ld.resolve(f"${7L}%020d.checkpoint.parquet").toString)
+      .filter(col("txn").isNotNull).select("txn.appId", "txn.version")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(txns == Seq(("graft-stream-v1", 3L)),
+      s"txn must survive the multi-part bootstrap chain: $txns")
+  }
+
   test("catch-up range over a DV'd table crossing a metaData that " +
     "re-declares the current schema still streams (regression r15: the " +
     "range-start schema check used the DV-refusing snapshot)") {
