@@ -568,6 +568,47 @@ class TxLogSpec extends SparkSpec {
     assert(viaBridge == out, "bridge read must equal the TxLog read")
   }
 
+  test("LAW: mergeClauses with the DV path ON reads identically to the " +
+    "copy-on-write path, across mixed clause shapes") {
+    import spark.implicits._
+    def build(): String = {
+      val t = freshTable()
+      TxLog.append(spark,
+        (0L until 80L).map(i => (i, s"v$i")).toDF("k", "s"), t, partFiles = 2)
+      TxLog.append(spark,
+        (500L until 520L).map(i => (i, s"w$i")).toDF("k", "s"), t,
+        partFiles = 1)
+      t
+    }
+    val src = Seq((3L, "x"), (7L, "x"), (41L, "x"), (505L, "x"),
+      (9000L, "new")).toDF("k", "s")
+    def mergeOn(t: String, dvFrac: Double): Unit =
+      TxLog.mergeClauses(spark, src, t,
+        keys = Seq("k"), tableCols = Seq("k", "s"),
+        matched = Seq(
+          (Some("k < 100"), TxLog.MergeDelete),
+          (Some("k >= 500"), TxLog.MergeUpdate(Seq("s" -> "upper(s)")))),
+        notMatchedInsert = Seq((None,
+          Seq("k" -> "__src_k", "s" -> "__src_s"))),
+        notMatchedBySource = Seq.empty,
+        maxDvFraction = dvFrac)
+    val (a, b) = (build(), build())
+    mergeOn(a, 0.0)  // pure copy-on-write
+    mergeOn(b, 0.2)  // DV path for the delete-only files
+    def state(t: String) = TxLog.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state(a) == state(b),
+      "the two write strategies must be read-indistinguishable")
+    assert(TxLog.liveFiles(b).exists(_.contains("#dv:")),
+      "sanity: the DV run actually exercised the vector path")
+    assert(!TxLog.liveFiles(a).exists(_.contains("#dv:")),
+      "sanity: the baseline run did not")
+    // and the exported logs agree with their own tables
+    DeltaBridge.exportLog(spark, a); DeltaBridge.exportLog(spark, b)
+    assert(DeltaBridge.read(spark, b).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == state(a))
+  }
+
   test("OCC exhaustion under a deliberately-racing committer fails loud " +
     "with NO partial state") {
     import spark.implicits._
