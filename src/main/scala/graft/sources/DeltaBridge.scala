@@ -422,7 +422,15 @@ object DeltaBridge {
     // version files (skip if present).
     val head = vs.length - 1
     val ckptV = (head / CheckpointInterval) * CheckpointInterval
-    if (ckptV > 0) writeCheckpoint(spark, table, ckptV.toLong)
+    // never BELOW an already-published checkpoint: an explicit CALL
+    // graft.checkpoint can pin a version above the cadence boundary, and
+    // writing the cadence checkpoint afterwards would REGRESS
+    // _last_checkpoint — after a vacuumLog, to a version the log can no
+    // longer even reconstruct (review r15: empty checkpoint, table
+    // bricked)
+    if (ckptV > 0 &&
+        lastCheckpointVersion(table).forall(_ < ckptV))
+      writeCheckpoint(spark, table, ckptV.toLong)
     // prime the seed cache with the post-export head state: the next
     // export (the streaming sink's next micro-batch) seeds without any
     // replay at all
@@ -584,14 +592,18 @@ object DeltaBridge {
     * single-file form); above it the spec's multi-part layout. */
   private val CheckpointPartRows = 100000
 
-  private def writeCheckpoint(spark: SparkSession, table: String,
-                              cv: Long,
-                              partRows: Int = CheckpointPartRows): Unit = {
+  private[sources] def writeCheckpoint(spark: SparkSession, table: String,
+                                       cv: Long,
+                                       partRows: Int = CheckpointPartRows): Unit = {
+    require(partRows > 0, s"writeCheckpoint: partRows $partRows must be > 0")
     val path = deltaLogDir(table).resolve(f"$cv%020d.checkpoint.parquet")
     if (Files.exists(path)) return
     // an already-DECLARED multi-part checkpoint at cv is complete by
     // the publish order below (parts before _last_checkpoint) — done;
-    // an undeclared partial part-set re-publishes idempotently
+    // an undeclared partial part-set re-publishes idempotently (sound
+    // because the rows — and so the chunk boundaries — are a pure
+    // function of cv: the tombstone horizon below is pinned to the
+    // commit's own timestamp, never the retry's wall clock)
     if (lastCheckpointMeta(table).exists { case (v, parts) =>
         v == cv && parts > 1 }) return
     // reconstruct the state AT cv through the READER path — bootstrapping
@@ -601,6 +613,12 @@ object DeltaBridge {
     // omitting live files from the new checkpoint). Previously-published
     // checkpoints are immutable; only the one being written here is new.
     val st = readState(spark, table, Some(cv))
+    // an unreconstructible cv (its JSON vacuumed and no usable
+    // bootstrap) replays to an EMPTY state — publishing that would
+    // brick every later reader (review r15); refuse instead
+    require(st.schemaJson != null,
+      s"checkpoint: version $cv of $table cannot be reconstructed from " +
+        "the surviving log (vacuumed past it?); checkpoint the head")
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val ckptSchema = StructType(Seq(
@@ -644,9 +662,21 @@ object DeltaBridge {
     // tombstone retention: keep removes younger than the table's
     // deletedFileRetentionDuration (default 1 week — delta's own), plus
     // undated ones (conservative: a foreign writer that logs no
-    // deletionTimestamp must not have its vacuum worklist truncated)
+    // deletionTimestamp must not have its vacuum worklist truncated).
+    // The horizon anchors to the CHECKPOINTED COMMIT's own timestamp
+    // (its JSON mtime — the same clock timestampAsOf resolves against),
+    // not the writer's wall clock: a crash-interrupted multi-part set
+    // retried hours later must recompute IDENTICAL rows, or the shifted
+    // chunk boundaries would mix old and new parts under the
+    // keep-on-collision publish and silently drop tombstones
+    // (review r15). Fallback to wall clock only when the JSON is
+    // already gone (then the single idempotence risk is gone with it).
     val retainMs = tombstoneRetentionMs(st.configuration)
-    val horizon = System.currentTimeMillis() - retainMs
+    val anchor =
+      if (Files.exists(deltaVersionFile(table, cv)))
+        Files.getLastModifiedTime(deltaVersionFile(table, cv)).toMillis
+      else System.currentTimeMillis()
+    val horizon = anchor - retainMs
     val keptTombstones = st.tombstones.toSeq.filter { case (_, (ts, _)) =>
       ts.forall(_ >= horizon) }
     val rows =
@@ -1578,6 +1608,7 @@ object DeltaBridge {
     * checkpointed version. */
   def checkpoint(spark: SparkSession, table: String,
                  partRows: Int = CheckpointPartRows): Long = {
+    require(partRows > 0, s"checkpoint: partRows $partRows must be > 0")
     val head = headVersion(table)
     require(head >= 0, s"checkpoint: $table has no exported _delta_log")
     writeCheckpoint(spark, table, head, partRows)

@@ -13,8 +13,12 @@ import org.apache.spark.sql.SparkSession
   * reading exponents off small scales.
   *
   * Usage: runMain graft.tools.ScaleBench <corpusDir> [queriesCsv] [reps]
+  *   [shufflePartitions]
   * Prints one JSON line {"dir":…,"queries":{name:sec},"jobs":{…},
-  * "stages":{…},"floor_sec":…,"stage_floor_incr_sec":…}.
+  * "stages":{…},"floor_sec":…,"stage_floor_incr_sec":…}. The optional
+  * shuffle-partition override separates partition-size pressure from
+  * algorithmic growth when reading large-scale exponents (a cluster
+  * re-sizes partitions with data; the fixed local default does not).
   */
 object ScaleBench {
   private val DefaultQueries = Seq(
@@ -31,9 +35,10 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).toSeq).getOrElse(DefaultQueries)
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
     val cpus = Runtime.getRuntime.availableProcessors()
+    val shufflePartitions = args.lift(3).map(_.toInt).getOrElse(cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -1686,6 +1686,40 @@ class DeltaBridgeSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("exportLog's cadence checkpoint never regresses an explicitly " +
+    "pinned one (regression r15: after vacuumLog it would publish an " +
+    "EMPTY checkpoint at the cadence version and brick the table)") {
+    import spark.implicits._
+    val t = freshTable()
+    (1 to 12).foreach { i =>
+      TxLog.append(spark, Seq((i.toLong, "x")).toDF("id", "v"), t,
+        partFiles = 1)
+    }
+    DeltaBridge.exportLog(spark, t) // head 11, cadence checkpoint at 10
+    def lcVersion(): Long = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
+        Files.readString(Paths.get(t, "_delta_log", "_last_checkpoint")),
+        classOf[java.util.Map[String, AnyRef]])
+      m.get("version").asInstanceOf[Number].longValue()
+    }
+    assert(lcVersion() == 10L)
+    assert(DeltaBridge.checkpoint(spark, t) == 11L) // explicit pin above
+    assert(DeltaBridge.vacuumLog(t).nonEmpty)       // JSON 0..11 retired
+    TxLog.append(spark, Seq((13L, "x")).toDF("id", "v"), t, partFiles = 1)
+    DeltaBridge.exportLog(spark, t) // head 12 → cadence 10 < pinned 11
+    assert(lcVersion() == 11L,
+      "the cadence checkpoint below the pin must be skipped")
+    assert(DeltaBridge.read(spark, t).count() == 13,
+      "the table must stay readable through the pin + vacuum + export")
+    // and an explicitly-requested unreconstructible version refuses
+    // loud instead of publishing an empty state
+    val e = intercept[IllegalArgumentException] {
+      DeltaBridge.writeCheckpoint(spark, t, 5L)
+    }
+    assert(e.getMessage.contains("cannot be reconstructed"),
+      s"got: ${e.getMessage}")
+  }
+
   test("MULTI-PART checkpoint WRITE: above the part-row threshold the " +
     "checkpoint lands as the spec's part layout, bootstraps after log " +
     "cleanup, and carries txn/tombstone state") {
