@@ -113,6 +113,16 @@ object GraftFunctions {
       s"expected an integer literal, got $other")
   }
 
+  /** Extract a foldable array-of-strings literal (the word-set kernels'
+    * stopword argument — pinned at plan time like lev_within's k). */
+  private def litStrings(e: Expression): Seq[String] = e.eval(null) match {
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      (0 until a.numElements()).map(i =>
+        a.getUTF8String(i).toString)
+    case other => throw new IllegalArgumentException(
+      s"expected an array-of-strings literal, got $other")
+  }
+
   /** All graft-native expressions: (name, doc, builder). */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", "cosine_sim(a, b) - fused cosine similarity of two double arrays",
@@ -131,6 +141,21 @@ object GraftFunctions {
     ("lev_within", "lev_within(s1, s2, k) - banded Levenshtein: exact distance if <= k, else k+1",
       (args: Seq[Expression]) =>
         BandedLevenshtein(args.head, args(1), litLong(args(2)).toInt)),
+    ("ascii_count", "ascii_count(s, lo, hi) - code points in [lo, hi] (ASCII range)",
+      (args: Seq[Expression]) =>
+        AsciiRangeCount(args.head, litLong(args(1)).toInt, litLong(args(2)).toInt)),
+    ("stop_count", "stop_count(s, words) - space-split segments of s equal to any word",
+      (args: Seq[Expression]) => StopSegmentCount(args.head, litStrings(args(1)))),
+    ("words_present", "words_present(s, words) - distinct words occurring as a segment of s",
+      (args: Seq[Expression]) => WordsPresentCount(args.head, litStrings(args(1)))),
+    ("seg_in_range", "seg_in_range(s, lo, hi) - non-empty segments fully inside the code-point range",
+      (args: Seq[Expression]) =>
+        SegmentsAllInRange(args.head, litLong(args(1)).toInt, litLong(args(2)).toInt)),
+    ("gram_hashes", "gram_hashes(toks, k) - poly_hash of every ' '-joined k-gram",
+      (args: Seq[Expression]) => GramHashes(args.head, litLong(args(1)).toInt)),
+    ("cdc_chunk_hashes", "cdc_chunk_hashes(s, win, mod) - per-chunk poly_hashes of the CDC chunking",
+      (args: Seq[Expression]) =>
+        CdcChunkHashes(args.head, litLong(args(1)).toInt, litLong(args(2)).toInt)),
     // Spark ships these two for its own runtime row-level filtering
     // (InjectRuntimeFilter) but does not register them publicly; surfacing
     // them keeps a user-declared bloom prefilter fully in-plan — the build

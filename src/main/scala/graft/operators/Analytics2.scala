@@ -198,19 +198,26 @@ object Analytics2 {
     * accuracy at the final weights (prediction = sign of the linear
     * score, threshold exact at 0). */
   def t199QualityClassifier(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.PortableHash.tokens
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     val stopArr = TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
     // measured: SparkSupport.parallelized here is a net LOSS (1.61 →
     // 2.01 s at sf0.1): the sequential GD passes each reread the persisted
     // frame, and 32 cached partitions per pass cost more scheduling than
     // the one-task feature fold costs compute
+    //
+    // r15-opt, feature pass: native byte-scan kernels replace the
+    // HOF/regexp forms (the t35 rewrite; counts integer-identical per
+    // TextKernelExprsSpec): n_toks = spaces + 1, tok_chars = chars −
+    // spaces, n_stop/n_alpha one byte scan each — the old projection
+    // re-split the text once per HOF and materialized per-char matches.
     val raw = graft.Tables.documents(s, dir)
+      .selectExpr("text", "lower(text) AS lw")
       .selectExpr(
         "length(text) AS n_chars",
-        s"size($tokens) AS n_toks",
-        s"aggregate(transform($tokens, t -> length(t)), 0, (a, x) -> a + x) AS tok_chars",
-        s"size(filter($tokens, t -> array_contains($stopArr, t))) AS n_stop",
-        "size(regexp_extract_all(lower(text), '[a-z]', 0)) AS n_alpha")
+        "ascii_count(lw, 32, 32) + 1 AS n_toks",
+        "length(lw) - ascii_count(lw, 32, 32) AS tok_chars",
+        s"stop_count(lw, $stopArr) AS n_stop",
+        "ascii_count(lw, 97, 122) AS n_alpha")
       .selectExpr(
         "least(n_chars / 500.0D, 1.0D) AS f1",
         "least(n_stop / CAST(n_toks AS DOUBLE) * 5.0D, 1.0D) AS f2",
@@ -220,15 +227,26 @@ object Analytics2 {
         "CAST(0.3D * f1 + 0.4D * f2 + 0.3D * f3 >= 0.55D AS INT) AS y",
         "f1", "f2", "f3", "f4")
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds means + the feature pass
-    // corpus feature means (decimal-exact, order-independent) → centering
-    val mu = raw.agg(
+    // r15-opt, pass structure: means AND class counts fuse into ONE
+    // corpus aggregate (they were two separate full aggregates), the
+    // counts ride the cached feature rows (three extra longs per row)
+    // instead of a per-consumer broadcast(tot) rebuild, and the 5-row
+    // weight tables w1/w2 are EAGERLY localCheckpoint'ed — without that,
+    // every downstream reference (w1row, w2, w2row, acc, the output join)
+    // re-ran the whole gradient lineage against the cache: measured 66
+    // scheduled jobs for what is algorithmically 4 corpus passes (feature
+    // build + grad1 + grad2 + accuracy). Values are unchanged: the same
+    // exact integer counts and the same double quotients, computed once.
+    val mt = raw.agg(
       (sum(col("f1").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("m1"),
       (sum(col("f2").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("m2"),
       (sum(col("f3").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("m3"),
-      (sum(col("f4").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("m4"))
-    val feats = raw.crossJoin(broadcast(mu))
+      (sum(col("f4").cast("decimal(38,12)")).cast("double") / count(lit(1))).as("m4"),
+      count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val feats = raw.crossJoin(broadcast(mt))
       .selectExpr("y",
-        "array(1.0D, f1 - m1, f2 - m2, f3 - m3, f4 - m4) AS f")
+        "array(1.0D, f1 - m1, f2 - m2, f3 - m3, f4 - m4) AS f",
+        "n", "n_pos", "n - n_pos AS n_neg")
       .persist(StorageLevel.MEMORY_AND_DISK) // three passes: grad1, grad2, accuracy
     // class-balanced weights n/(2·n_pos), n/(2·n_neg): with ~44% positives
     // an unbalanced gradient just learns the base rate (every weight goes
@@ -236,35 +254,31 @@ object Analytics2 {
     // standard imbalance correction zeroes the bias pull and lets the
     // feature signal drive. cw is a deterministic double from two exact
     // counts, identical in both engines.
-    val tot = feats.agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
-      .selectExpr("n", "n_pos", "n - n_pos AS n_neg")
     val cwExpr =
       "CASE WHEN y = 1 THEN n / (2.0D * n_pos) ELSE n / (2.0D * n_neg) END"
     // step 1 from w = 0: σ(0) = 0.5 exactly, so the gradient needs no model
     val w1 = feats
-      .crossJoin(broadcast(tot))
-      .selectExpr("y", s"$cwExpr AS cw", "posexplode(f) AS (j, x)")
-      .selectExpr("j",
+      .selectExpr("y", s"$cwExpr AS cw", "n", "posexplode(f) AS (j, x)")
+      .selectExpr("j", "n",
         "CAST(floor(cw * (y - 0.5D) * x * 1e6D + 0.5D) AS DECIMAL(38,0)) AS g6")
-      .groupBy("j").agg(sum(col("g6")).as("sg6"))
-      .crossJoin(broadcast(tot))
+      .groupBy("j").agg(sum(col("g6")).as("sg6"), max(col("n")).as("n"))
       .selectExpr("j", "CAST(sg6 AS DOUBLE) / n / 1e6D AS w")
+      .localCheckpoint() // 5 rows; truncates the grad-1 lineage
     val w1row = w1.groupBy()
       .agg(expr("transform(array_sort(collect_list(struct(j, w))), e -> e.w)")
         .as("wa"))
     // step 2: broadcast w1, fast-sigmoid the linear score, one more pass
     val d2 = feats.crossJoin(broadcast(w1row))
-      .crossJoin(broadcast(tot))
       .withColumn("z",
         expr("aggregate(zip_with(f, wa, (x, w) -> x * w), 0D, (a, x) -> a + x)"))
       .withColumn("p", expr("0.5D + z / (2.0D * (1.0D + abs(z)))"))
-      .selectExpr("y", "p", s"$cwExpr AS cw", "posexplode(f) AS (j, x)")
-      .selectExpr("j",
+      .selectExpr("y", "p", s"$cwExpr AS cw", "n", "posexplode(f) AS (j, x)")
+      .selectExpr("j", "n",
         "CAST(floor(cw * (y - p) * x * 1e6D + 0.5D) AS DECIMAL(38,0)) AS g6")
-      .groupBy("j").agg(sum(col("g6")).as("sg6"))
-      .crossJoin(broadcast(tot))
+      .groupBy("j").agg(sum(col("g6")).as("sg6"), max(col("n")).as("n"))
       .selectExpr("j", "CAST(sg6 AS DOUBLE) / n / 1e6D AS d")
     val w2 = w1.join(d2, "j").selectExpr("j", "w", "w + d AS w2")
+      .localCheckpoint() // 5 rows; truncates the grad-2 lineage
     val w2row = w2.groupBy()
       .agg(expr("transform(array_sort(collect_list(struct(j, w2))), e -> e.w2)")
         .as("wa2"))

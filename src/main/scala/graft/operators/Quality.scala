@@ -252,16 +252,29 @@ object Quality {
   val ScoreThreshold: Double = 0.55
 
   /** Spark-SQL rendering of the composite score over a `text` column.
-    * `toks` must be the whitespace-token expression (callers pass their
-    * local alias; the default is the one shared constant). */
+    *
+    * r15-opt: the HOF/regexp formulation (`size(filter(split(...)))` +
+    * `size(regexp_extract_all(...))`) is replaced by the native codegen'd
+    * kernels (guide §1.2 per-task work): `stop_count` counts stopword
+    * segments in one byte scan, `ascii_count(…, 32, 32) + 1` is
+    * `size(split(s, ' '))` (segments = spaces + 1, exact — see
+    * TextKernelExprsSpec), `ascii_count(…, 97, 122)` is the [a-z] count.
+    * Integer counts are IDENTICAL to the old form (pinned by the spec), so
+    * every downstream double is bit-identical and the DuckDB renderings
+    * below are untouched. Callers must have GraftFunctions.ensureRegistered.
+    *
+    * The old `toks` parameter is retained for source compatibility; every
+    * caller passes the shared whitespace-token expression over `text`,
+    * which the native form derives from `lower(text)` directly. */
   def scoreExpr(
       toks: String = graft.functions.PortableHash.tokens): String = {
     val stopArr =
       TextAnalysis.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
     s"""least(length(text) / 500.0D, 1.0D) * 0.3D
-       |  + least(size(filter($toks, t -> array_contains($stopArr, t)))
-       |      / CAST(size($toks) AS DOUBLE) * 5.0D, 1.0D) * 0.4D
-       |  + size(regexp_extract_all(lower(text), '[a-z]', 0))
+       |  + least(stop_count(lower(text), $stopArr)
+       |      / CAST(ascii_count(lower(text), 32, 32) + 1 AS DOUBLE) * 5.0D,
+       |      1.0D) * 0.4D
+       |  + ascii_count(lower(text), 97, 122)
        |      / CAST(length(text) AS DOUBLE) * 0.3D""".stripMargin
   }
 

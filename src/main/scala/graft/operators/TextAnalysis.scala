@@ -46,17 +46,25 @@ object TextAnalysis {
     * combined into a single deterministic score — the heuristic filter a
     * pretraining pipeline runs before expensive dedup. */
   def t35Quality(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
     val stopArr = stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+    // r15-opt: native byte-scan kernels replace the HOF/regexp forms — the
+    // old projection re-evaluated split(lower(text)) once per HOF (HOFs are
+    // CodegenFallback, no cross-expression CSE) and materialized a
+    // UTF8String per [a-z] char. Counts are integer-identical
+    // (TextKernelExprsSpec), so every ratio below is bit-identical.
+    // n_tokens = spaces + 1 = size(split); tok_chars = chars − spaces.
     Tables.documents(s, dir)
+      .selectExpr("doc_id", "text", "lower(text) AS lw")
       .selectExpr(
         "doc_id",
         "length(text) AS n_chars",
-        s"size($tokens) AS n_tokens",
-        s"aggregate(transform($tokens, t -> length(t)), 0, (a, x) -> a + x) " +
-          s"/ CAST(size($tokens) AS DOUBLE) AS raw_mean_len",
-        s"size(filter($tokens, t -> array_contains($stopArr, t))) " +
-          s"/ CAST(size($tokens) AS DOUBLE) AS raw_stop",
-        "size(regexp_extract_all(lower(text), '[a-z]', 0)) " +
+        "ascii_count(lw, 32, 32) + 1 AS n_tokens",
+        "(length(lw) - ascii_count(lw, 32, 32)) " +
+          "/ CAST(ascii_count(lw, 32, 32) + 1 AS DOUBLE) AS raw_mean_len",
+        s"stop_count(lw, $stopArr) " +
+          "/ CAST(ascii_count(lw, 32, 32) + 1 AS DOUBLE) AS raw_stop",
+        "ascii_count(lw, 97, 122) " +
           "/ CAST(length(text) AS DOUBLE) AS raw_alpha")
       .selectExpr("doc_id", "n_chars", "n_tokens",
         "round(raw_mean_len, 6) AS mean_token_len",
@@ -112,10 +120,14 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "de", "et", "que", "est"))
 
   def t36LangId(s: SparkSession, dir: String): DataFrame = {
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    // r15-opt: stop_count / ascii_count natives replace 4 interpreted
+    // filter(split(...)) passes (one per language profile) — counts are
+    // integer-identical (TextKernelExprsSpec), ratios bit-identical.
     val scoreCols = profiles.map { case (lang, words) =>
       val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
-      s"round(size(filter($tokens, t -> array_contains($arr, t))) " +
-        s"/ CAST(size($tokens) AS DOUBLE), 6) AS score_$lang"
+      s"round(stop_count(lw, $arr) " +
+        s"/ CAST(ascii_count(lw, 32, 32) + 1 AS DOUBLE), 6) AS score_$lang"
     }
     val best = profiles.map { case (lang, _) => lang }
       .sortBy(identity).reverse // later CASE arms win ties ⇒ evaluate desc, pick asc-first
@@ -125,6 +137,7 @@ object TextAnalysis {
           s" THEN '$lang' ELSE $acc END"
       }
     Tables.documents(s, dir)
+      .selectExpr("doc_id", "lang", "lower(text) AS lw")
       .selectExpr(Seq("doc_id", "lang AS label_lang") ++ scoreCols: _*)
       .selectExpr("doc_id", "label_lang", "score_de", "score_en", "score_es",
         "score_fr", s"$best AS predicted_lang")
