@@ -459,9 +459,10 @@ object Curation {
       // can never be affected, so dropping them is semantics-preserving.
       .filter(expr("size(tk) >= 5"))
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds windows, splice, sizes
+    // r15-opt: native gram_hashes replaces the interpreted per-window
+    // slice+concat_ws+hash lambda (hash-identical, TextKernelExprsSpec)
     val wins = toks.selectExpr("doc_id",
-        """posexplode(transform(sequence(1, size(tk) - 4),
-          |  i -> poly_hash(concat_ws(' ', slice(tk, i, 5))))) AS (p, h)""".stripMargin)
+        "posexplode(gram_hashes(tk, 5)) AS (p, h)")
       .selectExpr("doc_id", "p + 1 AS pos", "h")
     val ev = gramIndex(s, dir).filter(col("doc_id") % 7 === 0)
       .select("h").distinct()

@@ -1220,23 +1220,16 @@ object Dedup {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
     val K = 8
     val toks = graft.functions.PortableHash.tokens
-    // the token array is hoisted into a materialized column FIRST:
-    // higher-order-function lambdas evaluate interpreted, so leaving
-    // `split(lower(text))` textually inside the lambda would re-lower and
-    // re-split the whole document once PER WINDOW (~50× the work; measured
-    // 3.7 s → 1.1 s at sf0.1). The lambda body then only slices the
-    // precomputed array and runs the native codegen'd poly_hash kernel.
+    // r15-opt: the per-window slice+concat_ws+poly_hash lambda (interpreted
+    // — HOFs are CodegenFallback) is now the native one-pass gram_hashes
+    // kernel (hash-identical, TextKernelExprsSpec); per-token fold values
+    // compose per gram in O(K) modular steps, no per-window allocations.
     // per-token window hashing is the amplified stage — parallelize the
     // narrow scan first (no-op at scale, SparkSupport.parallelized)
     val grams = graft.SparkSupport.parallelized(Tables.documents(s, dir))
       .filter(expr(s"size($toks) >= $K"))
-      .withColumn("toks", expr(toks))
-      .selectExpr("doc_id",
-        s"""explode(transform(${seqAsc("1", s"size(toks) - ${K - 1}")},
-           |  i -> struct(i AS pos,
-           |    poly_hash(concat_ws(' ', slice(toks, i, $K))) AS h)))
-           |  AS g""".stripMargin)
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h"))
+      .selectExpr("doc_id", s"posexplode(gram_hashes($toks, $K)) AS (p, h)")
+      .selectExpr("doc_id", "p + 1 AS pos", "h")
     val shared = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd").between(2, 64))

@@ -172,11 +172,9 @@ object Pretrain {
   def t154DupSpans(s: SparkSession, dir: String): DataFrame = {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
     val grams = Dedup.corpusWithCopies(s, dir)
-      .selectExpr("doc_id", s"$tokens AS toks")
-      .selectExpr("doc_id",
-        // seqAsc: empty (not descending+throwing) on sub-5-token docs
-        s"""posexplode(transform(${seqAsc("1", "size(toks) - 4")},
-          |  i -> poly_hash(concat_ws(' ', slice(toks, i, 5))))) AS (p, h)""".stripMargin)
+      // r15-opt: native gram_hashes (empty array on sub-5-token docs, like
+      // the seqAsc form it replaces; hash-identical per TextKernelExprsSpec)
+      .selectExpr("doc_id", s"posexplode(gram_hashes($tokens, 5)) AS (p, h)")
       .selectExpr("doc_id", "p + 1 AS pos", "h")
       // feeds the carrier count AND the per-doc flags — one corpus scan
       .persist(StorageLevel.MEMORY_AND_DISK)

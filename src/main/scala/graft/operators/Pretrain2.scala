@@ -124,18 +124,14 @@ object Pretrain2 {
     * rule turned into actual chunk rows, fingerprinted with the native
     * codegen'd poly_hash. Shared by t192's cache side and delta side. */
   private def chunkRows(df: DataFrame, textExpr: String): DataFrame =
+    // r15-opt: the fused native cdc_chunk_hashes kernel — ONE code-point
+    // pass computes window hashes, cut positions and per-chunk poly_hashes
+    // simultaneously; the HOF pipeline it replaces allocated a 4-char
+    // substring per position (interpreted filter lambda), then re-scanned
+    // every chunk substring. Hash-identical per TextKernelExprsSpec, which
+    // pins this exact pipeline against the kernel.
     df.selectExpr("doc_id", s"$textExpr AS t")
-      .selectExpr("doc_id", "t", "length(t) AS len",
-        s"filter(${seqAsc("4", "length(t)")}, i -> " +
-          s"${polyHash("substring(t, i - 3, 4)")} % 16 = 0) AS bnds")
-      .selectExpr("doc_id", "t", "len", "filter(bnds, b -> b < len) AS cb")
-      .selectExpr("doc_id",
-        """explode(transform(sequence(0, size(cb)), k ->
-          |  substring(t,
-          |    IF(k = 0, 1, element_at(cb, k) + 1),
-          |    IF(k = size(cb), len, element_at(cb, k + 1))
-          |      - IF(k = 0, 1, element_at(cb, k) + 1) + 1))) AS chunk""".stripMargin)
-      .selectExpr("doc_id", "poly_hash(chunk) AS h")
+      .selectExpr("doc_id", "explode(cdc_chunk_hashes(t, 4, 16)) AS h")
 
   /** The mid-document insertion edit (v2 of every doc_id % 4 = 0 doc):
     * the revision case fixed-stride chunking handles worst (every chunk
