@@ -283,6 +283,12 @@ object Similarity2 {
     val toks = graft.Tables.documents(s, dir)
       .selectExpr("doc_id", "explode(split(lower(text), ' ')) AS t")
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds postings, lengths, tf
+    // (r15-opt A/B, negative: moving the d0 semi-join BEFORE the distinct
+    // — per-occurrence rows of query-doc terms, then distinct — measured
+    // SLOWER at sf0.1 (s196 2.25 → 2.79 s min): the query doc's terms
+    // include the corpus's commonest words, so the "restricted" set is
+    // most of the token table and the extra join pass costs more than the
+    // narrower distinct saves. The global (doc, term) distinct stays.)
     val dt = toks.distinct()
     val d0 = dt.filter(col("doc_id") === 0).select("t")
     val dfq = dt.join(broadcast(d0), "t")
@@ -298,7 +304,13 @@ object Similarity2 {
       .withColumn("r", row_number().over(Window.orderBy(col("df"), col("t"))))
       .filter(col("r") <= 8).select("t", "df")
       .localCheckpoint(true)
-    val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // r15-opt: token counts per doc come straight off the text via the
+    // native space counter (len = spaces + 1 = size(split), exact — see
+    // TextKernelExprsSpec) instead of a corpus-wide groupBy over the
+    // exploded token rows: one exchange of 4M rows gone, map-only now.
+    val lens = graft.Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "CAST(ascii_count(lower(text), 32, 32) + 1 AS BIGINT) AS len")
     val stats = lens.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tot"))
     val tf = toks.filter(col("doc_id") =!= 0)
       .join(broadcast(qt.select("t")), "t")
