@@ -370,11 +370,21 @@ object Dedup {
     * ([[graft.catalyst.PolyHash]], [[graft.catalyst.SimHash30]]). */
   def d32Simhash(s: SparkSession, dir: String): DataFrame = {
     graft.catalyst.GraftFunctions.ensureRegistered(s)
-    val sigs = Tables.documents(s, dir)
-      .selectExpr("doc_id", s"explode(array_distinct($tokens)) AS t")
-      .selectExpr("doc_id", "poly_hash(t) AS th1")
-      .groupBy("doc_id").agg(collect_list(col("th1")).as("th"))
-      .selectExpr("doc_id", "simhash30(th) AS sig")
+    // r15-opt: signatures are MAP-SIDE now — gram_hashes(toks, 1) is the
+    // per-token poly_hash array in one codegen'd call (hash-identical,
+    // TextKernelExprsSpec k=1 case), feeding simhash30 directly. The old
+    // explode → scalar-hash → collect_list barrier shuffled every token
+    // hash of the corpus just to regroup rows that started on one line;
+    // simhash30 is an order-independent ±1 sum per bit, so the array-order
+    // fold is bit-identical to the collect_list-order fold. Guide §2.4
+    // (remove shuffles outright): the CORPUS-WIDE hash exchange is gone;
+    // parallelized() raises the under-partitioned local scan to session
+    // parallelism before the amplified per-token fold (the d302 guard —
+    // without it the whole signature pass ran inside 2 scan tasks,
+    // measured 2.49 s vs 0.69 s at sf0.1; a no-op at production scale).
+    val sigs = graft.SparkSupport.parallelized(Tables.documents(s, dir))
+      .selectExpr("doc_id",
+        s"simhash30(gram_hashes(array_distinct($tokens), 1)) AS sig")
     val chunks = sigs.selectExpr("doc_id", "sig",
       """explode(transform(sequence(0, 2), c ->
         |  concat(CAST(c AS STRING), ':',
