@@ -289,7 +289,12 @@ object Curation2 {
     val cu = cb.groupBy("w1").agg(sum(col("cb")).as("ctx"))
     val v = t.selectExpr("explode(toks) AS tok")
       .agg(countDistinct(col("tok")).as("v"))
-    bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+    // r15-opt: attach the context totals to the MODEL (bigram-table-sized)
+    // before scoring — the old plan joined the corpus bigram stream twice,
+    // once keyed (w1, w2) and again keyed w1, i.e. two full-stream
+    // exchanges where one suffices (guide §2.4). Same counts either way.
+    val cbx = cb.join(cu, Seq("w1"))
+    bg.join(cbx, Seq("w1", "w2"))
       .crossJoin(broadcast(v))
       .selectExpr("doc_id",
         "CAST(round(ln((cb + 1) / CAST(ctx + v AS DOUBLE)), 6) " +

@@ -360,17 +360,21 @@ object Pretrain {
     val toks = Tables.documents(s, dir)
       .selectExpr("doc_id", "source", "explode(split(lower(text), ' ')) AS tok")
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds both LMs + the scoring join
-    val cc = toks.groupBy("tok").agg(count(lit(1)).as("cc"))
-    val tc = toks.filter(col("source") === "src0")
-      .groupBy("tok").agg(count(lit(1)).as("tc"))
-    val stats = cc.agg(sum(col("cc")).as("ct"), count(lit(1)).as("vocab"))
-      .crossJoin(tc.agg(sum(col("tc")).as("tt")))
-    val agg = toks.join(broadcast(cc), "tok")
-      .join(broadcast(tc), Seq("tok"), "left")
+    // r15-opt: BOTH frequency tables in ONE vocabulary aggregate (corpus
+    // count + conditional target count per token) — the split form paid a
+    // second full pass over the cached token stream and a second broadcast
+    // build for tables that are keyed identically. tc = 0 rows simply
+    // weren't in the old tc table; coalesce(tc, 0) ≡ the conditional sum.
+    val ctc = toks.groupBy("tok").agg(
+      count(lit(1)).as("cc"),
+      sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tc"))
+    val stats = ctc.agg(sum(col("cc")).as("ct"), count(lit(1)).as("vocab"),
+      sum(col("tc")).as("tt"))
+    val agg = toks.join(broadcast(ctc), "tok")
       .crossJoin(broadcast(stats))
       .selectExpr("doc_id",
         """CAST(round(ln(
-          |  ((coalesce(tc, CAST(0 AS BIGINT)) + 1.0D) * (ct + vocab)) /
+          |  ((tc + 1.0D) * (ct + vocab)) /
           |  ((tt + vocab) * (cc + 1.0D))), 6) AS DECIMAL(38,6)) AS lr""".stripMargin)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("slr"))

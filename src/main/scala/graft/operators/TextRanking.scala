@@ -28,16 +28,22 @@ object TextRanking {
   def t59TfidfTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toks = docs.selectExpr("doc_id", s"explode($tokens) AS t")
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds tf, df, and N
+    // r15-opt: tf persists and df DERIVES from it (df = rows per term of
+    // the distinct (doc, term) table — same value as countDistinct over
+    // the raw stream) instead of a second full-stream distinct aggregate;
+    // n_docs = the documents row count (every doc tokenizes to ≥ 1 row,
+    // doc_id is the table key), replacing a third full-stream
+    // countDistinct. One corpus pass total where three ran before.
     val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // df is VOCABULARY-sized (one row per distinct token — billions on a
     // large corpus), not metadata-sized: no broadcast hint. tf and df are
     // both keyed by t, so this plans as an ordinary shuffle join, and AQE
     // still broadcasts at runtime when the vocabulary turns out small
     // (t151's df IS hinted — it filters to the 3 query terms first).
     // Only the 1-row n crosses by broadcast.
-    val df = toks.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
-    val n = toks.select(countDistinct(col("doc_id")).as("n_docs"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "t").crossJoin(broadcast(n))
       .select(col("doc_id"), col("t"),
         (col("tf") * (col("n_docs") + 1.0) / (col("df") + 1.0)).as("score"))
