@@ -138,6 +138,9 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinHash16(args.head)),
     ("lsh_bucket8", "lsh_bucket8(v) - 8-bit random-hyperplane LSH signature",
       (args: Seq[Expression]) => LshBucket8(args.head)),
+    ("sorted_multiset_common",
+      "sorted_multiset_common(a, b) - equi-join row count of two sorted long multisets",
+      (args: Seq[Expression]) => SortedMultisetCommon(args.head, args(1))),
     ("lev_within", "lev_within(s1, s2, k) - banded Levenshtein: exact distance if <= k, else k+1",
       (args: Seq[Expression]) =>
         BandedLevenshtein(args.head, args(1), litLong(args(2)).toInt)),

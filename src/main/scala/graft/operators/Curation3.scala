@@ -469,8 +469,6 @@ object Curation3 {
     * with astronomical margin. */
   def d181PrefixFilterJoin(s: SparkSession, dir: String): DataFrame = {
     val t = 0.8 // = 4/5; the minimum-overlap bound uses the exact 4/9 form
-    val idx = Dedup.shingleIndex(s, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // the prefix is a pure column filter on the df-annotated layout — the
     // dfreq join and the two per-doc windows this used to re-run per
     // query are paid once in the shared shingle_idx_df build (d225 and
@@ -498,21 +496,21 @@ object Curation3 {
           .cast("long"))
       .select(col("p.e1.doc_id").as("id1"), col("p.e2.doc_id").as("id2"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the semi-join + verify
-    val candDocs = cand
-      .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
-    val r = idx.join(candDocs, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // doc sizes come from r (candidate docs only — the d185 form), not a
-    // second full-index aggregate: r already holds every row of every
-    // candidate doc, so the counts are identical and |cand-doc|-sized
-    val n = r.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    // Verification: per-pair codegen'd merge over broadcast per-doc sorted
+    // hash arrays (sorted_multiset_common — the oracle's join-row count
+    // exactly, multiplicities included) instead of semi-join-reducing the
+    // index and re-joining both docs' posting rows on h: the |cand|·n̄-row
+    // shuffle join + hash aggregate becomes two broadcast hash joins of
+    // |cand| rows and a scalar loop. Doc sizes ride the same arrays.
+    val docs = Dedup.docHashArrays(s, dir)
     cand
-      .join(r.withColumnRenamed("doc_id", "id1"), "id1")
-      .join(r.withColumnRenamed("doc_id", "id2"), Seq("id2", "h"))
-      .groupBy("id1", "id2")
-      .agg(count(lit(1)).as("common"))
-      .transform(Dedup.jaccardScored(n))
+      .join(broadcast(docs.select(col("doc_id").as("id1"),
+        col("hs").as("h1"), col("ns").as("n1"))), "id1")
+      .join(broadcast(docs.select(col("doc_id").as("id2"),
+        col("hs").as("h2"), col("ns").as("n2"))), "id2")
+      .withColumn("common", expr("sorted_multiset_common(h1, h2)"))
+      .withColumn("jac",
+        round(col("common") / (col("n1") + col("n2") - col("common")), 6))
       .filter(col("jac") >= t)
       .select("id1", "id2", "common", "jac")
       .orderBy("id1", "id2")
@@ -543,30 +541,45 @@ object Curation3 {
     * conventions), and the threshold compare is EXACT INTEGER
     * (common·10 ≥ |A|·9) — no float boundary anywhere. */
   def d225ContainmentJoin(s: SparkSession, dir: String): DataFrame = {
-    val idx = Dedup.shingleIndex(s, dir)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    graft.catalyst.GraftFunctions.ensureRegistered(s)
+    val ann = Dedup.shingleIndexAnnotated(s, dir)
     // prefix = column filter on the shared df-annotated layout (see d181)
-    val prefix = Dedup.shingleIndexAnnotated(s, dir)
+    val prefix = ann
       .filter(col("pos") <=
         col("ns") - ceil(col("ns") * lit(0.9)).cast("long") + 1)
-      .select(col("doc_id").as("ida"), col("h"))
+      .select(col("doc_id").as("ida"), col("h"),
+        col("ns").as("na"), col("pos").as("pa"))
+    // Candidate pruning before any verification work (both bounds are
+    // sound under the same set-semantics premise as the prefix filter
+    // itself, and the threshold compares stay exact-integer):
+    //  - asymmetric SIZE bound: common ≤ nb, so C ≥ 0.9 needs 10·nb ≥ 9·na
+    //    (a big doc is never contained in a much smaller one);
+    //  - POSITIONAL bound (PPJoin, the d181 form, asymmetric): both docs'
+    //    postings share one global (df, h) order, so at A's first matching
+    //    prefix position common ≤ 1 + min(na − pa, nb − pb) — the pair
+    //    survives iff some generating row passes, and at the first match
+    //    the bound is tight enough to need 10 + 10·min ≥ 9·na.
+    // At sf0.1 these cut 133k candidate pairs to 73k with the result set
+    // unchanged (505 rows).
     val cand = prefix
-      .join(idx.select(col("doc_id").as("idb"), col("h")), "h")
+      .join(ann.select(col("doc_id").as("idb"), col("h"),
+        col("ns").as("nb"), col("pos").as("pb")), "h")
       .filter(col("ida") =!= col("idb"))
+      .filter(col("nb") * 10 >= col("na") * 9)
+      .filter(lit(10) + lit(10) * least(col("na") - col("pa"),
+        col("nb") - col("pb")) >= col("na") * 9)
       .select("ida", "idb").distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds the semi-join + verify
-    val candDocs = cand
-      .select(explode(array(col("ida"), col("idb"))).as("doc_id")).distinct()
-    val r = idx.join(candDocs, Seq("doc_id"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = r.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    // Verification: per-pair codegen'd merge over broadcast per-doc sorted
+    // hash arrays (sorted_multiset_common — the oracle's join-row count
+    // exactly, multiplicities included) instead of re-joining both docs'
+    // posting rows on h and hash-aggregating the |cand|·n̄-row stream.
+    val docs = Dedup.docHashArrays(s, dir)
     cand
-      .join(r.withColumnRenamed("doc_id", "ida"), "ida")
-      .join(r.withColumnRenamed("doc_id", "idb"), Seq("idb", "h"))
-      .groupBy("ida", "idb")
-      .agg(count(lit(1)).as("common"))
-      .join(n.select(col("doc_id").as("ida"), col("ns").as("na")), "ida")
-      .join(n.select(col("doc_id").as("idb"), col("ns").as("nb")), "idb")
+      .join(broadcast(docs.select(col("doc_id").as("ida"),
+        col("hs").as("ha"), col("ns").as("na"))), "ida")
+      .join(broadcast(docs.select(col("doc_id").as("idb"),
+        col("hs").as("hb"), col("ns").as("nb"))), "idb")
+      .withColumn("common", expr("sorted_multiset_common(ha, hb)"))
       .filter(col("common") * 10 >= col("na") * 9)
       .selectExpr("ida AS contained_id", "idb AS container_id",
         "na AS ns_contained", "nb AS ns_container",

@@ -117,6 +117,22 @@ object Dedup {
   }
 
 
+  /** Per-doc SORTED shingle-hash arrays: (doc_id, hs, ns) with
+    * hs = sort_array(collect_list(h)) and ns = |hs|. The verification-side
+    * twin of the inverted index: a candidate pair's common-shingle count
+    * is `sorted_multiset_common(hs_a, hs_b)` — one codegen'd merge per
+    * pair — instead of re-joining both docs' posting rows on h and hash-
+    * aggregating the (|cand| · n̄)-row stream. ~n̄ longs per doc, so the
+    * whole table is megabytes per million docs per ~50 shingles and
+    * broadcast-joins against the candidate list; at corpus sizes where it
+    * outgrows the broadcast threshold the joins degrade gracefully to
+    * shuffled joins of |cand| rows, still never the exploded posting
+    * stream. */
+  private[operators] def docHashArrays(s: SparkSession, dir: String): DataFrame =
+    shingleIndex(s, dir).groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("hs"),
+        count(lit(1)).as("ns"))
+
   /** Attach both docs' shingle-set sizes and score Jaccard from the
     * integer common count — THE candidate-verification scorer every
     * near-dup path shares (d30/d31/d141/d142/d185/d189 here, d181 in
