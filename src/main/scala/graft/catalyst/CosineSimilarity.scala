@@ -138,6 +138,9 @@ object GraftFunctions {
       (args: Seq[Expression]) => MinHash16(args.head)),
     ("lsh_bucket8", "lsh_bucket8(v) - 8-bit random-hyperplane LSH signature",
       (args: Seq[Expression]) => LshBucket8(args.head)),
+    ("pair_structs",
+      "pair_structs(ids) - C(n,2) ordered id pairs of a sorted long array",
+      (args: Seq[Expression]) => PairStructs(args.head)),
     ("sorted_multiset_common",
       "sorted_multiset_common(a, b) - equi-join row count of two sorted long multisets",
       (args: Seq[Expression]) => SortedMultisetCommon(args.head, args(1))),

@@ -139,10 +139,15 @@ object Curation2 {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val tot = freq.agg(sum(col("cnt")).as("total"))
-    toks.join(broadcast(freq), "tok")
-      .crossJoin(broadcast(tot))
-      .selectExpr("doc_id",
+    // r15-opt (guide §4, the t156 form): lp is a function of tok alone —
+    // evaluate ln + round + decimal-cast once per VOCAB row and let the
+    // broadcast carry the precomputed DECIMAL (bit-identical: lp is
+    // constant within a tok).
+    val lpTab = freq.crossJoin(tot)
+      .selectExpr("tok",
         "CAST(round(ln(cnt / CAST(total AS DOUBLE)), 6) AS DECIMAL(38,6)) AS lp")
+    toks.join(broadcast(lpTab), "tok")
+      .select("doc_id", "lp")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
       .selectExpr("doc_id", "n_tokens",
@@ -293,12 +298,20 @@ object Curation2 {
     // before scoring — the old plan joined the corpus bigram stream twice,
     // once keyed (w1, w2) and again keyed w1, i.e. two full-stream
     // exchanges where one suffices (guide §2.4). Same counts either way.
+    // r15-opt (guide §4, the t156 form): lp is a function of the MODEL row
+    // alone, so the ln + round + decimal-cast run once per (w1, w2) model
+    // entry (vocab²-bounded) instead of once per corpus bigram row — the
+    // join carries the precomputed DECIMAL. Values are bit-identical (lp
+    // is constant within a (w1, w2) group).
     val cbx = cb.join(cu, Seq("w1"))
-    bg.join(cbx, Seq("w1", "w2"))
       .crossJoin(broadcast(v))
-      .selectExpr("doc_id",
+      .selectExpr("w1", "w2",
         "CAST(round(ln((cb + 1) / CAST(ctx + v AS DOUBLE)), 6) " +
           "AS DECIMAL(38,6)) AS lp")
+    // broadcast like every sibling model join (t146/t156): without the
+    // hint AQE only converts to BHJ after materializing BOTH exchanges,
+    // i.e. the corpus bigram stream still shuffles once for nothing
+    bg.join(broadcast(cbx), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
       // the average divides in EXACT micro-unit integers (floor DIV) —

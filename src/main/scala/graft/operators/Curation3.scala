@@ -49,16 +49,35 @@ object Curation3 {
       .agg(count(lit(1)).as("c"))
     val consts = priors.agg(sum(col("nd")).as("nd_total")).crossJoin(
       train.agg(countDistinct(col("tok")).as("vsize")))
+    // EAGER checkpoint of the |langs|-row class table (the hybridRetrieval
+    // qt pattern): it now feeds BOTH the per-class fan-out and the model
+    // lp build below, and as a lazy subplan its prior/stats aggregate
+    // chain (with the two 1-row cross joins) would re-execute once per
+    // broadcast consumer — and double-count against Batch67PlanSpec's
+    // nested-loop ceiling.
     val classes = priors.join(classTot, col("lang") === col("clang"))
       .crossJoin(consts)
       .selectExpr("clang", "nl", "vsize",
         "CAST(round(ln(nd / CAST(nd_total AS DOUBLE)), 6) AS DECIMAL(38,6)) AS prior")
-    val scored = toks.filter(!col("is_train"))
-      .join(broadcast(classes), lit(true))
-      .join(broadcast(counts), Seq("clang", "tok"), "left")
-      .selectExpr("doc_id", "lang", "clang", "prior",
-        """CAST(round(ln((coalesce(c, 0) + 1) / CAST(nl + vsize AS DOUBLE)), 6)
+      .localCheckpoint(true)
+    // r15-opt (guide §4, the t156 form): the smoothed log-prob is a
+    // function of the MODEL row alone — precompute lp once per
+    // (clang, tok) model entry and the unseen-token fallback lp0 once per
+    // class (ln(1/(nl+vsize)) ≡ the coalesce(c,0) branch), instead of one
+    // interpreted ln + round + decimal-cast per scored corpus token row.
+    // coalesce(lp, lp0) reproduces the LEFT-join arithmetic bit-exactly.
+    val lpTab = counts.join(classes, "clang")
+      .selectExpr("clang", "tok",
+        """CAST(round(ln((c + 1) / CAST(nl + vsize AS DOUBLE)), 6)
           |AS DECIMAL(38,6)) AS lp""".stripMargin)
+    val classes0 = classes.selectExpr("clang", "prior",
+      """CAST(round(ln(1 / CAST(nl + vsize AS DOUBLE)), 6)
+        |AS DECIMAL(38,6)) AS lp0""".stripMargin)
+    val scored = toks.filter(!col("is_train"))
+      .join(broadcast(classes0), lit(true))
+      .join(broadcast(lpTab), Seq("clang", "tok"), "left")
+      .selectExpr("doc_id", "lang", "clang", "prior",
+        "coalesce(lp, lp0) AS lp")
       .groupBy("doc_id", "lang", "clang", "prior")
       .agg(sum(col("lp")).as("slp"))
       .selectExpr("doc_id", "lang", "clang", "prior + slp AS score")

@@ -153,10 +153,15 @@ object Dedup {
     * fixing at eight call sites across Dedup/Curation3). Emits
     * struct(id1, id2) with id1 < id2 in array order; callers alias it
     * `AS p` and project/aggregate on p.id1/p.id2. */
-  private[graft] val pairExplodeExpr: String =
-    """explode(flatten(transform(ids, (x, i) ->
-      |  transform(slice(ids, i + 2, size(ids) - i - 1),
-      |    y -> struct(x AS id1, y AS id2)))))""".stripMargin
+  /** r15-opt (guide §4): the HOF chain this used to be —
+    * `explode(flatten(transform(ids, (x, i) -> transform(slice(ids, i+2,
+    * …), y -> struct(x AS id1, y AS id2)))))` — ran an interpreted lambda
+    * per ELEMENT and copied the array tail per element through slice();
+    * [[graft.catalyst.PairStructs]] builds the identical pair array in
+    * one compiled loop per bucket row. Every consumer's enclosing query
+    * registers the native family (directly or through
+    * [[shingleIndexAnnotated]]) before referencing this string. */
+  private[graft] val pairExplodeExpr: String = "explode(pair_structs(ids))"
 
   /** Band-bucket df-ceiling — d141's stop-shingle discipline mirrored at
     * the LSH BAND layer (the r10 verdict's one flagged unbounded term in

@@ -185,18 +185,30 @@ object GraphOps {
     * ordering. */
   def q242AdamicAdar(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.catalyst.GraftFunctions.ensureRegistered(s) // pair_structs below
     val e = GraphOps2.coEdges(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = degrees(e)
-    // symmetric adjacency restricted to low-degree centers
-    val adj = e.select(col("u").as("c"), col("v").as("n"))
+    // r15-opt (guide §2.4/§2.2): one grouped adjacency-list build replaces
+    // the old degree aggregate + deg join + adjacency self-join — the
+    // wedge set C(neighbors, 2) explodes MAP-SIDE per center row via the
+    // shared pairExplodeExpr (a.n < b.n ≡ ascending array order; (c, n)
+    // rows are distinct so the strict < is preserved), the center degree
+    // is size(ids), and the per-center weight is computed once per center
+    // instead of once per wedge row. Plan: 3 exchanges + SMJ sorts → 1
+    // exchange before the wedge stream; the e persist is gone (e is read
+    // from its layout parquet twice — adjacency + anti-join — which is
+    // cheaper than a MEMORY_AND_DISK round-trip of the same rows).
+    // Degree bound and weight are unchanged: d ≤ 64 ⇔ size(ids) ≤ 64.
+    val wedges = e.select(col("u").as("c"), col("v").as("n"))
       .unionByName(e.select(col("v").as("c"), col("u").as("n")))
-      .join(deg.select(col("x").as("c"), col("d")), "c")
-      .filter(col("d") <= AaMaxCenterDeg)
-    val wedges = adj.as("a").join(adj.as("b"),
-        col("a.c") === col("b.c") && col("a.n") < col("b.n"))
-      .selectExpr("a.n AS u", "b.n AS w",
-        s"CAST(floor(1e6D / ln(a.d) + 0.5D) AS BIGINT) AS c6")
+      .groupBy("c")
+      .agg(sort_array(collect_list(col("n"))).as("ids"))
+      // ≥ 2 neighbors or no wedge exists — and ln(1) = 0 would trip the
+      // ANSI divide (the old self-join shape never evaluated d = 1 rows)
+      .filter(size(col("ids")).between(2, AaMaxCenterDeg))
+      .withColumn("c6",
+        expr(s"CAST(floor(1e6D / ln(size(ids)) + 0.5D) AS BIGINT)"))
+      .selectExpr(s"${Dedup.pairExplodeExpr} AS p", "c6")
+      .selectExpr("p.id1 AS u", "p.id2 AS w", "c6")
     // top-k FIRST via orderBy().limit() — TakeOrderedAndProject keeps a
     // k-row heap per partition and merges k·parts rows on the driver; an
     // unpartitioned row_number window here would funnel the full corpus-

@@ -370,12 +370,19 @@ object Pretrain {
       sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tc"))
     val stats = ctc.agg(sum(col("cc")).as("ct"), count(lit(1)).as("vocab"),
       sum(col("tc")).as("tt"))
-    val agg = toks.join(broadcast(ctc), "tok")
-      .crossJoin(broadcast(stats))
-      .selectExpr("doc_id",
+    // r15-opt (guide §4): lr is a function of tok ALONE, so the ln +
+    // round + decimal-cast run once per VOCAB row (the ctc table) instead
+    // of once per corpus token row; the broadcast then carries the
+    // precomputed DECIMAL. Bit-identical: the oracle's scored CTE
+    // evaluates the same expression per token row, but it is constant
+    // within a tok.
+    val lrTab = ctc.crossJoin(stats)
+      .selectExpr("tok",
         """CAST(round(ln(
           |  ((tc + 1.0D) * (ct + vocab)) /
           |  ((tt + vocab) * (cc + 1.0D))), 6) AS DECIMAL(38,6)) AS lr""".stripMargin)
+    val agg = toks.join(broadcast(lrTab), "tok")
+      .select("doc_id", "lr")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("slr"))
       // feeds both the top-100 heap and the flag join — without the persist

@@ -149,19 +149,32 @@ object Pretrain3 {
     val tot = uni.agg(sum(col("cu")).as("total"))
     val bi = toks.filter(col("prev").isNotNull)
       .groupBy("prev", "tok").agg(count(lit(1)).as("cb"))
+    // r15-opt (guide §4, the t156 form): all three CASE arms are functions
+    // of MODEL rows — precompute the unigram arm and the backoff arm once
+    // per vocab entry and the bigram arm once per seen (prev, tok), so the
+    // ln + round + decimal-casts leave the corpus token stream and one
+    // broadcast join (the cprev lookup, now folded into the bigram table)
+    // disappears. CASE selection order is unchanged, so values are
+    // bit-identical; backed_off ⇔ the bigram-arm lp is absent.
+    val uniLp = uni.crossJoin(tot)
+      .selectExpr("tok",
+        "CAST(round(ln(cu / CAST(total AS DOUBLE)), 6) AS DECIMAL(38,6))" +
+          " AS lp_uni",
+        "CAST(round(ln(0.4D * cu / CAST(total AS DOUBLE)), 6)" +
+          " AS DECIMAL(38,6)) AS lp_back")
+    val biLp = bi
+      .join(uni.selectExpr("tok AS prev", "cu AS cprev"), Seq("prev"))
+      .selectExpr("prev", "tok",
+        "CAST(round(ln(cb / CAST(cprev AS DOUBLE)), 6) AS DECIMAL(38,6))" +
+          " AS lp_bi")
     toks
-      .join(broadcast(uni), Seq("tok"))
-      .join(broadcast(uni.selectExpr("tok AS prev", "cu AS cprev")),
-        Seq("prev"), "left")
-      .join(broadcast(bi), Seq("prev", "tok"), "left")
-      .crossJoin(broadcast(tot))
+      .join(broadcast(uniLp), Seq("tok"))
+      .join(broadcast(biLp), Seq("prev", "tok"), "left")
       .selectExpr("doc_id",
-        """CAST(round(CASE
-          |  WHEN prev IS NULL THEN ln(cu / CAST(total AS DOUBLE))
-          |  WHEN cb IS NOT NULL THEN ln(cb / CAST(cprev AS DOUBLE))
-          |  ELSE ln(0.4D * cu / CAST(total AS DOUBLE)) END, 6)
-          |AS DECIMAL(38,6)) AS lp""".stripMargin,
-        "CAST(cb IS NULL AND prev IS NOT NULL AS INT) AS backed_off")
+        """CASE WHEN prev IS NULL THEN lp_uni
+          |  WHEN lp_bi IS NOT NULL THEN lp_bi
+          |  ELSE lp_back END AS lp""".stripMargin,
+        "CAST(lp_bi IS NULL AND prev IS NOT NULL AS INT) AS backed_off")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("backed_off")).as("n_backoff"),

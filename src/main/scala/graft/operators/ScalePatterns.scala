@@ -227,11 +227,26 @@ object ScalePatterns {
 
   /** The 16-bit×2 Morton (Z-order) interleave as a portable expression:
     * z = Σ_i ((x≫i & 1) ≪ 2i) | ((y≫i & 1) ≪ (2i+1)). Pure integer
-    * arithmetic — identical in any engine. */
-  def zOrderExpr(x: String, y: String): String =
-    s"""aggregate(sequence(0, 15), 0L, (acc, i) ->
-       |  acc + (shiftleft(shiftright($x, i) & 1, 2 * i)
-       |       + shiftleft(shiftright($y, i) & 1, 2 * i + 1)))""".stripMargin
+    * arithmetic — identical in any engine.
+    *
+    * r15-opt (guide §4): the `aggregate(sequence(0, 15), …)` HOF form ran
+    * a 16-step interpreted lambda per row (HOFs are CodegenFallback);
+    * this is the closed-form bit spread — (v | v≪8) & 0x00FF00FF,
+    * (…≪4) & 0x0F0F0F0F, (…≪2) & 0x33333333, (…≪1) & 0x55555555 — whose
+    * masked adds stay inside whole-stage codegen. Value-identical for
+    * x, y ∈ [0, 65535] (the masks implement exactly the Σ_i term; the +
+    * of the two spreads has disjoint bits, so + ≡ |), pinned by
+    * ScalePatternsSpec's exhaustive 16-bit equivalence case. The oracle
+    * SQL keeps the Σ form. */
+  def zOrderExpr(x: String, y: String): String = {
+    def spread(v: String): String = {
+      val a = s"(($v | shiftleft($v, 8)) & 16711935L)"      // 0x00FF00FF
+      val b = s"(($a | shiftleft($a, 4)) & 252645135L)"     // 0x0F0F0F0F
+      val c = s"(($b | shiftleft($b, 2)) & 858993459L)"     // 0x33333333
+      s"(($c | shiftleft($c, 1)) & 1431655765L)"            // 0x55555555
+    }
+    s"(${spread(x)} + shiftleft(${spread(y)}, 1))"
+  }
 
   /** q91: Z-order (Morton-curve) layout — the multi-dimensional clustering
     * pattern behind Delta/Iceberg `OPTIMIZE ZORDER BY`. Interleaving the

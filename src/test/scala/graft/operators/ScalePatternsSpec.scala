@@ -97,6 +97,21 @@ class ScalePatternsSpec extends SparkSpec {
     assert(pts.select("z").distinct().count() == 64L * 64L)
   }
 
+  test("closed-form z interleave equals the Σ-term HOF form on all 16-bit inputs") {
+    import spark.implicits._
+    // the oracle keeps the Σ_i ((x≫i&1)≪2i + (y≫i&1)≪(2i+1)) form; the
+    // engine's bit-spread must be value-identical across the full domain
+    val hof = """aggregate(sequence(0, 15), 0L, (acc, i) ->
+                |  acc + (shiftleft(shiftright(xb, i) & 1, 2 * i)
+                |       + shiftleft(shiftright(yb, i) & 1, 2 * i + 1)))""".stripMargin
+    val n = spark.range(65536)
+      .selectExpr("id AS xb", "(id * 2654435761L) % 65536 AS yb")
+      .selectExpr(s"sum(CASE WHEN (${ScalePatterns.zOrderExpr("xb", "yb")})" +
+        s" = ($hof) THEN 0 ELSE 1 END) AS bad")
+      .head().getLong(0)
+    assert(n === 0L)
+  }
+
   test("dynamic partition pruning fires from a dim-side filter") {
     import spark.implicits._
     ScalePatterns.q64PartitionPruning(spark, dir).count() // writes the layout
