@@ -408,16 +408,34 @@ object Dedup {
         s"simhash30(gram_hashes(array_distinct($tokens), 1)) AS sig")
     val chunks = sigs.selectExpr("doc_id", "sig",
       """explode(transform(sequence(0, 2), c ->
-        |  concat(CAST(c AS STRING), ':',
-        |    CAST(shiftright(sig, c*10) & 1023 AS STRING)))) AS chunk""".stripMargin)
+        |  struct(c AS band, concat(CAST(c AS STRING), ':',
+        |    CAST(shiftright(sig, c*10) & 1023 AS STRING)) AS chunk))) AS ch""".stripMargin)
+      .select(col("doc_id"), col("sig"),
+        col("ch.band").as("band"), col("ch.chunk").as("chunk"))
       // both sides of the chunk self-join — persist or the token-hash +
       // 30-bit signature fold runs twice (see d31's cost note)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // r15-opt (guide §2.4): FIRST-COLLISION-BAND emission replaces the
+    // distinct. A pair colliding in k ≤ 3 bands used to emit k rows into
+    // a corpus-pair-scale distinct exchange (the planted near-dup corpus
+    // makes this 1.5M+ result pairs at sf0.1 — the query's one real data
+    // movement); both signatures are in hand at the join row, so "this is
+    // the smallest matching band" is a pure map-side predicate and each
+    // pair survives exactly once. Equivalent to the old
+    // distinct-on-(id1,id2,sig1,sig2): sig is functionally determined by
+    // doc_id, so distinct kept one row per pair too.
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .filter(expr(
+        """a.band = 0
+          | OR (a.band = 1
+          |   AND (shiftright(a.sig, 0) & 1023) != (shiftright(b.sig, 0) & 1023))
+          | OR (a.band = 2
+          |   AND (shiftright(a.sig, 0) & 1023) != (shiftright(b.sig, 0) & 1023)
+          |   AND (shiftright(a.sig, 10) & 1023) != (shiftright(b.sig, 10) & 1023))"""
+          .stripMargin))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-      .distinct()
       .selectExpr("id1", "id2", "CAST(bit_count(sig1 ^ sig2) AS INTEGER) AS hamming")
       .filter(col("hamming") <= 2)
       .orderBy("id1", "id2")
