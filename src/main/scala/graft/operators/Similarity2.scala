@@ -1097,10 +1097,24 @@ object Similarity2 {
     // either way) with a single terminal action.
     val shortlist = fused.select("doc_id").localCheckpoint(true)
     val short = toks.join(broadcast(shortlist), "doc_id")
-    val tfa = short.join(broadcast(qt.select("t")), "t")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("sumtf"), countDistinct(col("t")).as("n_cover"))
-    val lens = short.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // r15-opt (guide §2.2): tfa and lens both aggregated the SAME
+    // shortlist-joined token rows (one with a query-term join, one
+    // without) — fused into a single doc-keyed pass. The 8 query terms
+    // are driver-known (qt is an eagerly-materialized 8-row checkpoint;
+    // reading them is the s315 shortlist convention), so the query-term
+    // membership is a codegen'd isin instead of a broadcast join.
+    // Identical arithmetic: sumtf = INNER-join row count ≡ conditional
+    // sum; n_cover = countDistinct over matched terms (the when() is
+    // null on non-matches, which countDistinct ignores); docs with no
+    // query-term rows now carry 0 instead of a null from the old LEFT
+    // join — same value after the existing coalesce(…, 0).
+    val qTerms = qt.select("t").collect().map(_.getString(0)).toSeq
+    val tfl = short.groupBy("doc_id").agg(
+      count(lit(1)).as("len"),
+      sum(when(col("t").isInCollection(qTerms), 1L).otherwise(0L))
+        .as("sumtf"),
+      countDistinct(when(col("t").isInCollection(qTerms), col("t")))
+        .as("n_cover"))
     val all = Similarity.vecs(s, dir)
     val cosf = broadcast(all.filter(col("vec_id") === 0).select(col("v"))).as("q")
       .crossJoin(all.join(
@@ -1108,8 +1122,7 @@ object Similarity2 {
       .selectExpr("c.vec_id AS doc_id",
         "CAST(floor(cosine_sim(q.v, c.v) * 1000000.0D) AS BIGINT) AS cos6")
     val feat = shortlist
-      .join(tfa, Seq("doc_id"), "left")
-      .join(lens, Seq("doc_id"), "left")
+      .join(tfl, Seq("doc_id"), "left")
       .join(cosf, Seq("doc_id"), "left")
       .selectExpr("doc_id",
         "CAST(coalesce(n_cover, 0) AS BIGINT) AS n_cover",
